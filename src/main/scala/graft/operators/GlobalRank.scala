@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Dense global ranks 0..n-1 by `sortCols`, computed scalably (no
+  * single-partition window).
+  *
+  * This one expression replaces reference ops #3–#9 — Bernoulli sample →
+  * splitter quantiles → range shuffle → per-partition sort → per-partition
+  * count sentinels → rank offsets (`/root/reference/src/SlidingAggregation
+  * .java:38-210`): `repartitionByRange` samples splitters internally
+  * (TeraSort-style `RangePartitioner`), and `zipWithIndex` runs the count
+  * pass and computes partition offsets exactly like the reference's
+  * `PairInt(-1, count)` sentinel broadcast, minus the in-band sentinels.
+  *
+  * Scale note: the semantic twin `row_number().over(Window.orderBy(...))`
+  * collapses to one task; this form stays fully parallel — the only wide
+  * exchange is the range shuffle, and the count pass reuses its shuffle
+  * files (skipped stage), so data moves once.
+  */
+object GlobalRank {
+  def withRank(df: DataFrame, numParts: Int, rankCol: String, sortCols: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(numParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+}
