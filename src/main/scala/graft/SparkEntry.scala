@@ -1,13 +1,256 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{GlobalRank, LongMonoid, SlidingAggregate}
+import graft.sources.TextKV
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where SQL-expressible.
+  *
+  * Determinism notes (both engines must hash-match cell-for-cell):
+  *  - doubles are quantized to integer cents (`floor(x*100)` as BIGINT)
+  *    before aggregation — IEEE multiply+floor is identical in Spark and
+  *    DuckDB, and 64-bit integer sums are exact and order-independent,
+  *    unlike floating-point sums which depend on combine order;
+  *  - every output is sorted on a unique key in BOTH engines;
+  *  - every computed column is aliased identically in both.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+  private def cents(c: Column): Column = floor(c * 100).cast(LongType)
+  private val CENTS = "CAST(FLOOR(%s * 100) AS BIGINT)"
+
+  /** Flagship query on sf=0.001: the reference's headline operator — a
+    * distributed sliding-window SUM over globally sorted orders. */
+  def entry(spark: SparkSession): DataFrame = {
+    val orders = spark.read.parquet(t("/root/testdata/sf0.001", "orders"))
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+    SlidingAggregate.scalable(orders, "o_orderkey", "v", window = 50, numParts = 8)
+  }
+
+  /** Sliding aggregate of order totalprice cents over orderkey rank. */
+  private def slidingOrders(s: SparkSession, dir: String, w: Int, mon: LongMonoid): DataFrame = {
+    val orders = s.read.parquet(t(dir, "orders"))
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+    SlidingAggregate.scalable(orders, "o_orderkey", "v", w, numParts = 8, mon)
+      .orderBy("rank")
+  }
+
+  private def slidingOrdersSql(w: Int, fn: String): String = {
+    val v = CENTS.format("o_totalprice")
+    val agg = fn match {
+      case "count" => "COUNT(*)"
+      case f       => s"$f($v)"
+    }
+    s"""SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
+       |       CAST(o_orderkey AS BIGINT) AS key,
+       |       CAST($agg OVER (ORDER BY o_orderkey
+       |                       ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS agg
+       |FROM orders ORDER BY rank""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── reference op #1: text KV scan (SURVEY §2a #1) ────────────────────
+    "q01_text_scan" -> ((s, _) =>
+      TextKV.read(s, "/root/reference/input/simple103.txt")
+        .orderBy("key", "value")),
+
+    // ── ops #3–#6: sampled range partition + total-order sort ────────────
+    "q02_total_sort" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_c"))
+        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")),
+
+    // ── ops #7–#9: global dense ranking (zipWithIndex) ────────────────────
+    "q03_global_rank" -> ((s, dir) =>
+      GlobalRank.withRank(
+        s.read.parquet(t(dir, "orders")).select("o_orderkey"),
+        numParts = 8, "rank", col("o_orderkey"))
+        .select(col("rank"), col("o_orderkey")).orderBy("rank")),
+
+    // ── op #13: the headline sliding aggregate, all four monoids ─────────
+    "q04_sliding_sum"   -> ((s, dir) => slidingOrders(s, dir, 100, LongMonoid.Sum)),
+    "q05_sliding_min"   -> ((s, dir) => slidingOrders(s, dir, 100, LongMonoid.Min)),
+    "q06_sliding_max"   -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Max)),
+    "q07_sliding_count" -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Count)),
+
+    // ── op #4: quantile splitter computation (exact order statistics) ────
+    "q08_quantile_splitters" -> ((s, dir) => {
+      val ranked = GlobalRank.withRank(
+        s.read.parquet(t(dir, "lineitem")).select(cents(col("l_extendedprice")).as("key_c")),
+        numParts = 8, "rn", col("key_c"))
+      val n = ranked.count()
+      val targets = s.range(1, 8).select(
+        col("id").as("splitter_id"), expr(s"(id * $n) div 8").as("rn"))
+      targets.join(ranked, "rn")
+        .select(col("splitter_id"), col("key_c").as("splitter"))
+        .orderBy("splitter_id")
+    }),
+
+    // ── op #3: Bernoulli sample (nondeterministic — rows-only check) ─────
+    "q09_bernoulli_sample" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem")).select("l_orderkey").sample(0.5, 42L)),
+
+    // ── ops #10–#12: balanced rank blocks + per-block aggregates ─────────
+    "q10_block_stats" -> ((s, dir) => {
+      val ranked = GlobalRank.withRank(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("v")),
+        numParts = 8, "rank", col("o_orderkey"))
+      val n = ranked.count()
+      val m = (n + 7) / 8
+      ranked.groupBy(expr(s"rank div $m").as("block"))
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_c"))
+        .orderBy("block")
+    }),
+
+    // ── breadth: standard analytics the engine gets Spark-natively ───────
+    "q11_groupby_agg" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q12_join_revenue" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders"))
+      val customer = s.read.parquet(t(dir, "customer"))
+      val nation = s.read.parquet(t(dir, "nation"))
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_c"))
+        .orderBy("n_name")
+    }),
+
+    "q13_topk" -> ((s, dir) =>
+      s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+        .limit(20)),
+
+    "q14_distinct" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q15_anti_join" -> ((s, dir) => {
+      val customer = s.read.parquet(t(dir, "customer"))
+      val orders = s.read.parquet(t(dir, "orders"))
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select("c_custkey").distinct().orderBy("c_custkey")
+    }),
+
+    "q16_rollup" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q17_window_partitioned" -> ((s, dir) =>
+      s.read.parquet(t(dir, "orders"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+        .withColumn("prev_price_c", lag("price_c", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+        .select("o_custkey", "o_orderkey", "rn", "price_c", "prev_price_c")
+        .orderBy("o_custkey", "rn")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_text_scan" ->
+      """SELECT * FROM read_csv('/root/reference/input/simple103.txt',
+        |  delim=chr(9), header=false, columns={'key':'INTEGER','value':'INTEGER'})
+        |ORDER BY key, value""".stripMargin,
+
+    "q02_total_sort" ->
+      s"""SELECT l_orderkey, l_linenumber, ${CENTS.format("l_extendedprice")} AS price_c
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_global_rank" ->
+      """SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank, o_orderkey
+        |FROM orders ORDER BY rank""".stripMargin,
+
+    "q04_sliding_sum"   -> slidingOrdersSql(100, "SUM"),
+    "q05_sliding_min"   -> slidingOrdersSql(100, "MIN"),
+    "q06_sliding_max"   -> slidingOrdersSql(500, "MAX"),
+    "q07_sliding_count" -> slidingOrdersSql(500, "count"),
+
+    "q08_quantile_splitters" ->
+      s"""WITH ranked AS (
+         |  SELECT ${CENTS.format("l_extendedprice")} AS key_c,
+         |         (ROW_NUMBER() OVER (ORDER BY ${CENTS.format("l_extendedprice")})) - 1 AS rn
+         |  FROM lineitem),
+         |n AS (SELECT COUNT(*) AS n FROM lineitem),
+         |ids AS (SELECT UNNEST(range(1, 8)) AS splitter_id)
+         |SELECT ids.splitter_id, ranked.key_c AS splitter
+         |FROM ids CROSS JOIN n
+         |JOIN ranked ON ranked.rn = (ids.splitter_id * n.n) // 8
+         |ORDER BY ids.splitter_id""".stripMargin,
+
+    "q10_block_stats" ->
+      s"""WITH ranked AS (
+         |  SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
+         |         ${CENTS.format("o_totalprice")} AS v
+         |  FROM orders),
+         |n AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS m FROM orders)
+         |SELECT rank // m AS block, COUNT(*) AS cnt, SUM(v) AS sum_c
+         |FROM ranked, n GROUP BY 1 ORDER BY block""".stripMargin,
+
+    "q11_groupby_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(${CENTS.format("l_quantity")}) AS sum_qty_c,
+         |  SUM(${CENTS.format("l_extendedprice")}) AS sum_price_c,
+         |  SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS sum_disc_price_c,
+         |  COUNT(*) AS cnt
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_join_revenue" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders, SUM(${CENTS.format("o_totalprice")}) AS revenue_c
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q13_topk" ->
+      s"""SELECT o_orderkey, ${CENTS.format("o_totalprice")} AS price_c
+         |FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q14_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q15_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  SUM(${CENTS.format("l_quantity")}) AS sum_qty_c
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q17_window_partitioned" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  ROW_NUMBER() OVER w AS rn,
+         |  ${CENTS.format("o_totalprice")} AS price_c,
+         |  LAG(${CENTS.format("o_totalprice")}, 1) OVER w AS prev_price_c
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, rn""".stripMargin,
+  )
 }
