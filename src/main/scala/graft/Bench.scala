@@ -1,24 +1,44 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line and mirrors it to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `BENCH.json` in the cwd) so the driver
+  * can parse it even when sbt log noise surrounds stdout.
+  *
+  * The action is a full-row checksum — `sum(xxhash64(struct(*)))` — not
+  * `.count()`: counting lets Catalyst prune every computed column (and
+  * eliminate sorts under aggregation), which under-measures compute-heavy
+  * queries. The checksum forces every output cell to materialize. Failures
+  * propagate: a broken query must fail the bench, not look fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val df = fn(spark, sfDir)
+      df.select(sum(xxhash64(df.columns.map(col): _*))).collect()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
   }
 }

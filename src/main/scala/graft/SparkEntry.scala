@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{GlobalRank, LongMonoid, SlidingAggregate}
+import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -55,6 +55,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── reference op #1: text KV scan (SURVEY §2a #1) ────────────────────
+    // Fixed-size smoke query by design: reads the reference's own 103-line
+    // fixture (the format has no per-SF testdata), so it does NOT scale with
+    // sfDir — it checks format parity, not throughput.
     "q01_text_scan" -> ((s, _) =>
       TextKV.read(s, "/root/reference/input/simple103.txt")
         .orderBy("key", "value")),
@@ -80,34 +83,24 @@ object SparkEntry {
     "q07_sliding_count" -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Count)),
 
     // ── op #4: quantile splitter computation (exact order statistics) ────
-    "q08_quantile_splitters" -> ((s, dir) => {
-      val ranked = GlobalRank.withRank(
+    // One range shuffle; count + extraction passes reuse its map output
+    // (round 1 ran the whole rank pipeline twice — see OrderStats scaladoc).
+    "q08_quantile_splitters" -> ((s, dir) =>
+      OrderStats.exactSplitters(
         s.read.parquet(t(dir, "lineitem")).select(cents(col("l_extendedprice")).as("key_c")),
-        numParts = 8, "rn", col("key_c"))
-      val n = ranked.count()
-      val targets = s.range(1, 8).select(
-        col("id").as("splitter_id"), expr(s"(id * $n) div 8").as("rn"))
-      targets.join(ranked, "rn")
-        .select(col("splitter_id"), col("key_c").as("splitter"))
-        .orderBy("splitter_id")
-    }),
+        "key_c", k = 8, numParts = 8)),
 
     // ── op #3: Bernoulli sample (nondeterministic — rows-only check) ─────
     "q09_bernoulli_sample" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem")).select("l_orderkey").sample(0.5, 42L)),
 
     // ── ops #10–#12: balanced rank blocks + per-block aggregates ─────────
-    "q10_block_stats" -> ((s, dir) => {
-      val ranked = GlobalRank.withRank(
+    // Same single-shuffle pattern: no rank materialization, no second job.
+    "q10_block_stats" -> ((s, dir) =>
+      OrderStats.blockStats(
         s.read.parquet(t(dir, "orders"))
           .select(col("o_orderkey"), cents(col("o_totalprice")).as("v")),
-        numParts = 8, "rank", col("o_orderkey"))
-      val n = ranked.count()
-      val m = (n + 7) / 8
-      ranked.groupBy(expr(s"rank div $m").as("block"))
-        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_c"))
-        .orderBy("block")
-    }),
+        "o_orderkey", "v", numBlocks = 8)),
 
     // ── breadth: standard analytics the engine gets Spark-natively ───────
     "q11_groupby_agg" -> ((s, dir) =>
@@ -143,11 +136,15 @@ object SparkEntry {
         .select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Non-vacuous anti-join: customers with no order above 400k (202 rows at
+    // sf0.01). Round 1's form anti-joined against ALL orders and matched the
+    // oracle on 0 = 0 rows, proving nothing.
     "q15_anti_join" -> ((s, dir) => {
       val customer = s.read.parquet(t(dir, "customer"))
-      val orders = s.read.parquet(t(dir, "orders"))
-      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
-        .select("c_custkey").distinct().orderBy("c_custkey")
+      val bigOrders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 400000)
+      customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
     }),
 
     "q16_rollup" -> ((s, dir) =>
@@ -162,7 +159,8 @@ object SparkEntry {
           cents(col("o_totalprice")).as("price_c"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+          .cast(LongType))
         .withColumn("prev_price_c", lag("price_c", 1).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
@@ -201,26 +199,29 @@ object SparkEntry {
          |JOIN ranked ON ranked.rn = (ids.splitter_id * n.n) // 8
          |ORDER BY ids.splitter_id""".stripMargin,
 
+    // All DuckDB SUMs below are CAST to BIGINT: DuckDB's SUM(BIGINT) returns
+    // HUGEINT (int128), which hash-mismatches Spark's BIGINT even when the
+    // values are identical (round-1 q10/q11/q12/q16 failure mode).
     "q10_block_stats" ->
       s"""WITH ranked AS (
          |  SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
          |         ${CENTS.format("o_totalprice")} AS v
          |  FROM orders),
          |n AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS m FROM orders)
-         |SELECT rank // m AS block, COUNT(*) AS cnt, SUM(v) AS sum_c
+         |SELECT rank // m AS block, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_c
          |FROM ranked, n GROUP BY 1 ORDER BY block""".stripMargin,
 
     "q11_groupby_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  SUM(${CENTS.format("l_quantity")}) AS sum_qty_c,
-         |  SUM(${CENTS.format("l_extendedprice")}) AS sum_price_c,
-         |  SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS sum_disc_price_c,
+         |  CAST(SUM(${CENTS.format("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(SUM(${CENTS.format("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+         |  CAST(SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
          |  COUNT(*) AS cnt
          |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q12_join_revenue" ->
-      s"""SELECT n_name, COUNT(*) AS n_orders, SUM(${CENTS.format("o_totalprice")}) AS revenue_c
+      s"""SELECT n_name, COUNT(*) AS n_orders, CAST(SUM(${CENTS.format("o_totalprice")}) AS BIGINT) AS revenue_c
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -233,14 +234,17 @@ object SparkEntry {
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // NOT EXISTS (not NOT IN): left_anti keeps rows when the probe side has a
+    // NULL key; NOT IN returns zero rows then — semantics diverge.
     "q15_anti_join" ->
       """SELECT c_custkey FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q16_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-         |  SUM(${CENTS.format("l_quantity")}) AS sum_qty_c
+         |  CAST(SUM(${CENTS.format("l_quantity")}) AS BIGINT) AS sum_qty_c
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 

@@ -53,6 +53,8 @@ object SlidingAggregate {
       case "count" => count(col(valueCol))
       case "min"   => min(col(valueCol))
       case "max"   => max(col(valueCol))
+      case "avg"   => floor(avg(col(valueCol)))
+      case other   => throw new IllegalArgumentException(s"unknown aggregate: $other")
     }
     df.select(
       (row_number().over(order) - 1).cast(LongType).as("rank"),
@@ -195,7 +197,8 @@ object SlidingAggregate {
           var q = q0
           while (q < p) {
             // blocks p-d-1 and p-d arrived as raw rows — already in rangeAgg
-            if (q != p - d - 1 && q != p - d) acc = mon.combine(acc, blockAgg.get(q.toLong).get)
+            if (q != p - d - 1 && q != p - d) acc = mon.combine(acc, blockAgg.getOrElse(q.toLong,
+              throw new IllegalStateException(s"missing aggregate for block $q at block $p")))
             q += 1
           }
           Row(rank, key, acc)
