@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.embed.Similarity
+import graft.events.EventOps
 import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
+import graft.text.{Dedup, SimHash, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where SQL-expressible.
@@ -166,6 +169,71 @@ object SparkEntry {
             .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
         .select("o_custkey", "o_orderkey", "rn", "price_c", "prev_price_c")
         .orderBy("o_custkey", "rn")),
+
+    // ═════ LLM-data-pipeline operators (BASELINE.json north_star) ═════════
+
+    // ── exact dedup: hash-groupBy on normalized bag-of-words fingerprint ─
+    "q18_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(t(dir, "documents")))),
+
+    // ── MinHash signatures (shingle → minhash), the LSH building block ───
+    "q19_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(s.read.parquet(t(dir, "documents")), numHashes = 16)),
+
+    // ── text corpus statistics per language ──────────────────────────────
+    "q20_text_stats" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("n_tokens"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")),
+
+    // ── event-time trailing window (reference rank-window → RANGE frame) ─
+    "q21_event_window" -> ((s, dir) =>
+      EventOps.trailingWindow(s.read.parquet(t(dir, "events")), windowSec = 600)),
+
+    // ── exact top-k cosine over embeddings (ANN baseline) ────────────────
+    "q22_topk_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.topkCosine(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 10)
+    }),
+
+    // ── n-gram Jaccard near-dup pairs via inverted-index join ────────────
+    "q23_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")), num = 19, den = 20)),
+
+    // ── SimHash 32-bit document fingerprints ─────────────────────────────
+    "q24_simhash" -> ((s, dir) =>
+      SimHash.fingerprints(s.read.parquet(t(dir, "documents")), bits = 32)),
+
+    // ── language-ID scoring (marker-dictionary heuristic) ────────────────
+    "q25_lang_id" -> ((s, dir) =>
+      TextAnalysis.langIdEnglish(s.read.parquet(t(dir, "documents")),
+        markers = Seq("the", "a"), threshold1000 = 50)),
+
+    // ── quality scoring: TTR / word length / stopword ratios ─────────────
+    "q26_quality" -> ((s, dir) =>
+      TextAnalysis.quality(s.read.parquet(t(dir, "documents")), stopwords = Seq("the", "a"))),
+
+    // ── token counting: whitespace + BPE-ish regex ───────────────────────
+    "q27_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))),
+
+    // ── order-sensitive rolling-hash document fingerprint ────────────────
+    "q28_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
+
+    // ── event sessionization (gap > 30 min ⇒ new session) ────────────────
+    "q29_sessions" -> ((s, dir) =>
+      EventOps.sessionize(s.read.parquet(t(dir, "events")), gapSec = 1800)),
+
+    // ── embedding near-dup: top-20 closest pairs, label-blocked join ─────
+    "q30_closest_pairs" -> ((s, dir) =>
+      Similarity.closestPairsBlocked(s.read.parquet(t(dir, "embeddings")), "label", k = 20)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -256,5 +324,161 @@ object SparkEntry {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          |ORDER BY o_custkey, rn""".stripMargin,
+
+    // ═════ LLM-pipeline oracles. Shared determinism devices: the
+    // cross-engine hash  ('0x'||substr(md5(s),1,15))::BIGINT  ≡ Spark's
+    // conv(substring(md5(s),1,15),16,10); integer-quantized embeddings
+    // (exact dot products in any summation order); µs-floored timestamps
+    // (DuckDB's parquet reader truncates ns to µs). ═════════════════════
+
+    "q18_dedup_exact" ->
+      """SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS dup_cnt
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+        |      FROM documents)
+        |GROUP BY fp ORDER BY rep_doc""".stripMargin,
+
+    "q19_minhash_sig" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
+        |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
+        |              (40503 * (i+1)) % 1000000007 AS b
+        |       FROM (SELECT UNNEST(range(16)) AS i))
+        |SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS minhash
+        |FROM hs CROSS JOIN hf GROUP BY doc_id, i ORDER BY doc_id, i""".stripMargin,
+
+    "q20_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q21_event_window" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(v) OVER w AS BIGINT) AS win_sum_c,
+        |  COUNT(*) OVER w AS win_cnt
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q22_topk_cosine" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, vd AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, vd AS cv FROM e WHERE vec_id >= 5),
+        |s AS (SELECT q_id, cand_id,
+        |        CAST(list_dot_product(qv, cv) AS BIGINT) AS dot,
+        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS qn,
+        |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn
+        |      FROM q CROSS JOIN c),
+        |sc AS (SELECT q_id, cand_id,
+        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
+        |       FROM s)
+        |SELECT q_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
+        |  cand_id, score
+        |FROM sc
+        |QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    "q23_jaccard_pairs" ->
+      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_cnt
+        |      FROM ws a JOIN ws b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM p
+        |WHERE inter_cnt * 20 >= union_cnt * 19 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q24_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
+        |bb AS (SELECT UNNEST(range(32)) AS b),
+        |v AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS c
+        |      FROM h CROSS JOIN bb),
+        |s AS (SELECT doc_id, b, SUM(c) AS sb FROM v GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q25_lang_id" ->
+      """SELECT doc_id, en_cnt, n_tokens,
+        |  CAST(en_cnt * 1000 // n_tokens AS BIGINT) AS score1000,
+        |  CASE WHEN en_cnt * 1000 // n_tokens >= 50 THEN 'en' ELSE 'unk' END AS pred
+        |FROM (SELECT doc_id,
+        |        CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS en_cnt,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q26_quality" ->
+      """SELECT doc_id, n_tokens, n_distinct, n_chars, stop_cnt,
+        |  ttr1000, awl1000, stop1000,
+        |  CAST((2 * ttr1000 + (1000 - stop1000)) // 3 AS BIGINT) AS quality
+        |FROM (SELECT doc_id, n_tokens, n_distinct, n_chars, stop_cnt,
+        |        CAST(n_distinct * 1000 // n_tokens AS BIGINT) AS ttr1000,
+        |        CAST((n_chars - n_tokens + 1) * 1000 // n_tokens AS BIGINT) AS awl1000,
+        |        CAST(stop_cnt * 1000 // n_tokens AS BIGINT) AS stop1000
+        |      FROM (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |              CAST(length(text) AS BIGINT) AS n_chars,
+        |              CAST(len(list_filter(string_split(text, ' '),
+        |                w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_cnt
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> ('0x' || substr(md5(w),1,15))::BIGINT % 1000000007)),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_sessions" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT event_id, user_id, tus,
+        |        CASE WHEN LAG(tus) OVER w IS NULL
+        |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "q30_closest_pairs" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.label AS label,
+        |        CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |        CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |        CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vid_a, vid_b, label,
+        |  CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |       / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
+        |FROM p ORDER BY score DESC, vid_a, vid_b LIMIT 20""".stripMargin,
   )
 }

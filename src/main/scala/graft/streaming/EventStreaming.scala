@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the event-time operators: the same
+  * semantics as [[graft.events.EventOps]], expressed as an unbounded
+  * `readStream → watermark → window/state → writeStream` pipeline.
+  *
+  * These run against any streaming source; tests drive them with
+  * `MemoryStream` and check parity against the batch operators. At scale
+  * the state store backs the windows/sessions, watermarks bound state, and
+  * the only shuffle is on the grouping key — the same partitioning story
+  * as the batch path.
+  */
+object EventStreaming {
+
+  /** Input contract for the streaming ops. */
+  case class Event(eventId: Long, userId: Long, tsUs: Long, valueCents: Long)
+
+  /** Per-session output of [[sessionizeStream]]. */
+  case class Session(userId: Long, sessionStartUs: Long, sessionEndUs: Long,
+                     nEvents: Long, sumCents: Long)
+
+  /** Sliding event-time windowed aggregate: per (user, 10-min window
+    * sliding every `slideSec`) sum+count, with a watermark bounding state.
+    * Works identically on a batch DataFrame (Spark unifies the API) —
+    * which is how the oracle checks it. */
+  def windowedAgg(events: Dataset[Event], windowSec: Long, slideSec: Long,
+                  watermarkSec: Long): DataFrame = {
+    val withTs = events.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", s"$watermarkSec seconds")
+    withTs
+      .groupBy(col("userId"),
+        window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"))
+      .agg(sum("valueCents").as("sum_c"), count(lit(1)).as("cnt"))
+      .select(col("userId"), col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("sum_c"), col("cnt"))
+  }
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): closes a session when `gapSec` passes
+    * with no event (driven by the event-time watermark). Mirrors
+    * [[graft.events.EventOps.sessionize]]'s session boundaries. */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long,
+                       watermarkSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[List[Event]]): Iterator[Session] = {
+      val existing = state.getOption.getOrElse(Nil)
+      val buffered = if (state.hasTimedOut) existing else existing ++ rows.toList
+      val sorted = buffered.sortBy(e => (e.tsUs, e.eventId))
+      val wmMs = math.max(state.getCurrentWatermarkMs(), 0L)
+      val wmUs = wmMs * 1000L
+      // split into gap-delimited sessions; emit the ones sealed by watermark
+      val sessions = sorted.foldLeft(List.empty[List[Event]]) { (acc, e) =>
+        acc match {
+          case cur :: rest if e.tsUs - cur.last.tsUs <= gapUs => (cur :+ e) :: rest
+          case _ => List(e) :: acc
+        }
+      }.reverse
+      val (closed, open) = sessions.partition(s => s.last.tsUs + gapUs < wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open.flatten)
+        // wake this key when the watermark passes the EARLIEST open session's
+        // seal point (last event + gap), so sealed sessions flush in a
+        // no-data micro-batch; the max() guard keeps the timestamp legal
+        // when the watermark already overtook it
+        val sealMs = (open.map(_.last.tsUs).min + gapUs) / 1000L + 1
+        state.setTimeoutTimestamp(math.max(sealMs, wmMs + 1))
+      }
+      closed.iterator.map { s =>
+        Session(userId, s.head.tsUs, s.last.tsUs, s.size.toLong, s.map(_.valueCents).sum)
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", s"$watermarkSec seconds")
+      .as[Event]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.events.EventOps
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (event_id, ts-ns, user_id, value); helper builds the events schema the
+  // operators expect (ts as Long nanoseconds, like nanosAsLong parquet reads)
+  private def events(rows: (Long, Long, Long, Double)*): DataFrame =
+    rows.map { case (id, tsSec, uid, v) => (id, tsSec * 1000000000L, uid, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+
+  test("trailing window sums [t-600s, t] per user, brute-force checked") {
+    val raw = Seq(
+      (0L, 0L, 1L, 1.0), (1L, 300L, 1L, 2.0), (2L, 600L, 1L, 4.0),
+      (3L, 601L, 1L, 8.0), (4L, 1300L, 1L, 16.0),
+      (5L, 0L, 2L, 32.0), (6L, 10000L, 2L, 64.0))
+    val out = EventOps.trailingWindow(events(raw: _*), windowSec = 600)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute force oracle
+    for ((id, t, u, _) <- raw) {
+      val in = raw.filter { case (_, t2, u2, _) => u2 == u && t2 >= t - 600 && t2 <= t }
+      val expSum = in.map(x => math.floor(x._4 * 100).toLong).sum
+      assert(out(id) == ((expSum, in.size.toLong)), s"event $id")
+    }
+  }
+
+  test("ties at identical timestamps are window peers (RANGE semantics)") {
+    val out = EventOps.trailingWindow(
+      events((0L, 100L, 1L, 1.0), (1L, 100L, 1L, 2.0)), windowSec = 600)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) == 300 && out(1L) == 300) // both see both
+  }
+
+  test("sessionize splits on gaps > gapSec, numbers sessions per user") {
+    val out = EventOps.sessionize(events(
+        (0L, 0L, 1L, 0.0), (1L, 100L, 1L, 0.0),  // session 1
+        (2L, 2000L, 1L, 0.0),                    // gap 1900 > 1800 → session 2
+        (3L, 3000L, 1L, 0.0),                    // gap 1000 → still session 2
+        (4L, 0L, 2L, 0.0)), gapSec = 1800)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+}

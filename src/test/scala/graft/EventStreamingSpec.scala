@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreaming
+import graft.streaming.EventStreaming.Event
+
+class EventStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evts = Seq(
+    Event(0, 1, sec(0), 100), Event(1, 1, sec(300), 200),
+    Event(2, 1, sec(700), 400), Event(3, 2, sec(100), 800),
+    Event(4, 1, sec(5000), 1600), // far ahead: advances watermark, seals earlier state
+    Event(5, 2, sec(5000), 3200))
+
+  // day-1 offset: an event at exactly the initial watermark (epoch 0) would
+  // be discarded as late; real timestamps are never at epoch 0
+  private def sec(s: Long): Long = (s + 86400L) * 1000000L
+
+  test("streaming windowed agg matches the batch run of the same pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(evts: _*) // before start: AvailableNow snapshots offsets at start
+    val q = EventStreaming.windowedAgg(stream.toDS(), windowSec = 600, slideSec = 300,
+        watermarkSec = 0)
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val streamed = spark.table("winagg")
+      .select("userId", "win_start", "win_end", "sum_c", "cnt")
+      .collect().map(_.toSeq).toSet
+
+    // batch run of the identical pipeline (Spark unifies batch/stream APIs);
+    // append-mode only emitted windows sealed by the final watermark (ts<=5000s
+    // seals windows ending <= 5000s), so compare on that subset
+    val batch = EventStreaming.windowedAgg(evts.toDS(), 600, 300, 0)
+      .filter(col("win_end") <= timestamp_micros(lit(sec(5000))))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization seals gap-delimited sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // continuous micro-batch query (not AvailableNow): the sealed sessions
+    // flush in the timeout-driven no-data batch AFTER the watermark advances,
+    // which needs the query loop to keep running past the last data batch
+    val q = EventStreaming.sessionizeStream(stream.toDS(), gapSec = 1800, watermarkSec = 0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    stream.addData(evts.take(4): _*)
+    q.processAllAvailable()
+    stream.addData(evts.drop(4): _*) // advances watermark to 5000s
+    q.processAllAvailable()
+    // allow the no-data timeout batch to run
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.table("sessions").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sessions").as[EventStreaming.Session].collect()
+      .map(s => (s.userId, s.sessionStartUs, s.nEvents, s.sumCents)).toSet
+    // sealed sessions: user 1 [0..700s] (3 events) — the 5000s events are
+    // still open at the final watermark and correctly withheld
+    assert(sessions.contains((1L, sec(0), 3L, 700L)), s"got $sessions")
+    assert(sessions.contains((2L, sec(100), 1L, 800L)), s"got $sessions")
+    assert(!sessions.exists(_._2 == sec(5000)), "open session leaked")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.embed.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-vectors: v(seed) with a planted near-duplicate
+    * structure — vectors with the same group share direction plus small
+    * per-id noise; groups are near-orthogonal. */
+  private def vec(group: Int, noiseSeed: Int, dim: Int = 16): Seq[Float] =
+    (0 until dim).map { d =>
+      val basis = if (d % 4 == group % 4) 1.0f else 0.0f
+      val noise = (((noiseSeed * 2654435761L + d * 40503L) % 1000) - 500) / 50000.0f
+      basis + noise
+    }
+
+  private def table(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong, vec(i % 4, i), i % 4)).toDF("vec_id", "embedding", "label")
+
+  test("topkCosine ranks same-group vectors first") {
+    val t = table(40)
+    val out = Similarity.topkCosine(t.filter($"vec_id" < 4), t.filter($"vec_id" >= 4), k = 5)
+    val rows = out.collect()
+    assert(rows.length == 4 * 5)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("cand_id")
+      assert(q % 4 == c % 4, s"query $q got cross-group neighbor $c")
+    }
+    // deterministic across runs
+    assert(out.collect().sameElements(rows))
+  }
+
+  test("closestPairsBlocked returns the k best same-label pairs, ordered") {
+    val t = table(24)
+    val rows = Similarity.closestPairsBlocked(t, "label", k = 10).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "not sorted by score desc")
+    rows.foreach(r => assert(r.getAs[Long]("vid_a") % 4 == r.getAs[Long]("vid_b") % 4))
+  }
+
+  test("hyperplane signatures: same-group pairs at smaller hamming distance") {
+    val t = table(64)
+    val buckets = Similarity.hyperplaneBuckets(t, nPlanes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = buckets.keys.toSeq.sorted
+    val (same, cross) = (for { a <- ids; b <- ids if a < b }
+      yield (a % 4 == b % 4, ham(buckets(a), buckets(b)))).partition(_._1)
+    val sameAvg = same.map(_._2).sum.toDouble / same.size
+    val crossAvg = cross.map(_._2).sum.toDouble / cross.size
+    // the LSH property: cosine-similar vectors agree on most hyperplane signs
+    assert(sameAvg < crossAvg / 2, s"sameAvg=$sameAvg crossAvg=$crossAvg")
+    // determinism (no RNG state anywhere)
+    val again = Similarity.hyperplaneBuckets(t, nPlanes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == buckets)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, SimHash, TextAnalysis, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // a base doc and a near-duplicate (one word changed), plus unrelated docs
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val near = "the quick brown fox jumps over the lazy cat again and again today"
+  private val far1 = "completely different content about database engines and query plans"
+  private val far2 = "spark catalyst optimizer pushes filters below projections every time"
+
+  test("exact dedup groups identical word-bags, rep = min doc_id") {
+    val d = docs(1L -> base, 2L -> base, 3L -> far1, 4L -> ("  " + base).trim)
+    val out = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L)) // docs 1,2,4 collapse; 3 alone
+  }
+
+  test("minhash signatures are deterministic and near-dups mostly agree") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2)
+    val sig1 = Dedup.minhashSignatures(d, 16).collect()
+    val sig2 = Dedup.minhashSignatures(d, 16).collect()
+    assert(sig1.sameElements(sig2))
+    val byDoc = sig1.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq)
+    val agreeNear = byDoc(1L).zip(byDoc(2L)).count { case (a, b) => a == b }
+    val agreeFar = byDoc(1L).zip(byDoc(3L)).count { case (a, b) => a == b }
+    assert(agreeNear > agreeFar, s"near=$agreeNear far=$agreeFar")
+    assert(agreeNear >= 8, s"one-word-change docs should share most minhashes, got $agreeNear/16")
+  }
+
+  test("LSH banding surfaces the planted near-dup pair without all-pairs") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2)
+    val sig = Dedup.minhashSignatures(d, 16)
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup not found: $pairs")
+    assert(!pairs.contains((3L, 4L)), s"unrelated docs bucketed together: $pairs")
+  }
+
+  test("clusters: min-label propagation over candidate edges") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2, 5L -> near)
+    val edges = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(d.select("doc_id"), edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("jaccard pairs finds high-overlap docs via inverted index") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1)
+    val out = Dedup.jaccardPairs(d, num = 3, den = 4) // >= 0.75
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated far") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1)
+    val fp = SimHash.fingerprints(d, 32).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)),
+      s"near=${ham(fp(1L), fp(2L))} far=${ham(fp(1L), fp(3L))}")
+  }
+
+  test("rolling fingerprint is order-sensitive; bag fingerprint is not") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "gamma beta alpha")
+    val fps = TextAnalysis.fingerprint(d).collect().map(_.getLong(1))
+    assert(fps(0) != fps(1))
+    val bags = Dedup.exact(d).collect()
+    assert(bags.length == 1 && bags(0).getLong(1) == 2) // same word-bag
+  }
+
+  test("langIdArgmax picks the dictionary with most marker hits") {
+    val d = docs(1L -> "the cat sat on the mat", 2L -> "le chat est sur le tapis")
+    val out = TextAnalysis.langIdArgmax(d,
+        Map("en" -> Seq("the", "on"), "fr" -> Seq("le", "est", "sur")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr"))
+  }
+
+  test("quality and token counts are integer-exact") {
+    val d = docs(1L -> "the the unique words here")
+    val q = TextAnalysis.quality(d, Seq("the")).collect()(0)
+    assert(q.getAs[Long]("n_tokens") == 5)
+    assert(q.getAs[Long]("n_distinct") == 4)
+    assert(q.getAs[Long]("stop1000") == 400) // 2/5
+    val t = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(t.getAs[Long]("ws_tokens") == 5 && t.getAs[Long]("re_tokens") == 5)
+  }
+
+  test("xhash matches the known cross-engine value for 'hello'") {
+    val h = docs(1L -> "x").select(TextOps.xhash(lit("hello"))).collect()(0).getLong(0)
+    assert(h == 419982666956583591L) // == DuckDB ('0x'||substr(md5('hello'),1,15))::BIGINT
+  }
+}
