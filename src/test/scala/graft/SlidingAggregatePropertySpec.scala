@@ -25,6 +25,9 @@ class SlidingAggregatePropertySpec extends SparkSpec {
     (1, 1, 1), (1, 5, 4), (7, 3, 4), (40, 1, 4), (40, 40, 4), (40, 100, 4),
     (103, 16, 4), (103, 79, 4), (103, 91, 4), (103, 103, 7),
     (200, 17, 3), (200, 64, 8), (317, 250, 5), (317, 316, 2), (100, 33, 1),
+    // streaming-evaluator stress: numParts >> n/m (m = 1..2, windows span
+    // many blocks), and numParts <= 0 (auto-derived from parallelism)
+    (30, 7, 16), (30, 29, 16), (50, 50, 32), (64, 9, 64), (200, 83, 0),
   )
 
   for ((n, l, parts) <- cases; mon <- Seq(LongMonoid.Sum, LongMonoid.Count, LongMonoid.Min, LongMonoid.Max)) {
