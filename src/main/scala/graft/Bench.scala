@@ -9,11 +9,12 @@ import java.nio.file.{Files, Paths}
   * (`SPARK_GRAFT_BENCH_OUT`, default `BENCH.json` in the cwd) so the driver
   * can parse it even when sbt log noise surrounds stdout.
   *
-  * The action is a full-row checksum — `sum(xxhash64(struct(*)))` — not
+  * The action is a full-row checksum — `bit_xor(xxhash64(*))` — not
   * `.count()`: counting lets Catalyst prune every computed column (and
   * eliminate sorts under aggregation), which under-measures compute-heavy
-  * queries. The checksum forces every output cell to materialize. Failures
-  * propagate: a broken query must fail the bench, not look fast.
+  * queries. The checksum forces every output cell to materialize (xor, not
+  * sum: ANSI mode makes a Long sum of hashes overflow). Failures propagate:
+  * a broken query must fail the bench, not look fast.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,7 +32,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      df.select(sum(xxhash64(df.columns.map(col): _*))).collect()
+      df.select(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

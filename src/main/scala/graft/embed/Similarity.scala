@@ -44,15 +44,16 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (q_id, rn, cand_id, score) — rn 1..k by (score desc, cand_id). */
   def topkCosine(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    // norms computed ONCE per vector before the join, not once per pair
     val q = queries.select(col("vec_id").as("q_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .withColumn("qn", expr(dotExpr("qv", "qv")))
     val c = candidates.select(col("vec_id").as("cand_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("cv"))
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
     val scored = c.crossJoin(broadcast(q))
-      .select(col("q_id"), col("cand_id"),
-        expr(dotExpr("qv", "cv")).as("dot"),
-        expr(dotExpr("qv", "qv")).as("qn"),
-        expr(dotExpr("cv", "cv")).as("cn"))
+      .select(col("q_id"), col("cand_id"), col("qn"), col("cn"),
+        expr(dotExpr("qv", "cv")).as("dot"))
       .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
@@ -64,15 +65,16 @@ object Similarity {
   /** Globally closest `k` pairs, blocked by a key column (label here; an
     * IVF cell id at scale). Output: (vid_a, vid_b, label, score). */
   def closestPairsBlocked(vectors: DataFrame, blockCol: String, k: Int): DataFrame = {
+    // norms computed ONCE per vector before the join, not once per pair
     val v = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      .withColumn("nrm", expr(dotExpr("v", "v")))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vid_a"), col("b.vec_id").as("vid_b"),
         col("a.blk").as("label"),
         expr(dotExpr("a.v", "b.v")).as("dot"),
-        expr(dotExpr("a.v", "a.v")).as("qn"),
-        expr(dotExpr("b.v", "b.v")).as("cn"))
+        col("a.nrm").as("qn"), col("b.nrm").as("cn"))
       .select(col("vid_a"), col("vid_b"), col("label"), expr(scoreExpr).as("score"))
       .orderBy(col("score").desc, col("vid_a"), col("vid_b"))
       .limit(k)

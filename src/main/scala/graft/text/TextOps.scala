@@ -69,21 +69,26 @@ object Dedup {
   /** Per-(i, doc) MinHash over distinct word 3-gram shingles:
     * `min over shingles of (a_i·h(s) + b_i) mod P` with
     * `a_i = 2654435761·(i+1) mod P`, `b_i = 40503·(i+1) mod P`.
-    * Long-form output (doc_id, i, minhash) — cross-engine checkable. */
+    * Long-form output (doc_id, i, minhash) — cross-engine checkable.
+    *
+    * Fully NARROW: each doc's whole signature is one higher-order-function
+    * expression (shingle hashes computed once, then `array_min` per hash
+    * function) — no explode, no shuffle, embarrassingly parallel. The
+    * round-1-style explode + crossJoin + groupBy form shuffled
+    * O(docs·shingles·hashes) skinny rows for the same numbers. */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val sh = docs
+    val sigExpr =
+      s"""transform(sequence(0, ${numHashes - 1}), i ->
+         |  array_min(transform(hs, h ->
+         |    (((2654435761 * (i+1)) % $P) * h + (40503 * (i+1)) % $P) % $P)))""".stripMargin
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-    val hashed = sh.select(col("doc_id"), (xhash(col("s")) % P).as("h"))
-    val hfns = spark.range(numHashes).select(
-      col("id").as("i"),
-      ((lit(2654435761L) * (col("id") + 1)) % P).as("a"),
-      ((lit(40503L) * (col("id") + 1)) % P).as("b"))
-    hashed.crossJoin(broadcast(hfns))
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("h") + col("b")) % P).as("minhash"))
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .select(col("doc_id"),
+        expr(s"transform(sh, s -> CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT) % $P)").as("hs"))
+      .select(col("doc_id"), posexplode(expr(sigExpr)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("i"), col("col").as("minhash"))
       .orderBy("doc_id", "i")
   }
 
@@ -106,24 +111,58 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact set-similarity join on distinct word sets via an inverted-index
-    * join (no cartesian product): pairs sharing >= threshold Jaccard,
-    * expressed as integers `denNum*inter >= num*union` to stay exact.
-    * Output: (doc_a, doc_b, inter_cnt, union_cnt). */
+  /** Exact set-similarity join on distinct word sets: pairs with Jaccard
+    * >= num/den, expressed in integers to stay exact.
+    * Output: (doc_a, doc_b, inter_cnt, union_cnt).
+    *
+    * PPJoin-style PREFIX FILTERING (lossless): order every doc's token set
+    * by ascending global frequency; a pair at Jaccard >= t MUST share a
+    * token among each doc's first `|d| - ceil(t·|d|) + 1` tokens (if all
+    * prefix tokens differed, the overlap couldn't reach t·|d|). Only those
+    * prefix tokens enter the inverted-index join, so candidate volume is
+    * O(Σ prefix²) instead of O(Σ tokenFreq²) — the difference between ~7M
+    * and ~700M joined rows on a small-vocabulary corpus. Candidates are
+    * then verified exactly with a sorted-int-array intersection. */
   def jaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-    val shared = tok.as("a").join(tok.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    shared
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+    // global rarity rank — a window over the DICTIONARY (vocab-sized, tiny
+    // relative to the corpus), not over the data
+    val rank = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("cnt", "w")).as("tr"))
+    val sets = tok.join(broadcast(rank), "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tr"))).as("set"), count(lit(1)).as("nw"))
+    // prefix tokens WITH their 1-based position: |prefix| = |d| - ceil(t·|d|) + 1
+    val prefixes = sets.select(col("doc_id"), col("nw"),
+        posexplode(expr(s"slice(set, 1, CAST(nw - ((nw * $num + $den - 1) div $den) + 1 AS INT))")))
+      .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pp"), col("col").as("tr"))
+    // candidate join with PPJoin's length filter (den·min >= num·max) and
+    // positional filter (the remaining-suffix upper bound must still allow
+    // an overlap of ceil(t/(1+t)·(na+nb)))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tr") === col("b.tr") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.nw") * num <= col("b.nw") * den &&
+          col("b.nw") * num <= col("a.nw") * den &&
+          (lit(1) + least(col("a.nw") - col("a.pp"), col("b.nw") - col("b.pp"))) * (num + den) >=
+            (col("a.nw") + col("b.nw")) * num)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification: the doc-sets table is corpus-rows × ~set-size ints —
+    // orders of magnitude smaller than the candidate set — so broadcast it
+    // and verify map-side (no shuffle of the candidate stream). On a corpus
+    // whose sets table outgrows broadcast, drop the two broadcast() hints
+    // and this degrades to shuffled hash joins, still never all-pairs.
+    val verified = cand
+      .join(broadcast(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.set"), col("sb.set"))).cast(LongType).as("inter_cnt"),
+        col("sa.nw"), col("sb.nw"))
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
         (col("sa.nw") + col("sb.nw") - col("inter_cnt")).as("union_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
-      .orderBy("doc_a", "doc_b")
+    verified.orderBy("doc_a", "doc_b")
   }
 
   /** Connected components over an undirected edge list (doc_a, doc_b) by
@@ -155,24 +194,32 @@ object Dedup {
 
 /** SimHash document fingerprinting: each distinct token votes ±1 on `bits`
   * bit positions of its hash; the fingerprint sets bit b iff the vote sum
-  * is positive. Near-duplicate docs land at small Hamming distance. */
+  * is positive. Near-duplicate docs land at small Hamming distance.
+  *
+  * Fully NARROW: per doc, one fold over (token-hashes × bit positions)
+  * inside higher-order functions — no explode, no shuffle. (The two-stage
+  * groupBy form shuffled O(docs·tokens·bits) rows for identical output.) */
 object SimHash {
   import TextOps._
 
-  def fingerprints(docs: DataFrame, bits: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val tok = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .select(col("doc_id"), xhash(col("w")).as("h"))
-    tok.crossJoin(broadcast(spark.range(bits).select(col("id").as("b"))))
-      .select(col("doc_id"), col("b"),
-        when((expr("shiftright(h, CAST(b AS INT))") bitwiseAND lit(1L)) === 1, lit(1L))
-          .otherwise(lit(-1L)).as("contrib"))
-      .groupBy("doc_id", "b").agg(sum("contrib").as("sb"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sb") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(lit(0L))).as("simhash"))
+  def fingerprints(docs: DataFrame, bits: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"""transform(array_distinct(split(text, ' ')),
+                 w -> CAST(conv(substring(md5(w),1,15),16,10) AS BIGINT))""").as("hs"))
+      // per-bit vote sums: fold token hashes into a ±1-per-bit vector
+      .select(col("doc_id"),
+        expr(s"""aggregate(hs, array_repeat(CAST(0 AS BIGINT), $bits),
+                 (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}),
+                   (a, b) -> a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1
+                                 THEN 1 ELSE -1 END))""").as("sb"))
+      .select(col("doc_id"),
+        expr(s"""aggregate(zip_with(sb, sequence(0, ${bits - 1}),
+                   (s, b) -> CASE WHEN s > 0
+                             THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+                             ELSE CAST(0 AS BIGINT) END),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
       .orderBy("doc_id")
-  }
 }
 
 /** Per-document text analysis: language-ID scoring, quality scoring, token
