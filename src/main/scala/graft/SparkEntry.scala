@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.embed.Similarity
-import graft.events.EventOps
+import graft.events.{AsOf, EventOps}
 import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
 import graft.text.{Dedup, SimHash, TextAnalysis}
@@ -234,6 +234,83 @@ object SparkEntry {
     // ── embedding near-dup: top-20 closest pairs, label-blocked join ─────
     "q30_closest_pairs" -> ((s, dir) =>
       Similarity.closestPairsBlocked(s.read.parquet(t(dir, "embeddings")), "label", k = 20)),
+
+    // ═════ breadth: remaining standard-analytics surface ═════════════════
+
+    "q31_cube" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q32_setops" -> ((s, dir) => {
+      val hi = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("key")).distinct()
+      val lowNat = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_nationkey") < 5).select(col("c_custkey").as("key")).distinct()
+      lowNat.intersect(hi).withColumn("src", lit("both"))
+        .unionByName(lowNat.except(hi).withColumn("src", lit("only_nation")))
+        .orderBy("src", "key")
+    }),
+
+    "q33_scalar_date" -> ((s, dir) =>
+      s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("pr1"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          length(col("o_orderpriority")).cast(LongType).as("plen"))
+        .orderBy("o_orderkey")),
+
+    "q34_json" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        .orderBy("event_id")),
+
+    "q35_pivot" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    "q36_window_funcs" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ts div 1000 AS BIGINT)").as("tus"),
+          cents(col("value")).as("v"))
+      val byVal = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("v")
+      val byTime = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tus", "event_id")
+      ev.select(col("event_id"),
+          rank().over(byVal).cast(LongType).as("rnk"),
+          dense_rank().over(byVal).cast(LongType).as("drnk"),
+          ntile(4).over(byTime).cast(LongType).as("nt"),
+          lead("event_id", 1).over(byTime).as("next_id"))
+        .orderBy("event_id")
+    }),
+
+    // ── as-of join: each purchase ← most recent prior click, per user ────
+    "q37_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ts div 1000 AS BIGINT)").as("tus"), col("event_type"))
+      AsOf.backward(
+          ev.filter(col("event_type") === "purchase").drop("event_type"),
+          ev.filter(col("event_type") === "click").drop("event_type"),
+          partitionCols = Seq("user_id"), timeCol = "tus",
+          leftTie = "event_id", rightTie = "event_id",
+          payloadCols = Seq("event_id", "tus"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("asof.event_id").as("click_id"), col("asof.tus").as("click_tus"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -480,5 +557,77 @@ object SparkEntry {
         |  CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
         |       / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
         |FROM p ORDER BY score DESC, vid_a, vid_b LIMIT 20""".stripMargin,
+
+    "q31_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  CAST(SUM(${CENTS.format("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q32_setops" ->
+      """SELECT key, 'both' AS src FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_nationkey < 5
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT key, 'only_nation' AS src FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_nationkey < 5
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY src, key""".stripMargin,
+
+    "q33_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  upper(substr(o_orderpriority, 1, 1)) AS pr1,
+        |  o_orderstatus || '-' || o_orderpriority AS tag,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS plen
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q34_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q35_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q36_window_funcs" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_id,
+        |  CAST(RANK() OVER wv AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER wv AS BIGINT) AS drnk,
+        |  CAST(NTILE(4) OVER wt AS BIGINT) AS nt,
+        |  LEAD(event_id, 1) OVER wt AS next_id
+        |FROM ev
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY v),
+        |       wt AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q37_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, tus, event_id, 0 AS tag,
+        |         event_id AS p_id, tus AS p_tus FROM ev WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, tus, event_id, 1 AS tag,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM ev WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, tus, event_id, tag,
+        |        last_value(p_id IGNORE NULLS) OVER w AS click_id,
+        |        last_value(p_tus IGNORE NULLS) OVER w AS click_tus
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY tus, tag, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, tus, click_id, click_tus
+        |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,46 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward (inclusive) as-of join — for each left row, the most recent
+  * right row with the same partition key and time <= the left row's time.
+  *
+  * Spark has no built-in as-of join; the scalable formulation is the
+  * union-merge trick: tag both sides, union, and take
+  * `last(payload, ignoreNulls)` over a per-key window ordered by
+  * (time, tag, tiebreak) with right rows sorting BEFORE left rows at equal
+  * times (inclusive semantics). ONE shuffle on the partition key, no
+  * per-key loops, no range-cross-join — the same plan shape Flink/Pandas
+  * merge_asof use. Skewed keys fall to AQE / salting like any keyed window.
+  */
+object AsOf {
+
+  /** @param partitionCols equality keys
+    * @param timeCol       ordering column (same name on both sides)
+    * @param leftTie       unique left column breaking time ties deterministically
+    * @param rightTie      unique right column breaking time ties deterministically
+    * @param payloadCols   right-side columns to surface, as a struct `asof`
+    */
+  def backward(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+               timeCol: String, leftTie: String, rightTie: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val r2 = right.select((partitionCols :+ timeCol).map(col) :+
+      col(rightTie).as("_tie") :+
+      struct(payloadCols.map(col): _*).as("_payload"): _*)
+      .withColumn("_tag", lit(0))
+    val payType = r2.schema("_payload").dataType
+    val l2 = left
+      .withColumn("_tie", col(leftTie))
+      .withColumn("_payload", lit(null).cast(payType))
+      .withColumn("_tag", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(timeCol), col("_tag"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", "_tie", "_payload")
+  }
+}
