@@ -35,11 +35,14 @@ object SparkEntry {
     SlidingAggregate.scalable(orders, "o_orderkey", "v", window = 50, numParts = 8)
   }
 
-  /** Sliding aggregate of order totalprice cents over orderkey rank. */
+  /** Sliding aggregate of order totalprice cents over orderkey rank.
+    * numParts = 0 → auto-derived from parallelism; the result is
+    * partition-count independent (property-tested), so the oracle holds
+    * at any scale-out. */
   private def slidingOrders(s: SparkSession, dir: String, w: Int, mon: LongMonoid): DataFrame = {
     val orders = s.read.parquet(t(dir, "orders"))
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
-    SlidingAggregate.scalable(orders, "o_orderkey", "v", w, numParts = 8, mon)
+    SlidingAggregate.scalable(orders, "o_orderkey", "v", w, numParts = 0, mon)
       .orderBy("rank")
   }
 
@@ -66,17 +69,19 @@ object SparkEntry {
         .orderBy("key", "value")),
 
     // ── ops #3–#6: sampled range partition + total-order sort ────────────
+    // partition count from spark.sql.shuffle.partitions (no hard-coded 8);
+    // output is globally ordered for any count — range partitions concatenate
     "q02_total_sort" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_c"))
-        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")),
 
     // ── ops #7–#9: global dense ranking (zipWithIndex) ────────────────────
     "q03_global_rank" -> ((s, dir) =>
       GlobalRank.withRank(
         s.read.parquet(t(dir, "orders")).select("o_orderkey"),
-        numParts = 8, "rank", col("o_orderkey"))
+        numParts = 0, "rank", col("o_orderkey"))
         .select(col("rank"), col("o_orderkey")).orderBy("rank")),
 
     // ── op #13: the headline sliding aggregate, all four monoids ─────────
@@ -91,7 +96,7 @@ object SparkEntry {
     "q08_quantile_splitters" -> ((s, dir) =>
       OrderStats.exactSplitters(
         s.read.parquet(t(dir, "lineitem")).select(cents(col("l_extendedprice")).as("key_c")),
-        "key_c", k = 8, numParts = 8)),
+        "key_c", k = 8, numParts = 0)),
 
     // ── op #3: Bernoulli sample (nondeterministic — rows-only check) ─────
     "q09_bernoulli_sample" -> ((s, dir) =>
@@ -298,6 +303,23 @@ object SparkEntry {
           lead("event_id", 1).over(byTime).as("next_id"))
         .orderBy("event_id")
     }),
+
+    // ── dedup end-to-end: similarity join edges → connected components ───
+    // (non-vacuous at sf0.01: a 137-doc cluster, 18 pairs, 1 triple)
+    "q38_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.clusters(docs.select("doc_id"),
+        Dedup.jaccardPairs(docs, num = 19, den = 20).select("doc_a", "doc_b"),
+        maxIter = 50)
+    }),
+
+    // ── exact distribution statistics: interpolated median per group ─────
+    "q39_median" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy("l_returnflag")
+        .agg(median(cents(col("l_quantity"))).as("med_qty_c"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
 
     // ── as-of join: each purchase ← most recent prior click, per user ────
     "q37_asof" -> ((s, dir) => {
@@ -632,5 +654,26 @@ object SparkEntry {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, tus, click_id, click_tus
         |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    // CC oracle: transitive closure as a recursive CTE (UNION dedups, so it
+    // terminates), then min reachable doc per source
+    "q38_dedup_clusters" ->
+      """WITH RECURSIVE
+        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 20 >=
+        |            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) * 19),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
+        |SELECT s AS doc_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q39_median" ->
+      s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
+         |  COUNT(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * files (skipped stage), so data moves once.
   */
 object GlobalRank {
+  /** numParts <= 0 derives the partition count from default parallelism;
+    * ranks are identical for any partitioning (property-tested). */
   def withRank(df: DataFrame, numParts: Int, rankCol: String, sortCols: Column*): DataFrame = {
-    val sorted = df.repartitionByRange(numParts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val parts = if (numParts >= 1) numParts
+      else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
     sorted.sparkSession.createDataFrame(rdd, schema)

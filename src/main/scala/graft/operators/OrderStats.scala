@@ -33,11 +33,14 @@ object OrderStats {
   }
 
   /** Exact order statistics: splitter i (1..k-1) = the element at global
-    * rank `i*n/k` of `keyCol` ascending. Output: (splitter_id, splitter). */
+    * rank `i*n/k` of `keyCol` ascending. Output: (splitter_id, splitter).
+    * numParts <= 0 derives parallelism; the answer is partition-independent. */
   def exactSplitters(df: DataFrame, keyCol: String, k: Int, numParts: Int): DataFrame = {
     val spark = df.sparkSession
+    val parts = if (numParts >= 1) numParts
+      else math.max(2, spark.sparkContext.defaultParallelism)
     val kv = df.select(col(keyCol).cast(LongType)).rdd.map(r => (r.getLong(0), 0L))
-    val (sorted, offsets) = sortedWithOffsets(kv, numParts)
+    val (sorted, offsets) = sortedWithOffsets(kv, parts)
     val n = offsets.last
     // target ranks, ascending; each falls in exactly one partition
     val targets = (1 until k).map(i => (i.toLong * n / k, i.toLong)).toArray
