@@ -35,8 +35,12 @@ object Similarity {
   def quantize(embedding: Column, scale: Int = 1000): Column =
     expr(s"transform(${embedding.toString}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  /** Dot product via the native codegen'd [[graft.functions.DotProductLong]]
+    * expression (registered per session by the operators below) — a tight
+    * primitive loop inside whole-stage codegen, vs interpreted per-element
+    * lambdas for the `aggregate(zip_with(...))` HOF form. Same exact
+    * integer result. */
+  private def dotExpr(a: String, b: String): String = s"dot_long($a, $b)"
 
   private val scoreExpr =
     "CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)"
@@ -44,6 +48,7 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (q_id, rn, cand_id, score) — rn 1..k by (score desc, cand_id). */
   def topkCosine(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    graft.functions.DotProductLong.register(queries.sparkSession)
     // norms computed ONCE per vector before the join, not once per pair
     val q = queries.select(col("vec_id").as("q_id"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
@@ -65,6 +70,7 @@ object Similarity {
   /** Globally closest `k` pairs, blocked by a key column (label here; an
     * IVF cell id at scale). Output: (vid_a, vid_b, label, score). */
   def closestPairsBlocked(vectors: DataFrame, blockCol: String, k: Int): DataFrame = {
+    graft.functions.DotProductLong.register(vectors.sparkSession)
     // norms computed ONCE per vector before the join, not once per pair
     val v = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expression: dot product of two `array<bigint>` columns.
+  *
+  * This is the "custom Expression with doGenCode beats a UDF" path: the
+  * generated code is a tight primitive loop over Tungsten `ArrayData` —
+  * no boxing, no lambda dispatch per element (the higher-order
+  * `aggregate(zip_with(...))` form evaluates interpreted lambda closures
+  * per element), and it composes inside whole-stage codegen.
+  *
+  * Arithmetic is raw 64-bit (wrapping) — callers quantize inputs so
+  * |x·y·dim| << 2^63 (see [[graft.embed.Similarity]]'s contract), matching
+  * the exact-integer semantics the oracles check.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // no ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4, so
+  // third-party expressions can't name its signature; inputs must already
+  // be array<bigint> (all call sites quantize first)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductLong {
+  /** Registers `dot_long(a, b)` as a temp SQL function on the session
+    * (idempotent; per-session). */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("dot_long",
+        exprs => DotProductLong(exprs(0), exprs(1)), "built-in")
+}
