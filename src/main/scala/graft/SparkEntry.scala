@@ -321,6 +321,14 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // ── multimodal plumbing over real testdata (text bytes as blobs);
+    // rows-only gate: the FNV-1a checksum isn't DuckDB-expressible ────────
+    "q40_multimodal" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.fromDocuments(s, t(dir, "documents")))
+        .select(col("media_id"), col("n_bytes"), col("checksum"))
+        .orderBy("media_id")),
+
     // ── as-of join: each purchase ← most recent prior click, per user ────
     "q37_asof" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.OrderStats
+
+/** Brute-force property checks for the single-shuffle order-statistic
+  * operators (their driver gates q08/q10 only probe one configuration). */
+class OrderStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(11L)
+
+  for ((n, k, parts) <- Seq((100, 8, 4), (997, 5, 8), (64, 64, 16), (10, 4, 32))) {
+    test(s"exactSplitters n=$n k=$k parts=$parts matches sorted order statistics") {
+      val data = Seq.fill(n)(rng.nextInt(1000).toLong)
+      val sortedData = data.sorted
+      val got = OrderStats.exactSplitters(data.toDF("key"), "key", k, parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expect = (1 until k).map(i => (i.toLong, sortedData((i * n / k).toInt)))
+      assert(got.toSeq == expect)
+    }
+  }
+
+  for ((n, blocks) <- Seq((100, 8), (103, 4), (64, 64), (7, 3))) {
+    test(s"blockStats n=$n blocks=$blocks matches brute force") {
+      val data = Seq.fill(n)((rng.nextInt(100000).toLong, rng.nextInt(100).toLong))
+        .zipWithIndex.map { case ((key, v), i) => (key * 1000 + i, v) } // unique keys
+      val m = (n + blocks - 1) / blocks
+      val expect = data.sortBy(_._1).grouped(m).zipWithIndex
+        .map { case (g, b) => (b.toLong, g.size.toLong, g.map(_._2).sum) }.toSeq
+      val got = OrderStats.blockStats(data.toDF("key", "v"), "key", "v", blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+    }
+  }
+}
