@@ -29,6 +29,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JVM/codegen/parquet-footer paths so the alphabetically-first
+    // query doesn't absorb session startup in its measurement
+    spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
+    SparkEntry.queries.get("q13_topk").foreach(fn => fn(spark, sfDir).collect())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

@@ -329,6 +329,20 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("checksum"))
         .orderBy("media_id")),
 
+    // ── the STREAMING windowed-agg operator, applied in batch mode (Spark
+    // unifies the APIs) — 10-min windows sliding by 5, per user ──────────
+    "q41_sliding_time_window" -> ((s, dir) => {
+      import s.implicits._
+      val evts = s.read.parquet(t(dir, "events"))
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          expr("CAST(ts div 1000 AS BIGINT)").as("tsUs"),
+          cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.windowedAgg(evts,
+          windowSec = 600, slideSec = 300, watermarkSec = 0)
+        .orderBy("userId", "win_start")
+    }),
+
     // ── as-of join: each purchase ← most recent prior click, per user ────
     "q37_asof" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))
@@ -683,5 +697,20 @@ object SparkEntry {
       s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
          |  COUNT(*) AS cnt
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // sliding event-time windows: event t belongs to the 2 windows with
+    // start = (t div slide - i)*slide, i in {0,1}, start <= t < start+window
+    "q41_sliding_time_window" ->
+      """WITH ev AS (SELECT user_id AS userId, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+        |w AS (SELECT userId, v,
+        |        ((tus // 300000000) - i) * 300000000 AS start_us
+        |      FROM ev, UNNEST(range(2)) AS t(i)
+        |      WHERE ((tus // 300000000) - i) * 300000000 <= tus
+        |        AND tus < ((tus // 300000000) - i) * 300000000 + 600000000)
+        |SELECT userId, make_timestamp(start_us) AS win_start,
+        |  make_timestamp(start_us + 600000000) AS win_end,
+        |  CAST(SUM(v) AS BIGINT) AS sum_c, COUNT(*) AS cnt
+        |FROM w GROUP BY userId, start_us ORDER BY userId, win_start""".stripMargin,
   )
 }

@@ -90,7 +90,7 @@ object Similarity {
     * of the projection onto a deterministic pseudo-random hyperplane whose
     * component for dimension d is `((a_j·(d+1)) mod P) − P/2` (a fixed,
     * engine-independent integer sequence). Vectors in the same bucket are
-    * ANN candidates; exact re-rank runs [[topkCosine]] per bucket. */
+    * ANN candidates; [[annTopkCosine]] is the end-to-end search. */
   def hyperplaneBuckets(vectors: DataFrame, nPlanes: Int): DataFrame = {
     val P = graft.text.TextOps.P
     val planes = (0 until nPlanes).map { j =>
@@ -106,5 +106,41 @@ object Similarity {
         expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
       .withColumn("bucket", planes.reduce(_ + _))
       .select("vec_id", "bucket")
+  }
+
+  /** End-to-end approximate top-k: LSH-bucket candidates (multiprobe —
+    * each QUERY also probes every bucket at Hamming distance 1, trading
+    * nPlanes extra probe keys for recall), then exact integer-cosine
+    * re-rank of candidates only. The join is keyed on the bucket — cost
+    * O(Σ bucket²)-ish, never |queries|×|candidates|. Approximate by
+    * construction: recall is property-tested, not oracle-gated. */
+  def annTopkCosine(queries: DataFrame, candidates: DataFrame, k: Int,
+                    nPlanes: Int = 12): DataFrame = {
+    graft.functions.DotProductLong.register(queries.sparkSession)
+    val probes = (0 until nPlanes).map(j => expr(s"CAST(${1L << j} AS BIGINT)")) :+
+      expr("CAST(0 AS BIGINT)")
+    val qb = hyperplaneBuckets(queries, nPlanes)
+      .select(col("vec_id").as("q_id"), explode(array(probes: _*)).as("flip"), col("bucket"))
+      .select(col("q_id"), expr("bucket ^ flip").as("probe"))
+    val cb = hyperplaneBuckets(candidates, nPlanes)
+      .select(col("vec_id").as("cand_id"), col("bucket"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .withColumn("qn", expr(dotExpr("qv", "qv")))
+    val cv = candidates.select(col("vec_id").as("cand_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("cv"))
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
+    val cand = qb.join(cb, qb("probe") === cb("bucket"))
+      .select("q_id", "cand_id").distinct()
+    val scored = cand
+      .join(broadcast(qv), "q_id").join(cv, "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
+      .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "cand_id", "score")
+      .orderBy("q_id", "rn")
   }
 }

@@ -43,6 +43,18 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("vid_a") % 4 == r.getAs[Long]("vid_b") % 4))
   }
 
+  test("annTopkCosine: high recall vs exact top-k on clustered vectors") {
+    val t = table(120)
+    val q = t.filter($"vec_id" < 4)
+    val c = t.filter($"vec_id" >= 4)
+    val exact = Similarity.topkCosine(q, c, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ann = Similarity.annTopkCosine(q, c, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact ann=$ann")
+  }
+
   test("hyperplane signatures: same-group pairs at smaller hamming distance") {
     val t = table(64)
     val buckets = Similarity.hyperplaneBuckets(t, nPlanes = 8).collect()
