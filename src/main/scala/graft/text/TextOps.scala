@@ -124,6 +124,7 @@ object Dedup {
     * and ~700M joined rows on a small-vocabulary corpus. Candidates are
     * then verified exactly with a sorted-int-array intersection. */
   def jaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
     // global rarity rank — a window over the DICTIONARY (vocab-sized, tiny
     // relative to the corpus), not over the data
@@ -147,7 +148,9 @@ object Dedup {
           (lit(1) + least(col("a.nw") - col("a.pp"), col("b.nw") - col("b.pp"))) * (num + den) >=
             (col("a.nw") + col("b.nw")) * num)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // NOTE no distinct here: a pair can arrive via at most |prefix| shared
+    // tokens, and deduplicating AFTER verification shuffles only the
+    // survivors (~2 orders of magnitude fewer rows than the candidates)
     // verification: the doc-sets table is corpus-rows × ~set-size ints —
     // orders of magnitude smaller than the candidate set — so broadcast it
     // and verify map-side (no shuffle of the candidate stream). On a corpus
@@ -157,11 +160,15 @@ object Dedup {
       .join(broadcast(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(broadcast(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.set"), col("sb.set"))).cast(LongType).as("inter_cnt"),
+        // native two-pointer merge count over the sorted rank arrays —
+        // size(array_intersect(...)) allocates a hash set + result array
+        // per candidate pair, which dominates at millions of candidates
+        expr("sorted_intersect_count(sa.set, sb.set)").as("inter_cnt"),
         col("sa.nw"), col("sb.nw"))
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
         (col("sa.nw") + col("sb.nw") - col("inter_cnt")).as("union_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+      .distinct()
     verified.orderBy("doc_a", "doc_b")
   }
 
@@ -180,7 +187,10 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // propagate only over edge-touched docs — isolated docs are their own
+    // cluster and never change, so keep them out of every round's joins
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
     var changed = true
     var iter = 0
@@ -195,18 +205,20 @@ object Dedup {
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("pmin"))
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .join(parentMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(
+        .select(col("doc_id"), col("cluster").as("prev"), least(
           col("cluster"),
           coalesce(col("nmin"), col("cluster")),
           coalesce(col("pmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val diff = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
-      changed = diff > 0
-      labels = next
+      // convergence probe on the checkpointed data — no extra join
+      changed = next.filter(col("cluster") =!= col("prev")).limit(1).count() > 0
+      labels = next.select("doc_id", "cluster")
       iter += 1
     }
-    labels.orderBy("doc_id")
+    // add the untouched singletons back
+    allDocs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
   }
 }
 
