@@ -343,6 +343,17 @@ object SparkEntry {
         .orderBy("userId", "win_start")
     }),
 
+    // ── arbitrary GROUPING SETS (beyond rollup q16 / cube q31) ───────────
+    "q42_grouping_sets" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_v")
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               |  CAST(SUM(${CENTS.format("o_totalprice")}) AS BIGINT) AS rev_c
+               |FROM orders_v
+               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+               |                        (o_orderstatus, o_orderpriority))
+               |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
     // ── as-of join: each purchase ← most recent prior click, per user ────
     "q37_asof" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))
@@ -697,6 +708,14 @@ object SparkEntry {
       s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
          |  COUNT(*) AS cnt
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q42_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         |  CAST(SUM(${CENTS.format("o_totalprice")}) AS BIGINT) AS rev_c
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+         |                        (o_orderstatus, o_orderpriority))
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     // sliding event-time windows: event t belongs to the 2 windows with
     // start = (t div slide - i)*slide, i in {0,1}, start <= t < start+window
