@@ -343,6 +343,14 @@ object SparkEntry {
         .orderBy("userId", "win_start")
     }),
 
+    // ── n_chars histogram: exact integer bucketing ───────────────────────
+    "q43_histogram" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(expr("CAST(n_chars div 100 AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket")),
+
     // ── arbitrary GROUPING SETS (beyond rollup q16 / cube q31) ───────────
     "q42_grouping_sets" -> ((s, dir) => {
       s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_v")
@@ -708,6 +716,11 @@ object SparkEntry {
       s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
          |  COUNT(*) AS cnt
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_histogram" ->
+      """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q42_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,

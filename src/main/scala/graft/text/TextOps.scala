@@ -172,6 +172,32 @@ object Dedup {
     verified.orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end MinHash/LSH near-dedup — the composition a pipeline user
+    * calls: shingle MinHash signatures → banded LSH candidate pairs →
+    * exact word-set Jaccard verification of candidates only → connected
+    * components → (doc_id, cluster_rep). Never all-pairs: candidates come
+    * from bucket joins; verification touches only candidates. Docs with
+    * < 3 tokens (no shingles) stay singletons. */
+  def nearDedup(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
+                rowsPerBand: Int = 2, num: Int = 4, den: Int = 5): DataFrame = {
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val cand = lshCandidatePairs(minhashSignatures(docs, numHashes), bands, rowsPerBand)
+    val sets = docs
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("set"))
+      .select(col("doc_id"), col("set"),
+        size(col("set")).cast(LongType).as("nw"))
+    val verified = cand
+      .join(broadcast(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.set"), col("sb.set"))).cast(LongType).as("inter"),
+        col("sa.nw"), col("sb.nw"))
+      .filter(col("inter") * den >= (col("sa.nw") + col("sb.nw") - col("inter")) * num)
+      .select("doc_a", "doc_b")
+    clusters(docs.select("doc_id"), verified)
+  }
+
   /** Connected components over an undirected edge list (doc_a, doc_b):
     * min-label propagation accelerated with POINTER JUMPING — each round
     * also adopts label(label(v)), compressing label chains so convergence

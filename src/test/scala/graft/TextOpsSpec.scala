@@ -44,6 +44,16 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), s"unrelated docs bucketed together: $pairs")
   }
 
+  test("nearDedup end-to-end: planted near-dups cluster, unrelated stay apart") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2, 5L -> near, 6L -> "tiny doc")
+    val out = Dedup.nearDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L,
+      s"planted near-dups not clustered: $out")
+    assert(out(3L) == 3L && out(4L) == 4L && out(6L) == 6L,
+      s"unrelated docs merged: $out")
+  }
+
   test("clusters: min-label propagation over candidate edges") {
     val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2, 5L -> near)
     val edges = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
