@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage-layout helpers for the two patterns that matter most at 100 TB:
+  *
+  *  - BUCKETING: persisting both join sides bucketed (and sorted) by the
+  *    join key lets Spark plan a SortMergeJoin with NO shuffle exchange —
+  *    the join cost collapses to a per-bucket merge. This is how repeated
+  *    large-fact joins should be laid out instead of re-shuffling per query.
+  *  - PARTITIONING: directory-partitioning by a low-cardinality filter
+  *    column turns predicates into partition pruning — files outside the
+  *    predicate are never opened.
+  */
+object Layout {
+
+  /** Saves `df` as a bucketed, in-bucket-sorted managed table. */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Saves `df` directory-partitioned by `partCol`. */
+  def savePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  /** Joins two bucketed tables on their bucket key (shuffle-free when both
+    * are bucketed the same way — asserted in the spec). */
+  def joinBucketed(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

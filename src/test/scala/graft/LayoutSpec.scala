@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Proves the storage-layout claims on real plans: bucketed joins carry no
+  * shuffle, partitioned reads prune directories. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-key join plans with NO shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // small fixtures would be auto-broadcast (which also disables the
+      // bucketed scan); force the SMJ path the layout exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+      val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
+      Layout.saveBucketed(a, "bucketed_a", "k", 8)
+      Layout.saveBucketed(b, "bucketed_b", "k", 8)
+      val joined = Layout.joinBucketed(spark, "bucketed_a", "bucketed_b", "k")
+      assert(joined.collect().length == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("partitioned parquet read prunes partitions under a filter") {
+    val path = java.nio.file.Files.createTempDirectory("parted").toString
+    val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
+    Layout.savePartitioned(df, path, "part")
+    val read = spark.read.parquet(path).filter(col("part") === "p1")
+    assert(read.count() == 100)
+    val scan = read.queryExecution.executedPlan.toString
+    // pruning shows up as a PartitionFilters entry carrying the predicate
+    assert(scan.contains("PartitionFilters") && scan.contains("p1"), scan)
+  }
+}
