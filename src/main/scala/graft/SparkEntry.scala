@@ -343,6 +343,22 @@ object SparkEntry {
         .orderBy("userId", "win_start")
     }),
 
+    // ── training-data pipeline staples: reproducible split / normalize /
+    // chunk / pack, all deterministic + integer-exact ─────────────────────
+    "q44_dataset_split" -> ((s, dir) =>
+      graft.text.Pipeline.datasetSplit(s.read.parquet(t(dir, "documents")))),
+
+    "q45_normalize" -> ((s, dir) =>
+      graft.text.Pipeline.normalize(s.read.parquet(t(dir, "documents")))),
+
+    "q46_chunking" -> ((s, dir) =>
+      graft.text.Pipeline.chunk(s.read.parquet(t(dir, "documents")),
+        chunkTokens = 32, overlap = 8)),
+
+    "q47_packing" -> ((s, dir) =>
+      graft.text.Pipeline.pack(s.read.parquet(t(dir, "documents")),
+        capacityTokens = 512)),
+
     // ── n_chars histogram: exact integer bucketing ───────────────────────
     "q43_histogram" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -721,6 +737,42 @@ object SparkEntry {
       """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q44_dataset_split" ->
+      """SELECT doc_id,
+        |  (('0x' || substr(md5(text),1,15))::BIGINT % 1000000007) % 10 AS bucket,
+        |  CASE WHEN (('0x' || substr(md5(text),1,15))::BIGINT % 1000000007) % 10 < 8 THEN 'train'
+        |       WHEN (('0x' || substr(md5(text),1,15))::BIGINT % 1000000007) % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q45_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, i AS start,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS chunk_idx
+        |       FROM toks, UNNEST(range(0, len(ws), 24)) AS t(i))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(ws[start+1 : start+32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[start+1 : start+32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q47_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d)
+        |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q42_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data pipeline staples over a `(doc_id, text)` corpus. All four
+  * are deterministic and integer-exact, so they are oracle-checkable
+  * cross-engine — reproducibility is the point: a data pipeline that
+  * samples or splits differently on re-run poisons every downstream
+  * ablation.
+  *
+  * All narrow, shuffle-free transforms except [[pack]] (one global-window
+  * cumulative sum — at real scale run it per shard/partition key).
+  */
+object Pipeline {
+  import TextOps.{xhash, P}
+
+  /** Deterministic train/val/test split by CONTENT hash (stable under
+    * doc_id renumbering and corpus reordering): bucket = h(text) mod 10 →
+    * 0–7 train, 8 val, 9 test. */
+  def datasetSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), ((xhash(col("text")) % P) % 10).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") < 9, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace. Returns the normalized text plus a changed flag. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
+  /** Fixed-size token chunking with overlap: windows of `chunkTokens`
+    * starting every `chunkTokens - overlap` tokens (the trailing chunk may
+    * be short). Output: (doc_id, chunk_idx, n_tokens, chunk_text). */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(expr(s"sequence(0, size(ws) - 1, $step)")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+        expr(s"CAST(size(slice(ws, col + 1, $chunkTokens)) AS BIGINT)").as("n_tokens"),
+        expr(s"array_join(slice(ws, col + 1, $chunkTokens), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Greedy sequence packing by starting offset: docs in doc_id order are
+    * laid end-to-end; a doc belongs to pack `floor(start_offset /
+    * capacity)`. Deterministic, one pass, integer-exact. */
+  def pack(docs: DataFrame, capacityTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"CAST((cum - n_tokens) div $capacityTokens AS BIGINT)").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+}

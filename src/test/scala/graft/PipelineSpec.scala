@@ -1,0 +1,52 @@
+package graft
+
+import graft.text.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("chunking: full coverage with the configured overlap, trailing chunk short") {
+    val words = (1 to 50).map(i => s"w$i")
+    val d = docs(1L -> words.mkString(" "))
+    val chunks = Pipeline.chunk(d, chunkTokens = 20, overlap = 5).collect()
+    // starts at 0, 15, 30, 45 → lengths 20, 20, 20, 5
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(20L, 20L, 20L, 5L))
+    val texts = chunks.map(_.getAs[String]("chunk_text"))
+    assert(texts(0).startsWith("w1 ") && texts(1).startsWith("w16 "))
+    // every word appears in at least one chunk
+    val covered = texts.flatMap(_.split(" ")).toSet
+    assert(covered == words.toSet)
+  }
+
+  test("chunking: doc shorter than one chunk yields exactly one chunk") {
+    val out = Pipeline.chunk(docs(1L -> "a b c"), 32, 8).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_tokens") == 3)
+  }
+
+  test("packing: pack ids are by starting offset, deterministic") {
+    val d = docs((1L to 10L).map(i => i -> Seq.fill(100)("t").mkString(" ")): _*)
+    val out = Pipeline.pack(d, capacityTokens = 250).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toMap
+    // starts: 0,100,…,900 → packs 0,0,0,1,1,2,2,2,3,3 (offsets div 250)
+    assert(out == (1L to 10L).map(i => i -> ((i - 1) * 100 / 250)).toMap)
+  }
+
+  test("normalize strips punctuation, collapses space, flags changes") {
+    val out = Pipeline.normalize(docs(1L -> "Hello,  World!", 2L -> "already clean"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == (("hello world", true)))
+    assert(out(2L) == (("already clean", false)))
+  }
+
+  test("dataset split: stable under doc_id renumbering, all buckets hit") {
+    val texts = (1 to 200).map(i => s"document number $i with content")
+    val a = Pipeline.datasetSplit(docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*))
+      .collect().map(r => r.getAs[Long]("bucket"))
+    val b = Pipeline.datasetSplit(docs(texts.zipWithIndex.map { case (t, i) => (i + 1000L, t) }: _*))
+      .collect().map(r => r.getAs[Long]("bucket"))
+    assert(a.sameElements(b), "split must depend on content, not ids")
+    assert(a.toSet.size == 10, s"expected all 10 buckets, got ${a.toSet}")
+  }
+}
