@@ -359,6 +359,16 @@ object SparkEntry {
       graft.text.Pipeline.pack(s.read.parquet(t(dir, "documents")),
         capacityTokens = 512)),
 
+    // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
+    "q48_bigrams" -> ((s, dir) =>
+      graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
+
+    "q49_tfdf_terms" -> ((s, dir) =>
+      graft.text.Ngrams.topTermByTfDf(s.read.parquet(t(dir, "documents")))),
+
+    "q50_skipgrams" -> ((s, dir) =>
+      graft.text.Ngrams.skipgramPairs(s.read.parquet(t(dir, "documents")), radius = 2, k = 50)),
+
     // ── n_chars histogram: exact integer bucketing ───────────────────────
     "q43_histogram" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -737,6 +747,36 @@ object SparkEntry {
       """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q48_bigrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM p GROUP BY w1, w2)
+        |SELECT w1, w2, cnt,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS BIGINT) AS rn
+        |FROM c QUALIFY rn <= 3 ORDER BY w1, rn""".stripMargin,
+
+    "q49_tfdf_terms" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+        |s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |        CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * 1000000 // df.df DESC, tf.w) AS rn
+        |      FROM tf JOIN df USING (w))
+        |SELECT doc_id, w AS term, tf, df, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q50_skipgrams" ->
+      """WITH pos AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |                  UNNEST(range(1, len(ws) + 1)) AS t(i))
+        |SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cnt
+        |FROM pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+        | AND a.pos <> b.pos
+        |GROUP BY a.w, b.w ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q44_dataset_split" ->
       """SELECT doc_id,

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus n-gram statistics — the counting passes behind tokenizer / LM /
+  * embedding training prep. All integer-exact and deterministic.
+  *
+  * Scale shape: one explode + one hash-aggregate per operator (map-side
+  * partial aggregation collapses the token stream before the shuffle);
+  * the skip-gram pair generation is a positional self-join bounded by the
+  * context radius, keyed on doc_id — never a corpus-level cross join.
+  */
+object Ngrams {
+
+  /** Bigram counts with the top `k` continuations per head word, ranked by
+    * (count desc, word). Output: (w1, w2, cnt, rn). */
+  def topBigrams(docs: DataFrame, k: Int): DataFrame = {
+    val pairs = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> struct(element_at(ws, i+1) AS w1, element_at(ws, i+2) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val w = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .orderBy("w1", "rn")
+  }
+
+  /** Per-document top term by a tf/df score (integer surrogate for tf-idf:
+    * `tf·10^6 div df` — log-free so it is cross-engine exact; document
+    * frequency is the corpus-wide distinct-doc count per term).
+    * Output: (doc_id, term, tf, df, score). */
+  def topTermByTfDf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    tf.join(broadcast(df), "w")
+      .withColumn("score", expr("CAST(tf * 1000000 div df AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Skip-gram (center, context) pair counts within ± `radius` positions —
+    * word2vec-style training pairs. Output: top `k` pairs by
+    * (cnt desc, w1, w2). */
+  def skipgramPairs(docs: DataFrame, radius: Int, k: Int): DataFrame = {
+    val pos = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    pos.as("a").join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") - radius && col("b.pos") <= col("a.pos") + radius &&
+          col("a.pos") =!= col("b.pos"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+}
