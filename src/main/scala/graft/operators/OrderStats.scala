@@ -69,6 +69,29 @@ object OrderStats {
       .orderBy("splitter_id")
   }
 
+  /** Sample-based splitters — the reference's own strategy
+    * (`my.threshold` Bernoulli sample → order statistics of the sample,
+    * `SlidingAggregation.java:38-84`) and the right call at 100 TB when
+    * exactness isn't required: cost is one pass over a p-fraction sample
+    * instead of a full range shuffle. Approximation error is the sampling
+    * error of the p·n-point empirical quantile. Output like
+    * [[exactSplitters]]: (splitter_id, splitter). */
+  def sampledSplitters(df: DataFrame, keyCol: String, k: Int,
+                       threshold: Double, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(col(keyCol).cast(LongType)).sample(threshold, seed)
+      .rdd.map(_.getLong(0)).sortBy(identity).zipWithIndex().map(_.swap)
+    val n = keys.count()
+    val targets = (1 until k).map(i => i.toLong * n / k).toSet
+    val rows = keys.filter { case (idx, _) => targets.contains(idx) }
+      .map { case (idx, key) => Row(idx, key) }.collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex.map { case (r, i) => Row((i + 1).toLong, r.getLong(1)) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), StructType(Seq(
+      StructField("splitter_id", LongType, nullable = false),
+      StructField("splitter", LongType, nullable = false))))
+  }
+
   /** Per-rank-block (cnt, sum) with m = ceil(n/numBlocks), block = rank/m —
     * the reference's balanced repartition, summarized without materializing
     * ranks. Output: (block, cnt, sum_c). */

@@ -40,6 +40,20 @@ object EventStreaming {
         col("window.end").as("win_end"), col("sum_c"), col("cnt"))
   }
 
+  /** Streaming exact deduplication on event id: duplicates arriving within
+    * the watermark horizon are dropped; state for an id is released once
+    * the watermark passes it (bounded state — the streaming form of
+    * [[graft.text.Dedup.exact]]'s at-rest dedup). */
+  def dedupStream(events: Dataset[Event], watermarkSec: Long): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", s"$watermarkSec seconds")
+      .dropDuplicatesWithinWatermark("eventId")
+      .drop("ts")
+      .as[Event]
+  }
+
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): closes a session when `gapSec` passes
     * with no event (driven by the event-time watermark). Mirrors

@@ -43,6 +43,20 @@ class EventStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val dups = evts ++ evts.take(3).map(e => e.copy(valueCents = e.valueCents + 1))
+    stream.addData(dups: _*)
+    val q = EventStreaming.dedupStream(stream.toDS(), watermarkSec = 3600)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val out = spark.table("dedup").as[EventStreaming.Event].collect()
+    assert(out.length == evts.length, s"expected ${evts.length} unique, got ${out.length}")
+    assert(out.map(_.eventId).sorted.toSeq == evts.map(_.eventId).sorted)
+  }
+
   test("stateful sessionization seals gap-delimited sessions at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

@@ -20,6 +20,25 @@ class OrderStatsSpec extends SparkSpec {
     }
   }
 
+  test("sampledSplitters at threshold 1.0 equals the exact order statistics") {
+    val data = Seq.fill(500)(rng.nextInt(100000).toLong)
+    val exact = OrderStats.exactSplitters(data.toDF("key"), "key", 8, 4)
+      .collect().map(_.getLong(1)).toSeq
+    val sampled = OrderStats.sampledSplitters(data.toDF("key"), "key", 8, threshold = 1.0)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(sampled == exact)
+  }
+
+  test("sampledSplitters at threshold 0.5 lands near the exact splitters") {
+    val data = (1L to 10000L)  // uniform: easy to bound the quantile error
+    val sampled = OrderStats.sampledSplitters(data.toDF("key"), "key", 4, threshold = 0.5)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    val exact = Seq(2500L, 5000L, 7500L)
+    sampled.zip(exact).foreach { case (s, e) =>
+      assert(math.abs(s - e) < 500, s"sampled $s too far from exact $e")
+    }
+  }
+
   for ((n, blocks) <- Seq((100, 8), (103, 4), (64, 64), (7, 3))) {
     test(s"blockStats n=$n blocks=$blocks matches brute force") {
       val data = Seq.fill(n)((rng.nextInt(100000).toLong, rng.nextInt(100).toLong))
