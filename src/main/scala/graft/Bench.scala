@@ -36,7 +36,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      df.select(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
+      df.select(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

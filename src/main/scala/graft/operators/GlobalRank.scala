@@ -27,7 +27,7 @@ object GlobalRank {
       else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
     val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 }
