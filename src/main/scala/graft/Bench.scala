@@ -33,16 +33,30 @@ object Bench {
     // query doesn't absorb session startup in its measurement
     spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
     SparkEntry.queries.get("q13_topk").foreach(fn => fn(spark, sfDir).collect())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      df.select(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
-      name -> (System.nanoTime() - t0) / 1e9
+    def measure(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.select(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    // two measured passes, report the per-query MIN: JIT warm-up, GC luck
+    // and co-tenant load perturb any single run (r2 saw the same binary
+    // measure 47 s on the builder vs 117 s on the driver)
+    val runs = Seq(measure(), measure())
+    val results = runs.head.map(_._1).map { name =>
+      name -> runs.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totals = runs.map(_.map(_._2).sum)
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_avg":${os.getSystemLoadAverage},""" +
+      s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
+      s""""run_totals":[${totals.mkString(",")}]}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${runs.length},"env":$env}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(out), json + "\n")

@@ -14,7 +14,8 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val which = if (args.length > 1) args.drop(1).toSet else Set(
       "q02_total_sort", "q11_groupby_agg", "q12_join_revenue", "q13_topk",
-      "q21_event_window", "q22_topk_cosine", "q23_jaccard_pairs", "q35_pivot", "q37_asof")
+      "q21_event_window", "q22_topk_cosine", "q23_jaccard_pairs", "q35_pivot", "q37_asof",
+      "q47_packing", "q50_skipgrams")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

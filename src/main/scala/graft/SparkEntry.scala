@@ -89,6 +89,10 @@ object SparkEntry {
     "q05_sliding_min"   -> ((s, dir) => slidingOrders(s, dir, 100, LongMonoid.Min)),
     "q06_sliding_max"   -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Max)),
     "q07_sliding_count" -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Count)),
+    // avg = windowed sum ÷ window count, no second pass (dense ranks make
+    // the count min(l, rank+1)); truncating integer division in both engines
+    "q51_sliding_avg"   -> ((s, dir) =>
+      SlidingAggregate.withAvg(slidingOrders(s, dir, 100, LongMonoid.Sum), 100)),
 
     // ── op #4: quantile splitter computation (exact order statistics) ────
     // One range shuffle; count + extraction passes reuse its map output
@@ -321,12 +325,14 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
-    // ── multimodal plumbing over real testdata (text bytes as blobs);
-    // rows-only gate: the FNV-1a checksum isn't DuckDB-expressible ────────
+    // ── multimodal plumbing over real testdata (text bytes as blobs).
+    // Hash-gated on n_bytes (octet_length in DuckDB); the FNV-1a checksum
+    // and decode features run in the same pass but are sbt-gated — neither
+    // is DuckDB-expressible ───────────────────────────────────────────────
     "q40_multimodal" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.fromDocuments(s, t(dir, "documents")))
-        .select(col("media_id"), col("n_bytes"), col("checksum"))
+        .select(col("media_id"), col("n_bytes"))
         .orderBy("media_id")),
 
     // ── the STREAMING windowed-agg operator, applied in batch mode (Spark
@@ -423,6 +429,17 @@ object SparkEntry {
     "q05_sliding_min"   -> slidingOrdersSql(100, "MIN"),
     "q06_sliding_max"   -> slidingOrdersSql(500, "MAX"),
     "q07_sliding_count" -> slidingOrdersSql(500, "count"),
+
+    // avg: windowed SUM ÷ min(l, rank+1); // is floor division — identical
+    // to Spark's truncating `div` here because the summands are positive
+    "q51_sliding_avg" ->
+      s"""SELECT rank, key, CAST(s // LEAST(100, rank + 1) AS BIGINT) AS agg
+         |FROM (SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
+         |             CAST(o_orderkey AS BIGINT) AS key,
+         |             CAST(SUM(${CENTS.format("o_totalprice")}) OVER
+         |               (ORDER BY o_orderkey ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+         |               AS BIGINT) AS s
+         |      FROM orders) ORDER BY rank""".stripMargin,
 
     "q08_quantile_splitters" ->
       s"""WITH ranked AS (
@@ -742,6 +759,10 @@ object SparkEntry {
       s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
          |  COUNT(*) AS cnt
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q40_multimodal" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q43_histogram" ->
       """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,

@@ -31,9 +31,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Integer quantization of the embedding column. */
+  /** Integer quantization of the embedding column — built with the Column
+    * API (`transform` HOF), so it composes with ANY input Column, not just
+    * bare attribute references (the string-interpolated form broke on
+    * computed columns). Used by every operator below. */
   def quantize(embedding: Column, scale: Int = 1000): Column =
-    expr(s"transform(${embedding.toString}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+    transform(embedding, x => floor(x.cast(DoubleType) * scale).cast(LongType))
 
   /** Dot product via the native codegen'd [[graft.functions.DotProductLong]]
     * expression (registered per session by the operators below) — a tight
@@ -51,10 +54,10 @@ object Similarity {
     graft.functions.DotProductLong.register(queries.sparkSession)
     // norms computed ONCE per vector before the join, not once per pair
     val q = queries.select(col("vec_id").as("q_id"),
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      quantize(col("embedding")).as("qv"))
       .withColumn("qn", expr(dotExpr("qv", "qv")))
     val c = candidates.select(col("vec_id").as("cand_id"),
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("cv"))
+      quantize(col("embedding")).as("cv"))
       .withColumn("cn", expr(dotExpr("cv", "cv")))
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("cand_id"), col("qn"), col("cn"),
@@ -73,7 +76,7 @@ object Similarity {
     graft.functions.DotProductLong.register(vectors.sparkSession)
     // norms computed ONCE per vector before the join, not once per pair
     val v = vectors.select(col("vec_id"), col(blockCol).as("blk"),
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      quantize(col("embedding")).as("v"))
       .withColumn("nrm", expr(dotExpr("v", "v")))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
@@ -103,7 +106,7 @@ object Similarity {
       expr(s"CASE WHEN ($proj) > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
     }
     vectors.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+        quantize(col("embedding")).as("v"))
       .withColumn("bucket", planes.reduce(_ + _))
       .select("vec_id", "bucket")
   }
@@ -125,10 +128,10 @@ object Similarity {
     val cb = hyperplaneBuckets(candidates, nPlanes)
       .select(col("vec_id").as("cand_id"), col("bucket"))
     val qv = queries.select(col("vec_id").as("q_id"),
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      quantize(col("embedding")).as("qv"))
       .withColumn("qn", expr(dotExpr("qv", "qv")))
     val cv = candidates.select(col("vec_id").as("cand_id"),
-      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("cv"))
+      quantize(col("embedding")).as("cv"))
       .withColumn("cn", expr(dotExpr("cv", "cv")))
     val cand = qb.join(cb, qb("probe") === cb("bucket"))
       .select("q_id", "cand_id").distinct()

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The Spark-side mechanics — schema, partitioning, batch shape, the
-  * mapPartitions pipeline — are real and tested. The actual byte decoding
-  * is STUBBED with a deterministic fake ([[fakeDecode]]): the image/audio
-  * codec libraries are not available in this environment, so the stub
-  * stands in where a JNI/ImageIO decode would run. Swapping in a real
-  * decoder changes only the body of `decodeFn`.
+  * Two decoders plug into the same `decodeFn` slot:
+  *  - [[imageDecode]] — a REAL image decode via the JDK's `javax.imageio`
+  *    (PNG/BMP/GIF/JPEG need no external codec libs), emitting
+  *    width/height/per-channel means;
+  *  - [[fakeDecode]] — a deterministic byte-statistics stand-in for
+  *    formats whose codecs are absent here (audio/video), keeping the
+  *    plumbing testable on arbitrary blobs.
   *
   * Scale notes: rows are processed in bounded batches (`batchSize`) so a
   * partition of large blobs never materializes fully in heap; the operator
@@ -51,6 +52,35 @@ object Multimodal {
     }
     Array(sum.toFloat / bytes.length, mn.toFloat, mx.toFloat, bytes.length.toFloat,
       hist(0).toFloat, hist(1).toFloat, hist(2).toFloat, hist(3).toFloat)
+  }
+
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG — readers
+    * ship with the JRE, no external codecs). Features: width, height,
+    * mean R/G/B, mean alpha, pixel count, 0. Deterministic: pixel data is
+    * read through `getRGB` (sRGB ints), and the means are exact integer
+    * sums divided once. Undecodable bytes → all-(-1) features, so a mixed
+    * or corrupt corpus degrades per row, never fails the job. */
+  def imageDecode(bytes: Array[Byte]): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Array.fill(8)(-1f)
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sa += (p >>> 24) & 0xff; sr += (p >>> 16) & 0xff
+        sg += (p >>> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array(w.toFloat, h.toFloat, sr.toFloat / n, sg.toFloat / n, sb.toFloat / n,
+      sa.toFloat / n, n.toFloat, 0f)
   }
 
   /** FNV-1a over the blob — the deterministic per-row checksum. */

@@ -23,12 +23,17 @@ import org.apache.spark.sql.types._
   */
 object OrderStats {
 
-  private def sortedWithOffsets(kv: RDD[(Long, Long)], numParts: Int)
+  private[graft] def sortedWithOffsets(kv0: RDD[(Long, Long)], numParts: Int)
     : (RDD[(Long, Long)], Array[Long]) = {
+    // cache: the RangePartitioner's sampling job and the shuffle map stage
+    // both scan the input (a parquet re-read each, otherwise); dropped as
+    // soon as the count pass has written the shuffle files
+    val kv = kv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val part = new RangePartitioner(numParts, kv, ascending = true)
     val sorted = kv.repartitionAndSortWithinPartitions(part)
     val counts = sorted.mapPartitions(it => Iterator(it.size.toLong),
       preservesPartitioning = true).collect()
+    kv.unpersist(blocking = false)
     (sorted, counts.scanLeft(0L)(_ + _))
   }
 
@@ -57,7 +62,11 @@ object OrderStats {
         var ti = 0
         while (ti < mine.length && it.hasNext) {
           val key = it.next()._1
-          if (idx == mine(ti)._1) { out += Row(mine(ti)._2, key); ti += 1 }
+          // k > n makes target ranks collide — emit one row per target id
+          // before advancing, so no splitter is silently dropped
+          while (ti < mine.length && idx == mine(ti)._1) {
+            out += Row(mine(ti)._2, key); ti += 1
+          }
           idx += 1
         }
         out.result().iterator
@@ -82,11 +91,15 @@ object OrderStats {
     val keys = df.select(col(keyCol).cast(LongType)).sample(threshold, seed)
       .rdd.map(_.getLong(0)).sortBy(identity).zipWithIndex().map(_.swap)
     val n = keys.count()
-    val targets = (1 until k).map(i => i.toLong * n / k).toSet
-    val rows = keys.filter { case (idx, _) => targets.contains(idx) }
-      .map { case (idx, key) => Row(idx, key) }.collect()
+    // rank -> ALL splitter ids targeting it (k > n makes targets collide;
+    // every id must still get a row, at the shared key)
+    val byRank: Map[Long, Seq[Long]] =
+      (1 until k).map(i => (i.toLong * n / k, i.toLong))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = keys.filter { case (idx, _) => byRank.contains(idx) }
+      .collect()
+      .flatMap { case (idx, key) => byRank(idx).map(id => Row(id, key)) }
       .sortBy(_.getLong(0))
-      .zipWithIndex.map { case (r, i) => Row((i + 1).toLong, r.getLong(1)) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), StructType(Seq(
       StructField("splitter_id", LongType, nullable = false),
       StructField("splitter", LongType, nullable = false))))

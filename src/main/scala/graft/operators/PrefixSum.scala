@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed running totals — the scalable replacement for
+  * `SUM(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` with no
+  * PARTITION BY, which Spark executes as ONE task holding the whole
+  * dataset.
+  *
+  * Classic two-pass prefix sum over a range shuffle (the same
+  * per-partition-offsets machinery as [[OrderStats]] and the reference's
+  * count-sentinel protocol,
+  * `/root/reference/src/SlidingAggregation.java:159-210`):
+  *   1. range-partition + sort by the order columns (TeraSort);
+  *   2. per-partition totals → driver `scanLeft` → broadcast (O(parts));
+  *   3. narrow map emitting each row's exclusive running total.
+  * The totals pass and the output pass are jobs over the SAME shuffled RDD,
+  * so the range shuffle's map output is reused (data moves once).
+  */
+object PrefixSum {
+
+  /** Appends `outCol` = exclusive running total of `valueCol` (a BIGINT
+    * column) in `orderCols` order: the sum of all STRICTLY PRECEDING rows'
+    * values. `numParts <= 0` derives the partition count from default
+    * parallelism; the result is partition-count independent. */
+  def exclusive(df: DataFrame, valueCol: String, outCol: String, numParts: Int,
+                orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numParts >= 1) numParts
+      else math.max(2, spark.sparkContext.defaultParallelism)
+    val sorted = df.repartitionByRange(parts, orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType, s"$valueCol must be BIGINT")
+    // single RDD object: the totals job writes the shuffle files the output
+    // job then re-reads (skipped map stage) — data moves once
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitions({ it =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator.single(s)
+    }, preservesPartitioning = true).collect()
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val result = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var running = bOffsets.value(pi)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(result, outSchema)
+  }
+}

@@ -135,27 +135,56 @@ object SlidingAggregate {
       else math.max(2, spark.sparkContext.defaultParallelism)
     val l = window
 
+    // Cached: the splitter-sampling job and the range-shuffle map stage both
+    // scan the input — without the cache each re-reads the parquet source.
+    // Unpersisted as soon as the shuffle files hold the data (below).
     val kv: RDD[(Long, Long)] = df
       .select(col(keyCol).cast(LongType), col(valueCol).cast(LongType))
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
-
-    if (kv.isEmpty()) return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // TeraSort: sampled range partitioner + shuffle-time per-partition sort
     // (reference jobs J1+J2, SlidingAggregation.java:38-170). By default the
     // RangePartitioner's reservoir sample picks the splitters; the explicit
     // `sampleThreshold` path reproduces the reference's `my.threshold`
     // Bernoulli-sample splitter job (`:38-84`) — `chooseBorders`'s
-    // equidistant order statistics of the sample (`:75-83`), minus its
-    // crash when the sample is smaller than the partition count.
+    // equidistant order statistics of the sample (`:75-83`), minus two
+    // quirks: its crash when the sample is smaller than the partition
+    // count, and its funnel of the WHOLE sample into one JVM (one reducer
+    // there, `numReduceTasks(1)` :444 — the round-2 form collected it to
+    // the driver: threshold 0.5 ⇒ half the dataset in driver heap). Here
+    // the sample is sorted DISTRIBUTED and only the parts-1 order
+    // statistics come back — O(parts) driver heap, same borders
+    // (keys[(i·s)/R], :75-83) bit-for-bit, so goldens are unchanged.
     val part: Partitioner = sampleThreshold match {
       case Some(t) =>
-        val keys = kv.map(_._1).sample(withReplacement = false, t, seed = 42L)
-          .collect().sorted // the reference funnels the sample to ONE reducer
-        if (keys.length < parts) new RangePartitioner(parts, kv, ascending = true)
+        val s = kv.map(_._1).sample(withReplacement = false, t, seed = 42L).sortBy(identity)
+        val sCounts = s.mapPartitions(it => Iterator(it.size.toLong),
+          preservesPartitioning = true).collect()
+        val sOffs = sCounts.scanLeft(0L)(_ + _)
+        val sn = sOffs.last
+        if (sn < parts) new RangePartitioner(parts, kv, ascending = true)
         else {
-          val borders = (1 until parts)
-            .map(i => keys(((i.toLong * keys.length) / parts).toInt)).toArray
+          // target sample ranks i·sn/parts are strictly increasing for
+          // sn >= parts; each falls in exactly one sample partition
+          val targets = (1 until parts).map(i => (i.toLong * sn) / parts).toArray
+          val bT = spark.sparkContext.broadcast(targets)
+          val bO = spark.sparkContext.broadcast(sOffs)
+          val borders = s.mapPartitionsWithIndex { (pi, it) =>
+            val off = bO.value(pi); val end = bO.value(pi + 1)
+            val mine = bT.value.filter(x => x >= off && x < end)
+            if (mine.isEmpty) Iterator.empty
+            else {
+              var idx = off; var ti = 0
+              val out = Array.newBuilder[Long]
+              while (ti < mine.length && it.hasNext) {
+                val key = it.next()
+                if (idx == mine(ti)) { out += key; ti += 1 }
+                idx += 1
+              }
+              out.result().iterator
+            }
+          }.collect().sorted
           new BorderPartitioner(borders, parts)
         }
       case None => new RangePartitioner(parts, kv, ascending = true)
@@ -163,12 +192,15 @@ object SlidingAggregate {
     val sorted = kv.repartitionAndSortWithinPartitions(part)
 
     // Count pass — replaces the reference's in-band PairInt(-1, count)
-    // sentinels + driver counter (J3, :159-210,491-497). Reuses the range
-    // shuffle's map output; only the partition-local sort re-runs.
+    // sentinels + driver counter (J3, :159-210,491-497). Runs the range
+    // shuffle's map stage; every later job reuses its output. This pass
+    // also subsumes the former up-front isEmpty() job (n == 0 below).
     val counts = sorted.mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
       .collect()
+    kv.unpersist(blocking = false) // shuffle files now hold the data
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last
+    if (n == 0) return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val m = (n + parts - 1) / parts                // block size, reference :224
     val r = ((n + m - 1) / m).toInt                // actual number of rank blocks
     val d = ((l - 1) / m).toInt                    // window span in blocks, :261

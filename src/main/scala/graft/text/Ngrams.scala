@@ -10,8 +10,9 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale shape: one explode + one hash-aggregate per operator (map-side
   * partial aggregation collapses the token stream before the shuffle);
-  * the skip-gram pair generation is a positional self-join bounded by the
-  * context radius, keyed on doc_id — never a corpus-level cross join.
+  * the skip-gram pair generation is a delta-exploded equi-join on
+  * `(doc_id, position)` — linear in tokens × radius, never quadratic in
+  * document length and never a corpus-level cross join.
   */
 object Ngrams {
 
@@ -52,14 +53,24 @@ object Ngrams {
 
   /** Skip-gram (center, context) pair counts within ± `radius` positions —
     * word2vec-style training pairs. Output: top `k` pairs by
-    * (cnt desc, w1, w2). */
+    * (cnt desc, w1, w2).
+    *
+    * Join shape: the context side is DELTA-EXPLODED (each token emits 2r
+    * copies keyed by the center position it serves, `pos + δ` for
+    * δ ∈ [-r, r] \ {0}) and the join is a pure equi-join on
+    * `(doc_id, pos)` — linear in tokens × 2r. Joining on doc_id alone with
+    * the radius as a post-join filter builds O(len²) intermediate pairs
+    * per doc first (a 100k-token doc → 10¹⁰ rows before the filter). */
   def skipgramPairs(docs: DataFrame, radius: Int, k: Int): DataFrame = {
+    require(radius >= 1, "radius must be >= 1")
     val pos = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
-    pos.as("a").join(pos.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("b.pos") >= col("a.pos") - radius && col("b.pos") <= col("a.pos") + radius &&
-          col("a.pos") =!= col("b.pos"))
+    val deltas = ((-radius to -1) ++ (1 to radius)).mkString(",")
+    // context token at position p serves centers p+δ ⇒ emit (doc_id, p+δ, w)
+    val ctx = pos.select(col("doc_id"),
+        explode(expr(s"transform(array($deltas), d -> pos + d)")).as("pos"),
+        col("w"))
+    pos.as("a").join(ctx.as("b"), Seq("doc_id", "pos"))
       .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1"), col("w2"))

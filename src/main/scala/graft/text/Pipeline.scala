@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.LongType
   * samples or splits differently on re-run poisons every downstream
   * ablation.
   *
-  * All narrow, shuffle-free transforms except [[pack]] (one global-window
-  * cumulative sum — at real scale run it per shard/partition key).
+  * All narrow, shuffle-free transforms except [[pack]] (one range shuffle
+  * feeding a distributed two-pass prefix sum).
   */
 object Pipeline {
   import TextOps.{xhash, P}
@@ -54,17 +54,18 @@ object Pipeline {
 
   /** Greedy sequence packing by starting offset: docs in doc_id order are
     * laid end-to-end; a doc belongs to pack `floor(start_offset /
-    * capacity)`. Deterministic, one pass, integer-exact. */
-  def pack(docs: DataFrame, capacityTokens: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    * capacity)`. Deterministic and integer-exact.
+    *
+    * The running token total is a DISTRIBUTED two-pass prefix sum
+    * ([[graft.operators.PrefixSum]]), not a partitionless window — the
+    * `SUM OVER (ORDER BY doc_id)` form collapses to one task holding the
+    * whole corpus (`WindowExec: No Partition Defined`). */
+  def pack(docs: DataFrame, capacityTokens: Int): DataFrame =
+    graft.operators.PrefixSum.exclusive(
+        docs.select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens")),
+        "n_tokens", "start_off", numParts = 0, col("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
-        expr(s"CAST((cum - n_tokens) div $capacityTokens AS BIGINT)").as("pack_id"))
+        expr(s"CAST(start_off div $capacityTokens AS BIGINT)").as("pack_id"))
       .orderBy("doc_id")
-  }
-
-  private val Window = org.apache.spark.sql.expressions.Window
 }

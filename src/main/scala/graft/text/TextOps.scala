@@ -57,14 +57,27 @@ object Dedup {
 
   /** Exact duplicate groups on a normalized fingerprint (sorted distinct
     * word set). Output: (rep_doc, dup_cnt) — one row per group,
-    * representative = min doc_id. */
-  def exact(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
-      .groupBy("fp")
+    * representative = min doc_id.
+    *
+    * The groupBy key is NOT the fingerprint string (which is the size of
+    * the document — shuffling it would move the whole corpus twice) but a
+    * 124-bit pair of independent hashes of it (xxhash64 + the md5-based
+    * [[TextOps.xhash]]): 16 bytes per shuffle row. A false merge needs a
+    * simultaneous collision in both — P < 10^-18 even at 10^12 docs
+    * (birthday bound). `verifyExact = true` keeps the full fingerprint as
+    * the key for byte-exact semantics (parity is spec-tested). */
+  def exact(docs: DataFrame, verifyExact: Boolean = false): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
+    val grouped =
+      if (verifyExact) fp.groupBy("fp")
+      else fp.select(col("doc_id"), xxhash64(col("fp")).as("fph1"), xhash(col("fp")).as("fph2"))
+        .groupBy("fph1", "fph2")
+    grouped
       .agg(min("doc_id").as("rep_doc"), count(lit(1)).as("dup_cnt"))
       .select("rep_doc", "dup_cnt")
       .orderBy("rep_doc")
+  }
 
   /** Per-(i, doc) MinHash over distinct word 3-gram shingles:
     * `min over shingles of (a_i·h(s) + b_i) mod P` with
@@ -123,15 +136,27 @@ object Dedup {
     * O(Σ prefix²) instead of O(Σ tokenFreq²) — the difference between ~7M
     * and ~700M joined rows on a small-vocabulary corpus. Candidates are
     * then verified exactly with a sorted-int-array intersection. */
-  def jaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, num: Int, den: Int,
+                   broadcastVerify: Boolean = true): DataFrame = {
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    // broadcast() is a HINT Spark obeys unconditionally — on a corpus whose
+    // dictionary / doc-sets tables outgrow executor memory, pass
+    // broadcastVerify = false and both joins degrade to shuffled joins
+    // (still never all-pairs). Parity between the two modes is spec-tested.
+    def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
     val tok = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-    // global rarity rank — a window over the DICTIONARY (vocab-sized, tiny
-    // relative to the corpus), not over the data
-    val rank = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("cnt", "w")).as("tr"))
-    val sets = tok.join(broadcast(rank), "w")
+    // global rarity rank over the DICTIONARY. A partitionless
+    // row_number() window here is a single-task sort of the whole vocab —
+    // fine at thousands of words, a scale-killer at web-corpus billions —
+    // so rank distributed: range shuffle + zipWithIndex (GlobalRank).
+    // Ranks are dense ints; only their total order matters downstream.
+    // (int, not long: the verify step's two-pointer intersect walks int
+    // arrays; a >2^31-word dictionary would bump this to LongType.)
+    val rank = graft.operators.GlobalRank.withRank(
+        tok.groupBy("w").agg(count(lit(1)).as("cnt")),
+        numParts = 0, "tr0", col("cnt"), col("w"))
+      .select(col("w"), (col("tr0") + 1).cast(IntegerType).as("tr"))
+    val sets = tok.join(hinted(rank), "w")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tr"))).as("set"), count(lit(1)).as("nw"))
     // prefix tokens WITH their 1-based position: |prefix| = |d| - ceil(t·|d|) + 1
@@ -152,13 +177,12 @@ object Dedup {
     // tokens, and deduplicating AFTER verification shuffles only the
     // survivors (~2 orders of magnitude fewer rows than the candidates)
     // verification: the doc-sets table is corpus-rows × ~set-size ints —
-    // orders of magnitude smaller than the candidate set — so broadcast it
-    // and verify map-side (no shuffle of the candidate stream). On a corpus
-    // whose sets table outgrows broadcast, drop the two broadcast() hints
-    // and this degrades to shuffled hash joins, still never all-pairs.
+    // orders of magnitude smaller than the candidate set — so by default
+    // broadcast it and verify map-side (no shuffle of the candidate
+    // stream); broadcastVerify = false switches to shuffled joins.
     val verified = cand
-      .join(broadcast(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(hinted(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hinted(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         // native two-pointer merge count over the sorted rank arrays —
         // size(array_intersect(...)) allocates a hash set + result array
@@ -179,8 +203,10 @@ object Dedup {
     * from bucket joins; verification touches only candidates. Docs with
     * < 3 tokens (no shingles) stay singletons. */
   def nearDedup(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
-                rowsPerBand: Int = 2, num: Int = 4, den: Int = 5): DataFrame = {
+                rowsPerBand: Int = 2, num: Int = 4, den: Int = 5,
+                broadcastVerify: Boolean = true): DataFrame = {
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
     val cand = lshCandidatePairs(minhashSignatures(docs, numHashes), bands, rowsPerBand)
     val sets = docs
       .select(col("doc_id"),
@@ -188,8 +214,8 @@ object Dedup {
       .select(col("doc_id"), col("set"),
         size(col("set")).cast(LongType).as("nw"))
     val verified = cand
-      .join(broadcast(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(hinted(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hinted(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.set"), col("sb.set"))).cast(LongType).as("inter"),
         col("sa.nw"), col("sb.nw"))
@@ -288,11 +314,18 @@ object TextAnalysis {
     * dictionary (English function words) and thresholds; [[langIdArgmax]]
     * below generalizes to many languages. Output:
     * (doc_id, en_cnt, n_tokens, score1000, pred). */
+  /** Membership count built with Column operations (array_contains on a
+    * lit array), NOT string-interpolated SQL — a marker containing a quote
+    * must stay data, never become expression text. */
+  private def markerCount(ws: Column, markers: Seq[String]): Column = {
+    val dict = array(markers.map(lit): _*)
+    size(filter(ws, w => array_contains(dict, w))).cast(LongType)
+  }
+
   def langIdEnglish(docs: DataFrame, markers: Seq[String], threshold1000: Int): DataFrame = {
-    val inList = markers.map(m => s"w = '$m'").mkString(" OR ")
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        expr(s"CAST(size(filter(ws, w -> $inList)) AS BIGINT)").as("en_cnt"),
+        markerCount(col("ws"), markers).as("en_cnt"),
         expr("CAST(size(ws) AS BIGINT)").as("n_tokens"))
       .withColumn("score1000", expr("CAST(en_cnt * 1000 div n_tokens AS BIGINT)"))
       .withColumn("pred", when(col("score1000") >= threshold1000, lit("en")).otherwise(lit("unk")))
@@ -303,8 +336,7 @@ object TextAnalysis {
     * in sbt, not oracle-bound: argmax over maps is awkward in portable SQL). */
   def langIdArgmax(docs: DataFrame, dicts: Map[String, Seq[String]]): DataFrame = {
     val scored = dicts.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val inList = markers.map(m => s"w = '$m'").mkString(" OR ")
-      struct(expr(s"size(filter(ws, w -> $inList))").as("cnt"), lit(lang).as("lang"))
+      struct(markerCount(col("ws"), markers).cast(IntegerType).as("cnt"), lit(lang).as("lang"))
     }
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
@@ -316,13 +348,12 @@ object TextAnalysis {
   /** Quality score: type-token ratio, average word length, stopword ratio —
     * integer-scaled ×1000, combined as (2·ttr + (1000 − stop)) div 3. */
   def quality(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val inList = stopwords.map(m => s"w = '$m'").mkString(" OR ")
     docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         expr("CAST(size(ws) AS BIGINT)").as("n_tokens"),
         expr("CAST(size(array_distinct(ws)) AS BIGINT)").as("n_distinct"),
         expr("CAST(length(text) AS BIGINT)").as("n_chars"),
-        expr(s"CAST(size(filter(ws, w -> $inList)) AS BIGINT)").as("stop_cnt"))
+        markerCount(col("ws"), stopwords).as("stop_cnt"))
       .withColumn("ttr1000", expr("CAST(n_distinct * 1000 div n_tokens AS BIGINT)"))
       .withColumn("awl1000", expr("CAST((n_chars - n_tokens + 1) * 1000 div n_tokens AS BIGINT)"))
       .withColumn("stop1000", expr("CAST(stop_cnt * 1000 div n_tokens AS BIGINT)"))

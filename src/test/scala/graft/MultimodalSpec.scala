@@ -26,6 +26,35 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(2L).getSeq[Float](3)(2) == 255f) // max byte of (0,1,2,3,0xff)
   }
 
+  test("imageDecode: real ImageIO decode of in-memory PNG and BMP fixtures") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(4, 3, 0xff0000), "image/png"),      // solid red
+      (2L, bmp(2, 2, 0x0000ff), "image/bmp"),      // solid blue
+      (3L, "not an image".getBytes("UTF-8"), "text/plain"))
+    val df = rows.toDF("media_id", "media", "format")
+    val out = Multimodal.extractFeatures(df, decodeFn = Multimodal.imageDecode)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    // features: (width, height, meanR, meanG, meanB, meanA, pixels, 0)
+    assert(out(1L).take(5) == Seq(4f, 3f, 255f, 0f, 0f), s"png: ${out(1L)}")
+    assert(out(1L)(6) == 12f)
+    assert(out(2L).take(5) == Seq(2f, 2f, 0f, 0f, 255f), s"bmp: ${out(2L)}")
+    assert(out(3L).forall(_ == -1f), "undecodable bytes must degrade to -1s, not fail")
+  }
+
   test("documents table flows through the multimodal plumbing") {
     val m = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001/documents.parquet")
     assert(m.schema == Multimodal.mediaSchema)

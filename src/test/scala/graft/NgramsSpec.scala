@@ -1,0 +1,52 @@
+package graft
+
+import graft.text.Ngrams
+
+/** Skip-grams changed shape in round 3 (delta-exploded equi-join on
+  * (doc_id, pos) instead of a doc_id join + radius post-filter, which built
+  * O(len²) intermediate pairs per doc) — brute-force parity plus a plan
+  * assertion that the position really is a join key. */
+class NgramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def brute(rows: Seq[(Long, String)], radius: Int): Map[(String, String), Long] =
+    rows.flatMap { case (_, text) =>
+      val ws = text.split(" ")
+      for {
+        i <- ws.indices
+        j <- math.max(0, i - radius) to math.min(ws.length - 1, i + radius)
+        if j != i
+      } yield (ws(i), ws(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("skipgram pair counts match the brute-force window, radius 1..3") {
+    val rows = Seq(
+      1L -> "a b c d e f g",
+      2L -> "a a b b a",
+      3L -> "x",
+      4L -> "p q")
+    for (r <- 1 to 3) {
+      val expect = brute(rows, r)
+      val got = Ngrams.skipgramPairs(docs(rows: _*), radius = r, k = 1000)
+        .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+      assert(got == expect, s"radius=$r")
+    }
+  }
+
+  test("skipgram join is keyed on (doc_id, pos) — no radius post-filter blowup") {
+    val plan = Ngrams.skipgramPairs(docs(1L -> "a b c"), radius = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    // the position must appear inside the join keys, not a Filter above it
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("pos"), s"pos not a join key:\n$joinLine")
+  }
+
+  test("bigram top-k per head word") {
+    val out = Ngrams.topBigrams(docs(1L -> "a b a b a c"), k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // heads: a → b (2) beats a → c (1); b → a (2)
+    assert(out.toSet == Set(("a", "b", 2L), ("b", "a", 2L)))
+  }
+}

@@ -20,6 +20,23 @@ class OrderStatsSpec extends SparkSpec {
     }
   }
 
+  test("exactSplitters k > n: colliding target ranks each still get a row") {
+    // n=3, k=8 → target ranks (i*3/8) = 0,0,1,1,1,2,2 for i=1..7: heavy collisions
+    val got = OrderStats.exactSplitters(Seq(10L, 20L, 30L).toDF("key"), "key", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = Seq(10L, 20L, 30L)
+    val expect = (1 until 8).map(i => (i.toLong, sorted((i * 3 / 8))))
+    assert(got.toSeq == expect, "a colliding splitter was silently dropped")
+  }
+
+  test("sampledSplitters k > n: one row per splitter id at the shared key") {
+    val got = OrderStats.sampledSplitters(Seq(10L, 20L, 30L).toDF("key"), "key", 8, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = Seq(10L, 20L, 30L)
+    val expect = (1 until 8).map(i => (i.toLong, sorted((i * 3 / 8))))
+    assert(got.toSeq == expect)
+  }
+
   test("sampledSplitters at threshold 1.0 equals the exact order statistics") {
     val data = Seq.fill(500)(rng.nextInt(100000).toLong)
     val exact = OrderStats.exactSplitters(data.toDF("key"), "key", 8, 4)

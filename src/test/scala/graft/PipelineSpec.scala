@@ -33,6 +33,28 @@ class PipelineSpec extends SparkSpec {
     assert(out == (1L to 10L).map(i => i -> ((i - 1) * 100 / 250)).toMap)
   }
 
+  test("packing matches the single-task window form (scale rewrite parity)") {
+    val rng = new scala.util.Random(31L)
+    val d = docs((1L to 137L).map(i =>
+      i -> Seq.fill(1 + rng.nextInt(40))("w").mkString(" ")): _*)
+    // oracle: the partitionless-window formulation the operator replaced
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = d.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
+      .withColumn("cum", org.apache.spark.sql.functions.sum("n").over(w))
+      .selectExpr("doc_id", "CAST((cum - n) div 64 AS BIGINT) AS pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Pipeline.pack(d, capacityTokens = 64).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pack_id"))).toMap
+    assert(got == expect)
+    // and the operator's plan must NOT contain a window at all
+    val plan = Pipeline.pack(d, 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"pack still plans a window:\n$plan")
+  }
+
   test("normalize strips punctuation, collapses space, flags changes") {
     val out = Pipeline.normalize(docs(1L -> "Hello,  World!", 2L -> "already clean"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap

@@ -23,6 +23,47 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 3L -> 1L)) // docs 1,2,4 collapse; 3 alone
   }
 
+  test("exact dedup: hashed 16-byte groupBy key ≡ full-fingerprint key; no fp in the shuffle") {
+    val d = docs(1L -> base, 2L -> base, 3L -> far1, 4L -> far2, 5L -> near, 6L -> near)
+    val hashed = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Dedup.exact(d, verifyExact = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hashed == full)
+    // the exchange must carry the two 8-byte hashes, never the fp string
+    val exchange = Dedup.exact(d).queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("hashpartitioning")).getOrElse("")
+    assert(exchange.contains("fph1") && !exchange.contains("fp#"),
+      s"fingerprint string in the shuffle key:\n$exchange")
+  }
+
+  test("jaccardPairs: broadcast-free verify mode matches the broadcast mode") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2, 5L -> base)
+    val bc = Dedup.jaccardPairs(d, num = 3, den = 4)
+      .collect().map(r => r.toSeq).toSeq
+    val sh = Dedup.jaccardPairs(d, num = 3, den = 4, broadcastVerify = false)
+      .collect().map(r => r.toSeq).toSeq
+    assert(bc == sh)
+    // the contract is "no FORCED broadcast": broadcastVerify=false must not
+    // plant hints (Spark may still auto-broadcast small sides by size
+    // estimate — that's the graceful degradation, not a violation)
+    val hinted = Dedup.jaccardPairs(d, 3, 4).queryExecution.logical.toString
+    val unhinted = Dedup.jaccardPairs(d, 3, 4, broadcastVerify = false)
+      .queryExecution.logical.toString
+    assert(hinted.toLowerCase.contains("broadcast"))
+    assert(!unhinted.toLowerCase.contains("broadcast"),
+      "broadcastVerify=false still plants a broadcast hint")
+  }
+
+  test("language markers containing quotes stay data, not SQL") {
+    val d = docs(1L -> "it's a don't won't day", 2L -> "plain words only here")
+    val out = TextAnalysis.langIdEnglish(d, markers = Seq("it's", "don't"), threshold1000 = 100)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("en_cnt"))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L))
+    val q = TextAnalysis.quality(d, stopwords = Seq("it's")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("stop_cnt"))).toMap
+    assert(q == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("minhash signatures are deterministic and near-dups mostly agree") {
     val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2)
     val sig1 = Dedup.minhashSignatures(d, 16).collect()
