@@ -375,6 +375,27 @@ object SparkEntry {
     "q50_skipgrams" -> ((s, dir) =>
       graft.text.Ngrams.skipgramPairs(s.read.parquet(t(dir, "documents")), radius = 2, k = 50)),
 
+    // ── bucketed point-in-interval range join: events × overlapping
+    // ±30-min windows around each active hour mark. The naive theta join
+    // plans as BroadcastNestedLoopJoin; the operator turns it into an
+    // equi-join on an hour bucket (one bucket per point, ≤2 per interval) ─
+    "q52_range_join" -> ((s, dir) => {
+      val HOUR = 3600L * 1000000
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), expr("CAST(ts div 1000 AS BIGINT)").as("tus"))
+      val wins = ev.select(expr(s"CAST(tus div $HOUR AS BIGINT)").as("hr")).distinct()
+        .select(col("hr"), (col("hr") * HOUR - HOUR / 2).as("w_start"),
+          (col("hr") * HOUR + HOUR / 2).as("w_end"))
+      graft.events.RangeJoin.pointInInterval(ev, "tus", wins, "w_start", "w_end", HOUR)
+        .select("event_id", "tus", "hr")
+        .orderBy("event_id", "hr")
+    }),
+
+    // ── inverted-index postings: term → df + sorted posting list (elided
+    // above df 50 — a stopword's posting list is the corpus itself) ──────
+    "q53_postings" -> ((s, dir) =>
+      graft.text.Ngrams.postings(s.read.parquet(t(dir, "documents")), maxDf = 50)),
+
     // ── n_chars histogram: exact integer bucketing ───────────────────────
     "q43_histogram" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
@@ -759,6 +780,21 @@ object SparkEntry {
       s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
          |  COUNT(*) AS cnt
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT DISTINCT tus // 3600000000 AS hr FROM ev),
+        |wi AS (SELECT hr, hr * 3600000000 - 1800000000 AS ws,
+        |              hr * 3600000000 + 1800000000 AS we FROM w)
+        |SELECT event_id, tus, hr FROM ev JOIN wi ON tus >= ws AND tus <= we
+        |ORDER BY event_id, hr""".stripMargin,
+
+    "q53_postings" ->
+      """SELECT w AS term, COUNT(*) AS df,
+        |  CASE WHEN COUNT(*) <= 50
+        |       THEN string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) END AS postings
+        |FROM (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY term""".stripMargin,
 
     "q40_multimodal" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -51,6 +51,25 @@ object Ngrams {
       .orderBy("doc_id")
   }
 
+  /** Inverted-index postings: term → document frequency + the sorted
+    * posting list (comma-joined doc ids — a string so it hash-compares
+    * cross-engine). One distinct + one groupBy, both map-side-combining.
+    *
+    * Scale guard: posting lists are ELIDED (null) for terms with
+    * df > maxDf — a web-corpus stopword's posting list is the corpus
+    * itself, and no real index materializes it as one row (production
+    * shards hot terms by (term, block); the df column is always exact). */
+  def postings(docs: DataFrame, maxDf: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    tok.groupBy("w")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("plist"))
+      .select(col("w").as("term"), col("df"),
+        when(col("df") <= maxDf, col("plist")).as("postings"))
+      .orderBy("term")
+  }
+
   /** Skip-gram (center, context) pair counts within ± `radius` positions —
     * word2vec-style training pairs. Output: top `k` pairs by
     * (cnt desc, w1, w2).

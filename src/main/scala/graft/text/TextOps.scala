@@ -228,9 +228,17 @@ object Dedup {
     * min-label propagation accelerated with POINTER JUMPING — each round
     * also adopts label(label(v)), compressing label chains so convergence
     * is O(log diameter) rounds instead of O(diameter) (a long-chain
-    * 137-doc cluster needs ~8 rounds, not ~130). Each round is two keyed
-    * joins + a groupBy on cached inputs — the standard scalable CC
-    * formulation. Returns (doc_id, cluster), cluster = min reachable id. */
+    * 137-doc cluster needs ~8 rounds, not ~130).
+    *
+    * Round shape: ONE keyed join + ONE groupBy. Both the neighbor lookup
+    * and the pointer jump are expressed as label REQUESTS (v asks dst for
+    * dst's label) — graph edges request neighbors, and each v also
+    * requests its own current label's label (the jump; labels(x) <= x
+    * always, so min over the joined requests subsumes least(cluster,
+    * nmin, pmin) of the two-join formulation). Convergence probe: the
+    * label-sum is strictly decreasing until fixpoint — one agg on the
+    * checkpointed round output, no compare join.
+    * Returns (doc_id, cluster), cluster = min reachable id. */
   def clusters(allDocs: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not cache): materializes AND truncates lineage, so
     // the logical plan stays constant-size per round — with pointer jumping
@@ -244,27 +252,26 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
+    // decimal(38,0): a Long sum of labels overflows once ids × docs pass
+    // 2^63 (ANSI mode would fail the job at exactly the wrong scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("nmin"))
-      // pointer jumping: label of my label (labels is a function, so the
-      // self-join is 1:1; missing only when cluster = doc_id, handled by
-      // the coalesce below)
-      val parentMin = labels.as("l1")
-        .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
-        .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("pmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .join(parentMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster").as("prev"), least(
-          col("cluster"),
-          coalesce(col("nmin"), col("cluster")),
-          coalesce(col("pmin"), col("cluster"))).as("cluster"))
+      // requests: (asker, target) — every target is itself labeled (labels
+      // cover all edge-touched docs, and any cluster value IS a doc id of
+      // a labeled doc), so the inner join drops no asker
+      val requests = sym
+        .union(labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
+      val next = requests.join(labels, requests("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
-      // convergence probe on the checkpointed data — no extra join
-      changed = next.filter(col("cluster") =!= col("prev")).limit(1).count() > 0
-      labels = next.select("doc_id", "cluster")
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     // add the untouched singletons back

@@ -43,6 +43,16 @@ class NgramsSpec extends SparkSpec {
     assert(joinLine.contains("pos"), s"pos not a join key:\n$joinLine")
   }
 
+  test("postings: sorted lists, exact df, hot terms elided above maxDf") {
+    val d = docs(3L -> "a b", 1L -> "a b c", 2L -> "b a")
+    val out = Ngrams.postings(d, maxDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(out == Seq(
+      ("a", 3L, None),                 // df 3 > maxDf → elided
+      ("b", 3L, None),
+      ("c", 1L, Some("1"))))
+  }
+
   test("bigram top-k per head word") {
     val out = Ngrams.topBigrams(docs(1L -> "a b a b a c"), k = 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
