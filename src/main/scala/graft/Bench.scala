@@ -49,14 +49,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline value = the BEST SINGLE RUN's total — a total some run
+    // actually achieved, comparable across rounds. The per-query numbers
+    // are per-query minima across runs (labeled as such); their sum is a
+    // composite no single run achieved, so it's reported separately.
     val totals = runs.map(_.map(_._2).sum)
+    val total = totals.min
+    val minComposite = results.map(_._2).sum
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_avg":${os.getSystemLoadAverage},""" +
       s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
       s""""run_totals":[${totals.mkString(",")}]}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${runs.length},"env":$env}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""per_query_stat":"min_of_${runs.length}","total_min_composite":$minComposite,""" +
+      s""""sf":"$sfDir","runs":${runs.length},"env":$env}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(out), json + "\n")

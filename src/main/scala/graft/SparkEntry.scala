@@ -182,8 +182,10 @@ object SparkEntry {
     // ═════ LLM-data-pipeline operators (BASELINE.json north_star) ═════════
 
     // ── exact dedup: hash-groupBy on normalized bag-of-words fingerprint ─
+    // exactHashed = the explicit scale path (16-byte shuffle key); the
+    // byte-exact Dedup.exact default produces identical groups (spec-tested)
     "q18_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(s.read.parquet(t(dir, "documents")))),
+      Dedup.exactHashed(s.read.parquet(t(dir, "documents")))),
 
     // ── MinHash signatures (shingle → minhash), the LSH building block ───
     "q19_minhash_sig" -> ((s, dir) =>

@@ -21,23 +21,46 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoin {
 
+  /** Internal bucket column — deliberately namespaced; inputs carrying the
+    * same name are rejected rather than silently overwritten. */
+  val bucketCol = "__graft_range_bucket"
+
   /** Joins `points` (with BIGINT column `pointCol`) to `intervals` (with
     * BIGINT columns `startCol`, `endCol`, inclusive ends, start <= end)
     * on containment. Output: all columns of both inputs, one row per
     * matching pair. Column names must not collide across the two inputs
-    * (alias before calling). */
+    * (alias before calling).
+    *
+    * `maxBucketsPerInterval` bounds the per-row explode: an interval
+    * spanning more buckets than that (huge span vs tiny `bucketWidth`)
+    * raises a sized, actionable error instead of building a giant per-row
+    * array and dying with an executor OOM or sequence-length overflow. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Long = 1L << 16): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
-    // floor(x / B) (not integer `div`, which truncates toward zero and
-    // mis-buckets negative timestamps)
-    def bucketOf(c: String) = floor(col(c).cast("double") / bucketWidth).cast(LongType)
-    val pts = points.withColumn("__bucket", bucketOf(pointCol))
-    val ivs = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
-    pts.join(ivs, Seq("__bucket"))
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    require(!points.columns.contains(bucketCol) && !intervals.columns.contains(bucketCol),
+      s"inputs must not contain the internal column name $bucketCol")
+    // exact long floor-division: SQL `div` truncates toward zero (wrong for
+    // negative timestamps), so subtract the always-non-negative pmod first.
+    // All-integer arithmetic — a double cast is exact floor only for
+    // |values| <= 2^53 and would let bucket sizing drift beyond that.
+    def bucketOf(c: String) =
+      expr(s"((`$c` - pmod(`$c`, $bucketWidth)) div $bucketWidth)")
+    val pts = points.withColumn(bucketCol, bucketOf(pointCol))
+    val bStart = bucketOf(startCol)
+    val bEnd = bucketOf(endCol)
+    val guardedEnd = when(bEnd - bStart < lit(maxBucketsPerInterval), bEnd)
+      .otherwise(raise_error(format_string(
+        "interval [%s, %s] spans more than " +
+          s"maxBucketsPerInterval=$maxBucketsPerInterval buckets at " +
+          s"bucketWidth=$bucketWidth — increase bucketWidth or raise the bound",
+        col(startCol), col(endCol))))
+    val ivs = intervals.withColumn(bucketCol, explode(sequence(bStart, guardedEnd)))
+    pts.join(ivs, Seq(bucketCol))
       .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
-      .drop("__bucket")
+      .drop(bucketCol)
   }
 }

@@ -59,14 +59,15 @@ object Dedup {
     * word set). Output: (rep_doc, dup_cnt) — one row per group,
     * representative = min doc_id.
     *
-    * The groupBy key is NOT the fingerprint string (which is the size of
-    * the document — shuffling it would move the whole corpus twice) but a
-    * 124-bit pair of independent hashes of it (xxhash64 + the md5-based
-    * [[TextOps.xhash]]): 16 bytes per shuffle row. A false merge needs a
-    * simultaneous collision in both — P < 10^-18 even at 10^12 docs
-    * (birthday bound). `verifyExact = true` keeps the full fingerprint as
-    * the key for byte-exact semantics (parity is spec-tested). */
-  def exact(docs: DataFrame, verifyExact: Boolean = false): DataFrame = {
+    * Default is BYTE-EXACT (the full fingerprint is the groupBy key) — the
+    * semantics the name promises. The scale path is [[exactHashed]]: the
+    * key becomes a 124-bit pair of independent hashes of the fingerprint
+    * (xxhash64 + the md5-based [[TextOps.xhash]]) — 16 bytes per shuffle
+    * row instead of the whole document. A false merge needs a simultaneous
+    * collision in both — P < 10^-18 even at 10^12 docs (birthday bound) —
+    * but it IS probabilistic, so callers opt in explicitly at the call
+    * site rather than getting it silently (parity is spec-tested). */
+  def exact(docs: DataFrame, verifyExact: Boolean = true): DataFrame = {
     val fp = docs.select(col("doc_id"),
       array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
     val grouped =
@@ -78,6 +79,12 @@ object Dedup {
       .select("rep_doc", "dup_cnt")
       .orderBy("rep_doc")
   }
+
+  /** The 100 TB form of [[exact]]: group on a 16-byte hash pair of the
+    * fingerprint instead of the fingerprint itself, so the shuffle moves
+    * 16 bytes/row, not the corpus. Negligibly probabilistic (see [[exact]]
+    * scaladoc); named separately so call sites state the trade explicitly. */
+  def exactHashed(docs: DataFrame): DataFrame = exact(docs, verifyExact = false)
 
   /** Per-(i, doc) MinHash over distinct word 3-gram shingles:
     * `min over shingles of (a_i·h(s) + b_i) mod P` with
@@ -253,9 +260,13 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
     // decimal(38,0): a Long sum of labels overflows once ids × docs pass
-    // 2^63 (ANSI mode would fail the job at exactly the wrong scale)
+    // 2^63 (ANSI mode would fail the job at exactly the wrong scale).
+    // SUM over an empty relation is NULL — map it to 0 so a corpus with no
+    // duplicate pairs (empty edge set → empty labels) converges on round 1
+    // instead of NPE-ing on the compareTo below.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0

@@ -36,6 +36,38 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a nested loop:\n$plan")
-    assert(plan.contains("__bucket"), s"bucket key missing from the plan:\n$plan")
+    assert(plan.contains(RangeJoin.bucketCol), s"bucket key missing from the plan:\n$plan")
+  }
+
+  test("bucketing is exact integer floor-division beyond 2^53") {
+    // at 2^53 + k a double can't represent every long: the old double-cast
+    // bucketOf would collapse adjacent values into the wrong bucket edge
+    val base = (1L << 53) + 10L
+    val pts = Seq((1L, base), (2L, -base)).toDF("p_id", "t")
+    val ivs = Seq((1L, base - 2L, base + 2L), (2L, -base - 2L, -base + 2L))
+      .toDF("iv_id", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", 7L)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("rejects inputs already carrying the internal bucket column") {
+    val pts = Seq((1L, 10L)).toDF("p_id", RangeJoin.bucketCol)
+    val ivs = Seq((1L, 0L, 20L)).toDF("iv_id", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, RangeJoin.bucketCol, ivs, "s", "e", 16L)
+    }
+  }
+
+  test("an interval spanning more than maxBucketsPerInterval fails loudly, not with OOM") {
+    val pts = Seq((1L, 10L)).toDF("p_id", "t")
+    val ivs = Seq((1L, 0L, 10000000L)).toDF("iv_id", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", 1L, maxBucketsPerInterval = 1000L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBucketsPerInterval")), e.toString)
   }
 }

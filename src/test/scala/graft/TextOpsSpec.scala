@@ -25,12 +25,12 @@ class TextOpsSpec extends SparkSpec {
 
   test("exact dedup: hashed 16-byte groupBy key ≡ full-fingerprint key; no fp in the shuffle") {
     val d = docs(1L -> base, 2L -> base, 3L -> far1, 4L -> far2, 5L -> near, 6L -> near)
-    val hashed = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val full = Dedup.exact(d, verifyExact = true).collect()
+    val hashed = Dedup.exactHashed(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Dedup.exact(d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(hashed == full)
     // the exchange must carry the two 8-byte hashes, never the fp string
-    val exchange = Dedup.exact(d).queryExecution.executedPlan.toString
+    val exchange = Dedup.exactHashed(d).queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("hashpartitioning")).getOrElse("")
     assert(exchange.contains("fph1") && !exchange.contains("fp#"),
       s"fingerprint string in the shuffle key:\n$exchange")
@@ -101,6 +101,23 @@ class TextOpsSpec extends SparkSpec {
     val out = Dedup.clusters(d.select("doc_id"), edges).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("clusters: empty edge set → every doc its own singleton (no NPE)") {
+    // ADVICE r3 regression: SUM over the empty label relation is NULL;
+    // the convergence probe must treat that as 0, not NPE on compareTo
+    val d = docs(1L -> far1, 2L -> far2)
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(d.select("doc_id"), edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("nearDedup on a corpus with no duplicate pairs → all singletons") {
+    val d = docs(1L -> far1, 2L -> far2, 3L -> base)
+    val out = Dedup.nearDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
   test("jaccard pairs finds high-overlap docs via inverted index") {
