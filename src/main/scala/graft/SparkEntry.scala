@@ -106,6 +106,16 @@ object SparkEntry {
     "q09_bernoulli_sample" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem")).select("l_orderkey").sample(0.5, 42L)),
 
+    // ── op #3, deterministic form: hash-Bernoulli sample — membership is a
+    // pure function of the row key, so THIS sample variant hash-matches a
+    // DuckDB oracle exactly (the seeded .sample() above can only ever get a
+    // rows-order-of-magnitude check)
+    "q55_hash_sample" -> ((s, dir) =>
+      graft.operators.Sampling.byKeyHash(
+          s.read.parquet(t(dir, "lineitem")).select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), num = 1, den = 2)
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ── ops #10–#12: balanced rank blocks + per-block aggregates ─────────
     // Same single-shuffle pattern: no rank materialization, no second job.
     "q10_block_stats" -> ((s, dir) =>
@@ -214,6 +224,11 @@ object SparkEntry {
     }),
 
     // ── n-gram Jaccard near-dup pairs via inverted-index join ────────────
+    // ── n-gram Jaccard dedup: same PPJoin pipeline, char-3-gram sets ─────
+    "q56_chargram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")), num = 4, den = 5,
+        tokensOf = graft.text.TextOps.charGrams3)),
+
     "q23_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")), num = 19, den = 20)),
 
@@ -245,6 +260,12 @@ object SparkEntry {
     // ── embedding near-dup: top-20 closest pairs, label-blocked join ─────
     "q30_closest_pairs" -> ((s, dir) =>
       Similarity.closestPairsBlocked(s.read.parquet(t(dir, "embeddings")), "label", k = 20)),
+
+    // ── embedding near-dup: cosine-threshold pairs (exact verify kernel; ─
+    // the LSH-candidate composition embedNearDup is recall-spec-tested)
+    "q54_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairsBlocked(s.read.parquet(t(dir, "embeddings")), "label",
+        minScore1e6 = 250000L)),
 
     // ═════ breadth: remaining standard-analytics surface ═════════════════
 
@@ -601,6 +622,33 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
 
+    // concat_ws("", …) ≡ DuckDB's || chr(1) || — both engines render
+    // integer keys as plain decimal strings before hashing
+    "q55_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE ('0x' || substr(md5(
+        |         CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)
+        |       ), 1, 15))::BIGINT % 2 < 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // len(s) > 0 guard: docs under 3 chars have EMPTY char-gram sets and
+    // never enter the Spark-side inverted index; without the guard two
+    // empty-set docs would satisfy 0*5 >= 0*4 in the oracle only
+    "q56_chargram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+        |    CASE WHEN length(text) >= 3 THEN
+        |      list_distinct(list_transform(range(1, length(text) - 1),
+        |        i -> substr(text, CAST(i AS INT), 3)))
+        |    ELSE [] END AS s
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_cnt
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |        AND len(a.s) > 0 AND len(b.s) > 0)
+        |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM p
+        |WHERE inter_cnt * 5 >= union_cnt * 4 ORDER BY doc_a, doc_b""".stripMargin,
+
     "q23_jaccard_pairs" ->
       """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -689,6 +737,24 @@ object SparkEntry {
         |  CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
         |       / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
         |FROM p ORDER BY score DESC, vid_a, vid_b LIMIT 20""".stripMargin,
+
+    "q54_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.label AS label,
+        |        CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |        CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |        CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |sc AS (SELECT vid_a, vid_b, label,
+        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
+        |       FROM p)
+        |SELECT vid_a, vid_b, label, score FROM sc
+        |WHERE score >= 250000 ORDER BY vid_a, vid_b""".stripMargin,
 
     "q31_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

@@ -89,6 +89,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** All same-block pairs whose integer cosine score clears `minScore1e6`
+    * — the exact verification kernel of embedding near-dedup (the block is
+    * a label here; an IVF cell / LSH bucket id at scale, which is exactly
+    * how [[embedNearDup]] uses it). Keyed join, never cartesian.
+    * Output: (vid_a, vid_b, label, score), vid_a < vid_b. */
+  def cosinePairsBlocked(vectors: DataFrame, blockCol: String, minScore1e6: Long): DataFrame = {
+    graft.functions.DotProductLong.register(vectors.sparkSession)
+    val v = vectors.select(col("vec_id"), col(blockCol).as("blk"),
+      quantize(col("embedding")).as("v"))
+      .withColumn("nrm", expr(dotExpr("v", "v")))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vid_a"), col("b.vec_id").as("vid_b"),
+        col("a.blk").as("label"),
+        expr(dotExpr("a.v", "b.v")).as("dot"),
+        col("a.nrm").as("qn"), col("b.nrm").as("cn"))
+      .select(col("vid_a"), col("vid_b"), col("label"), expr(scoreExpr).as("score"))
+      .filter(col("score") >= minScore1e6)
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** Embedding-cosine near-duplicate clusters — the vector analogue of
+    * [[graft.text.Dedup.nearDedup]]: hyperplane-LSH buckets generate
+    * candidate pairs (multiprobe on one side, so vectors whose signatures
+    * differ by <= 1 bit still meet), exact integer-cosine verification
+    * keeps pairs with score >= `minScore1e6`, and min-label propagation
+    * clusters the survivors. Output: (vec_id, cluster).
+    *
+    * Never all-pairs: candidates come from the bucket equi-join. Recall is
+    * approximate by construction (property-tested, not oracle-gated) — at
+    * near-dup thresholds (cosine ≥ ~0.9) sign-LSH recall is high; for
+    * exact semantics within a known blocking key use
+    * [[cosinePairsBlocked]] + [[graft.text.Dedup.clusters]]. */
+  def embedNearDup(vectors: DataFrame, minScore1e6: Long, nPlanes: Int = 12): DataFrame = {
+    graft.functions.DotProductLong.register(vectors.sparkSession)
+    val b = hyperplaneBuckets(vectors, nPlanes)
+    val probes = (0 until nPlanes).map(j => expr(s"CAST(${1L << j} AS BIGINT)")) :+
+      expr("CAST(0 AS BIGINT)")
+    val pa = b.select(col("vec_id").as("vid_a"), explode(array(probes: _*)).as("flip"), col("bucket"))
+      .select(col("vid_a"), expr("bucket ^ flip").as("probe"))
+    val pb = b.select(col("vec_id").as("vid_b"), col("bucket"))
+    val cand = pa.join(pb, pa("probe") === pb("bucket") && col("vid_a") < col("vid_b"))
+      .select("vid_a", "vid_b").distinct()
+    val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", expr(dotExpr("v", "v")))
+    val edges = cand
+      .join(v.as("a"), col("vid_a") === col("a.vec_id"))
+      .join(v.as("b"), col("vid_b") === col("b.vec_id"))
+      .select(col("vid_a"), col("vid_b"),
+        expr(dotExpr("a.v", "b.v")).as("dot"),
+        col("a.nrm").as("qn"), col("b.nrm").as("cn"))
+      .select(col("vid_a"), col("vid_b"), expr(scoreExpr).as("score"))
+      .filter(col("score") >= minScore1e6)
+      .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+    graft.text.Dedup.clusters(vectors.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+  }
+
   /** Random-hyperplane LSH signatures: bit j of the signature is the sign
     * of the projection onto a deterministic pseudo-random hyperplane whose
     * component for dimension d is `((a_j·(d+1)) mod P) − P/2` (a fixed,
@@ -137,6 +195,81 @@ object Similarity {
       .select("q_id", "cand_id").distinct()
     val scored = cand
       .join(broadcast(qv), "q_id").join(cv, "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
+      .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "cand_id", "score")
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF coarse quantizer: `nCells` centroids as a deterministic
+    * hash-ordered sample of the corpus — k-means with zero Lloyd
+    * iterations, the standard cheap coarse quantizer (iterate means
+    * offline if cells must be tighter; the index stays a plain DataFrame).
+    * Output: (cell, cv, cn) with cell 0..nCells-1.
+    *
+    * The TakeOrdered sample is per-partition heaps + a driver merge of
+    * nCells·P rows; the trailing cell-id window runs over exactly nCells
+    * rows (bounded by construction — NOT a whole-corpus window). */
+  def ivfCentroids(vectors: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.DotProductLong.register(vectors.sparkSession)
+    val sample = vectors
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+    sample
+      .withColumn("cell", row_number().over(Window.orderBy("vec_id")).cast(LongType) - 1)
+      .select(col("cell"), col("cv"), expr(dotExpr("cv", "cv")).as("cn"))
+  }
+
+  /** Assigns every vector to its max-cosine centroid cell. Centroids are
+    * broadcast (nCells · dim ints — tiny); the argmax is a map-side
+    * partial-aggregated groupBy, so the only shuffle is O(|vectors|) rows.
+    * Ties break toward the smallest cell id (deterministic). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.DotProductLong.register(vectors.sparkSession)
+    val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", expr(dotExpr("qv", "qv")))
+    v.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
+      .select(col("vec_id"), col("cell"), expr(scoreExpr).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+  }
+
+  /** End-to-end IVF ANN top-k: build centroids from the candidate corpus,
+    * assign candidates to cells (the inverted file), have each query probe
+    * its `nProbe` nearest cells, and exactly re-rank only the vectors in
+    * those cells. Cost: |queries|·nProbe·avgCell exact scores instead of
+    * |queries|·|candidates|. Approximate by construction — recall is
+    * property-tested (the scale knobs are nCells ~ sqrt(n) and nProbe). */
+  def ivfTopkCosine(queries: DataFrame, candidates: DataFrame, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.DotProductLong.register(queries.sparkSession)
+    val cents = ivfCentroids(candidates, nCells)
+    val inverted = ivfAssign(candidates, cents)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      quantize(col("embedding")).as("qv"))
+      .withColumn("qn", expr(dotExpr("qv", "qv")))
+    val pw = Window.partitionBy("q_id").orderBy(col("score").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cell"),
+        expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
+      .select(col("q_id"), col("cell"), expr(scoreExpr).as("score"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "cell")
+    val cand = probes.join(inverted, "cell").select("q_id", "cand_id")
+    val cv = candidates.select(col("vec_id").as("cand_id"),
+      quantize(col("embedding")).as("cv"))
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
+    val scored = cand
+      .join(broadcast(q), "q_id").join(cv, "cand_id")
       .select(col("q_id"), col("cand_id"),
         expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
       .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))

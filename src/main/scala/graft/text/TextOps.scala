@@ -37,6 +37,16 @@ object TextOps {
       |  array_distinct(transform(sequence(0, size(ws)-3),
       |    i -> concat_ws(' ', element_at(ws,i+1), element_at(ws,i+2), element_at(ws,i+3))))
       |ELSE array() END""".stripMargin
+
+  /** Distinct character 3-grams of `text` — the n-gram-Jaccard dedup unit
+    * (robust to tokenization differences, unlike word sets). Guarded: a
+    * text under 3 chars yields an empty set, and `sequence` never counts
+    * down. */
+  val charGrams3: Column = expr(
+    """CASE WHEN length(text) >= 3 THEN
+      |  array_distinct(transform(sequence(1, length(text) - 2),
+      |    i -> substring(text, i, 3)))
+      |ELSE array() END""".stripMargin)
 }
 
 /** Deduplication operators over a `(doc_id, text)` corpus.
@@ -142,16 +152,22 @@ object Dedup {
     * prefix tokens enter the inverted-index join, so candidate volume is
     * O(Σ prefix²) instead of O(Σ tokenFreq²) — the difference between ~7M
     * and ~700M joined rows on a small-vocabulary corpus. Candidates are
-    * then verified exactly with a sorted-int-array intersection. */
+    * then verified exactly with a sorted-int-array intersection.
+    *
+    * `tokensOf` is the set extractor (a Column producing array<string>
+    * from the input row) — word sets by default; pass
+    * [[TextOps.charGrams3]] for character-n-gram Jaccard. The whole
+    * PPJoin pipeline (rarity ranks, prefixes, verify) is set-agnostic. */
   def jaccardPairs(docs: DataFrame, num: Int, den: Int,
-                   broadcastVerify: Boolean = true): DataFrame = {
+                   broadcastVerify: Boolean = true,
+                   tokensOf: Column = array_distinct(split(col("text"), " "))): DataFrame = {
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
     // broadcast() is a HINT Spark obeys unconditionally — on a corpus whose
     // dictionary / doc-sets tables outgrow executor memory, pass
     // broadcastVerify = false and both joins degrade to shuffled joins
     // (still never all-pairs). Parity between the two modes is spec-tested.
     def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
-    val tok = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
     // global rarity rank over the DICTIONARY. A partitionless
     // row_number() window here is a single-task sort of the whole vocab —
     // fine at thousands of words, a scale-killer at web-corpus billions —

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1L to 2000L).map(i => (i, (i % 7).toInt)).toDF("k", "sub")
+
+  test("hash sample is deterministic and partition-count independent") {
+    val a = Sampling.byKeyHash(rows, Seq("k"), 1, 2).collect().map(_.getLong(0)).sorted
+    val b = Sampling.byKeyHash(rows.repartition(13), Seq("k"), 1, 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sample changed with partitioning")
+    // a seeded .sample() does NOT have this property across repartitions —
+    // that's exactly why this operator exists
+  }
+
+  test("sample and complement partition the input exactly") {
+    val s = Sampling.byKeyHash(rows, Seq("k"), 3, 10).collect().map(_.getLong(0)).toSet
+    val c = Sampling.byKeyHashComplement(rows, Seq("k"), 3, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((s & c).isEmpty && (s | c).size == 2000)
+    // fraction lands near num/den (hash uniformity, not an exact count)
+    assert(math.abs(s.size / 2000.0 - 0.3) < 0.05, s"fraction=${s.size / 2000.0}")
+  }
+
+  test("composite keys cannot alias: (1,23) != (12,3)") {
+    val d1 = Seq(("1", "23"), ("12", "3")).toDF("a", "b")
+    val kept = Sampling.byKeyHash(d1, Seq("a", "b"), 1, 2).count() +
+      Sampling.byKeyHashComplement(d1, Seq("a", "b"), 1, 2).count()
+    assert(kept == 2)
+    // the separator makes the two concatenations distinct strings; with a
+    // bare concat both rows would hash identically ("123")
+    import org.apache.spark.sql.functions._
+    val h = d1.select(graft.text.TextOps.xhash(concat_ws("", col("a"), col("b"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(h.size == 2, "composite keys aliased to the same hash")
+  }
+
+  test("fails fast on an invalid fraction") {
+    intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 3, 2) }
+    intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 1, 0) }
+  }
+}

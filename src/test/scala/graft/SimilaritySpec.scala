@@ -55,6 +55,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall exact=$exact ann=$ann")
   }
 
+  test("cosinePairsBlocked keeps exactly the same-label pairs above the threshold") {
+    val t = table(16) // label == group: every same-label pair is a near-dup
+    val rows = Similarity.cosinePairsBlocked(t, "label", minScore1e6 = 900000L).collect()
+    val expect = (for { a <- 0 until 16; b <- 0 until 16
+                        if a < b && a % 4 == b % 4 } yield (a.toLong, b.toLong)).toSet
+    val got = rows.map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b"))).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    rows.foreach(r => assert(r.getAs[Long]("score") >= 900000L))
+    // sorted on (vid_a, vid_b) — the oracle-gate contract
+    val keys = rows.map(r => (r.getAs[Long]("vid_a"), r.getAs[Long]("vid_b")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("embedNearDup clusters planted near-dup groups, keeps groups apart") {
+    val t = table(40)
+    val out = Similarity.embedNearDup(t, minScore1e6 = 900000L).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"))).toMap
+    assert(out.size == 40)
+    // groups are near-orthogonal: every vector must land on its group's
+    // min id (0..3) and never on another group's
+    out.foreach { case (vid, cl) =>
+      assert(cl == vid % 4, s"vec $vid clustered to $cl, expected ${vid % 4}")
+    }
+  }
+
+  test("ivfTopkCosine: high recall vs exact top-k on clustered vectors") {
+    val t = table(120)
+    val q = t.filter($"vec_id" < 4)
+    val c = t.filter($"vec_id" >= 4)
+    val exact = Similarity.topkCosine(q, c, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopkCosine(q, c, k = 5, nCells = 8, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact ivf=$ivf")
+    // deterministic index: same centroids, same result, run to run
+    val again = Similarity.ivfTopkCosine(q, c, k = 5, nCells = 8, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(again == ivf)
+  }
+
   test("hyperplane signatures: same-group pairs at smaller hamming distance") {
     val t = table(64)
     val buckets = Similarity.hyperplaneBuckets(t, nPlanes = 8).collect()

@@ -103,6 +103,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("char-gram jaccardPairs: catches a reordering word-Jaccard misses; short docs excluded") {
+    // same words reordered → word-set Jaccard 1.0 AND char-gram overlap high;
+    // a doc under 3 chars has no char-grams and must never pair
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> "ab")
+    val out = Dedup.jaccardPairs(d, num = 3, den = 4, tokensOf = TextOps.charGrams3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)), s"got $out")
+    // oracle parity of the set extractor itself: distinct char 3-grams
+    val grams = d.filter($"doc_id" === 4L).select(TextOps.charGrams3).collect()(0).getSeq[String](0)
+    assert(grams.isEmpty)
+    val g1 = d.filter($"doc_id" === 1L).select(TextOps.charGrams3).collect()(0).getSeq[String](0)
+    assert(g1.length == g1.distinct.length && g1.forall(_.length == 3))
+  }
+
   test("clusters: empty edge set → every doc its own singleton (no NPE)") {
     // ADVICE r3 regression: SUM over the empty label relation is NULL;
     // the convergence probe must treat that as 0, not NPE on compareTo
