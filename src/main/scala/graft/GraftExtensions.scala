@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductLong, SortedIntersectCount}
+
+/** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+  * injects the native codegen'd functions into every session built with
+  * the extension, so pure-SQL workloads (thriftserver, spark-sql, notebook
+  * sessions) get `dot_long` / `sorted_intersect_count` without calling any
+  * Scala API first. The DataFrame operators also self-register these
+  * per-session (idempotently), so either path works alone.
+  *
+  * This is the standard third-party packaging seam — the same hook a
+  * custom Rule[LogicalPlan] or SparkStrategy would use; functions are all
+  * this library needs to inject because every whole-operator shape is
+  * expressible in stock Catalyst plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
+      (exprs: Seq[Expression]) => DotProductLong(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+  }
+}

@@ -15,7 +15,8 @@ object Plans {
     val which = if (args.length > 1) args.drop(1).toSet else Set(
       "q02_total_sort", "q11_groupby_agg", "q12_join_revenue", "q13_topk",
       "q21_event_window", "q22_topk_cosine", "q23_jaccard_pairs", "q35_pivot", "q37_asof",
-      "q47_packing", "q50_skipgrams")
+      "q47_packing", "q50_skipgrams",
+      "q52_range_join", "q54_embed_pairs", "q55_hash_sample", "q56_chargram_jaccard")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -57,11 +57,15 @@ case class DotProductLong(left: Expression, right: Expression)
 }
 
 object DotProductLong {
-  /** Registers `dot_long(a, b)` as a temp SQL function on the session
-    * (idempotent; per-session). */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  /** Registers `dot_long(a, b)` as a temp SQL function on the session.
+    * Truly idempotent: re-registering an existing function would log a
+    * "replaced a previously registered function" warning per call site —
+    * pure log noise on hot paths that register defensively. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("dot_long",
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long")))
+      reg.createOrReplaceTempFunction("dot_long",
         exprs => DotProductLong(exprs(0), exprs(1)), "built-in")
+  }
 }

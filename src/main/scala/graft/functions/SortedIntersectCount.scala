@@ -59,9 +59,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 object SortedIntersectCount {
   /** Registers `sorted_intersect_count(a, b)` on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("sorted_intersect_count",
+    // idempotent without the "replaced a previously registered function"
+    // warning createOrReplace logs on every defensive re-register
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count")))
+      reg.createOrReplaceTempFunction("sorted_intersect_count",
         exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
 }
