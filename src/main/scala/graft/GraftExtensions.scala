@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductLong, SortedIntersectCount}
+import graft.functions.{BitAndCount, DotProductLong, SortedIntersectCount}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * injects the native codegen'd functions into every session built with
@@ -26,5 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("bit_and_count"),
+      new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
+      (exprs: Seq[Expression]) => BitAndCount(exprs(0), exprs(1))))
   }
 }

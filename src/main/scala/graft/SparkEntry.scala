@@ -224,9 +224,12 @@ object SparkEntry {
     }),
 
     // ── n-gram Jaccard near-dup pairs via inverted-index join ────────────
-    // ── n-gram Jaccard dedup: same PPJoin pipeline, char-3-gram sets ─────
+    // ── n-gram Jaccard dedup: char-3-gram sets. The universe is tiny
+    // (≤ charset³), which is exactly the regime where PPJoin prefixes
+    // stop filtering — so this gate runs the bitmap small-universe path
+    // (native AND+POPCNT kernel); parity with jaccardPairs is spec-tested
     "q56_chargram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")), num = 4, den = 5,
+      Dedup.jaccardPairsBitmap(s.read.parquet(t(dir, "documents")), num = 4, den = 5,
         tokensOf = graft.text.TextOps.charGrams3)),
 
     "q23_jaccard_pairs" -> ((s, dir) =>

@@ -219,6 +219,54 @@ object Dedup {
     verified.orderBy("doc_a", "doc_b")
   }
 
+  /** Small-universe exact Jaccard join — the regime where [[jaccardPairs]]
+    * collapses. PPJoin prefix filtering needs RARE tokens; over a tiny
+    * universe (character n-grams: at most charset^n distinct, ~400 here)
+    * every token is frequent, prefix inverted lists approach the whole
+    * corpus, and candidate volume goes quadratic anyway (measured ~100M
+    * candidate rows for 5k docs of char-3-grams — 22 s where this path
+    * takes ~2 s). At small U the right exact representation is a BITMAP:
+    * a doc's set is ⌈U/64⌉ longs, and |A∩B| is one native AND+POPCNT pass
+    * (the codegen'd `bit_and_count`). The join is a broadcast nested loop
+    * with the PPJoin length filter — n² pairs, but each pair costs ~U/64
+    * machine ops instead of a candidate-list verification.
+    *
+    * Regime map (the 100 TB story): small U AND blocks ≤ ~10⁵ docs →
+    * THIS (apply per label/LSH-bucket block at corpus scale — the n² is
+    * per block); large U → [[jaccardPairs]] (rare tokens exist, prefix
+    * filtering bites); web-scale approximate → [[nearDedup]].
+    * Bitmaps are variable-width (⌈(maxRank+1)/64⌉ words per doc) so no
+    * global U needs materializing; `bit_and_count` treats missing high
+    * words as zeros. Output schema identical to [[jaccardPairs]]. */
+  def jaccardPairsBitmap(docs: DataFrame, num: Int, den: Int,
+                         tokensOf: Column = array_distinct(split(col("text"), " "))): DataFrame = {
+    graft.functions.BitAndCount.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
+    // dense 0-based vocabulary ranks, distributed (no single-task window)
+    val rank = graft.operators.GlobalRank.withRank(
+        tok.select("w").distinct(), numParts = 0, "r", col("w"))
+      .select(col("w"), col("r"))
+    val bm = tok.join(broadcast(rank), "w")
+      .groupBy("doc_id").agg(collect_list(col("r")).as("rs"))
+      .select(col("doc_id"), size(col("rs")).cast(LongType).as("nw"),
+        expr("""transform(sequence(0, CAST(array_max(rs) div 64 AS INT)),
+                 w -> aggregate(filter(rs, r -> CAST(r div 64 AS INT) = w),
+                   CAST(0 AS BIGINT),
+                   (acc, r) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(r % 64 AS INT))))""")
+          .as("bm"))
+    val pairs = bm.as("a").join(broadcast(bm).as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          col("a.nw") * num <= col("b.nw") * den &&
+          col("b.nw") * num <= col("a.nw") * den)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_and_count(a.bm, b.bm)").as("inter_cnt"),
+        col("a.nw"), col("b.nw"))
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+        (col("a.nw") + col("b.nw") - col("inter_cnt")).as("union_cnt"))
+      .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end MinHash/LSH near-dedup — the composition a pipeline user
     * calls: shingle MinHash signatures → banded LSH candidate pairs →
     * exact word-set Jaccard verification of candidates only → connected
@@ -253,23 +301,29 @@ object Dedup {
     * is O(log diameter) rounds instead of O(diameter) (a long-chain
     * 137-doc cluster needs ~8 rounds, not ~130).
     *
-    * Round shape: ONE keyed join + ONE groupBy. Both the neighbor lookup
-    * and the pointer jump are expressed as label REQUESTS (v asks dst for
-    * dst's label) — graph edges request neighbors, and each v also
-    * requests its own current label's label (the jump; labels(x) <= x
-    * always, so min over the joined requests subsumes least(cluster,
-    * nmin, pmin) of the two-join formulation). Convergence probe: the
-    * label-sum is strictly decreasing until fixpoint — one agg on the
-    * checkpointed round output, no compare join.
+    * Round shape: the |E|-sized edge table is hash-partitioned on its
+    * lookup key ONCE (cached with that partitioning) and never moves
+    * again — each round's neighbor join only exchanges the |V|-sized
+    * label table, and the pointer jump is a |V|-sized self-join; the
+    * only |E|-sized shuffle left per round is the min-label groupBy
+    * (map-side combined). Convergence probe: the label-sum is strictly
+    * decreasing until fixpoint — one agg on the checkpointed round
+    * output, no compare join.
     * Returns (doc_id, cluster), cluster = min reachable id. */
   def clusters(allDocs: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not cache): materializes AND truncates lineage, so
-    // the logical plan stays constant-size per round — with pointer jumping
-    // the plan tree otherwise grows ~3^rounds and OOMs the driver; it also
-    // keeps the (possibly expensive) upstream edge join from re-executing
+    val numParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // sym is CACHED, not checkpointed: InMemoryRelation preserves the
+    // repartition's hashpartitioning(dst), so every round's join against
+    // labels needs NO exchange on this — the big |E| — side (a
+    // localCheckpoint'ed RDD scan advertises unknown partitioning and
+    // gets re-exchanged every round; verified against the physical plan).
+    // The cache also keeps the possibly-expensive upstream edge join from
+    // re-executing. labels below DOES need localCheckpoint — its plan
+    // would otherwise grow ~3^rounds and OOM the driver.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .repartition(numParts, col("dst"))
+      .cache()
     // propagate only over edge-touched docs — isolated docs are their own
     // cluster and never change, so keep them out of every round's joins
     var labels = sym.select(col("src").as("doc_id")).distinct()
@@ -287,13 +341,20 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // requests: (asker, target) — every target is itself labeled (labels
-      // cover all edge-touched docs, and any cluster value IS a doc id of
-      // a labeled doc), so the inner join drops no asker
-      val requests = sym
-        .union(labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
-      val next = requests.join(labels, requests("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("cluster"))
+      // invariant used by every inner join here: any cluster value IS the
+      // doc id of a labeled doc (labels cover all edge-touched docs and
+      // only ever point at reachable doc ids), so no asker is dropped.
+      // neighbor candidates: v asks each neighbor for its label — sym is
+      // pre-partitioned on dst, labels on doc_id: no |E|-side exchange
+      val nbr = sym.join(labels, sym("dst") === labels("doc_id"))
+        .select(sym("src").as("doc_id"), labels("cluster").as("cand"))
+      // pointer jump: v also asks its own label for ITS label —
+      // label(label(v)) <= label(v), so min() below subsumes least(...)
+      val jump = labels.as("l").join(labels.as("t"),
+          col("l.cluster") === col("t.doc_id"))
+        .select(col("l.doc_id").as("doc_id"), col("t.cluster").as("cand"))
+      val next = nbr.union(jump)
+        .groupBy("doc_id").agg(min("cand").as("cluster"))
         .localCheckpoint(true)
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
@@ -301,6 +362,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    sym.unpersist(false) // labels is checkpointed; the edge cache is done
     // add the untouched singletons back
     allDocs.select("doc_id").join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

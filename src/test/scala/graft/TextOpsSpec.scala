@@ -117,6 +117,17 @@ class TextOpsSpec extends SparkSpec {
     assert(g1.length == g1.distinct.length && g1.forall(_.length == 3))
   }
 
+  test("jaccardPairsBitmap ≡ jaccardPairs on word sets and char-gram sets") {
+    val d = docs(1L -> base, 2L -> near, 3L -> far1, 4L -> far2, 5L -> base, 6L -> "ab")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Dedup.jaccardPairsBitmap(d, 3, 4)) == rows(Dedup.jaccardPairs(d, 3, 4)))
+    assert(rows(Dedup.jaccardPairsBitmap(d, 4, 5, tokensOf = TextOps.charGrams3)) ==
+      rows(Dedup.jaccardPairs(d, 4, 5, tokensOf = TextOps.charGrams3)))
+    // threshold 0: everything pairs — exercises full-universe bitmaps
+    assert(rows(Dedup.jaccardPairsBitmap(d.filter($"doc_id" < 4), 0, 1)).size == 3)
+  }
+
   test("clusters: empty edge set → every doc its own singleton (no NPE)") {
     // ADVICE r3 regression: SUM over the empty label relation is NULL;
     // the convergence probe must treat that as 0, not NPE on compareTo
