@@ -83,6 +83,52 @@ object Multimodal {
       sa.toFloat / n, n.toFloat, 0f)
   }
 
+  /** Deterministic nearest-neighbor thumbnail resize: decodes via ImageIO
+    * and samples a w×h grid of sRGB pixels directly — deliberately NOT
+    * `Graphics2D.drawImage` scaling, whose interpolation varies across
+    * JVMs/platforms; integer grid sampling is bit-identical everywhere.
+    * Output: row-major [r, g, b] float triples (length 3·w·h), or empty
+    * on undecodable bytes (degrade per row, never fail the job). */
+  def thumbnail(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return Array.empty[Float]
+    val out = new Array[Float](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        val sy = (y.toLong * img.getHeight / h).toInt
+        val p = img.getRGB(sx, sy)
+        val base = 3 * (y * w + x)
+        out(base) = ((p >>> 16) & 0xff).toFloat
+        out(base + 1) = ((p >>> 8) & 0xff).toFloat
+        out(base + 2) = (p & 0xff).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Deterministic frame sampling over an opaque media blob: `n` evenly
+    * spaced fixed-size byte windows (the shape a real container demuxer
+    * would fill with decoded frames — video/audio codecs are absent here,
+    * so the "frame" is an honest byte window; the Spark-side contract —
+    * binary in, bounded array-of-frames out, embarrassingly parallel —
+    * is the real one). Windows are clamped to the blob. */
+  def sampleFrames(bytes: Array[Byte], n: Int, frameSize: Int): Array[Array[Byte]] = {
+    require(n >= 1 && frameSize >= 1, "need n >= 1 and frameSize >= 1")
+    if (bytes.isEmpty) return Array.empty
+    (0 until n).map { i =>
+      val start = if (n == 1) 0 else ((bytes.length.toLong - 1) * i / (n - 1)).toInt
+      val s = math.min(start, math.max(0, bytes.length - frameSize))
+      java.util.Arrays.copyOfRange(bytes, s, math.min(bytes.length, s + frameSize))
+    }.toArray
+  }
+
   /** FNV-1a over the blob — the deterministic per-row checksum. */
   def checksum(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
@@ -107,6 +153,25 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("thumb", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Batched per-partition thumbnailing — same plumbing contract as
+    * [[extractFeatures]] (bounded batches, no shuffle); rows whose bytes
+    * don't decode produce an empty thumb. */
+  def extractThumbnails(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row(r.getLong(0), thumbnail(r.getAs[Array[Byte]](1), w, h).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, thumbSchema)
   }
 
   /** Builds a media table from the documents fixture (text bytes as the

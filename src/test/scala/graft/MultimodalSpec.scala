@@ -55,6 +55,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).forall(_ == -1f), "undecodable bytes must degrade to -1s, not fail")
   }
 
+  test("thumbnail: deterministic nearest-neighbor grid, exact pixels; frames clamp to the blob") {
+    // a 4x4 image with distinct quadrant colors: a 2x2 thumbnail must pick
+    // the exact top-left pixel of each quadrant (grid sampling, not
+    // platform-interpolated scaling)
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val quad = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, quad((y / 2) * 2 + x / 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    val t = Multimodal.thumbnail(bytes, 2, 2)
+    assert(t.toSeq == Seq(255f, 0f, 0f, 0f, 255f, 0f, 0f, 0f, 255f, 255f, 255f, 255f), t.toSeq)
+    assert(Multimodal.thumbnail("junk".getBytes("UTF-8"), 2, 2).isEmpty)
+    // DataFrame-level plumbing
+    val df = Seq((1L, bytes), (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "media")
+    val out = Multimodal.extractThumbnails(df, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L).length == 12 && out(2L).isEmpty)
+    // frame sampling: n evenly spaced windows, clamped at the tail
+    val blob = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.sampleFrames(blob, n = 3, frameSize = 10)
+    assert(frames.length == 3)
+    assert(frames(0).head == 0.toByte && frames(2).head == 90.toByte)
+    assert(frames.forall(_.length == 10))
+    assert(Multimodal.sampleFrames(Array.empty[Byte], 3, 10).isEmpty)
+  }
+
   test("documents table flows through the multimodal plumbing") {
     val m = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001/documents.parquet")
     assert(m.schema == Multimodal.mediaSchema)
