@@ -8,7 +8,7 @@ import graft.embed.Similarity
 import graft.events.{AsOf, EventOps}
 import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
-import graft.text.{Dedup, SimHash, TextAnalysis}
+import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where SQL-expressible.
@@ -392,6 +392,15 @@ object SparkEntry {
         capacityTokens = 512)),
 
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
+    // ── eval-set decontamination: anti-join on content fingerprints ──────
+    // (blocklist = the deterministic doc_id % 17 subset standing in for a
+    // benchmark's eval texts; dups of blocklisted docs are dropped too)
+    "q57_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Pipeline.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0))
+        .select("doc_id")
+    }),
+
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
 
@@ -875,6 +884,14 @@ object SparkEntry {
       """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q57_decontaminate" ->
+      """WITH f AS (SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+        |  FROM documents),
+        |b AS (SELECT fp FROM f WHERE doc_id % 17 = 0)
+        |SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_bigrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -52,6 +52,32 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Eval-set decontamination: drops every doc whose normalized
+    * bag-of-words fingerprint appears in `blocklist` (benchmark/eval
+    * texts must not leak into training data). Output: the surviving
+    * (doc_id, text) rows.
+    *
+    * The anti-join key is the same 124-bit hash pair as
+    * [[Dedup.exactHashed]] — 16 bytes per row moves through the join, not
+    * the documents. A collision can only FALSE-DROP a training doc
+    * (P < 10^-18; harmless to model quality, never leaks an eval doc).
+    * Spark broadcasts a small blocklist automatically (BroadcastHashJoin
+    * LeftAnti); a blocklist past the broadcast threshold degrades to a
+    * shuffled anti-join of 16-byte keys — both fine at 100 TB. (A bloom
+    * prefilter would help only between those regimes; Spark 4 doesn't
+    * expose `bloom_filter_agg` to third-party SQL, and the anti-join is
+    * already key-only.) */
+  def decontaminate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    def keyed(d: DataFrame) = d.select(col("doc_id"), col("text"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
+      .select(col("doc_id"), col("text"),
+        xxhash64(col("fp")).as("fph1"), xhash(col("fp")).as("fph2"))
+    keyed(docs).join(keyed(blocklist).select("fph1", "fph2"),
+        Seq("fph1", "fph2"), "left_anti")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing by starting offset: docs in doc_id order are
     * laid end-to-end; a doc belongs to pack `floor(start_offset /
     * capacity)`. Deterministic and integer-exact.

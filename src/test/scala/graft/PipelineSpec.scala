@@ -71,4 +71,19 @@ class PipelineSpec extends SparkSpec {
     assert(a.sameElements(b), "split must depend on content, not ids")
     assert(a.toSet.size == 10, s"expected all 10 buckets, got ${a.toSet}")
   }
+
+  test("decontaminate drops blocklisted content AND its duplicates, by content not id") {
+    val corpus = docs(
+      1L -> "the eval question about physics",
+      2L -> "a perfectly clean training doc",
+      3L -> "physics about question eval the", // word-bag dup of the eval doc
+      4L -> "another clean one")
+    val block = docs(100L -> "the eval question about physics") // different id, same content
+    val kept = Pipeline.decontaminate(corpus, block).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 4L), s"kept=$kept")
+    // empty blocklist keeps everything
+    val all = Pipeline.decontaminate(corpus, block.filter("doc_id < 0"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(1L, 2L, 3L, 4L))
+  }
 }
