@@ -20,14 +20,16 @@ import graft.functions.{BitAndCount, DotProductLong, SortedIntersectCount}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the companion builders are arity-checked — a wrong argument count
+    // fails with the function name, not an IndexOutOfBoundsException
     ext.injectFunction((FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
-      (exprs: Seq[Expression]) => DotProductLong(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProductLong.builder(exprs)))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => SortedIntersectCount.builder(exprs)))
     ext.injectFunction((FunctionIdentifier("bit_and_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
-      (exprs: Seq[Expression]) => BitAndCount(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => BitAndCount.builder(exprs)))
   }
 }

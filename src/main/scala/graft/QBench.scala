@@ -13,7 +13,7 @@ object QBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
     for (name <- args; r <- 1 to 3) {
       val t0 = System.nanoTime()

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: popcount of the bitwise AND of two
   * `array<bigint>` bitmaps — the set-intersection kernel of the
@@ -23,6 +24,19 @@ case class BitAndCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "bit_and_count"
+
+  // ExpectsInputTypes is off the table for third-party expressions
+  // (AbstractDataType is private[sql] in Spark 4), but checkInputDataTypes
+  // is public API — without it a wrong-typed SQL call (e.g. int arrays)
+  // would reach the unsafe getters and return garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -54,11 +68,20 @@ case class BitAndCount(left: Expression, right: Expression)
 }
 
 object BitAndCount {
+  /** Arity-checked builder shared by register() and [[graft.GraftExtensions]]
+    * — a wrong argument count must fail with the function name and expected
+    * arity, not an IndexOutOfBoundsException from exprs(1). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"bit_and_count expects exactly 2 arguments, got ${exprs.length}")
+    BitAndCount(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("bit_and_count")))
       reg.createOrReplaceTempFunction("bit_and_count",
-        exprs => BitAndCount(exprs(0), exprs(1)), "built-in")
+        builder, "built-in")
   }
 }

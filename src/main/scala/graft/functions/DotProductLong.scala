@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: dot product of two `array<bigint>` columns.
   *
@@ -21,11 +22,21 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class DotProductLong(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // no ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4, so
-  // third-party expressions can't name its signature; inputs must already
-  // be array<bigint> (all call sites quantize first)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
+
+  // ExpectsInputTypes is off the table for third-party expressions
+  // (AbstractDataType is private[sql] in Spark 4), but checkInputDataTypes
+  // is public API — without it a wrong-typed SQL call (e.g. int arrays)
+  // would reach the unsafe getters and return garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -57,6 +68,15 @@ case class DotProductLong(left: Expression, right: Expression)
 }
 
 object DotProductLong {
+  /** Arity-checked builder shared by register() and [[graft.GraftExtensions]]
+    * — a wrong argument count must fail with the function name and expected
+    * arity, not an IndexOutOfBoundsException from exprs(1). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"dot_long expects exactly 2 arguments, got ${exprs.length}")
+    DotProductLong(exprs(0), exprs(1))
+  }
+
   /** Registers `dot_long(a, b)` as a temp SQL function on the session.
     * Truly idempotent: re-registering an existing function would log a
     * "replaced a previously registered function" warning per call site —
@@ -66,6 +86,6 @@ object DotProductLong {
       .sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long")))
       reg.createOrReplaceTempFunction("dot_long",
-        exprs => DotProductLong(exprs(0), exprs(1)), "built-in")
+        builder, "built-in")
   }
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: |a ∩ b| for two SORTED `array<int>` columns
   * via a two-pointer merge — O(|a|+|b|), zero allocation.
@@ -20,6 +21,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  // ExpectsInputTypes is off the table for third-party expressions
+  // (AbstractDataType is private[sql] in Spark 4), but checkInputDataTypes
+  // is public API — without it a wrong-typed SQL call (e.g. int arrays)
+  // would reach the unsafe getters and return garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<int> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -58,6 +72,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
+  /** Arity-checked builder shared by register() and [[graft.GraftExtensions]]
+    * — a wrong argument count must fail with the function name and expected
+    * arity, not an IndexOutOfBoundsException from exprs(1). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"sorted_intersect_count expects exactly 2 arguments, got ${exprs.length}")
+    SortedIntersectCount(exprs(0), exprs(1))
+  }
+
   /** Registers `sorted_intersect_count(a, b)` on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -66,6 +89,6 @@ object SortedIntersectCount {
     // warning createOrReplace logs on every defensive re-register
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count")))
       reg.createOrReplaceTempFunction("sorted_intersect_count",
-        exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+        builder, "built-in")
   }
 }

@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   *    formats whose codecs are absent here (audio/video), keeping the
   *    plumbing testable on arbitrary blobs.
   *
-  * Scale notes: rows are processed in bounded batches (`batchSize`) so a
-  * partition of large blobs never materializes fully in heap; the operator
-  * is embarrassingly parallel (no shuffle); blob-heavy tables should be
-  * stored with a small `spark.sql.files.maxPartitionBytes` so tasks stay
-  * balanced by bytes, not row count.
+  * Scale notes: rows STREAM through the partition iterator one at a time
+  * (at most one decoded blob in flight per task — the iterator is the
+  * memory bound); the operators are embarrassingly parallel (no shuffle);
+  * blob-heavy tables should be stored with a small
+  * `spark.sql.files.maxPartitionBytes` so tasks stay balanced by bytes,
+  * not row count.
   */
 object Multimodal {
 
@@ -61,9 +62,12 @@ object Multimodal {
     * sums divided once. Undecodable bytes → all-(-1) features, so a mixed
     * or corrupt corpus degrades per row, never fails the job. */
   def imageDecode(bytes: Array[Byte]): Array[Float] = {
+    // NonFatal, not IOException: ImageIO decoders throw RuntimeExceptions
+    // on malformed input (CMMException on broken ICC profiles, AIOOBE on
+    // truncated data) — any of those must degrade this ROW, not kill the job
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return Array.fill(8)(-1f)
     val w = img.getWidth; val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
@@ -90,9 +94,11 @@ object Multimodal {
     * Output: row-major [r, g, b] float triples (length 3·w·h), or empty
     * on undecodable bytes (degrade per row, never fail the job). */
   def thumbnail(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    require(w >= 1 && h >= 1, "need w >= 1 and h >= 1")
+    // NonFatal (see imageDecode): decoder RuntimeExceptions degrade the row
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return Array.empty[Float]
     val out = new Array[Float](3 * w * h)
     var y = 0
@@ -137,41 +143,36 @@ object Multimodal {
     h
   }
 
-  /** Batched per-partition feature extraction. `decodeFn` is the pluggable
-    * decode step (default: [[fakeDecode]] stub). */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64,
-                      decodeFn: Array[Byte] => Array[Float] = fakeDecode): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // batch boundary = where a vectorized decoder would process a chunk
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          Row(id, bytes.length.toLong, checksum(bytes), decodeFn(bytes).toSeq)
-        }
-      }
+  /** Shared per-partition row mapper: rows STREAM through one at a time
+    * (the partition iterator is the memory bound — at most one decoded
+    * blob in flight per task), no shuffle, embarrassingly parallel. A
+    * vectorized decoder would batch INSIDE its decode fn; an iterator
+    * `grouped(n)` layer here would not change what reaches the decoder,
+    * only re-wrap the same per-row calls. */
+  private def perRow(media: DataFrame, schema: StructType)(f: Row => Row): DataFrame =
+    media.sparkSession.createDataFrame(
+      media.select("media_id", "media").rdd.mapPartitions(_.map(f)), schema)
+
+  /** Per-row feature extraction. `decodeFn` is the pluggable decode step
+    * (default: [[fakeDecode]] stub; [[imageDecode]] for real images). */
+  def extractFeatures(media: DataFrame,
+                      decodeFn: Array[Byte] => Array[Float] = fakeDecode): DataFrame =
+    perRow(media, featureSchema) { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      Row(r.getLong(0), bytes.length.toLong, checksum(bytes), decodeFn(bytes).toSeq)
     }
-    spark.createDataFrame(rdd, featureSchema)
-  }
 
   val thumbSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("thumb", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** Batched per-partition thumbnailing — same plumbing contract as
-    * [[extractFeatures]] (bounded batches, no shuffle); rows whose bytes
-    * don't decode produce an empty thumb. */
-  def extractThumbnails(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          Row(r.getLong(0), thumbnail(r.getAs[Array[Byte]](1), w, h).toSeq)
-        }
-      }
+  /** Per-row thumbnailing — same plumbing contract as [[extractFeatures]];
+    * rows whose bytes don't decode produce an empty thumb. */
+  def extractThumbnails(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, "need w >= 1 and h >= 1")
+    perRow(media, thumbSchema) { r =>
+      Row(r.getLong(0), thumbnail(r.getAs[Array[Byte]](1), w, h).toSeq)
     }
-    spark.createDataFrame(rdd, thumbSchema)
   }
 
   /** Builds a media table from the documents fixture (text bytes as the

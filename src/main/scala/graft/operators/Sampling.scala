@@ -24,16 +24,25 @@ import graft.text.TextOps
   */
 object Sampling {
 
-  /** Keeps rows whose deterministic key hash lands below num/den.
-    * `keyCols` are concatenated with a  separator (a character that
-    * cannot appear in the decimal renderings of numeric keys) so composite
-    * keys can't alias ("1","23" vs "12","3"). */
+  /** The composite sampling key: columns cast to string, NULLs encoded as
+    * a U+0002 sentinel, joined with a U+0001 separator. Neither control
+    * char can appear in decimal renderings of numeric keys, so composite
+    * keys can't alias ("1","23" vs "12","3"). The NULL sentinel matters:
+    * `concat_ws` silently DROPS null elements and their separators, so
+    * without it (a=NULL, b="7") and (a="7", b=NULL) would both key to "7"
+    * and receive perfectly correlated sampling decisions. (A string key
+    * whose literal value IS the one-char sentinel is indistinguishable
+    * from NULL — use a non-control-character key domain.) */
+  private def compositeKey(keyCols: Seq[String]) =
+    concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast(StringType), lit("\u0002"))): _*)
+
+  /** Keeps rows whose deterministic key hash lands below num/den. */
   def byKeyHash(df: DataFrame, keyCols: Seq[String], num: Int, den: Int): DataFrame = {
     require(den >= 1, "den must be >= 1")
     require(num >= 0 && num <= den, "need 0 <= num <= den")
-    val key = concat_ws("", keyCols.map(c => col(c).cast(StringType)): _*)
     // xhash is non-negative (60-bit), so plain % is already a positive mod
-    df.filter(TextOps.xhash(key) % den < num)
+    df.filter(TextOps.xhash(compositeKey(keyCols)) % den < num)
   }
 
   /** The complement sample — byKeyHash keeps hash < num/den, this keeps the
@@ -41,7 +50,6 @@ object Sampling {
   def byKeyHashComplement(df: DataFrame, keyCols: Seq[String], num: Int, den: Int): DataFrame = {
     require(den >= 1, "den must be >= 1")
     require(num >= 0 && num <= den, "need 0 <= num <= den")
-    val key = concat_ws("", keyCols.map(c => col(c).cast(StringType)): _*)
-    df.filter(TextOps.xhash(key) % den >= num)
+    df.filter(TextOps.xhash(compositeKey(keyCols)) % den >= num)
   }
 }

@@ -46,7 +46,13 @@ object Jsonl {
     * (`UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN`) — caching
     * is the documented workaround, and it is also what a pipeline wants
     * when it splits ONE parse into a clean stream and a quarantine
-    * stream (the [[clean]] call reuses the same cache). */
+    * stream (the [[clean]] call reuses the same cache). The cache is a
+    * SIDE EFFECT on the passed DataFrame and pins the parsed corpus for
+    * the session — call [[release]] once both streams are consumed. */
   def corruptRecords(df: DataFrame): DataFrame =
     df.cache().filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_line"))
+
+  /** Releases the cache [[corruptRecords]] planted on the parsed scan.
+    * Safe to call on an uncached frame (no-op). */
+  def release(df: DataFrame): Unit = df.unpersist(false)
 }

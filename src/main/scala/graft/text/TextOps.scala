@@ -161,6 +161,10 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, num: Int, den: Int,
                    broadcastVerify: Boolean = true,
                    tokensOf: Column = array_distinct(split(col("text"), " "))): DataFrame = {
+    // num = 0 ("any pair") is NOT expressible by a prefix-filtered join —
+    // disjoint pairs share no prefix token and can never surface; reject
+    // the degenerate threshold instead of silently under-returning
+    require(num >= 1 && num <= den, "need 1 <= num <= den (Jaccard threshold in (0, 1])")
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
     // broadcast() is a HINT Spark obeys unconditionally — on a corpus whose
     // dictionary / doc-sets tables outgrow executor memory, pass
@@ -239,7 +243,12 @@ object Dedup {
     * global U needs materializing; `bit_and_count` treats missing high
     * words as zeros. Output schema identical to [[jaccardPairs]]. */
   def jaccardPairsBitmap(docs: DataFrame, num: Int, den: Int,
-                         tokensOf: Column = array_distinct(split(col("text"), " "))): DataFrame = {
+                         tokensOf: Column = array_distinct(split(col("text"), " ")),
+                         broadcastRight: Boolean = true): DataFrame = {
+    // same contract as jaccardPairs (spec-tested ≡): reject num = 0 — the
+    // bitmap path COULD emit disjoint pairs there, but then the two
+    // "identical" operators would disagree on a degenerate threshold
+    require(num >= 1 && num <= den, "need 1 <= num <= den (Jaccard threshold in (0, 1])")
     graft.functions.BitAndCount.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
     // dense 0-based vocabulary ranks, distributed (no single-task window)
@@ -254,7 +263,12 @@ object Dedup {
                    CAST(0 AS BIGINT),
                    (acc, r) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(r % 64 AS INT))))""")
           .as("bm"))
-    val pairs = bm.as("a").join(broadcast(bm).as("b"),
+    // broadcastRight = false drops the hint for corpora past the broadcast
+    // limit: the non-equi join then plans as a (shuffle-partitioned)
+    // cartesian — still n², which is this operator's contract; block the
+    // input first when n² itself is the problem (see regime map above)
+    val right = if (broadcastRight) broadcast(bm) else bm
+    val pairs = bm.as("a").join(right.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
           col("a.nw") * num <= col("b.nw") * den &&
           col("b.nw") * num <= col("a.nw") * den)

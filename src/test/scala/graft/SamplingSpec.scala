@@ -38,6 +38,22 @@ class SamplingSpec extends SparkSpec {
     assert(h.size == 2, "composite keys aliased to the same hash")
   }
 
+  test("NULL key components do not alias: (NULL, '7') and ('7', NULL) sample independently") {
+    val d = Seq((Some("7"), None: Option[String]), (None: Option[String], Some("7")))
+      .toDF("a", "b")
+    import org.apache.spark.sql.functions._
+    // distinct hashes ⇒ independent decisions (concat_ws alone would have
+    // collapsed both rows to the key "7")
+    val hs = d.select(graft.text.TextOps.xhash(
+        concat_ws("", coalesce(col("a"), lit("")), coalesce(col("b"), lit("")))))
+      .collect().map(_.getLong(0)).toSet
+    assert(hs.size == 2)
+    // and the operator itself partitions the two rows exactly
+    val kept = Sampling.byKeyHash(d, Seq("a", "b"), 1, 2).count() +
+      Sampling.byKeyHashComplement(d, Seq("a", "b"), 1, 2).count()
+    assert(kept == 2)
+  }
+
   test("fails fast on an invalid fraction") {
     intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 3, 2) }
     intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 1, 0) }

@@ -124,8 +124,14 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(Dedup.jaccardPairsBitmap(d, 3, 4)) == rows(Dedup.jaccardPairs(d, 3, 4)))
     assert(rows(Dedup.jaccardPairsBitmap(d, 4, 5, tokensOf = TextOps.charGrams3)) ==
       rows(Dedup.jaccardPairs(d, 4, 5, tokensOf = TextOps.charGrams3)))
-    // threshold 0: everything pairs — exercises full-universe bitmaps
-    assert(rows(Dedup.jaccardPairsBitmap(d.filter($"doc_id" < 4), 0, 1)).size == 3)
+    // low positive threshold: near-all pairs — exercises wide bitmaps; the
+    // broadcast-free mode must agree too
+    assert(rows(Dedup.jaccardPairsBitmap(d, 1, 100)) ==
+      rows(Dedup.jaccardPairsBitmap(d, 1, 100, broadcastRight = false)))
+    // num = 0 is rejected on BOTH paths: prefix filtering cannot surface
+    // disjoint pairs, so the degenerate threshold would make them diverge
+    intercept[IllegalArgumentException] { Dedup.jaccardPairs(d, 0, 1) }
+    intercept[IllegalArgumentException] { Dedup.jaccardPairsBitmap(d, 0, 1) }
   }
 
   test("clusters: empty edge set → every doc its own singleton (no NPE)") {
