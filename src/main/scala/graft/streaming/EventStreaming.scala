@@ -40,6 +40,18 @@ object EventStreaming {
         col("window.end").as("win_end"), col("sum_c"), col("cnt"))
   }
 
+  /** Stream-static enrichment: joins the unbounded event stream against a
+    * bounded dimension table (user attributes, document metadata). The
+    * static side is broadcast per micro-batch — no stream-side shuffle,
+    * no state store; Spark re-plans the static side each batch, so a
+    * refreshed dimension snapshot (e.g. a re-read Delta/parquet path)
+    * is picked up without restarting the query. `left` keeps unmatched
+    * events (enrichment columns null) rather than dropping them. */
+  def enrich(events: Dataset[Event], dim: DataFrame, dimKey: String,
+             left: Boolean = true): DataFrame =
+    events.toDF().join(broadcast(dim),
+      col("userId") === col(dimKey), if (left) "left_outer" else "inner")
+
   /** Streaming exact deduplication on event id: duplicates arriving within
     * the watermark horizon are dropped; state for an id is released once
     * the watermark passes it (bounded state — the streaming form of

@@ -43,6 +43,38 @@ class EventStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrich joins per micro-batch, keeps unmatched events on left") {
+    implicit val sqlCtx = spark.sqlContext
+    // includes user 3, who has no dimension row (the unmatched case)
+    val enrichEvts = evts :+ Event(6, 3, sec(200), 50) :+ Event(7, 3, sec(400), 60)
+    val stream = MemoryStream[Event]
+    stream.addData(enrichEvts: _*)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("dim_user", "tier")
+    val q = EventStreaming.enrich(stream.toDS(), dim, "dim_user")
+      .select("eventId", "userId", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(out.size == enrichEvts.size, "left join must keep every event")
+    out.foreach { case (_, uid, tier) =>
+      val expect = uid match { case 1L => Some("gold"); case 2L => Some("basic"); case _ => None }
+      assert(tier == expect, s"user $uid enriched as $tier")
+    }
+    // inner mode drops the unmatched
+    val stream2 = MemoryStream[Event]
+    stream2.addData(enrichEvts: _*)
+    val q2 = EventStreaming.enrich(stream2.toDS(), dim, "dim_user", left = false)
+      .select("userId")
+      .writeStream.format("memory").queryName("enriched_inner")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.awaitTermination(); q2.stop()
+    val inner = spark.table("enriched_inner").collect().map(_.getLong(0))
+    assert(inner.length == evts.size && inner.forall(u => u == 1L || u == 2L),
+      s"inner join must drop exactly user 3's events: ${inner.toSeq}")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
