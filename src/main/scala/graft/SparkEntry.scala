@@ -625,17 +625,21 @@ object SparkEntry {
         |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn
         |      FROM q CROSS JOIN c),
         |sc AS (SELECT q_id, cand_id,
-        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
-        |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
-        |       FROM s)
+        |         CASE WHEN qn = 0 OR cn = 0 THEN NULL
+        |         ELSE CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) END AS score
+        |       FROM s WHERE qn != 0 AND cn != 0)
         |SELECT q_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
         |  cand_id, score
         |FROM sc
         |QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
 
-    // concat_ws("", …) ≡ DuckDB's || chr(1) || — both engines render
-    // integer keys as plain decimal strings before hashing
+    // Sampling.compositeKey joins with the U+0001 separator (invisible in
+    // this comment) ≡ DuckDB's || chr(1) ||; both engines render integer
+    // keys as plain decimal strings before hashing. The operator's NULL
+    // sentinel (U+0002) never fires here — lineitem keys are non-null —
+    // while the oracle's || would NULL-propagate, so the forms agree.
     "q55_hash_sample" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE ('0x' || substr(md5(
@@ -748,7 +752,8 @@ object SparkEntry {
         |SELECT vid_a, vid_b, label,
         |  CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
         |       / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
-        |FROM p ORDER BY score DESC, vid_a, vid_b LIMIT 20""".stripMargin,
+        |FROM p WHERE qn != 0 AND cn != 0
+        |ORDER BY score DESC, vid_a, vid_b LIMIT 20""".stripMargin,
 
     "q54_embed_pairs" ->
       """WITH e AS (SELECT vec_id, label,
@@ -764,7 +769,7 @@ object SparkEntry {
         |sc AS (SELECT vid_a, vid_b, label,
         |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
         |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
-        |       FROM p)
+        |       FROM p WHERE qn != 0 AND cn != 0)
         |SELECT vid_a, vid_b, label, score FROM sc
         |WHERE score >= 250000 ORDER BY vid_a, vid_b""".stripMargin,
 

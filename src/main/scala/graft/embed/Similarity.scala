@@ -45,8 +45,41 @@ object Similarity {
     * integer result. */
   private def dotExpr(a: String, b: String): String = s"dot_long($a, $b)"
 
+  // zero-norm guard: a vector whose components all quantize to 0 has
+  // qn = 0; the naked division then yields NaN, and CAST(FLOOR(NaN)) under
+  // Spark 4's default ANSI mode kills the JOB on one degenerate row.
+  // NULL instead: threshold filters drop it, descending top-k orders it
+  // last — per-row degradation. (The DuckDB oracles carry the same CASE.)
   private val scoreExpr =
-    "CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)"
+    """CASE WHEN qn = 0 OR cn = 0 THEN NULL
+      |ELSE CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+      |     / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) END""".stripMargin
+
+  /** Distributed per-query top-k over a scored (q_id, cand_id, score)
+    * stream — TakeOrdered, not a naked window: a bare
+    * `row_number().over(partitionBy(q_id))` shuffles EVERY candidate's
+    * score for a query into one task. Instead each input partition first
+    * reduces to its own top-k per query (map-side partial aggregation —
+    * bounded by rows already resident in that partition), so the shuffle
+    * carries at most k rows per (query, partition) and the single-task
+    * merge sees k·P rows, not |candidates|. NULL scores (zero-norm
+    * vectors) drop out, matching the window form's NULLS-LAST + filter. */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val perPart = scored
+      .filter(col("score").isNotNull)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("q_id", "pid")
+      // ascending struct sort on (-score, cand_id) == (score desc, cand_id)
+      .agg(slice(array_sort(collect_list(struct((-col("score")).as("ns"),
+        col("cand_id")))), 1, k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.cand_id").as("cand_id"), (-col("t.ns")).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
+    perPart.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "cand_id", "score")
+      .orderBy("q_id", "rn")
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (q_id, rn, cand_id, score) — rn 1..k by (score desc, cand_id). */
@@ -63,11 +96,7 @@ object Similarity {
       .select(col("q_id"), col("cand_id"), col("qn"), col("cn"),
         expr(dotExpr("qv", "cv")).as("dot"))
       .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
-      .select("q_id", "rn", "cand_id", "score")
-      .orderBy("q_id", "rn")
+    topkPerQuery(scored, k)
   }
 
   /** Globally closest `k` pairs, blocked by a key column (label here; an
@@ -198,11 +227,7 @@ object Similarity {
       .select(col("q_id"), col("cand_id"),
         expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
       .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
-      .select("q_id", "rn", "cand_id", "score")
-      .orderBy("q_id", "rn")
+    topkPerQuery(scored, k)
   }
 
   /** IVF coarse quantizer: `nCells` centroids as a deterministic
@@ -236,7 +261,10 @@ object Similarity {
     v.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cell"),
         expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
-      .select(col("vec_id"), col("cell"), expr(scoreExpr).as("score"))
+      // zero-norm vectors score NULL against every cell; coalesce so they
+      // deterministically land in cell 0 instead of a NULL assignment
+      .select(col("vec_id"), col("cell"),
+        coalesce(expr(scoreExpr), lit(Long.MinValue)).as("score"))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
   }
@@ -273,10 +301,6 @@ object Similarity {
       .select(col("q_id"), col("cand_id"),
         expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
       .select(col("q_id"), col("cand_id"), expr(scoreExpr).as("score"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
-      .select("q_id", "rn", "cand_id", "score")
-      .orderBy("q_id", "rn")
+    topkPerQuery(scored, k)
   }
 }

@@ -154,11 +154,13 @@ object Multimodal {
       media.select("media_id", "media").rdd.mapPartitions(_.map(f)), schema)
 
   /** Per-row feature extraction. `decodeFn` is the pluggable decode step
-    * (default: [[fakeDecode]] stub; [[imageDecode]] for real images). */
+    * (default: [[fakeDecode]] stub; [[imageDecode]] for real images).
+    * A NULL blob (the media column is declared nullable) degrades to the
+    * empty-bytes row — per-row degradation, never a task NPE. */
   def extractFeatures(media: DataFrame,
                       decodeFn: Array[Byte] => Array[Float] = fakeDecode): DataFrame =
     perRow(media, featureSchema) { r =>
-      val bytes = r.getAs[Array[Byte]](1)
+      val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
       Row(r.getLong(0), bytes.length.toLong, checksum(bytes), decodeFn(bytes).toSeq)
     }
 
@@ -171,7 +173,8 @@ object Multimodal {
   def extractThumbnails(media: DataFrame, w: Int, h: Int): DataFrame = {
     require(w >= 1 && h >= 1, "need w >= 1 and h >= 1")
     perRow(media, thumbSchema) { r =>
-      Row(r.getLong(0), thumbnail(r.getAs[Array[Byte]](1), w, h).toSeq)
+      val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+      Row(r.getLong(0), thumbnail(bytes, w, h).toSeq)
     }
   }
 

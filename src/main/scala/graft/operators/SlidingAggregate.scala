@@ -9,12 +9,6 @@ import org.apache.spark.sql.types._
 
 import scala.collection.mutable
 
-/** Messages route by explicit target partition id. */
-private[graft] final class DirectPartitioner(n: Int) extends Partitioner {
-  def numPartitions: Int = n
-  def getPartition(key: Any): Int = key.asInstanceOf[Int]
-}
-
 /** Routes composite exchange keys (target, tag, rank) by target, so
   * `repartitionAndSortWithinPartitions` delivers each block's messages
   * sorted (aggregates first, then data rows in rank order) from Spark's

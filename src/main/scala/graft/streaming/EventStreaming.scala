@@ -49,8 +49,14 @@ object EventStreaming {
     * events (enrichment columns null) rather than dropping them. */
   def enrich(events: Dataset[Event], dim: DataFrame, dimKey: String,
              left: Boolean = true): DataFrame =
-    events.toDF().join(broadcast(dim),
-      col("userId") === col(dimKey), if (left) "left_outer" else "inner")
+    // side-qualified references: a dimension keyed "userId" — the natural
+    // name for a per-user attribute table — must not be an
+    // AMBIGUOUS_REFERENCE; the dim's key column is dropped from the output
+    // (it duplicates the stream's)
+    events.toDF().as("e").join(broadcast(dim.as("d")),
+        col("e.userId") === col(s"d.`$dimKey`"),
+        if (left) "left_outer" else "inner")
+      .drop(col(s"d.`$dimKey`"))
 
   /** Streaming exact deduplication on event id: duplicates arriving within
     * the watermark horizon are dropped; state for an id is released once

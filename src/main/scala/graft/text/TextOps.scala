@@ -107,6 +107,9 @@ object Dedup {
     * round-1-style explode + crossJoin + groupBy form shuffled
     * O(docs·shingles·hashes) skinny rows for the same numbers. */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    // sequence(0, numHashes-1) COUNTS DOWN for numHashes <= 0 (the same
+    // foot-gun shinglesExpr guards) — reject rather than emit garbage rows
+    require(numHashes >= 1, "need numHashes >= 1")
     val sigExpr =
       s"""transform(sequence(0, ${numHashes - 1}), i ->
          |  array_min(transform(hs, h ->
@@ -125,12 +128,18 @@ object Dedup {
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand`
     * hashes, bucket docs by (band, concatenated band signature), and emit
     * candidate pairs (doc_a < doc_b) per shared bucket, deduplicated.
-    * Never all-pairs: the only shuffle keys are band signatures. */
+    * Never all-pairs: the only shuffle keys are band signatures.
+    * Uses the FIRST bands·rowsPerBand hashes of the signature — extra
+    * hashes are ignored (and `bands` is honored: asking for fewer bands
+    * than the signature could fill lowers recall/cost, it doesn't
+    * silently re-derive banding from the signature width). */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, "need bands >= 1 and rowsPerBand >= 1")
     // collect_list order is nondeterministic — sort the (i, minhash) structs
     // before concatenating so the band signature is deterministic
     val bsig = signatures
       .withColumn("band", (col("i") / rowsPerBand).cast(IntegerType))
+      .filter(col("band") < bands)
       .groupBy("doc_id", "band")
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minhash")))),
         s => s.getField("minhash")), ",").as("bsig"))
@@ -290,7 +299,12 @@ object Dedup {
   def nearDedup(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
                 rowsPerBand: Int = 2, num: Int = 4, den: Int = 5,
                 broadcastVerify: Boolean = true): DataFrame = {
-    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    require(bands * rowsPerBand <= numHashes,
+      s"banding ($bands x $rowsPerBand) needs more hashes than numHashes=$numHashes")
+    // verify uses size(array_intersect) on the raw STRING sets — here the
+    // candidate volume is LSH-bounded (~dup mass), so the per-pair hash-set
+    // allocation the PPJoin path avoids (see jaccardPairs) doesn't
+    // dominate, and skipping the dictionary rank build saves two jobs
     def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
     val cand = lshCandidatePairs(minhashSignatures(docs, numHashes), bands, rowsPerBand)
     val sets = docs
@@ -394,7 +408,8 @@ object Dedup {
 object SimHash {
   import TextOps._
 
-  def fingerprints(docs: DataFrame, bits: Int): DataFrame =
+  def fingerprints(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, "need 1 <= bits <= 64")
     docs
       .select(col("doc_id"),
         expr(s"""transform(array_distinct(split(text, ' ')),
@@ -412,6 +427,7 @@ object SimHash {
                              ELSE CAST(0 AS BIGINT) END),
                  CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
       .orderBy("doc_id")
+  }
 }
 
 /** Per-document text analysis: language-ID scoring, quality scoring, token
@@ -445,13 +461,19 @@ object TextAnalysis {
   /** Multi-language argmax over marker dictionaries (library form; tested
     * in sbt, not oracle-bound: argmax over maps is awkward in portable SQL). */
   def langIdArgmax(docs: DataFrame, dicts: Map[String, Seq[String]]): DataFrame = {
+    require(dicts.nonEmpty, "need at least one language dictionary")
     val scored = dicts.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(markerCount(col("ws"), markers).cast(IntegerType).as("cnt"), lit(lang).as("lang"))
     }
+    // greatest() requires >= 2 args; materialize the winner once (an
+    // intermediate select) so the marker counting runs once per row, not
+    // once per projected field
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), best.as("best"))
       .select(col("doc_id"),
-        greatest(scored: _*).getField("lang").as("pred_lang"),
-        greatest(scored: _*).getField("cnt").cast(LongType).as("marker_cnt"))
+        col("best.lang").as("pred_lang"),
+        col("best.cnt").cast(LongType).as("marker_cnt"))
       .orderBy("doc_id")
   }
 

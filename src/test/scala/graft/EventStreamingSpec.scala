@@ -45,12 +45,14 @@ class EventStreamingSpec extends SparkSpec {
 
   test("stream-static enrich joins per micro-batch, keeps unmatched events on left") {
     implicit val sqlCtx = spark.sqlContext
-    // includes user 3, who has no dimension row (the unmatched case)
+    // includes user 3, who has no dimension row (the unmatched case).
+    // the dim key is deliberately ALSO named userId — the natural naming —
+    // which the side-qualified join must not find ambiguous
     val enrichEvts = evts :+ Event(6, 3, sec(200), 50) :+ Event(7, 3, sec(400), 60)
     val stream = MemoryStream[Event]
     stream.addData(enrichEvts: _*)
-    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("dim_user", "tier")
-    val q = EventStreaming.enrich(stream.toDS(), dim, "dim_user")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("userId", "tier")
+    val q = EventStreaming.enrich(stream.toDS(), dim, "userId")
       .select("eventId", "userId", "tier")
       .writeStream.format("memory").queryName("enriched")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -65,7 +67,7 @@ class EventStreamingSpec extends SparkSpec {
     // inner mode drops the unmatched
     val stream2 = MemoryStream[Event]
     stream2.addData(enrichEvts: _*)
-    val q2 = EventStreaming.enrich(stream2.toDS(), dim, "dim_user", left = false)
+    val q2 = EventStreaming.enrich(stream2.toDS(), dim, "userId", left = false)
       .select("userId")
       .writeStream.format("memory").queryName("enriched_inner")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -9,7 +9,8 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq(
       (1L, "hello world".getBytes("UTF-8"), "text/plain"),
       (2L, Array[Byte](0, 1, 2, 3, -1), "application/octet-stream"),
-      (3L, Array.empty[Byte], "application/octet-stream"))
+      (3L, Array.empty[Byte], "application/octet-stream"),
+      (4L, null: Array[Byte], "application/octet-stream")) // nullable blob
     rows.toDF("media_id", "media", "format")
   }
 
@@ -23,6 +24,8 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).getLong(1) == 11L) // n_bytes of "hello world"
     assert(byId(1L).getLong(2) == Multimodal.checksum("hello world".getBytes("UTF-8")))
     assert(byId(3L).getSeq[Float](3).toList == List.fill(8)(0f)) // empty blob → zeros
+    assert(byId(4L).getLong(1) == 0L && byId(4L).getSeq[Float](3).toList == List.fill(8)(0f),
+      "NULL blob must degrade like the empty blob, not NPE the task")
     assert(byId(2L).getSeq[Float](3)(2) == 255f) // max byte of (0,1,2,3,0xff)
   }
 

@@ -96,6 +96,24 @@ class SimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("zero-norm vectors degrade per row (no ANSI divide crash), never rank") {
+    // components in [0, 0.001) quantize to the all-zero vector: qn = 0
+    val zero = Seq.fill(16)(0.0004f)
+    val t = table(12)
+    val withZero = t.union(Seq((99L, zero, 0)).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.topkCosine(t.filter($"vec_id" < 4),
+      withZero.filter($"vec_id" >= 4), k = 5).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("cand_id") != 99L),
+      "zero-norm candidate must drop out, not crash or rank")
+    // threshold path: the zero vector pairs with nothing
+    val pairs = Similarity.cosinePairsBlocked(withZero, "label", 100000L).collect()
+    assert(pairs.forall(r => r.getAs[Long]("vid_a") != 99L && r.getAs[Long]("vid_b") != 99L))
+    // assignment still lands somewhere deterministic
+    val cells = Similarity.ivfAssign(withZero, Similarity.ivfCentroids(t, 4))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells.contains(99L))
+  }
+
   test("hyperplane signatures: same-group pairs at smaller hamming distance") {
     val t = table(64)
     val buckets = Similarity.hyperplaneBuckets(t, nPlanes = 8).collect()

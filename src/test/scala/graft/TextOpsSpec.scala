@@ -180,6 +180,28 @@ class TextOpsSpec extends SparkSpec {
         Map("en" -> Seq("the", "on"), "fr" -> Seq("le", "est", "sur")))
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(1L -> "en", 2L -> "fr"))
+    // single-dictionary map: trivial argmax, not a greatest() arity crash
+    val one = TextAnalysis.langIdArgmax(d, Map("en" -> Seq("the")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(one == Seq((1L, "en", 2L), (2L, "en", 0L)))
+  }
+
+  test("lshCandidatePairs honors `bands`: extra signature hashes are ignored") {
+    // two docs agree on hashes 0-1 (band 0) and disagree on 2-3 (band 1)
+    val sigs = Seq(
+      (1L, 0L, 10L), (1L, 1L, 20L), (1L, 2L, 30L), (1L, 3L, 40L),
+      (2L, 0L, 10L), (2L, 1L, 20L), (2L, 2L, 99L), (2L, 3L, 98L))
+      .toDF("doc_id", "i", "minhash")
+    // band 0 matches → candidates with 1 band or 2 bands
+    assert(Dedup.lshCandidatePairs(sigs, bands = 1, rowsPerBand = 2).count() == 1)
+    assert(Dedup.lshCandidatePairs(sigs, bands = 2, rowsPerBand = 2).count() == 1)
+    // docs agreeing ONLY in band 1: bands = 1 must ignore that band
+    val sigs2 = Seq(
+      (1L, 0L, 10L), (1L, 1L, 20L), (1L, 2L, 30L), (1L, 3L, 40L),
+      (2L, 0L, 11L), (2L, 1L, 21L), (2L, 2L, 30L), (2L, 3L, 40L))
+      .toDF("doc_id", "i", "minhash")
+    assert(Dedup.lshCandidatePairs(sigs2, bands = 1, rowsPerBand = 2).count() == 0)
+    assert(Dedup.lshCandidatePairs(sigs2, bands = 2, rowsPerBand = 2).count() == 1)
   }
 
   test("quality and token counts are integer-exact") {
