@@ -116,6 +116,16 @@ object SparkEntry {
           Seq("l_orderkey", "l_linenumber"), num = 1, den = 2)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ── deterministic stratified sample: per-stratum hash fractions ──────
+    // (training-mix rebalancing: A keeps 1/4, N keeps 1/2, R keeps 3/4)
+    "q58_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedByKeyHash(
+          s.read.parquet(t(dir, "lineitem"))
+            .select("l_orderkey", "l_linenumber", "l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"), "l_returnflag",
+          Map("A" -> (1, 4), "N" -> (1, 2), "R" -> (3, 4)))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ── ops #10–#12: balanced rank blocks + per-block aggregates ─────────
     // Same single-shuffle pattern: no rank materialization, no second job.
     "q10_block_stats" -> ((s, dir) =>
@@ -645,6 +655,17 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(
         |         CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)
         |       ), 1, 15))::BIGINT % 2 < 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q58_stratified_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE ('0x' || substr(md5(
+        |         CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)
+        |       ), 1, 15))::BIGINT
+        |      % (CASE l_returnflag WHEN 'A' THEN 4 WHEN 'N' THEN 2
+        |                           WHEN 'R' THEN 4 ELSE 1 END)
+        |      < (CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 1
+        |                           WHEN 'R' THEN 3 ELSE 0 END)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // len(s) > 0 guard: docs under 3 chars have EMPTY char-gram sets and

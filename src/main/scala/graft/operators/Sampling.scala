@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -51,5 +51,27 @@ object Sampling {
     require(den >= 1, "den must be >= 1")
     require(num >= 0 && num <= den, "need 0 <= num <= den")
     df.filter(TextOps.xhash(compositeKey(keyCols)) % den >= num)
+  }
+
+  /** Deterministic STRATIFIED sampling — the training-mix rebalancer:
+    * each stratum (language, source, quality bucket) keeps its own
+    * num/den fraction of rows, decided by the same key hash, so the mix
+    * is reproducible row-for-row (Spark's `stat.sampleBy` is seeded
+    * per-partition and loses that under repartition/retry). Strata are
+    * matched on `strataCol` rendered as a string; unlisted strata keep
+    * `defaultFraction` (default: drop). Still a narrow filter. */
+  def stratifiedByKeyHash(df: DataFrame, keyCols: Seq[String], strataCol: String,
+                          fractions: Map[String, (Int, Int)],
+                          defaultFraction: (Int, Int) = (0, 1)): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach { case (n, d) =>
+      require(d >= 1 && n >= 0 && n <= d, s"invalid fraction $n/$d")
+    }
+    val h = TextOps.xhash(compositeKey(keyCols))
+    def keep(nd: (Int, Int)) = h % nd._2 < nd._1
+    val cond = fractions.toSeq.sortBy(_._1)
+      .foldRight(keep(defaultFraction): Column) { case ((stratum, nd), acc) =>
+        when(col(strataCol).cast(StringType) === stratum, keep(nd)).otherwise(acc)
+      }
+    df.filter(cond)
   }
 }

@@ -54,6 +54,27 @@ class SamplingSpec extends SparkSpec {
     assert(kept == 2)
   }
 
+  test("stratified sampling: per-stratum fractions, deterministic, default drops") {
+    val d = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("k", "s")
+    val out = Sampling.stratifiedByKeyHash(d, Seq("k"), "s",
+      Map("a" -> (1, 4), "b" -> (3, 4)))
+    val by = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!by.contains("c"), "unlisted stratum must fall to the default (drop)")
+    assert(math.abs(by("a") / 1000.0 - 0.25) < 0.06, s"a: ${by("a")}")
+    assert(math.abs(by("b") / 1000.0 - 0.75) < 0.06, s"b: ${by("b")}")
+    // deterministic under repartition (the property sampleBy lacks)
+    val again = Sampling.stratifiedByKeyHash(d.repartition(7), Seq("k"), "s",
+      Map("a" -> (1, 4), "b" -> (3, 4))).collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.collect().map(_.getLong(0)).sorted))
+    // a stratum at 1/1 keeps everything; rejects bad fractions
+    val full = Sampling.stratifiedByKeyHash(d, Seq("k"), "s", Map("c" -> (1, 1)))
+    assert(full.count() == 1000)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedByKeyHash(d, Seq("k"), "s", Map("a" -> (5, 4)))
+    }
+  }
+
   test("fails fast on an invalid fraction") {
     intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 3, 2) }
     intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 1, 0) }
