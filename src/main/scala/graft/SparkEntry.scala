@@ -411,6 +411,10 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // ── corpus-LM fluency score: integer-exact perplexity-filter analogue
+    "q59_bigram_score" -> ((s, dir) =>
+      graft.text.Ngrams.bigramScore(s.read.parquet(t(dir, "documents")))),
+
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
 
@@ -918,6 +922,18 @@ object SparkEntry {
         |b AS (SELECT fp FROM f WHERE doc_id % 17 = 0)
         |SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
         |ORDER BY doc_id""".stripMargin,
+
+    "q59_bigram_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
+        |head AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(c12 * 1000 // c1) // COUNT(*) AS BIGINT) AS lm_score1000
+        |FROM p JOIN big USING (w1, w2) JOIN head USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q48_bigrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -33,6 +33,43 @@ object Ngrams {
       .orderBy("w1", "rn")
   }
 
+  /** Per-document corpus-LM fluency score — the integer-exact, log-free
+    * analogue of perplexity filtering (a standard training-data quality
+    * signal): each bigram (w1, w2) scores its corpus conditional
+    * `count(w1,w2)·1000 div count(w1·)` (0..1000), and a document scores
+    * the integer mean over its bigrams. Repetitive/templated text scores
+    * high, word-salad low. Docs with < 2 tokens have no bigrams and are
+    * absent from the output. Output: (doc_id, n_bigrams, lm_score1000).
+    *
+    * Scale shape: two hash-aggregates build the model (map-side combined);
+    * scoring joins the doc's bigram stream to the model on (w1, w2) — the
+    * model tables broadcast while they fit, degrade to shuffled joins
+    * beyond (`broadcastModel = false`). */
+  def bigramScore(docs: DataFrame, broadcastModel: Boolean = true): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+    val pairs = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> struct(element_at(ws, i+1) AS w1, element_at(ws, i+2) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // head counts derived from the BIGRAM table (sum of c12 per head), not
+    // the token stream: w1 occurrences as a bigram head — so scores of a
+    // head's continuations sum to <= 1000 exactly
+    val head = big.groupBy("w1").agg(sum("c12").as("c1"))
+    pairs
+      .join(hinted(big), Seq("w1", "w2"))
+      .join(hinted(head), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("c12 * 1000 div c1")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST(s div n_bigrams AS BIGINT)").as("lm_score1000"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document top term by a tf/df score (integer surrogate for tf-idf:
     * `tf·10^6 div df` — log-free so it is cross-engine exact; document
     * frequency is the corpus-wide distinct-doc count per term).

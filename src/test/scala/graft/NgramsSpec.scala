@@ -1,5 +1,6 @@
 package graft
 
+
 import graft.text.Ngrams
 
 /** Skip-grams changed shape in round 3 (delta-exploded equi-join on
@@ -58,5 +59,26 @@ class NgramsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     // heads: a → b (2) beats a → c (1); b → a (2)
     assert(out.toSet == Set(("a", "b", 2L), ("b", "a", 2L)))
+  }
+
+  test("bigramScore: predictable text outscores word salad; short docs absent; modes agree") {
+    // docs 1-2 share the template (high conditional probabilities); doc 3
+    // reuses the COMMON head "the" with one-off continuations — that's
+    // what scores low (a rare head's one-off transition is conditionally
+    // certain and correctly scores 1000); doc 4 has no bigrams at all
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the purple the quantum the sandwich",
+      4L -> "single")
+    def toMap3(rows: Array[(Long, Long, Long)]) = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    val m = toMap3(Ngrams.bigramScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(!m.contains(4L), "a doc with no bigrams must be absent")
+    assert(m(1L)._2 > m(3L)._2, s"template ${m(1L)} must outscore salad ${m(3L)}")
+    // broadcast-free model path is identical
+    val shuffled = toMap3(Ngrams.bigramScore(d, broadcastModel = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(shuffled == m)
   }
 }
