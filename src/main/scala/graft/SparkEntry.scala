@@ -402,6 +402,14 @@ object SparkEntry {
         capacityTokens = 512)),
 
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
+    // ── repetition quality filters: duplicate/top n-gram mass ────────────
+    "q60_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(s.read.parquet(t(dir, "documents")))),
+
+    // ── PII scrubbing with redaction counts ──────────────────────────────
+    "q61_redact_pii" -> ((s, dir) =>
+      Pipeline.redactPii(s.read.parquet(t(dir, "documents")))),
+
     // ── eval-set decontamination: anti-join on content fingerprints ──────
     // (blocklist = the deterministic doc_id % 17 subset standing in for a
     // benchmark's eval texts; dups of blocklisted docs are dropped too)
@@ -914,6 +922,31 @@ object SparkEntry {
       """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q60_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        |       WHERE len(ws) >= 2),
+        |per AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+        |  CAST(1000 * (SUM(c) - COUNT(*)) // SUM(c) AS BIGINT) AS dup_frac1000,
+        |  CAST(1000 * MAX(c) // SUM(c) AS BIGINT) AS top_frac1000
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace is first-match by default — the 'g' flag makes
+    // it global like Spark's; both dialects (Java regex / RE2) agree on
+    // these conservative character-class patterns
+    "q61_redact_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS red_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q57_decontaminate" ->
       """WITH f AS (SELECT doc_id,

@@ -52,6 +52,25 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** PII scrubbing: replaces email addresses and phone-shaped numbers
+    * with typed placeholders and counts what was redacted (the audit
+    * trail a compliance pass needs). Patterns are deliberately
+    * conservative and dialect-portable (identical semantics in Java
+    * regex and RE2, so the DuckDB oracle replays them exactly); swap in
+    * stricter patterns per jurisdiction at the call site. Narrow — one
+    * projection, no shuffle. Output: (doc_id, n_emails, n_phones,
+    * red_text). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(phone)).cast(LongType).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("red_text"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-set decontamination: drops every doc whose normalized
     * bag-of-words fingerprint appears in `blocklist` (benchmark/eval
     * texts must not leak into training data). Output: the surviving

@@ -493,6 +493,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition metrics — the classic web-corpus quality filters
+    * (duplicate-n-gram and top-n-gram mass): a doc dominated by one
+    * repeated phrase or by copies of the same n-gram is boilerplate.
+    * Per doc over word BIGRAM occurrences (not the distinct set):
+    *  - `dup_frac1000`  = 1000·(total − distinct) div total
+    *  - `top_frac1000`  = 1000·(most frequent bigram's count) div total
+    * Docs with < 2 tokens have no bigrams and are absent.
+    * Two hash-aggregates, both map-side combined — no joins, no windows. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i+1), element_at(ws, i+2)))""".stripMargin))
+        .as("g"))
+    bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("total"), count(lit(1)).as("distinct_g"), max("c").as("topc"))
+      .select(col("doc_id"), col("total"),
+        expr("1000 * (total - distinct_g) div total").as("dup_frac1000"),
+        expr("1000 * topc div total").as("top_frac1000"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * (`[a-z]+|[0-9]+|[^a-z0-9 ]` — word pieces, number pieces, punct). */
   def tokenCounts(docs: DataFrame): DataFrame =

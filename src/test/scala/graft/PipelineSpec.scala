@@ -72,6 +72,18 @@ class PipelineSpec extends SparkSpec {
     assert(a.toSet.size == 10, s"expected all 10 buckets, got ${a.toSet}")
   }
 
+  test("redactPii replaces emails and phones with placeholders and counts them") {
+    val d = docs(
+      1L -> "contact bob.smith+x@example.co.uk or 555-123-4567 today",
+      2L -> "no pii here at all",
+      3L -> "two mails a@b.io c@d.org and 800.555.1234")
+    val out = Pipeline.redactPii(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "contact <EMAIL> or <PHONE> today")), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, "no pii here at all")))
+    assert(out(3L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> and <PHONE>")), s"got ${out(3L)}")
+  }
+
   test("decontaminate drops blocklisted content AND its duplicates, by content not id") {
     val corpus = docs(
       1L -> "the eval question about physics",

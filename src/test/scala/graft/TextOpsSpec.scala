@@ -174,6 +174,20 @@ class TextOpsSpec extends SparkSpec {
     assert(bags.length == 1 && bags(0).getLong(1) == 2) // same word-bag
   }
 
+  test("repetition metrics: boilerplate scores high, varied text low, short docs absent") {
+    val d = docs(
+      1L -> "buy now buy now buy now buy now",  // bigrams dominated by "buy now"/"now buy"
+      2L -> "a fresh take on seven distinct words",
+      3L -> "x")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(3L))
+    // doc 1: 7 bigram slots, 2 distinct → dup = 1000*5/7 = 714, top = 4/7 = 571
+    assert(out(1L) == ((7L, 714L, 571L)), s"got ${out(1L)}")
+    // doc 2: 7 words → 6 bigrams, all distinct → dup 0; top = 1000/6 = 166
+    assert(out(2L) == ((6L, 0L, 166L)), s"got ${out(2L)}")
+  }
+
   test("langIdArgmax picks the dictionary with most marker hits") {
     val d = docs(1L -> "the cat sat on the mat", 2L -> "le chat est sur le tapis")
     val out = TextAnalysis.langIdArgmax(d,
