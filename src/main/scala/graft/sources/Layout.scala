@@ -30,4 +30,20 @@ object Layout {
     * are bucketed the same way — asserted in the spec). */
   def joinBucketed(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Writes training shards: range-partitioned and sorted on `sortCol` (so
+    * shard N's keys all precede shard N+1's — deterministic, resumable
+    * consumption), each output file capped at `maxRecordsPerShard` rows.
+    * The cap is what keeps a shard loadable by a fixed-memory data-loader
+    * worker at any corpus scale; the range partitioning is one shuffle and
+    * the per-file split is writer-side (no extra job). */
+  def saveShards(df: DataFrame, path: String, sortCol: String,
+                 maxRecordsPerShard: Long): Unit = {
+    require(maxRecordsPerShard >= 1, "maxRecordsPerShard must be >= 1")
+    df.repartitionByRange(df.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+      .parquet(path)
+  }
 }

@@ -34,6 +34,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("saveShards: files capped at maxRecordsPerShard, key ranges disjoint across shards") {
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    val df = (1L to 997L).map(i => (i, s"doc $i")).toDF("k", "text")
+    Layout.saveShards(df, path, "k", maxRecordsPerShard = 100)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath).select("k")
+        .collect().map(_.getLong(0))
+      assert(rows.length <= 100, s"${f.getName}: ${rows.length} rows > cap")
+      (rows.min, rows.max)
+    }
+    // all 997 rows land exactly once
+    assert(perFile.length >= 10)
+    val total = spark.read.parquet(path).count()
+    assert(total == 997)
+    // range discipline: shards' [min, max] key ranges don't interleave
+    val sorted = perFile.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $aMax >= $bMin")
+      case _ =>
+    }
+  }
+
   test("partitioned parquet read prunes partitions under a filter") {
     val path = java.nio.file.Files.createTempDirectory("parted").toString
     val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
