@@ -25,14 +25,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype) in ("int8", "int16", "int32"):
             df[c] = df[c].astype("int64")
-        # datetimes: unit (ns vs us) and representation (datetime64 vs
-        # boxed date objects from parquet) vary by reader; the driver
-        # hashes VALUES, so normalize both to datetime64[us]
+        # datetimes: unit (ns vs us), tz-awareness (DuckDB reads
+        # isAdjustedToUTC parquet as TIMESTAMPTZ), and representation
+        # (datetime64 vs boxed date objects) vary by reader; the driver
+        # hashes VALUES, so normalize all to naive datetime64[us]
         elif str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
-        elif str(df[c].dtype) == "object" and len(df) and all(
-                hasattr(v, "year") for v in df[c].head(5)):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif str(df[c].dtype) == "object":
+            sample = df[c].dropna().head(5)
+            if len(sample) and all(hasattr(v, "year") for v in sample):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
 
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)

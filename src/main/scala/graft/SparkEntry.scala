@@ -401,7 +401,6 @@ object SparkEntry {
       graft.text.Pipeline.pack(s.read.parquet(t(dir, "documents")),
         capacityTokens = 512)),
 
-    // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     // ── repetition quality filters: duplicate/top n-gram mass ────────────
     "q60_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s.read.parquet(t(dir, "documents")))),
@@ -423,6 +422,7 @@ object SparkEntry {
     "q59_bigram_score" -> ((s, dir) =>
       graft.text.Ngrams.bigramScore(s.read.parquet(t(dir, "documents")))),
 
+    // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
 
@@ -941,7 +941,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
         |  regexp_replace(regexp_replace(text,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),

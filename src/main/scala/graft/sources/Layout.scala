@@ -31,9 +31,12 @@ object Layout {
   def joinBucketed(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** Writes training shards: range-partitioned and sorted on `sortCol` (so
-    * shard N's keys all precede shard N+1's — deterministic, resumable
-    * consumption), each output file capped at `maxRecordsPerShard` rows.
+  /** Writes training shards: range-partitioned and sorted on `sortCol`,
+    * each output file capped at `maxRecordsPerShard` rows. Shard key
+    * ranges never interleave — consumption in shard order is consumption
+    * in key order — though a RUN OF EQUAL keys may straddle adjacent
+    * shards (the cap splits mid-run); resume on a key boundary strictly
+    * above the last completed shard's max, or use a unique sort key.
     * The cap is what keeps a shard loadable by a fixed-memory data-loader
     * worker at any corpus scale; the range partitioning is one shuffle and
     * the per-file split is writer-side (no extra job). */

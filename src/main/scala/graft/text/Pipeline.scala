@@ -63,11 +63,16 @@ object Pipeline {
   def redactPii(docs: DataFrame): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val phone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+    // counts must reconcile with the placeholders actually emitted: phones
+    // are counted on the EMAIL-REDACTED text (a phone-shaped substring
+    // inside an address — 'x@555-123-4567.com' — is consumed by the email
+    // pass and must not inflate n_phones), so n_emails == #<EMAIL> and
+    // n_phones == #<PHONE> by construction
+    val afterEmail = regexp_replace(col("text"), email, "<EMAIL>")
     docs.select(col("doc_id"),
         regexp_count(col("text"), lit(email)).cast(LongType).as("n_emails"),
-        regexp_count(col("text"), lit(phone)).cast(LongType).as("n_phones"),
-        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-          phone, "<PHONE>").as("red_text"))
+        regexp_count(afterEmail, lit(phone)).cast(LongType).as("n_phones"),
+        regexp_replace(afterEmail, phone, "<PHONE>").as("red_text"))
       .orderBy("doc_id")
   }
 

@@ -50,7 +50,9 @@ class LayoutSpec extends SparkSpec {
     assert(perFile.length >= 10)
     val total = spark.read.parquet(path).count()
     assert(total == 997)
-    // range discipline: shards' [min, max] key ranges don't interleave
+    // range discipline: shards' [min, max] key ranges don't interleave.
+    // (the strict aMax < bMin below relies on this fixture's UNIQUE keys —
+    // a run of equal keys may legitimately straddle a cap split)
     val sorted = perFile.sortBy(_._1)
     sorted.sliding(2).foreach {
       case Array((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $aMax >= $bMin")

@@ -82,6 +82,12 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == ((1L, 1L, "contact <EMAIL> or <PHONE> today")), s"got ${out(1L)}")
     assert(out(2L) == ((0L, 0L, "no pii here at all")))
     assert(out(3L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> and <PHONE>")), s"got ${out(3L)}")
+    // counts reconcile with placeholders: a phone-shaped substring INSIDE
+    // an email is consumed by the email pass and must not count as a phone
+    val tricky = Pipeline.redactPii(docs(9L -> "mail x@555-123-4567.com please")).collect()(0)
+    assert(tricky.getLong(1) == 1L && tricky.getLong(2) == 0L &&
+      tricky.getString(3) == "mail <EMAIL> please",
+      s"got ${(tricky.getLong(1), tricky.getLong(2), tricky.getString(3))}")
   }
 
   test("decontaminate drops blocklisted content AND its duplicates, by content not id") {
