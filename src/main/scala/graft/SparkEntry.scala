@@ -422,6 +422,10 @@ object SparkEntry {
     "q59_bigram_score" -> ((s, dir) =>
       graft.text.Ngrams.bigramScore(s.read.parquet(t(dir, "documents")))),
 
+    // ── tokenizer-prep vocabulary: counts + distributed frequency rank ───
+    "q62_vocab" -> ((s, dir) =>
+      graft.text.Ngrams.vocab(s.read.parquet(t(dir, "documents")), minCount = 2)),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -969,6 +973,14 @@ object SparkEntry {
         |  CAST(SUM(c12 * 1000 // c1) // COUNT(*) AS BIGINT) AS lm_score1000
         |FROM p JOIN big USING (w1, w2) JOIN head USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q62_vocab" ->
+      """WITH c AS (SELECT t AS token, COUNT(*) AS cnt
+        |           FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |           GROUP BY t HAVING COUNT(*) >= 2)
+        |SELECT token, cnt,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |FROM c ORDER BY rank""".stripMargin,
 
     "q48_bigrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),

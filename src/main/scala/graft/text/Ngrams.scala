@@ -16,6 +16,23 @@ import org.apache.spark.sql.types.LongType
   */
 object Ngrams {
 
+  /** Tokenizer-prep vocabulary: corpus token counts, frequency-ranked
+    * (rank 1 = most frequent; ties break lexicographically), truncated to
+    * tokens with count >= `minCount`. The rank is DISTRIBUTED
+    * ([[graft.operators.GlobalRank]] — range shuffle + zipWithIndex), not
+    * a partitionless row_number window, because a web corpus's vocabulary
+    * is billions of distinct tokens. Output: (token, cnt, rank). */
+  def vocab(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    graft.operators.GlobalRank.withRank(counts, numParts = 0, "r",
+        col("cnt").desc, col("token"))
+      .select(col("token"), col("cnt"), (col("r") + 1).as("rank"))
+      .orderBy("rank")
+  }
+
   /** Bigram counts with the top `k` continuations per head word, ranked by
     * (count desc, word). Output: (w1, w2, cnt, rn). */
   def topBigrams(docs: DataFrame, k: Int): DataFrame = {

@@ -54,6 +54,17 @@ class NgramsSpec extends SparkSpec {
       ("c", 1L, Some("1"))))
   }
 
+  test("vocab: frequency-ranked, minCount-truncated, distributed (no global window)") {
+    val d = docs(1L -> "b a a b b c", 2L -> "a b b d")
+    val out = Ngrams.vocab(d, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b: 5, a: 3, c: 1 (cut), d: 1 (cut)
+    assert(out.toSeq == Seq(("b", 5L, 1L), ("a", 3L, 2L)), s"got ${out.toSeq}")
+    // distributed rank: the plan must not contain a partitionless Window
+    val plan = Ngrams.vocab(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"vocab rank fell back to a window:\n$plan")
+  }
+
   test("bigram top-k per head word") {
     val out = Ngrams.topBigrams(docs(1L -> "a b a b a c"), k = 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
