@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+import graft.text.{Dedup, Pipeline, TextAnalysis}
+
+/** End-to-end training-data pipeline orchestration — the LLM-side
+  * counterpart of [[SlidingCli]] (the reference-side CLI): one main that
+  * chains the cleaning stages a corpus actually goes through, from raw
+  * parquet to sharded train/val/test output, and prints a one-line JSON
+  * stage report (row counts per stage — the numbers a data-quality
+  * dashboard tracks).
+  *
+  * Stages (each one of this library's gate-verified operators):
+  *   1. normalize (lowercase/strip/collapse)
+  *   2. PII redaction
+  *   3. quality floor (integer quality score >= minQuality)
+  *   4. repetition ceiling (dup-bigram mass <= maxDupFrac)
+  *   5. near-dedup (MinHash/LSH → verify → CC; keep cluster reps)
+  *   6. deterministic content-hash split (train/val/test)
+  *   7. range-sorted capped shards per split
+  *
+  * Usage:
+  *   runMain graft.PipelineCli <docsParquet> <outDir>
+  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard]
+  */
+object PipelineCli {
+
+  /** The pipeline as a library call — returns (splitName -> cleaned docs)
+    * plus the per-stage counts. Deterministic end to end: re-running on
+    * the same corpus yields byte-identical shards. */
+  def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long)
+      : (Map[String, DataFrame], Seq[(String, Long)]) = {
+    val counts = Seq.newBuilder[(String, Long)]
+    counts += "input" -> docs.count()
+
+    val normalized = Pipeline.normalize(docs)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val redacted = Pipeline.redactPii(normalized)
+      .select(col("doc_id"), col("red_text").as("text"))
+
+    val quality = TextAnalysis.quality(redacted, stopwords = Seq("the", "a", "and", "of"))
+      .filter(col("quality") >= minQuality).select("doc_id")
+    val lowRep = TextAnalysis.repetition(redacted)
+      .filter(col("dup_frac1000") <= maxDupFrac1000).select("doc_id")
+    val filtered = redacted.join(quality, "doc_id").join(lowRep, "doc_id")
+    counts += "after_quality_filters" -> filtered.count()
+
+    val reps = Dedup.nearDedup(filtered)
+      .filter(col("doc_id") === col("cluster")).select("doc_id")
+    val deduped = filtered.join(reps, "doc_id")
+    counts += "after_near_dedup" -> deduped.count()
+
+    val split = Pipeline.datasetSplit(deduped).select("doc_id", "split")
+    val bySplit = Seq("train", "val", "test").map { name =>
+      name -> deduped.join(split.filter(col("split") === name), "doc_id")
+        .select("doc_id", "text")
+    }.toMap
+    bySplit.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      counts += s"split_$name" -> df.count()
+    }
+    (bySplit, counts.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PipelineCli <docsParquet> <outDir> " +
+      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard]")
+    val (input, outDir) = (args(0), args(1))
+    val minQuality = if (args.length > 2) args(2).toLong else 400L
+    val maxDupFrac = if (args.length > 3) args(3).toLong else 300L
+    val maxPerShard = if (args.length > 4) args(4).toLong else 100000L
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      // same convention as SlidingCli: spark-submit overrides via
+      // SPARK_MASTER / --master; bare runMain gets a local session
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac)
+    bySplit.foreach { case (name, df) =>
+      Layout.saveShards(df, s"$outDir/$name", "doc_id", maxPerShard)
+    }
+    println(counts.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
