@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitAndCount, DotProductLong, SortedIntersectCount}
+import graft.functions.{BitAndCount, BitmapFromRanks, CharNGrams, DotProductLong, SortedIntersectCount}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * injects the native codegen'd functions into every session built with
@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bit_and_count"),
       new ExpressionInfo(classOf[BitAndCount].getName, "bit_and_count"),
       (exprs: Seq[Expression]) => BitAndCount.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("bitmap_from_ranks"),
+      new ExpressionInfo(classOf[BitmapFromRanks].getName, "bitmap_from_ranks"),
+      (exprs: Seq[Expression]) => BitmapFromRanks.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => CharNGrams.builder(exprs)))
   }
 }

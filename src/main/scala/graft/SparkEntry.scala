@@ -239,8 +239,8 @@ object SparkEntry {
     // stop filtering — so this gate runs the bitmap small-universe path
     // (native AND+POPCNT kernel); parity with jaccardPairs is spec-tested
     "q56_chargram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsBitmap(s.read.parquet(t(dir, "documents")), num = 4, den = 5,
-        tokensOf = graft.text.TextOps.charGrams3)),
+      Dedup.jaccardPairsBitmapBlocked(s.read.parquet(t(dir, "documents")), num = 4, den = 5,
+        tokensOf = graft.text.TextOps.charGrams3Native)),
 
     "q23_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")), num = 19, den = 20)),

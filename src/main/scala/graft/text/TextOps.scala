@@ -47,6 +47,14 @@ object TextOps {
       |  array_distinct(transform(sequence(1, length(text) - 2),
       |    i -> substring(text, i, 3)))
       |ELSE array() END""".stripMargin)
+
+  /** Native twin of [[charGrams3]] ([[graft.functions.CharNGrams]], parity
+    * spec-gated): one codegen'd pass per row vs ~|text| interpreted lambda
+    * dispatches — the difference between the tokenize stage dominating the
+    * char-gram Jaccard join and disappearing into it. Requires
+    * `CharNGrams.register` on the session (the Dedup operators register it
+    * themselves; raw `select`s must call it first). */
+  val charGrams3Native: Column = expr("char_ngrams(text, 3)")
 }
 
 /** Deduplication operators over a `(doc_id, text)` corpus.
@@ -259,23 +267,12 @@ object Dedup {
     // "identical" operators would disagree on a degenerate threshold
     require(num >= 1 && num <= den, "need 1 <= num <= den (Jaccard threshold in (0, 1])")
     graft.functions.BitAndCount.register(docs.sparkSession)
-    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
-    // dense 0-based vocabulary ranks, distributed (no single-task window)
-    val rank = graft.operators.GlobalRank.withRank(
-        tok.select("w").distinct(), numParts = 0, "r", col("w"))
-      .select(col("w"), col("r"))
-    val bm = tok.join(broadcast(rank), "w")
-      .groupBy("doc_id").agg(collect_list(col("r")).as("rs"))
-      .select(col("doc_id"), size(col("rs")).cast(LongType).as("nw"),
-        expr("""transform(sequence(0, CAST(array_max(rs) div 64 AS INT)),
-                 w -> aggregate(filter(rs, r -> CAST(r div 64 AS INT) = w),
-                   CAST(0 AS BIGINT),
-                   (acc, r) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(r % 64 AS INT))))""")
-          .as("bm"))
+    val bm = bitmapSignatures(docs, tokensOf)
     // broadcastRight = false drops the hint for corpora past the broadcast
     // limit: the non-equi join then plans as a (shuffle-partitioned)
     // cartesian — still n², which is this operator's contract; block the
-    // input first when n² itself is the problem (see regime map above)
+    // input first when n² itself is the problem (see regime map above,
+    // and [[jaccardPairsBitmapBlocked]] for the banded composition)
     val right = if (broadcastRight) broadcast(bm) else bm
     val pairs = bm.as("a").join(right.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
@@ -286,6 +283,97 @@ object Dedup {
         col("a.nw"), col("b.nw"))
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
         (col("a.nw") + col("b.nw") - col("inter_cnt")).as("union_cnt"))
+      .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
+  /** The `(doc_id, nw, bm)` bitmap-signature table shared by the bitmap
+    * Jaccard joins: distinct tokens → distributed dense vocabulary ranks
+    * (no single-task window) → one native [[graft.functions.BitmapFromRanks]]
+    * pass per doc. Eagerly local-checkpointed: every caller joins this
+    * table against itself, and without materialization BOTH join branches
+    * would re-execute the build (the broadcast exchange and the streamed
+    * scan do not share a stage) — measured as 2× the dominant cost of the
+    * whole operator. Docs with an empty token set have no row (explode
+    * emits nothing), matching the SQL oracle's `len(s) > 0` guard. */
+  private def bitmapSignatures(docs: DataFrame, tokensOf: Column): DataFrame = {
+    graft.functions.BitmapFromRanks.register(docs.sparkSession)
+    graft.functions.CharNGrams.register(docs.sparkSession)
+    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
+    val rank = graft.operators.GlobalRank.withRank(
+        tok.select("w").distinct(), numParts = 0, "r", col("w"))
+      .select(col("w"), col("r"))
+    tok.join(broadcast(rank), "w")
+      .groupBy("doc_id").agg(collect_list(col("r")).as("rs"))
+      .select(col("doc_id"), size(col("rs")).cast(LongType).as("nw"),
+        expr("bitmap_from_ranks(rs)").as("bm"))
+      .localCheckpoint(eager = true)
+  }
+
+  /** Geometric size-band ids for the length filter `num·max(nwa, nwb) <=
+    * den·min(nwa, nwb)`: integer boundaries B(0)=1, B(k+1)=⌊B(k)·den/num⌋+1,
+    * band(nw) = the k with B(k) <= nw < B(k+1). Any pair passing the length
+    * filter has band distance <= 1 (proof: nw_a < B(k+1) implies
+    * nw_b <= ⌊(B(k+1)-1)·den/num⌋ <= B(k+2)-1), so probing {band, band+1}
+    * loses nothing — and being integer arithmetic end-to-end, there is no
+    * floating-log rounding hazard at exact-ratio boundaries. */
+  private[graft] def sizeBandBounds(num: Int, den: Int): Array[Long] = {
+    val bs = scala.collection.mutable.ArrayBuffer(1L)
+    while (bs.last <= (1L << 40) && bs.length < 8192) bs += bs.last * den / num + 1
+    bs.toArray // nw past the last bound all land in the final band: extra
+               // enumerations there, never a lost pair
+  }
+
+  /** [[jaccardPairsBitmap]] composed with lossless size-band blocking — the
+    * registered 100 TB shape: NO whole-corpus nested-loop join appears in
+    * the plan. Each doc's home key is (size band, salt); the probe side
+    * replicates each doc to both reachable bands × all `salts` buckets, and
+    * the pair join is EQUI-KEYED on (band, salt) — a shuffled join whose
+    * tasks each enumerate one tile of the (band-adjacent) pair space. The
+    * length filter lives in the band key, so pairs outside the den/num size
+    * ratio are never enumerated (~2× fewer candidates at threshold 4/5 on
+    * the test corpus) — and a genuinely huge corpus would compose this with
+    * LSH-bucket blocking per the regime map above.
+    *
+    * Pair-once accounting: a same-band pair meets exactly where the probe
+    * doc's replica hits the home doc's (band, salt) — both orientations
+    * match, so same-band keeps `a.doc_id < b.doc_id`; a band-distance-1
+    * pair meets only via the lower-band doc's band+1 replica (the higher
+    * doc never probes downward), so cross-band pairs canonicalize with
+    * least/greatest. No distinct needed.
+    *
+    * `salts` scales tile parallelism linearly at O(salts) probe-side
+    * replication of the small signature table (⌈U/64⌉ longs per row) —
+    * size it ~ (cluster cores) / (distinct populated bands).
+    * Output is identical to [[jaccardPairsBitmap]] (spec-gated). */
+  def jaccardPairsBitmapBlocked(docs: DataFrame, num: Int, den: Int,
+                                tokensOf: Column = array_distinct(split(col("text"), " ")),
+                                salts: Int = 8): DataFrame = {
+    require(num >= 1 && num <= den, "need 1 <= num <= den (Jaccard threshold in (0, 1])")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    graft.functions.BitAndCount.register(docs.sparkSession)
+    val bounds = typedLit(sizeBandBounds(num, den).toSeq)
+    val banded = bitmapSignatures(docs, tokensOf)
+      .withColumn("band", size(filter(bounds, b => b <= col("nw"))).cast(LongType) - 1)
+    val home = banded.withColumn("hv", pmod(xxhash64(col("doc_id")), lit(salts)))
+    val probeBands = // num = den forces nw equality — the upward probe can
+      if (num == den) array(col("band")) // never match, skip the replicas
+      else array(col("band"), col("band") + 1)
+    val probes = banded
+      .withColumn("pb", explode(probeBands))
+      .withColumn("pv", explode(sequence(lit(0L), lit(salts - 1L))))
+    val pairs = probes.as("a").join(home.as("b"),
+        col("a.pb") === col("b.band") && col("a.pv") === col("b.hv") &&
+          (col("a.band") =!= col("b.band") || col("a.doc_id") < col("b.doc_id")) &&
+          col("a.nw") * num <= col("b.nw") * den &&
+          col("b.nw") * num <= col("a.nw") * den)
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        expr("bit_and_count(a.bm, b.bm)").as("inter_cnt"),
+        (col("a.nw") + col("b.nw")).as("sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+        (col("sz") - col("inter_cnt")).as("union_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
     pairs.orderBy("doc_a", "doc_b")
   }

@@ -45,7 +45,7 @@ class JaccardPropertySpec extends SparkSpec {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
   test("PPJoin and bitmap paths match brute force on 12 random corpora × thresholds") {
-    val thresholds = Seq((1, 2), (2, 3), (4, 5), (19, 20))
+    val thresholds = Seq((1, 2), (2, 3), (4, 5), (19, 20), (1, 1))
     for (trial <- 1 to 12) {
       val corpus = randomCorpus(8 + rng.nextInt(8))
       val df = corpus.toDF("doc_id", "text")
@@ -55,6 +55,11 @@ class JaccardPropertySpec extends SparkSpec {
         s"trial $trial PPJoin words num=$num den=$den corpus=$corpus")
       assert(collectPairs(Dedup.jaccardPairsBitmap(df, num, den)) == expectW,
         s"trial $trial bitmap words num=$num den=$den corpus=$corpus")
+      // blocked composition: identical output for every salt count,
+      // including the num = den equality band (no upward probes)
+      assert(collectPairs(Dedup.jaccardPairsBitmapBlocked(df, num, den,
+        salts = 1 + trial % 4)) == expectW,
+        s"trial $trial banded bitmap words num=$num den=$den corpus=$corpus")
       if (trial % 3 == 0) { // char-gram extractor parity on a subset of trials
         val expectG = brute(corpus, num, den, gramSet)
         assert(collectPairs(Dedup.jaccardPairs(df, num, den,
@@ -63,6 +68,9 @@ class JaccardPropertySpec extends SparkSpec {
         assert(collectPairs(Dedup.jaccardPairsBitmap(df, num, den,
           tokensOf = TextOps.charGrams3)) == expectG,
           s"trial $trial bitmap grams num=$num den=$den corpus=$corpus")
+        assert(collectPairs(Dedup.jaccardPairsBitmapBlocked(df, num, den,
+          tokensOf = TextOps.charGrams3Native, salts = 1 + trial % 3)) == expectG,
+          s"trial $trial banded native grams num=$num den=$den corpus=$corpus")
       }
     }
   }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BitmapFromRanks, CharNGrams}
+import graft.text.TextOps
+
+class NativeTextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("char_ngrams matches the HOF charGrams3 exactly, including order") {
+    CharNGrams.register(spark)
+    val texts = Seq(
+      "", "a", "ab", "abc", "abcd", "aaaaaa", "abcabcabc",
+      "the quick brown fox", "ab ab ab",
+      "héllo wörld", "ρομπότ και άνθρωποι", "日本語のテキスト断片",
+      "mixed ascii ünd ûnïcode", "  spaces   everywhere  ",
+      "a\tb\nc", "ééé", "🎉🎉x🎉") // astral plane: 4-byte code points
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = df.select(TextOps.charGrams3Native.as("native"),
+                        TextOps.charGrams3.as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
+  test("char_ngrams participates in whole-stage codegen and handles n != 3") {
+    CharNGrams.register(spark)
+    assert(Seq("abcd").toDF("text").select(expr("char_ngrams(text, 2)"))
+      .collect()(0).getSeq[String](0) == Seq("ab", "bc", "cd"))
+    // non-literal input so constant folding can't pre-evaluate the call
+    val df = spark.range(10).select(concat(lit("ab"), col("id")).as("text"))
+      .select(expr("char_ngrams(text, 2)").as("g"))
+    assert(df.collect().length == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("char_ngrams") && plan.contains("*(1) Project"), plan)
+    // null propagates; n must be a literal
+    assert(Seq((null: String)).toDF("text")
+      .select(expr("char_ngrams(text, 3)")).collect()(0).isNullAt(0))
+    intercept[Exception] {
+      Seq(("ab", 2)).toDF("text", "n").select(expr("char_ngrams(text, n)")).collect()
+    }
+  }
+
+  test("bitmap_from_ranks matches the HOF bitmap build and rejects bad ranks") {
+    BitmapFromRanks.register(spark)
+    val rng = new scala.util.Random(11L)
+    val rows = Seq.fill(100)(Seq.fill(rng.nextInt(40) + 1)(rng.nextInt(500).toLong).distinct) :+
+      Seq.empty[Long] :+ Seq(0L) :+ Seq(63L, 64L, 127L, 128L)
+    val df = rows.toDF("rs")
+    val out = df.select(
+      expr("bitmap_from_ranks(rs)").as("native"),
+      expr("""CASE WHEN size(rs) = 0 THEN array()
+              |ELSE transform(sequence(0, CAST(array_max(rs) div 64 AS INT)),
+              |  w -> aggregate(filter(rs, r -> CAST(r div 64 AS INT) = w),
+              |    CAST(0 AS BIGINT),
+              |    (acc, r) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(r % 64 AS INT))))
+              |END""".stripMargin).as("hof")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // a negative rank must throw, not corrupt the bitmap
+    intercept[Exception] {
+      Seq(Seq(-1L)).toDF("rs").select(expr("bitmap_from_ranks(rs)")).collect()
+    }
+    intercept[Exception] { // past the documented 2^26 universe cap
+      Seq(Seq(BitmapFromRanks.MaxRank)).toDF("rs")
+        .select(expr("bitmap_from_ranks(rs)")).collect()
+    }
+  }
+
+  test("size-band bounds are exact: any pair passing the length filter spans <= 1 band") {
+    for ((num, den) <- Seq((4, 5), (1, 2), (19, 20), (2, 3), (9, 10))) {
+      val bounds = graft.text.Dedup.sizeBandBounds(num, den)
+      def band(nw: Long): Int = {
+        val i = bounds.lastIndexWhere(_ <= nw); assert(i >= 0, s"nw=$nw"); i
+      }
+      for (a <- 1L to 600L; b <- a to math.min(600L, a * den / num)) {
+        // (a, b) passes the filter num·max <= den·min exactly when b <= a·den/num
+        assert(band(b) - band(a) <= 1,
+          s"num=$num den=$den nw=($a,$b) bands=(${band(a)},${band(b)})")
+      }
+    }
+  }
+}
