@@ -30,7 +30,19 @@ object PipelineCli {
 
   /** The pipeline as a library call — returns (splitName -> cleaned docs)
     * plus the per-stage counts. Deterministic end to end: re-running on
-    * the same corpus yields byte-identical shards. */
+    * the same corpus yields byte-identical shards.
+    *
+    * Stage outputs are persisted while they still feed later stages, and
+    * unpersisted the moment their last consumer has materialized —
+    * without this, `redacted` re-executes normalize+redact under each
+    * filter scan AND the join, and `filtered` re-executes the whole chain
+    * under nearDedup and again under every split join (~4 full corpus
+    * passes where 1–2 suffice; at 100 TB that is the pipeline's cost).
+    * The RETURNED split frames are each persisted and already
+    * materialized (their counts are the stage report), so writing them
+    * out touches no upstream lineage; callers unpersist them via
+    * `df.unpersist()` when done (the CLI holds them only until its
+    * shard writes finish). */
   def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
@@ -40,27 +52,33 @@ object PipelineCli {
       .select(col("doc_id"), col("norm_text").as("text"))
     val redacted = Pipeline.redactPii(normalized)
       .select(col("doc_id"), col("red_text").as("text"))
+      .persist() // feeds both filter scans and the filtered join
 
     val quality = TextAnalysis.quality(redacted, stopwords = Seq("the", "a", "and", "of"))
       .filter(col("quality") >= minQuality).select("doc_id")
     val lowRep = TextAnalysis.repetition(redacted)
       .filter(col("dup_frac1000") <= maxDupFrac1000).select("doc_id")
     val filtered = redacted.join(quality, "doc_id").join(lowRep, "doc_id")
+      .persist() // feeds nearDedup's several passes and the dedup join
     counts += "after_quality_filters" -> filtered.count()
 
     val reps = Dedup.nearDedup(filtered)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val deduped = filtered.join(reps, "doc_id")
+      .persist() // feeds the split assignment and all three split joins
     counts += "after_near_dedup" -> deduped.count()
+    redacted.unpersist() // last consumer (filtered) is materialized
+    filtered.unpersist() // last consumer (deduped) is materialized
 
     val split = Pipeline.datasetSplit(deduped).select("doc_id", "split")
     val bySplit = Seq("train", "val", "test").map { name =>
       name -> deduped.join(split.filter(col("split") === name), "doc_id")
-        .select("doc_id", "text")
+        .select("doc_id", "text").persist()
     }.toMap
     bySplit.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      counts += s"split_$name" -> df.count()
+      counts += s"split_$name" -> df.count() // also materializes the cache
     }
+    deduped.unpersist() // the persisted split frames now hold the data
     (bySplit, counts.result())
   }
 
@@ -83,6 +101,7 @@ object PipelineCli {
     val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac)
     bySplit.foreach { case (name, df) =>
       Layout.saveShards(df, s"$outDir/$name", "doc_id", maxPerShard)
+      df.unpersist()
     }
     println(counts.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}"))

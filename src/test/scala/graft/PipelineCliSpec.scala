@@ -25,6 +25,13 @@ class PipelineCliSpec extends SparkSpec {
     assert(c("after_near_dedup") == c("after_quality_filters") - 2, s"$counts")
     assert(c("split_train") + c("split_val") + c("split_test") == c("after_near_dedup"))
 
+    // the returned frames are persisted and materialized: consuming them
+    // must scan the cache, not re-execute the normalize→dedup lineage
+    // (the round-4 ~4-full-passes regression this guards against)
+    val trainPlan = bySplit("train").queryExecution.executedPlan.toString
+    assert(trainPlan.contains("InMemoryTableScan") ||
+      trainPlan.contains("TableCacheQueryStage"), trainPlan)
+
     // shards: write train, re-read, exact row parity
     val out = java.nio.file.Files.createTempDirectory("pipe").toString
     graft.sources.Layout.saveShards(bySplit("train"), s"$out/train", "doc_id", 8)
