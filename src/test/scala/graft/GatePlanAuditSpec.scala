@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression gate over EVERY registered query: the scale
+  * anti-patterns this library's design bans — a partitionless window
+  * (single-task sort of the whole input), a cartesian product, or a
+  * whole-corpus nested-loop join — must not appear in any gate query's
+  * physical plan. This turns the bench-tail eyeball check ("zero
+  * `WindowExec: No Partition Defined` warnings") into a spec, so a future
+  * q-entry that sneaks in `Window.orderBy` without `partitionBy`, or a
+  * join that degrades to BNLJ, fails here rather than at 100 TB.
+  *
+  * The audit inspects `sparkPlan` (the physical plan before AQE), which
+  * exists without running the query; operators that precompute splitters
+  * or ranks during CONSTRUCTION (GlobalRank, OrderStats) do run those
+  * small jobs, which is why this uses sf0.001.
+  */
+class GatePlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // A gate may only appear here WITH a justification for its shape.
+  private val allowNestedLoop: Set[String] = Set(
+    // The exact brute-force top-k scan: a BROADCAST cross of the tiny
+    // query set against the streamed corpus — O(n·|Q|) work on n rows,
+    // embarrassingly parallel, never corpus×corpus. This is the
+    // documented exact baseline; the 100 TB path is the LSH/IVF ANN
+    // operators (bucket-keyed equi-joins, recall-spec-gated).
+    "q22_topk_cosine")
+  private val allowGlobalWindow: Set[String] = Set.empty
+
+  private def offenders(plan: SparkPlan): Seq[String] = {
+    val bad = Seq.newBuilder[String]
+    plan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        bad += s"partitionless WindowExec(${w.windowExpression.map(_.sql).mkString(", ").take(60)})"
+      case _: CartesianProductExec => bad += "CartesianProduct"
+      case j: BroadcastNestedLoopJoinExec => bad += s"BroadcastNestedLoopJoin(${j.joinType})"
+      case _ =>
+    }
+    bad.result()
+  }
+
+  test("no gate query plans a partitionless window, cartesian, or nested-loop join") {
+    val failures = Seq.newBuilder[String]
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val found = offenders(q(spark, sfDir).queryExecution.sparkPlan)
+      val filtered = found.filterNot { f =>
+        (f.startsWith("partitionless") && allowGlobalWindow(name)) ||
+        (!f.startsWith("partitionless") && allowNestedLoop(name))
+      }
+      if (filtered.nonEmpty) failures += s"$name: ${filtered.mkString("; ")}"
+    }
+    assert(failures.result().isEmpty,
+      s"scale anti-patterns in gate plans:\n${failures.result().mkString("\n")}")
+  }
+}
