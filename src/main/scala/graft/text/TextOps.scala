@@ -200,9 +200,14 @@ object Dedup {
         tok.groupBy("w").agg(count(lit(1)).as("cnt")),
         numParts = 0, "tr0", col("cnt"), col("w"))
       .select(col("w"), (col("tr0") + 1).cast(IntegerType).as("tr"))
+    // eagerly materialized: `sets` feeds the prefix self-join AND both
+    // verify joins — without this the explode+rank-join+groupBy lineage
+    // re-executes under each broadcast (measured ~3 builds per call;
+    // q38 composes this under connected components, multiplying it)
     val sets = tok.join(hinted(rank), "w")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tr"))).as("set"), count(lit(1)).as("nw"))
+      .localCheckpoint(eager = true)
     // prefix tokens WITH their 1-based position: |prefix| = |d| - ceil(t·|d|) + 1
     val prefixes = sets.select(col("doc_id"), col("nw"),
         posexplode(expr(s"slice(set, 1, CAST(nw - ((nw * $num + $den - 1) div $den) + 1 AS INT))")))
@@ -428,23 +433,33 @@ object Dedup {
     * Returns (doc_id, cluster), cluster = min reachable id. */
   def clusters(allDocs: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val numParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // the raw cache keeps the possibly-expensive upstream edge join from
+    // re-executing, and its count sizes the ROUND-SHAPE partitioning:
+    // every round schedules ~3 stages over the edge table, so a small
+    // graph paying conf-many near-empty tasks per round is pure scheduler
+    // latency (measured ~20% of the whole dedup-clusters gate), while a
+    // huge graph keeps conf partitions. AQE cannot do this here — a
+    // coalesced exchange no longer advertises strict hashpartitioning,
+    // which would re-exchange the |E| side every round (see below).
+    val raw = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    val parts = math.max(2, math.min(numParts, (2 * raw.count() / 50000L + 1).toInt))
     // sym is CACHED, not checkpointed: InMemoryRelation preserves the
     // repartition's hashpartitioning(dst), so every round's join against
     // labels needs NO exchange on this — the big |E| — side (a
     // localCheckpoint'ed RDD scan advertises unknown partitioning and
     // gets re-exchanged every round; verified against the physical plan).
-    // The cache also keeps the possibly-expensive upstream edge join from
-    // re-executing. labels below DOES need localCheckpoint — its plan
-    // would otherwise grow ~3^rounds and OOM the driver.
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(numParts, col("dst"))
+    // labels below DOES need localCheckpoint — its plan would otherwise
+    // grow ~3^rounds and OOM the driver.
+    val sym = raw
+      .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("dst"))
       .cache()
     // propagate only over edge-touched docs — isolated docs are their own
     // cluster and never change, so keep them out of every round's joins
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
+    raw.unpersist(false) // sym (materialized by the labels checkpoint) owns the data now
     // decimal(38,0): a Long sum of labels overflows once ids × docs pass
     // 2^63 (ANSI mode would fail the job at exactly the wrong scale).
     // SUM over an empty relation is NULL — map it to 0 so a corpus with no
