@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.multimodal.Multimodal
+
+/** Byte-exact golden-image gate for the REAL decode path: a checked-in
+  * 4×2 PNG and BMP with hand-computed expected features/thumbnails. The
+  * expectations are derived from the pixel design ON PAPER (not from
+  * running the code), so any cross-JVM or cross-decoder drift in
+  * `imageDecode`/`thumbnail` — whose stated contract is bit-identical
+  * output everywhere — fails here.
+  *
+  * Fixture layout (sRGB):
+  *   row 0: red(255,0,0)  green(0,255,0)  blue(0,0,255)  white(255,255,255)
+  *   row 1: black(0,0,0)  gray(128,128,128) yellow(255,255,0) cyan(0,255,255)
+  */
+class ImageGoldenSpec extends SparkSpec {
+
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    assert(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  // hand-computed: sums over the 8 pixels above
+  //   R: 255+0+0+255 + 0+128+255+0   = 893  -> mean 111.625
+  //   G: 0+255+0+255 + 0+128+255+255 = 1148 -> mean 143.5
+  //   B: 0+0+255+255 + 0+128+0+255   = 893  -> mean 111.625
+  //   A: opaque everywhere           -> mean 255
+  private val expectedFeatures =
+    Array(4f, 2f, 111.625f, 143.5f, 111.625f, 255f, 8f, 0f)
+
+  // nearest-neighbor 2×1 grid: sx = x·4/2 ∈ {0, 2}, sy = 0
+  //   -> pixels (0,0)=red and (2,0)=blue
+  private val expectedThumb2x1 = Array(255f, 0f, 0f, 0f, 0f, 255f)
+
+  // 4×2 identity grid returns every pixel in row-major order
+  private val expectedThumb4x2 = Array[Float](
+    255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 255,
+    0, 0, 0,     128, 128, 128, 255, 255, 0, 0, 255, 255)
+
+  for (name <- Seq("fixture_4x2.png", "fixture_4x2.bmp")) {
+    test(s"$name: imageDecode features are byte-exact") {
+      assert(Multimodal.imageDecode(fixtureBytes(name)).toSeq == expectedFeatures.toSeq)
+    }
+    test(s"$name: thumbnail grids are byte-exact") {
+      val bytes = fixtureBytes(name)
+      assert(Multimodal.thumbnail(bytes, 2, 1).toSeq == expectedThumb2x1.toSeq)
+      assert(Multimodal.thumbnail(bytes, 4, 2).toSeq == expectedThumb4x2.toSeq)
+    }
+  }
+
+  test("golden fixtures flow through the DataFrame plumbing unchanged") {
+    val png = fixtureBytes("fixture_4x2.png")
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, png, "image/png", Integer.valueOf(4), Integer.valueOf(2)),
+        Row(2L, null, "image/png", null, null))), // NULL blob degrades per row
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media, Multimodal.imageDecode)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getSeq[Float](3) == expectedFeatures.toSeq)
+    assert(feats(1L).getLong(1) == png.length.toLong)
+    assert(feats(1L).getLong(2) == Multimodal.checksum(png))
+    assert(feats(2L).getSeq[Float](3) == Seq.fill(8)(-1f)) // empty bytes: undecodable
+    val thumbs = Multimodal.extractThumbnails(media, 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(thumbs(1L) == expectedThumb2x1.toSeq)
+    assert(thumbs(2L).isEmpty)
+  }
+}
