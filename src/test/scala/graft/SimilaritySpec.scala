@@ -96,6 +96,27 @@ class SimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("ivfRefine: one Lloyd round lifts recall to >= 0.9 at unchanged nProbe, deterministically") {
+    val t = table(120)
+    val q = t.filter($"vec_id" < 4)
+    val c = t.filter($"vec_id" >= 4)
+    val exact = Similarity.topkCosine(q, c, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    def run() = Similarity.ivfTopkCosine(q, c, k = 5, nCells = 8, nProbe = 3,
+      refineIters = 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val refined = run()
+    val recall = (exact intersect refined).size.toDouble / exact.size
+    assert(recall >= 0.9, s"refined recall=$recall exact=$exact ivf=$refined")
+    assert(run() == refined) // refinement is deterministic run to run
+    // an empty cell keeps its centroid: refine never shrinks the index
+    val cents = Similarity.ivfCentroids(c, 8)
+    assert(Similarity.ivfRefine(c, cents, iters = 2).count() == 8)
+    // iters = 0 is the identity
+    assert(Similarity.ivfRefine(c, cents, iters = 0).collect().toSeq ==
+      cents.collect().toSeq)
+  }
+
   test("zero-norm vectors degrade per row (no ANSI divide crash), never rank") {
     // components in [0, 0.001) quantize to the all-zero vector: qn = 0
     val zero = Seq.fill(16)(0.0004f)
