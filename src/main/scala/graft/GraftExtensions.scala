@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitAndCount, BitmapFromRanks, CharNGrams, DotProductLong, SortedIntersectCount}
+import graft.functions.{BitAndCount, BitmapFromRanks, CharNGrams, DotProductLong, MinhashAffine, SortedIntersectCount}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * injects the native codegen'd functions into every session built with
@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
       (exprs: Seq[Expression]) => CharNGrams.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("minhash_affine"),
+      new ExpressionInfo(classOf[MinhashAffine].getName, "minhash_affine"),
+      (exprs: Seq[Expression]) => MinhashAffine.builder(exprs)))
   }
 }

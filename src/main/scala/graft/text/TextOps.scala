@@ -118,10 +118,11 @@ object Dedup {
     // sequence(0, numHashes-1) COUNTS DOWN for numHashes <= 0 (the same
     // foot-gun shinglesExpr guards) — reject rather than emit garbage rows
     require(numHashes >= 1, "need numHashes >= 1")
-    val sigExpr =
-      s"""transform(sequence(0, ${numHashes - 1}), i ->
-         |  array_min(transform(hs, h ->
-         |    (((2654435761 * (i+1)) % $P) * h + (40503 * (i+1)) % $P) % $P)))""".stripMargin
+    // one native k·|shingles| loop ([[graft.functions.MinhashAffine]],
+    // HOF-parity spec-gated) — the transform×array_min HOF form dispatched
+    // k·|shingles| interpreted lambdas per row and dominated this stage
+    graft.functions.MinhashAffine.register(docs.sparkSession)
+    val sigExpr = s"minhash_affine(hs, $numHashes, ${P}L)"
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)

@@ -68,6 +68,27 @@ class NativeTextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_affine matches the HOF formulation exactly, nulls and empties included") {
+    graft.functions.MinhashAffine.register(spark)
+    val P = graft.text.TextOps.P
+    val rng = new scala.util.Random(23L)
+    val rows = Seq.fill(80)(Seq.fill(rng.nextInt(30) + 1)(
+        (rng.nextLong() % P + P) % P): Seq[Long]) :+
+      Seq.empty[Long] :+ Seq(0L) :+ Seq(P - 1)
+    val df = rows.toDF("hs")
+    val out = df.select(
+      expr(s"minhash_affine(hs, 16, ${P}L)").as("native"),
+      expr(s"""transform(sequence(0, 15), i ->
+              |  array_min(transform(hs, h ->
+              |    (((2654435761 * (i+1)) % $P) * h + (40503 * (i+1)) % $P) % $P)))"""
+        .stripMargin).as("hof")).collect()
+    out.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
+    // null elements are skipped like array_min skips them
+    val withNull = spark.sql(
+      s"SELECT minhash_affine(array(CAST(NULL AS BIGINT), 7L), 2, ${P}L) AS s").collect()
+    assert(!withNull(0).getSeq[Any](0).contains(null))
+  }
+
   test("size-band bounds are exact: any pair passing the length filter spans <= 1 band") {
     for ((num, den) <- Seq((4, 5), (1, 2), (19, 20), (2, 3), (9, 10))) {
       val bounds = graft.text.Dedup.sizeBandBounds(num, den)
