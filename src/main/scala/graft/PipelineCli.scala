@@ -61,13 +61,14 @@ object PipelineCli {
     val filtered = redacted.join(quality, "doc_id").join(lowRep, "doc_id")
       .persist() // feeds nearDedup's several passes and the dedup join
     counts += "after_quality_filters" -> filtered.count()
+    redacted.unpersist() // its last consumer (filtered) just materialized —
+    // free it BEFORE the memory-heaviest stage (nearDedup) runs
 
     val reps = Dedup.nearDedup(filtered)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val deduped = filtered.join(reps, "doc_id")
       .persist() // feeds the split assignment and all three split joins
     counts += "after_near_dedup" -> deduped.count()
-    redacted.unpersist() // last consumer (filtered) is materialized
     filtered.unpersist() // last consumer (deduped) is materialized
 
     val split = Pipeline.datasetSplit(deduped).select("doc_id", "split")

@@ -42,6 +42,7 @@ case class BitmapFromRanks(child: Expression) extends UnaryExpression {
     var mx = -1L
     var i = 0
     while (i < n) {
+      BitmapFromRanks.checkNotNull(rs, i) // getLong on a null slot reads 0 silently
       val r = rs.getLong(i)
       BitmapFromRanks.checkRank(r)
       if (r > mx) mx = r
@@ -65,6 +66,7 @@ case class BitmapFromRanks(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |long $mx = -1L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $cls.checkNotNull($a, $i);
          |  long $r = $a.getLong($i);
          |  $cls.checkRank($r);
          |  if ($r > $mx) $mx = $r;
@@ -91,6 +93,12 @@ object BitmapFromRanks {
   def checkRank(r: Long): Unit =
     if (r < 0 || r >= MaxRank) throw new IllegalArgumentException(
       s"bitmap_from_ranks: rank $r out of [0, $MaxRank)")
+
+  /** `getLong` on a null slot silently reads 0 — a NULL rank must throw
+    * like an out-of-range one, not set bit 0 (class doc contract). */
+  def checkNotNull(rs: ArrayData, i: Int): Unit =
+    if (rs.isNullAt(i)) throw new IllegalArgumentException(
+      s"bitmap_from_ranks: NULL rank at position $i")
 
   def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1,

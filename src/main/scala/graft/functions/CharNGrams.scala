@@ -19,13 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unicode contract matches SQL `substring`: positions count CODE POINTS,
   * not bytes — the byte offset of every character boundary is collected in
   * one forward scan, and each gram is a zero-copy slice of the row's UTF-8
-  * bytes. Strings shorter than n characters yield an empty array.
+  * bytes. Strings shorter than n characters yield an empty array — and so
+  * does a NULL string, because that is what the HOF's
+  * `CASE WHEN length(text) >= 3 ... ELSE array() END` yields (a NULL
+  * condition falls to ELSE); the parity claim covers NULL rows too, so
+  * this expression does NOT null-propagate and is never null itself.
   */
 case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"char_ngrams: n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -33,20 +38,34 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
       s"$prettyName requires a string argument, got ${other.sql}")
   }
 
-  override def nullSafeEval(a: Any): Any =
-    CharNGrams.distinctGrams(a.asInstanceOf[UTF8String], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => CharNGrams.emptyGrams()
+      case s => CharNGrams.distinctGrams(s.asInstanceOf[UTF8String], n)
+    }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val cls = CharNGrams.getClass.getName.stripSuffix("$")
-      s"${ev.value} = $cls.distinctGrams($a, $n);"
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cls = CharNGrams.getClass.getName.stripSuffix("$")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+          ${childGen.isNull} ? $cls.emptyGrams() : $cls.distinctGrams(${childGen.value}, $n);
+        """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object CharNGrams {
+  /** The NULL-input result (fresh per call — ArrayData is mutable-ish and
+    * a shared singleton could be captured by an unsafe projection). */
+  def emptyGrams(): GenericArrayData = new GenericArrayData(Array.empty[Any])
+
   /** One forward pass: char-boundary byte offsets, then zero-copy gram
     * slices deduped through a LinkedHashSet (UTF8String hashes by bytes). */
   def distinctGrams(s: UTF8String, n: Int): GenericArrayData = {

@@ -184,6 +184,9 @@ object Dedup {
     // the degenerate threshold instead of silently under-returning
     require(num >= 1 && num <= den, "need 1 <= num <= den (Jaccard threshold in (0, 1])")
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    // the advertised native gram extractor must resolve when passed as
+    // tokensOf — tokensOf is analyzed inside THIS operator's first select
+    graft.functions.CharNGrams.register(docs.sparkSession)
     // broadcast() is a HINT Spark obeys unconditionally — on a corpus whose
     // dictionary / doc-sets tables outgrow executor memory, pass
     // broadcastVerify = false and both joins degrade to shuffled joins
@@ -443,7 +446,10 @@ object Dedup {
     // coalesced exchange no longer advertises strict hashpartitioning,
     // which would re-exchange the |E| side every round (see below).
     val raw = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
-    val parts = math.max(2, math.min(numParts, (2 * raw.count() / 50000L + 1).toInt))
+    // Long math until the final clamp — 2·|E|/50k overflows Int past
+    // ~5.4e13 edges, and a wrapped negative would collapse the rounds
+    // to 2 partitions exactly where conf-many are needed most
+    val parts = math.max(2L, math.min(numParts.toLong, 2 * raw.count() / 50000L + 1)).toInt
     // sym is CACHED, not checkpointed: InMemoryRelation preserves the
     // repartition's hashpartitioning(dst), so every round's join against
     // labels needs NO exchange on this — the big |E| — side (a

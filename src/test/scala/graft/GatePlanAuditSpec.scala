@@ -13,10 +13,17 @@ import org.apache.spark.sql.execution.window.WindowExec
   * q-entry that sneaks in `Window.orderBy` without `partitionBy`, or a
   * join that degrades to BNLJ, fails here rather than at 100 TB.
   *
-  * The audit inspects `sparkPlan` (the physical plan before AQE), which
-  * exists without running the query; operators that precompute splitters
-  * or ranks during CONSTRUCTION (GlobalRank, OrderStats) do run those
-  * small jobs, which is why this uses sf0.001.
+  * The audit inspects two surfaces:
+  *  1. each gate's `sparkPlan` (the physical plan before AQE), which
+  *     exists without running the query;
+  *  2. every plan EXECUTED during gate construction, captured via a
+  *     `QueryExecutionListener` — operators that eagerly materialize
+  *     sub-plans (`localCheckpoint` in bitmapSignatures / jaccardPairs'
+  *     sets / clusters' rounds) truncate their lineage to an RDD scan,
+  *     so surface 1 alone would never see an anti-pattern hidden there.
+  * Remaining blind spot: raw RDD jobs (GlobalRank's zipWithIndex) carry
+  * no SQL plan at all — they are custom exchanges by design.
+  * Construction runs those jobs, which is why this uses sf0.001.
   */
 class GatePlanAuditSpec extends SparkSpec {
 
@@ -45,15 +52,43 @@ class GatePlanAuditSpec extends SparkSpec {
   }
 
   test("no gate query plans a partitionless window, cartesian, or nested-loop join") {
-    val failures = Seq.newBuilder[String]
-    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val found = offenders(q(spark, sfDir).queryExecution.sparkPlan)
-      val filtered = found.filterNot { f =>
-        (f.startsWith("partitionless") && allowGlobalWindow(name)) ||
-        (!f.startsWith("partitionless") && allowNestedLoop(name))
-      }
-      if (filtered.nonEmpty) failures += s"$name: ${filtered.mkString("; ")}"
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    val failures = Seq.newBuilder[String]
+    try {
+      for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val found = offenders(q(spark, sfDir).queryExecution.sparkPlan)
+        val filtered = found.filterNot { f =>
+          (f.startsWith("partitionless") && allowGlobalWindow(name)) ||
+          // the exemption covers ONLY the broadcast nested loop it
+          // justifies — a regression to a CartesianProduct must still fail
+          (f.startsWith("BroadcastNestedLoopJoin") && allowNestedLoop(name))
+        }
+        if (filtered.nonEmpty) failures += s"$name: ${filtered.mkString("; ")}"
+      }
+      // listener events are async: wait for the bus to go quiet before
+      // auditing the construction-time (checkpoint-materialized) plans
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        if (captured.size == last) stable += 1 else { stable = 0; last = captured.size }
+      }
+      captured.forEach { qe =>
+        val found = offenders(qe.sparkPlan)
+        if (found.nonEmpty)
+          failures += s"construction-time plan: ${found.mkString("; ")} in\n${qe.sparkPlan.toString.take(800)}"
+      }
+      assert(captured.size > 0, "listener captured nothing — the construction-time audit went blind")
+    } finally spark.listenerManager.unregister(listener)
     assert(failures.result().isEmpty,
       s"scale anti-patterns in gate plans:\n${failures.result().mkString("\n")}")
   }

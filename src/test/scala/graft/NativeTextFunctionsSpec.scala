@@ -35,9 +35,13 @@ class NativeTextFunctionsSpec extends SparkSpec {
     assert(df.collect().length == 10)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("char_ngrams") && plan.contains("*(1) Project"), plan)
-    // null propagates; n must be a literal
-    assert(Seq((null: String)).toDF("text")
-      .select(expr("char_ngrams(text, 3)")).collect()(0).isNullAt(0))
+    // NULL text yields [] exactly like the HOF's CASE ... ELSE array() END
+    // (NULL condition falls to ELSE) — the parity contract covers NULLs
+    val nullRow = Seq((null: String)).toDF("text")
+      .select(TextOps.charGrams3Native.as("native"), TextOps.charGrams3.as("hof")).collect()(0)
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[String](0).isEmpty)
+    assert(nullRow.getSeq[String](0) == nullRow.getSeq[String](1))
+    // n must be a literal
     intercept[Exception] {
       Seq(("ab", 2)).toDF("text", "n").select(expr("char_ngrams(text, n)")).collect()
     }
@@ -66,6 +70,20 @@ class NativeTextFunctionsSpec extends SparkSpec {
       Seq(Seq(BitmapFromRanks.MaxRank)).toDF("rs")
         .select(expr("bitmap_from_ranks(rs)")).collect()
     }
+    intercept[Exception] { // a NULL rank must throw, not silently set bit 0
+      spark.sql("SELECT bitmap_from_ranks(array(CAST(NULL AS BIGINT), 5L))").collect()
+    }
+  }
+
+  test("charGrams3Native resolves when passed to every Jaccard join entry point") {
+    // the scaladoc promises the Dedup operators self-register char_ngrams;
+    // each operator analyzes tokensOf in its own first select
+    val d = Seq((1L, "abcdef"), (2L, "abcdeg")).toDF("doc_id", "text")
+    for (df <- Seq(
+        graft.text.Dedup.jaccardPairs(d, 1, 2, tokensOf = TextOps.charGrams3Native),
+        graft.text.Dedup.jaccardPairsBitmap(d, 1, 2, tokensOf = TextOps.charGrams3Native),
+        graft.text.Dedup.jaccardPairsBitmapBlocked(d, 1, 2, tokensOf = TextOps.charGrams3Native)))
+      assert(df.count() == 1L)
   }
 
   test("minhash_affine matches the HOF formulation exactly, nulls and empties included") {
