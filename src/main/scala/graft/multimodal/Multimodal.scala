@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * Two decoders plug into the same `decodeFn` slot:
+  * Three decoders plug into the same `decodeFn` slot:
   *  - [[imageDecode]] — a REAL image decode via the JDK's `javax.imageio`
   *    (PNG/BMP/GIF/JPEG need no external codec libs), emitting
   *    width/height/per-channel means;
+  *  - [[audioDecode]] — a REAL PCM audio decode via the JDK's
+  *    `javax.sound.sampled` (WAV/AIFF/AU readers ship with the JRE),
+  *    emitting rate/channels/amplitude statistics;
   *  - [[fakeDecode]] — a deterministic byte-statistics stand-in for
-  *    formats whose codecs are absent here (audio/video), keeping the
+  *    formats whose codecs are absent here (video), keeping the
   *    plumbing testable on arbitrary blobs.
   *
   * Scale notes: rows STREAM through the partition iterator one at a time
@@ -117,6 +120,65 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` — PCM WAV,
+    * AIFF and AU readers ship with the JRE, no external codec libs (the
+    * audio counterpart of [[imageDecode]]; video alone keeps the honest
+    * byte-window stand-in, as no JDK video codec exists). Features:
+    * [sampleRate, channels, frames, meanAbs, maxAbs, rms1000, zeroCross,
+    * bitsPerSample] over channel-interleaved PCM samples normalized to
+    * [-1, 1). Integer sums keep mean/max/zero-cross exact; rms does one
+    * sqrt at the end (correctly-rounded IEEE — identical everywhere).
+    * Undecodable or non-PCM bytes → all-(-1) features, degrading the ROW
+    * (same contract as [[imageDecode]]). Supports 8-bit (unsigned) and
+    * 16-bit (signed little/big-endian) PCM — the formats the JDK reader
+    * itself emits. */
+  def audioDecode(bytes: Array[Byte]): Array[Float] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) return Array.fill(8)(-1f)
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+               (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      if (!ok) return Array.fill(8)(-1f)
+      val data = in.readAllBytes()
+      val bytesPerSample = bits / 8
+      val n = data.length / bytesPerSample
+      var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0.0; var zc = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val v: Int =
+          if (bits == 8) (data(i) & 0xff) - 128
+          else {
+            val off = i * 2
+            if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          }
+        val a = math.abs(v.toLong)
+        sumAbs += a; if (a > maxAbs) maxAbs = a
+        val scale = if (bits == 8) 128.0 else 32768.0
+        val x = v / scale
+        sumSq += x * x
+        val sign = java.lang.Integer.signum(v)
+        if (sign != 0) { if (prevSign != 0 && sign != prevSign) zc += 1; prevSign = sign }
+        i += 1
+      }
+      val scale = if (bits == 8) 128f else 32768f
+      val frames = n.toLong / math.max(1, fmt.getChannels)
+      Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+        if (n == 0) 0f else sumAbs.toFloat / n / scale,
+        maxAbs.toFloat / scale,
+        if (n == 0) 0f else (1000.0 * math.sqrt(sumSq / n)).toFloat,
+        zc.toFloat, bits.toFloat)
+    } catch { case scala.util.control.NonFatal(_) => Array.fill(8)(-1f) }
+    finally in.close()
   }
 
   /** Deterministic frame sampling over an opaque media blob: `n` evenly

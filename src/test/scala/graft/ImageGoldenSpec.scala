@@ -51,6 +51,24 @@ class ImageGoldenSpec extends SparkSpec {
     }
   }
 
+  // WAV fixture: 16-bit signed mono PCM @ 8000 Hz, samples
+  // [0, 16384, 32767, 16384, 0, -16384, -32768, -16384]. Expectations
+  // computed independently (Python): sumAbs = 131071 -> meanAbs =
+  // 131071/8/32768; maxAbs = 32768/32768 = 1; rms1000 =
+  // 1000·sqrt((2 + (32767/32768)²)/8); one +/- sign flip -> zc = 1.
+  test("fixture_tri.wav: audioDecode features are byte-exact") {
+    val got = Multimodal.audioDecode(fixtureBytes("fixture_tri.wav")).toSeq
+    assert(got == Seq(8000f, 1f, 8f, 0.4999961853027344f, 1f,
+      612.3662109375f, 1f, 16f), got)
+  }
+
+  test("audioDecode degrades per row on undecodable or non-PCM bytes") {
+    assert(Multimodal.audioDecode(Array[Byte](1, 2, 3)).toSeq == Seq.fill(8)(-1f))
+    assert(Multimodal.audioDecode(Array.empty[Byte]).toSeq == Seq.fill(8)(-1f))
+    // an image is not audio: same degrade, no crash
+    assert(Multimodal.audioDecode(fixtureBytes("fixture_4x2.png")).toSeq == Seq.fill(8)(-1f))
+  }
+
   test("golden fixtures flow through the DataFrame plumbing unchanged") {
     val png = fixtureBytes("fixture_4x2.png")
     val media = spark.createDataFrame(
