@@ -426,6 +426,14 @@ object SparkEntry {
     "q62_vocab" -> ((s, dir) =>
       graft.text.Ngrams.vocab(s.read.parquet(t(dir, "documents")), minCount = 2)),
 
+    // deterministic training-mixture sampler: 3:1:1 source weights under
+    // a 2000-token budget; unweighted sources drop (Pipeline.mixture)
+    "q63_mixture" -> ((s, dir) =>
+      graft.text.Pipeline.mixture(s.read.parquet(t(dir, "documents")),
+          weights = Map("src0" -> 3L, "src1" -> 1L, "src2" -> 1L),
+          budgetTokens = 2000L)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -981,6 +989,21 @@ object SparkEntry {
         |SELECT token, cnt,
         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
         |FROM c ORDER BY rank""".stripMargin,
+
+    // mirrors Pipeline.mixture exactly: per-source available tokens →
+    // integer keep-numerator min(den, den·budget·w / (Σw·avail)) (HUGEINT
+    // // ≡ BigInt floor-div on positives) → q55's md5 key-hash rule.
+    // Sources outside the weight table (and NULL sources) drop.
+    "q63_mixture" ->
+      """WITH av AS (SELECT source, SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS a
+        |            FROM documents GROUP BY source),
+        |w(source, wt) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)),
+        |nm AS (SELECT av.source,
+        |         LEAST(1000000, (1000000::HUGEINT * 2000 * wt) // (5::HUGEINT * av.a)) AS num
+        |       FROM av JOIN w USING (source))
+        |SELECT d.doc_id, d.source FROM documents d JOIN nm ON d.source = nm.source
+        |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000000 < nm.num
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q48_bigrams" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -27,6 +27,44 @@ object Pipeline {
           .otherwise(lit("test")))
       .orderBy("doc_id")
 
+  /** Deterministic training-MIXTURE construction — the data-mixing step a
+    * pretraining corpus goes through: given relative `weights` per source
+    * and a total token `budget`, each source keeps a hash-Bernoulli
+    * fraction sized so its expected sampled tokens ≈ budget·w/Σw, capped
+    * at keeping everything (a source smaller than its target is taken
+    * whole — no upweighting here; duplication policy is a separate,
+    * explicit op). Sources without a weight are DROPPED.
+    *
+    * Determinism chain: per-source available tokens are exact integer
+    * sums; the per-source keep-numerator is exact integer arithmetic
+    * `min(den, den·budget·w / (Σw·avail))` (BigInt — no overflow at any
+    * corpus size); membership is [[graft.operators.Sampling]]'s key-hash
+    * rule, stable under retries/repartition/engines. The aggregate pass
+    * collects O(#sources) rows to the driver — the same bounded-collect
+    * pattern as the reference's splitter protocol; the sample itself is a
+    * narrow filter. Rows whose source is NULL never match a stratum and
+    * drop. */
+  def mixture(docs: DataFrame, weights: Map[String, Long], budgetTokens: Long,
+              sourceCol: String = "source", keyCols: Seq[String] = Seq("doc_id"),
+              den: Int = 1000000): DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    require(budgetTokens >= 0, "budget must be >= 0")
+    val tokens = size(split(col("text"), " ")).cast(LongType)
+    val avail = docs.groupBy(col(sourceCol).as("__src")).agg(sum(tokens).as("__avail"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    val wSum = weights.values.map(BigInt(_)).sum
+    require(wSum > 0, "at least one weight must be positive")
+    val fractions = weights.flatMap { case (src, w) =>
+      avail.get(src).filter(_ > 0).map { a =>
+        val num = (BigInt(den) * budgetTokens * w / (wSum * a)).min(BigInt(den))
+        src -> (num.toInt, den)
+      }
+    }
+    if (fractions.isEmpty) docs.filter(lit(false))
+    else graft.operators.Sampling.stratifiedByKeyHash(docs, keyCols, sourceCol, fractions)
+  }
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace. Returns the normalized text plus a changed flag. */
   def normalize(docs: DataFrame): DataFrame =

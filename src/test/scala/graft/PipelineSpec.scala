@@ -90,6 +90,29 @@ class PipelineSpec extends SparkSpec {
       s"got ${(tricky.getLong(1), tricky.getLong(2), tricky.getString(3))}")
   }
 
+  test("mixture: budgeted per-source fractions, small sources taken whole, unweighted drop") {
+    // srcA: 40 tokens over 8 docs; srcB: 10 tokens over 2 docs; srcC unweighted
+    val corpus = ((1L to 8L).map(i => (i, "w1 w2 w3 w4 w5", "srcA")) ++
+      Seq((20L, "x1 x2 x3 x4 x5", "srcB"), (21L, "y1 y2 y3 y4 y5", "srcB"),
+          (30L, "z1 z2", "srcC")))
+      .toDF("doc_id", "text", "source")
+    // budget 30, weights 1:2 → srcA target 10/40 (num=250000),
+    // srcB target 20/10 > avail → capped: srcB is taken WHOLE
+    val out = Pipeline.mixture(corpus, Map("srcA" -> 1L, "srcB" -> 2L), budgetTokens = 30L)
+      .collect().map(r => r.getLong(0)).toSeq.sorted
+    assert(out.contains(20L) && out.contains(21L), s"srcB must be kept whole: $out")
+    assert(!out.contains(30L), s"unweighted srcC must drop: $out")
+    val aKept = out.count(_ <= 8L)
+    assert(aKept < 8, s"srcA must be subsampled, kept $aKept of 8")
+    // deterministic under repartition (the seeded-RNG failure mode)
+    val again = Pipeline.mixture(corpus.repartition(7), Map("srcA" -> 1L, "srcB" -> 2L), 30L)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(again == out)
+    // zero budget keeps nothing; weights covering no present source keep nothing
+    assert(Pipeline.mixture(corpus, Map("srcA" -> 1L), 0L).count() == 0L)
+    assert(Pipeline.mixture(corpus, Map("nope" -> 1L), 100L).count() == 0L)
+  }
+
   test("decontaminate drops blocklisted content AND its duplicates, by content not id") {
     val corpus = docs(
       1L -> "the eval question about physics",
