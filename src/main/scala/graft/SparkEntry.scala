@@ -426,6 +426,14 @@ object SparkEntry {
     "q62_vocab" -> ((s, dir) =>
       graft.text.Ngrams.vocab(s.read.parquet(t(dir, "documents")), minCount = 2)),
 
+    // deterministic epoch upsampling: src0 at 2.5 epochs, src1 at 0.5,
+    // everything else passes through once (Pipeline.upsample)
+    "q64_upsample" -> ((s, dir) =>
+      graft.text.Pipeline.upsample(s.read.parquet(t(dir, "documents")),
+          epochs = Map("src0" -> (5, 2), "src1" -> (1, 2)))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
     // deterministic training-mixture sampler: 3:1:1 source weights under
     // a 2000-token budget; unweighted sources drop (Pipeline.mixture)
     "q63_mixture" -> ((s, dir) =>
@@ -989,6 +997,20 @@ object SparkEntry {
         |SELECT token, cnt,
         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
         |FROM c ORDER BY rank""".stripMargin,
+
+    // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
+    // epoch decided by q55's md5 key-hash rule; range(n) is empty for
+    // n <= 0, matching the Spark side's guarded sequence
+    "q64_upsample" ->
+      """WITH c AS (SELECT doc_id, source,
+        |         CASE source
+        |           WHEN 'src0' THEN 2 + CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
+        |           WHEN 'src1' THEN 0 + CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
+        |           ELSE 1 END AS copies
+        |       FROM documents)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM c, UNNEST(range(copies)) AS t(e)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // mirrors Pipeline.mixture exactly: per-source available tokens →
     // integer keep-numerator min(den, den·budget·w / (Σw·avail)) (HUGEINT

@@ -37,6 +37,11 @@ object Sampling {
     concat_ws("\u0001",
       keyCols.map(c => coalesce(col(c).cast(StringType), lit("\u0002"))): _*)
 
+  /** The deterministic non-negative row hash every sampler here filters
+    * on — exposed so composites ([[graft.text.Pipeline.upsample]]'s
+    * fractional epoch) share the exact same membership rule. */
+  def keyHash(keyCols: Seq[String]): Column = TextOps.xhash(compositeKey(keyCols))
+
   /** Keeps rows whose deterministic key hash lands below num/den. */
   def byKeyHash(df: DataFrame, keyCols: Seq[String], num: Int, den: Int): DataFrame = {
     require(den >= 1, "den must be >= 1")

@@ -65,6 +65,39 @@ object Pipeline {
     else graft.operators.Sampling.stratifiedByKeyHash(docs, keyCols, sourceCol, fractions)
   }
 
+  /** The duplication dual of [[mixture]]: deterministic EPOCH upsampling
+    * for small high-quality sources (the standard pretraining practice of
+    * repeating a source n.f times). A source with target `num/den` epochs
+    * emits ⌊num/den⌋ full copies of every row, plus one more copy for the
+    * deterministic hash-Bernoulli `num mod den / den` fraction — so the
+    * expected token multiple is exactly num/den and membership of the
+    * fractional epoch is stable under retries/repartition/engines (same
+    * key-hash rule as [[graft.operators.Sampling]]). Sources without an
+    * entry pass through at one epoch. Output adds an `epoch` column
+    * (0-based) keeping duplicated rows distinguishable downstream —
+    * shard writers spread epochs, and dedup-by-key still works.
+    * Narrow: a per-row bounded explode, no shuffle. */
+  def upsample(docs: DataFrame, epochs: Map[String, (Int, Int)],
+               sourceCol: String = "source",
+               keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    epochs.values.foreach { case (n, d) =>
+      require(d >= 1 && n >= 0, s"invalid epoch target $n/$d")
+      require(n / d <= 1000, s"epoch target $n/$d exceeds the 1000-copy sanity bound")
+    }
+    val h = graft.operators.Sampling.keyHash(keyCols)
+    val copies = epochs.toSeq.sortBy(_._1)
+      .foldRight(lit(1L): org.apache.spark.sql.Column) { case ((src, (n, d)), acc) =>
+        when(col(sourceCol).cast(org.apache.spark.sql.types.StringType) === src,
+          lit((n / d).toLong) + when(h % d < n % d, 1L).otherwise(0L)).otherwise(acc)
+      }
+    docs
+      .withColumn("__copies", copies)
+      .withColumn("epoch",
+        explode(when(col("__copies") > 0, // sequence COUNTS DOWN on n <= 0
+          sequence(lit(0L), col("__copies") - 1)).otherwise(array())))
+      .drop("__copies")
+  }
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace. Returns the normalized text plus a changed flag. */
   def normalize(docs: DataFrame): DataFrame =

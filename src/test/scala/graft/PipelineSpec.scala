@@ -113,6 +113,29 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.mixture(corpus, Map("nope" -> 1L), 100L).count() == 0L)
   }
 
+  test("upsample: whole + fractional epochs, pass-through default, deterministic") {
+    val corpus = ((1L to 20L).map(i => (i, s"doc $i text", "hot")) ++
+      Seq((50L, "cold one", "cold"))).toDF("doc_id", "text", "source")
+    val out = Pipeline.upsample(corpus, Map("hot" -> (5, 2))) // 2.5 epochs
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("epoch")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // every hot doc appears 2 or 3 times with dense 0-based epochs
+    (1L to 20L).foreach { i =>
+      assert(Seq(Seq(0L, 1L), Seq(0L, 1L, 2L)).contains(byDoc(i)), s"doc $i: ${byDoc(i)}")
+    }
+    val hotCopies = out.count(_._1 <= 20L)
+    assert(hotCopies > 40 && hotCopies < 60, s"~2.5x expected, got $hotCopies/20 docs")
+    assert(byDoc(50L) == Seq(0L), "unlisted source passes through at one epoch")
+    // fractional-epoch membership is the Sampling key-hash rule: stable
+    val again = Pipeline.upsample(corpus.repartition(5), Map("hot" -> (5, 2)))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("epoch")))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // a 0/1 target drops the source entirely for non-matching hash rows
+    val half = Pipeline.upsample(corpus, Map("hot" -> (1, 2)))
+      .collect().map(_.getLong(0)).filter(_ <= 20L)
+    assert(half.length < 20 && half.nonEmpty, s"~half expected, got ${half.length}")
+  }
+
   test("decontaminate drops blocklisted content AND its duplicates, by content not id") {
     val corpus = docs(
       1L -> "the eval question about physics",
