@@ -498,8 +498,13 @@ object Dedup {
       // ONE round per checkpoint: labels feed three join inputs (nbr once,
       // jump twice), so an un-materialized multi-round composition would
       // re-execute the inner round per consumer — measured ~35% slower
-      // than checkpointing (and probing) every round
-      val next = propagate(labels).localCheckpoint(true)
+      // than checkpointing (and probing) every round.
+      // The checkpoint is LAZY: the convergence probe right below is the
+      // round's first action, so one job both materializes the round's
+      // partitions (persisted by localCheckpoint) and returns the sum —
+      // an eager checkpoint would spend a second full job per round on
+      // the same data (~2× the serial round latency).
+      val next = propagate(labels).localCheckpoint(false)
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
