@@ -58,6 +58,41 @@ object EventStreaming {
         if (left) "left_outer" else "inner")
       .drop(col(s"d.`$dimKey`"))
 
+  /** Stream-STREAM interval join — the attribution pattern (join each
+    * left event to the right events for the same user landing within
+    * `horizonSec` after it): equi-join on the key PLUS a bounded
+    * event-time range, which is exactly the condition shape Spark's
+    * symmetric hash join needs to EVICT state — each side's watermark
+    * plus the time bound lets finished rows age out; an unconstrained
+    * stream-stream join would grow state forever and is rejected in
+    * append mode.
+    *
+    * `leftOuter = true` also emits left events with no partner once the
+    * watermark proves no partner can arrive (nulls on the right side) —
+    * the "unattributed impression" row. Output columns are prefixed
+    * l_/r_ (both sides share the Event schema). Works identically on
+    * bounded frames, which is how the parity spec checks it. */
+  def intervalJoin(left: Dataset[Event], right: Dataset[Event],
+                   horizonSec: Long, watermarkSec: Long,
+                   leftOuter: Boolean = false): DataFrame = {
+    require(horizonSec >= 0, "horizonSec must be >= 0")
+    val l = left.toDF()
+      .withColumn("l_ts", timestamp_micros(col("tsUs")))
+      .withWatermark("l_ts", s"$watermarkSec seconds")
+      .select(col("eventId").as("l_id"), col("userId").as("l_user"),
+        col("l_ts"), col("valueCents").as("l_cents"))
+    val r = right.toDF()
+      .withColumn("r_ts", timestamp_micros(col("tsUs")))
+      .withWatermark("r_ts", s"$watermarkSec seconds")
+      .select(col("eventId").as("r_id"), col("userId").as("r_user"),
+        col("r_ts"), col("valueCents").as("r_cents"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+      if (leftOuter) "left_outer" else "inner")
+  }
+
   /** Streaming exact deduplication on event id: duplicates arriving within
     * the watermark horizon are dropped; state for an id is released once
     * the watermark passes it (bounded state — the streaming form of

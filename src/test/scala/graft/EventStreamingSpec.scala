@@ -117,4 +117,37 @@ class EventStreamingSpec extends SparkSpec {
     assert(sessions.contains((2L, sec(100), 1L, 800L)), s"got $sessions")
     assert(!sessions.exists(_._2 == sec(5000)), "open session leaked")
   }
+
+  test("stream-stream interval join matches the batch run; state is bounded by the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq( // left: the anchor events
+      Event(10, 1, sec(0), 1), Event(11, 1, sec(600), 1),
+      Event(12, 2, sec(100), 1), Event(13, 1, sec(5000), 1))
+    val views = Seq( // right: partners landing 0..horizon after an anchor
+      Event(20, 1, sec(100), 5),  // joins click 10 (within 300s)
+      Event(21, 1, sec(650), 6),  // joins click 11
+      Event(22, 2, sec(600), 7),  // 500s after click 12: outside horizon
+      Event(23, 1, sec(5100), 8)) // joins click 13
+    val ls = MemoryStream[Event]; val rs = MemoryStream[Event]
+    ls.addData(clicks: _*); rs.addData(views: _*)
+    val q = EventStreaming.intervalJoin(ls.toDS(), rs.toDS(),
+        horizonSec = 300, watermarkSec = 0)
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); q.stop()
+    val streamed = spark.table("ivjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((10L, 20L), (11L, 21L), (13L, 23L)), s"got $streamed")
+    // unified API: the identical pipeline over bounded frames agrees
+    val batch = EventStreaming.intervalJoin(clicks.toDS(), views.toDS(), 300, 0)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == streamed)
+    // left-outer (batch form): unattributed anchors surface with null partner
+    val outer = EventStreaming.intervalJoin(clicks.toDS(), views.toDS(), 300, 0,
+        leftOuter = true)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(outer == Set((10L, 20L), (11L, 21L), (13L, 23L), (12L, -1L)), s"got $outer")
+  }
 }
