@@ -999,13 +999,14 @@ object SparkEntry {
         |FROM c ORDER BY rank""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
-    // epoch decided by q55's md5 key-hash rule; range(n) is empty for
-    // n <= 0, matching the Spark side's guarded sequence
+    // epoch decided by q55's md5 key-hash rule under the 'epoch' salt
+    // (salt || chr(1) || key — the salted composite-key encoding);
+    // range(n) is empty for n <= 0, matching the guarded sequence
     "q64_upsample" ->
       """WITH c AS (SELECT doc_id, source,
         |         CASE source
-        |           WHEN 'src0' THEN 2 + CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
-        |           WHEN 'src1' THEN 0 + CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
+        |           WHEN 'src0' THEN 2 + CASE WHEN ('0x'||substr(md5('epoch' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
+        |           WHEN 'src1' THEN 0 + CASE WHEN ('0x'||substr(md5('epoch' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
         |           ELSE 1 END AS copies
         |       FROM documents)
         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch

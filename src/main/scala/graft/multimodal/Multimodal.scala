@@ -131,9 +131,10 @@ object Multimodal {
     * [-1, 1). Integer sums keep mean/max/zero-cross exact; rms does one
     * sqrt at the end (correctly-rounded IEEE — identical everywhere).
     * Undecodable or non-PCM bytes → all-(-1) features, degrading the ROW
-    * (same contract as [[imageDecode]]). Supports 8-bit (unsigned) and
-    * 16-bit (signed little/big-endian) PCM — the formats the JDK reader
-    * itself emits. */
+    * (same contract as [[imageDecode]]). Supports 8-bit (signed — what
+    * AIFF/AU emit — or unsigned, WAV's form) and 16-bit signed
+    * little/big-endian PCM — the formats the JDK readers themselves
+    * emit. */
   def audioDecode(bytes: Array[Byte]): Array[Float] = {
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -144,7 +145,8 @@ object Multimodal {
       val fmt = in.getFormat
       val enc = fmt.getEncoding
       val bits = fmt.getSampleSizeInBits
-      val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val ok = (signed && (bits == 16 || bits == 8)) || // AIFF/AU emit SIGNED 8-bit
                (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
       if (!ok) return Array.fill(8)(-1f)
       val data = in.readAllBytes()
@@ -155,7 +157,7 @@ object Multimodal {
       var i = 0
       while (i < n) {
         val v: Int =
-          if (bits == 8) (data(i) & 0xff) - 128
+          if (bits == 8) { if (signed) data(i).toInt else (data(i) & 0xff) - 128 }
           else {
             val off = i * 2
             if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)

@@ -33,14 +33,33 @@ object Sampling {
     * and receive perfectly correlated sampling decisions. (A string key
     * whose literal value IS the one-char sentinel is indistinguishable
     * from NULL — use a non-control-character key domain.) */
-  private def compositeKey(keyCols: Seq[String]) =
-    concat_ws("\u0001",
-      keyCols.map(c => coalesce(col(c).cast(StringType), lit("\u0002"))): _*)
+  private def compositeKey(keyCols: Seq[String], salt: String = "") = {
+    val parts = keyCols.map(c => coalesce(col(c).cast(StringType), lit("\u0002")))
+    concat_ws("\u0001", (if (salt.isEmpty) parts else lit(salt) +: parts): _*)
+  }
 
   /** The deterministic non-negative row hash every sampler here filters
-    * on — exposed so composites ([[graft.text.Pipeline.upsample]]'s
-    * fractional epoch) share the exact same membership rule. */
-  def keyHash(keyCols: Seq[String]): Column = TextOps.xhash(compositeKey(keyCols))
+    * on. `salt` derives an INDEPENDENT hash family for a composite that
+    * chains with another sampler on the same key — without it, a
+    * downstream decision (e.g. [[graft.text.Pipeline.upsample]]'s
+    * fractional epoch) would be perfectly correlated with an upstream
+    * [[byKeyHash]] and silently bias the realized fractions. The salt is
+    * prepended as an extra leading key component through the SAME
+    * separator/sentinel encoding (keep it free of the two control
+    * chars), so salted and unsalted keys can never alias. */
+  def keyHash(keyCols: Seq[String], salt: String = ""): Column =
+    TextOps.xhash(compositeKey(keyCols, salt))
+
+  /** The per-stratum dispatch shared by [[stratifiedByKeyHash]] and
+    * [[graft.text.Pipeline.upsample]]: a deterministic (sorted) when-chain
+    * matching `strataCol` RENDERED AS STRING against each entry — defined
+    * once so the matching semantics (string render, NULL never matches,
+    * fall through to default) cannot diverge between the two. */
+  private[graft] def strataCase[A](strataCol: String, entries: Map[String, A],
+                                   default: Column)(render: A => Column): Column =
+    entries.toSeq.sortBy(_._1).foldRight(default) { case ((stratum, a), acc) =>
+      when(col(strataCol).cast(StringType) === stratum, render(a)).otherwise(acc)
+    }
 
   /** Keeps rows whose deterministic key hash lands below num/den. */
   def byKeyHash(df: DataFrame, keyCols: Seq[String], num: Int, den: Int): DataFrame = {
@@ -73,10 +92,6 @@ object Sampling {
     }
     val h = TextOps.xhash(compositeKey(keyCols))
     def keep(nd: (Int, Int)) = h % nd._2 < nd._1
-    val cond = fractions.toSeq.sortBy(_._1)
-      .foldRight(keep(defaultFraction): Column) { case ((stratum, nd), acc) =>
-        when(col(strataCol).cast(StringType) === stratum, keep(nd)).otherwise(acc)
-      }
-    df.filter(cond)
+    df.filter(strataCase(strataCol, fractions, keep(defaultFraction))(keep))
   }
 }

@@ -51,7 +51,13 @@ object Pipeline {
     require(weights.values.forall(_ >= 0), "weights must be >= 0")
     require(budgetTokens >= 0, "budget must be >= 0")
     val tokens = size(split(col("text"), " ")).cast(LongType)
-    val avail = docs.groupBy(col(sourceCol).as("__src")).agg(sum(tokens).as("__avail"))
+    // string-render the source (matching stratifiedByKeyHash's dispatch,
+    // so non-string source columns work) and zero-fill the sum: a source
+    // whose every text is NULL sums to NULL, which must mean avail = 0
+    // (dropped below) — not a driver NPE
+    val avail = docs
+      .groupBy(col(sourceCol).cast(org.apache.spark.sql.types.StringType).as("__src"))
+      .agg(coalesce(sum(tokens), lit(0L)).as("__avail"))
       .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
     val wSum = weights.values.map(BigInt(_)).sum
     require(wSum > 0, "at least one weight must be positive")
@@ -72,11 +78,15 @@ object Pipeline {
     * deterministic hash-Bernoulli `num mod den / den` fraction — so the
     * expected token multiple is exactly num/den and membership of the
     * fractional epoch is stable under retries/repartition/engines (same
-    * key-hash rule as [[graft.operators.Sampling]]). Sources without an
-    * entry pass through at one epoch. Output adds an `epoch` column
-    * (0-based) keeping duplicated rows distinguishable downstream —
-    * shard writers spread epochs, and dedup-by-key still works.
-    * Narrow: a per-row bounded explode, no shuffle. */
+    * key-hash rule as [[graft.operators.Sampling]], but under a distinct
+    * "epoch" SALT — sharing the unsalted hash would make the fractional
+    * epoch perfectly correlated with any upstream [[graft.operators
+    * .Sampling.byKeyHash]] pass on the same key and silently bias the
+    * realized multiple). Sources without an entry pass through at one
+    * epoch. Output adds an `epoch` column (0-based) keeping duplicated
+    * rows distinguishable downstream — shard writers spread epochs, and
+    * dedup-by-key still works. Narrow: a per-row bounded explode, no
+    * shuffle. */
   def upsample(docs: DataFrame, epochs: Map[String, (Int, Int)],
                sourceCol: String = "source",
                keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
@@ -84,11 +94,14 @@ object Pipeline {
       require(d >= 1 && n >= 0, s"invalid epoch target $n/$d")
       require(n / d <= 1000, s"epoch target $n/$d exceeds the 1000-copy sanity bound")
     }
-    val h = graft.operators.Sampling.keyHash(keyCols)
-    val copies = epochs.toSeq.sortBy(_._1)
-      .foldRight(lit(1L): org.apache.spark.sql.Column) { case ((src, (n, d)), acc) =>
-        when(col(sourceCol).cast(org.apache.spark.sql.types.StringType) === src,
-          lit((n / d).toLong) + when(h % d < n % d, 1L).otherwise(0L)).otherwise(acc)
+    Seq("epoch", "__copies").foreach { c =>
+      require(!docs.columns.contains(c), // silent overwrite would destroy
+        s"input already has a '$c' column") // a prior epoch assignment
+    }
+    val h = graft.operators.Sampling.keyHash(keyCols, salt = "epoch")
+    val copies = graft.operators.Sampling.strataCase(sourceCol, epochs,
+      lit(1L): org.apache.spark.sql.Column) { case (n, d) =>
+        lit((n / d).toLong) + when(h % d < n % d, 1L).otherwise(0L)
       }
     docs
       .withColumn("__copies", copies)

@@ -150,4 +150,33 @@ class EventStreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(outer == Set((10L, 20L), (11L, 21L), (13L, 23L), (12L, -1L)), s"got $outer")
   }
+
+  test("stream-stream LEFT OUTER join emits the unattributed anchor once the watermark seals it") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[Event]; val rs = MemoryStream[Event]
+    // continuous query (not AvailableNow): outer-side null rows flush in a
+    // batch AFTER the watermark overtakes anchor_ts + horizon
+    val q = EventStreaming.intervalJoin(ls.toDS(), rs.toDS(),
+        horizonSec = 300, watermarkSec = 0, leftOuter = true)
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ivouter")
+      .outputMode("append").start()
+    ls.addData(Event(10, 1, sec(0), 1), Event(12, 2, sec(100), 1))
+    rs.addData(Event(20, 1, sec(100), 5)) // partner for 10; none for 12
+    q.processAllAvailable()
+    // advance BOTH watermarks (the join watermark is their min) far past
+    // click 12's seal point sec(100) + 300s
+    ls.addData(Event(90, 9, sec(5000), 1)); rs.addData(Event(91, 9, sec(5000), 1))
+    q.processAllAvailable()
+    val deadline = System.currentTimeMillis() + 15000
+    def rows() = spark.table("ivouter").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    while (!rows().contains((12L, -1L)) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250); q.processAllAvailable()
+    }
+    q.stop()
+    val got = rows()
+    assert(got.contains((10L, 20L)), s"matched pair missing: $got")
+    assert(got.contains((12L, -1L)), s"unattributed anchor never flushed: $got")
+  }
 }

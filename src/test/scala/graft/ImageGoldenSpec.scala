@@ -62,6 +62,13 @@ class ImageGoldenSpec extends SparkSpec {
       612.3662109375f, 1f, 16f), got)
   }
 
+  test("fixture_tri.aiff: the big-endian AIFF twin decodes to identical features") {
+    // same samples as the WAV, stored big-endian: a byte-order bug in the
+    // 16-bit assembly would produce garbage amplitudes here
+    assert(Multimodal.audioDecode(fixtureBytes("fixture_tri.aiff")).toSeq ==
+      Multimodal.audioDecode(fixtureBytes("fixture_tri.wav")).toSeq)
+  }
+
   test("audioDecode degrades per row on undecodable or non-PCM bytes") {
     assert(Multimodal.audioDecode(Array[Byte](1, 2, 3)).toSeq == Seq.fill(8)(-1f))
     assert(Multimodal.audioDecode(Array.empty[Byte]).toSeq == Seq.fill(8)(-1f))

@@ -134,6 +134,20 @@ class PipelineSpec extends SparkSpec {
     val half = Pipeline.upsample(corpus, Map("hot" -> (1, 2)))
       .collect().map(_.getLong(0)).filter(_ <= 20L)
     assert(half.length < 20 && half.nonEmpty, s"~half expected, got ${half.length}")
+    // the fractional epoch uses a SALTED hash: chaining byKeyHash(1/2) with
+    // upsample(5/2) on the same key must NOT give every survivor the same
+    // epoch count (the unsalted form correlates perfectly and biases the
+    // realized multiple from 2.5 to 3.0)
+    val sampled = graft.operators.Sampling.byKeyHash(corpus, Seq("doc_id"), 1, 2)
+    val perDoc = Pipeline.upsample(sampled, Map("hot" -> (5, 2)))
+      .collect().filter(_.getString(2) == "hot")
+      .groupBy(_.getLong(0)).view.mapValues(_.length).values.toSeq
+    assert(perDoc.toSet == Set(2, 3),
+      s"survivors must mix 2- and 3-epoch docs, got counts $perDoc")
+    // an input already carrying an epoch column is rejected, not overwritten
+    intercept[IllegalArgumentException] {
+      Pipeline.upsample(Pipeline.upsample(corpus, Map("hot" -> (2, 1))), Map("hot" -> (2, 1)))
+    }
   }
 
   test("decontaminate drops blocklisted content AND its duplicates, by content not id") {
