@@ -26,6 +26,13 @@ object AsOf {
   def backward(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
                timeCol: String, leftTie: String, rightTie: String,
                payloadCols: Seq[String]): DataFrame = {
+    // the internal tag/tie/payload columns and the output column would
+    // silently overwrite (then drop) same-named caller columns — e.g. the
+    // 'asof' of a previous backward() pass being re-joined
+    Seq("asof", "_tag", "_tie", "_payload").foreach { c =>
+      require(!left.columns.contains(c),
+        s"left input already has a '$c' column (reserved by AsOf.backward)")
+    }
     val r2 = right.select((partitionCols :+ timeCol).map(col) :+
       col(rightTie).as("_tie") :+
       struct(payloadCols.map(col): _*).as("_payload"): _*)

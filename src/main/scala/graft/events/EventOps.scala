@@ -12,8 +12,12 @@ import org.apache.spark.sql.types._
   *
   * Time base: timestamps arrive as Long nanoseconds
   * (`spark.sql.legacy.parquet.nanosAsLong=true`) and are floored to
-  * MICROSECONDS (`ts div 1000`) — DuckDB's parquet reader truncates ns to
-  * µs, so µs is the largest cross-engine-exact resolution.
+  * MICROSECONDS (`ts div 1000`) — DuckDB's parquet reader converts ns to
+  * µs by TRUNCATION toward zero (verified: -1500 ns reads as -1 µs, -1 ns
+  * as 0), and SQL `div` truncates the same way, so the two engines agree
+  * at every timestamp INCLUDING pre-1970 ones; a floor division here
+  * would disagree with the oracle on negative ns. µs is the largest
+  * cross-engine-exact resolution.
   *
   * Scale: both operators shuffle ONCE on the partition key (`user_id`);
   * within a key Spark's WindowExec streams with a spillable sort. Skewed

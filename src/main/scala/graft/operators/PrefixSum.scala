@@ -29,7 +29,12 @@ object PrefixSum {
     val spark = df.sparkSession
     val parts = if (numParts >= 1) numParts
       else math.max(2, spark.sparkContext.defaultParallelism)
-    val sorted = df.repartitionByRange(parts, orderCols: _*).sortWithinPartitions(orderCols: _*)
+    // persist BEFORE the range shuffle: repartitionByRange scans its child
+    // once for the RangePartitioner's bounds sample and again for the
+    // shuffle map — uncached, that is two full source reads (the same
+    // double-scan OrderStats.sortedWithOffsets documents and avoids)
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = src.repartitionByRange(parts, orderCols: _*).sortWithinPartitions(orderCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == LongType, s"$valueCol must be BIGINT")
     // single RDD object: the totals job writes the shuffle files the output
@@ -37,9 +42,15 @@ object PrefixSum {
     val rdd = sorted.rdd
     val totals = rdd.mapPartitions({ it =>
       var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
+      it.foreach { r =>
+        if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+          s"prefix sum over NULL in '$valueCol' — a null would otherwise " +
+            "NPE four task retries deep; filter or coalesce upstream")
+        s += r.getLong(vIdx)
+      }
       Iterator.single(s)
     }, preservesPartitioning = true).collect()
+    src.unpersist(false) // the shuffle files hold the sorted data now
     val offsets = totals.scanLeft(0L)(_ + _)
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val outSchema = StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))

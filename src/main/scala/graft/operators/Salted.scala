@@ -19,6 +19,13 @@ object Salted {
 
   def join(left: DataFrame, right: DataFrame, key: String,
            saltCol: String, factor: Int): DataFrame = {
+    // factor = 0 would yield pmod NULL on the left and salts {0, -1} on
+    // the right — a silently EMPTY join result, not an error
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    Seq(left -> "left", right -> "right").foreach { case (df, side) =>
+      require(!df.columns.contains("_salt"), // would be overwritten + dropped
+        s"$side input already has a '_salt' column")
+    }
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(col(saltCol)), lit(factor.toLong)))
     val saltedRight = right.withColumn("_salt",

@@ -66,7 +66,7 @@ object Sampling {
     require(den >= 1, "den must be >= 1")
     require(num >= 0 && num <= den, "need 0 <= num <= den")
     // xhash is non-negative (60-bit), so plain % is already a positive mod
-    df.filter(TextOps.xhash(compositeKey(keyCols)) % den < num)
+    df.filter(keyHash(keyCols) % den < num)
   }
 
   /** The complement sample — byKeyHash keeps hash < num/den, this keeps the
@@ -74,7 +74,7 @@ object Sampling {
   def byKeyHashComplement(df: DataFrame, keyCols: Seq[String], num: Int, den: Int): DataFrame = {
     require(den >= 1, "den must be >= 1")
     require(num >= 0 && num <= den, "need 0 <= num <= den")
-    df.filter(TextOps.xhash(compositeKey(keyCols)) % den >= num)
+    df.filter(keyHash(keyCols) % den >= num)
   }
 
   /** Deterministic STRATIFIED sampling — the training-mix rebalancer:
@@ -90,7 +90,7 @@ object Sampling {
     (fractions.values.toSeq :+ defaultFraction).foreach { case (n, d) =>
       require(d >= 1 && n >= 0 && n <= d, s"invalid fraction $n/$d")
     }
-    val h = TextOps.xhash(compositeKey(keyCols))
+    val h = keyHash(keyCols)
     def keep(nd: (Int, Int)) = h % nd._2 < nd._1
     df.filter(strataCase(strataCol, fractions, keep(defaultFraction))(keep))
   }

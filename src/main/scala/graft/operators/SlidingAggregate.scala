@@ -134,7 +134,14 @@ object SlidingAggregate {
     // Unpersisted as soon as the shuffle files hold the data (below).
     val kv: RDD[(Long, Long)] = df
       .select(col(keyCol).cast(LongType), col(valueCol).cast(LongType))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .rdd.map { r =>
+        // fail actionably: a NULL here would otherwise NPE four task
+        // retries deep (the sql() oracle path tolerates NULLs — silently
+        // diverging results would be worse than an error)
+        if (r.isNullAt(0) || r.isNullAt(1)) throw new IllegalArgumentException(
+          s"NULL in '$keyCol'/'$valueCol' — filter or coalesce upstream")
+        (r.getLong(0), r.getLong(1))
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // TeraSort: sampled range partitioner + shuffle-time per-partition sort
@@ -231,9 +238,17 @@ object SlidingAggregate {
         if (t2 < r && rank + l - 1 >= t2 * m) b += (((t2, 1, rank), (k, lifted)))
         b.result()
       }
+      // targets p+d and p+d+1 receive block p as RAW rows and the
+      // evaluator skips their aggregates unconditionally (q != p-d-1,
+      // q != p-d below) — proof: a target P reads aggregates only for
+      // q in [P-d+1, P-1] (w0 >= P·m - l + 1 and l <= (d+1)·m bound
+      // q0 >= P-d-1, and the two raw-delivered blocks are excluded), so
+      // block p's aggregate is consumed by P in [p+1, p+d-1] exactly.
+      // Shipping past p+d-1 was pure dead traffic — for d <= 1 (window
+      // within a block, the common regime) ALL aggregate messages are.
       def aggMsgs = partials.iterator.flatMap { case (p, s) =>
         val pInt = p.toInt
-        (pInt + 1 to math.min(pInt + d + 1, r - 1)).iterator
+        (pInt + 1 to math.min(pInt + d - 1, r - 1)).iterator
           .map(q => ((q, 0, p), (0L, s)))
       }
       dataMsgs ++ aggMsgs

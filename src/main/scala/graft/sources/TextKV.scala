@@ -28,9 +28,15 @@ object TextKV {
       .csv(path)
 
   /** `rank\tkey\tagg` text sink, range-partitioned into numParts files by
-    * rank — the reference's output contract. */
+    * rank — the reference's output contract. `numParts <= 0` derives the
+    * count from default parallelism, the same contract as
+    * `SlidingAggregate.scalable` — the CLI wires ONE flag into both, and a
+    * crash here would discard the whole already-executed computation. */
   def writeRanked(df: DataFrame, path: String, numParts: Int): Unit =
-    df.repartitionByRange(numParts, col("rank"))
+    df.repartitionByRange(
+        if (numParts >= 1) numParts
+        else math.max(2, df.sparkSession.sparkContext.defaultParallelism),
+        col("rank"))
       .sortWithinPartitions("rank")
       .select(concat_ws("\t", col("rank"), col("key"), col("agg")).as("value"))
       .write.mode("overwrite").text(path)

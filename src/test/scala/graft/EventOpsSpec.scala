@@ -44,4 +44,16 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("ns-to-us conversion truncates toward zero, matching DuckDB's parquet reader") {
+    // DuckDB reads TIMESTAMP(NANOS) parquet by truncation (-1500 ns -> -1 us,
+    // -1 ns -> 0); the operators' `ts div 1000` must agree at every
+    // timestamp INCLUDING pre-1970 ones — a floor division would not
+    val out = spark.sql(
+      """SELECT CAST(-1500 div 1000 AS BIGINT), CAST(-1 div 1000 AS BIGINT),
+        |       CAST(999 div 1000 AS BIGINT), CAST(-999999 div 1000 AS BIGINT)"""
+        .stripMargin).collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((-1L, 0L, 0L, -999L)))
+  }
 }
