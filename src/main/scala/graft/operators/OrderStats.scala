@@ -37,6 +37,40 @@ object OrderStats {
     (sorted, counts.scanLeft(0L)(_ + _))
   }
 
+  /** The elements at the given global ranks of a partition-sorted RDD —
+    * the order-statistic extraction shared by [[exactSplitters]] and the
+    * sampled splitter path of `SlidingAggregate.scalable` (the reference's
+    * `chooseBorders`): each partition walks its slice once, emitting one
+    * (id, key) per target; COLLIDING target ranks (k > n) each get a row
+    * at the shared key, so no splitter is silently dropped. Targets must
+    * be rank-ascending; the result arrives id-ascending. O(#targets)
+    * driver data — the bounded-collect sentinel protocol. */
+  private[graft] def keysAtRanks(sorted: RDD[Long], offsets: Array[Long],
+                                 targets: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val sc = sorted.sparkContext
+    val bTargets = sc.broadcast(targets)
+    val bOffsets = sc.broadcast(offsets)
+    sorted.mapPartitionsWithIndex { (pi, it) =>
+      val off = bOffsets.value(pi)
+      val end = bOffsets.value(pi + 1)
+      val mine = bTargets.value.filter(t => t._1 >= off && t._1 < end)
+      if (mine.isEmpty) Iterator.empty
+      else {
+        var idx = off
+        val out = Array.newBuilder[(Long, Long)]
+        var ti = 0
+        while (ti < mine.length && it.hasNext) {
+          val key = it.next()
+          while (ti < mine.length && idx == mine(ti)._1) {
+            out += ((mine(ti)._2, key)); ti += 1
+          }
+          idx += 1
+        }
+        out.result().iterator
+      }
+    }.collect().sortBy(_._1)
+  }
+
   /** Exact order statistics: splitter i (1..k-1) = the element at global
     * rank `i*n/k` of `keyCol` ascending. Output: (splitter_id, splitter).
     * numParts <= 0 derives parallelism; the answer is partition-independent. */
@@ -49,30 +83,9 @@ object OrderStats {
     val n = offsets.last
     // target ranks, ascending; each falls in exactly one partition
     val targets = (1 until k).map(i => (i.toLong * n / k, i.toLong)).toArray
-    val bTargets = spark.sparkContext.broadcast(targets)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val rows = sorted.mapPartitionsWithIndex { (pi, it) =>
-      val off = bOffsets.value(pi)
-      val end = bOffsets.value(pi + 1)
-      val mine = bTargets.value.filter(t => t._1 >= off && t._1 < end)
-      if (mine.isEmpty) Iterator.empty
-      else {
-        var idx = off
-        val out = Vector.newBuilder[Row]
-        var ti = 0
-        while (ti < mine.length && it.hasNext) {
-          val key = it.next()._1
-          // k > n makes target ranks collide — emit one row per target id
-          // before advancing, so no splitter is silently dropped
-          while (ti < mine.length && idx == mine(ti)._1) {
-            out += Row(mine(ti)._2, key); ti += 1
-          }
-          idx += 1
-        }
-        out.result().iterator
-      }
-    }
-    spark.createDataFrame(rows, StructType(Seq(
+    val rows = keysAtRanks(sorted.map(_._1), offsets, targets)
+      .map { case (id, key) => Row(id, key) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), StructType(Seq(
       StructField("splitter_id", LongType, nullable = false),
       StructField("splitter", LongType, nullable = false))))
       .orderBy("splitter_id")

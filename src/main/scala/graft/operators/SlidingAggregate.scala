@@ -167,25 +167,11 @@ object SlidingAggregate {
         if (sn < parts) new RangePartitioner(parts, kv, ascending = true)
         else {
           // target sample ranks i·sn/parts are strictly increasing for
-          // sn >= parts; each falls in exactly one sample partition
-          val targets = (1 until parts).map(i => (i.toLong * sn) / parts).toArray
-          val bT = spark.sparkContext.broadcast(targets)
-          val bO = spark.sparkContext.broadcast(sOffs)
-          val borders = s.mapPartitionsWithIndex { (pi, it) =>
-            val off = bO.value(pi); val end = bO.value(pi + 1)
-            val mine = bT.value.filter(x => x >= off && x < end)
-            if (mine.isEmpty) Iterator.empty
-            else {
-              var idx = off; var ti = 0
-              val out = Array.newBuilder[Long]
-              while (ti < mine.length && it.hasNext) {
-                val key = it.next()
-                if (idx == mine(ti)) { out += key; ti += 1 }
-                idx += 1
-              }
-              out.result().iterator
-            }
-          }.collect().sorted
+          // sn >= parts; extraction shared with OrderStats (chooseBorders'
+          // keys[(i·s)/R] order statistics, bit-for-bit — golden-gated)
+          val targets = (1 until parts)
+            .map(i => ((i.toLong * sn) / parts, i.toLong)).toArray
+          val borders = OrderStats.keysAtRanks(s, sOffs, targets).map(_._2)
           new BorderPartitioner(borders, parts)
         }
       case None => new RangePartitioner(parts, kv, ascending = true)
