@@ -1058,11 +1058,13 @@ object SparkEntry {
         | AND a.pos <> b.pos
         |GROUP BY a.w, b.w ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
 
+    // coalesce mirrors the Spark side: NULL text hashes as '' (content
+    // rule), not CASE-fallthrough into 'test'
     "q44_dataset_split" ->
       """SELECT doc_id,
-        |  (('0x' || substr(md5(text),1,15))::BIGINT % 1000000007) % 10 AS bucket,
-        |  CASE WHEN (('0x' || substr(md5(text),1,15))::BIGINT % 1000000007) % 10 < 8 THEN 'train'
-        |       WHEN (('0x' || substr(md5(text),1,15))::BIGINT % 1000000007) % 10 < 9 THEN 'val'
+        |  (('0x' || substr(md5(coalesce(text, '')),1,15))::BIGINT % 1000000007) % 10 AS bucket,
+        |  CASE WHEN (('0x' || substr(md5(coalesce(text, '')),1,15))::BIGINT % 1000000007) % 10 < 8 THEN 'train'
+        |       WHEN (('0x' || substr(md5(coalesce(text, '')),1,15))::BIGINT % 1000000007) % 10 < 9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1074,11 +1076,15 @@ object SparkEntry {
         |       ' +', ' ', 'g')) <> text AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the i = 0 OR i < len - overlap guard mirrors the Spark side's
+    // redundant-trailing-chunk cut (a start past len - overlap re-emits
+    // text its predecessor already covered)
     "q46_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |st AS (SELECT doc_id, ws, i AS start,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS chunk_idx
-        |       FROM toks, UNNEST(range(0, len(ws), 24)) AS t(i))
+        |       FROM toks, UNNEST(range(0, len(ws), 24)) AS t(i)
+        |       WHERE i = 0 OR i < len(ws) - 8)
         |SELECT doc_id, chunk_idx,
         |  CAST(len(ws[start+1 : start+32]) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[start+1 : start+32], ' ') AS chunk_text

@@ -1,6 +1,6 @@
 package graft.embed
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,22 +58,46 @@ object Similarity {
   /** Distributed per-query top-k over a scored (q_id, cand_id, score)
     * stream — TakeOrdered, not a naked window: a bare
     * `row_number().over(partitionBy(q_id))` shuffles EVERY candidate's
-    * score for a query into one task. Instead each input partition first
-    * reduces to its own top-k per query (map-side partial aggregation —
-    * bounded by rows already resident in that partition), so the shuffle
-    * carries at most k rows per (query, partition) and the single-task
-    * merge sees k·P rows, not |candidates|. NULL scores (zero-norm
-    * vectors) drop out, matching the window form's NULLS-LAST + filter. */
+    * score for a query into one task. Each input partition first reduces
+    * to its own top-k per query with a BOUNDED heap in `mapPartitions` —
+    * not a `collect_list` aggregate, whose map-side partial buffers hold
+    * every row of the group and only truncate AFTER the exchange (the
+    * round-4 form moved all scored rows packed in lists; this moves at
+    * most k rows per (query, partition), memory k·|queries| per task).
+    * The kept set is order-independent — ties break on cand_id, a strict
+    * total order — so results are partitioning-invariant. NULL scores
+    * (zero-norm vectors) drop out, matching the window form's
+    * NULLS-LAST + filter. */
   private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val perPart = scored
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = scored.sparkSession
+    // max-of-ordering = WORST kept element: smaller score is "greater",
+    // then larger cand_id — so dequeue() evicts the right row
+    val worstFirst = Ordering.by[(Long, Long), (Long, Long)] {
+      case (score, cand) => (-score, cand)
+    }
+    val partialRdd = scored
       .filter(col("score").isNotNull)
-      .withColumn("pid", spark_partition_id())
-      .groupBy("q_id", "pid")
-      // ascending struct sort on (-score, cand_id) == (score desc, cand_id)
-      .agg(slice(array_sort(collect_list(struct((-col("score")).as("ns"),
-        col("cand_id")))), 1, k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.cand_id").as("cand_id"), (-col("t.ns")).as("score"))
+      .select(col("q_id").cast(LongType), col("cand_id").cast(LongType),
+        col("score").cast(LongType))
+      .rdd.mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { r =>
+          val heap = heaps.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          val e = (r.getLong(2), r.getLong(1))
+          if (heap.size < k) heap.enqueue(e)
+          else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+        }
+        heaps.iterator.flatMap { case (q, heap) =>
+          heap.iterator.map { case (score, cand) => Row(q, cand, score) }
+        }
+      }
+    val perPart = spark.createDataFrame(partialRdd, StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("cand_id", LongType, nullable = false),
+      StructField("score", LongType, nullable = false))))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
     perPart.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
@@ -153,7 +177,10 @@ object Similarity {
     * [[cosinePairsBlocked]] + [[graft.text.Dedup.clusters]]. */
   def embedNearDup(vectors: DataFrame, minScore1e6: Long, nPlanes: Int = 12): DataFrame = {
     graft.functions.DotProductLong.register(vectors.sparkSession)
-    val b = hyperplaneBuckets(vectors, nPlanes)
+    // both self-join sides would otherwise re-run the nPlanes·dim bucket
+    // build (and the quantize+norm pass below) once per branch — the same
+    // 2×-dominant-cost hazard bitmapSignatures checkpoints against
+    val b = hyperplaneBuckets(vectors, nPlanes).localCheckpoint(true)
     val probes = (0 until nPlanes).map(j => expr(s"CAST(${1L << j} AS BIGINT)")) :+
       expr("CAST(0 AS BIGINT)")
     val pa = b.select(col("vec_id").as("vid_a"), explode(array(probes: _*)).as("flip"), col("bucket"))
@@ -163,6 +190,7 @@ object Similarity {
       .select("vid_a", "vid_b").distinct()
     val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", expr(dotExpr("v", "v")))
+      .localCheckpoint(true)
     val edges = cand
       .join(v.as("a"), col("vid_a") === col("a.vec_id"))
       .join(v.as("b"), col("vid_b") === col("b.vec_id"))
@@ -182,6 +210,11 @@ object Similarity {
     * engine-independent integer sequence). Vectors in the same bucket are
     * ANN candidates; [[annTopkCosine]] is the end-to-end search. */
   def hyperplaneBuckets(vectors: DataFrame, nPlanes: Int): DataFrame = {
+    // 63, not 64: bit j comes from shiftleft(1, j) (wraps mod 64 past
+    // that) and the signature is combined with + (a collision would CARRY
+    // into the next bit, silently corrupting every downstream bucket and
+    // probe mask); SimHash carries the same bound for the same reason
+    require(nPlanes >= 1 && nPlanes <= 63, s"need 1 <= nPlanes <= 63, got $nPlanes")
     val P = graft.text.TextOps.P
     val planes = (0 until nPlanes).map { j =>
       val aj = (2654435761L * (j + 1)) % P
@@ -248,6 +281,10 @@ object Similarity {
     sample
       .withColumn("cell", row_number().over(Window.orderBy("vec_id")).cast(LongType) - 1)
       .select(col("cell"), col("cv"), expr(dotExpr("cv", "cv")).as("cn"))
+      // nCells rows, but the LINEAGE is a whole-corpus TakeOrdered sample;
+      // every consumer broadcasts this twice (assign + query probes), so
+      // materialize once rather than re-running the sample job per branch
+      .localCheckpoint(true)
   }
 
   /** Optional Lloyd refinement for [[ivfCentroids]]: `iters` rounds of

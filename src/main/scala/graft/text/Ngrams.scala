@@ -71,7 +71,13 @@ object Ngrams {
           |  i -> struct(element_at(ws, i+1) AS w1, element_at(ws, i+2) AS w2))""".stripMargin))
         .as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    // materialized: big feeds the head aggregation AND the scoring join —
+    // uncheckpointed, each consumer re-executes the corpus-wide bigram
+    // explode underneath it (the pairs stream itself stays lazy: it is
+    // corpus-sized, and its two executions — the model build and the
+    // scoring pass — are the irreducible ones)
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     // head counts derived from the BIGRAM table (sum of c12 per head), not
     // the token stream: w1 occurrences as a bigram head — so scores of a
     // head's continuations sum to <= 1000 exactly
@@ -91,13 +97,17 @@ object Ngrams {
     * `tf·10^6 div df` — log-free so it is cross-engine exact; document
     * frequency is the corpus-wide distinct-doc count per term).
     * Output: (doc_id, term, tf, df, score). */
-  def topTermByTfDf(docs: DataFrame): DataFrame = {
+  def topTermByTfDf(docs: DataFrame, broadcastDf: Boolean = true): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tok.select("doc_id", "w").distinct()
       .groupBy("w").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-    tf.join(broadcast(df), "w")
+    // broadcast() is a hint Spark obeys unconditionally — a web-corpus
+    // vocabulary outgrows it; broadcastDf = false degrades to a shuffled
+    // join, the same escape hatch bigramScore/jaccardPairs expose
+    val hintedDf = if (broadcastDf) broadcast(df) else df
+    tf.join(hintedDf, "w")
       .withColumn("score", expr("CAST(tf * 1000000 div df AS BIGINT)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

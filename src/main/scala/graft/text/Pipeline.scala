@@ -18,9 +18,13 @@ object Pipeline {
 
   /** Deterministic train/val/test split by CONTENT hash (stable under
     * doc_id renumbering and corpus reordering): bucket = h(text) mod 10 →
-    * 0–7 train, 8 val, 9 test. */
+    * 0–7 train, 8 val, 9 test. NULL text hashes as the empty string —
+    * identical content MUST share a split (leakage), and the naked-NULL
+    * form would shunt every null doc into 'test' via the CASE fallthrough
+    * instead of the content rule. */
   def datasetSplit(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), ((xhash(col("text")) % P) % 10).as("bucket"))
+    docs.select(col("doc_id"),
+        ((xhash(coalesce(col("text"), lit(""))) % P) % 10).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 8, lit("train"))
           .when(col("bucket") < 9, lit("val"))
@@ -130,6 +134,11 @@ object Pipeline {
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         posexplode(expr(s"sequence(0, size(ws) - 1, $step)")))
+      // a start past size(ws) - overlap yields a chunk fully contained in
+      // its predecessor (the predecessor already reached the doc end) —
+      // pure duplicated training text; the cut is monotone (only trailing
+      // starts drop), so chunk_idx stays dense
+      .filter(col("col") === 0 || col("col") < size(col("ws")) - overlap)
       .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
         expr(s"CAST(size(slice(ws, col + 1, $chunkTokens)) AS BIGINT)").as("n_tokens"),
         expr(s"array_join(slice(ws, col + 1, $chunkTokens), ' ')").as("chunk_text"))

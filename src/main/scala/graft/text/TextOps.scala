@@ -328,7 +328,11 @@ object Dedup {
     * floating-log rounding hazard at exact-ratio boundaries. */
   private[graft] def sizeBandBounds(num: Int, den: Int): Array[Long] = {
     val bs = scala.collection.mutable.ArrayBuffer(1L)
-    while (bs.last <= (1L << 40) && bs.length < 8192) bs += bs.last * den / num + 1
+    // BigInt step: bs.last·den can pass 2^63 for near-1 thresholds with
+    // large denominators, and a wrapped-negative bound would break the
+    // ascending-bounds invariant the band lemma rests on
+    while (bs.last <= (1L << 40) && bs.length < 8192)
+      bs += (BigInt(bs.last) * den / num + 1).min(BigInt(Long.MaxValue)).toLong
     bs.toArray // nw past the last bound all land in the final band: extra
                // enumerations there, never a lost pair
   }

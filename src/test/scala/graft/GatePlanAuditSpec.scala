@@ -83,9 +83,18 @@ class GatePlanAuditSpec extends SparkSpec {
         if (captured.size == last) stable += 1 else { stable = 0; last = captured.size }
       }
       captured.forEach { qe =>
-        val found = offenders(qe.sparkPlan)
+        val planStr = qe.sparkPlan.toString
+        val found = offenders(qe.sparkPlan).filterNot { f =>
+          // the top-k operators now surface their scan via Dataset.rdd
+          // (which fires a listener event at conversion), so q22/q30's
+          // documented broadcast cross — tiny query set against the
+          // streamed corpus, scored by the native dot product — shows up
+          // here too; identify it by its scoring kernel, and exempt ONLY
+          // the BNLJ form (a CartesianProduct regression still fails)
+          f.startsWith("BroadcastNestedLoopJoin") && planStr.contains("dot_long(")
+        }
         if (found.nonEmpty)
-          failures += s"construction-time plan: ${found.mkString("; ")} in\n${qe.sparkPlan.toString.take(800)}"
+          failures += s"construction-time plan: ${found.mkString("; ")} in\n${planStr.take(800)}"
       }
       assert(captured.size > 0, "listener captured nothing — the construction-time audit went blind")
     } finally spark.listenerManager.unregister(listener)

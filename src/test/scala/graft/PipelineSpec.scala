@@ -7,17 +7,23 @@ class PipelineSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
-  test("chunking: full coverage with the configured overlap, trailing chunk short") {
+  test("chunking: full coverage with the configured overlap, no redundant trailing chunk") {
     val words = (1 to 50).map(i => s"w$i")
     val d = docs(1L -> words.mkString(" "))
     val chunks = Pipeline.chunk(d, chunkTokens = 20, overlap = 5).collect()
-    // starts at 0, 15, 30, 45 → lengths 20, 20, 20, 5
-    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(20L, 20L, 20L, 5L))
+    // starts at 0, 15, 30; the start at 45 would re-emit [w46..w50] which
+    // chunk [w31..w50] already fully covers — pure duplicated text, cut
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(20L, 20L, 20L))
     val texts = chunks.map(_.getAs[String]("chunk_text"))
     assert(texts(0).startsWith("w1 ") && texts(1).startsWith("w16 "))
-    // every word appears in at least one chunk
+    // every word appears in at least one chunk even after the cut
     val covered = texts.flatMap(_.split(" ")).toSet
     assert(covered == words.toSet)
+    // a trailing chunk that DOES add new tokens is kept (and stays short)
+    val words52 = (1 to 52).map(i => s"w$i")
+    val chunks52 = Pipeline.chunk(docs(1L -> words52.mkString(" ")), 20, 5).collect()
+    assert(chunks52.map(_.getAs[Long]("n_tokens")).toSeq == Seq(20L, 20L, 20L, 7L))
+    assert(chunks52.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet == words52.toSet)
   }
 
   test("chunking: doc shorter than one chunk yields exactly one chunk") {
