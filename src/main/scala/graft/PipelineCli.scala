@@ -42,23 +42,38 @@ object PipelineCli {
     * materialized (their counts are the stage report), so writing them
     * out touches no upstream lineage; callers unpersist them via
     * `df.unpersist()` when done (the CLI holds them only until its
-    * shard writes finish). */
+    * shard writes finish).
+    *
+    * The library operators each end with an oracle-determinism `orderBy`;
+    * composed here those sorts do NO work — Catalyst's EliminateSorts
+    * removes a Sort under a join/aggregation that cannot observe it
+    * (verified: the composed physical plan has zero Sort nodes and zero
+    * range exchanges before the shard writer's own range partitioning). */
   def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     counts += "input" -> docs.count()
 
-    val normalized = Pipeline.normalize(docs)
-      .select(col("doc_id"), col("norm_text").as("text"))
-    val redacted = Pipeline.redactPii(normalized)
+    // redaction MUST see the RAW text: normalize strips exactly the
+    // characters the email/phone patterns need ('@', '.', '-'), so the
+    // reverse order silently ships PII into the shards (spec-gated now).
+    // The placeholders then normalize to plain 'email'/'phone' tokens.
+    val redactedRaw = Pipeline.redactPii(docs)
       .select(col("doc_id"), col("red_text").as("text"))
+    val redacted = Pipeline.normalize(redactedRaw)
+      .select(col("doc_id"), col("norm_text").as("text"))
       .persist() // feeds both filter scans and the filtered join
 
     val quality = TextAnalysis.quality(redacted, stopwords = Seq("the", "a", "and", "of"))
       .filter(col("quality") >= minQuality).select("doc_id")
-    val lowRep = TextAnalysis.repetition(redacted)
-      .filter(col("dup_frac1000") <= maxDupFrac1000).select("doc_id")
-    val filtered = redacted.join(quality, "doc_id").join(lowRep, "doc_id")
+    // docs with < 2 tokens have NO bigrams and are absent from
+    // repetition()'s output — they trivially satisfy any ceiling, so the
+    // keep-set must be "not rejected" (anti-join against the violators),
+    // not "present and below" (an inner join would silently delete them)
+    val highRep = TextAnalysis.repetition(redacted)
+      .filter(col("dup_frac1000") > maxDupFrac1000).select("doc_id")
+    val filtered = redacted.join(quality, "doc_id")
+      .join(highRep, Seq("doc_id"), "left_anti")
       .persist() // feeds nearDedup's several passes and the dedup join
     counts += "after_quality_filters" -> filtered.count()
     redacted.unpersist() // its last consumer (filtered) just materialized —

@@ -50,10 +50,16 @@ object SlidingCli {
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
+    // numParts <= 0 means "derive from parallelism" downstream (scalable,
+    // writeRanked) — but the shuffle-partitions CONF must be positive or
+    // getOrCreate throws before any work runs; derive it the same way here
+    val shuffleParts =
+      if (cfg.numParts >= 1) cfg.numParts
+      else math.max(2, Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-sliding")
-      .config("spark.sql.shuffle.partitions", cfg.numParts.toString)
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -934,8 +934,12 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY term""".stripMargin,
 
+    // coalesce: extractFeatures degrades a NULL blob to empty bytes
+    // (n_bytes 0), while octet_length would NULL-propagate — keep the
+    // engines aligned on the degrade contract even for NULL-text rows
     "q40_multimodal" ->
-      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      """SELECT doc_id AS media_id,
+        |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q43_histogram" ->

@@ -215,7 +215,11 @@ object Multimodal {
     * only re-wrap the same per-row calls. */
   private def perRow(media: DataFrame, schema: StructType)(f: Row => Row): DataFrame =
     media.sparkSession.createDataFrame(
-      media.select("media_id", "media").rdd.mapPartitions(_.map(f)), schema)
+      // a NULL media_id (the column is declared nullable) has nothing to
+      // key its features by — drop the row, per-row degradation like the
+      // NULL-blob case, instead of getLong NPE-ing the whole job
+      media.select("media_id", "media").filter(col("media_id").isNotNull)
+        .rdd.mapPartitions(_.map(f)), schema)
 
   /** Per-row feature extraction. `decodeFn` is the pluggable decode step
     * (default: [[fakeDecode]] stub; [[imageDecode]] for real images).

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -123,13 +125,18 @@ object EventStreaming {
       val sorted = buffered.sortBy(e => (e.tsUs, e.eventId))
       val wmMs = math.max(state.getCurrentWatermarkMs(), 0L)
       val wmUs = wmMs * 1000L
-      // split into gap-delimited sessions; emit the ones sealed by watermark
-      val sessions = sorted.foldLeft(List.empty[List[Event]]) { (acc, e) =>
-        acc match {
-          case cur :: rest if e.tsUs - cur.last.tsUs <= gapUs => (cur :+ e) :: rest
-          case _ => List(e) :: acc
+      // split into gap-delimited sessions; emit the ones sealed by
+      // watermark. ArrayBuffers with O(1) append/last — the List form
+      // (`cur :+ e` + `cur.last` inside the fold) was O(n²) per batch for
+      // a key whose session stays open and keeps accumulating state
+      val sessions = {
+        val acc = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Event]]
+        sorted.foreach { e =>
+          if (acc.nonEmpty && e.tsUs - acc.last.last.tsUs <= gapUs) acc.last += e
+          else acc += mutable.ArrayBuffer(e)
         }
-      }.reverse
+        acc.map(_.toList).toList
+      }
       val (closed, open) = sessions.partition(s => s.last.tsUs + gapUs < wmUs)
       if (open.isEmpty) state.remove()
       else {

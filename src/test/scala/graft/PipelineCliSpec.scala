@@ -14,16 +14,31 @@ class PipelineCliSpec extends SparkSpec {
       (i, s"item${i}a item${i}b item${i}c item${i}d item${i}e " +
         s"item${i}f item${i}g item${i}h item${i}i item${i}j")) ++
       Seq(101L -> base, 102L -> base, 103L -> base,
-        200L -> ("spam spam " * 12).trim)
+        200L -> ("spam spam " * 12).trim,
+        // PII fixture: redaction must run on RAW text — normalize strips
+        // '@'/'.'/'-' and would make the patterns unmatchable
+        300L -> ("reach out to alice@example.com or call 555-123-4567 " +
+          "about the quarterly numbers and the rest of the agenda items"))
     val docs = rows.toDF("doc_id", "text")
 
     val (bySplit, counts) = PipelineCli.run(docs, minQuality = 300L, maxDupFrac1000 = 300L)
     val c = counts.toMap
-    assert(c("input") == 34L)
-    assert(c("after_quality_filters") < 34L, s"boilerplate not dropped: $counts")
+    assert(c("input") == 35L)
+    assert(c("after_quality_filters") < 35L, s"boilerplate not dropped: $counts")
     // the dup triple collapses to one representative
     assert(c("after_near_dedup") == c("after_quality_filters") - 2, s"$counts")
     assert(c("split_train") + c("split_val") + c("split_test") == c("after_near_dedup"))
+
+    // no raw PII survives into ANY split, and the redaction placeholders
+    // (normalized to plain tokens) prove the pass actually ran on doc 300
+    val allText = bySplit.values.flatMap(_.collect().map(r =>
+      r.getLong(0) -> r.getString(1))).toMap
+    allText.values.foreach { t =>
+      assert(!t.contains("example") && !t.contains("555"),
+        s"raw PII leaked into a shard: $t")
+    }
+    assert(allText.get(300L).forall(t => t.contains("email") && t.contains("phone")),
+      s"doc 300 lost its redaction placeholders: ${allText.get(300L)}")
 
     // the returned frames are persisted and materialized: consuming them
     // must scan the cache, not re-execute the normalize→dedup lineage
