@@ -199,6 +199,65 @@ object Multimodal {
     }.toArray
   }
 
+  /** Real MULTI-FRAME decode for the one motion format the JDK can read:
+    * animated GIF (ImageIO's reader exposes every stored frame). Samples
+    * up to `n` evenly spaced frame indices (same spacing rule as
+    * [[sampleFrames]]) and emits [[imageDecode]]-shaped features per
+    * frame, prefixed with the frame index:
+    * [frameIdx, w, h, meanR, meanG, meanB, meanA, pixels].
+    *
+    * Honesty note: features are per STORED frame — GIF delta frames are
+    * not composited onto their predecessors (compositing policy belongs
+    * to a renderer, and a delta frame's own statistics are the
+    * deterministic, engine-independent choice). Undecodable or
+    * single-image-format bytes yield an empty result (degrade per row);
+    * a plain single-frame GIF yields one frame. Codec-less containers
+    * (MP4 etc.) still use [[fakeDecode]]/[[sampleFrames]] byte windows. */
+  def gifFrameFeatures(bytes: Array[Byte], n: Int): Array[Array[Float]] = {
+    require(n >= 1, "need n >= 1")
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) return Array.empty
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Array.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        if (reader.getFormatName.toLowerCase != "gif") return Array.empty
+        val total = reader.getNumImages(true)
+        if (total <= 0) return Array.empty
+        val idxs =
+          if (n == 1 || total == 1) Array(0)
+          else (0 until math.min(n, total))
+            .map(i => ((total - 1).toLong * i / (math.min(n, total) - 1)).toInt)
+            .distinct.toArray
+        idxs.map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sa += (p >>> 24) & 0xff; sr += (p >>> 16) & 0xff
+              sg += (p >>> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          Array(i.toFloat, w.toFloat, h.toFloat, sr.toFloat / np, sg.toFloat / np,
+            sb.toFloat / np, sa.toFloat / np, np.toFloat)
+        }
+      } catch { case scala.util.control.NonFatal(_) => Array.empty[Array[Float]] }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** FNV-1a over the blob — the deterministic per-row checksum. */
   def checksum(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

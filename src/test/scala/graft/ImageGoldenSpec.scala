@@ -76,6 +76,23 @@ class ImageGoldenSpec extends SparkSpec {
     assert(Multimodal.audioDecode(fixtureBytes("fixture_4x2.png")).toSeq == Seq.fill(8)(-1f))
   }
 
+  // 3-frame animated GIF, 3×2 solid frames: red, green, blue — per-frame
+  // features are exact means of pure primaries (GIF palettes preserve them)
+  test("fixture_anim.gif: multi-frame decode is byte-exact per stored frame") {
+    val gif = fixtureBytes("fixture_anim.gif")
+    val all = Multimodal.gifFrameFeatures(gif, n = 3)
+    assert(all.map(_.toSeq).toSeq == Seq(
+      Seq(0f, 3f, 2f, 255f, 0f, 0f, 255f, 6f),
+      Seq(1f, 3f, 2f, 0f, 255f, 0f, 255f, 6f),
+      Seq(2f, 3f, 2f, 0f, 0f, 255f, 255f, 6f)))
+    // n = 2 samples the endpoints; n > total clamps to every frame
+    assert(Multimodal.gifFrameFeatures(gif, 2).map(_(0)).toSeq == Seq(0f, 2f))
+    assert(Multimodal.gifFrameFeatures(gif, 10).map(_(0)).toSeq == Seq(0f, 1f, 2f))
+    // degrade: non-GIF image formats and garbage yield empty, never throw
+    assert(Multimodal.gifFrameFeatures(fixtureBytes("fixture_4x2.png"), 3).isEmpty)
+    assert(Multimodal.gifFrameFeatures(Array[Byte](9, 9, 9), 3).isEmpty)
+  }
+
   test("golden fixtures flow through the DataFrame plumbing unchanged") {
     val png = fixtureBytes("fixture_4x2.png")
     val media = spark.createDataFrame(
