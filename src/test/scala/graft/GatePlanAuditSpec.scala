@@ -88,10 +88,12 @@ class GatePlanAuditSpec extends SparkSpec {
           // the top-k operators now surface their scan via Dataset.rdd
           // (which fires a listener event at conversion), so q22/q30's
           // documented broadcast cross — tiny query set against the
-          // streamed corpus, scored by the native dot product — shows up
-          // here too; identify it by its scoring kernel, and exempt ONLY
-          // the BNLJ form (a CartesianProduct regression still fails)
-          f.startsWith("BroadcastNestedLoopJoin") && planStr.contains("dot_long(")
+          // streamed corpus — shows up here too. Exempt ONLY that exact
+          // shape: the BNLJ form (a CartesianProduct regression still
+          // fails) scoring with the QUERY-vector kernel naming
+          // "dot_long(qv" — a corpus×corpus BNLJ (embedNearDup-style
+          // kernels score dot_long(a.v, b.v)) would NOT match
+          f.startsWith("BroadcastNestedLoopJoin") && planStr.contains("dot_long(qv")
         }
         if (found.nonEmpty)
           failures += s"construction-time plan: ${found.mkString("; ")} in\n${planStr.take(800)}"

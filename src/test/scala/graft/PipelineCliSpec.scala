@@ -37,8 +37,10 @@ class PipelineCliSpec extends SparkSpec {
       assert(!t.contains("example") && !t.contains("555"),
         s"raw PII leaked into a shard: $t")
     }
-    assert(allText.get(300L).forall(t => t.contains("email") && t.contains("phone")),
-      s"doc 300 lost its redaction placeholders: ${allText.get(300L)}")
+    assert(allText.contains(300L), // forall alone would pass VACUOUSLY if
+      s"the PII doc never reached a split: ${allText.keys}") // a filter ate doc 300
+    assert(allText(300L).contains("email") && allText(300L).contains("phone"),
+      s"doc 300 lost its redaction placeholders: ${allText(300L)}")
 
     // the returned frames are persisted and materialized: consuming them
     // must scan the cache, not re-execute the normalize→dedup lineage
@@ -59,5 +61,8 @@ class PipelineCliSpec extends SparkSpec {
     val a = bySplit("train").collect().map(_.getLong(0)).sorted
     val b = bySplit2("train").collect().map(_.getLong(0)).sorted
     assert(a.sameElements(b))
+    // the run() contract: callers unpersist the returned frames — honor it
+    // so this suite doesn't hold 6 cached frames in the shared session
+    (bySplit.values ++ bySplit2.values).foreach(_.unpersist())
   }
 }

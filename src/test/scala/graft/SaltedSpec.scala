@@ -20,11 +20,26 @@ class SaltedSpec extends SparkSpec {
     assert(plain.size == 2000)
   }
 
-  test("salting actually spreads the hot key across partitions") {
+  test("salting actually spreads the hot key across shuffle partitions") {
+    // derive the spread from the OPERATOR's own join output, not a local
+    // re-implementation of its salt formula: the joined rows' physical
+    // partition ids reflect the (key, _salt) shuffle the operator built
     val left = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "lv") // all one key
-    val salted = left.withColumn("_salt", pmod(xxhash64(col("lv")), lit(8L)))
-    val buckets = salted.groupBy("_salt").count().collect().map(_.getLong(1))
-    assert(buckets.length == 8, s"expected 8 salt buckets, got ${buckets.length}")
-    assert(buckets.max < 1000 * 0.3, s"salting left a hotspot: ${buckets.mkString(",")}")
+    val right = Seq((1L, "hot")).toDF("k", "rv")
+    val out = Salted.join(left, right, "k", "lv", factor = 8)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val perPart = out.groupBy("pid").count().collect().map(_.getLong(1))
+    assert(out.count() == 1000)
+    assert(perPart.length >= 4, s"hot key landed in too few partitions: ${perPart.length}")
+    assert(perPart.max < 1000 * 0.5, s"salting left a hotspot: ${perPart.mkString(",")}")
+  }
+
+  test("factor = 0 and a pre-existing _salt column are rejected, not silent garbage") {
+    val l = Seq((1L, 2L)).toDF("k", "lv"); val r = Seq((1L, "x")).toDF("k", "rv")
+    intercept[IllegalArgumentException] { Salted.join(l, r, "k", "lv", factor = 0) }
+    intercept[IllegalArgumentException] {
+      Salted.join(l.withColumn("_salt", org.apache.spark.sql.functions.lit(1L)),
+        r, "k", "lv", factor = 2)
+    }
   }
 }

@@ -33,7 +33,7 @@ class SamplingSpec extends SparkSpec {
     // the separator makes the two concatenations distinct strings; with a
     // bare concat both rows would hash identically ("123")
     import org.apache.spark.sql.functions._
-    val h = d1.select(graft.text.TextOps.xhash(concat_ws("", col("a"), col("b"))))
+    val h = d1.select(graft.text.TextOps.xhash(concat_ws("\u0001", col("a"), col("b"))))
       .collect().map(_.getLong(0)).toSet
     assert(h.size == 2, "composite keys aliased to the same hash")
   }
@@ -45,7 +45,7 @@ class SamplingSpec extends SparkSpec {
     // distinct hashes ⇒ independent decisions (concat_ws alone would have
     // collapsed both rows to the key "7")
     val hs = d.select(graft.text.TextOps.xhash(
-        concat_ws("", coalesce(col("a"), lit("")), coalesce(col("b"), lit("")))))
+        concat_ws("\u0001", coalesce(col("a"), lit("\u0002")), coalesce(col("b"), lit("\u0002")))))
       .collect().map(_.getLong(0)).toSet
     assert(hs.size == 2)
     // and the operator itself partitions the two rows exactly

@@ -36,7 +36,7 @@ class SlidingAggregatePropertySpec extends SparkSpec {
       val data = Seq.fill(n)((rng.nextInt(math.max(1, n / 2)).toLong, rng.nextInt(2000).toLong - 1000L))
       // ties: brute force must see the same tie order Spark chooses, so sort
       // by (key, value) and make value a tiebreaker part of the key instead —
-      // simplest: make keys unique by composing key*10000 + i
+      // simplest: make keys unique by composing key*100000 + i
       val unique = data.zipWithIndex.map { case ((k, v), i) => (k * 100000 + i, v) }
       val sortedRef = unique.sortBy(_._1)
       val expected = bruteForce(sortedRef, l, mon)
