@@ -13,6 +13,9 @@ object QBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B the range-shuffle input-cache knob without a code edit
+    sys.env.get("SPARK_GRAFT_RANGE_CACHE")
+      .foreach(spark.conf.set(graft.operators.RangeInputCache.ConfKey, _))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
     for (name <- args; r <- 1 to 3) {

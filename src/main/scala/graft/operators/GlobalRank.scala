@@ -25,16 +25,16 @@ object GlobalRank {
   def withRank(df: DataFrame, numParts: Int, rankCol: String, sortCols: Column*): DataFrame = {
     val parts = if (numParts >= 1) numParts
       else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
-    // persist BEFORE the range shuffle: repartitionByRange scans its child
-    // once for the RangePartitioner bounds sample and again for the shuffle
-    // map — uncached, two full upstream executions (the double-scan
-    // OrderStats documents); zipWithIndex's eager count job materializes
-    // the shuffle, after which the cache is released
-    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache BEFORE the range shuffle (knob: RangeInputCache — off at
+    // storage-bound scale): repartitionByRange scans its child once for the
+    // RangePartitioner bounds sample and again for the shuffle map;
+    // zipWithIndex's eager count job materializes the shuffle, after which
+    // the cache is released
+    val (src, release) = RangeInputCache.acquire(df)
     val sorted = src.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
     val zipped = sorted.rdd.zipWithIndex() // runs the count pass eagerly
-    src.unpersist(false) // consumers re-read the shuffle files, not the source
+    release() // consumers re-read the shuffle files, not the source
     val rdd = zipped.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }

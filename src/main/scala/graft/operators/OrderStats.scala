@@ -25,15 +25,17 @@ object OrderStats {
 
   private[graft] def sortedWithOffsets(kv0: RDD[(Long, Long)], numParts: Int)
     : (RDD[(Long, Long)], Array[Long]) = {
-    // cache: the RangePartitioner's sampling job and the shuffle map stage
-    // both scan the input (a parquet re-read each, otherwise); dropped as
-    // soon as the count pass has written the shuffle files
-    val kv = kv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache (knob: RangeInputCache — off at storage-bound scale): the
+    // RangePartitioner's sampling job and the shuffle map stage both scan
+    // the input (a parquet re-read each, otherwise); dropped as soon as
+    // the count pass has written the shuffle files
+    val (kv, release) = RangeInputCache.acquireRdd(kv0,
+      org.apache.spark.sql.SparkSession.active)
     val part = new RangePartitioner(numParts, kv, ascending = true)
     val sorted = kv.repartitionAndSortWithinPartitions(part)
     val counts = sorted.mapPartitions(it => Iterator(it.size.toLong),
       preservesPartitioning = true).collect()
-    kv.unpersist(blocking = false)
+    release()
     (sorted, counts.scanLeft(0L)(_ + _))
   }
 

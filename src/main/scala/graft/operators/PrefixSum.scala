@@ -29,11 +29,10 @@ object PrefixSum {
     val spark = df.sparkSession
     val parts = if (numParts >= 1) numParts
       else math.max(2, spark.sparkContext.defaultParallelism)
-    // persist BEFORE the range shuffle: repartitionByRange scans its child
-    // once for the RangePartitioner's bounds sample and again for the
-    // shuffle map — uncached, that is two full source reads (the same
-    // double-scan OrderStats.sortedWithOffsets documents and avoids)
-    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache BEFORE the range shuffle (knob: RangeInputCache — off at
+    // storage-bound scale): repartitionByRange scans its child once for the
+    // RangePartitioner's bounds sample and again for the shuffle map
+    val (src, release) = RangeInputCache.acquire(df)
     val sorted = src.repartitionByRange(parts, orderCols: _*).sortWithinPartitions(orderCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == LongType, s"$valueCol must be BIGINT")
@@ -50,7 +49,7 @@ object PrefixSum {
       }
       Iterator.single(s)
     }, preservesPartitioning = true).collect()
-    src.unpersist(false) // the shuffle files hold the sorted data now
+    release() // the shuffle files hold the sorted data now
     val offsets = totals.scanLeft(0L)(_ + _)
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val outSchema = StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))

@@ -129,10 +129,11 @@ object SlidingAggregate {
       else math.max(2, spark.sparkContext.defaultParallelism)
     val l = window
 
-    // Cached: the splitter-sampling job and the range-shuffle map stage both
-    // scan the input — without the cache each re-reads the parquet source.
-    // Unpersisted as soon as the shuffle files hold the data (below).
-    val kv: RDD[(Long, Long)] = df
+    // Cached (knob: RangeInputCache — off at storage-bound scale): the
+    // splitter-sampling job and the range-shuffle map stage both scan the
+    // input — without the cache each re-reads the parquet source.
+    // Released as soon as the shuffle files hold the data (below).
+    val kv0: RDD[(Long, Long)] = df
       .select(col(keyCol).cast(LongType), col(valueCol).cast(LongType))
       .rdd.map { r =>
         // fail actionably: a NULL here would otherwise NPE four task
@@ -142,7 +143,7 @@ object SlidingAggregate {
           s"NULL in '$keyCol'/'$valueCol' — filter or coalesce upstream")
         (r.getLong(0), r.getLong(1))
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kv, releaseInput) = RangeInputCache.acquireRdd(kv0, spark)
 
     // TeraSort: sampled range partitioner + shuffle-time per-partition sort
     // (reference jobs J1+J2, SlidingAggregation.java:38-170). By default the
@@ -184,7 +185,7 @@ object SlidingAggregate {
     // also subsumes the former up-front isEmpty() job (n == 0 below).
     val counts = sorted.mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
       .collect()
-    kv.unpersist(blocking = false) // shuffle files now hold the data
+    releaseInput() // shuffle files now hold the data
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last
     if (n == 0) return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
