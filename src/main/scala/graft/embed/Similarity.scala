@@ -70,6 +70,13 @@ object Similarity {
     * NULLS-LAST + filter. */
   private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the casts below must be lossless: a fractional score would silently
+    // truncate (reordering ties), a non-integral id would corrupt keys
+    Seq("q_id", "cand_id", "score").foreach { c =>
+      val dt = scored.schema(c).dataType
+      require(dt == LongType || dt == IntegerType,
+        s"topkPerQuery expects integral '$c', got $dt")
+    }
     val spark = scored.sparkSession
     // max-of-ordering = WORST kept element: smaller score is "greater",
     // then larger cand_id — so dequeue() evicts the right row
@@ -77,7 +84,8 @@ object Similarity {
       case (score, cand) => (-score, cand)
     }
     val partialRdd = scored
-      .filter(col("score").isNotNull)
+      // NULL ids would NPE in the RDD map below; degrade like NULL scores
+      .filter(col("score").isNotNull && col("q_id").isNotNull && col("cand_id").isNotNull)
       .select(col("q_id").cast(LongType), col("cand_id").cast(LongType),
         col("score").cast(LongType))
       .rdd.mapPartitions { it =>

@@ -33,6 +33,13 @@ object AsOf {
       require(!left.columns.contains(c),
         s"left input already has a '$c' column (reserved by AsOf.backward)")
     }
+    // same guard on the right: a '_tie'/'_tag'/'_payload' among its
+    // partition/time/payload columns would shadow the internals or make
+    // the select ambiguous
+    Seq("_tag", "_tie", "_payload").foreach { c =>
+      require(!right.columns.contains(c),
+        s"right input already has a '$c' column (reserved by AsOf.backward)")
+    }
     val r2 = right.select((partitionCols :+ timeCol).map(col) :+
       col(rightTie).as("_tie") :+
       struct(payloadCols.map(col): _*).as("_payload"): _*)

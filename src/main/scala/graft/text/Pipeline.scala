@@ -96,7 +96,9 @@ object Pipeline {
                keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
     epochs.values.foreach { case (n, d) =>
       require(d >= 1 && n >= 0, s"invalid epoch target $n/$d")
-      require(n / d <= 1000, s"epoch target $n/$d exceeds the 1000-copy sanity bound")
+      // n <= 1000·d, not n/d <= 1000: integer division would let 2001/2
+      // (up to 1001 realized copies) slip past the documented bound
+      require(n <= 1000L * d, s"epoch target $n/$d exceeds the 1000-copy sanity bound")
     }
     Seq("epoch", "__copies").foreach { c =>
       require(!docs.columns.contains(c), // silent overwrite would destroy

@@ -40,4 +40,19 @@ class AsOfSpec extends SparkSpec {
       assert(out(lid) == expect, s"k=$k t=$t")
     }
   }
+
+  test("reserved internal columns are rejected on BOTH sides") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 900L)).toDF("k", "t", "rid")
+    for (c <- Seq("_tag", "_tie", "_payload")) {
+      val badL = left.withColumn(c, lit(0))
+      intercept[IllegalArgumentException] {
+        AsOf.backward(badL, right, Seq("k"), "t", "lid", "rid", Seq("rid"))
+      }
+      val badR = right.withColumn(c, lit(0))
+      intercept[IllegalArgumentException] {
+        AsOf.backward(left, badR, Seq("k"), "t", "lid", "rid", Seq("rid"))
+      }
+    }
+  }
 }

@@ -170,4 +170,14 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(all == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("upsample bounds the TRUE copy ratio, not its integer division") {
+    val corpus = Seq((1L, "t", "hot")).toDF("doc_id", "text", "source")
+    // 2001/2 = 1000 by integer division but up to 1001 realized copies
+    intercept[IllegalArgumentException] {
+      Pipeline.upsample(corpus, Map("hot" -> (2001, 2)))
+    }
+    // exactly at the bound is fine
+    assert(Pipeline.upsample(corpus, Map("hot" -> (2000, 2))).count() == 1000L)
+  }
 }

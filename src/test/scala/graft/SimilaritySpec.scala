@@ -152,4 +152,15 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(again == buckets)
   }
+
+  test("topkCosine degrades NULL candidate ids like NULL scores") {
+    val t = table(12)
+    val q = t.filter($"vec_id" < 4)
+    val withNull = t.filter($"vec_id" >= 4)
+      .withColumn("vec_id", when($"vec_id" === 7L, lit(null)).otherwise($"vec_id"))
+    val out = Similarity.topkCosine(q, withNull, k = 20).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r.isNullAt(r.fieldIndex("cand_id"))), "NULL id row leaked")
+    assert(!out.exists(_.getAs[Long]("cand_id") == 7L))
+  }
 }
