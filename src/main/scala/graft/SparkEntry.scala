@@ -442,6 +442,30 @@ object SparkEntry {
           budgetTokens = 2000L)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    // ── 3-table TPC-H-shaped join (Q10 analogue): returned-item revenue
+    // per customer over one quarter, top 20. Exercises multi-join ordering
+    // at gate level: lineitem⋈orders shuffles on the orderkey (both sides
+    // large at scale), customer arrives by broadcast (Catalyst picks it —
+    // dimension under the auto-broadcast threshold; at 100 TB AQE would
+    // make the same call from runtime stats or degrade to SMJ). Filters
+    // (quarter + returnflag) sit under the joins → pushed to the scans.
+    "q65_return_revenue" -> ((s, dir) => {
+      val lineitem = s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_returnflag") === "R")
+      val orders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderdate") >= lit("1996-04-01").cast(TimestampType) &&
+                col("o_orderdate") <  lit("1996-07-01").cast(TimestampType))
+      val customer = s.read.parquet(t(dir, "customer"))
+      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1001,6 +1025,19 @@ object SparkEntry {
         |SELECT token, cnt,
         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
         |FROM c ORDER BY rank""".stripMargin,
+
+    "q65_return_revenue" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-04-01'
+         |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt
