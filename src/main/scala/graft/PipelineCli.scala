@@ -51,6 +51,28 @@ object PipelineCli {
     * range exchanges before the shard writer's own range partitioning). */
   def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
+    // every stage cache is tracked so a mid-pipeline failure (e.g. inside
+    // nearDedup) can't leak persisted frames into the shared session —
+    // without the finally, a crashed run pins the corpus in executor
+    // memory until the session dies
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df.persist(); df }
+    // Checkpoints.scoped: nearDedup's internal checkpoints (signature/
+    // bucket tables) are consumed by the time the split counts materialize
+    // — or abandoned on failure; either way their blocks are dead weight
+    // in a long session, so free them deterministically on the way out
+    graft.operators.Checkpoints.scoped {
+      try {
+        val out = runStages(docs, minQuality, maxDupFrac1000, pin)
+        pinned.clear() // success: stages already unpersisted what they owned
+        out
+      } finally pinned.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private def runStages(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
+                        pin: DataFrame => DataFrame)
+      : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     counts += "input" -> docs.count()
 
@@ -60,9 +82,8 @@ object PipelineCli {
     // The placeholders then normalize to plain 'email'/'phone' tokens.
     val redactedRaw = Pipeline.redactPii(docs)
       .select(col("doc_id"), col("red_text").as("text"))
-    val redacted = Pipeline.normalize(redactedRaw)
-      .select(col("doc_id"), col("norm_text").as("text"))
-      .persist() // feeds both filter scans and the filtered join
+    val redacted = pin(Pipeline.normalize(redactedRaw)
+      .select(col("doc_id"), col("norm_text").as("text"))) // feeds both filter scans and the filtered join
 
     val quality = TextAnalysis.quality(redacted, stopwords = Seq("the", "a", "and", "of"))
       .filter(col("quality") >= minQuality).select("doc_id")
@@ -72,24 +93,22 @@ object PipelineCli {
     // not "present and below" (an inner join would silently delete them)
     val highRep = TextAnalysis.repetition(redacted)
       .filter(col("dup_frac1000") > maxDupFrac1000).select("doc_id")
-    val filtered = redacted.join(quality, "doc_id")
-      .join(highRep, Seq("doc_id"), "left_anti")
-      .persist() // feeds nearDedup's several passes and the dedup join
+    val filtered = pin(redacted.join(quality, "doc_id")
+      .join(highRep, Seq("doc_id"), "left_anti")) // feeds nearDedup's several passes and the dedup join
     counts += "after_quality_filters" -> filtered.count()
     redacted.unpersist() // its last consumer (filtered) just materialized —
     // free it BEFORE the memory-heaviest stage (nearDedup) runs
 
     val reps = Dedup.nearDedup(filtered)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
-    val deduped = filtered.join(reps, "doc_id")
-      .persist() // feeds the split assignment and all three split joins
+    val deduped = pin(filtered.join(reps, "doc_id")) // feeds the split assignment and all three split joins
     counts += "after_near_dedup" -> deduped.count()
     filtered.unpersist() // last consumer (deduped) is materialized
 
     val split = Pipeline.datasetSplit(deduped).select("doc_id", "split")
     val bySplit = Seq("train", "val", "test").map { name =>
-      name -> deduped.join(split.filter(col("split") === name), "doc_id")
-        .select("doc_id", "text").persist()
+      name -> pin(deduped.join(split.filter(col("split") === name), "doc_id")
+        .select("doc_id", "text"))
     }.toMap
     bySplit.toSeq.sortBy(_._1).foreach { case (name, df) =>
       counts += s"split_$name" -> df.count() // also materializes the cache

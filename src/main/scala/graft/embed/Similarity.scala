@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.util.chaining._
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Numeric contract: components are quantized to integers
@@ -188,7 +190,7 @@ object Similarity {
     // both self-join sides would otherwise re-run the nPlanes·dim bucket
     // build (and the quantize+norm pass below) once per branch — the same
     // 2×-dominant-cost hazard bitmapSignatures checkpoints against
-    val b = hyperplaneBuckets(vectors, nPlanes).localCheckpoint(true)
+    val b = graft.operators.Checkpoints.checkpoint(hyperplaneBuckets(vectors, nPlanes))
     val probes = (0 until nPlanes).map(j => expr(s"CAST(${1L << j} AS BIGINT)")) :+
       expr("CAST(0 AS BIGINT)")
     val pa = b.select(col("vec_id").as("vid_a"), explode(array(probes: _*)).as("flip"), col("bucket"))
@@ -198,7 +200,7 @@ object Similarity {
       .select("vid_a", "vid_b").distinct()
     val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", expr(dotExpr("v", "v")))
-      .localCheckpoint(true)
+      .pipe(graft.operators.Checkpoints.checkpoint(_))
     val edges = cand
       .join(v.as("a"), col("vid_a") === col("a.vec_id"))
       .join(v.as("b"), col("vid_b") === col("b.vec_id"))
@@ -292,7 +294,7 @@ object Similarity {
       // nCells rows, but the LINEAGE is a whole-corpus TakeOrdered sample;
       // every consumer broadcasts this twice (assign + query probes), so
       // materialize once rather than re-running the sample job per branch
-      .localCheckpoint(true)
+      .pipe(graft.operators.Checkpoints.checkpoint(_))
   }
 
   /** Optional Lloyd refinement for [[ivfCentroids]]: `iters` rounds of
@@ -322,10 +324,14 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"),
           expr("s DIV c").as("m")))).as("pm"))
         .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv2"))
+      val prev = cents
       cents = cents.as("old").join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("cv2"), col("old.cv")).as("cv"))
         .withColumn("cn", expr(dotExpr("cv", "cv")))
-        .localCheckpoint(true)
+        .pipe(graft.operators.Checkpoints.checkpoint(_)) // eager: materializes now
+      // the prior round fed this one and nothing else; never release the
+      // caller's centroids
+      if (!(prev eq centroids)) graft.operators.Checkpoints.release(prev)
     }
     cents
   }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.lang.ref.WeakReference
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Release handles for the corpus-scale intermediates graft operators
+  * eagerly `localCheckpoint` (the shared signature tables of the Jaccard
+  * joins, the LSH bucket/norm tables, the IVF centroid sample).
+  *
+  * A `localCheckpoint` pins its blocks in the block manager until the
+  * backing RDD is garbage-collected — correct per query, but a long
+  * session running many operators (the bench, a notebook, PipelineCli)
+  * accumulates dead blocks at the GC's mercy. These handles make the
+  * release explicit and deterministic, like [[graft.sources.Jsonl.release]]:
+  *
+  *  - [[release]](df) frees the blocks behind ONE returned frame. The
+  *    frame — and anything derived from it that has not itself been
+  *    materialized — is unusable afterwards (a checkpoint has no lineage
+  *    to recompute from); call it only once the result is consumed.
+  *  - [[releaseAll]]() frees every still-live checkpoint any graft
+  *    operator created in this JVM. Between pipeline stages or bench
+  *    queries this is the one-call cleanup.
+  *
+  * The registry holds WEAK references: a caller who never releases keeps
+  * exactly the old behavior (ContextCleaner frees blocks once the frame
+  * becomes unreachable) — nothing is pinned by the registry itself.
+  */
+object Checkpoints {
+  private val live = scala.collection.mutable.ListBuffer.empty[WeakReference[RDD[_]]]
+  // innermost scoped{} collector of the current thread, if any — operators
+  // build their plans (and thus create checkpoints) on the calling thread
+  private val scope = new ThreadLocal[scala.collection.mutable.ListBuffer[WeakReference[RDD[_]]]]
+
+  /** `df.localCheckpoint(eager)` + registration — what graft operators
+    * call instead of the raw method. */
+  private[graft] def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val cp = df.localCheckpoint(eager)
+    backingRdd(cp).foreach { r =>
+      val ref = new WeakReference[RDD[_]](r)
+      live.synchronized {
+        live.filterInPlace(_.get != null) // drop GC'd entries as we go
+        live += ref
+      }
+      Option(scope.get()).foreach(_ += ref)
+    }
+    cp
+  }
+
+  /** Runs `body` and afterwards — success or failure — frees every
+    * checkpoint the CURRENT THREAD created inside it. The safe cleanup
+    * for a composed pipeline (e.g. [[graft.PipelineCli.run]]): internal
+    * checkpoints are consumed by the time the body's results are
+    * materialized, and unlike [[releaseAll]] it cannot touch checkpoints
+    * that a concurrent query on another thread created. Nest freely;
+    * inner scopes release first. Do NOT return un-materialized frames
+    * built on checkpoints out of the scope — their backing blocks are
+    * gone. */
+  def scoped[A](body: => A): A = {
+    val outer = scope.get()
+    val mine = scala.collection.mutable.ListBuffer.empty[WeakReference[RDD[_]]]
+    scope.set(mine)
+    try body
+    finally {
+      scope.set(outer)
+      mine.foreach { ref =>
+        val r = ref.get
+        if (r != null && r.getStorageLevel != StorageLevel.NONE)
+          r.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** The checkpointed RDD a `localCheckpoint` result wraps (its analyzed
+    * plan is a LogicalRDD leaf). None for non-checkpoint frames. */
+  private def backingRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+
+  /** Free the blocks behind one checkpointed frame (graft's or any
+    * `localCheckpoint` result). Returns false (no-op) for frames that are
+    * not checkpoints or were already released. */
+  def release(df: DataFrame): Boolean = backingRdd(df) match {
+    case Some(r) if r.getStorageLevel != StorageLevel.NONE =>
+      r.unpersist(blocking = false); true
+    case _ => false
+  }
+
+  /** Free every live graft-created checkpoint in this JVM; returns how
+    * many held blocks. Call between pipeline stages / bench queries once
+    * prior results are consumed. */
+  def releaseAll(): Int = live.synchronized {
+    var n = 0
+    live.foreach { ref =>
+      val r = ref.get
+      if (r != null && r.getStorageLevel != StorageLevel.NONE) {
+        r.unpersist(blocking = false); n += 1
+      }
+    }
+    live.clear()
+    n
+  }
+
+  /** Checkpoints still holding blocks (not yet released or GC'd). */
+  def liveCount: Int = live.synchronized {
+    live.count { ref =>
+      val r = ref.get; r != null && r.getStorageLevel != StorageLevel.NONE
+    }
+  }
+}

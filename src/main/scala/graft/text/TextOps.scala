@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.util.chaining._
+
 /** Text-pipeline primitives shared by the dedup / analysis operators.
   *
   * Everything here is built from codegen'd `org.apache.spark.sql.functions`
@@ -211,7 +213,7 @@ object Dedup {
     val sets = tok.join(hinted(rank), "w")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tr"))).as("set"), count(lit(1)).as("nw"))
-      .localCheckpoint(eager = true)
+      .pipe(graft.operators.Checkpoints.checkpoint(_)) // release handle: Checkpoints.release
     // prefix tokens WITH their 1-based position: |prefix| = |d| - ceil(t·|d|) + 1
     val prefixes = sets.select(col("doc_id"), col("nw"),
         posexplode(expr(s"slice(set, 1, CAST(nw - ((nw * $num + $den - 1) div $den) + 1 AS INT))")))
@@ -316,7 +318,7 @@ object Dedup {
       .groupBy("doc_id").agg(collect_list(col("r")).as("rs"))
       .select(col("doc_id"), size(col("rs")).cast(LongType).as("nw"),
         expr("bitmap_from_ranks(rs)").as("bm"))
-      .localCheckpoint(eager = true)
+      .pipe(graft.operators.Checkpoints.checkpoint(_)) // release handle: Checkpoints.release
   }
 
   /** Geometric size-band ids for the length filter `num·max(nwa, nwb) <=
@@ -469,7 +471,7 @@ object Dedup {
     // cluster and never change, so keep them out of every round's joins
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint(true)
+      .pipe(graft.operators.Checkpoints.checkpoint(_))
     raw.unpersist(false) // sym (materialized by the labels checkpoint) owns the data now
     // decimal(38,0): a Long sum of labels overflows once ids × docs pass
     // 2^63 (ANSI mode would fail the job at exactly the wrong scale).
@@ -508,10 +510,14 @@ object Dedup {
       // partitions (persisted by localCheckpoint) and returns the sum —
       // an eager checkpoint would spend a second full job per round on
       // the same data (~2× the serial round latency).
-      val next = propagate(labels).localCheckpoint(false)
-      val s = labelSum(next)
+      val next = graft.operators.Checkpoints.checkpoint(propagate(labels), eager = false)
+      val s = labelSum(next) // materializes next's checkpoint
       changed = s.compareTo(prevSum) != 0
       prevSum = s
+      // the prior round's blocks fed `next` and nothing else — free them
+      // now instead of waiting out the GC (20-round graphs otherwise hold
+      // 20 rounds of label blocks at peak)
+      graft.operators.Checkpoints.release(labels)
       labels = next
       iter += 1
     }
