@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitAndCount, BitmapFromRanks, CharNGrams, DotProductLong, MinhashAffine, SortedIntersectCount}
+import graft.functions.{BitAndCount, BitmapFromRanks, BpeTokens, CharNGrams, DotProductLong, MinhashAffine, SortedIntersectCount}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * injects the native codegen'd functions into every session built with
@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_affine"),
       new ExpressionInfo(classOf[MinhashAffine].getName, "minhash_affine"),
       (exprs: Seq[Expression]) => MinhashAffine.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      (exprs: Seq[Expression]) => BpeTokens.builder(exprs)))
   }
 }

@@ -466,6 +466,13 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ── deterministic subword (BPE-style) tokenization: greedy longest-
+    // match over the checked-in vocab, as one native codegen'd pass
+    // (functions.BpeTokens); n_bpe is what chunk/pack/mixture size by
+    // when budgeting subword tokens instead of whitespace words
+    "q66_bpe_tokens" -> ((s, dir) =>
+      graft.text.Bpe.tokenize(s.read.parquet(t(dir, "documents")))),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1038,6 +1045,41 @@ object SparkEntry {
          |  AND o_orderdate <  TIMESTAMP '1996-07-01'
          |GROUP BY c_custkey, c_name
          |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // mirrors Bpe.tokenize: the recursive CTE walks each word left to
+    // right, at every cursor taking the LONGEST vocab entry matching
+    // there (unique — equal-length matches of one prefix are the same
+    // string) with the single character as the OOV fallback — exactly
+    // functions.BpeTokens' greedy loop. Words come from single-space
+    // splits (the corpus has no other whitespace; the engine's contract
+    // covers all ASCII whitespace and is spec-gated beyond the oracle).
+    "q66_bpe_tokens" ->
+      s"""WITH RECURSIVE vocab(tok) AS (
+         |  SELECT unnest(${graft.text.Bpe.vocabSql.replace("array(", "[").replace(")", "]")})
+         |),
+         |words AS (
+         |  SELECT doc_id, i AS word_id, ws[i] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       unnest(generate_series(1, len(ws))) AS t(i)
+         |  WHERE length(ws[i]) > 0
+         |),
+         |steps(doc_id, word_id, word, pos, tok) AS (
+         |  SELECT doc_id, word_id, word, 1, CAST(NULL AS VARCHAR) FROM words
+         |  UNION ALL
+         |  SELECT doc_id, word_id, word, pos + length(tok2), tok2 FROM (
+         |    SELECT doc_id, word_id, word, pos,
+         |      coalesce(
+         |        (SELECT v.tok FROM vocab v
+         |         WHERE length(v.tok) >= 2
+         |           AND substr(word, pos, length(v.tok)) = v.tok
+         |         ORDER BY length(v.tok) DESC LIMIT 1),
+         |        substr(word, pos, 1)) AS tok2
+         |    FROM steps WHERE pos <= length(word))
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bpe,
+         |       string_agg(tok, ' ' ORDER BY word_id, pos) AS bpe_text
+         |FROM steps WHERE tok IS NOT NULL
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -50,11 +50,16 @@ object Pipeline {
     * drop. */
   def mixture(docs: DataFrame, weights: Map[String, Long], budgetTokens: Long,
               sourceCol: String = "source", keyCols: Seq[String] = Seq("doc_id"),
-              den: Int = 1000000): DataFrame = {
+              den: Int = 1000000,
+              tokenCount: Column = size(split(col("text"), " ")).cast(LongType))
+      : DataFrame = {
     require(weights.nonEmpty, "need at least one source weight")
     require(weights.values.forall(_ >= 0), "weights must be >= 0")
     require(budgetTokens >= 0, "budget must be >= 0")
-    val tokens = size(split(col("text"), " ")).cast(LongType)
+    // `tokenCount` sizes the budget: default is whitespace words; pass
+    // [[Bpe.countTokens]] to budget by subword tokens (what the model
+    // actually consumes) — register the function on the session first
+    val tokens = tokenCount
     // string-render the source (matching stratifiedByKeyHash's dispatch,
     // so non-string source columns work) and zero-fill the sum: a source
     // whose every text is NULL sums to NULL, which must mean avail = 0
@@ -130,10 +135,15 @@ object Pipeline {
   /** Fixed-size token chunking with overlap: windows of `chunkTokens`
     * starting every `chunkTokens - overlap` tokens (the trailing chunk may
     * be short). Output: (doc_id, chunk_idx, n_tokens, chunk_text). */
-  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+  def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int,
+            tokenizer: Column = split(col("text"), " ")): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // `tokenizer` yields the array the windows slice: default whitespace
+    // words (chunk_text re-joins to the original text); with a subword
+    // tokenizer (expr(Bpe.tokensExpr("text"))) chunk_text is the
+    // space-joined subword stream
+    docs.select(col("doc_id"), tokenizer.as("ws"))
       .select(col("doc_id"), col("ws"),
         posexplode(expr(s"sequence(0, size(ws) - 1, $step)")))
       // a start past size(ws) - overlap yields a chunk fully contained in
@@ -205,10 +215,11 @@ object Pipeline {
     * ([[graft.operators.PrefixSum]]), not a partitionless window — the
     * `SUM OVER (ORDER BY doc_id)` form collapses to one task holding the
     * whole corpus (`WindowExec: No Partition Defined`). */
-  def pack(docs: DataFrame, capacityTokens: Int): DataFrame =
+  def pack(docs: DataFrame, capacityTokens: Int,
+           tokenCount: Column = expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      : DataFrame =
     graft.operators.PrefixSum.exclusive(
-        docs.select(col("doc_id"),
-          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens")),
+        docs.select(col("doc_id"), tokenCount.cast(LongType).as("n_tokens")),
         "n_tokens", "start_off", numParts = 0, col("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"CAST(start_off div $capacityTokens AS BIGINT)").as("pack_id"))

@@ -35,6 +35,9 @@ class GraftExtensionsSpec extends SparkSpec {
       val ic = s2.sql("SELECT sorted_intersect_count(array(1, 3, 5), array(3, 4, 5))")
         .collect()(0).getLong(0)
       assert(ic == 2L)
+      val bpe = s2.sql("SELECT bpe_tokens('they', array('th', 'the'))")
+        .collect()(0).getSeq[String](0)
+      assert(bpe == Seq("the", "y"))
     } finally {
       val shared = spark.asInstanceOf[ClassicSession]
       ClassicSession.setDefaultSession(shared)
