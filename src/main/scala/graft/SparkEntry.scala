@@ -473,6 +473,26 @@ object SparkEntry {
     "q66_bpe_tokens" -> ((s, dir) =>
       graft.text.Bpe.tokenize(s.read.parquet(t(dir, "documents")))),
 
+    // ── BPE merge learning's round-1 core: adjacent character-pair
+    // counts over the corpus DICTIONARY (word-frequency-weighted) — the
+    // distributed computation every Bpe.learn round repeats on merged
+    // symbols; top 20 under a total order (count desc, pair asc)
+    "q67_bpe_pair_counts" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), expr(
+          """CASE WHEN length(w) >= 2 THEN
+            |  transform(sequence(1, length(w) - 1),
+            |    i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))
+            |ELSE array() END""".stripMargin).as("ps"))
+        .select(explode(col("ps")).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(20)),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1080,6 +1100,21 @@ object SparkEntry {
          |       string_agg(tok, ' ' ORDER BY word_id, pos) AS bpe_text
          |FROM steps WHERE tok IS NOT NULL
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q67_bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT ws[i] AS w, COUNT(*) AS cnt
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+        |       unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE length(ws[i]) > 0
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, SUM(cnt) AS c
+        |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, CAST(c AS BIGINT) AS c FROM p
+        |ORDER BY c DESC, a, b LIMIT 20""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt

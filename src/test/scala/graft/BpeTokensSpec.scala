@@ -144,4 +144,72 @@ class BpeTokensSpec extends SparkSpec {
       budgetTokens = 10000L, tokenCount = Bpe.countTokens("text"))
     assert(kept.count() == 3L)
   }
+
+  /** Independent brute-force BPE merge learner (plain Scala maps). */
+  private def bruteLearn(texts: Seq[String], numMerges: Int,
+                         minPairCount: Long): Seq[String] = {
+    var words: Map[List[String], Long] = texts
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = Seq.newBuilder[String]
+    var done = false
+    var r = 0
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; Seq(a, b) <- syms.sliding(2) if syms.length >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minPairCount =>
+          merges += a + b
+          def mergeRun(syms: List[String]): List[String] = syms match {
+            case x :: y :: rest if x == a && y == b => (a + b) :: mergeRun(rest)
+            case x :: rest => x :: mergeRun(rest)
+            case Nil => Nil
+          }
+          words = words.groupBy { case (syms, _) => mergeRun(syms) }
+            .map { case (m, g) => (m, g.values.sum) }
+        case _ => done = true
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  test("learn: distributed merges match the brute-force BPE learner") {
+    val corpora = Seq(
+      Seq("aaab aaab aaab", "ab ab", "ba"),
+      Seq("the them then", "there the", "nothing else matters"),
+      Seq("sort sorted sorting", "merge merges merged", "sort merge"),
+      Seq("x", "yy", "zzz"),
+      Seq("abab abab", "baba"))
+    for (texts <- corpora; k <- Seq(1, 3, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Bpe.learn(docs, numMerges = k, minPairCount = 2L)
+      val want = bruteLearn(texts, k, 2L)
+      assert(got == want, s"corpus=$texts k=$k")
+    }
+  }
+
+  test("learn: deterministic, obeys minPairCount, empty corpus yields no merges") {
+    val docs = Seq((1L, "sort merge sort merge"), (2L, "sort sort")).toDF("doc_id", "text")
+    val a = Bpe.learn(docs, 4)
+    val b = Bpe.learn(docs.repartition(7), 4)
+    assert(a == b && a.nonEmpty)
+    // a floor higher than any pair count stops at round 0
+    assert(Bpe.learn(docs, 4, minPairCount = 1000000L) == Seq.empty)
+    assert(Bpe.learn(docs.filter(col("doc_id") < 0), 4) == Seq.empty)
+    // learned merges are usable as a bpe_tokens vocabulary
+    val toks = run(Seq("sort merge"), a)
+    assert(toks.head.nonEmpty && toks.head.mkString == "sortmerge")
+  }
+
+  test("learn leaves no live checkpoint blocks behind") {
+    val docs = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Bpe.learn(docs, 3)
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before).isEmpty)
+  }
 }
