@@ -473,6 +473,35 @@ object SparkEntry {
     "q66_bpe_tokens" -> ((s, dir) =>
       graft.text.Bpe.tokenize(s.read.parquet(t(dir, "documents")))),
 
+    // ── 6-table TPC-H-shaped join (Q5 analogue): nation revenue where the
+    // customer and the line's supplier share a nation, over a 2-year
+    // window. The co-location predicate (c_nationkey = s_nationkey) rides
+    // the supplier join — the planner's multi-join ordering problem in
+    // miniature: lineitem⋈orders carries the date pushdown, supplier/
+    // nation/region broadcast, the extra equality prunes 96% of pairs
+    // before the aggregate.
+    "q68_local_supplier_revenue" -> ((s, dir) => {
+      val customer = s.read.parquet(t(dir, "customer"))
+      val orders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+                col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
+      val lineitem = s.read.parquet(t(dir, "lineitem"))
+      val supplier = s.read.parquet(t(dir, "supplier"))
+      val nation = s.read.parquet(t(dir, "nation"))
+      val region = s.read.parquet(t(dir, "region"))
+      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey") &&
+          customer("c_nationkey") === supplier("s_nationkey"))
+        .join(nation, supplier("s_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    }),
+
     // ── BPE merge learning's round-1 core: adjacent character-pair
     // counts over the corpus DICTIONARY (word-frequency-weighted) — the
     // distributed computation every Bpe.learn round repeats on merged
@@ -1100,6 +1129,20 @@ object SparkEntry {
          |       string_agg(tok, ' ' ORDER BY word_id, pos) AS bpe_text
          |FROM steps WHERE tok IS NOT NULL
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q68_local_supplier_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
+         |  COUNT(*) AS n_items
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY r_name, n_name
+         |ORDER BY revenue_c DESC, n_name""".stripMargin,
 
     "q67_bpe_pair_counts" ->
       """WITH w AS (
