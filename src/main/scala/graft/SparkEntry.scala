@@ -522,6 +522,46 @@ object SparkEntry {
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(20)),
 
+    // ── n-gram-overlap decontamination (GPT-3-style span collision):
+    // drops every doc sharing ANY word 4-gram with the doc_id % 17
+    // blocklist — catches eval text EMBEDDED in novel wrappers, which
+    // q57's whole-doc fingerprint misses ─────────────────────────────────
+    "q69_ngram_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.text.Pipeline.decontaminateNgrams(
+        docs, docs.filter(col("doc_id") % 17 === 0), n = 4)
+    }),
+
+    // ── duplicated-n-gram fraction (cross-corpus span duplication — the
+    // web-pipeline quality signal; q60 is the intra-doc cousin) ──────────
+    "q70_dup_ngram_stats" -> ((s, dir) =>
+      TextAnalysis.duplicatedNgramStats(
+        s.read.parquet(t(dir, "documents")), n = 4)),
+
+    // ── per-vector symmetric int8 embedding quantization (the ANN
+    // storage/bandwidth scale path; exploded to scalar rows so the gate
+    // hash-checks every component) ───────────────────────────────────────
+    "q71_quantize_int8" -> ((s, dir) =>
+      graft.embed.Similarity.quantizeInt8(s.read.parquet(t(dir, "embeddings")))
+        .select(col("vec_id"), col("scale"), posexplode(col("q8")).as(Seq("i", "qv")))
+        .orderBy("vec_id", "i")),
+
+    // ── exact heavy hitters via mergeable Misra-Gries + candidate
+    // recount: terms holding ≥ 1/64 of corpus mass, WITHOUT a
+    // full-vocabulary shuffle (the scale path beside q62's exact vocab) ──
+    "q72_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.frequentTerms(
+        s.read.parquet(t(dir, "documents")), den = 64)),
+
+    // ── deterministic global training-order shuffle: reproducible
+    // hash-permutation rank (epoch salt "order"), computed with the
+    // distributed GlobalRank machinery — no single-task window, no
+    // seeded rand() ──────────────────────────────────────────────────────
+    "q73_training_order" -> ((s, dir) =>
+      graft.text.Pipeline.trainingOrder(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
+        .orderBy("rank")),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1158,6 +1198,71 @@ object SparkEntry {
         |)
         |SELECT a, b, CAST(c AS BIGINT) AS c FROM p
         |ORDER BY c DESC, a, b LIMIT 20""".stripMargin,
+
+    // mirrors Pipeline.decontaminateNgrams at n=4: ws[i:i+3] is DuckDB's
+    // 1-based INCLUSIVE list slice (4 elements); range(1, len-2) is
+    // empty for docs under 4 tokens, matching the guarded sequence
+    "q69_ngram_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM b))
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.duplicatedNgramStats at n=4: per-(gram, doc)
+    // occurrence counts, global totals, per-doc roll-up; gramless docs
+    // report zeros via the LEFT JOIN
+    "q70_dup_ngram_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+        |pd AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |gl AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS tot FROM pd GROUP BY 1),
+        |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |              CAST(sum(CASE WHEN tot > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |       FROM pd JOIN gl USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |       coalesce(n_dup_grams, 0) AS n_dup_grams,
+        |       CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
+        |            ELSE (1000 * n_dup_grams) // n_grams END AS dup_permille
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Similarity.quantizeInt8: the SAME three IEEE double ops
+    // (mul, div, add-half, floor) — round() would diverge across engines.
+    // DuckDB double→INT CAST rounds, but floor() already made it integral.
+    "q71_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale, ii - 1 AS i,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(floor(CAST(embedding[ii] AS DOUBLE) * 127.0 / scale + 0.5) AS INT) END AS qv
+        |FROM s, UNNEST(generate_series(1, len(embedding))) AS t(ii)
+        |ORDER BY vec_id, i""".stripMargin,
+
+    // mirrors HeavyHitters.frequentTerms(den=64): terms with count ≥
+    // max(1, totalTokens // 64) — the oracle is the EXACT full group-by
+    // the operator's MG-candidates + recount must reproduce
+    "q72_heavy_hitters" ->
+      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT term, count(*) AS cnt FROM t GROUP BY term
+        |HAVING count(*) >= GREATEST(1, (SELECT n // 64 FROM n))
+        |ORDER BY term""".stripMargin,
+
+    // mirrors Pipeline.trainingOrder: q55's md5 key-hash rule under the
+    // 'order' salt (salt || chr(1) || key), rank 0-based, hash ties
+    // break on doc_id
+    "q73_training_order" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('order' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS rank, doc_id
+        |FROM h ORDER BY rank""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt

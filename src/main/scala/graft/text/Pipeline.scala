@@ -207,6 +207,59 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** N-GRAM-OVERLAP decontamination — the standard published LLM eval
+    * hygiene (GPT-3-style "13-gram collision" filtering): drop every
+    * training doc that shares ANY word n-gram with any blocklist doc.
+    * Strictly stronger than [[decontaminate]]'s whole-document
+    * fingerprint: a doc that EMBEDS an eval answer inside otherwise-novel
+    * text is caught here and missed there. Output: surviving
+    * (doc_id, text).
+    *
+    * Scale shape: both sides reduce each n-gram occurrence to a 16-byte
+    * hash pair in the scan projection — the gram strings never reach an
+    * exchange. The blocklist side is distinct-ed (eval sets are small:
+    * thousands of docs), so Spark broadcasts it and the corpus-side
+    * semi-join is MAP-SIDE — the only wide work is distinct-ing the
+    * contaminated doc_id set (tiny) and the final broadcast anti-join.
+    * A blocklist past the broadcast threshold degrades to a shuffled
+    * semi-join of fixed-width keys; both regimes are 100 TB-safe. A hash
+    * collision can only FALSE-DROP a training doc (P < 10^-18), never
+    * leak an eval doc. */
+  def decontaminateNgrams(docs: DataFrame, blocklist: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def gramKeys(d: DataFrame) = d
+      .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh1"), xhash(col("g")).as("gh2"))
+    val blockGrams = gramKeys(blocklist).select("gh1", "gh2").distinct()
+    val contaminated = gramKeys(docs)
+      .join(blockGrams, Seq("gh1", "gh2"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global TRAINING-ORDER shuffle: rank 0..n-1 in the
+    * order sorted by (keyHash(salt, doc_id), doc_id). Training runs need
+    * a random-looking example order that is reproducible across re-runs,
+    * retries, and cluster sizes — `orderBy(rand(seed))` is none of those
+    * (per-partition seeding), and a driver-side permutation doesn't
+    * distribute. The hash gives the permutation; [[graft.operators
+    * .GlobalRank]] gives the rank scalably (one range exchange, count
+    * pass reusing its shuffle files — no single-task window). The salt
+    * derives independent epoch orders ("epoch0", "epoch1", …) exactly as
+    * [[graft.operators.Sampling.keyHash]] chains independent samplers.
+    * Ties (60-bit hash collisions) break on doc_id — a strict total
+    * order, so ranks are partitioning-invariant. Output: (rank, doc_id). */
+  def trainingOrder(docs: DataFrame, salt: String = "order"): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      graft.operators.Sampling.keyHash(Seq("doc_id"), salt).as("shuffle_key"))
+    graft.operators.GlobalRank
+      .withRank(keyed, numParts = -1, rankCol = "rank",
+        col("shuffle_key"), col("doc_id"))
+      .select(col("rank"), col("doc_id"))
+  }
+
   /** Greedy sequence packing by starting offset: docs in doc_id order are
     * laid end-to-end; a doc belongs to pack `floor(start_offset /
     * capacity)`. Deterministic and integer-exact.

@@ -57,6 +57,21 @@ object TextOps {
     * `CharNGrams.register` on the session (the Dedup operators register it
     * themselves; raw `select`s must call it first). */
   val charGrams3Native: Column = expr("char_ngrams(text, 3)")
+
+  /** ALL word n-grams of `text` in document order (duplicates kept —
+    * unlike [[shinglesExpr]], which is the distinct-set dedup unit): the
+    * span inventory for overlap-decontamination and duplicated-span
+    * statistics. Guarded like the other gram builders: under n tokens
+    * yields an empty array (`sequence` counts DOWN for size < n, which
+    * would throw on a negative-length slice). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ws = split(text, " ")
+    when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+  }
 }
 
 /** Deduplication operators over a `(doc_id, text)` corpus.
@@ -666,4 +681,41 @@ object TextAnalysis {
             w -> CAST(conv(substring(md5(w),1,15),16,10) AS BIGINT) % $P),
           CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % $P)""").as("fp"))
       .orderBy("doc_id")
+
+  /** CROSS-CORPUS duplicated-span statistics — for each doc, how many of
+    * its word n-gram occurrences also occur ANYWHERE else (another doc, or
+    * again in the same doc)? This is the "duplicated n-gram fraction"
+    * quality signal public web-corpus pipelines filter on; [[repetition]]
+    * is the intra-doc cousin (repeated bigrams within one doc only).
+    * Output: (doc_id, n_grams, n_dup_grams, dup_permille), every doc
+    * present (gramless short docs report zeros), integer-exact.
+    *
+    * Scale shape: each occurrence is reduced to a 16-byte hash pair
+    * before anything wide happens, then counted per (gram, doc) map-side
+    * (partial agg), summed per gram, and the per-doc/global frames join
+    * ALREADY co-partitioned on the gram key — one exchange per frame, no
+    * re-shuffle for the join, then one exchange by doc_id for the final
+    * roll-up. Nothing materializes the gram STRINGS past the first
+    * projection, so the wide state is O(occurrences) fixed-width rows.
+    * A hash collision (P < 10^-18 at 10^9 distinct grams) can only
+    * overcount a duplicate — it can never lose a document. */
+  def duplicatedNgramStats(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh1"), xhash(col("g")).as("gh2"))
+    val perDoc = grams.groupBy("gh1", "gh2", "doc_id").agg(count(lit(1)).as("cnt"))
+    val global = perDoc.groupBy("gh1", "gh2").agg(sum("cnt").as("tot"))
+    val stats = perDoc.join(global, Seq("gh1", "gh2"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(when(col("tot") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup_grams"))
+    docs.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_permille",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("1000 * n_dup_grams div n_grams")))
+      .orderBy("doc_id")
+  }
 }

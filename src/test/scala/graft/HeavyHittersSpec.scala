@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HeavyHitters
+
+/** Exact heavy hitters via mergeable Misra-Gries + candidate recount
+  * (q72): exactness vs the full group-by on adversarial corpora, and the
+  * bounded-memory property that is the operator's reason to exist. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exact(docs: org.apache.spark.sql.DataFrame, den: Long) = {
+    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+    val n = terms.count()
+    val minCount = math.max(1L, n / den)
+    terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy("term")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+  }
+
+  test("matches the exact full group-by on a long-tailed corpus, several thresholds") {
+    val rnd = new scala.util.Random(72)
+    // few heavy terms + a long tail of near-singletons — the regime where
+    // MG's bounded candidate set does its work
+    val heavy = Vector("alpha", "beta", "gamma")
+    val rows = (1L to 400L).map { i =>
+      val ws = Seq.fill(20)(
+        if (rnd.nextInt(100) < 60) heavy(rnd.nextInt(3))
+        else s"rare${rnd.nextInt(3000)}")
+      i -> ws.mkString(" ")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    for (den <- Seq(4L, 16L, 64L, 1000L)) {
+      val got = HeavyHitters.frequentTerms(docs, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+      assert(got == exact(docs, den), s"mismatch at den=$den")
+    }
+  }
+
+  test("summary never exceeds k counters while streaming a huge vocabulary") {
+    val s = new HeavyHitters.Summary(10)
+    val rnd = new scala.util.Random(720)
+    (1 to 100000).foreach { _ =>
+      s.add(if (rnd.nextInt(10) == 0) "heavy" else s"t${rnd.nextInt(50000)}")
+      assert(s.counts.size <= 10)
+    }
+    // the 1-in-10 term holds ~10% > n/(k+1) of the stream: MG must keep it
+    assert(s.counts.contains("heavy"))
+    assert(s.n == 100000L)
+  }
+
+  test("merged summaries keep every term above the additive error bound") {
+    val rnd = new scala.util.Random(721)
+    val k = 20
+    val parts = (1 to 8).map { p =>
+      val s = new HeavyHitters.Summary(k)
+      (1 to 5000).foreach { _ =>
+        s.add(if (rnd.nextInt(5) == 0) "dominant" else s"p${p}t${rnd.nextInt(2000)}")
+      }
+      s
+    }
+    val merged = parts.reduce((a, b) => a.merge(b))
+    assert(merged.counts.size <= k)
+    assert(merged.n == 40000L)
+    // "dominant" holds ~20% of the stream, far above N/k = 5% error
+    assert(merged.counts.contains("dominant"))
+    // MG counters only UNDERcount
+    assert(merged.counts("dominant") <= 40000L / 4)
+  }
+
+  test("NULL text, empty corpus, and den=1 degenerate cases") {
+    val withNull = Seq((1L, "a a b"), (2L, null)).toDF("doc_id", "text")
+    val got = HeavyHitters.frequentTerms(withNull, den = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    // 3 tokens, minCount = 1: both terms qualify
+    assert(got == List("a" -> 2L, "b" -> 1L))
+
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(HeavyHitters.frequentTerms(empty, den = 64).count() == 0)
+
+    // den=1: minCount = N, only a term holding the ENTIRE corpus qualifies
+    val mono = Seq((1L, "x x"), (2L, "x x")).toDF("doc_id", "text")
+    val all = HeavyHitters.frequentTerms(mono, den = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(all == List("x" -> 4L))
+  }
+
+  test("den outside the driver-memory bound is rejected") {
+    val d = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](HeavyHitters.frequentTerms(d, 0L))
+    intercept[IllegalArgumentException](HeavyHitters.frequentTerms(d, 5000000L))
+  }
+}
