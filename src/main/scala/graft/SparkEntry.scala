@@ -562,6 +562,12 @@ object SparkEntry {
           s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
         .orderBy("rank")),
 
+    // ── asymmetric set-CONTAINMENT join (quote/subset detection): ordered
+    // pairs where ≥ 98% of A's token set lies inside B's — the dedup
+    // relation Jaccard misses (a short doc pasted into a long one) ───────
+    "q74_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(s.read.parquet(t(dir, "documents")), num = 49, den = 50)),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1263,6 +1269,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS rank, doc_id
         |FROM h ORDER BY rank""".stripMargin,
+
+    // mirrors Dedup.containmentPairs(49/50): ORDERED pairs (a ≠ b), the
+    // threshold on |A∩B|/|A| only — the quadratic oracle the prefix-
+    // filtered index join must reproduce exactly
+    "q74_containment_pairs" ->
+      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+        |        CAST(len(a.s) AS BIGINT) AS na_cnt
+        |      FROM ws a JOIN ws b ON a.doc_id <> b.doc_id)
+        |SELECT doc_a, doc_b, inter_cnt, na_cnt FROM p
+        |WHERE inter_cnt * 50 >= na_cnt * 49 ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt

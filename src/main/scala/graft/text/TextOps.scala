@@ -209,26 +209,7 @@ object Dedup {
     // broadcastVerify = false and both joins degrade to shuffled joins
     // (still never all-pairs). Parity between the two modes is spec-tested.
     def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
-    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
-    // global rarity rank over the DICTIONARY. A partitionless
-    // row_number() window here is a single-task sort of the whole vocab —
-    // fine at thousands of words, a scale-killer at web-corpus billions —
-    // so rank distributed: range shuffle + zipWithIndex (GlobalRank).
-    // Ranks are dense ints; only their total order matters downstream.
-    // (int, not long: the verify step's two-pointer intersect walks int
-    // arrays; a >2^31-word dictionary would bump this to LongType.)
-    val rank = graft.operators.GlobalRank.withRank(
-        tok.groupBy("w").agg(count(lit(1)).as("cnt")),
-        numParts = 0, "tr0", col("cnt"), col("w"))
-      .select(col("w"), (col("tr0") + 1).cast(IntegerType).as("tr"))
-    // eagerly materialized: `sets` feeds the prefix self-join AND both
-    // verify joins — without this the explode+rank-join+groupBy lineage
-    // re-executes under each broadcast (measured ~3 builds per call;
-    // q38 composes this under connected components, multiplying it)
-    val sets = tok.join(hinted(rank), "w")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tr"))).as("set"), count(lit(1)).as("nw"))
-      .pipe(graft.operators.Checkpoints.checkpoint(_)) // release handle: Checkpoints.release
+    val sets = rankedSets(docs, tokensOf, hinted)
     // prefix tokens WITH their 1-based position: |prefix| = |d| - ceil(t·|d|) + 1
     val prefixes = sets.select(col("doc_id"), col("nw"),
         posexplode(expr(s"slice(set, 1, CAST(nw - ((nw * $num + $den - 1) div $den) + 1 AS INT))")))
@@ -262,6 +243,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
         (col("sa.nw") + col("sb.nw") - col("inter_cnt")).as("union_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+      .distinct()
+    verified.orderBy("doc_a", "doc_b")
+  }
+
+  /** The rarity-ranked sorted-set table shared by [[jaccardPairs]] and
+    * [[containmentPairs]]: each doc's token set as a sorted array of
+    * dense global-rarity ranks, plus its size.
+    *
+    * Global rarity rank over the DICTIONARY. A partitionless
+    * row_number() window here is a single-task sort of the whole vocab —
+    * fine at thousands of words, a scale-killer at web-corpus billions —
+    * so rank distributed: range shuffle + zipWithIndex (GlobalRank).
+    * Ranks are dense ints; only their total order matters downstream.
+    * (int, not long: the verify step's two-pointer intersect walks int
+    * arrays; a >2^31-word dictionary would bump this to LongType.)
+    *
+    * Eagerly materialized: the table feeds the prefix join AND both
+    * verify joins — without this the explode+rank-join+groupBy lineage
+    * re-executes under each broadcast (measured ~3 builds per call;
+    * q38 composes this under connected components, multiplying it).
+    * Released via [[graft.operators.Checkpoints]]. */
+  private def rankedSets(docs: DataFrame, tokensOf: Column,
+                         hinted: DataFrame => DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
+    val rank = graft.operators.GlobalRank.withRank(
+        tok.groupBy("w").agg(count(lit(1)).as("cnt")),
+        numParts = 0, "tr0", col("cnt"), col("w"))
+      .select(col("w"), (col("tr0") + 1).cast(IntegerType).as("tr"))
+    tok.join(hinted(rank), "w")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tr"))).as("set"), count(lit(1)).as("nw"))
+      .pipe(graft.operators.Checkpoints.checkpoint(_)) // release handle: Checkpoints.release
+  }
+
+  /** Exact set-CONTAINMENT join — the ASYMMETRIC dedup relation Jaccard
+    * misses: (doc_a, doc_b) pairs where |A∩B| / |A| >= num/den, i.e. doc
+    * A's token set is (nearly) contained in doc B's. This is quote /
+    * subset / boilerplate-inclusion detection: a short doc pasted inside
+    * a long one has low Jaccard (the union is large) but containment ~1.
+    * Output: (doc_a, doc_b, inter_cnt, na_cnt), ORDERED pairs — A-in-B
+    * and B-in-A are different facts; mutual containment (equal sets)
+    * emits both. Integer-exact, so oracle-hashable.
+    *
+    * Filter derivation (lossless, same family as [[jaccardPairs]]):
+    *  - PREFIX on the contained side only: |A∩B| >= ceil(t·|A|) forces a
+    *    shared token among A's first |A| - ceil(t·|A|) + 1 rarity-ordered
+    *    tokens. B gets NO prefix — containment puts no lower bound on
+    *    B's share of the overlap — so the container side is fully
+    *    indexed, and candidate volume is O(Σ prefixFreq·freq), not
+    *    O(Σ freq²) (prefixes pick the RAREST tokens, so prefixFreq is
+    *    small exactly where freq is large).
+    *  - LENGTH: |B| >= ceil(t·|A|) ⇔ nb·den >= na·num (nb integral).
+    *  - POSITIONAL: every pair is generated by its FIRST (rarest) shared
+    *    token, which the prefix filter proves sits inside A's prefix; at
+    *    positions (pa, pb) the overlap is bounded by 1 + min(na-pa,
+    *    nb-pb), so require (1 + min)·den >= na·num. Later shared tokens
+    *    may fail this bound and drop their duplicate candidate — that
+    *    only thins the pre-verify stream (no distinct until after
+    *    verification, which re-checks exactly).
+    * Verification is the same native two-pointer sorted intersect. */
+  def containmentPairs(docs: DataFrame, num: Int, den: Int,
+                       broadcastVerify: Boolean = true,
+                       tokensOf: Column = array_distinct(split(col("text"), " "))): DataFrame = {
+    // num = 0 ("any pair") shares no prefix token for disjoint pairs and
+    // can never surface from an index join — reject, as in jaccardPairs
+    require(num >= 1 && num <= den, "need 1 <= num <= den (containment threshold in (0, 1])")
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    graft.functions.CharNGrams.register(docs.sparkSession)
+    def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
+    val sets = rankedSets(docs, tokensOf, hinted)
+    // contained side: prefix tokens with 1-based position
+    val prefixes = sets.select(col("doc_id"), col("nw"),
+        posexplode(expr(s"slice(set, 1, CAST(nw - ((nw * $num + $den - 1) div $den) + 1 AS INT))")))
+      .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pp"), col("col").as("tr"))
+    // container side: the FULL index, with positions for the positional filter
+    val full = sets.select(col("doc_id"), col("nw"), posexplode(col("set")))
+      .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pp"), col("col").as("tr"))
+    val cand = prefixes.as("a").join(full.as("b"),
+        col("a.tr") === col("b.tr") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.nw") * den >= col("a.nw") * num &&
+          (lit(1) + least(col("a.nw") - col("a.pp"), col("b.nw") - col("b.pp"))) * den >=
+            col("a.nw") * num)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val verified = cand
+      .join(hinted(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hinted(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(sa.set, sb.set)").as("inter_cnt"),
+        col("sa.nw").as("na_cnt"))
+      .filter(col("inter_cnt") * den >= col("na_cnt") * num)
       .distinct()
     verified.orderBy("doc_a", "doc_b")
   }
