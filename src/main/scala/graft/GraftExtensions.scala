@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitAndCount, BitmapFromRanks, BpeTokens, CharNGrams, DotProductLong, MinhashAffine, SortedIntersectCount}
+import graft.functions.{BitAndCount, BitmapFromRanks, BpeTokens, CharNGrams, DotProductLong, MinhashAffine, SortedIntersectCount, WordNgrams}
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
   * injects the native codegen'd functions into every session built with
@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (exprs: Seq[Expression]) => BpeTokens.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams.builder(exprs)))
   }
 }

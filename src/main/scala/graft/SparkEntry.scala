@@ -564,9 +564,17 @@ object SparkEntry {
 
     // ── asymmetric set-CONTAINMENT join (quote/subset detection): ordered
     // pairs where ≥ 98% of A's token set lies inside B's — the dedup
-    // relation Jaccard misses (a short doc pasted into a long one) ───────
+    // relation Jaccard misses (a short doc pasted into a long one). The
+    // gate runs the small-universe bitmap form BLOCKED BY LANGUAGE (the
+    // documented composition: this corpus' ~31-word vocab gives prefix
+    // filtering nothing rare to bite on, and its subset relation is so
+    // dense that the unblocked output itself is ~9% of n² — blocking is
+    // how the operator is actually deployed; the PPJoin form
+    // containmentPairs is the big-vocabulary path, spec-proved identical
+    // on unblocked corpora) ──────────────────────────────────────────────
     "q74_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(s.read.parquet(t(dir, "documents")), num = 49, den = 50)),
+      Dedup.containmentPairsBitmap(s.read.parquet(t(dir, "documents")),
+        num = 49, den = 50, blockCol = Some("lang"))),
 
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
@@ -1270,15 +1278,16 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS rank, doc_id
         |FROM h ORDER BY rank""".stripMargin,
 
-    // mirrors Dedup.containmentPairs(49/50): ORDERED pairs (a ≠ b), the
-    // threshold on |A∩B|/|A| only — the quadratic oracle the prefix-
-    // filtered index join must reproduce exactly
+    // mirrors Dedup.containmentPairsBitmap(49/50, block = lang): ORDERED
+    // pairs (a ≠ b) WITHIN a language block, threshold on |A∩B|/|A| only
+    // — the quadratic oracle the banded equi-keyed join must reproduce
     "q74_containment_pairs" ->
-      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+      """WITH ws AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        |            FROM documents),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
         |        CAST(len(a.s) AS BIGINT) AS na_cnt
-        |      FROM ws a JOIN ws b ON a.doc_id <> b.doc_id)
+        |      FROM ws a JOIN ws b ON a.doc_id <> b.doc_id AND a.lang = b.lang)
         |SELECT doc_a, doc_b, inter_cnt, na_cnt FROM p
         |WHERE inter_cnt * 50 >= na_cnt * 49 ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -227,8 +227,9 @@ object Pipeline {
     * leak an eval doc. */
   def decontaminateNgrams(docs: DataFrame, blocklist: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    graft.functions.WordNgrams.register(docs.sparkSession)
     def gramKeys(d: DataFrame) = d
-      .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), explode(TextOps.wordNgramsNative(n)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh1"), xhash(col("g")).as("gh2"))
     val blockGrams = gramKeys(blocklist).select("gh1", "gh2").distinct()
     val contaminated = gramKeys(docs)

@@ -72,6 +72,17 @@ object TextOps {
           i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
       .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
   }
+
+  /** Native twin of [[wordNgrams]] over the column literally named `text`
+    * ([[graft.functions.WordNgrams]], parity spec-gated): one zero-copy
+    * byte pass per row vs ~|tokens| interpreted slice+join lambdas — the
+    * tokenize stage of the n-gram hygiene operators (q69/q70) by a wide
+    * margin. Requires `WordNgrams.register` on the session (the operators
+    * register it themselves; raw `select`s must call it first). */
+  def wordNgramsNative(n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    expr(s"word_ngrams(text, $n)")
+  }
 }
 
 /** Deduplication operators over a `(doc_id, text)` corpus.
@@ -317,9 +328,19 @@ object Dedup {
     val prefixes = sets.select(col("doc_id"), col("nw"),
         posexplode(expr(s"slice(set, 1, CAST(nw - ((nw * $num + $den - 1) div $den) + 1 AS INT))")))
       .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pp"), col("col").as("tr"))
-    // container side: the FULL index, with positions for the positional filter
+    // container side: the full index, STATICALLY pruned by the corpus-wide
+    // minimum set size. For any qualifying pair, the first shared token
+    // sits in B at pb <= nb - overlap + 1 <= nb - ceil(t·na) + 1 <=
+    // nb - ceil(t·naMin) + 1, so later positions can never generate a
+    // pair's first-shared candidate — lossless, and it shrinks the
+    // indexed side by ~t·naMin rows per doc (the bulk, at high t).
+    // naMin is an O(1) scalar off the checkpointed sets table.
+    val naMin = Option(sets.agg(min("nw")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    val minKeep = (naMin * num + den - 1) / den // ceil(t·naMin)
     val full = sets.select(col("doc_id"), col("nw"), posexplode(col("set")))
       .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pp"), col("col").as("tr"))
+      .filter(col("pp") <= col("nw") - minKeep + 1)
     val cand = prefixes.as("a").join(full.as("b"),
         col("a.tr") === col("b.tr") && col("a.doc_id") =!= col("b.doc_id") &&
           col("b.nw") * den >= col("a.nw") * num &&
@@ -335,6 +356,77 @@ object Dedup {
       .filter(col("inter_cnt") * den >= col("na_cnt") * num)
       .distinct()
     verified.orderBy("doc_a", "doc_b")
+  }
+
+  /** Small-universe exact CONTAINMENT join — [[containmentPairs]] for the
+    * regime where prefix filtering has no rare tokens to bite on (tiny
+    * vocabulary: every inverted list approaches the whole corpus, and at
+    * a dense threshold the qualifying OUTPUT itself is a large fraction
+    * of n², so per-pair cost is what matters). Same semantics and output
+    * schema as [[containmentPairs]] (spec-gated ≡): ordered pairs with
+    * |A∩B| >= ceil(t·|A|).
+    *
+    * Shape: the contained side sits at its geometric size band's
+    * (band, salt) HOME key; each container replicates to every POPULATED
+    * band holding sizes it could contain (na <= ⌊nb·den/num⌋ — one-sided
+    * thresholds reach arbitrarily far down, so replication is bounded by
+    * the POPULATED band list, an O(#bands) metadata collect, not by a
+    * ±1-band lemma). The pair join is EQUI-KEYED on (band, salt) — no
+    * whole-corpus nested loop — and each ordered pair meets exactly once
+    * (the container's replica at the contained doc's home key), so no
+    * distinct is needed. Verification is one native AND+POPCNT pass
+    * ([[graft.functions.BitAndCount]]) per enumerated pair.
+    *
+    * Regime map: big vocabulary → [[containmentPairs]] (prefix filtering
+    * bites); small universe / dense output → THIS, composed with
+    * blocking once n² per block is itself too big: `blockCol` restricts
+    * pairs to docs sharing a key (language, source, LSH bucket — the
+    * block column simply joins into the home/probe keys, and NULL-block
+    * docs pair with nothing). A size distribution spanning many
+    * populated bands degrades replication linearly in #populated-bands —
+    * inherent to one-sided containment, and still never worse than the
+    * nested loop it replaces. */
+  def containmentPairsBitmap(docs: DataFrame, num: Int, den: Int,
+                             tokensOf: Column = array_distinct(split(col("text"), " ")),
+                             salts: Int = 8,
+                             blockCol: Option[String] = None): DataFrame = {
+    require(num >= 1 && num <= den, "need 1 <= num <= den (containment threshold in (0, 1])")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    graft.functions.BitAndCount.register(docs.sparkSession)
+    val sigs = bitmapSignatures(docs, tokensOf, carry = blockCol.toSeq)
+    // near-1 thresholds generate O(10³) geometric bounds out to 2^40; the
+    // band of every row is found by a per-row scan of that array, so cut
+    // it at the corpus' max set size (an O(1) scalar off the checkpointed
+    // signature table) — bands above nwMax hold no doc, and maxNaBand
+    // capping at the top populated band is exactly what the popBands
+    // probe list needs
+    val nwMax = Option(sigs.agg(max("nw")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    val boundsArr = sizeBandBounds(num, den).takeWhile(_ <= nwMax)
+    val bounds = typedLit(boundsArr.toSeq)
+    val banded = sigs
+      .withColumn("band", size(filter(bounds, b => b <= col("nw"))).cast(LongType) - 1)
+    // O(#bands) metadata: which bands actually hold docs
+    val popBands = banded.select("band").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val home = banded.withColumn("hv", pmod(xxhash64(col("doc_id")), lit(salts)))
+    // container probes: every populated band whose sizes it could contain
+    // (band(⌊nb·den/num⌋) >= p), crossed with every salt bucket
+    val maxNaBand = size(filter(bounds,
+        b => b <= expr(s"CAST(nw * $den DIV $num AS BIGINT)"))).cast(LongType) - 1
+    val probes = banded
+      .withColumn("pb", explode(filter(typedLit(popBands), p => p <= maxNaBand)))
+      .withColumn("pv", explode(sequence(lit(0L), lit(salts - 1L))))
+    val blockEq = blockCol.map(c => col(s"a.$c") === col(s"b.$c")).getOrElse(lit(true))
+    val pairs = probes.as("b").join(home.as("a"),
+        col("b.pb") === col("a.band") && col("b.pv") === col("a.hv") && blockEq &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.nw") * den >= col("a.nw") * num)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_and_count(a.bm, b.bm)").as("inter_cnt"),
+        col("a.nw").as("na_cnt"))
+      .filter(col("inter_cnt") * den >= col("na_cnt") * num)
+    pairs.orderBy("doc_a", "doc_b")
   }
 
   /** Small-universe exact Jaccard join — the regime where [[jaccardPairs]]
@@ -393,17 +485,19 @@ object Dedup {
     * scan do not share a stage) — measured as 2× the dominant cost of the
     * whole operator. Docs with an empty token set have no row (explode
     * emits nothing), matching the SQL oracle's `len(s) > 0` guard. */
-  private def bitmapSignatures(docs: DataFrame, tokensOf: Column): DataFrame = {
+  private def bitmapSignatures(docs: DataFrame, tokensOf: Column,
+                               carry: Seq[String] = Nil): DataFrame = {
     graft.functions.BitmapFromRanks.register(docs.sparkSession)
     graft.functions.CharNGrams.register(docs.sparkSession)
-    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
+    val keyCols = "doc_id" +: carry
+    val tok = docs.select(keyCols.map(col) :+ explode(tokensOf).as("w"): _*)
     val rank = graft.operators.GlobalRank.withRank(
         tok.select("w").distinct(), numParts = 0, "r", col("w"))
       .select(col("w"), col("r"))
     tok.join(broadcast(rank), "w")
-      .groupBy("doc_id").agg(collect_list(col("r")).as("rs"))
-      .select(col("doc_id"), size(col("rs")).cast(LongType).as("nw"),
-        expr("bitmap_from_ranks(rs)").as("bm"))
+      .groupBy(keyCols.map(col): _*).agg(collect_list(col("r")).as("rs"))
+      .select(keyCols.map(col) :+ size(col("rs")).cast(LongType).as("nw") :+
+        expr("bitmap_from_ranks(rs)").as("bm"): _*)
       .pipe(graft.operators.Checkpoints.checkpoint(_)) // release handle: Checkpoints.release
   }
 
@@ -453,8 +547,16 @@ object Dedup {
     require(num >= 1 && num <= den, "need 1 <= num <= den (Jaccard threshold in (0, 1])")
     require(salts >= 1, s"salts must be >= 1, got $salts")
     graft.functions.BitAndCount.register(docs.sparkSession)
-    val bounds = typedLit(sizeBandBounds(num, den).toSeq)
-    val banded = bitmapSignatures(docs, tokensOf)
+    val sigs = bitmapSignatures(docs, tokensOf)
+    // the geometric bounds run out to 2^40 (O(10²–10³) entries at fine
+    // ratios) and every row scans the array to find its band — truncate
+    // at the corpus' max set size (O(1) scalar off the checkpointed
+    // signature table); bands above nwMax hold no doc, and a probe band
+    // past the top populated band can never match a home row
+    val nwMax = Option(sigs.agg(max("nw")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    val bounds = typedLit(sizeBandBounds(num, den).takeWhile(_ <= nwMax).toSeq)
+    val banded = sigs
       .withColumn("band", size(filter(bounds, b => b <= col("nw"))).cast(LongType) - 1)
     val home = banded.withColumn("hv", pmod(xxhash64(col("doc_id")), lit(salts)))
     val probeBands = // num = den forces nw equality — the upward probe can
@@ -762,21 +864,26 @@ object TextAnalysis {
     * present (gramless short docs report zeros), integer-exact.
     *
     * Scale shape: each occurrence is reduced to a 16-byte hash pair
-    * before anything wide happens, then counted per (gram, doc) map-side
-    * (partial agg), summed per gram, and the per-doc/global frames join
-    * ALREADY co-partitioned on the gram key — one exchange per frame, no
-    * re-shuffle for the join, then one exchange by doc_id for the final
-    * roll-up. Nothing materializes the gram STRINGS past the first
-    * projection, so the wide state is O(occurrences) fixed-width rows.
-    * A hash collision (P < 10^-18 at 10^9 distinct grams) can only
-    * overcount a duplicate — it can never lose a document. */
+    * before anything wide happens, then counted per (gram, doc) with
+    * map-side partial aggregation (intra-doc repeats — boilerplate —
+    * compress BEFORE the exchange). The global per-gram total is then a
+    * gram-PARTITIONED window over those compressed rows — one exchange,
+    * where the groupBy+self-join form would exchange the per-doc frame
+    * TWICE more (hashpartitioning(gh1, gh2, doc_id) does not satisfy a
+    * join on (gh1, gh2)). One final exchange rolls up by doc_id.
+    * Nothing materializes the gram STRINGS past the first projection, so
+    * the wide state is O(occurrences) fixed-width rows. A hash collision
+    * (P < 10^-18 at 10^9 distinct grams) can only overcount a duplicate —
+    * it can never lose a document. */
   def duplicatedNgramStats(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.WordNgrams.register(docs.sparkSession)
     val grams = docs
-      .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), explode(TextOps.wordNgramsNative(n)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh1"), xhash(col("g")).as("gh2"))
     val perDoc = grams.groupBy("gh1", "gh2", "doc_id").agg(count(lit(1)).as("cnt"))
-    val global = perDoc.groupBy("gh1", "gh2").agg(sum("cnt").as("tot"))
-    val stats = perDoc.join(global, Seq("gh1", "gh2"))
+    val stats = perDoc
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("gh1", "gh2")))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
         sum(when(col("tot") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup_grams"))

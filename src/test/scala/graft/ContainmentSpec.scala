@@ -58,6 +58,39 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("bitmap form is identical to the PPJoin form across thresholds and salt counts") {
+    val rnd = new scala.util.Random(740)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    // include short docs and long docs so probes span several size bands
+    val rows = (1L to 120L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = docsDF(rows: _*)
+    for ((num, den) <- Seq((1, 1), (4, 5), (49, 50)); salts <- Seq(1, 4)) {
+      val expected = brute(rows, num, den)
+      val got = Dedup.containmentPairsBitmap(docs, num, den, salts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"num=$num den=$den salts=$salts")
+    }
+  }
+
+  test("blockCol restricts pairs to the block; NULL-block docs pair with nothing") {
+    val rnd = new scala.util.Random(741)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rows = (1L to 90L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        if (i % 10 == 0) null else s"blk${i % 3}")
+    }
+    val docs = rows.toDF("doc_id", "text", "blk")
+    val blkOf = rows.map(r => r._1 -> r._3).toMap
+    val expected = brute(rows.map(r => (r._1, r._2)), 4, 5)
+      .filter { case (a, b, _, _) => blkOf(a) != null && blkOf(a) == blkOf(b) }
+    val got = Dedup.containmentPairsBitmap(docs, num = 4, den = 5,
+        blockCol = Some("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("threshold 0 is rejected (disjoint pairs cannot surface from an index join)") {
     intercept[IllegalArgumentException](
       Dedup.containmentPairs(docsDF(1L -> "a"), num = 0, den = 1))

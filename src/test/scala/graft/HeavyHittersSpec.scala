@@ -37,6 +37,11 @@ class HeavyHittersSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toList
       assert(got == exact(docs, den), s"mismatch at den=$den")
     }
+    // the MG CANDIDATE set varies with partitioning; the exact recount
+    // must erase that — output is partition-invariant
+    val a = HeavyHitters.frequentTerms(docs, 16L).collect().map(_.toSeq).toList
+    val b = HeavyHitters.frequentTerms(docs.repartition(7), 16L).collect().map(_.toSeq).toList
+    assert(a == b, "heavy-hitter output changed with partitioning")
   }
 
   test("summary never exceeds k counters while streaming a huge vocabulary") {

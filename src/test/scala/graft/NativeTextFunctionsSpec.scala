@@ -120,4 +120,40 @@ class NativeTextFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("word_ngrams matches the HOF wordNgrams exactly: dups, order, spaces, unicode, NULL") {
+    graft.functions.WordNgrams.register(spark)
+    val texts = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a b c d e",
+      "a b a b a", "same same same same",
+      "  leading and trailing  ", "double  space  tokens",
+      "héllo wörld ünd ûnïcode grams", "ρομπότ και άνθρωποι εδώ",
+      "日本語 の テキスト 断片 です", "🎉 emoji 🎉 tokens 🎉 here",
+      null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 4, 7)) {
+      val out = df.select(TextOps.wordNgramsNative(n).as("native"),
+                          TextOps.wordNgrams(col("text"), n).as("hof")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("word_ngrams participates in whole-stage codegen and rejects bad arguments") {
+    graft.functions.WordNgrams.register(spark)
+    // non-literal input so constant folding can't pre-evaluate the call
+    val df = spark.range(10).select(concat(lit("a b "), col("id")).as("text"))
+      .select(expr("word_ngrams(text, 2)").as("g"))
+    assert(df.collect().length == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("word_ngrams") && plan.contains("*(1) Project"), plan)
+    intercept[Exception](
+      Seq("ab").toDF("text").select(expr("word_ngrams(text)")).collect())
+    intercept[Exception](
+      Seq(("ab", 2)).toDF("text", "n").select(expr("word_ngrams(text, n)")).collect())
+    intercept[Exception](
+      Seq(1L).toDF("text").select(expr("word_ngrams(text, 2)")).collect())
+  }
 }
