@@ -576,6 +576,14 @@ object SparkEntry {
       Dedup.containmentPairsBitmap(s.read.parquet(t(dir, "documents")),
         num = 49, den = 50, blockCol = Some("lang"))),
 
+    // ── source-balanced deterministic interleave: every prefix of the
+    // training order holds each source in proportion (±1) — the
+    // low-discrepancy epoch schedule (q73 is the plain hash shuffle) ─────
+    "q75_interleave_by_source" -> ((s, dir) =>
+      graft.text.Pipeline.interleaveBySource(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "source"))
+        .orderBy("pos")),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1290,6 +1298,23 @@ object SparkEntry {
         |      FROM ws a JOIN ws b ON a.doc_id <> b.doc_id AND a.lang = b.lang)
         |SELECT doc_a, doc_b, inter_cnt, na_cnt FROM p
         |WHERE inter_cnt * 50 >= na_cnt * 49 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors Pipeline.interleaveBySource: within-source rank r by the
+    // salted md5 key-hash rule, fraction (2r+1)/(2·n_s) as ONE exact
+    // integer-to-double divide, ties (equal-size sources) on (source, r)
+    "q75_interleave_by_source" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('interleave' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 1 AS r,
+        |        count(*) OVER (PARTITION BY source) AS ns
+        |      FROM h)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY CAST(2*r+1 AS DOUBLE) / CAST(2*ns AS DOUBLE), source, r) - 1
+        |       AS BIGINT) AS pos,
+        |       doc_id, source
+        |FROM r ORDER BY pos""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt

@@ -261,6 +261,47 @@ object Pipeline {
       .select(col("rank"), col("doc_id"))
   }
 
+  /** SOURCE-BALANCED deterministic interleave — the low-discrepancy epoch
+    * schedule: each source's docs land at fractions (2r+1)/(2·n_s) of the
+    * epoch (r = the doc's salted-hash rank within its source), so any
+    * prefix of the order holds each source in proportion to its size to
+    * within ±1 — where [[trainingOrder]]'s plain hash shuffle drifts by
+    * O(√L) and a naive concat-by-source is maximally skewed. The
+    * fraction is ONE correctly rounded IEEE divide of exact integers
+    * (both < 2^53), identical in every engine, and ties (equal-sized
+    * sources share fraction grids) break on (source, r) — a strict total
+    * order. Output: (pos, doc_id, source).
+    *
+    * Scale shape: within-source ranks do NOT use a per-source window (a
+    * grouped window funnels each source — 1/#sources of the corpus —
+    * through ONE task). Instead one global range-sort rank over
+    * (source, hash) makes each source's ranks contiguous, so the
+    * within-source rank is `global rank − the source's first rank` — an
+    * O(#sources) broadcast join — and the final position is a second
+    * range-sort rank over the fraction key. Two TeraSort exchanges,
+    * never a single-task sort. NULL sources group under a sentinel key
+    * (they interleave as one source; their tie-rank vs real names uses
+    * the sentinel's sort position). */
+  def interleaveBySource(docs: DataFrame, salt: String = "interleave"): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ranked = graft.operators.GlobalRank.withRank(
+      docs.select(col("doc_id"), col("source"),
+        coalesce(col("source").cast(org.apache.spark.sql.types.StringType),
+          lit("\u0002")).as("_src"),
+        graft.operators.Sampling.keyHash(Seq("doc_id"), salt).as("_h")),
+      numParts = -1, rankCol = "_g", col("_src"), col("_h"), col("doc_id"))
+    val offsets = ranked.groupBy("_src")
+      .agg(min("_g").as("_off"), count(lit(1)).as("_ns"))
+    val keyed = ranked.join(broadcast(offsets), "_src")
+      .withColumn("_r", col("_g") - col("_off"))
+      .withColumn("_key",
+        (col("_r") * 2 + 1).cast(DoubleType) / (col("_ns") * 2).cast(DoubleType))
+    graft.operators.GlobalRank.withRank(
+        keyed.select(col("doc_id"), col("source"), col("_key"), col("_src"), col("_r")),
+        numParts = -1, rankCol = "pos", col("_key"), col("_src"), col("_r"))
+      .select(col("pos"), col("doc_id"), col("source"))
+  }
+
   /** Greedy sequence packing by starting offset: docs in doc_id order are
     * laid end-to-end; a doc belongs to pack `floor(start_offset /
     * capacity)`. Deterministic and integer-exact.

@@ -40,4 +40,34 @@ class TrainingOrderSpec extends SparkSpec {
     assert(e0 != e1)
     assert(e0.sorted == e1.sorted) // same docs, different order
   }
+
+  private val srcDocs = (1L to 700L)
+    .map(i => (i, s"s${i % 7 match { case 0 | 1 | 2 => 0; case 3 | 4 => 1; case n => n }}"))
+    .toDF("doc_id", "source")
+
+  test("interleave: positions are a permutation and every prefix is source-proportional ±1") {
+    val out = Pipeline.interleaveBySource(srcDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 700L))
+    val ns = out.groupBy(_._3).view.mapValues(_.size).toMap
+    val n = out.length
+    // low-discrepancy guarantee: |count_s(prefix L) − L·n_s/n| stays O(1)
+    // for EVERY prefix — a hash shuffle drifts by O(√L)
+    val seen = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    out.foreach { case (pos, _, src) =>
+      seen(src) += 1
+      val l = pos + 1
+      for ((s, c) <- seen)
+        assert(math.abs(c - l.toDouble * ns(s) / n) <= 1.5 + 1e-9,
+          s"prefix $l: source $s count $c vs expected ${l.toDouble * ns(s) / n}")
+    }
+  }
+
+  test("interleave is deterministic across partitionings") {
+    val a = Pipeline.interleaveBySource(srcDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Pipeline.interleaveBySource(srcDocs.repartition(11)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
 }
