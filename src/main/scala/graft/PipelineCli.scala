@@ -18,13 +18,16 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   *   2. PII redaction
   *   3. quality floor (integer quality score >= minQuality)
   *   4. repetition ceiling (dup-bigram mass <= maxDupFrac)
-  *   5. near-dedup (MinHash/LSH → verify → CC; keep cluster reps)
-  *   6. deterministic content-hash split (train/val/test)
-  *   7. range-sorted capped shards per split
+  *   5. OPTIONAL eval-set decontamination (n-gram span overlap against a
+  *      blocklist parquet — runs before dedup so contaminated docs can't
+  *      become cluster representatives)
+  *   6. near-dedup (MinHash/LSH → verify → CC; keep cluster reps)
+  *   7. deterministic content-hash split (train/val/test)
+  *   8. range-sorted capped shards per split
   *
   * Usage:
   *   runMain graft.PipelineCli <docsParquet> <outDir>
-  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard]
+  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet]
   */
 object PipelineCli {
 
@@ -49,7 +52,8 @@ object PipelineCli {
     * removes a Sort under a join/aggregation that cannot observe it
     * (verified: the composed physical plan has zero Sort nodes and zero
     * range exchanges before the shard writer's own range partitioning). */
-  def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long)
+  def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
+          evalBlocklist: Option[DataFrame] = None, decontamN: Int = 8)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     // every stage cache is tracked so a mid-pipeline failure (e.g. inside
     // nearDedup) can't leak persisted frames into the shared session —
@@ -63,7 +67,7 @@ object PipelineCli {
     // in a long session, so free them deterministically on the way out
     graft.operators.Checkpoints.scoped {
       try {
-        val out = runStages(docs, minQuality, maxDupFrac1000, pin)
+        val out = runStages(docs, minQuality, maxDupFrac1000, evalBlocklist, decontamN, pin)
         pinned.clear() // success: stages already unpersisted what they owned
         out
       } finally pinned.foreach(_.unpersist(blocking = false))
@@ -71,6 +75,7 @@ object PipelineCli {
   }
 
   private def runStages(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
+                        evalBlocklist: Option[DataFrame], decontamN: Int,
                         pin: DataFrame => DataFrame)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
@@ -93,11 +98,28 @@ object PipelineCli {
     // not "present and below" (an inner join would silently delete them)
     val highRep = TextAnalysis.repetition(redacted)
       .filter(col("dup_frac1000") > maxDupFrac1000).select("doc_id")
-    val filtered = pin(redacted.join(quality, "doc_id")
+    val afterFilters = pin(redacted.join(quality, "doc_id")
       .join(highRep, Seq("doc_id"), "left_anti")) // feeds nearDedup's several passes and the dedup join
-    counts += "after_quality_filters" -> filtered.count()
+    counts += "after_quality_filters" -> afterFilters.count()
     redacted.unpersist() // its last consumer (filtered) just materialized —
     // free it BEFORE the memory-heaviest stage (nearDedup) runs
+
+    // optional eval-set decontamination (span-level, decontaminateNgrams):
+    // runs BEFORE dedup so contaminated docs can't become cluster
+    // representatives. The blocklist goes through the SAME redact →
+    // normalize transforms as the corpus — the n-gram match is exact
+    // token equality, and eval text is matched as the corpus looks HERE
+    val filtered = evalBlocklist match {
+      case Some(bl) =>
+        val blNorm = Pipeline.normalize(
+            Pipeline.redactPii(bl).select(col("doc_id"), col("red_text").as("text")))
+          .select(col("doc_id"), col("norm_text").as("text"))
+        val kept = pin(Pipeline.decontaminateNgrams(afterFilters, blNorm, decontamN))
+        counts += "after_decontamination" -> kept.count()
+        afterFilters.unpersist()
+        kept
+      case None => afterFilters
+    }
 
     val reps = Dedup.nearDedup(filtered)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
@@ -124,6 +146,7 @@ object PipelineCli {
     val minQuality = if (args.length > 2) args(2).toLong else 400L
     val maxDupFrac = if (args.length > 3) args(3).toLong else 300L
     val maxPerShard = if (args.length > 4) args(4).toLong else 100000L
+    val blocklistPath = if (args.length > 5) Some(args(5)) else None
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // same convention as SlidingCli: spark-submit overrides via
@@ -133,7 +156,8 @@ object PipelineCli {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac)
+    val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac,
+      evalBlocklist = blocklistPath.map(spark.read.parquet))
     bySplit.foreach { case (name, df) =>
       Layout.saveShards(df, s"$outDir/$name", "doc_id", maxPerShard)
       df.unpersist()

@@ -65,4 +65,37 @@ class PipelineCliSpec extends SparkSpec {
     // so this suite doesn't hold 6 cached frames in the shared session
     (bySplit.values ++ bySplit2.values).foreach(_.unpersist())
   }
+
+  test("optional eval decontamination drops embedded-span docs; blocklist is normalization-aligned") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 20L).map(i =>
+      (i, s"item${i}a item${i}b item${i}c item${i}d item${i}e " +
+        s"item${i}f item${i}g item${i}h item${i}i item${i}j")) ++ Seq(
+      // embeds the eval span (8 tokens) inside otherwise-novel text
+      400L -> ("wrapper opening words precede alpha beta gamma delta " +
+        "epsilon zeta eta theta and then trailing novel words follow here"))
+    val docs = rows.toDF("doc_id", "text")
+    // UPPERCASE in the blocklist: the stage must normalize the blocklist
+    // exactly like the corpus or the span never matches
+    val blocklist = Seq(900L -> "ALPHA beta gamma delta epsilon zeta eta theta")
+      .toDF("doc_id", "text")
+
+    val (bySplit, counts) = PipelineCli.run(docs, minQuality = 300L,
+      maxDupFrac1000 = 300L, evalBlocklist = Some(blocklist))
+    val c = counts.toMap
+    assert(c("after_decontamination") == c("after_quality_filters") - 1, s"$counts")
+    val ids = bySplit.values.flatMap(_.collect().map(_.getLong(0))).toSet
+    assert(!ids.contains(400L), "contaminated doc reached a split")
+    assert(ids.contains(1L), "clean docs must survive decontamination")
+
+    // without a blocklist the same doc flows through — the stage is the
+    // only thing that drops it (guards against a filter eating doc 400
+    // and the assertion above passing vacuously)
+    val (bySplit0, counts0) = PipelineCli.run(docs, minQuality = 300L,
+      maxDupFrac1000 = 300L)
+    assert(!counts0.toMap.contains("after_decontamination"))
+    val ids0 = bySplit0.values.flatMap(_.collect().map(_.getLong(0))).toSet
+    assert(ids0.contains(400L))
+    (bySplit.values ++ bySplit0.values).foreach(_.unpersist())
+  }
 }
