@@ -12,6 +12,13 @@ import org.apache.spark.sql.types.LongType
   *
   * All narrow, shuffle-free transforms except [[pack]] (one range shuffle
   * feeding a distributed two-pass prefix sum).
+  *
+  * The per-row operators take `ordered = true`: the default keeps the
+  * oracle-deterministic trailing sort (free under batch composition —
+  * EliminateSorts removes it below joins/aggregates); pass `false` to
+  * compose onto a STREAMING DataFrame, because the analyzer's streaming
+  * support check runs BEFORE the optimizer and rejects the sort that
+  * would have been eliminated (spec: `StreamingTextOpsSpec`).
   */
 object Pipeline {
   import TextOps.{xhash, P}
@@ -22,14 +29,15 @@ object Pipeline {
     * identical content MUST share a split (leakage), and the naked-NULL
     * form would shunt every null doc into 'test' via the CASE fallthrough
     * instead of the content rule. */
-  def datasetSplit(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  def datasetSplit(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"),
         ((xhash(coalesce(col("text"), lit(""))) % P) % 10).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 8, lit("train"))
           .when(col("bucket") < 9, lit("val"))
           .otherwise(lit("test")))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
+  }
 
   /** Deterministic training-MIXTURE construction — the data-mixing step a
     * pretraining corpus goes through: given relative `weights` per source
@@ -124,13 +132,14 @@ object Pipeline {
 
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace. Returns the normalized text plus a changed flag. */
-  def normalize(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
+  def normalize(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"), col("text"),
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
           " +", " ")).as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         (col("norm_text") =!= col("text")).as("changed"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
+  }
 
   /** Fixed-size token chunking with overlap: windows of `chunkTokens`
     * starting every `chunkTokens - overlap` tokens (the trailing chunk may
@@ -165,7 +174,7 @@ object Pipeline {
     * stricter patterns per jurisdiction at the call site. Narrow — one
     * projection, no shuffle. Output: (doc_id, n_emails, n_phones,
     * red_text). */
-  def redactPii(docs: DataFrame): DataFrame = {
+  def redactPii(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val phone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
     // counts must reconcile with the placeholders actually emitted: phones
@@ -174,11 +183,11 @@ object Pipeline {
     // pass and must not inflate n_phones), so n_emails == #<EMAIL> and
     // n_phones == #<PHONE> by construction
     val afterEmail = regexp_replace(col("text"), email, "<EMAIL>")
-    docs.select(col("doc_id"),
+    val out = docs.select(col("doc_id"),
         regexp_count(col("text"), lit(email)).cast(LongType).as("n_emails"),
         regexp_count(afterEmail, lit(phone)).cast(LongType).as("n_phones"),
         regexp_replace(afterEmail, phone, "<PHONE>").as("red_text"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Eval-set decontamination: drops every doc whose normalized

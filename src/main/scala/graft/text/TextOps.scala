@@ -798,8 +798,9 @@ object TextAnalysis {
 
   /** Quality score: type-token ratio, average word length, stopword ratio —
     * integer-scaled ×1000, combined as (2·ttr + (1000 − stop)) div 3. */
-  def quality(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+  def quality(docs: DataFrame, stopwords: Seq[String],
+              ordered: Boolean = true): DataFrame = {
+    val out = docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         expr("CAST(size(ws) AS BIGINT)").as("n_tokens"),
         expr("CAST(size(array_distinct(ws)) AS BIGINT)").as("n_distinct"),
@@ -809,7 +810,7 @@ object TextAnalysis {
       .withColumn("awl1000", expr("CAST((n_chars - n_tokens + 1) * 1000 div n_tokens AS BIGINT)"))
       .withColumn("stop1000", expr("CAST(stop_cnt * 1000 div n_tokens AS BIGINT)"))
       .withColumn("quality", expr("CAST((2 * ttr1000 + (1000 - stop1000)) div 3 AS BIGINT)"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Repetition metrics — the classic web-corpus quality filters
