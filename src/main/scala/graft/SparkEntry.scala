@@ -345,11 +345,16 @@ object SparkEntry {
     }),
 
     // ── dedup end-to-end: similarity join edges → connected components ───
-    // (non-vacuous at sf0.01: a 137-doc cluster, 18 pairs, 1 triple)
+    // (non-vacuous at sf0.01: a 137-doc cluster, 18 pairs, 1 triple).
+    // Edges come from the small-universe bitmap form: this corpus' ~31-word
+    // vocabulary gives PPJoin prefix filtering nothing rare to index on
+    // (same regime call as q56/q74; the two edge paths are spec-proved
+    // identical, and the oracle hash-checks the clusters either way) ─────
     "q38_dedup_clusters" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.clusters(docs.select("doc_id"),
-        Dedup.jaccardPairs(docs, num = 19, den = 20).select("doc_a", "doc_b"),
+        Dedup.jaccardPairsBitmapBlocked(docs, num = 19, den = 20)
+          .select("doc_a", "doc_b"),
         maxIter = 50)
     }),
 
