@@ -589,6 +589,23 @@ object SparkEntry {
           s.read.parquet(t(dir, "documents")).select("doc_id", "source"))
         .orderBy("pos")),
 
+    // ── skew-salted join: the hot-key mitigation must be RESULT-invisible
+    // — the oracle is the plain join it replaces (orders⋈lineitem revenue
+    // per order, o_orderkey the salted key) ──────────────────────────────
+    "q76_salted_join" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_custkey")
+      // integral quantities summed as BIGINT — double summation is
+      // order-dependent and would not hash-match across engines
+      val line = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(org.apache.spark.sql.types.LongType).as("qty"))
+      graft.operators.Salted.join(line, orders, key = "o_orderkey",
+          saltCol = "l_linenumber", factor = 4)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1320,6 +1337,15 @@ object SparkEntry {
         |       AS BIGINT) AS pos,
         |       doc_id, source
         |FROM r ORDER BY pos""".stripMargin,
+
+    // mirrors the salted join's plain-join equivalence: the oracle IS the
+    // unsalted join it must be result-identical to
+    "q76_salted_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt
