@@ -141,6 +141,23 @@ class NativeTextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams HOF parity holds on 300 randomized strings (spaces, unicode, astral)") {
+    graft.functions.WordNgrams.register(spark)
+    val rnd = new scala.util.Random(692)
+    val alphabet = "ab é日🎉 .x  " // weights spaces heavily; multi-byte + astral
+    def randText() = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val texts = Seq.fill(300)(randText())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      df.select(TextOps.wordNgramsNative(n).as("native"),
+          TextOps.wordNgrams(col("text"), n).as("hof")).collect()
+        .foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+        }
+    }
+  }
+
   test("word_ngrams participates in whole-stage codegen and rejects bad arguments") {
     graft.functions.WordNgrams.register(spark)
     // non-literal input so constant folding can't pre-evaluate the call
