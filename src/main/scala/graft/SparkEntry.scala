@@ -592,6 +592,22 @@ object SparkEntry {
     // ── skew-salted join: the hot-key mitigation must be RESULT-invisible
     // — the oracle is the plain join it replaces (orders⋈lineitem revenue
     // per order, o_orderkey the salted key) ──────────────────────────────
+    // ── grouped EXACT order statistics (per-language median + p90 doc
+    // length): the small-group exact path — per-group collect is O(group)
+    // memory, the right call at thousands-per-group; a group outgrowing
+    // memory graduates to the OrderStats range-shuffle machinery (q08/
+    // q39's global forms). Integer indexing, no interpolation — engines
+    // disagree on interpolated quantile FP order, not on order statistics ─
+    "q77_grouped_quantiles" -> ((s, dir) =>
+      s.read.parquet(t(dir, "documents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sort_array(collect_list(col("n_chars"))).as("xs"))
+        .select(col("lang"), col("n_docs"),
+          element_at(col("xs"), expr("CAST((n_docs + 1) div 2 AS INT)")).as("median_chars"),
+          element_at(col("xs"), expr("CAST((9 * n_docs + 9) div 10 AS INT)")).as("p90_chars"))
+        .orderBy("lang")),
+
     "q76_salted_join" -> ((s, dir) => {
       val orders = s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_custkey")
       // integral quantities summed as BIGINT — double summation is
@@ -1340,6 +1356,15 @@ object SparkEntry {
 
     // mirrors the salted join's plain-join equivalence: the oracle IS the
     // unsalted join it must be result-identical to
+    // mirrors q77: lower median = element (n+1)//2, p90 = element
+    // ceil(0.9n) = (9n+9)//10 of the sorted per-group list (1-based both
+    // engines); pure order statistics, no interpolation
+    "q77_grouped_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  (list_sort(list(n_chars)))[CAST((count(*) + 1) // 2 AS BIGINT)] AS median_chars,
+        |  (list_sort(list(n_chars)))[CAST((9 * count(*) + 9) // 10 AS BIGINT)] AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q76_salted_join" ->
       """SELECT o.o_orderkey, o.o_custkey,
         |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
