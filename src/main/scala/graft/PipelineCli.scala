@@ -141,7 +141,7 @@ object PipelineCli {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PipelineCli <docsParquet> <outDir> " +
-      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard]")
+      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet]")
     val (input, outDir) = (args(0), args(1))
     val minQuality = if (args.length > 2) args(2).toLong else 400L
     val maxDupFrac = if (args.length > 3) args(3).toLong else 300L

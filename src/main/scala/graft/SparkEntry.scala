@@ -600,6 +600,11 @@ object SparkEntry {
     // disagree on interpolated quantile FP order, not on order statistics ─
     "q77_grouped_quantiles" -> ((s, dir) =>
       s.read.parquet(t(dir, "documents"))
+        // NULL n_chars dropped identically in both engines BEFORE the
+        // group: Spark's collect_list skips NULLs while DuckDB's list()
+        // keeps them, and count(*) vs the list length would index
+        // different elements — the symmetric WHERE removes the divergence
+        .filter(col("n_chars").isNotNull)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sort_array(collect_list(col("n_chars"))).as("xs"))
@@ -1358,12 +1363,15 @@ object SparkEntry {
     // unsalted join it must be result-identical to
     // mirrors q77: lower median = element (n+1)//2, p90 = element
     // ceil(0.9n) = (9n+9)//10 of the sorted per-group list (1-based both
-    // engines); pure order statistics, no interpolation
+    // engines); pure order statistics, no interpolation. NULL n_chars is
+    // WHERE-dropped on both sides (Spark collect_list skips NULLs,
+    // DuckDB list() keeps them — the filter makes the engines agree)
     "q77_grouped_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  (list_sort(list(n_chars)))[CAST((count(*) + 1) // 2 AS BIGINT)] AS median_chars,
         |  (list_sort(list(n_chars)))[CAST((9 * count(*) + 9) // 10 AS BIGINT)] AS p90_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q76_salted_join" ->
       """SELECT o.o_orderkey, o.o_custkey,

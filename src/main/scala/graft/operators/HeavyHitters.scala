@@ -30,11 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Mergeable Misra-Gries summary: ≤ k counters, undercounts by < n/k. */
+  /** Mergeable Misra-Gries summary: ≤ k counters, undercounts by < n/k.
+    * `dec` is the REALIZED undercount bound: any term with true count
+    * > dec is guaranteed to survive in `counts` (each decrement event
+    * and each merge subtraction lowers every term's counter relative to
+    * its true count by at most the amount added to `dec`). */
   private[graft] final class Summary(val k: Int) extends Serializable {
     require(k >= 1, s"need k >= 1 counters, got $k")
     val counts = new mutable.HashMap[String, Long]
     var n: Long = 0L // tokens observed (for the global threshold)
+    var dec: Long = 0L // realized decrement + merge-subtraction total
 
     def add(w: String): Unit = {
       n += 1
@@ -46,6 +51,7 @@ object HeavyHitters {
           // the decrement, so it is NOT inserted); each decrement event
           // retires k+1 units of count, so the per-token cost amortizes
           // to O(1) and the total undercount stays < n/k
+          dec += 1
           val dead = mutable.ArrayBuffer.empty[String]
           counts.mapValuesInPlace { (t, c) => if (c == 1L) dead += t; c - 1L }
           dead.foreach(counts.remove)
@@ -58,11 +64,13 @@ object HeavyHitters {
       * valid additional undercount (bounds add). */
     def merge(o: Summary): Summary = {
       n += o.n
+      dec += o.dec // undercounts of merged summaries ADD (PODS 2012)
       o.counts.foreach { case (t, c) => counts.update(t, counts.getOrElse(t, 0L) + c) }
       if (counts.size > k) {
         val vs = counts.values.toArray
         java.util.Arrays.sort(vs)
         val d = vs(vs.length - 1 - k) // (k+1)-th largest
+        dec += d
         val dead = mutable.ArrayBuffer.empty[String]
         counts.mapValuesInPlace { (t, c) => if (c <= d) dead += t; c - d }
         dead.foreach(counts.remove)
@@ -100,15 +108,32 @@ object HeavyHitters {
       combOp = (a, b) => a.merge(b))
     val minCount = math.max(1L, summary.n / den)
 
-    // pass 2: exact recount of the ≤ k candidates only — the broadcast
-    // semi-join filters map-side, so non-candidate terms never leave
-    // their scan partition
-    import spark.implicits._
-    val candidates = summary.counts.keys.toSeq.toDF("term")
-    docs.select(explode(split(col("text"), " ")).as("term"))
-      .join(broadcast(candidates), Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .orderBy("term")
+    val exploded = docs.select(explode(split(col("text"), " ")).as("term"))
+
+    // exactness guard: a term survives the summary whenever its true
+    // count exceeds the REALIZED undercount `dec` (≤ the n/k worst case,
+    // usually far less). The candidate set is provably complete only when
+    // minCount > dec; the a-priori bound covers minCount = n/den > n/k,
+    // but integer-floored thresholds near 1 (n < 2·den ⇒ minCount = 1 ≤
+    // possible dec) can lose a qualifying term. When the certificate
+    // fails, fall back to the exact full group-by — correctness is never
+    // a function of the sketch.
+    if (minCount <= summary.dec) {
+      exploded
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .orderBy("term")
+    } else {
+      // pass 2: exact recount of the ≤ k candidates only — the broadcast
+      // semi-join filters map-side, so non-candidate terms never leave
+      // their scan partition
+      import spark.implicits._
+      val candidates = summary.counts.keys.toSeq.toDF("term")
+      exploded
+        .join(broadcast(candidates), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .orderBy("term")
+    }
   }
 }

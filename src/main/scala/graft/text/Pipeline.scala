@@ -278,8 +278,8 @@ object Pipeline {
     * O(√L) and a naive concat-by-source is maximally skewed. The
     * fraction is ONE correctly rounded IEEE divide of exact integers
     * (both < 2^53), identical in every engine, and ties (equal-sized
-    * sources share fraction grids) break on (source, r) — a strict total
-    * order. Output: (pos, doc_id, source).
+    * sources share fraction grids) break on (source NULLS LAST, r) — a
+    * strict total order. Output: (pos, doc_id, source).
     *
     * Scale shape: within-source ranks do NOT use a per-source window (a
     * grouped window funnels each source — 1/#sources of the corpus —
@@ -288,15 +288,21 @@ object Pipeline {
     * within-source rank is `global rank − the source's first rank` — an
     * O(#sources) broadcast join — and the final position is a second
     * range-sort rank over the fraction key. Two TeraSort exchanges,
-    * never a single-task sort. NULL sources group under a sentinel key
-    * (they interleave as one source; their tie-rank vs real names uses
-    * the sentinel's sort position). */
+    * never a single-task sort. NULL sources group as ONE source under a
+    * collision-proof key (real names are prefixed, so no data value can
+    * alias the NULL group), and fraction ties between a NULL-source doc
+    * and an equal-sized real source break NULL-LAST — the order `ORDER
+    * BY source` produces under DuckDB's default, so the q75 oracle
+    * agrees row-for-row even on null-source corpora. */
   def interleaveBySource(docs: DataFrame, salt: String = "interleave"): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
+    // grouping key only (contiguity in the first rank + the offset join);
+    // output ORDER uses (source IS NULL, source) directly, never this key
+    val srcKey = coalesce(
+      concat(lit("v"), col("source").cast(org.apache.spark.sql.types.StringType)),
+      lit("n"))
     val ranked = graft.operators.GlobalRank.withRank(
-      docs.select(col("doc_id"), col("source"),
-        coalesce(col("source").cast(org.apache.spark.sql.types.StringType),
-          lit("\u0002")).as("_src"),
+      docs.select(col("doc_id"), col("source"), srcKey.as("_src"),
         graft.operators.Sampling.keyHash(Seq("doc_id"), salt).as("_h")),
       numParts = -1, rankCol = "_g", col("_src"), col("_h"), col("doc_id"))
     val offsets = ranked.groupBy("_src")
@@ -306,8 +312,9 @@ object Pipeline {
       .withColumn("_key",
         (col("_r") * 2 + 1).cast(DoubleType) / (col("_ns") * 2).cast(DoubleType))
     graft.operators.GlobalRank.withRank(
-        keyed.select(col("doc_id"), col("source"), col("_key"), col("_src"), col("_r")),
-        numParts = -1, rankCol = "pos", col("_key"), col("_src"), col("_r"))
+        keyed.select(col("doc_id"), col("source"), col("_key"), col("_r")),
+        numParts = -1, rankCol = "pos",
+        col("_key"), col("source").isNull, col("source"), col("_r"))
       .select(col("pos"), col("doc_id"), col("source"))
   }
 

@@ -92,6 +92,32 @@ class HeavyHittersSpec extends SparkSpec {
     assert(all == List("x" -> 4L))
   }
 
+  test("falls back to the exact group-by when the realized undercount reaches minCount") {
+    // 12 distinct singletons, den=8 (k=9 counters): n=12 < 2·den so
+    // minCount = 1, and the summary necessarily loses ≥3 singletons (12 > k) — the
+    // a-priori MG bound cannot certify completeness here. The realized-
+    // undercount guard must detect dec >= minCount and take the exact
+    // full group-by, so ALL 12 terms come back with cnt 1.
+    val docs = (1L to 12L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    val got = HeavyHitters.frequentTerms(docs, den = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(got == exact(docs, 8), "fallback did not restore exactness")
+    assert(got.size == 12, s"lost singletons: ${got.size}/12")
+  }
+
+  test("Summary tracks the realized undercount through adds and merges") {
+    val s = new HeavyHitters.Summary(2)
+    Seq("a", "b", "c").foreach(s.add) // third distinct triggers decrement-all
+    assert(s.dec == 1L)
+    val t = new HeavyHitters.Summary(2)
+    Seq("x", "y").foreach(t.add)
+    assert(t.dec == 0L)
+    // merge: 2+2 surviving counters > k=2 → subtraction adds to dec;
+    // merged dec >= both inputs' decs summed
+    val m = s.merge(t)
+    assert(m.dec >= 1L && m.n == 5L)
+  }
+
   test("den outside the driver-memory bound is rejected") {
     val d = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](HeavyHitters.frequentTerms(d, 0L))

@@ -70,4 +70,37 @@ class TrainingOrderSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(a.sameElements(b))
   }
+
+  test("interleave: NULL sources form one group and break fraction ties NULL-LAST") {
+    // two equal-sized sources — one real, one NULL — share the fraction
+    // grid (2r+1)/20 exactly, so every position pair (2i, 2i+1) is a tie:
+    // the real source must take the even slot (ANSI ORDER BY source puts
+    // NULLs last; the oracle's row_number does the same)
+    val docs = ((1L to 10L).map(i => (i, "a")) ++ (11L to 20L).map(i => (i, null: String)))
+      .toDF("doc_id", "source")
+    val out = Pipeline.interleaveBySource(docs).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getString(2))))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 20L))
+    out.grouped(2).zipWithIndex.foreach { case (pair, i) =>
+      assert(pair(0)._2 == Some("a"), s"tie $i: real source not first")
+      assert(pair(1)._2 == None, s"tie $i: NULL source not last")
+    }
+  }
+
+  test("interleave: a real source named like the NULL group key does not collide") {
+    // real names are prefixed in the grouping key, so a source literally
+    // named "n" stays a separate group from the NULLs: equal sizes again
+    // force tie pairs, real "n" first
+    val docs = ((1L to 8L).map(i => (i, "n")) ++ (9L to 16L).map(i => (i, null: String)))
+      .toDF("doc_id", "source")
+    val out = Pipeline.interleaveBySource(docs).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getString(2))))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 16L))
+    out.grouped(2).foreach { pair =>
+      assert(pair(0)._2 == Some("n") && pair(1)._2 == None,
+        "sentinel collision: 'n'-named source merged with the NULL group")
+    }
+  }
 }
