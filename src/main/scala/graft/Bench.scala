@@ -36,6 +36,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load(): Double = os.getSystemLoadAverage
+    // process-CPU share (this JVM's recent CPU use, 0..1): with the system
+    // loadavg it separates "query was slow" from "machine was busy" —
+    // com.sun.management is the JDK's own extension interface, present on
+    // every HotSpot
+    def procCpu(): Double = os match {
+      case x: com.sun.management.OperatingSystemMXBean => x.getProcessCpuLoad
+      case _ => -1.0
+    }
 
     // idle gate: an external co-tenant (NOT this JVM — Spark isn't running
     // yet) pushing the 1-min load above the threshold perturbs every
@@ -70,17 +78,21 @@ object Bench {
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
 
-    def measure(): Seq[(String, Double)] =
+    // per query: (name, seconds, loadavg at query end, process-CPU share) —
+    // the per-query environment record that lets a single noisy query in an
+    // otherwise-clean run be adjudicated from the artifact alone
+    def measure(): Seq[(String, Double, Double, Double)] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.select(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val (l, pc) = (load(), procCpu())
         // outside the timed span: drop caches and nudge the ContextCleaner
         // so this query's cached/checkpointed blocks don't pressure the next
         spark.catalog.clearCache()
         System.gc()
-        name -> elapsed
+        (name, elapsed, l, pc)
       }
 
     val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
@@ -89,8 +101,9 @@ object Bench {
       val r = measure()
       (r, l0, load())
     }
+    val byName = runs.map(_._1.map(r => r._1 -> r).toMap)
     val results = runs.head._1.map(_._1).map { name =>
-      name -> runs.map(_._1.toMap.apply(name)).min
+      name -> byName.map(_(name)._2).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -107,11 +120,19 @@ object Bench {
     val warmSpread = (warmTotals.max - warmTotals.min) / warmTotals.min
     val minComposite = results.map(_._2).sum
     val runLoads = runs.map { case (_, l0, l1) => f"[$l0%.2f,$l1%.2f]" }
+    // per-query per-run [loadavg, processCpuShare] pairs, in run order
+    val queryLoads = runs.head._1.map(_._1).map { name =>
+      val cells = byName.map { m =>
+        val (_, _, l, pc) = m(name); f"[$l%.2f,$pc%.2f]"
+      }
+      "\"" + name + "\":[" + cells.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_avg":${load()},"load_at_start":$loadAtStart,""" +
       s""""load_gate":$gate,"gate_waited_sec":$gateWaited,""" +
       s""""load_after_gate":$loadAfterGate,""" +
       s""""run_loads":[${runLoads.mkString(",")}],""" +
+      s""""query_loads":$queryLoads,""" +
       s""""run_total_spread":$spread,"warm_run_spread":$warmSpread,""" +
       s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
       s""""run_totals":[${totals.mkString(",")}]}"""

@@ -629,7 +629,8 @@ object Dedup {
     * decreasing until fixpoint — one agg on the checkpointed round
     * output, no compare join.
     * Returns (doc_id, cluster), cluster = min reachable id. */
-  def clusters(allDocs: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(allDocs: DataFrame, edges: DataFrame, maxIter: Int = 20,
+               broadcastMaxLabels: Long = 2000000L): DataFrame = {
     val numParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // the raw cache keeps the possibly-expensive upstream edge join from
     // re-executing, and its count sizes the ROUND-SHAPE partitioning:
@@ -661,6 +662,16 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .pipe(graft.operators.Checkpoints.checkpoint(_))
     raw.unpersist(false) // sym (materialized by the labels checkpoint) owns the data now
+    // BROADCAST the label table through the round joins when it is small:
+    // the checkpointed scan advertises UnknownPartitioning, so the shuffle
+    // plan re-exchanges |V| up to 3x per round — at dedup-cluster scales
+    // (|V| = edge-touched docs, a sliver of the corpus) those exchanges
+    // are pure stage latency, and one reused ~16B/row broadcast replaces
+    // them all. A huge graph (|V| > the cap, ~32 MB driver-side) keeps
+    // the all-shuffle rounds — the 100 TB path is unchanged.
+    // |V| rides along the first convergence probe (one action, two aggs)
+    var bcast = false
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // decimal(38,0): a Long sum of labels overflows once ids × docs pass
     // 2^63 (ANSI mode would fail the job at exactly the wrong scale).
     // SUM over an empty relation is NULL — map it to 0 so a corpus with no
@@ -669,26 +680,47 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    def labelSumAndCount(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("cluster").cast("decimal(38,0)")), count(lit(1))).collect()(0)
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), r.getLong(1))
+    }
     // one propagation round. Invariant used by every inner join: any
     // cluster value IS the doc id of a labeled doc (labels cover all
     // edge-touched docs and only ever point at reachable doc ids), so no
     // asker is dropped.
-    def propagate(ls: DataFrame): DataFrame = {
+    def propagate(ls: DataFrame, first: Boolean): DataFrame = {
       // neighbor candidates: v asks each neighbor for its label — sym is
-      // pre-partitioned on dst, labels on doc_id: no |E|-side exchange
-      val nbr = sym.join(ls, sym("dst") === ls("doc_id"))
+      // pre-partitioned on dst, labels on dst''s hash (or broadcast): no
+      // |E|-side exchange either way
+      val nbr = sym.join(side(ls), sym("dst") === ls("doc_id"))
         .select(sym("src").as("doc_id"), ls("cluster").as("cand"))
-      // pointer jump: v also asks its own label for ITS label —
-      // label(label(v)) <= label(v), so min() below subsumes least(...)
-      val jump = ls.as("l").join(ls.as("t"),
-          col("l.cluster") === col("t.doc_id"))
-        .select(col("l.doc_id").as("doc_id"), col("t.cluster").as("cand"))
-      nbr.union(jump).groupBy("doc_id").agg(min("cand").as("cluster"))
+      val rest = if (first) {
+        // round 1: labels are the identity, so any pointer jump is a
+        // no-op join — the self candidate (v, v) it would produce comes
+        // straight off the cached label scan instead
+        ls.select(col("doc_id"), col("cluster").as("cand"))
+      } else {
+        // DOUBLE pointer jump: v adopts label(label(label(v))) — one more
+        // |V|-sized lookup per round compresses label chains ~3x per
+        // round instead of ~2x, cutting the round count (each round is
+        // several stages, so rounds are the latency unit). label^k(v) <=
+        // label(v) keeps the adoption monotonic, and every candidate is
+        // the label of a reachable doc, so min() stays the component min.
+        val j1 = ls.as("l").join(side(ls.as("t")),
+            col("l.cluster") === col("t.doc_id"))
+          .select(col("l.doc_id").as("doc_id"), col("t.cluster").as("cand"))
+        j1.as("j").join(side(ls.as("u")), col("j.cand") === col("u.doc_id"))
+          .select(col("j.doc_id").as("doc_id"), col("u.cluster").as("cand"))
+      }
+      nbr.union(rest).groupBy("doc_id").agg(min("cand").as("cluster"))
     }
-    var prevSum = labelSum(labels)
+    val (sum0, nV) = labelSumAndCount(labels) // also materializes the checkpoint
+    bcast = nV <= broadcastMaxLabels
+    var prevSum = sum0
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
+      val tR0 = System.nanoTime()
       // ONE round per checkpoint: labels feed three join inputs (nbr once,
       // jump twice), so an un-materialized multi-round composition would
       // re-execute the inner round per consumer — measured ~35% slower
@@ -698,7 +730,7 @@ object Dedup {
       // partitions (persisted by localCheckpoint) and returns the sum —
       // an eager checkpoint would spend a second full job per round on
       // the same data (~2× the serial round latency).
-      val next = graft.operators.Checkpoints.checkpoint(propagate(labels), eager = false)
+      val next = graft.operators.Checkpoints.checkpoint(propagate(labels, iter == 0), eager = false)
       val s = labelSum(next) // materializes next's checkpoint
       changed = s.compareTo(prevSum) != 0
       prevSum = s
@@ -708,10 +740,12 @@ object Dedup {
       graft.operators.Checkpoints.release(labels)
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(f"CC round $iter changed=$changed sum=$prevSum ms=${(System.nanoTime() - tR0) / 1e6}%.0f")
     }
     sym.unpersist(false) // labels is checkpointed; the edge cache is done
-    // add the untouched singletons back
-    allDocs.select("doc_id").join(labels, Seq("doc_id"), "left")
+    // add the untouched singletons back (labels broadcast when small — the
+    // corpus side then meets no exchange before the output range sort)
+    allDocs.select("doc_id").join(side(labels), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Temporary diagnostic: q38 breakdown — edge generation vs CC rounds. */
+object CcProbeMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val edges = graft.text.Dedup.jaccardPairsBitmapBlocked(docs, num = 19, den = 20)
+        .select("doc_a", "doc_b")
+      val ne = edges.count()
+      val t1 = System.nanoTime()
+      val cl = graft.text.Dedup.clusters(docs.select("doc_id"), edges, maxIter = 50)
+      cl.select(bit_xor(xxhash64(col("doc_id"), col("cluster")))).collect()
+      val t2 = System.nanoTime()
+      println(f"REP$rep edges=$ne edgeSec=${(t1 - t0) / 1e9}%.2f ccSec=${(t2 - t1) / 1e9}%.2f")
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}
