@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * NOT a random — reruns must produce identical partitioning for
   * reproducible plans and tests). The join key becomes (key, salt), so a
   * key that held p% of rows now holds p/factor% per shuffle partition.
-  * Cost: right side × factor; apply to the skewed keys only when the
-  * right side is large. */
+  *
+  * Cost: right side × factor. When the right side is too large to
+  * replicate whole, pass `hotKeys` (the skewed key values, a frame with a
+  * `key` column — [[hotKeys]] computes it by frequency) and only the hot
+  * slice pays the ×factor replication; the rest goes through a plain
+  * equi-join and the two branches union. Result-identical to the full-salt
+  * form and to the plain join (spec-gated).
+  */
 object Salted {
 
   def join(left: DataFrame, right: DataFrame, key: String,
-           saltCol: String, factor: Int): DataFrame = {
+           saltCol: String, factor: Int,
+           hotKeys: Option[DataFrame] = None): DataFrame = {
     // factor = 0 would yield pmod NULL on the left and salts {0, -1} on
     // the right — a silently EMPTY join result, not an error
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
@@ -26,10 +33,42 @@ object Salted {
       require(!df.columns.contains("_salt"), // would be overwritten + dropped
         s"$side input already has a '_salt' column")
     }
+    hotKeys match {
+      case None => saltedJoin(left, right, key, saltCol, factor)
+      case Some(hot) =>
+        require(hot.columns.contains(key),
+          s"hotKeys frame needs a '$key' column, has ${hot.columns.mkString(",")}")
+        // the hot-key set is small by construction (it is the handful of
+        // skewed keys) — broadcast it through all four splits so the
+        // routing costs no exchange
+        val hk = broadcast(hot.select(key).distinct())
+        val salted = saltedJoin(
+          left.join(hk, Seq(key), "left_semi"),
+          right.join(hk, Seq(key), "left_semi"), key, saltCol, factor)
+        val plain = left.join(hk, Seq(key), "left_anti")
+          .join(right.join(hk, Seq(key), "left_anti"), Seq(key))
+        // keys split disjointly and an equi-join only matches equal keys,
+        // so the two branches partition the plain join's rows exactly
+        salted.unionByName(plain)
+    }
+  }
+
+  private def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                         saltCol: String, factor: Int): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(col(saltCol)), lit(factor.toLong)))
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** The keys of `df` holding at least `minCount` rows — the usual input
+    * to [[join]]'s `hotKeys`. One aggregation over `df`; the output is
+    * tiny (only genuinely skewed keys pass any sensible threshold). */
+  def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    df.groupBy(key).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minCount)
+      .select(key)
   }
 }

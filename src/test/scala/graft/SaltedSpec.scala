@@ -34,6 +34,48 @@ class SaltedSpec extends SparkSpec {
     assert(perPart.max < 1000 * 0.5, s"salting left a hotspot: ${perPart.mkString(",")}")
   }
 
+  test("hot-keys-only salting: parity with the full-salt form and the plain join") {
+    // one genuinely hot key among many cold ones — the regime where
+    // replicating the WHOLE right side ×factor is waste
+    val left = (1 to 3000).map(i => (if (i <= 2400) 7L else (i % 500).toLong, i.toLong))
+      .toDF("k", "lv")
+    val right = (0L to 500L).map(i => (i, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val full = Salted.join(left, right, "k", "lv", factor = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    val hot = Salted.hotKeys(left, "k", minCount = 1000L)
+    assert(hot.collect().map(_.getLong(0)).toSeq == Seq(7L), "hotKeys missed the hot key")
+    val hotOnly = Salted.join(left, right, "k", "lv", factor = 8, hotKeys = Some(hot))
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(hotOnly == plain, "hot-only salting changed the join result")
+    assert(full == plain)
+  }
+
+  test("hot-keys-only salting replicates ONLY the hot slice: two-branch union plan") {
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
+      .toDF("k", "lv")
+    val right = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "rv")
+    val hot = Salted.hotKeys(left, "k", minCount = 500L)
+    val out = Salted.join(left, right, "k", "lv", factor = 8, hotKeys = Some(hot))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), "expected the salted ∪ plain two-branch union")
+    // exactly one explode (the salt replication) — the plain branch must
+    // not replicate its right side
+    val generates = "(?i)generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected 1 salt explode in the plan, found $generates")
+    assert(out.count() == 1000)
+  }
+
+  test("hotKeys frame without the key column is rejected") {
+    val l = Seq((1L, 2L)).toDF("k", "lv"); val r = Seq((1L, "x")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      Salted.join(l, r, "k", "lv", factor = 2,
+        hotKeys = Some(Seq(1L).toDF("wrong_name")))
+    }
+    intercept[IllegalArgumentException] { Salted.hotKeys(l, "k", minCount = 0) }
+  }
+
   test("factor = 0 and a pre-existing _salt column are rejected, not silent garbage") {
     val l = Seq((1L, 2L)).toDF("k", "lv"); val r = Seq((1L, "x")).toDF("k", "rv")
     intercept[IllegalArgumentException] { Salted.join(l, r, "k", "lv", factor = 0) }
