@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds the sf1-scale PERFORMANCE-PROBE documents table (10× sf0.1) for
+  * the PLANS.md second-decade scaling runs — a perf fixture, not an
+  * oracle input. Each copy k gets distinct doc_ids (+k·100000) and one
+  * copy-specific extra token, so cross-copy pairs fall BELOW the
+  * similarity thresholds (the ~31-word docs top out at J = n/(n+2) ≈
+  * 0.94 < 19/20 across copies) while each copy keeps the original
+  * near-dup structure — edge density grows ~linearly with the data,
+  * as real 10× corpus growth would, instead of quadratically as naive
+  * duplication would.
+  *
+  * Usage: Test/runMain graft.Sf1SynthMain [outDir]
+  */
+object Sf1SynthMain {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/target/sf1synth")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // two constructions, picked by args(1):
+    //  - "marker" appends one copy token per doc (keeps the original
+    //    vocabulary; the copy token is the corpus' rarest word, which
+    //    floods prefix-indexed joins — a worst-case probe)
+    //  - "remap" suffixes EVERY word with the copy id: disjoint WORD
+    //    vocabularies per copy (but char-grams still overlap)
+    //  - "cipher" (default) Caesar-rotates the letters per copy: both the
+    //    word vocabulary AND the char-gram space are disjoint across
+    //    copies while every within-copy set relation is preserved exactly
+    //    (bijections leave Jaccard/containment invariant), so word-set
+    //    and char-gram outputs are both exactly 10x sf0.1 — organic
+    //    10x growth for every similarity gate. (The corpus alphabet is
+    //    lowercase a-z + space, verified.)
+    val mode = if (args.length > 1) args(1) else "cipher"
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val copies = (0 until 10).map { k =>
+      val text = mode match {
+        case "marker" => concat(col("text"), lit(s" copytok$k"))
+        case "remap" => array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"x$k"))), " ")
+        case _ => translate(col("text"), alpha, alpha.drop(k) + alpha.take(k))
+      }
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 100000L)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(9L)).as("n_chars"))
+    }
+    copies.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"WROTE $out/documents.parquet rows=" +
+      spark.read.parquet(s"$out/documents.parquet").count())
+    spark.stop()
+  }
+}
