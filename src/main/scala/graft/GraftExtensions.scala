@@ -14,12 +14,15 @@ import graft.functions.{BitAndCount, BitmapFromRanks, BpeTokens, CharNGrams, Dot
   * per-session (idempotently), so either path works alone.
   *
   * This is the standard third-party packaging seam — the same hook a
-  * custom Rule[LogicalPlan] or SparkStrategy would use; functions are all
+  * custom Rule[LogicalPlan] or SparkStrategy would use; scalar functions
+  * plus the [[GraftTableFunctions]] table-valued operator surface are all
   * this library needs to inject because every whole-operator shape is
   * expressible in stock Catalyst plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // table-valued operator surface: SELECT * FROM graft_sliding_agg(...)
+    GraftTableFunctions.descriptions.foreach(ext.injectTableFunction)
     // the companion builders are arity-checked — a wrong argument count
     // fails with the function name, not an IndexOutOfBoundsException
     ext.injectFunction((FunctionIdentifier("dot_long"),

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE-VALUED surface for the operator library — the seam that lets
+  * a pure-SQL session (thriftserver, spark-sql, notebook SQL cells) reach
+  * the DataFrame-level operators without any Scala call:
+  *
+  * {{{
+  *   SELECT * FROM graft_sliding_agg('kv_view', 'key', 'value', 10, 4, 'sum')
+  *   SELECT * FROM graft_dedup_exact('docs_view')
+  *   SELECT * FROM graft_hash_sample('docs_view', 'doc_id', 1, 2)
+  *   SELECT * FROM graft_chunk('docs_view', 128, 16)
+  * }}}
+  *
+  * Each TVF resolves its first argument as a table/view name in the
+  * session catalog, applies the operator, and splices the operator's
+  * logical plan into the outer query — Catalyst then optimizes the whole
+  * statement as one plan. Arguments must be literals (they configure the
+  * plan, they are not per-row values).
+  *
+  * Note on `graft_sliding_agg`: the scalable operator computes its range
+  * splitters and partition offsets EAGERLY (the reference's sample +
+  * count protocol), so planning a statement that uses it runs those small
+  * jobs — the same behavior as the Scala API, surfaced at SQL analysis
+  * time.
+  */
+object GraftTableFunctions {
+
+  /** The (name, builder) table the extension injects. */
+  private[graft] val all: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_sliding_agg" -> { exprs =>
+      val a = args("graft_sliding_agg", exprs, 6)
+      plan(operators.SlidingAggregate.scalable(
+        table(a(0)), keyCol = str(a(1)), valueCol = str(a(2)),
+        window = int(a(3)), numParts = int(a(4)),
+        monoid = operators.LongMonoid.byName(str(a(5)))))
+    },
+    "graft_dedup_exact" -> { exprs =>
+      val a = args("graft_dedup_exact", exprs, 1)
+      plan(text.Dedup.exact(table(a(0))))
+    },
+    "graft_hash_sample" -> { exprs =>
+      val a = args("graft_hash_sample", exprs, 4)
+      plan(operators.Sampling.byKeyHash(
+        table(a(0)), keyCols = Seq(str(a(1))), num = int(a(2)), den = int(a(3))))
+    },
+    "graft_chunk" -> { exprs =>
+      val a = args("graft_chunk", exprs, 3)
+      plan(text.Pipeline.chunk(table(a(0)),
+        chunkTokens = int(a(1)), overlap = int(a(2))))
+    })
+
+  private[graft] def descriptions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    all.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(GraftTableFunctions.getClass.getName, name), builder)
+    }
+
+  // ── literal-argument plumbing ─────────────────────────────────────────
+
+  private def args(fn: String, exprs: Seq[Expression], n: Int): Seq[Any] = {
+    require(exprs.length == n, s"$fn expects $n arguments, got ${exprs.length}")
+    exprs.map { e =>
+      require(e.foldable, s"$fn arguments must be literals, got: ${e.sql}")
+      e.eval()
+    }
+  }
+
+  private def str(v: Any): String = v match {
+    case s: UTF8String => s.toString
+    case s: String => s
+    case other => sys.error(s"expected a string literal, got $other")
+  }
+
+  private def int(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => Math.toIntExact(l)
+    case other => sys.error(s"expected an integer literal, got $other")
+  }
+
+  private def table(nameArg: Any) = SparkSession.active.table(str(nameArg))
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+}

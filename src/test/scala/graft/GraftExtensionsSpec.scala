@@ -45,6 +45,71 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("table-valued functions expose the operator library to pure SQL") {
+    spark.range(1).count() // materialize the shared session first
+    val ext = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ClassicSession.clearDefaultSession()
+    ClassicSession.clearActiveSession()
+    val s2 = ClassicSession.builder()
+      .master("local[2]")
+      .withExtensions(ext)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val kv = (1L to 100L).map(i => ((i * 37) % 101, i)).toDF("key", "value")
+      kv.createOrReplaceTempView("kv_view")
+      val docs = Seq(
+        (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z"),
+        (4L, "p q r s t u v w"), (5L, "x y z")).toDF("doc_id", "text")
+      docs.createOrReplaceTempView("docs_view")
+
+      // each result must match the Scala API applied to the same input
+      val sqlSliding = s2.sql(
+        "SELECT * FROM graft_sliding_agg('kv_view', 'key', 'value', 10, 4, 'sum')")
+        .collect().map(_.toSeq).toSeq
+      val apiSliding = graft.operators.SlidingAggregate
+        .scalable(kv, "key", "value", window = 10, numParts = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(sqlSliding == apiSliding)
+
+      val sqlDedup = s2.sql("SELECT * FROM graft_dedup_exact('docs_view')")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlDedup == graft.text.Dedup.exact(docs).collect().map(_.toSeq).toSeq)
+      assert(sqlDedup.map(r => (r(0), r(1))).toSet == Set((1L, 2L), (3L, 2L), (4L, 1L)))
+
+      val sqlSample = s2.sql(
+        "SELECT * FROM graft_hash_sample('docs_view', 'doc_id', 1, 2)")
+        .collect().map(_.getLong(0)).toSet
+      val apiSample = graft.operators.Sampling.byKeyHash(docs, Seq("doc_id"), 1, 2)
+        .collect().map(_.getLong(0)).toSet
+      assert(sqlSample == apiSample)
+
+      val sqlChunk = s2.sql("SELECT * FROM graft_chunk('docs_view', 4, 1)")
+        .collect().map(_.toSeq).toSeq
+      val apiChunk = graft.text.Pipeline.chunk(docs, 4, 1)
+        .collect().map(_.toSeq).toSeq
+      assert(sqlChunk == apiChunk && sqlChunk.nonEmpty)
+
+      // TVFs compose inside a larger statement (the plan splices in)
+      val n = s2.sql(
+        """SELECT count(*) AS c FROM graft_chunk('docs_view', 4, 1)
+          |WHERE doc_id <= 2""".stripMargin).collect()(0).getLong(0)
+      assert(n == apiChunk.count(_.head.asInstanceOf[Long] <= 2))
+
+      // non-literal / wrong-arity arguments fail with the function's name
+      val err = intercept[Exception] {
+        s2.sql("SELECT * FROM graft_dedup_exact('docs_view', 1)").collect()
+      }
+      assert(err.getMessage.contains("graft_dedup_exact"))
+    } finally {
+      val shared = spark.asInstanceOf[ClassicSession]
+      ClassicSession.setDefaultSession(shared)
+      ClassicSession.setActiveSession(shared)
+    }
+  }
+
   test("register() is idempotent and quiet on repeat calls") {
     graft.functions.DotProductLong.register(spark)
     graft.functions.DotProductLong.register(spark) // second call: no replace
