@@ -24,10 +24,14 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   *   6. near-dedup (MinHash/LSH → verify → CC; keep cluster reps)
   *   7. deterministic content-hash split (train/val/test)
   *   8. range-sorted capped shards per split
+  *   9. OPTIONAL deterministic training order for the train split
+  *      (source-balanced `interleaveBySource` when the input has a
+  *      `source` column, hash-shuffle `trainingOrder` otherwise); the
+  *      train shards then range-sort on the epoch position
   *
   * Usage:
   *   runMain graft.PipelineCli <docsParquet> <outDir>
-  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet]
+  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet] [ordered]
   */
 object PipelineCli {
 
@@ -53,7 +57,8 @@ object PipelineCli {
     * (verified: the composed physical plan has zero Sort nodes and zero
     * range exchanges before the shard writer's own range partitioning). */
   def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
-          evalBlocklist: Option[DataFrame] = None, decontamN: Int = 8)
+          evalBlocklist: Option[DataFrame] = None, decontamN: Int = 8,
+          orderTrain: Boolean = false)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     // every stage cache is tracked so a mid-pipeline failure (e.g. inside
     // nearDedup) can't leak persisted frames into the shared session —
@@ -67,7 +72,8 @@ object PipelineCli {
     // in a long session, so free them deterministically on the way out
     graft.operators.Checkpoints.scoped {
       try {
-        val out = runStages(docs, minQuality, maxDupFrac1000, evalBlocklist, decontamN, pin)
+        val out = runStages(docs, minQuality, maxDupFrac1000, evalBlocklist, decontamN,
+          orderTrain, pin)
         pinned.clear() // success: stages already unpersisted what they owned
         out
       } finally pinned.foreach(_.unpersist(blocking = false))
@@ -76,7 +82,7 @@ object PipelineCli {
 
   private def runStages(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
                         evalBlocklist: Option[DataFrame], decontamN: Int,
-                        pin: DataFrame => DataFrame)
+                        orderTrain: Boolean, pin: DataFrame => DataFrame)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     counts += "input" -> docs.count()
@@ -136,17 +142,45 @@ object PipelineCli {
       counts += s"split_$name" -> df.count() // also materializes the cache
     }
     deduped.unpersist() // the persisted split frames now hold the data
-    (bySplit, counts.result())
+
+    // OPTIONAL stage 9: deterministic training order. Real training prep
+    // does not end at an unordered shard set — the epoch order is part of
+    // the artifact. Source-balanced interleave when the input carries a
+    // `source` column (every prefix holds each source in proportion ±1);
+    // plain hash-shuffle rank otherwise. The train frame gains a leading
+    // `pos` column; shard writers range-sort on it.
+    val withOrder = if (!orderTrain) bySplit else {
+      val train = bySplit("train")
+      val ids = train.select("doc_id")
+      val (mode, order) =
+        if (docs.columns.contains("source"))
+          "interleave" -> Pipeline.interleaveBySource(
+              docs.select(col("doc_id"), col("source")).join(ids, "doc_id"))
+            .select("pos", "doc_id")
+        else
+          "shuffle" -> Pipeline.trainingOrder(ids)
+            .select(col("rank").as("pos"), col("doc_id"))
+      val ordered = pin(train.join(order, "doc_id")
+        .select(col("pos"), col("doc_id"), col("text")))
+      counts += s"train_ordered_$mode" -> ordered.count()
+      train.unpersist(blocking = false)
+      bySplit.updated("train", ordered)
+    }
+    (withOrder, counts.result())
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PipelineCli <docsParquet> <outDir> " +
-      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet]")
+      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet] [ordered]")
     val (input, outDir) = (args(0), args(1))
     val minQuality = if (args.length > 2) args(2).toLong else 400L
     val maxDupFrac = if (args.length > 3) args(3).toLong else 300L
     val maxPerShard = if (args.length > 4) args(4).toLong else 100000L
     val blocklistPath = if (args.length > 5) Some(args(5)) else None
+    val orderTrain = args.length > 6 && {
+      require(args(6) == "ordered", s"7th arg must be 'ordered', got '${args(6)}'")
+      true
+    }
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // same convention as SlidingCli: spark-submit overrides via
@@ -157,9 +191,11 @@ object PipelineCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac,
-      evalBlocklist = blocklistPath.map(spark.read.parquet))
+      evalBlocklist = blocklistPath.map(spark.read.parquet),
+      orderTrain = orderTrain)
     bySplit.foreach { case (name, df) =>
-      Layout.saveShards(df, s"$outDir/$name", "doc_id", maxPerShard)
+      val sortCol = if (orderTrain && name == "train") "pos" else "doc_id"
+      Layout.saveShards(df, s"$outDir/$name", sortCol, maxPerShard)
       df.unpersist()
     }
     println(counts.map { case (k, v) => s""""$k":$v""" }

@@ -98,4 +98,53 @@ class PipelineCliSpec extends SparkSpec {
     assert(ids0.contains(400L))
     (bySplit.values ++ bySplit0.values).foreach(_.unpersist())
   }
+
+  test("ordered-train stage: shard order matches interleaveBySource; shuffle fallback") {
+    import org.apache.spark.sql.functions.col
+    // enough distinct docs across two sources that the interleave order is
+    // non-trivial; vocab unique per doc so dedup keeps them all
+    val rows = (1L to 40L).map { i =>
+      (i, s"item${i}a item${i}b item${i}c item${i}d item${i}e " +
+        s"item${i}f item${i}g item${i}h item${i}i item${i}j",
+        if (i % 3 == 0) "web" else "books")
+    }
+    val docs = rows.toDF("doc_id", "text", "source")
+
+    val (bySplit, counts) = PipelineCli.run(docs, minQuality = 300L,
+      maxDupFrac1000 = 300L, orderTrain = true)
+    val c = counts.toMap
+    assert(c.contains("train_ordered_interleave"), s"stage row missing: $counts")
+    assert(c("train_ordered_interleave") == c("split_train"), s"$counts")
+    val train = bySplit("train")
+    assert(train.columns.toSeq == Seq("pos", "doc_id", "text"))
+
+    // the frame's order-by-pos must equal the operator applied to the
+    // SAME final train (doc_id, source) set
+    val got = train.orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val trainIds = train.select("doc_id")
+    val expect = graft.text.Pipeline.interleaveBySource(
+        docs.select(col("doc_id"), col("source")).join(trainIds, "doc_id"))
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "ordered train frame diverges from interleaveBySource")
+
+    // shards written sorted by pos re-read in the operator's order
+    val out = java.nio.file.Files.createTempDirectory("pipeord").toString
+    graft.sources.Layout.saveShards(train, s"$out/train", "pos", 8)
+    val reread = spark.read.parquet(s"$out/train")
+      .orderBy("pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reread == expect)
+
+    // no source column → hash-shuffle fallback, matching trainingOrder
+    val noSrc = rows.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+    val (bySplit2, counts2) = PipelineCli.run(noSrc, minQuality = 300L,
+      maxDupFrac1000 = 300L, orderTrain = true)
+    assert(counts2.toMap.contains("train_ordered_shuffle"), s"$counts2")
+    val got2 = bySplit2("train").orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect2 = graft.text.Pipeline.trainingOrder(bySplit2("train").select("doc_id"))
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == expect2)
+
+    (bySplit.values ++ bySplit2.values).foreach(_.unpersist())
+  }
 }
