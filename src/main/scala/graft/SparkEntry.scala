@@ -627,6 +627,33 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ── hot-keys-only salted join: the partial-salt variant must ALSO be
+    // result-invisible — same oracle family as q76, but only the keys the
+    // frequency probe flags pay the replication; the rest plain-joins and
+    // the branches union ─────────────────────────────────────────────────
+    "q78_salted_hot_join" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val line = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(org.apache.spark.sql.types.LongType).as("qty"))
+      val hot = graft.operators.Salted.hotKeys(line, "o_orderkey", minCount = 5L)
+      graft.operators.Salted.join(line, orders, key = "o_orderkey",
+          saltCol = "l_linenumber", factor = 4, hotKeys = Some(hot))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── heavy hitters at a DISCRIMINATING threshold (den=32 sits inside
+    // the word-frequency distribution: a couple of words fall below n/32,
+    // where q72's den=64 admits nearly the whole vocabulary) — the exact
+    // boundary placement is what the recount must reproduce. The operator's
+    // certificate/fallback regime itself is adversarially spec-gated
+    // (HeavyHittersSpec), since no corpus this small can decrement ────────
+    "q79_heavy_hitters_low" -> ((s, dir) =>
+      graft.operators.HeavyHitters.frequentTerms(
+        s.read.parquet(t(dir, "documents")), den = 32)),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1379,6 +1406,23 @@ object SparkEntry {
         |  COUNT(*) AS n_lines
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+
+    // the hot-keys variant is result-identical to the SAME plain join
+    "q78_salted_hot_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+
+    // same exact-group-by family as q72, with the threshold inside the
+    // frequency distribution so the qualify/reject boundary discriminates
+    "q79_heavy_hitters_low" ->
+      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT term, count(*) AS cnt FROM t GROUP BY term
+        |HAVING count(*) >= GREATEST(1, (SELECT n // 32 FROM n))
+        |ORDER BY term""".stripMargin,
 
     // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
     // epoch decided by q55's md5 key-hash rule under the 'epoch' salt
