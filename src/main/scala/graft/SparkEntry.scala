@@ -654,6 +654,16 @@ object SparkEntry {
       graft.operators.HeavyHitters.frequentTerms(
         s.read.parquet(t(dir, "documents")), den = 32)),
 
+    // ── deterministic k-per-group cap (domain capping): each lang keeps
+    // its 70 smallest-hash docs (zh overridden to 20) — en (218 docs)
+    // truncates, fr (64) passes whole; NO per-group window (global
+    // range-rank + O(#groups) broadcast offsets) ─────────────────────────
+    "q80_cap_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.takePerGroup(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "lang"),
+          groupCol = "lang", k = 70, caps = Map("zh" -> 20))
+        .orderBy("doc_id")),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1414,6 +1424,21 @@ object SparkEntry {
         |  COUNT(*) AS n_lines
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+
+    // mirrors takePerGroup: k smallest salted hashes per group, the same
+    // 'cap' || chr(1) || key md5 recipe as the q55/q64/q75 family; the
+    // window here is the ORACLE's formulation — the operator itself never
+    // plans a per-group window
+    "q80_cap_per_group" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('cap' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= CASE WHEN lang = 'zh' THEN 20 ELSE 70 END
+        |ORDER BY doc_id""".stripMargin,
 
     // same exact-group-by family as q72, with the threshold inside the
     // frequency distribution so the qualify/reject boundary discriminates

@@ -77,6 +77,42 @@ object Sampling {
     df.filter(keyHash(keyCols) % den >= num)
   }
 
+  /** Deterministic CAP-PER-GROUP subsample — "keep at most k rows per
+    * group", the domain-capping step a pretraining mix applies to
+    * over-represented sources: each group keeps the k rows with the
+    * SMALLEST salted key hashes (a uniform, reproducible choice — stable
+    * across engines, retries, repartitions; ties broken on the key
+    * columns). `caps` overrides k per group (matched on `groupCol`
+    * rendered as string, same dispatch as [[stratifiedByKeyHash]]); NULL
+    * groups cap as ONE group under a collision-proof internal key.
+    *
+    * Scale shape: NO per-group window (a `row_number() OVER (PARTITION BY
+    * group)` funnels each group through one task — the hot group IS the
+    * problem being solved). Instead one global range-sort rank over
+    * (group, hash) makes each group's ranks contiguous, and the
+    * within-group rank is `global rank − the group's first rank` — an
+    * O(#groups) broadcast join, exactly the
+    * [[graft.text.Pipeline.interleaveBySource]] construction. */
+  def takePerGroup(df: DataFrame, groupCol: String, k: Int,
+                   keyCols: Seq[String] = Seq("doc_id"), salt: String = "cap",
+                   caps: Map[String, Int] = Map.empty): DataFrame = {
+    require(k >= 0, s"cap must be >= 0, got $k")
+    caps.foreach { case (g, v) => require(v >= 0, s"cap for '$g' must be >= 0, got $v") }
+    Seq("_grp", "_h", "_g", "_off").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column")
+    }
+    val grpKey = coalesce(concat(lit("v"), col(groupCol).cast(StringType)), lit("n"))
+    val ranked = GlobalRank.withRank(
+      df.withColumn("_grp", grpKey).withColumn("_h", keyHash(keyCols, salt)),
+      numParts = -1, rankCol = "_g",
+      (col("_grp") +: col("_h") +: keyCols.map(col)): _*)
+    val offsets = ranked.groupBy("_grp").agg(min("_g").as("_off"))
+    val cap = strataCase(groupCol, caps, lit(k.toLong))(v => lit(v.toLong))
+    ranked.join(broadcast(offsets), "_grp")
+      .filter(col("_g") - col("_off") < cap)
+      .drop("_grp", "_h", "_g", "_off")
+  }
+
   /** Deterministic STRATIFIED sampling — the training-mix rebalancer:
     * each stratum (language, source, quality bucket) keeps its own
     * num/den fraction of rows, decided by the same key hash, so the mix

@@ -79,4 +79,54 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 3, 2) }
     intercept[IllegalArgumentException] { Sampling.byKeyHash(rows, Seq("k"), 1, 0) }
   }
+
+  test("takePerGroup: caps respected, kept rows are the k smallest hashes per group") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((1L to 50L).map(i => (i, "big")) ++ (101L to 110L).map(i => (i, "small")))
+      .toDF("doc_id", "grp")
+    val out = Sampling.takePerGroup(docs, "grp", k = 8, caps = Map("small" -> 3))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("big").size == 8 && byGrp("small").size == 3)
+    // the kept set must be exactly the k smallest salted hashes per group
+    val hashed = docs.select(col("doc_id"), col("grp"),
+        Sampling.keyHash(Seq("doc_id"), "cap").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def expect(g: String, k: Int) =
+      hashed.filter(_._2 == g).sortBy(t => (t._3, t._1)).take(k).map(_._1).toSet
+    assert(byGrp("big") == expect("big", 8))
+    assert(byGrp("small") == expect("small", 3))
+    // groups smaller than their cap pass whole; output columns unchanged
+    assert(Sampling.takePerGroup(docs, "grp", k = 1000).count() == 60)
+    assert(Sampling.takePerGroup(docs, "grp", 8).columns.toSeq == Seq("doc_id", "grp"))
+  }
+
+  test("takePerGroup: deterministic across partitionings; NULL group caps as one group") {
+    val docs = ((1L to 30L).map(i => (i, if (i % 2 == 0) "a" else null)) :+ (31L, "n"))
+      .toDF("doc_id", "grp")
+    val a = Sampling.takePerGroup(docs, "grp", 5).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    val b = Sampling.takePerGroup(docs.repartition(7), "grp", 5).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(a == b, "cap selection changed with partitioning")
+    val byGrp = a.groupBy(_._2).view.mapValues(_.size).toMap
+    // NULLs form ONE capped group; the real group named "n" (the internal
+    // NULL key) stays separate and passes whole (1 < 5)
+    assert(byGrp(None) == 5 && byGrp(Some("a")) == 5 && byGrp(Some("n")) == 1)
+  }
+
+  test("takePerGroup: cap 0 drops a group; invalid caps and column collisions fail fast") {
+    val docs = (1L to 10L).map(i => (i, if (i <= 5) "keep" else "drop")).toDF("doc_id", "grp")
+    val out = Sampling.takePerGroup(docs, "grp", k = 10, caps = Map("drop" -> 0))
+      .collect().map(_.getString(1))
+    assert(out.forall(_ == "keep") && out.length == 5)
+    intercept[IllegalArgumentException] { Sampling.takePerGroup(docs, "grp", -1) }
+    intercept[IllegalArgumentException] {
+      Sampling.takePerGroup(docs, "grp", 1, caps = Map("x" -> -2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.takePerGroup(docs.withColumn("_g",
+        org.apache.spark.sql.functions.lit(1)), "grp", 1)
+    }
+  }
 }
