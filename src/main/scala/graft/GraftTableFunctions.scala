@@ -15,6 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_dedup_exact('docs_view')
   *   SELECT * FROM graft_hash_sample('docs_view', 'doc_id', 1, 2)
   *   SELECT * FROM graft_chunk('docs_view', 128, 16)
+  *   SELECT * FROM graft_training_order('docs_view')
+  *   SELECT * FROM graft_interleave_by_source('docs_view')
+  *   SELECT * FROM graft_take_per_group('docs_view', 'source', 1000)
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -53,6 +56,19 @@ object GraftTableFunctions {
       val a = args("graft_chunk", exprs, 3)
       plan(text.Pipeline.chunk(table(a(0)),
         chunkTokens = int(a(1)), overlap = int(a(2))))
+    },
+    "graft_training_order" -> { exprs =>
+      val a = args("graft_training_order", exprs, 1)
+      plan(text.Pipeline.trainingOrder(table(a(0))))
+    },
+    "graft_interleave_by_source" -> { exprs =>
+      val a = args("graft_interleave_by_source", exprs, 1)
+      plan(text.Pipeline.interleaveBySource(table(a(0))))
+    },
+    "graft_take_per_group" -> { exprs =>
+      val a = args("graft_take_per_group", exprs, 3)
+      plan(operators.Sampling.takePerGroup(table(a(0)),
+        groupCol = str(a(1)), k = int(a(2))))
     })
 
   private[graft] def descriptions

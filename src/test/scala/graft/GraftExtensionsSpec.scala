@@ -92,6 +92,25 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(sqlChunk == apiChunk && sqlChunk.nonEmpty)
 
+      val docsSrc = Seq(
+        (1L, "t1", "web"), (2L, "t2", "web"), (3L, "t3", "web"), (4L, "t4", "web"),
+        (5L, "t5", "books"), (6L, "t6", "books"), (7L, "t7", "books"), (8L, "t8", "books")
+      ).toDF("doc_id", "text", "source")
+      docsSrc.createOrReplaceTempView("docs_src_view")
+      val sqlOrder = s2.sql("SELECT * FROM graft_training_order('docs_src_view')")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlOrder == graft.text.Pipeline.trainingOrder(docsSrc)
+        .collect().map(_.toSeq).toSeq)
+      val sqlInter = s2.sql("SELECT * FROM graft_interleave_by_source('docs_src_view')")
+        .orderBy("pos").collect().map(_.toSeq).toSeq
+      assert(sqlInter == graft.text.Pipeline.interleaveBySource(docsSrc)
+        .orderBy("pos").collect().map(_.toSeq).toSeq)
+      val sqlCap = s2.sql("SELECT * FROM graft_take_per_group('docs_src_view', 'source', 2)")
+        .collect().map(_.getLong(0)).toSet
+      assert(sqlCap == graft.operators.Sampling.takePerGroup(docsSrc, "source", 2)
+        .collect().map(_.getLong(0)).toSet)
+      assert(sqlCap.size == 4) // 2 per source
+
       // TVFs compose inside a larger statement (the plan splices in)
       val n = s2.sql(
         """SELECT count(*) AS c FROM graft_chunk('docs_view', 4, 1)
