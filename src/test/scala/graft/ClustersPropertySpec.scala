@@ -47,4 +47,23 @@ class ClustersPropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial n=$n edges=$edges\n got=$got\nwant=$want")
     }
   }
+
+  test("the all-shuffle rounds (huge-graph path) produce the same clusters") {
+    // at test scale |V| is always under the broadcast cap, so the
+    // at-scale shuffle rounds would otherwise never execute: force them
+    // with broadcastMaxLabels = 0 and require exact parity on the shapes
+    // that exercise multi-round convergence
+    val shapes: Seq[(Int, Seq[(Long, Long)])] = Seq(
+      (12, (0L until 11L).map(i => (i, i + 1))),                     // chain: most rounds
+      (8, for { a <- 0L until 8L; b <- a + 1 until 8L } yield (a, b)), // clique: 1 round
+      (9, Seq((0L, 8L), (8L, 2L), (3L, 4L)))                        // star + pair + isolates
+    )
+    shapes.foreach { case (n, edges) =>
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val edgeDf = edges.toDF("doc_a", "doc_b")
+      val shuffled = Dedup.clusters(docs, edgeDf, broadcastMaxLabels = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shuffled == unionFind(n, edges), s"shuffle path diverged: n=$n edges=$edges")
+    }
+  }
 }
