@@ -83,6 +83,8 @@ object Bench {
     // otherwise-clean run be adjudicated from the artifact alone
     def measure(): Seq[(String, Double, Double, Double)] =
       selected.map { case (name, fn) =>
+        procCpu() // reset the process-CPU window so the share covers THIS
+        // query's span, not the previous query's cleanup/GC or idle gap
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.select(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
@@ -119,11 +121,14 @@ object Bench {
     val warmTotals = if (totals.length >= 3) totals.drop(1) else totals
     val warmSpread = (warmTotals.max - warmTotals.min) / warmTotals.min
     val minComposite = results.map(_._2).sum
-    val runLoads = runs.map { case (_, l0, l1) => f"[$l0%.2f,$l1%.2f]" }
+    // Locale.ROOT: f"%.2f" under a comma-decimal default locale would
+    // corrupt the machine-parsed JSON ("3,14" reads as two array cells)
+    def f2(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
+    val runLoads = runs.map { case (_, l0, l1) => s"[${f2(l0)},${f2(l1)}]" }
     // per-query per-run [loadavg, processCpuShare] pairs, in run order
     val queryLoads = runs.head._1.map(_._1).map { name =>
       val cells = byName.map { m =>
-        val (_, _, l, pc) = m(name); f"[$l%.2f,$pc%.2f]"
+        val (_, _, l, pc) = m(name); s"[${f2(l)},${f2(pc)}]"
       }
       "\"" + name + "\":[" + cells.mkString(",") + "]"
     }.mkString("{", ",", "}")

@@ -10,8 +10,11 @@ import graft.functions.{BitAndCount, BitmapFromRanks, BpeTokens, CharNGrams, Dot
   * injects the native codegen'd functions into every session built with
   * the extension, so pure-SQL workloads (thriftserver, spark-sql, notebook
   * sessions) get `dot_long` / `sorted_intersect_count` without calling any
-  * Scala API first. The DataFrame operators also self-register these
-  * per-session (idempotently), so either path works alone.
+  * Scala API first. The DataFrame operators also self-register the SCALAR
+  * functions per-session (idempotently), so for those either path works
+  * alone; the table-valued operator surface ([[GraftTableFunctions]]) is
+  * injectable only here — a session built without the extension has the
+  * Scala API but no `graft_*` TVFs.
   *
   * This is the standard third-party packaging seam — the same hook a
   * custom Rule[LogicalPlan] or SparkStrategy would use; scalar functions

@@ -77,6 +77,14 @@ object Sampling {
     df.filter(keyHash(keyCols) % den >= num)
   }
 
+  /** Collision-proof grouping key over a possibly-NULL column: real
+    * values are prefixed "v", NULL maps to "n", so no data value can
+    * alias the NULL group. Shared by [[takePerGroup]] and
+    * [[graft.text.Pipeline.interleaveBySource]] — their oracles (q75/q80)
+    * both depend on this exact encoding, so it lives in one place. */
+  private[graft] def nullSafeGroupKey(groupCol: String): Column =
+    coalesce(concat(lit("v"), col(groupCol).cast(StringType)), lit("n"))
+
   /** Deterministic CAP-PER-GROUP subsample — "keep at most k rows per
     * group", the domain-capping step a pretraining mix applies to
     * over-represented sources: each group keeps the k rows with the
@@ -101,9 +109,8 @@ object Sampling {
     Seq("_grp", "_h", "_g", "_off").foreach { c =>
       require(!df.columns.contains(c), s"input already has a '$c' column")
     }
-    val grpKey = coalesce(concat(lit("v"), col(groupCol).cast(StringType)), lit("n"))
     val ranked = GlobalRank.withRank(
-      df.withColumn("_grp", grpKey).withColumn("_h", keyHash(keyCols, salt)),
+      df.withColumn("_grp", nullSafeGroupKey(groupCol)).withColumn("_h", keyHash(keyCols, salt)),
       numParts = -1, rankCol = "_g",
       (col("_grp") +: col("_h") +: keyCols.map(col)): _*)
     val offsets = ranked.groupBy("_grp").agg(min("_g").as("_off"))

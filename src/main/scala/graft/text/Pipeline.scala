@@ -298,9 +298,7 @@ object Pipeline {
     import org.apache.spark.sql.types.DoubleType
     // grouping key only (contiguity in the first rank + the offset join);
     // output ORDER uses (source IS NULL, source) directly, never this key
-    val srcKey = coalesce(
-      concat(lit("v"), col("source").cast(org.apache.spark.sql.types.StringType)),
-      lit("n"))
+    val srcKey = graft.operators.Sampling.nullSafeGroupKey("source")
     val ranked = graft.operators.GlobalRank.withRank(
       docs.select(col("doc_id"), col("source"), srcKey.as("_src"),
         graft.operators.Sampling.keyHash(Seq("doc_id"), salt).as("_h")),

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Temporary diagnostic: q38 breakdown — edge generation vs CC rounds. */
+/** Kept diagnostic for optimization rounds: q38 breakdown — edge
+  * generation vs connected-components rounds, 3 warm reps. Pair with
+  * GRAFT_CC_DEBUG=1 for per-round label sums and wall times. */
 object CcProbeMain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,8 +48,10 @@ object Sf1SynthMain {
       docs.select(
         (col("doc_id") + lit(k.toLong * 100000L)).as("doc_id"),
         text.as("text"),
-        col("lang"), col("source"),
-        (col("n_chars") + lit(9L)).as("n_chars"))
+        col("lang"), col("source"))
+        // recompute instead of adjusting: each mode changes text length
+        // differently (cipher: unchanged, remap: +2/word, marker: +9)
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     copies.reduce(_.unionByName(_))
       .repartition(32)
