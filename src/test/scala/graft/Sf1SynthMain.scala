@@ -20,6 +20,7 @@ object Sf1SynthMain {
     val out = args.headOption.getOrElse("/root/repo/target/sf1synth")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -58,6 +59,53 @@ object Sf1SynthMain {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"WROTE $out/documents.parquet rows=" +
       spark.read.parquet(s"$out/documents.parquet").count())
+    if (mode == "tables") writeTables(spark, out)
     spark.stop()
+  }
+
+  /** 10× FACT tables for the analytics/events gates, dims shared — the
+    * realistic decade: orders/lineitem/events grow, customer/supplier/
+    * part/nation/region do not (each customer simply has 10× orders).
+    * Keys offset per copy (order/event ids disjoint); event timestamps
+    * shift by a ~115-day epoch per copy so session/as-of/range-join
+    * structure replicates exactly (10× sessions, never cross-copy
+    * matches). Dim keys untouched, so every join fans out 10×. */
+  private def writeTables(spark: SparkSession, out: String): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val KEY = 1000000000L // > any base key
+    val EPOCH_NS = 10000000000000000L // ~115 days in ns
+    def tenWith(name: String)(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      (0 until 10).map(k => f(src, k)).reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"WROTE $out/$name.parquet rows=" +
+        spark.read.parquet(s"$out/$name.parquet").count())
+    }
+    tenWith("orders") { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * KEY))
+    }
+    tenWith("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * KEY))
+    }
+    // events.parquet carries TIMESTAMP(NANOS); read as Long ns (the same
+    // convention every gate session uses) and write BIGINT ns — gates see
+    // the identical runtime Long either way
+    val ev = spark.read
+      .option("mergeSchema", "false")
+      .parquet(s"$base/events.parquet")
+    (0 until 10).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * KEY))
+        .withColumn("ts", col("ts") + lit(k * EPOCH_NS))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"WROTE $out/events.parquet rows=" +
+      spark.read.parquet(s"$out/events.parquet").count())
+    for (dim <- Seq("customer", "supplier", "part", "nation", "region")) {
+      spark.read.parquet(s"$base/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$out/$dim.parquet")
+      println(s"WROTE $out/$dim.parquet (verbatim dim)")
+    }
   }
 }
