@@ -31,7 +31,10 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   *
   * Usage:
   *   runMain graft.PipelineCli <docsParquet> <outDir>
-  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet] [ordered]
+  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet|-] [ordered]
+  *
+  * Pass `-` for the blocklist to skip decontamination while still
+  * reaching the positional `ordered` flag.
   */
 object PipelineCli {
 
@@ -169,18 +172,31 @@ object PipelineCli {
     (withOrder, counts.result())
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Parsed CLI arguments; `-` in the blocklist slot means "no blocklist"
+    * so the positional `ordered` flag stays reachable without one. */
+  private[graft] case class Args(input: String, outDir: String, minQuality: Long,
+      maxDupFrac: Long, maxPerShard: Long, blocklistPath: Option[String],
+      orderTrain: Boolean)
+
+  private[graft] def parseArgs(args: Array[String]): Args = {
     require(args.length >= 2, "usage: PipelineCli <docsParquet> <outDir> " +
-      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet] [ordered]")
-    val (input, outDir) = (args(0), args(1))
-    val minQuality = if (args.length > 2) args(2).toLong else 400L
-    val maxDupFrac = if (args.length > 3) args(3).toLong else 300L
-    val maxPerShard = if (args.length > 4) args(4).toLong else 100000L
-    val blocklistPath = if (args.length > 5) Some(args(5)) else None
+      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet|-] [ordered]" +
+      " ('-' skips the blocklist so 'ordered' stays reachable positionally)")
     val orderTrain = args.length > 6 && {
       require(args(6) == "ordered", s"7th arg must be 'ordered', got '${args(6)}'")
       true
     }
+    Args(args(0), args(1),
+      minQuality = if (args.length > 2) args(2).toLong else 400L,
+      maxDupFrac = if (args.length > 3) args(3).toLong else 300L,
+      maxPerShard = if (args.length > 4) args(4).toLong else 100000L,
+      blocklistPath = if (args.length > 5) Some(args(5)).filter(_ != "-") else None,
+      orderTrain = orderTrain)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Args(input, outDir, minQuality, maxDupFrac, maxPerShard,
+      blocklistPath, orderTrain) = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // same convention as SlidingCli: spark-submit overrides via

@@ -147,4 +147,24 @@ class PipelineCliSpec extends SparkSpec {
 
     (bySplit.values ++ bySplit2.values).foreach(_.unpersist())
   }
+
+  test("CLI arg parsing: '-' blocklist placeholder makes 'ordered' reachable") {
+    // defaults
+    val d = PipelineCli.parseArgs(Array("in.parquet", "out"))
+    assert(d == PipelineCli.Args("in.parquet", "out", 400L, 300L, 100000L, None,
+      orderTrain = false))
+    // a real blocklist path is kept
+    val bl = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "bl.parquet"))
+    assert(bl.blocklistPath.contains("bl.parquet") && !bl.orderTrain)
+    // '-' means no blocklist, but the positional 'ordered' flag still parses
+    val ord = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "-", "ordered"))
+    assert(ord.blocklistPath.isEmpty && ord.orderTrain)
+    // blocklist + ordered together
+    val both = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "bl", "ordered"))
+    assert(both.blocklistPath.contains("bl") && both.orderTrain)
+    // a malformed 7th arg fails loudly, not silently-unordered
+    intercept[IllegalArgumentException] {
+      PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "-", "orderd"))
+    }
+  }
 }
