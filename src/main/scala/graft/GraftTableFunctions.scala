@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_training_order('docs_view')
   *   SELECT * FROM graft_interleave_by_source('docs_view')
   *   SELECT * FROM graft_take_per_group('docs_view', 'source', 1000)
+  *   SELECT * FROM graft_dedup_spans('docs_view', 8)
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -69,6 +70,10 @@ object GraftTableFunctions {
       val a = args("graft_take_per_group", exprs, 3)
       plan(operators.Sampling.takePerGroup(table(a(0)),
         groupCol = str(a(1)), k = int(a(2))))
+    },
+    "graft_dedup_spans" -> { exprs =>
+      val a = args("graft_dedup_spans", exprs, 2)
+      plan(text.Dedup.removeDuplicatedSpans(table(a(0)), n = int(a(1))))
     })
 
   private[graft] def descriptions

@@ -22,19 +22,26 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   *      blocklist parquet — runs before dedup so contaminated docs can't
   *      become cluster representatives)
   *   6. near-dedup (MinHash/LSH → verify → CC; keep cluster reps)
-  *   7. deterministic content-hash split (train/val/test)
-  *   8. range-sorted capped shards per split
-  *   9. OPTIONAL deterministic training order for the train split
+  *   7. OPTIONAL exact-substring span dedup (Lee et al. keep-first:
+  *      corpus-duplicated n-gram spans are REMOVED from the surviving
+  *      reps' text — near-dedup drops whole near-copies, this edits out
+  *      the duplicated boilerplate near-dedup's doc-level Jaccard can't
+  *      see; docs left empty by the rewrite are dropped)
+  *   8. deterministic content-hash split (train/val/test)
+  *   9. range-sorted capped shards per split
+  *  10. OPTIONAL deterministic training order for the train split
   *      (source-balanced `interleaveBySource` when the input has a
   *      `source` column, hash-shuffle `trainingOrder` otherwise); the
   *      train shards then range-sort on the epoch position
   *
   * Usage:
   *   runMain graft.PipelineCli <docsParquet> <outDir>
-  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet|-] [ordered]
+  *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard]
+  *     [blocklistParquet|-] [ordered|-] [spanDedupN]
   *
-  * Pass `-` for the blocklist to skip decontamination while still
-  * reaching the positional `ordered` flag.
+  * Pass `-` for the blocklist (skip decontamination) or for the ordered
+  * slot (unordered) so later positional args stay reachable. spanDedupN
+  * enables stage 7 with that gram size (≥ 2).
   */
 object PipelineCli {
 
@@ -61,7 +68,7 @@ object PipelineCli {
     * range exchanges before the shard writer's own range partitioning). */
   def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
           evalBlocklist: Option[DataFrame] = None, decontamN: Int = 8,
-          orderTrain: Boolean = false)
+          orderTrain: Boolean = false, spanDedupN: Option[Int] = None)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     // every stage cache is tracked so a mid-pipeline failure (e.g. inside
     // nearDedup) can't leak persisted frames into the shared session —
@@ -76,7 +83,7 @@ object PipelineCli {
     graft.operators.Checkpoints.scoped {
       try {
         val out = runStages(docs, minQuality, maxDupFrac1000, evalBlocklist, decontamN,
-          orderTrain, pin)
+          orderTrain, spanDedupN, pin)
         pinned.clear() // success: stages already unpersisted what they owned
         out
       } finally pinned.foreach(_.unpersist(blocking = false))
@@ -85,7 +92,8 @@ object PipelineCli {
 
   private def runStages(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
                         evalBlocklist: Option[DataFrame], decontamN: Int,
-                        orderTrain: Boolean, pin: DataFrame => DataFrame)
+                        orderTrain: Boolean, spanDedupN: Option[Int],
+                        pin: DataFrame => DataFrame)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     counts += "input" -> docs.count()
@@ -132,9 +140,25 @@ object PipelineCli {
 
     val reps = Dedup.nearDedup(filtered)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
-    val deduped = pin(filtered.join(reps, "doc_id")) // feeds the split assignment and all three split joins
-    counts += "after_near_dedup" -> deduped.count()
-    filtered.unpersist() // last consumer (deduped) is materialized
+    val afterNearDedup = pin(filtered.join(reps, "doc_id"))
+    counts += "after_near_dedup" -> afterNearDedup.count()
+    filtered.unpersist() // last consumer (afterNearDedup) is materialized
+
+    // OPTIONAL stage 7: exact-substring span dedup over the SURVIVORS —
+    // running it after near-dedup means whole near-copies are already
+    // gone, so what gets edited out here is cross-doc duplicated
+    // boilerplate (quotes, templates) that doc-level Jaccard can't see.
+    // Docs the rewrite leaves empty carry no training signal — dropped.
+    val deduped = spanDedupN match {
+      case Some(n) =>
+        val rewritten = pin(Dedup.removeDuplicatedSpans(afterNearDedup, n)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")))
+        counts += "after_span_dedup" -> rewritten.count()
+        afterNearDedup.unpersist()
+        rewritten
+      case None => afterNearDedup
+    } // feeds the split assignment and all three split joins
 
     val split = Pipeline.datasetSplit(deduped).select("doc_id", "split")
     val bySplit = Seq("train", "val", "test").map { name =>
@@ -172,31 +196,38 @@ object PipelineCli {
     (withOrder, counts.result())
   }
 
-  /** Parsed CLI arguments; `-` in the blocklist slot means "no blocklist"
-    * so the positional `ordered` flag stays reachable without one. */
+  /** Parsed CLI arguments; `-` in the blocklist or ordered slot means
+    * "skip that stage" so later positional args stay reachable. */
   private[graft] case class Args(input: String, outDir: String, minQuality: Long,
       maxDupFrac: Long, maxPerShard: Long, blocklistPath: Option[String],
-      orderTrain: Boolean)
+      orderTrain: Boolean, spanDedupN: Option[Int])
 
   private[graft] def parseArgs(args: Array[String]): Args = {
     require(args.length >= 2, "usage: PipelineCli <docsParquet> <outDir> " +
-      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet|-] [ordered]" +
-      " ('-' skips the blocklist so 'ordered' stays reachable positionally)")
+      "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet|-]" +
+      " [ordered|-] [spanDedupN] ('-' skips a stage so later positional args" +
+      " stay reachable)")
     val orderTrain = args.length > 6 && {
-      require(args(6) == "ordered", s"7th arg must be 'ordered', got '${args(6)}'")
-      true
+      require(args(6) == "ordered" || args(6) == "-",
+        s"7th arg must be 'ordered' or '-', got '${args(6)}'")
+      args(6) == "ordered"
     }
+    val spanDedupN = if (args.length > 7) {
+      val n = args(7).toInt
+      require(n >= 2, s"spanDedupN must be >= 2, got $n")
+      Some(n)
+    } else None
     Args(args(0), args(1),
       minQuality = if (args.length > 2) args(2).toLong else 400L,
       maxDupFrac = if (args.length > 3) args(3).toLong else 300L,
       maxPerShard = if (args.length > 4) args(4).toLong else 100000L,
       blocklistPath = if (args.length > 5) Some(args(5)).filter(_ != "-") else None,
-      orderTrain = orderTrain)
+      orderTrain = orderTrain, spanDedupN = spanDedupN)
   }
 
   def main(args: Array[String]): Unit = {
     val Args(input, outDir, minQuality, maxDupFrac, maxPerShard,
-      blocklistPath, orderTrain) = parseArgs(args)
+      blocklistPath, orderTrain, spanDedupN) = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // same convention as SlidingCli: spark-submit overrides via
@@ -208,7 +239,7 @@ object PipelineCli {
     spark.sparkContext.setLogLevel("WARN")
     val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac,
       evalBlocklist = blocklistPath.map(spark.read.parquet),
-      orderTrain = orderTrain)
+      orderTrain = orderTrain, spanDedupN = spanDedupN)
     bySplit.foreach { case (name, df) =>
       val sortCol = if (orderTrain && name == "train") "pos" else "doc_id"
       Layout.saveShards(df, s"$outDir/$name", sortCol, maxPerShard)

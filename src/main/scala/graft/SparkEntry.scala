@@ -664,6 +664,13 @@ object SparkEntry {
           groupCol = "lang", k = 70, caps = Map("zh" -> 20))
         .orderBy("doc_id")),
 
+    // ── exact-substring dedup REWRITE (Lee et al. keep-first): duplicated
+    // 8-gram spans lose every non-first occurrence, docs rebuilt from the
+    // surviving tokens — q70 measures the duplication, this edits it out ──
+    "q81_dedup_spans" -> ((s, dir) =>
+      graft.text.Dedup.removeDuplicatedSpans(
+        s.read.parquet(t(dir, "documents")), n = 8)),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1438,6 +1445,35 @@ object SparkEntry {
         |      FROM h)
         |SELECT doc_id, lang FROM r
         |WHERE rn <= CASE WHEN lang = 'zh' THEN 20 ELSE 70 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.removeDuplicatedSpans: keep-first on global
+    // (doc_id, position) order, later occurrences cover [p, p+7], a doc's
+    // text is its surviving tokens in position order. ANTI JOIN mirrors the
+    // Spark left_anti (covered-side overlap duplicates are harmless in
+    // both engines, so neither side needs a DISTINCT).
+    "q81_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+        |        FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        |r AS (SELECT doc_id, i,
+        |        count(*) OVER (PARTITION BY g) AS tot,
+        |        row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |      FROM occ),
+        |cov AS (SELECT doc_id, c.pos FROM r, UNNEST(range(i, i + 8)) AS c(pos)
+        |        WHERE tot > 1 AND rn > 1),
+        |tok AS (SELECT doc_id, UNNEST(ws) AS tok,
+        |          UNNEST(range(1, len(ws) + 1)) AS pos
+        |        FROM toks),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |          CAST(count(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // same exact-group-by family as q72, with the threshold inside the

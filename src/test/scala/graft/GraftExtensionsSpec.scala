@@ -111,6 +111,14 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet)
       assert(sqlCap.size == 4) // 2 per source
 
+      val sqlSpans = s2.sql("SELECT * FROM graft_dedup_spans('docs_view', 4)")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlSpans == graft.text.Dedup.removeDuplicatedSpans(docs, 4)
+        .collect().map(_.toSeq).toSeq)
+      // docs 1/2 duplicate: doc 2's spans are removed, doc 1 intact
+      val spansById = sqlSpans.map(r => r(0) -> r(3)).toMap
+      assert(spansById(1L) == 0L && spansById(2L) == 8L, s"$spansById")
+
       // TVFs compose inside a larger statement (the plan splices in)
       val n = s2.sql(
         """SELECT count(*) AS c FROM graft_chunk('docs_view', 4, 1)

@@ -148,11 +148,11 @@ class PipelineCliSpec extends SparkSpec {
     (bySplit.values ++ bySplit2.values).foreach(_.unpersist())
   }
 
-  test("CLI arg parsing: '-' blocklist placeholder makes 'ordered' reachable") {
+  test("CLI arg parsing: '-' placeholders keep later positional args reachable") {
     // defaults
     val d = PipelineCli.parseArgs(Array("in.parquet", "out"))
     assert(d == PipelineCli.Args("in.parquet", "out", 400L, 300L, 100000L, None,
-      orderTrain = false))
+      orderTrain = false, spanDedupN = None))
     // a real blocklist path is kept
     val bl = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "bl.parquet"))
     assert(bl.blocklistPath.contains("bl.parquet") && !bl.orderTrain)
@@ -162,9 +162,48 @@ class PipelineCliSpec extends SparkSpec {
     // blocklist + ordered together
     val both = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "bl", "ordered"))
     assert(both.blocklistPath.contains("bl") && both.orderTrain)
+    // '-' in the ordered slot reaches spanDedupN unordered
+    val sp = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "-", "-", "8"))
+    assert(sp == PipelineCli.Args("in", "out", 100L, 200L, 50L, None,
+      orderTrain = false, spanDedupN = Some(8)))
+    // all three optional stages at once
+    val full = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "bl", "ordered", "4"))
+    assert(full.blocklistPath.contains("bl") && full.orderTrain &&
+      full.spanDedupN.contains(4))
     // a malformed 7th arg fails loudly, not silently-unordered
     intercept[IllegalArgumentException] {
       PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "-", "orderd"))
     }
+    // a degenerate span size fails loudly
+    intercept[IllegalArgumentException] {
+      PipelineCli.parseArgs(Array("in", "out", "100", "200", "50", "-", "-", "1"))
+    }
+  }
+
+  test("span-dedup stage: cross-doc boilerplate is edited out, emptied docs drop") {
+    // distinct docs sharing an identical 4-token boilerplate tail: near-dedup
+    // keeps all (word-set Jaccard is low), the span stage must strip the
+    // repeated tail from every doc but the first
+    val tail = "copyright footer legal notice"
+    val rows = (1L to 20L).map(i =>
+      (i, s"body${i}a body${i}b body${i}c body${i}d body${i}e body${i}f $tail")) ++
+      // a doc that IS only boilerplate: fully covered → dropped by the stage
+      Seq(100L -> s"$tail $tail")
+    val docs = rows.toDF("doc_id", "text")
+    val (bySplit, counts) = PipelineCli.run(docs, minQuality = 0L,
+      maxDupFrac1000 = 1000L, spanDedupN = Some(4))
+    val c = counts.toMap
+    assert(c.contains("after_span_dedup"), s"$counts")
+    assert(c("after_span_dedup") < c("after_near_dedup"), s"$counts")
+    val allText = bySplit.values.flatMap(_.collect().map(r =>
+      r.getLong(0) -> r.getString(1))).toMap
+    assert(!allText.contains(100L), "pure-boilerplate doc survived")
+    // exactly one survivor still carries the boilerplate (the keep-first copy)
+    val carriers = allText.values.count(_.contains(tail))
+    assert(carriers == 1, s"expected 1 boilerplate carrier, got $carriers")
+    // body tokens survive the rewrite
+    assert(allText.values.forall(_.nonEmpty))
+    assert(c("split_train") + c("split_val") + c("split_test") == c("after_span_dedup"))
+    bySplit.values.foreach(_.unpersist())
   }
 }
