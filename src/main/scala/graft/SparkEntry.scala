@@ -1453,7 +1453,7 @@ object SparkEntry {
     // Spark left_anti (covered-side overlap duplicates are harmless in
     // both engines, so neither side needs a DISTINCT).
     "q81_dedup_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
         |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
         |        FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)),
         |r AS (SELECT doc_id, i,
@@ -1471,8 +1471,8 @@ object SparkEntry {
         |          CAST(count(*) AS BIGINT) AS n_kept
         |        FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
-        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |       CAST(len(string_split(coalesce(d.text, ''), ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(string_split(coalesce(d.text, ''), ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -785,10 +785,15 @@ object Dedup {
     * identities — over-removal of a duplicated-looking span, never a lost
     * document.
     */
-  def removeDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+  def removeDuplicatedSpans(docs0: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, s"span gram size must be >= 2, got $n")
-    graft.functions.WordNgrams.register(docs.sparkSession)
+    graft.functions.WordNgrams.register(docs0.sparkSession)
+    // NULL text normalizes to "" up front — without this, Spark's
+    // split(NULL) makes n_tokens = size(NULL) = -1 while a SQL oracle's
+    // len(string_split(NULL)) is NULL: the q77 NULL-divergence class.
+    // "" tokenizes to one empty token on BOTH engines, consistently.
+    val docs = docs0.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val occ = docs
       .select(col("doc_id"), posexplode(TextOps.wordNgramsNative(n)).as(Seq("p", "g")))
       .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh1"), xhash(col("g")).as("gh2"))

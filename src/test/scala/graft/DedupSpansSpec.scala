@@ -97,6 +97,19 @@ class DedupSpansSpec extends SparkSpec {
     assert(got(2L)._3 > 0L)
   }
 
+  test("NULL text normalizes to empty — no size(NULL) = -1 token counts") {
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]), (3L, Option("")))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("a b c", 3L, 0L)))
+    // NULL and "" behave identically: one empty token, nothing removed —
+    // and n_tokens is never the Spark-only size(NULL) = -1
+    assert(got(2L) == (("", 1L, 0L)), s"${got(2L)}")
+    assert(got(3L) == (("", 1L, 0L)), s"${got(3L)}")
+  }
+
   test("determinism: two runs produce identical frames") {
     val rng = new scala.util.Random(7L)
     val corpus = (0 until 60).map(i =>
