@@ -39,10 +39,15 @@ object Sf1SynthMain {
     //    lowercase a-z + space, verified.)
     val mode = if (args.length > 1) args(1) else "cipher"
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val copies = (0 until 10).map { k =>
+    // "remap100": the THIRD-decade corpus — 100 copies under the remap
+    // construction (word-suffix per copy ⇒ disjoint word vocabularies for
+    // any copy count, unlike the 26-rotation-bounded cipher), so all
+    // word-level dup/hygiene structure replicates exactly 100×
+    val nCopies = if (mode == "remap100") 100 else 10
+    val copies = (0 until nCopies).map { k =>
       val text = mode match {
         case "marker" => concat(col("text"), lit(s" copytok$k"))
-        case "remap" => array_join(transform(split(col("text"), " "),
+        case "remap" | "remap100" => array_join(transform(split(col("text"), " "),
           w => concat(w, lit(s"x$k"))), " ")
         case _ => translate(col("text"), alpha, alpha.drop(k) + alpha.take(k))
       }
