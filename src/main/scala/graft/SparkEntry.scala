@@ -671,6 +671,33 @@ object SparkEntry {
       graft.text.Dedup.removeDuplicatedSpans(
         s.read.parquet(t(dir, "documents")), n = 8)),
 
+    // ── hashed-linear classifier inference (fastText/CCNet quality-filter
+    // shape): tokens hash into 4096 buckets, the "model" is a weights
+    // table the gate derives arithmetically (w = bucket % 2001 − 1000) so
+    // the oracle can inline it — the operator only sees a weights DF, as
+    // it would a trained model import ───────────────────────────────────
+    "q82_quality_linear" -> ((s, dir) => {
+      val dim = 4096
+      val weights = s.range(dim).select(col("id").as("bucket"),
+        ((col("id") % 2001) - 1000).cast("long").as("w_permille"))
+      graft.text.TextAnalysis.scoreHashedLinear(
+        s.read.parquet(t(dir, "documents")), weights, dim)
+    }),
+
+    // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
+    // BM25 (log-free Robertson idf surrogate, permille saturation —
+    // Retrieval scaladoc). Queries are fixed literals over the corpus
+    // vocabulary; the oracle replays the identical integer arithmetic ────
+    "q83_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "table scan filter"),
+        ("q2", "stream window agg group"),
+        ("q3", "customer query vector the")).toDF("q_id", "qtext")
+      graft.text.Retrieval.bm25TopK(
+        s.read.parquet(t(dir, "documents")), queries, k = 10)
+    }),
+
     // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
     "q48_bigrams" -> ((s, dir) =>
       graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
@@ -1475,6 +1502,58 @@ object SparkEntry {
         |       CAST(len(string_split(coalesce(d.text, ''), ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.scoreHashedLinear with the gate's arithmetic
+    // weights table inlined: bucket = xhash(token) % 4096,
+    // w = bucket % 2001 - 1000, logit = sum over tokens (bias 0),
+    // keep = logit >= 0
+    "q82_quality_linear" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(coalesce(text, ''), ' ')) AS w
+        |            FROM documents),
+        |b AS (SELECT doc_id,
+        |        (('0x' || substr(md5(w), 1, 15))::BIGINT % 4096) AS bucket
+        |      FROM tok),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum((bucket % 2001) - 1000) AS BIGINT) AS logit_permille
+        |      FROM b GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, logit_permille,
+        |       CAST(CASE WHEN logit_permille >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
+    // every floor division in the same order as the Spark plan; ties
+    // break (score desc, doc_id)
+    "q83_bm25_topk" ->
+      """WITH q(q_id, qtext) AS (VALUES
+        |  ('q1', 'table scan filter'),
+        |  ('q2', 'stream window agg group'),
+        |  ('q3', 'customer query vector the')),
+        |qt AS (SELECT q_id, UNNEST(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |dict AS (SELECT DISTINCT term FROM qt),
+        |lens AS (SELECT doc_id,
+        |           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS len
+        |         FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST((1000 * sum(len)) // count(*) AS BIGINT) AS avg1000
+        |       FROM lens),
+        |tok AS (SELECT doc_id, UNNEST(string_split(coalesce(text, ''), ' ')) AS term
+        |        FROM documents),
+        |m AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM tok t JOIN dict USING (term) GROUP BY t.doc_id, t.term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY term),
+        |sc AS (SELECT qt.q_id, m.doc_id,
+        |         CAST(sum(
+        |           (((1000 * (st.n - dft.df)) // (dft.df + 1)) * m.tf * (1200 + 1000))
+        |           // (m.tf * 1000 + ((1200 * (1000 - 750 + ((750 * l.len * 1000) // st.avg1000))) // 1000))
+        |         ) AS BIGINT) AS score1000
+        |       FROM m JOIN dft USING (term) JOIN qt USING (term)
+        |            JOIN lens l USING (doc_id), st
+        |       GROUP BY qt.q_id, m.doc_id),
+        |r AS (SELECT q_id, doc_id, score1000,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score1000 DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score1000
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // same exact-group-by family as q72, with the threshold inside the
     // frequency distribution so the qualify/reject boundary discriminates

@@ -99,7 +99,7 @@ object Similarity {
     * total order — so results are partitioning-invariant. NULL scores
     * (zero-norm vectors) drop out, matching the window form's
     * NULLS-LAST + filter. */
-  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // the casts below must be lossless: a fractional score would silently
     // truncate (reordering ties), a non-integral id would corrupt keys

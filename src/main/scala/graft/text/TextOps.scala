@@ -955,6 +955,46 @@ object TextAnalysis {
         expr("CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS BIGINT)").as("re_tokens"))
       .orderBy("doc_id")
 
+  /** Hashed-linear classifier inference — the fastText / CCNet shape used
+    * for model-based quality filtering: each token hashes into one of
+    * `dim` feature buckets, and a document's logit is the sum of its
+    * tokens' bucket weights (bag-of-words WITH multiplicity) plus a bias.
+    * `weights` IS the model — (bucket BIGINT, w_permille BIGINT), e.g. a
+    * trained linear classifier exported as a table; buckets absent from
+    * the table weigh 0. Integer permille weights keep the score
+    * engine-exact (the repo-wide determinism contract — same reason
+    * [[quality]] emits ×1000 ratios, not doubles).
+    *
+    * Output: (doc_id, n_tokens, logit_permille, keep) — keep ∈ {0,1},
+    * 1 iff logit_permille >= thresholdPermille. NULL text normalizes to
+    * "" (one empty token) so both engines tokenize identically.
+    *
+    * Scale shape (100 TB): the model is hash-table-sized (≤ dim rows) →
+    * broadcast; `explode` is narrow (a doc's tokens never leave its
+    * partition) so the per-doc partial aggregate collapses each doc to one
+    * row BEFORE the plan's only exchange — O(docs) rows, 24 bytes each.
+    * One corpus scan, no windows, no corpus-width key shuffle. */
+  def scoreHashedLinear(docs: DataFrame, weights: DataFrame, dim: Int,
+                        biasPermille: Long = 0L,
+                        thresholdPermille: Long = 0L): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      // xhash is a non-negative 60-bit value, so plain % is already pmod
+      .select(col("doc_id"), (xhash(col("w")) % dim).as("bucket"))
+      .join(broadcast(weights.select("bucket", "w_permille")), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        coalesce(sum("w_permille"), lit(0L)).cast(LongType).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("wsum") + lit(biasPermille)).cast(LongType).as("logit_permille"))
+      .withColumn("keep",
+        when(col("logit_permille") >= thresholdPermille, lit(1L))
+          .otherwise(lit(0L)).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling polynomial fingerprint over token hashes:
     * fold(acc·131 + h(w)) mod P. Reorderings change the fingerprint
     * (unlike the bag-of-words fingerprint in [[Dedup.exact]]). */
