@@ -684,6 +684,20 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), weights, dim)
     }),
 
+    // ── product-quantization ADC top-k (Jégou et al. 2011): 8 subspaces ×
+    // 16-entry codebooks over the integer grid. This gate pins the
+    // ENCODE + ADC scoring path with the SQL-replayable seed construction
+    // (codebook entry c of subspace s = seed-rank-c's s-th subvector);
+    // the learned-codebook path (hash-seeded Lloyd) is spec-gated like
+    // the IVF family. Queries/candidates follow q22's split ─────────────
+    "q84_pq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val cand = emb.filter(col("vec_id") >= 5)
+      val cb = graft.embed.Pq.seedCodebooks(cand.orderBy("vec_id").limit(16), m = 8)
+      graft.embed.Pq.topkAdc(emb.filter(col("vec_id") < 5),
+        graft.embed.Pq.encode(cand, cb), cb, k = 10)
+    }),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1519,6 +1533,44 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, logit_permille,
         |       CAST(CASE WHEN logit_permille >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mirrors Pq.seedCodebooks + encode + topkAdc: quantized grid
+    // (floor(x*1000), q22's recipe — integer values, exact in doubles),
+    // codebook = the 16 lowest-vec_id candidates' subvectors, encode =
+    // argmin squared L2 via 2·dot − |c|² (ties to the smallest code),
+    // adist = Σ_sub (|q_sub|² + |c|² − 2·q_sub·c), rank by (adist, cand_id)
+    "q84_pq_adc" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |seeds AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        |          FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+        |cbn AS (SELECT t.sub, code, vd[(t.sub*8+1):(t.sub*8+8)] AS cv,
+        |          CAST(list_dot_product(vd[(t.sub*8+1):(t.sub*8+8)],
+        |                                vd[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
+        |        FROM seeds, UNNEST(range(0, 8)) AS t(sub)),
+        |cs AS (SELECT vec_id AS cand_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
+        |       FROM e, UNNEST(range(0, 8)) AS t(sub) WHERE vec_id >= 5),
+        |enc AS (SELECT cand_id, sub, code FROM (
+        |          SELECT cs.cand_id, cs.sub, cbn.code,
+        |            row_number() OVER (PARTITION BY cs.cand_id, cs.sub
+        |              ORDER BY CAST(2 * list_dot_product(cs.sv, cbn.cv) AS BIGINT) - cbn.cn DESC,
+        |                       cbn.code) AS arn
+        |          FROM cs JOIN cbn USING (sub)) WHERE arn = 1),
+        |qs AS (SELECT vec_id AS q_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
+        |       FROM e, UNNEST(range(0, 8)) AS t(sub) WHERE vec_id < 5),
+        |lut AS (SELECT q_id, sub, code,
+        |          CAST(list_dot_product(qs.sv, qs.sv) AS BIGINT) + cbn.cn
+        |          - CAST(2 * list_dot_product(qs.sv, cbn.cv) AS BIGINT) AS pd
+        |        FROM qs JOIN cbn USING (sub)),
+        |sc AS (SELECT q_id, cand_id, CAST(sum(pd) AS BIGINT) AS adist
+        |       FROM enc JOIN lut USING (sub, code) GROUP BY q_id, cand_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS BIGINT) AS rn,
+        |  cand_id, adist
+        |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties

@@ -1,0 +1,181 @@
+package graft.embed
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.chaining._
+
+/** Product quantization over the integer grid (the PQ of Jégou/Douze/
+  * Schmid, "Product quantization for nearest neighbor search", TPAMI
+  * 2011): the embedding splits into `m` subvectors; each subspace learns
+  * a k-entry codebook; a vector compresses to its m nearest codebook
+  * entries — m·log2(k) bits instead of dim·32. ADC (asymmetric distance
+  * computation) then scores a query against the coded corpus through one
+  * m×k lookup table per query: O(m) integer adds per candidate instead of
+  * O(dim) float multiplies. Beside [[Similarity.quantizeInt8]] (4× storage
+  * cut, exact dots) and the IVF family (candidate pruning), this is the
+  * third leg of the billion-vector scale path — IVF prunes, PQ compresses
+  * what remains.
+  *
+  * Numeric contract (the repo-wide determinism rules): all arithmetic runs
+  * on [[Similarity.quantize]]'s integer grid with the native `dot_long`
+  * kernel; squared L2 distances come from the dot identity
+  * `|a−b|² = |a|² + |b|² − 2·a·b`, so every distance, assignment, and ADC
+  * score is an exact BIGINT both engines reproduce. Assignment ties break
+  * toward the smallest code; Lloyd means are exact integer `sum DIV count`
+  * (a subspace cell that attracts no vectors keeps its previous entry) —
+  * the same conventions as [[Similarity.ivfRefine]]. Rows with NULL
+  * embeddings are dropped at the subvector split (per-row degradation, as
+  * in the cosine family).
+  *
+  * Scale shape (100 TB): codebooks are m·k subvectors — model-sized, always
+  * broadcast. The subvector split and assignment are NARROW (one corpus
+  * scan, argmin via map-side partial `max_by`); encode's only exchange is
+  * O(n) rows of m codes each. ADC materializes the per-query LUT
+  * (|Q|·m·k rows, broadcast) and scans codes once; the only wide step is
+  * the (q_id, cand_id) partial-sum exchange, O(n·|Q|) rows AFTER map-side
+  * combine of the m per-sub terms, then the bounded-heap partial top-k
+  * ([[Similarity.topkPerQuery]]) — never a full sorted candidate list.
+  */
+object Pq {
+
+  private def dotExpr(a: String, b: String): String = s"dot_long($a, $b)"
+
+  private def dimOf(vectors: DataFrame): Int =
+    vectors.select(size(col("embedding"))).head().getInt(0)
+
+  /** (id, sub, sv) subvector frame — narrow: explode(m) + slice. */
+  private def subVectors(vectors: DataFrame, idCol: String, m: Int,
+                         d2: Int): DataFrame =
+    vectors
+      .filter(col("embedding").isNotNull)
+      .select(col(idCol), Similarity.quantize(col("embedding")).as("qv"))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .select(col(idCol), col("sub"),
+        slice(col("qv"), col("sub") * d2 + 1, lit(d2)).as("sv"))
+
+  /** Codebooks from caller-chosen seed vectors (k rows): entry `code` of
+    * subspace `sub` is seed-rank-`code`'s sub-th subvector (rank = vec_id
+    * order). Deterministic and SQL-replayable — the oracle-facing
+    * construction; [[codebooks]] below is the learned form. The codebook
+    * is MODEL state: seeds are codebook-sized by contract (k ≤ 2^codebits,
+    * typically ≤ 256), so they are collected and assembled on the driver —
+    * O(k·dim) longs, the same bounded-driver-state class as the IVF
+    * centroid sample — rather than ranked with a partitionless window.
+    * Output: (sub, code, cv, cn). */
+  def seedCodebooks(seeds: DataFrame, m: Int): DataFrame = {
+    graft.functions.DotProductLong.register(seeds.sparkSession)
+    import seeds.sparkSession.implicits._
+    val rows = seeds
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    require(rows.nonEmpty, "seedCodebooks needs at least one non-null seed")
+    val d = rows.head._2.size
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    require(rows.forall(_._2.size == d), "seed embedding dims differ")
+    val d2 = d / m
+    val entries = for {
+      (code, qv) <- rows.zipWithIndex.map { case ((_, qv), i) => (i.toLong, qv) }
+      sub <- 0 until m
+    } yield (sub, code, qv.slice(sub * d2, sub * d2 + d2))
+    entries.toSeq.toDF("sub", "code", "cv")
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
+  }
+
+  /** Per-(vector, subspace) nearest codebook entry. argmin |sv−cv|² =
+    * argmax (2·sv·cv − |cv|²) — the |sv|² term is constant per row, so the
+    * comparison never needs it. Ties toward the smallest code. */
+  private def assign(subv: DataFrame, cb: DataFrame, idCol: String): DataFrame =
+    subv.join(broadcast(cb), Seq("sub"))
+      .select(col(idCol), col("sub"), col("code"),
+        (lit(2L) * expr(dotExpr("sv", "cv")) - col("cn")).as("negd"))
+      .groupBy(idCol, "sub")
+      .agg(max_by(col("code"), struct(col("negd"), -col("code"))).as("code"))
+
+  /** Learned codebooks: a deterministic hash-ordered k-sample seeds each
+    * subspace (zero-iteration k-means, as [[Similarity.ivfCentroids]]),
+    * then `iters` Lloyd rounds of (assign → exact integer subspace means).
+    * Each round is checkpoint-scoped like ivfRefine — iterative lineage
+    * otherwise re-executes prior rounds under every consumer.
+    * Output: (sub, code, cv, cn), k entries per subspace, ALL k codes
+    * present every round (starved cells keep their previous entry). */
+  def codebooks(vectors: DataFrame, m: Int, k: Int, iters: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    graft.functions.DotProductLong.register(vectors.sparkSession)
+    val d = dimOf(vectors)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val d2 = d / m
+    val seeds = vectors
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+    var cb = seedCodebooks(seeds, m)
+      .pipe(graft.operators.Checkpoints.checkpoint(_))
+    val subv = subVectors(vectors, "vec_id", m, d2)
+    for (_ <- 1 to iters) {
+      val means = assign(subv, cb, "vec_id")
+        .join(subv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          expr("s DIV c").as("m")))).as("pm"))
+        .select(col("sub"), col("code"),
+          expr("transform(pm, p -> p.m)").as("cv2"))
+      val prev = cb
+      cb = prev.as("old").join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("cv2"), col("old.cv")).as("cv"))
+        .withColumn("cn", expr(dotExpr("cv", "cv")))
+        .pipe(graft.operators.Checkpoints.checkpoint(_))
+      graft.operators.Checkpoints.release(prev)
+    }
+    cb
+  }
+
+  /** Encodes the corpus: (vec_id, codes ARRAY<BIGINT>), codes[sub] = the
+    * nearest codebook entry of subspace sub. One narrow scan + one O(n)
+    * exchange. */
+  def encode(vectors: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.DotProductLong.register(vectors.sparkSession)
+    val (m, d2) = cb.agg(countDistinct("sub").cast(IntegerType),
+      max(size(col("cv")))).head() match { case r => (r.getInt(0), r.getInt(1)) }
+    assign(subVectors(vectors, "vec_id", m, d2), cb, "vec_id")
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.code)").as("codes"))
+  }
+
+  /** ADC top-k: per query, squared-L2 lookup table against every codebook
+    * entry (pd = |qsub|² + |cv|² − 2·qsub·cv, exact BIGINT), then each
+    * coded candidate costs m lookups. Output: (q_id, rn, cand_id, adist) —
+    * rn 1..k by (adist asc, cand_id), the approximate distances being
+    * EXACT distances to each candidate's reconstruction. */
+  def topkAdc(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+              k: Int): DataFrame = {
+    graft.functions.DotProductLong.register(queries.sparkSession)
+    val (m, d2) = cb.agg(countDistinct("sub").cast(IntegerType),
+      max(size(col("cv")))).head() match { case r => (r.getInt(0), r.getInt(1)) }
+    val lut = subVectors(
+        queries.select(col("vec_id").as("q_id"), col("embedding")), "q_id", m, d2)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        (expr(dotExpr("sv", "sv")) + col("cn")
+          - lit(2L) * expr(dotExpr("sv", "cv"))).as("pd"))
+    val codesLong = codes.select(col("vec_id").as("cand_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = codesLong
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("q_id", "cand_id")
+      .agg(sum("pd").as("adist"))
+    Similarity.topkPerQuery(
+        scored.select(col("q_id"), col("cand_id"), (-col("adist")).as("score")), k)
+      .select(col("q_id"), col("rn"), col("cand_id"), (-col("score")).as("adist"))
+      .orderBy("q_id", "rn")
+  }
+}

@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Kept diagnostic for optimization rounds: q38 breakdown — edge
   * generation vs connected-components rounds, 3 warm reps. Pair with
-  * GRAFT_CC_DEBUG=1 for per-round label sums and wall times. */
+  * GRAFT_CC_DEBUG=1 for per-round label sums and wall times.
+  * GRAFT_CC_EDGES=ppjoin swaps the edge generator to the PPJoin form —
+  * the regime-map probe for constructions whose VOCABULARY grows with
+  * the corpus (the bitmap form's size-band blocking goes quadratic
+  * there; PPJoin's rare-token prefixes keep filtering). */
 object CcProbeMain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,7 +26,10 @@ object CcProbeMain {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for (rep <- 1 to 3) {
       val t0 = System.nanoTime()
-      val edges = graft.text.Dedup.jaccardPairsBitmapBlocked(docs, num = 19, den = 20)
+      val edges = (if (sys.env.get("GRAFT_CC_EDGES").contains("ppjoin"))
+          graft.text.Dedup.jaccardPairs(docs, num = 19, den = 20)
+        else
+          graft.text.Dedup.jaccardPairsBitmapBlocked(docs, num = 19, den = 20))
         .select("doc_a", "doc_b")
       val ne = edges.count()
       val t1 = System.nanoTime()
