@@ -698,6 +698,24 @@ object SparkEntry {
         graft.embed.Pq.encode(cand, cb), cb, k = 10)
     }),
 
+    // ── survivor-policy exact dedup: keep the BEST-scored member of each
+    // duplicate group (argmax n_chars, tie → min doc_id) — the keep-one
+    // choice a pipeline makes once a quality signal exists; hashed
+    // 16-byte-key scale path ────────────────────────────────────────────
+    "q85_dedup_best" -> ((s, dir) =>
+      graft.text.Dedup.exactBest(s.read.parquet(t(dir, "documents")),
+        "n_chars", verifyExact = false)),
+
+    // ── exact-quantile corpus filter: keep docs at/above the 7/10
+    // empirical quantile of n_chars — fraction-budgeted quality filtering
+    // with a deterministic threshold (exact order statistics, TeraSort
+    // path), never approx_percentile's partition-dependent cut ──────────
+    "q86_quantile_filter" -> ((s, dir) =>
+      graft.text.Pipeline.filterByQuantile(
+          s.read.parquet(t(dir, "documents")), "n_chars", num = 7, den = 10)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1571,6 +1589,35 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS BIGINT) AS rn,
         |  cand_id, adist
         |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    // mirrors Dedup.exactBest: q18's fingerprint, survivor = argmax
+    // (n_chars, then smallest doc_id) per group — DESC NULLS LAST matches
+    // Spark's struct-ordering max_by (NULL score loses to any scored row)
+    "q85_dedup_best" ->
+      """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS s,
+        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+        |  FROM documents),
+        |r AS (SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY s DESC NULLS LAST, doc_id) AS rn
+        |  FROM f),
+        |g AS (SELECT fp, MAX(s) AS best_score, COUNT(*) AS dup_cnt
+        |      FROM f GROUP BY fp)
+        |SELECT r.doc_id AS rep_doc, g.best_score, g.dup_cnt
+        |FROM r JOIN g USING (fp) WHERE rn = 1 ORDER BY rep_doc""".stripMargin,
+
+    // mirrors Pipeline.filterByQuantile: threshold = element at 0-indexed
+    // rank floor(7·n/10) of non-NULL n_chars ascending (exactSplitters'
+    // rank convention), then score >= threshold
+    "q86_quantile_filter" ->
+      """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM s),
+        |n AS (SELECT COUNT(*) AS n FROM s),
+        |thr AS (SELECT v FROM r, n WHERE r.rk = (7 * n.n) // 10)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE n_chars >= (SELECT v FROM thr)
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties

@@ -130,6 +130,41 @@ object Pipeline {
       .drop("__copies")
   }
 
+  /** Exact-quantile corpus filter — "keep the top (1 − num/den) of the
+    * corpus by this score" with a DETERMINISTIC, engine-exact threshold:
+    * rows whose integer `scoreCol` is >= the element at global 0-indexed
+    * rank floor(num·n/den) of the non-NULL scores ascending (n = non-NULL
+    * count). Percentile-threshold selection is how quality-classifier
+    * scores ([[graft.text.TextAnalysis.scoreHashedLinear]], `.quality`)
+    * become keep/drop decisions when the budget is a corpus FRACTION
+    * rather than an absolute cutoff — and an approximate percentile
+    * (`approx_percentile`) would make the kept set partition-dependent,
+    * which poisons ablations (the same reproducibility argument as
+    * [[datasetSplit]]).
+    *
+    * Cost: one range-shuffle sort of the projected Long score column
+    * ([[graft.operators.OrderStats.exactSplitters]] — the TeraSort path,
+    * O(parts) driver state), then a broadcast-threshold narrow filter of
+    * the input. At 100 TB, callers who can tolerate sampling error should
+    * derive the threshold from `OrderStats.sampledSplitters` (one pass
+    * over a p-fraction sample) and filter with it directly — same shape,
+    * no full sort. NULL scores never pass the filter. An all-NULL or
+    * empty input returns the empty frame (a quantile of nothing keeps
+    * nothing, rather than throwing mid-pipeline). */
+  def filterByQuantile(docs: DataFrame, scoreCol: String, num: Int, den: Int,
+                       numParts: Int = -1): DataFrame = {
+    require(den >= 2 && num >= 1 && num < den,
+      s"need 1 <= num < den (den >= 2), got $num/$den")
+    val scored = docs.filter(col(scoreCol).isNotNull)
+    val splitters = graft.operators.OrderStats
+      .exactSplitters(scored, scoreCol, den, numParts)
+      .filter(col("splitter_id") === num).collect()
+    splitters.headOption match {
+      case Some(row) => docs.filter(col(scoreCol).cast(LongType) >= row.getLong(1))
+      case None      => docs.filter(lit(false))
+    }
+  }
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace. Returns the normalized text plus a changed flag. */
   def normalize(docs: DataFrame, ordered: Boolean = true): DataFrame = {

@@ -132,6 +132,42 @@ object Dedup {
     * scaladoc); named separately so call sites state the trade explicitly. */
   def exactHashed(docs: DataFrame): DataFrame = exact(docs, verifyExact = false)
 
+  /** [[exact]] with a SURVIVOR POLICY: the representative of each
+    * duplicate group is the member with the highest `scoreCol`
+    * (tie → smallest doc_id), not the smallest doc_id. This is the form a
+    * real corpus pipeline wants once a quality signal exists — when near-
+    * identical docs differ in boilerplate or truncation, "keep the
+    * best-scored copy" beats "keep the oldest id" (the FineWeb/RefinedWeb
+    * keep-one choice is exactly this argmax). Output:
+    * (rep_doc, best_score, dup_cnt), ordered by rep_doc.
+    *
+    * Same plan shape as [[exact]]: one hash aggregation with map-side
+    * partial `max_by` — the score rides the 16-byte hashed key path
+    * ([[exactHashed]]'s trade, opt-in via `verifyExact = false`), no
+    * window, no second pass. NULL scores sort below every non-NULL score
+    * (group members with NULL score lose to any scored member; an all-NULL
+    * group keeps its smallest doc_id, best_score NULL). */
+  def exactBest(docs: DataFrame, scoreCol: String,
+                verifyExact: Boolean = true): DataFrame = {
+    val fp = docs.select(col("doc_id"), col(scoreCol).cast(LongType).as("s"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
+    val grouped =
+      if (verifyExact) fp.groupBy("fp")
+      else fp.select(col("doc_id"), col("s"),
+          xxhash64(col("fp")).as("fph1"), xhash(col("fp")).as("fph2"))
+        .groupBy("fph1", "fph2")
+    // max_by over (score, -doc_id): highest score wins, ties to the
+    // smallest id. NULL-score rows: struct comparison puts NULL lowest,
+    // matching the scaladoc contract.
+    grouped
+      .agg(max_by(col("doc_id"), struct(col("s"), (-col("doc_id")).as("nid")))
+          .as("rep_doc"),
+        max("s").as("best_score"),
+        count(lit(1)).as("dup_cnt"))
+      .select("rep_doc", "best_score", "dup_cnt")
+      .orderBy("rep_doc")
+  }
+
   /** Per-(i, doc) MinHash over distinct word 3-gram shingles:
     * `min over shingles of (a_i·h(s) + b_i) mod P` with
     * `a_i = 2654435761·(i+1) mod P`, `b_i = 40503·(i+1) mod P`.

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, Pipeline}
+
+/** Survivor-policy exact dedup (q85) and exact-quantile filtering (q86):
+  * argmax semantics, NULL-score degrades, hashed-key parity, and
+  * brute-force threshold parity under repartitioning. */
+class SurvivorQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String, java.lang.Long)*) =
+    rows.toDF("doc_id", "text", "n_chars")
+
+  test("exactBest keeps the highest-scored member, ties to the smallest doc_id") {
+    val out = Dedup.exactBest(docsDF(
+        (1L, "a b c", 10L), (2L, "c b a", 50L), (3L, "b a c", 50L), // dup group
+        (4L, "x y", 7L)), "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // group {1,2,3}: best score 50 shared by 2 and 3 -> doc 2 survives
+    assert(out == Seq((2L, 50L, 3L), (4L, 7L, 1L)))
+  }
+
+  test("NULL score loses to any scored member; all-NULL group keeps min doc_id, NULL best") {
+    val out = Dedup.exactBest(docsDF(
+        (1L, "a b", null), (2L, "b a", 3L),   // scored member wins
+        (5L, "q r", null), (6L, "r q", null)), // all-NULL group
+        "n_chars")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSeq
+    assert(out == Seq((2L, Some(3L), 2L), (5L, None, 2L)))
+  }
+
+  test("hashed-key path is row-identical to the byte-exact path") {
+    val rnd = new scala.util.Random(85)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val rows = (1L to 300L).map { i =>
+      val text = Seq.fill(3 + rnd.nextInt(4))(words(rnd.nextInt(words.size))).mkString(" ")
+      (i, text, java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+    }
+    val exact = Dedup.exactBest(docsDF(rows: _*), "n_chars", verifyExact = true).collect().toSeq
+    val hashed = Dedup.exactBest(docsDF(rows: _*), "n_chars", verifyExact = false).collect().toSeq
+    assert(exact == hashed)
+  }
+
+  test("exactBest groups exactly as exact(): same dup_cnt multiset, same group count") {
+    val rnd = new scala.util.Random(851)
+    val rows = (1L to 200L).map { i =>
+      (i, s"w${rnd.nextInt(30)} w${rnd.nextInt(30)}", java.lang.Long.valueOf(i % 17))
+    }
+    val best = Dedup.exactBest(docsDF(rows: _*), "n_chars").collect()
+    val plain = Dedup.exact(docsDF(rows: _*).select("doc_id", "text")).collect()
+    assert(best.length == plain.length)
+    assert(best.map(_.getLong(2)).sorted.toSeq == plain.map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("filterByQuantile matches the brute-force exact threshold across num/den and partitionings") {
+    val rnd = new scala.util.Random(86)
+    val rows = (1L to 500L).map(i =>
+      (i, "t", java.lang.Long.valueOf(rnd.nextInt(50).toLong))) :+
+      ((501L, "t", null: java.lang.Long))
+    val scores = rows.flatMap(r => Option(r._3).map(_.toLong)).sorted
+    for ((num, den) <- Seq((1, 2), (7, 10), (1, 10), (9, 10), (3, 4));
+         parts <- Seq(1, 7)) {
+      val thr = scores((num.toLong * scores.size / den).toInt)
+      val got = Pipeline.filterByQuantile(
+          docsDF(rows: _*).repartition(parts), "n_chars", num, den)
+        .select("doc_id").as[Long].collect().toSet
+      val want = rows.filter(r => Option(r._3).exists(_.toLong >= thr)).map(_._1).toSet
+      assert(got == want, s"num=$num den=$den parts=$parts (thr=$thr)")
+    }
+  }
+
+  test("filterByQuantile: empty and all-NULL inputs yield empty output without throwing") {
+    val empty = docsDF()
+    assert(Pipeline.filterByQuantile(empty, "n_chars", 1, 2).count() == 0L)
+    val allNull = docsDF((1L, "a", null), (2L, "b", null))
+    assert(Pipeline.filterByQuantile(allNull, "n_chars", 1, 2).count() == 0L)
+  }
+
+  test("filterByQuantile rejects degenerate num/den") {
+    val d = docsDF((1L, "a", 1L))
+    intercept[IllegalArgumentException](Pipeline.filterByQuantile(d, "n_chars", 0, 2))
+    intercept[IllegalArgumentException](Pipeline.filterByQuantile(d, "n_chars", 2, 2))
+    intercept[IllegalArgumentException](Pipeline.filterByQuantile(d, "n_chars", 1, 1))
+  }
+}
