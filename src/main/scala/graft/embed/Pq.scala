@@ -1,6 +1,7 @@
 package graft.embed
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,7 +17,7 @@ import scala.util.chaining._
   * O(dim) float multiplies. Beside [[Similarity.quantizeInt8]] (4× storage
   * cut, exact dots) and the IVF family (candidate pruning), this is the
   * third leg of the billion-vector scale path — IVF prunes, PQ compresses
-  * what remains.
+  * what remains; [[ivfTopkAdc]] composes both (the paper's IVFADC).
   *
   * Numeric contract (the repo-wide determinism rules): all arithmetic runs
   * on [[Similarity.quantize]]'s integer grid with the native `dot_long`
@@ -42,18 +43,21 @@ object Pq {
 
   private def dotExpr(a: String, b: String): String = s"dot_long($a, $b)"
 
-  private def dimOf(vectors: DataFrame): Int =
-    vectors.select(size(col("embedding"))).head().getInt(0)
-
-  /** (id, sub, sv) subvector frame — narrow: explode(m) + slice. */
-  private def subVectors(vectors: DataFrame, idCol: String, m: Int,
-                         d2: Int): DataFrame =
+  /** (vec_id, qv) integer-grid projection; NULL embeddings dropped. */
+  private def quantized(vectors: DataFrame, idCol: String = "vec_id"): DataFrame =
     vectors
       .filter(col("embedding").isNotNull)
-      .select(col(idCol), Similarity.quantize(col("embedding")).as("qv"))
-      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
-      .select(col(idCol), col("sub"),
-        slice(col("qv"), col("sub") * d2 + 1, lit(d2)).as("sv"))
+      .select(col(idCol).as("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+
+  /** (ids..., sub, sv) subvector frame from a pre-quantized (ids..., qv)
+    * frame — narrow: explode(m) + slice. */
+  private def subVectorsQ(vq: DataFrame, idCols: Seq[String], m: Int,
+                          d2: Int): DataFrame = {
+    val ids = idCols.map(col)
+    vq.select(ids :+ explode(sequence(lit(0), lit(m - 1))).as("sub") :+ col("qv"): _*)
+      .select(ids :+ col("sub") :+
+        slice(col("qv"), col("sub") * d2 + 1, lit(d2)).as("sv"): _*)
+  }
 
   /** Codebooks from caller-chosen seed vectors (k rows): entry `code` of
     * subspace `sub` is seed-rank-`code`'s sub-th subvector (rank = vec_id
@@ -64,12 +68,13 @@ object Pq {
     * O(k·dim) longs, the same bounded-driver-state class as the IVF
     * centroid sample — rather than ranked with a partitionless window.
     * Output: (sub, code, cv, cn). */
-  def seedCodebooks(seeds: DataFrame, m: Int): DataFrame = {
-    graft.functions.DotProductLong.register(seeds.sparkSession)
-    import seeds.sparkSession.implicits._
-    val rows = seeds
-      .filter(col("embedding").isNotNull)
-      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+  def seedCodebooks(seeds: DataFrame, m: Int): DataFrame =
+    seedCodebooksQ(quantized(seeds), m)
+
+  private def seedCodebooksQ(seedsQ: DataFrame, m: Int): DataFrame = {
+    graft.functions.DotProductLong.register(seedsQ.sparkSession)
+    import seedsQ.sparkSession.implicits._
+    val rows = seedsQ.select(col("vec_id"), col("qv"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
     require(rows.nonEmpty, "seedCodebooks needs at least one non-null seed")
     val d = rows.head._2.size
@@ -87,12 +92,17 @@ object Pq {
   /** Per-(vector, subspace) nearest codebook entry. argmin |sv−cv|² =
     * argmax (2·sv·cv − |cv|²) — the |sv|² term is constant per row, so the
     * comparison never needs it. Ties toward the smallest code. */
-  private def assign(subv: DataFrame, cb: DataFrame, idCol: String): DataFrame =
+  private def assign(subv: DataFrame, cb: DataFrame,
+                     idCols: Seq[String]): DataFrame =
     subv.join(broadcast(cb), Seq("sub"))
-      .select(col(idCol), col("sub"), col("code"),
-        (lit(2L) * expr(dotExpr("sv", "cv")) - col("cn")).as("negd"))
-      .groupBy(idCol, "sub")
+      .select(idCols.map(col) :+ col("sub") :+ col("code") :+
+        (lit(2L) * expr(dotExpr("sv", "cv")) - col("cn")).as("negd"): _*)
+      .groupBy((idCols :+ "sub").map(col): _*)
       .agg(max_by(col("code"), struct(col("negd"), -col("code"))).as("code"))
+
+  private def cbShape(cb: DataFrame): (Int, Int) =
+    cb.agg(countDistinct("sub").cast(IntegerType),
+      max(size(col("cv")))).head() match { case r => (r.getInt(0), r.getInt(1)) }
 
   /** Learned codebooks: a deterministic hash-ordered k-sample seeds each
     * subspace (zero-iteration k-means, as [[Similarity.ivfCentroids]]),
@@ -101,23 +111,25 @@ object Pq {
     * otherwise re-executes prior rounds under every consumer.
     * Output: (sub, code, cv, cn), k entries per subspace, ALL k codes
     * present every round (starved cells keep their previous entry). */
-  def codebooks(vectors: DataFrame, m: Int, k: Int, iters: Int = 0): DataFrame = {
+  def codebooks(vectors: DataFrame, m: Int, k: Int, iters: Int = 0): DataFrame =
+    codebooksQ(quantized(vectors), m, k, iters)
+
+  private[graft] def codebooksQ(vq: DataFrame, m: Int, k: Int,
+                                iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    graft.functions.DotProductLong.register(vectors.sparkSession)
-    val d = dimOf(vectors)
+    graft.functions.DotProductLong.register(vq.sparkSession)
+    val d = vq.select(size(col("qv"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val d2 = d / m
-    val seeds = vectors
-      .filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
+    val seeds = vq
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(k)
-    var cb = seedCodebooks(seeds, m)
+    var cb = seedCodebooksQ(seeds, m)
       .pipe(graft.operators.Checkpoints.checkpoint(_))
-    val subv = subVectors(vectors, "vec_id", m, d2)
+    val subv = subVectorsQ(vq, Seq("vec_id"), m, d2)
     for (_ <- 1 to iters) {
-      val means = assign(subv, cb, "vec_id")
+      val means = assign(subv, cb, Seq("vec_id"))
         .join(subv, Seq("vec_id", "sub"))
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy("sub", "code", "pos")
@@ -141,14 +153,18 @@ object Pq {
   /** Encodes the corpus: (vec_id, codes ARRAY<BIGINT>), codes[sub] = the
     * nearest codebook entry of subspace sub. One narrow scan + one O(n)
     * exchange. */
-  def encode(vectors: DataFrame, cb: DataFrame): DataFrame = {
-    graft.functions.DotProductLong.register(vectors.sparkSession)
-    val (m, d2) = cb.agg(countDistinct("sub").cast(IntegerType),
-      max(size(col("cv")))).head() match { case r => (r.getInt(0), r.getInt(1)) }
-    assign(subVectors(vectors, "vec_id", m, d2), cb, "vec_id")
-      .groupBy("vec_id")
+  def encode(vectors: DataFrame, cb: DataFrame): DataFrame =
+    encodeQ(quantized(vectors), cb, Seq("vec_id"))
+
+  private def encodeQ(vq: DataFrame, cb: DataFrame,
+                      idCols: Seq[String]): DataFrame = {
+    graft.functions.DotProductLong.register(vq.sparkSession)
+    val (m, d2) = cbShape(cb)
+    assign(subVectorsQ(vq, idCols, m, d2), cb, idCols)
+      .groupBy(idCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("vec_id"), expr("transform(sc, p -> p.code)").as("codes"))
+      .select(idCols.map(col) :+
+        expr("transform(sc, p -> p.code)").as("codes"): _*)
   }
 
   /** ADC top-k: per query, squared-L2 lookup table against every codebook
@@ -159,10 +175,9 @@ object Pq {
   def topkAdc(queries: DataFrame, codes: DataFrame, cb: DataFrame,
               k: Int): DataFrame = {
     graft.functions.DotProductLong.register(queries.sparkSession)
-    val (m, d2) = cb.agg(countDistinct("sub").cast(IntegerType),
-      max(size(col("cv")))).head() match { case r => (r.getInt(0), r.getInt(1)) }
-    val lut = subVectors(
-        queries.select(col("vec_id").as("q_id"), col("embedding")), "q_id", m, d2)
+    val (m, d2) = cbShape(cb)
+    val lut = subVectorsQ(quantized(queries).withColumnRenamed("vec_id", "q_id"),
+        Seq("q_id"), m, d2)
       .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("sub"), col("code"),
         (expr(dotExpr("sv", "sv")) + col("cn")
@@ -173,6 +188,100 @@ object Pq {
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy("q_id", "cand_id")
       .agg(sum("pd").as("adist"))
+    Similarity.topkPerQuery(
+        scored.select(col("q_id"), col("cand_id"), (-col("adist")).as("score")), k)
+      .select(col("q_id"), col("rn"), col("cand_id"), (-col("score")).as("adist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Whole-vector nearest-cell assignment by exact squared L2 — the IVF
+    * coarse quantizer of [[ivfTopkAdc]], shared with its spec. `cents` is
+    * (cell, cv, cn), model-sized, broadcast. Ties toward the smallest
+    * cell. Output: (vec_id, cell). */
+  private[graft] def assignCellsL2(vq: DataFrame, cents: DataFrame): DataFrame =
+    vq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (lit(2L) * expr(dotExpr("qv", "cv")) - col("cn")).as("negd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("negd"), -col("cell"))).as("cell"))
+
+  /** L2 centroids for the coarse quantizer: whole-vector k-means IS an
+    * m=1 product quantizer, so the centroid sample + deterministic Lloyd
+    * machinery is [[codebooksQ]] verbatim. Output: (cell, cv, cn). */
+  private[graft] def centroidsL2(vq: DataFrame, nCells: Int,
+                                 iters: Int): DataFrame =
+    codebooksQ(vq, m = 1, k = nCells, iters = iters)
+      .select(col("code").as("cell"), col("cv"), col("cn"))
+
+  /** IVFADC (Jégou et al. 2011, §5): the composed billion-vector search
+    * path — a coarse L2 quantizer prunes to `nProbe` of `nCells` cells,
+    * and PQ codes of the RESIDUAL (vector − its cell centroid) give each
+    * surviving candidate an O(m)-lookup ADC score. Encoding residuals
+    * rather than raw vectors is what makes a small codebook sharp: the
+    * coarse quantizer absorbs the coarse location, so the m×kCodes grid
+    * only has to describe the in-cell displacement.
+    *
+    * Every stage is the deterministic integer machinery above: centroids
+    * via [[centroidsL2]] (hash-seeded, exact integer Lloyd), residuals are
+    * exact Long differences, one shared residual codebook set via
+    * [[codebooksQ]], query-side probes pick the nProbe nearest cells by
+    * exact L2 (ties to the smallest cell). Output like [[topkAdc]]:
+    * (q_id, rn, cand_id, adist), adist = exact squared L2 between the
+    * query's in-cell residual and the candidate's reconstructed residual.
+    *
+    * Scale shape: centroids and residual codebooks are model-sized
+    * broadcasts; the corpus sees one assignment scan + one encode (both
+    * narrow before O(n) exchanges). Per query the LUT is nProbe·m·kCodes
+    * rows (broadcast), and ONLY candidates whose cell is probed enter the
+    * scored join — the wide volume is the probed fraction of the corpus,
+    * the 1/nCells·nProbe pruning that makes ADC affordable at 10⁹+
+    * vectors. */
+  def ivfTopkAdc(queries: DataFrame, candidates: DataFrame, k: Int,
+                 nCells: Int, nProbe: Int, m: Int, kCodes: Int,
+                 lloydIters: Int = 0, pqIters: Int = 0): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    graft.functions.DotProductLong.register(queries.sparkSession)
+    val vq = quantized(candidates)
+    val cents = centroidsL2(vq, nCells, lloydIters)
+      .pipe(graft.operators.Checkpoints.checkpoint(_))
+    // residual frame: (vec_id, cell, qv = vector − centroid[cell])
+    val resid = assignCellsL2(vq, cents)
+      .join(vq, "vec_id")
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+    val pcb = codebooksQ(resid.select(col("vec_id"), col("qv")), m, kCodes,
+      pqIters)
+    val codes = encodeQ(resid, pcb, Seq("vec_id", "cell"))
+    val (_, d2) = cbShape(pcb)
+
+    // query side: nProbe nearest cells by exact L2 (|q|² constant per
+    // query), then the per-(query, cell) residual feeds the LUT
+    val q = quantized(queries).withColumnRenamed("vec_id", "q_id")
+    val pw = Window.partitionBy("q_id")
+      .orderBy((lit(2L) * expr(dotExpr("qv", "cv")) - col("cn")).desc,
+        col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+    val lut = subVectorsQ(probes, Seq("q_id", "cell"), m, d2)
+      .join(broadcast(pcb), Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        (expr(dotExpr("sv", "sv")) + col("cn")
+          - lit(2L) * expr(dotExpr("sv", "cv"))).as("pd"))
+    val codesLong = codes.select(col("vec_id").as("cand_id"), col("cell"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = codesLong
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .groupBy("q_id", "cand_id")
+      .agg(sum("pd").as("adist"))
+    // cents/pcb checkpoints stay live until the caller consumes the
+    // result — release is the caller's call (Checkpoints.scoped{} /
+    // releaseAll), per the registry contract; the weak registry never
+    // pins them beyond reachability
     Similarity.topkPerQuery(
         scored.select(col("q_id"), col("cand_id"), (-col("adist")).as("score")), k)
       .select(col("q_id"), col("rn"), col("cand_id"), (-col("score")).as("adist"))
