@@ -19,6 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_interleave_by_source('docs_view')
   *   SELECT * FROM graft_take_per_group('docs_view', 'source', 1000)
   *   SELECT * FROM graft_dedup_spans('docs_view', 8)
+  *   SELECT * FROM graft_dedup_best('docs_view', 'n_chars')
+  *   SELECT * FROM graft_quantile_filter('docs_view', 'n_chars', 7, 10)
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -74,6 +76,17 @@ object GraftTableFunctions {
     "graft_dedup_spans" -> { exprs =>
       val a = args("graft_dedup_spans", exprs, 2)
       plan(text.Dedup.removeDuplicatedSpans(table(a(0)), n = int(a(1))))
+    },
+    "graft_dedup_best" -> { exprs =>
+      val a = args("graft_dedup_best", exprs, 2)
+      plan(text.Dedup.exactBest(table(a(0)), scoreCol = str(a(1))))
+    },
+    // threshold computed EAGERLY at planning (the exact order-statistic
+    // job) — the graft_sliding_agg note applies
+    "graft_quantile_filter" -> { exprs =>
+      val a = args("graft_quantile_filter", exprs, 4)
+      plan(text.Pipeline.filterByQuantile(table(a(0)),
+        scoreCol = str(a(1)), num = int(a(2)), den = int(a(3))))
     })
 
   private[graft] def descriptions

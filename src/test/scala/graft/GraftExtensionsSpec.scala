@@ -119,6 +119,24 @@ class GraftExtensionsSpec extends SparkSpec {
       val spansById = sqlSpans.map(r => r(0) -> r(3)).toMap
       assert(spansById(1L) == 0L && spansById(2L) == 8L, s"$spansById")
 
+      val docsScored = Seq((1L, "a b c", 5L), (2L, "c b a", 9L),
+        (3L, "x y", 2L), (4L, "y x", 7L)).toDF("doc_id", "text", "n_chars")
+      docsScored.createOrReplaceTempView("docs_scored_view")
+      val sqlBest = s2.sql(
+        "SELECT * FROM graft_dedup_best('docs_scored_view', 'n_chars')")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlBest == graft.text.Dedup.exactBest(docsScored, "n_chars")
+        .collect().map(_.toSeq).toSeq)
+      // groups {1,2} and {3,4}: the higher-scored member survives
+      assert(sqlBest.map(r => (r(0), r(1))).toSet == Set((2L, 9L), (4L, 7L)))
+      val sqlQf = s2.sql(
+        "SELECT * FROM graft_quantile_filter('docs_scored_view', 'n_chars', 1, 2)")
+        .collect().map(_.getLong(0)).toSet
+      assert(sqlQf == graft.text.Pipeline
+        .filterByQuantile(docsScored, "n_chars", 1, 2)
+        .collect().map(_.getLong(0)).toSet)
+      assert(sqlQf == Set(2L, 4L)) // median of {2,5,7,9} at rank 2 -> 7
+
       // TVFs compose inside a larger statement (the plan splices in)
       val n = s2.sql(
         """SELECT count(*) AS c FROM graft_chunk('docs_view', 4, 1)
