@@ -650,6 +650,47 @@ object Dedup {
     clusters(docs.select("doc_id"), verified)
   }
 
+  /** Survivor selection over ANY `(doc_id, cluster)` assignment —
+    * [[clusters]]/[[nearDedup]]'s LSH components,
+    * [[graft.embed.Similarity.embedNearDup]]'s embedding clusters, or an
+    * exact-group assignment ([[exactBest]] is the fused single-pass form
+    * for that case): keep the member with the highest `scoreCol` in
+    * `scored` (tie → smallest doc_id). This is the SemDeDup/FineWeb
+    * keep-one policy generalized: near-identical docs usually differ in
+    * truncation or boilerplate, so the quality signal — not id order —
+    * should pick the survivor. Members missing from `scored` (or with
+    * NULL score) lose to any scored member; an all-unscored cluster keeps
+    * its smallest doc_id with NULL best_score.
+    *
+    * Output: (cluster, rep_doc, best_score, cluster_size), one row per
+    * cluster, ordered by cluster. Scale shape: one co-partitioned
+    * equi-join on doc_id (left join — assignment is the spine) + one
+    * map-side-combined aggregation; no window, nothing all-pairs. */
+  def bestPerCluster(assign: DataFrame, scored: DataFrame,
+                     scoreCol: String): DataFrame =
+    assign
+      .join(scored.select(col("doc_id"),
+        col(scoreCol).cast(LongType).as("s")), Seq("doc_id"), "left")
+      .groupBy("cluster")
+      .agg(max_by(col("doc_id"), struct(col("s"), (-col("doc_id")).as("nid")))
+          .as("rep_doc"),
+        max("s").as("best_score"),
+        count(lit(1)).as("cluster_size"))
+      .select("cluster", "rep_doc", "best_score", "cluster_size")
+      .orderBy("cluster")
+
+  /** [[nearDedup]] composed with [[bestPerCluster]]: MinHash/LSH near-dup
+    * clusters, survivor = the best-scored member. The `docs` frame carries
+    * the score column (pass e.g. `TextAnalysis.quality` output joined on,
+    * or any integer quality signal). */
+  def nearDedupBest(docs: DataFrame, scoreCol: String, numHashes: Int = 16,
+                    bands: Int = 8, rowsPerBand: Int = 2, num: Int = 4,
+                    den: Int = 5): DataFrame =
+    bestPerCluster(
+      nearDedup(docs.select("doc_id", "text"), numHashes, bands, rowsPerBand,
+        num, den),
+      docs, scoreCol)
+
   /** Connected components over an undirected edge list (doc_a, doc_b):
     * min-label propagation accelerated with POINTER JUMPING — each round
     * also adopts label(label(v)), compressing label chains so convergence

@@ -54,6 +54,44 @@ class SurvivorQuantileSpec extends SparkSpec {
     assert(best.map(_.getLong(2)).sorted.toSeq == plain.map(_.getLong(1)).sorted.toSeq)
   }
 
+  test("bestPerCluster: planted near-dup cluster keeps its best-scored member, singletons keep themselves") {
+    // docs 1-3 share all but one token -> one LSH cluster; doc 9 is alone
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val out = graft.text.Dedup.nearDedupBest(docsDF(
+        (1L, base + " xa", 10L), (2L, base + " xb", 99L), (3L, base + " xc", 50L),
+        (9L, "completely different words here entirely", 7L)), "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L, 99L, 3L), (9L, 9L, 7L, 1L)))
+  }
+
+  test("bestPerCluster over an exact-group assignment agrees with exactBest") {
+    val rnd = new scala.util.Random(852)
+    val rows = (1L to 150L).map { i =>
+      (i, s"w${rnd.nextInt(20)} w${rnd.nextInt(20)}", java.lang.Long.valueOf(rnd.nextInt(40).toLong))
+    }
+    val docs = docsDF(rows: _*)
+    // exact groups as a (doc_id, cluster) assignment: cluster = group min id
+    val fp = docs.select(col("doc_id"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
+    val assign = fp.join(
+      fp.groupBy("fp").agg(min("doc_id").as("cluster")), "fp")
+      .select("doc_id", "cluster")
+    val viaCluster = graft.text.Dedup.bestPerCluster(assign, docs, "n_chars")
+      .select("rep_doc", "best_score", "cluster_size")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val viaExact = graft.text.Dedup.exactBest(docs, "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(viaCluster.toSeq == viaExact.toSeq)
+  }
+
+  test("bestPerCluster: members missing from the scored frame lose; all-unscored clusters degrade") {
+    val assign = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster")
+    val scored = docsDF((2L, "t", 3L)) // only doc 2 has a score
+    val out = graft.text.Dedup.bestPerCluster(assign, scored, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L, Some(3L), 2L), (5L, 5L, None, 2L)))
+  }
+
   test("filterByQuantile matches the brute-force exact threshold across num/den and partitionings") {
     val rnd = new scala.util.Random(86)
     val rows = (1L to 500L).map(i =>
