@@ -287,4 +287,42 @@ object Pq {
       .select(col("q_id"), col("rn"), col("cand_id"), (-col("score")).as("adist"))
       .orderBy("q_id", "rn")
   }
+
+  /** IVFADC with exact re-ranking (the production two-stage form — Jégou/
+    * Tavenard/Douze/Amsaleg, "Searching in one billion vectors: re-rank
+    * with source coding", ICASSP 2011): [[ivfTopkAdc]] shortlists
+    * `k·rerankFactor` candidates per query by ADC, then ONLY those rows
+    * fetch their true vectors for an exact integer squared-L2 rescore and
+    * the final top-k. ADC's lossiness is confined to shortlist membership;
+    * every returned distance is exact (engine-checkable, and `dist`
+    * replaces `adist` in the output to say so).
+    *
+    * Scale shape: the rescore joins |Q|·k·rerankFactor shortlist rows —
+    * thousands, not the corpus — against the candidate frame on its key
+    * (co-partitioned equi-join) with the |Q|-row query side broadcast;
+    * everything corpus-sized stays inside [[ivfTopkAdc]]'s pruned path.
+    * Output: (q_id, rn, cand_id, dist), rn 1..k by (dist asc, cand_id). */
+  def ivfTopkAdcRerank(queries: DataFrame, candidates: DataFrame, k: Int,
+                       nCells: Int, nProbe: Int, m: Int, kCodes: Int,
+                       rerankFactor: Int = 4, lloydIters: Int = 0,
+                       pqIters: Int = 0): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val shortlist = ivfTopkAdc(queries, candidates, k * rerankFactor,
+        nCells, nProbe, m, kCodes, lloydIters, pqIters)
+      .select(col("q_id"), col("cand_id"))
+    val q = quantized(queries).select(col("vec_id").as("q_id"),
+      col("qv").as("q_qv"))
+    val c = quantized(candidates).select(col("vec_id").as("cand_id"),
+      col("qv").as("c_qv"))
+    val exact = shortlist
+      .join(c, "cand_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        (expr(dotExpr("q_qv", "q_qv")) + expr(dotExpr("c_qv", "c_qv"))
+          - lit(2L) * expr(dotExpr("q_qv", "c_qv"))).as("dist"))
+    Similarity.topkPerQuery(
+        exact.select(col("q_id"), col("cand_id"), (-col("dist")).as("score")), k)
+      .select(col("q_id"), col("rn"), col("cand_id"), (-col("score")).as("dist"))
+      .orderBy("q_id", "rn")
+  }
 }

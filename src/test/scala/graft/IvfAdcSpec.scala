@@ -162,6 +162,42 @@ class IvfAdcSpec extends SparkSpec {
     assert(hits >= 18, s"IVFADC cluster-preserving top-1 under pruning: $hits/20")
   }
 
+  test("rerank: every returned distance is the exact quantized squared L2") {
+    val (data, _) = clustered(100, 16, nClusters = 5, seed = 94)
+    val queries = data.take(5)
+    val cands = data.drop(5)
+    val byId = cands.toMap
+    val out = Pq.ivfTopkAdcRerank(vecsDF(queries: _*), vecsDF(cands: _*),
+        k = 5, nCells = 5, nProbe = 3, m = 4, kCodes = 8, rerankFactor = 3,
+        lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.length == 25)
+    val byQ = queries.toMap
+    for ((qid, cid, dist) <- out)
+      assert(dist == d2(byQ(qid).map(q), byId(cid).map(q)),
+        s"($qid, $cid): $dist is not the exact distance")
+  }
+
+  test("rerank with full probes and a covering shortlist IS the exact L2 top-k") {
+    val (data, _) = clustered(60, 8, nClusters = 4, seed = 95)
+    val queries = data.take(4)
+    val cands = data.drop(4)
+    // k * rerankFactor >= |cands| and nProbe = nCells: nothing is pruned,
+    // so rerank must reproduce the exact ranking bit-for-bit
+    val got = Pq.ivfTopkAdcRerank(vecsDF(queries: _*), vecsDF(cands: _*),
+        k = 3, nCells = 4, nProbe = 4, m = 2, kCodes = 6, rerankFactor = 20,
+        lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val want = queries.flatMap { case (qid, v) =>
+      val qv = v.map(q)
+      cands.map { case (cid, cv) => (qid, cid, d2(qv, cv.map(q))) }
+        .sortBy { case (_, cid, d) => (d, cid) }.take(3).zipWithIndex
+        .map { case ((_, cid, d), i) => (qid, i + 1L, cid, d) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
   test("rejects nProbe > nCells and nProbe < 1") {
     val d = vecsDF(1L -> Seq(0.1f, 0.2f))
     intercept[IllegalArgumentException](
