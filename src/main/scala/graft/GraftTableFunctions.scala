@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_dedup_spans('docs_view', 8)
   *   SELECT * FROM graft_dedup_best('docs_view', 'n_chars')
   *   SELECT * FROM graft_quantile_filter('docs_view', 'n_chars', 7, 10)
+  *   SELECT * FROM graft_quantile_filter_by('docs_view', 'n_chars', 'lang', 7, 10)
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -87,6 +88,12 @@ object GraftTableFunctions {
       val a = args("graft_quantile_filter", exprs, 4)
       plan(text.Pipeline.filterByQuantile(table(a(0)),
         scoreCol = str(a(1)), num = int(a(2)), den = int(a(3))))
+    },
+    "graft_quantile_filter_by" -> { exprs =>
+      val a = args("graft_quantile_filter_by", exprs, 5)
+      plan(text.Pipeline.filterByQuantilePerGroup(table(a(0)),
+        scoreCol = str(a(1)), groupCol = str(a(2)),
+        num = int(a(3)), den = int(a(4))))
     })
 
   private[graft] def descriptions

@@ -716,6 +716,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")),
 
+    // ── per-group exact-quantile filter: keep each LANGUAGE's docs
+    // at/above its own 7/10 n_chars quantile — the per-domain quality
+    // cut (one global threshold would let verbose languages crowd out
+    // terse ones); windows partitioned by lang, thresholds joined back ──
+    "q87_quantile_per_group" -> ((s, dir) =>
+      graft.text.Pipeline.filterByQuantilePerGroup(
+          s.read.parquet(t(dir, "documents")), "n_chars", "lang", num = 7, den = 10)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1617,6 +1628,22 @@ object SparkEntry {
         |thr AS (SELECT v FROM r, n WHERE r.rk = (7 * n.n) // 10)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE n_chars >= (SELECT v FROM thr)
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Pipeline.filterByQuantilePerGroup: per-lang threshold =
+    // element at 0-indexed rank floor(7·n_g/10) of the group's non-NULL
+    // n_chars ascending; null-safe group join like Spark's <=>
+    "q87_quantile_per_group" ->
+      """WITH s AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |r AS (SELECT lang, v,
+        |        row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM s),
+        |thr AS (SELECT lang, v AS t FROM r WHERE rk = (7 * n) // 10)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
+        |WHERE d.n_chars >= thr.t
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),

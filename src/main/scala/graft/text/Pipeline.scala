@@ -165,6 +165,47 @@ object Pipeline {
     }
   }
 
+  /** Per-group [[filterByQuantile]] — "keep each source's/language's top
+    * (1 − num/den) by score": rows whose integer `scoreCol` is >= the
+    * element at 0-indexed rank floor(num·n_g/den) of THEIR group's
+    * non-NULL scores ascending (n_g = the group's non-NULL count). This is
+    * the per-domain quality cut real curation applies — one global
+    * threshold lets a verbose domain crowd out a terse one; per-group
+    * fractions keep the mix while cutting each domain's tail.
+    *
+    * Deterministic despite the row_number over ties: the VALUE at a fixed
+    * rank of a sorted multiset does not depend on tie order. NULL groups
+    * form one group (null-safe join back); rows with NULL score never
+    * pass; a group whose scores are all NULL is dropped entirely (its
+    * quantile does not exist — same degrade as [[filterByQuantile]] on an
+    * all-NULL corpus).
+    *
+    * Scale shape: one exchange on `groupCol` feeding two same-spec
+    * windows (rank + group count — single sort, no second shuffle), an
+    * O(#groups) threshold frame joined back co-partitioned. The in-group
+    * sort serializes per group — right for MANY groups of bounded size
+    * (domains, languages); for a handful of giant groups run
+    * [[filterByQuantile]] per group instead (the global TeraSort path). */
+  def filterByQuantilePerGroup(docs: DataFrame, scoreCol: String,
+                               groupCol: String, num: Int, den: Int): DataFrame = {
+    require(den >= 2 && num >= 1 && num < den,
+      s"need 1 <= num < den (den >= 2), got $num/$den")
+    Seq("__g", "__thr").foreach { c =>
+      require(!docs.columns.contains(c), s"input already has a '$c' column")
+    }
+    val s = col(scoreCol).cast(LongType)
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val thr = docs.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"), s.as("__s"))
+      .withColumn("__rk", row_number().over(byG.orderBy(col("__s"))).cast(LongType) - 1)
+      .withColumn("__n", count(lit(1)).over(byG))
+      .filter(col("__rk") === expr(s"CAST($num * __n AS BIGINT) DIV $den"))
+      .select(col("__g"), col("__s").as("__thr"))
+    docs.join(thr, docs(groupCol) <=> thr("__g"))
+      .filter(s >= col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace. Returns the normalized text plus a changed flag. */
   def normalize(docs: DataFrame, ordered: Boolean = true): DataFrame = {

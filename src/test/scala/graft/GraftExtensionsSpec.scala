@@ -136,6 +136,16 @@ class GraftExtensionsSpec extends SparkSpec {
         .filterByQuantile(docsScored, "n_chars", 1, 2)
         .collect().map(_.getLong(0)).toSet)
       assert(sqlQf == Set(2L, 4L)) // median of {2,5,7,9} at rank 2 -> 7
+      val scoredSrc = Seq((1L, "web", 1L), (2L, "web", 9L),
+        (3L, "books", 4L), (4L, "books", 2L)).toDF("doc_id", "lang", "n_chars")
+      scoredSrc.createOrReplaceTempView("docs_grouped_view")
+      val sqlQfBy = s2.sql(
+        "SELECT * FROM graft_quantile_filter_by('docs_grouped_view', 'n_chars', 'lang', 1, 2)")
+        .collect().map(_.getLong(0)).toSet
+      assert(sqlQfBy == graft.text.Pipeline
+        .filterByQuantilePerGroup(scoredSrc, "n_chars", "lang", 1, 2)
+        .collect().map(_.getLong(0)).toSet)
+      assert(sqlQfBy == Set(2L, 3L)) // per-group medians: web 9, books 4
 
       // TVFs compose inside a larger statement (the plan splices in)
       val n = s2.sql(

@@ -116,6 +116,47 @@ class SurvivorQuantileSpec extends SparkSpec {
     assert(Pipeline.filterByQuantile(allNull, "n_chars", 1, 2).count() == 0L)
   }
 
+  test("filterByQuantilePerGroup matches a per-group brute force; NULL group is its own group") {
+    val rnd = new scala.util.Random(87)
+    val groups = Seq("web", "books", "code", null)
+    val rows = (1L to 400L).map { i =>
+      (i, groups(rnd.nextInt(groups.size)), java.lang.Long.valueOf(rnd.nextInt(60).toLong))
+    }
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    for ((num, den) <- Seq((7, 10), (1, 2), (3, 4)); parts <- Seq(1, 5)) {
+      val got = graft.text.Pipeline.filterByQuantilePerGroup(
+          df.repartition(parts), "n_chars", "lang", num, den)
+        .select("doc_id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+        val scores = members.map(_._3.toLong).sorted
+        val thr = scores((num.toLong * scores.size / den).toInt)
+        members.filter(_._3.toLong >= thr).map(_._1)
+      }.toSet
+      assert(got == want, s"num=$num den=$den parts=$parts")
+    }
+  }
+
+  test("filterByQuantilePerGroup: all-NULL-score groups are dropped; single group agrees with filterByQuantile") {
+    val mixed = Seq(
+      (1L, "a", java.lang.Long.valueOf(5L)), (2L, "a", java.lang.Long.valueOf(9L)),
+      (3L, "b", null: java.lang.Long), (4L, "b", null: java.lang.Long))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = graft.text.Pipeline
+      .filterByQuantilePerGroup(mixed, "n_chars", "lang", 1, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L)) // group b vanishes; group a's median-rank value is 9
+
+    val rnd = new scala.util.Random(871)
+    val one = (1L to 200L).map(i =>
+      (i, "only", java.lang.Long.valueOf(rnd.nextInt(40).toLong))).toDF("doc_id", "lang", "n_chars")
+    val viaGroup = graft.text.Pipeline
+      .filterByQuantilePerGroup(one, "n_chars", "lang", 7, 10)
+      .select("doc_id").as[Long].collect().toSet
+    val viaGlobal = graft.text.Pipeline.filterByQuantile(one, "n_chars", 7, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaGroup == viaGlobal)
+  }
+
   test("filterByQuantile rejects degenerate num/den") {
     val d = docsDF((1L, "a", 1L))
     intercept[IllegalArgumentException](Pipeline.filterByQuantile(d, "n_chars", 0, 2))
