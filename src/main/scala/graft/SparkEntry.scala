@@ -1573,7 +1573,7 @@ object SparkEntry {
         |    list_transform(list_transform(embedding,
         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
         |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |seeds AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
         |          FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
         |cbn AS (SELECT t.sub, code, vd[(t.sub*8+1):(t.sub*8+8)] AS cv,

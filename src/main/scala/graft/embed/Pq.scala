@@ -245,12 +245,17 @@ object Pq {
     val vq = quantized(candidates)
     val cents = centroidsL2(vq, nCells, lloydIters)
       .pipe(graft.operators.Checkpoints.checkpoint(_))
-    // residual frame: (vec_id, cell, qv = vector − centroid[cell])
-    val resid = assignCellsL2(vq, cents)
-      .join(vq, "vec_id")
-      .join(broadcast(cents), "cell")
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+    // residual frame: (vec_id, cell, qv = vector − centroid[cell]) —
+    // checkpointed: it feeds the codebook dim probe, the hash-ordered
+    // seed collect, pqIters Lloyd rounds, encode, AND the scored join;
+    // without materialization the n×nCells assignment join re-executes
+    // under every one of those consumers
+    val resid = graft.operators.Checkpoints.checkpoint(
+      assignCellsL2(vq, cents)
+        .join(vq, "vec_id")
+        .join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv")))
     val pcb = codebooksQ(resid.select(col("vec_id"), col("qv")), m, kCodes,
       pqIters)
     val codes = encodeQ(resid, pcb, Seq("vec_id", "cell"))
@@ -314,8 +319,10 @@ object Pq {
       col("qv").as("q_qv"))
     val c = quantized(candidates).select(col("vec_id").as("cand_id"),
       col("qv").as("c_qv"))
-    val exact = shortlist
-      .join(c, "cand_id")
+    // the shortlist is thousands of rows against a corpus-sized c: it
+    // must be the broadcast side, or the rescore exchanges the corpus
+    val exact = c
+      .join(broadcast(shortlist), "cand_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("cand_id"),
         (expr(dotExpr("q_qv", "q_qv")) + expr(dotExpr("c_qv", "c_qv"))

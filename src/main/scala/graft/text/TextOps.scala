@@ -113,17 +113,25 @@ object Dedup {
     * collision in both — P < 10^-18 even at 10^12 docs (birthday bound) —
     * but it IS probabilistic, so callers opt in explicitly at the call
     * site rather than getting it silently (parity is spec-tested). */
-  def exact(docs: DataFrame, verifyExact: Boolean = true): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
-    val grouped =
-      if (verifyExact) fp.groupBy("fp")
-      else fp.select(col("doc_id"), xxhash64(col("fp")).as("fph1"), xhash(col("fp")).as("fph2"))
-        .groupBy("fph1", "fph2")
-    grouped
+  def exact(docs: DataFrame, verifyExact: Boolean = true): DataFrame =
+    fingerprintGroups(docs, Seq.empty, verifyExact)
       .agg(min("doc_id").as("rep_doc"), count(lit(1)).as("dup_cnt"))
       .select("rep_doc", "dup_cnt")
       .orderBy("rep_doc")
+
+  /** The ONE definition of the exact-dedup grouping shared by [[exact]]
+    * and [[exactBest]] (their DuckDB mirrors replicate it, so it must not
+    * fork): normalized fingerprint = sorted distinct word set; group key =
+    * the fingerprint itself, or its 16-byte (xxhash64, xhash) pair on the
+    * hashed scale path. `carry` columns ride along un-grouped. */
+  private def fingerprintGroups(docs: DataFrame, carry: Seq[Column],
+                                verifyExact: Boolean) = {
+    val fp = docs.select(col("doc_id") +: carry :+
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"): _*)
+    if (verifyExact) fp.groupBy("fp")
+    else fp.select(col("doc_id") +: carry :+
+        xxhash64(col("fp")).as("fph1") :+ xhash(col("fp")).as("fph2"): _*)
+      .groupBy("fph1", "fph2")
   }
 
   /** The 100 TB form of [[exact]]: group on a 16-byte hash pair of the
@@ -149,20 +157,16 @@ object Dedup {
     * group keeps its smallest doc_id, best_score NULL). */
   def exactBest(docs: DataFrame, scoreCol: String,
                 verifyExact: Boolean = true): DataFrame = {
-    val fp = docs.select(col("doc_id"), col(scoreCol).cast(LongType).as("s"),
-      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
-    val grouped =
-      if (verifyExact) fp.groupBy("fp")
-      else fp.select(col("doc_id"), col("s"),
-          xxhash64(col("fp")).as("fph1"), xhash(col("fp")).as("fph2"))
-        .groupBy("fph1", "fph2")
+    require(!docs.columns.contains("__score"),
+      "input already has a '__score' column")
     // max_by over (score, -doc_id): highest score wins, ties to the
     // smallest id. NULL-score rows: struct comparison puts NULL lowest,
     // matching the scaladoc contract.
-    grouped
-      .agg(max_by(col("doc_id"), struct(col("s"), (-col("doc_id")).as("nid")))
+    fingerprintGroups(docs.withColumn("__score", col(scoreCol).cast(LongType)),
+        Seq(col("__score")), verifyExact)
+      .agg(max_by(col("doc_id"), struct(col("__score"), (-col("doc_id")).as("nid")))
           .as("rep_doc"),
-        max("s").as("best_score"),
+        max("__score").as("best_score"),
         count(lit(1)).as("dup_cnt"))
       .select("rep_doc", "best_score", "dup_cnt")
       .orderBy("rep_doc")

@@ -136,8 +136,10 @@ class PqSpec extends SparkSpec {
     }
     val want = (0L until 3L).map { c =>
       val members = assign.collect { case (id, `c`) => data.toMap.apply(id).map(q) }
+      // Spark's `s DIV c` truncates toward zero (NOT floorDiv) — Scala
+      // Long division matches; floorDiv would diverge on negative sums
       c -> (if (members.isEmpty) cb0(c)
-            else members.transpose.map(xs => Math.floorDiv(xs.sum, xs.size)).toSeq)
+            else members.transpose.map(xs => xs.sum / xs.size).toSeq)
     }.toMap
     assert(want.values.exists(_ != null)) // shape guard
     assert((0L until 3L).forall(c => cb1(c) == want(c)),

@@ -34,9 +34,12 @@ object VecScaleProbeMain {
     val dim = 64
     val nClusters = 200
     // deterministic pseudo-vector: center(c)[d] in [-500, 500] from a hash
-    // of (c, d); member jitter in [-20, 20] from a hash of (vec_id, d).
-    // Scaled to float via /1000 so Similarity.quantize round-trips the
-    // integers exactly.
+    // of (c, d); member jitter in [-20, 20] from a hash of (vec_id, d),
+    // scaled to float via /1000. NOTE: float32 representation error means
+    // quantize's floor(x·1000) can land one BELOW the synthesized integer
+    // (0.7f = 0.69999998… → 699) — identical on every run, so fine for a
+    // timing probe, but do NOT reuse this generator for value-checked
+    // oracle fixtures expecting the exact lattice.
     def vectors(n: Int) = spark.range(n)
       .select(col("id").as("vec_id"),
         expr(s"""transform(sequence(0, ${dim - 1}), d ->
