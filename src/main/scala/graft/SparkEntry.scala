@@ -693,7 +693,11 @@ object SparkEntry {
     "q84_pq_adc" -> ((s, dir) => {
       val emb = s.read.parquet(t(dir, "embeddings"))
       val cand = emb.filter(col("vec_id") >= 5)
-      val cb = graft.embed.Pq.seedCodebooks(cand.orderBy("vec_id").limit(16), m = 8)
+      // NULL filter BEFORE the limit: the oracle's e CTE drops NULL
+      // embeddings first, so the 16 seed slots must too — without it a
+      // NULL row among the 16 lowest vec_ids would diverge the codebooks
+      val cb = graft.embed.Pq.seedCodebooks(
+        cand.filter(col("embedding").isNotNull).orderBy("vec_id").limit(16), m = 8)
       graft.embed.Pq.topkAdc(emb.filter(col("vec_id") < 5),
         graft.embed.Pq.encode(cand, cb), cb, k = 10)
     }),

@@ -1,6 +1,6 @@
 package graft.embed
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -71,12 +71,17 @@ object Pq {
   def seedCodebooks(seeds: DataFrame, m: Int): DataFrame =
     seedCodebooksQ(quantized(seeds), m)
 
-  private def seedCodebooksQ(seedsQ: DataFrame, m: Int): DataFrame = {
+  private def seedCodebooksQ(seedsQ: DataFrame, m: Int,
+                             expectK: Option[Int] = None): DataFrame = {
     graft.functions.DotProductLong.register(seedsQ.sparkSession)
     import seedsQ.sparkSession.implicits._
     val rows = seedsQ.select(col("vec_id"), col("qv"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1)
     require(rows.nonEmpty, "seedCodebooks needs at least one non-null seed")
+    expectK.foreach(k => require(rows.length == k,
+      s"codebooks: k=$k entries requested but the corpus holds only " +
+        s"${rows.length} non-NULL vectors — the codebook contract " +
+        "(k entries per subspace, all codes present) cannot be met"))
     val d = rows.head._2.size
     require(d % m == 0, s"dim $d not divisible by m=$m")
     require(rows.forall(_._2.size == d), "seed embedding dims differ")
@@ -110,12 +115,23 @@ object Pq {
     * Each round is checkpoint-scoped like ivfRefine — iterative lineage
     * otherwise re-executes prior rounds under every consumer.
     * Output: (sub, code, cv, cn), k entries per subspace, ALL k codes
-    * present every round (starved cells keep their previous entry). */
-  def codebooks(vectors: DataFrame, m: Int, k: Int, iters: Int = 0): DataFrame =
-    codebooksQ(quantized(vectors), m, k, iters)
+    * present every round (starved cells keep their previous entry) —
+    * a corpus with fewer than k non-NULL vectors fails fast (require)
+    * rather than silently degrading the codebook.
+    *
+    * `seedOrder` picks WHICH k vectors seed the codebook (first k by
+    * (seedOrder(vq), vec_id)); the default xxhash64 order is a uniform
+    * deterministic sample. An oracle-replayable gate may pass an order
+    * both engines compute (e.g. an md5-hex prefix over the id string) —
+    * seed CHOICE is the only part of the construction a foreign engine
+    * cannot reproduce, everything downstream is exact integers. */
+  def codebooks(vectors: DataFrame, m: Int, k: Int, iters: Int = 0,
+                seedOrder: Column = xxhash64(col("vec_id"))): DataFrame =
+    codebooksQ(quantized(vectors), m, k, iters, seedOrder)
 
   private[graft] def codebooksQ(vq: DataFrame, m: Int, k: Int,
-                                iters: Int): DataFrame = {
+                                iters: Int,
+                                seedOrder: Column = xxhash64(col("vec_id"))): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     graft.functions.DotProductLong.register(vq.sparkSession)
@@ -123,9 +139,9 @@ object Pq {
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val d2 = d / m
     val seeds = vq
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(seedOrder, col("vec_id"))
       .limit(k)
-    var cb = seedCodebooksQ(seeds, m)
+    var cb = seedCodebooksQ(seeds, m, expectK = Some(k))
       .pipe(graft.operators.Checkpoints.checkpoint(_))
     val subv = subVectorsQ(vq, Seq("vec_id"), m, d2)
     for (_ <- 1 to iters) {
@@ -208,9 +224,9 @@ object Pq {
   /** L2 centroids for the coarse quantizer: whole-vector k-means IS an
     * m=1 product quantizer, so the centroid sample + deterministic Lloyd
     * machinery is [[codebooksQ]] verbatim. Output: (cell, cv, cn). */
-  private[graft] def centroidsL2(vq: DataFrame, nCells: Int,
-                                 iters: Int): DataFrame =
-    codebooksQ(vq, m = 1, k = nCells, iters = iters)
+  private[graft] def centroidsL2(vq: DataFrame, nCells: Int, iters: Int,
+                                 seedOrder: Column = xxhash64(col("vec_id"))): DataFrame =
+    codebooksQ(vq, m = 1, k = nCells, iters = iters, seedOrder = seedOrder)
       .select(col("code").as("cell"), col("cv"), col("cn"))
 
   /** IVFADC (Jégou et al. 2011, §5): the composed billion-vector search
@@ -238,12 +254,13 @@ object Pq {
     * vectors. */
   def ivfTopkAdc(queries: DataFrame, candidates: DataFrame, k: Int,
                  nCells: Int, nProbe: Int, m: Int, kCodes: Int,
-                 lloydIters: Int = 0, pqIters: Int = 0): DataFrame = {
+                 lloydIters: Int = 0, pqIters: Int = 0,
+                 seedOrder: Column = xxhash64(col("vec_id"))): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
       s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
     graft.functions.DotProductLong.register(queries.sparkSession)
     val vq = quantized(candidates)
-    val cents = centroidsL2(vq, nCells, lloydIters)
+    val cents = centroidsL2(vq, nCells, lloydIters, seedOrder)
       .pipe(graft.operators.Checkpoints.checkpoint(_))
     // residual frame: (vec_id, cell, qv = vector − centroid[cell]) —
     // checkpointed: it feeds the codebook dim probe, the hash-ordered
@@ -257,7 +274,7 @@ object Pq {
         .select(col("vec_id"), col("cell"),
           zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv")))
     val pcb = codebooksQ(resid.select(col("vec_id"), col("qv")), m, kCodes,
-      pqIters)
+      pqIters, seedOrder)
     val codes = encodeQ(resid, pcb, Seq("vec_id", "cell"))
     val (_, d2) = cbShape(pcb)
 
@@ -310,10 +327,11 @@ object Pq {
   def ivfTopkAdcRerank(queries: DataFrame, candidates: DataFrame, k: Int,
                        nCells: Int, nProbe: Int, m: Int, kCodes: Int,
                        rerankFactor: Int = 4, lloydIters: Int = 0,
-                       pqIters: Int = 0): DataFrame = {
+                       pqIters: Int = 0,
+                       seedOrder: Column = xxhash64(col("vec_id"))): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     val shortlist = ivfTopkAdc(queries, candidates, k * rerankFactor,
-        nCells, nProbe, m, kCodes, lloydIters, pqIters)
+        nCells, nProbe, m, kCodes, lloydIters, pqIters, seedOrder)
       .select(col("q_id"), col("cand_id"))
     val q = quantized(queries).select(col("vec_id").as("q_id"),
       col("qv").as("q_qv"))

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Sparse lexical retrieval over the corpus: BM25-shaped top-k ranking of
   * documents for a (small) query set — the classic candidate-generation /
@@ -40,6 +40,12 @@ import org.apache.spark.sql.types.LongType
   * Output: (q_id, rank, doc_id, score1000), rank 1..k by
   * (score1000 desc, doc_id) — a strict total order, partitioning-invariant.
   * Queries whose terms miss the corpus entirely yield no rows.
+  *
+  * Column-type contract: `q_id` is treated as a STRING key (any type is
+  * cast to string up front — a Long-keyed query frame works, its ids
+  * ranked by their decimal spelling); `doc_id` must be an integral column
+  * (the bounded-heap partial top-k packs it losslessly into a Long),
+  * enforced with a require rather than an opaque downstream cast error.
   */
 object Retrieval {
 
@@ -48,6 +54,9 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1Permille >= 0 && bPermille >= 0 && bPermille <= 1000,
       s"need k1Permille >= 0 and bPermille in [0,1000], got $k1Permille/$bPermille")
+    val docIdType = docs.schema("doc_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(docIdType),
+      s"bm25TopK needs an integral doc_id (heap contract), got $docIdType")
     import docs.sparkSession.implicits._
 
     // corpus stats: two scalars off one narrow pass (O(1) driver state).
@@ -63,7 +72,8 @@ object Retrieval {
     // string q_id -> dense long index is an O(|Q|) driver map (needed by
     // the Long-keyed partial-top-k heap), joined back at the end
     val qt = queries
-      .select(col("q_id"), explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      .select(col("q_id").cast(StringType).as("q_id"),
+        explode(array_distinct(split(col("qtext"), " "))).as("term"))
     val qIds = qt.select("q_id").distinct().as[String].collect().sorted
     val qIdx = qIds.zipWithIndex.map { case (q, i) => (q, i.toLong) }
       .toSeq.toDF("q_id", "qn")

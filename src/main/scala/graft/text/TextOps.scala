@@ -711,7 +711,15 @@ object Dedup {
     * output, no compare join.
     * Returns (doc_id, cluster), cluster = min reachable id. */
   def clusters(allDocs: DataFrame, edges: DataFrame, maxIter: Int = 20,
-               broadcastMaxLabels: Long = 2000000L): DataFrame = {
+               broadcastMaxLabels: Long = 1000000L): DataFrame = {
+    // broadcast cap sizing: each round issues up to 3 broadcast hints of
+    // the ~16 B/row label table (plus the final singleton join), and the
+    // hint API leaves reclamation to ContextCleaner — at the cap that is
+    // ~16 MB per broadcast across up to maxIter rounds of transient
+    // driver/executor footprint. 1M rows keeps the worst case near the
+    // default autoBroadcast ceiling; dedup-scale graphs (|V| = edge-touched
+    // docs) sit far below it, and a graph above the cap takes the
+    // all-shuffle rounds unchanged.
     val numParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // the raw cache keeps the possibly-expensive upstream edge join from
     // re-executing, and its count sizes the ROUND-SHAPE partitioning:
