@@ -731,6 +731,23 @@ object SparkEntry {
           col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")),
 
+    // ── IVFADC + exact rerank (Jégou et al. ICASSP 2011): the composed
+    // billion-vector search path, fully oracle-replayed — coarse L2
+    // centroids (md5-ordered seed sample both engines compute), residual
+    // PQ codebooks, per-cell ADC over the probed cells only, then exact
+    // integer rerank of the 4k shortlist. Every distance is an exact
+    // BIGINT; the md5 seedOrder is the one construction knob a foreign
+    // engine needs to replay seed CHOICE (everything downstream is
+    // deterministic integer arithmetic). Queries/candidates follow q22 ───
+    "q88_ivfadc_rerank" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      graft.embed.Pq.ivfTopkAdcRerank(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 10, nCells = 8, nProbe = 3, m = 8, kCodes = 16,
+        rerankFactor = 4,
+        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
+    }),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1649,6 +1666,85 @@ object SparkEntry {
         |FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
         |WHERE d.n_chars >= thr.t
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Pq.ivfTopkAdcRerank end-to-end: quantized grid (q84's
+    // recipe), coarse centroids = the 8 candidates ranked first by
+    // (md5(vec_id::VARCHAR), vec_id) with cell ids assigned in vec_id
+    // order (seedCodebooks' convention), cell assignment = argmax
+    // (2·dot − |c|²) ties-to-smallest, residual = v − centroid[cell],
+    // residual PQ codebook = 16 md5-ranked residuals sliced into 8
+    // subspaces, encode = per-(vec,sub) argmin, query probes = top-3
+    // cells, LUT pd = |q_sub|² + |c|² − 2·q_sub·c per probed cell, ADC
+    // shortlist = top-40 by (Σpd, cand_id), exact rerank dist =
+    // |q|² + |c|² − 2·q·c, final rank by (dist, cand_id). All values on
+    // the integer grid — every comparison is over exact BIGINTs
+    "q88_ivfadc_rerank" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cand AS (SELECT vec_id, vd FROM e WHERE vec_id >= 5),
+        |qv AS (SELECT vec_id, vd FROM e WHERE vec_id < 5),
+        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        |          FROM (SELECT vec_id, vd FROM cand
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+        |cents AS (SELECT cell, vd AS cv,
+        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed),
+        |asg AS (SELECT vec_id, cell FROM (
+        |          SELECT c.vec_id, ct.cell,
+        |            row_number() OVER (PARTITION BY c.vec_id
+        |              ORDER BY CAST(2 * list_dot_product(c.vd, ct.cv) AS BIGINT) - ct.cn DESC,
+        |                       ct.cell) AS rn
+        |          FROM cand c, cents ct) WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cell,
+        |          list_transform(range(1, 65), i -> c.vd[i] - ct.cv[i]) AS rv
+        |        FROM asg a JOIN cand c USING (vec_id) JOIN cents ct USING (cell)),
+        |pseed AS (SELECT rv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        |          FROM (SELECT vec_id, rv FROM res
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+        |pcb AS (SELECT t.sub, code, rv[(t.sub*8+1):(t.sub*8+8)] AS cv,
+        |          CAST(list_dot_product(rv[(t.sub*8+1):(t.sub*8+8)],
+        |                                rv[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
+        |        FROM pseed, UNNEST(range(0, 8)) AS t(sub)),
+        |rs AS (SELECT vec_id AS cand_id, cell, t.sub,
+        |         rv[(t.sub*8+1):(t.sub*8+8)] AS sv
+        |       FROM res, UNNEST(range(0, 8)) AS t(sub)),
+        |enc AS (SELECT cand_id, cell, sub, code FROM (
+        |          SELECT rs.cand_id, rs.cell, rs.sub, pcb.code,
+        |            row_number() OVER (PARTITION BY rs.cand_id, rs.sub
+        |              ORDER BY CAST(2 * list_dot_product(rs.sv, pcb.cv) AS BIGINT) - pcb.cn DESC,
+        |                       pcb.code) AS arn
+        |          FROM rs JOIN pcb USING (sub)) WHERE arn = 1),
+        |probes AS (SELECT q_id, cell, qrv FROM (
+        |            SELECT q.vec_id AS q_id, ct.cell,
+        |              list_transform(range(1, 65), i -> q.vd[i] - ct.cv[i]) AS qrv,
+        |              row_number() OVER (PARTITION BY q.vec_id
+        |                ORDER BY CAST(2 * list_dot_product(q.vd, ct.cv) AS BIGINT) - ct.cn DESC,
+        |                         ct.cell) AS pr
+        |            FROM qv q, cents ct) WHERE pr <= 3),
+        |ql AS (SELECT q_id, cell, t.sub, qrv[(t.sub*8+1):(t.sub*8+8)] AS sv
+        |       FROM probes, UNNEST(range(0, 8)) AS t(sub)),
+        |lut AS (SELECT q_id, cell, sub, code,
+        |          CAST(list_dot_product(ql.sv, ql.sv) AS BIGINT) + pcb.cn
+        |          - CAST(2 * list_dot_product(ql.sv, pcb.cv) AS BIGINT) AS pd
+        |        FROM ql JOIN pcb USING (sub)),
+        |sc AS (SELECT q_id, cand_id, CAST(sum(pd) AS BIGINT) AS adist
+        |       FROM enc JOIN lut USING (cell, sub, code) GROUP BY q_id, cand_id),
+        |short AS (SELECT q_id, cand_id FROM (
+        |           SELECT q_id, cand_id,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS srn
+        |           FROM sc) WHERE srn <= 40),
+        |ex AS (SELECT s.q_id, s.cand_id,
+        |         CAST(list_dot_product(q.vd, q.vd) AS BIGINT)
+        |         + CAST(list_dot_product(c.vd, c.vd) AS BIGINT)
+        |         - CAST(2 * list_dot_product(q.vd, c.vd) AS BIGINT) AS dist
+        |       FROM short s JOIN qv q ON s.q_id = q.vec_id
+        |            JOIN cand c ON s.cand_id = c.vec_id)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, cand_id) AS BIGINT) AS rn,
+        |  cand_id, dist
+        |FROM ex QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties

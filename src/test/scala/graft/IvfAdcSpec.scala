@@ -198,6 +198,46 @@ class IvfAdcSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("seedOrder hook: md5-ordered centroid seeds replay exactly (q88's oracle convention)") {
+    // the q88 gate hands codebooksQ an order BOTH engines compute:
+    // md5 of the id's decimal spelling. Pin the full convention here —
+    // seeds = first k by (md5hex, vec_id), cell ids assigned by vec_id
+    // order AMONG the selected seeds — so the DuckDB oracle's cseed CTE
+    // and this code can never silently drift apart.
+    val (data, _) = clustered(50, 8, nClusters = 4, seed = 96)
+    val vq = qvDF(data.map { case (id, v) => id -> v.map(q) }: _*)
+    val k = 5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = data.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(k)
+      .sorted.zipWithIndex
+      .map { case (id, i) => i.toLong -> data.toMap.apply(id).map(q) }.toMap
+    val got = Pq.centroidsL2(vq, nCells = k, iters = 0,
+        seedOrder = md5(col("vec_id").cast("string").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == want.map { case (c, v) => c -> v.toSeq })
+  }
+
+  test("rerank with a custom seedOrder stays exact-distance and covers the exact top-k when nothing is pruned") {
+    val (data, _) = clustered(60, 8, nClusters = 4, seed = 97)
+    val queries = data.take(4)
+    val cands = data.drop(4)
+    val so = md5(col("vec_id").cast("string").cast("binary"))
+    val got = Pq.ivfTopkAdcRerank(vecsDF(queries: _*), vecsDF(cands: _*),
+        k = 3, nCells = 4, nProbe = 4, m = 2, kCodes = 6, rerankFactor = 20,
+        seedOrder = so)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val want = queries.flatMap { case (qid, v) =>
+      val qv = v.map(q)
+      cands.map { case (cid, cv) => (qid, cid, d2(qv, cv.map(q))) }
+        .sortBy { case (_, cid, d) => (d, cid) }.take(3).zipWithIndex
+        .map { case ((_, cid, d), i) => (qid, i + 1L, cid, d) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
   test("rejects nProbe > nCells and nProbe < 1") {
     val d = vecsDF(1L -> Seq(0.1f, 0.2f))
     intercept[IllegalArgumentException](
