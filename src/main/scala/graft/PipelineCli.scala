@@ -18,10 +18,20 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   *   2. PII redaction
   *   3. quality floor (integer quality score >= minQuality)
   *   4. repetition ceiling (dup-bigram mass <= maxDupFrac)
+  *  4b. OPTIONAL model-based scoring (hashed-linear classifier inference
+  *      when a weights parquet is given — the fastText/CCNet shape; the
+  *      heuristic quality score otherwise) feeding the next two stages
+  *  4c. OPTIONAL fraction-budgeted quantile filter: keep docs at/above
+  *      the num/den exact quantile of the stage-4b score — globally, or
+  *      per group (e.g. per source/language) so verbose domains can't
+  *      crowd out terse ones. The threshold is computed over the
+  *      POST-floor population: "keep the top 3/10 of what survived".
   *   5. OPTIONAL eval-set decontamination (n-gram span overlap against a
   *      blocklist parquet — runs before dedup so contaminated docs can't
   *      become cluster representatives)
-  *   6. near-dedup (MinHash/LSH → verify → CC; keep cluster reps)
+  *   6. near-dedup (MinHash/LSH → verify → CC); survivor = min-id cluster
+  *      rep, or with `bestkeep` the BEST-scored member of each cluster
+  *      (the stage-4b score — keep-the-best survivor policy)
   *   7. OPTIONAL exact-substring span dedup (Lee et al. keep-first:
   *      corpus-duplicated n-gram spans are REMOVED from the surviving
   *      reps' text — near-dedup drops whole near-copies, this edits out
@@ -37,11 +47,17 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   * Usage:
   *   runMain graft.PipelineCli <docsParquet> <outDir>
   *     [minQuality] [maxDupFrac1000] [maxRecordsPerShard]
-  *     [blocklistParquet|-] [ordered|-] [spanDedupN]
+  *     [blocklistParquet|-] [ordered|-] [spanDedupN|-]
+  *     [weightsParquet[@dim]|-] [num/den[@groupCol]|-] [bestkeep|-]
   *
-  * Pass `-` for the blocklist (skip decontamination) or for the ordered
-  * slot (unordered) so later positional args stay reachable. spanDedupN
-  * enables stage 7 with that gram size (≥ 2).
+  * Pass `-` in any optional slot to skip that stage so later positional
+  * args stay reachable. spanDedupN enables stage 7 with that gram size
+  * (≥ 2). The weights parquet is (bucket BIGINT, w_permille BIGINT) —
+  * a trained linear classifier exported as a table (default dim 4096).
+  * `num/den` enables the quantile filter (e.g. 7/10 keeps the top 3/10
+  * by score); `@groupCol` makes it per-group (the column must exist on
+  * the input docs). `bestkeep` switches near-dedup's survivor policy to
+  * keep-the-best-scored.
   */
 object PipelineCli {
 
@@ -68,8 +84,16 @@ object PipelineCli {
     * range exchanges before the shard writer's own range partitioning). */
   def run(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
           evalBlocklist: Option[DataFrame] = None, decontamN: Int = 8,
-          orderTrain: Boolean = false, spanDedupN: Option[Int] = None)
+          orderTrain: Boolean = false, spanDedupN: Option[Int] = None,
+          classifierWeights: Option[DataFrame] = None, classifierDim: Int = 4096,
+          keepQuantile: Option[(Int, Int)] = None,
+          quantileGroupCol: Option[String] = None,
+          survivorPolicy: Boolean = false)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
+    quantileGroupCol.foreach(g => require(docs.columns.contains(g),
+      s"quantile group column '$g' not found on the input docs"))
+    require(quantileGroupCol.isEmpty || keepQuantile.isDefined,
+      "a quantile group column needs a num/den quantile to apply")
     // every stage cache is tracked so a mid-pipeline failure (e.g. inside
     // nearDedup) can't leak persisted frames into the shared session —
     // without the finally, a crashed run pins the corpus in executor
@@ -83,7 +107,8 @@ object PipelineCli {
     graft.operators.Checkpoints.scoped {
       try {
         val out = runStages(docs, minQuality, maxDupFrac1000, evalBlocklist, decontamN,
-          orderTrain, spanDedupN, pin)
+          orderTrain, spanDedupN, classifierWeights, classifierDim,
+          keepQuantile, quantileGroupCol, survivorPolicy, pin)
         pinned.clear() // success: stages already unpersisted what they owned
         out
       } finally pinned.foreach(_.unpersist(blocking = false))
@@ -93,6 +118,10 @@ object PipelineCli {
   private def runStages(docs: DataFrame, minQuality: Long, maxDupFrac1000: Long,
                         evalBlocklist: Option[DataFrame], decontamN: Int,
                         orderTrain: Boolean, spanDedupN: Option[Int],
+                        classifierWeights: Option[DataFrame], classifierDim: Int,
+                        keepQuantile: Option[(Int, Int)],
+                        quantileGroupCol: Option[String],
+                        survivorPolicy: Boolean,
                         pin: DataFrame => DataFrame)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
@@ -107,7 +136,8 @@ object PipelineCli {
     val redacted = pin(Pipeline.normalize(redactedRaw)
       .select(col("doc_id"), col("norm_text").as("text"))) // feeds both filter scans and the filtered join
 
-    val quality = TextAnalysis.quality(redacted, stopwords = Seq("the", "a", "and", "of"))
+    val qualityDF = TextAnalysis.quality(redacted, stopwords = Seq("the", "a", "and", "of"))
+    val quality = qualityDF
       .filter(col("quality") >= minQuality).select("doc_id")
     // docs with < 2 tokens have NO bigrams and are absent from
     // repetition()'s output — they trivially satisfy any ceiling, so the
@@ -118,8 +148,48 @@ object PipelineCli {
     val afterFilters = pin(redacted.join(quality, "doc_id")
       .join(highRep, Seq("doc_id"), "left_anti")) // feeds nearDedup's several passes and the dedup join
     counts += "after_quality_filters" -> afterFilters.count()
-    redacted.unpersist() // its last consumer (filtered) just materialized —
-    // free it BEFORE the memory-heaviest stage (nearDedup) runs
+
+    // stage 4b: the score the quantile filter and the survivor policy
+    // both read — a trained hashed-linear classifier when the model table
+    // is present (scored on the text the shards will actually hold, i.e.
+    // post-redact/normalize), the heuristic quality score otherwise.
+    // Pinned and materialized WHILE redacted is still cached; without
+    // that the whole redact+normalize chain re-executes under the scan
+    val scores: Option[DataFrame] =
+      if (classifierWeights.isEmpty && keepQuantile.isEmpty && !survivorPolicy) None
+      else {
+        val s = pin(classifierWeights match {
+          case Some(w) =>
+            TextAnalysis.scoreHashedLinear(redacted, w, classifierDim)
+              .select(col("doc_id"), col("logit_permille").as("__score"))
+          case None =>
+            qualityDF.select(col("doc_id"), col("quality").as("__score"))
+        })
+        counts += "scored" -> s.count()
+        Some(s)
+      }
+    redacted.unpersist() // its last consumers (filtered, scores) just
+    // materialized — free it BEFORE the memory-heaviest stage (nearDedup)
+
+    // stage 4c: fraction-budgeted exact-quantile filter on the score —
+    // the threshold is an order statistic of the POST-floor population
+    // (global TeraSort threshold, or one per group so verbose domains
+    // can't crowd out terse ones)
+    val afterQuantile = keepQuantile match {
+      case Some((num, den)) =>
+        val scored = afterFilters.join(scores.get, "doc_id")
+        val kept = quantileGroupCol match {
+          case Some(g) => Pipeline.filterByQuantilePerGroup(
+              scored.join(docs.select(col("doc_id"), col(g)), "doc_id"),
+              "__score", g, num, den)
+          case None => Pipeline.filterByQuantile(scored, "__score", num, den)
+        }
+        val res = pin(kept.select("doc_id", "text"))
+        counts += "after_quantile_filter" -> res.count()
+        afterFilters.unpersist()
+        res
+      case None => afterFilters
+    }
 
     // optional eval-set decontamination (span-level, decontaminateNgrams):
     // runs BEFORE dedup so contaminated docs can't become cluster
@@ -131,18 +201,30 @@ object PipelineCli {
         val blNorm = Pipeline.normalize(
             Pipeline.redactPii(bl).select(col("doc_id"), col("red_text").as("text")))
           .select(col("doc_id"), col("norm_text").as("text"))
-        val kept = pin(Pipeline.decontaminateNgrams(afterFilters, blNorm, decontamN))
+        val kept = pin(Pipeline.decontaminateNgrams(afterQuantile, blNorm, decontamN))
         counts += "after_decontamination" -> kept.count()
-        afterFilters.unpersist()
+        afterQuantile.unpersist()
         kept
-      case None => afterFilters
+      case None => afterQuantile
     }
 
-    val reps = Dedup.nearDedup(filtered)
-      .filter(col("doc_id") === col("cluster")).select("doc_id")
+    // stage 6: near-dedup. Default survivor = the cluster's min-id member
+    // (doc_id == cluster, CC's label convention); with the survivor
+    // policy it is the BEST-scored member (ties to the smallest id) —
+    // bestPerCluster over the same (doc, cluster) assignment, so turning
+    // the policy on changes WHICH near-copy survives, never how many
+    val reps =
+      if (survivorPolicy)
+        Dedup.bestPerCluster(Dedup.nearDedup(filtered), scores.get, "__score")
+          .select(col("rep_doc").as("doc_id"))
+      else
+        Dedup.nearDedup(filtered)
+          .filter(col("doc_id") === col("cluster")).select("doc_id")
     val afterNearDedup = pin(filtered.join(reps, "doc_id"))
     counts += "after_near_dedup" -> afterNearDedup.count()
     filtered.unpersist() // last consumer (afterNearDedup) is materialized
+    scores.foreach(_.unpersist(blocking = false)) // quantile + survivor
+    // stages are done with the score table
 
     // OPTIONAL stage 7: exact-substring span dedup over the SURVIVORS —
     // running it after near-dedup means whole near-copies are already
@@ -196,38 +278,73 @@ object PipelineCli {
     (withOrder, counts.result())
   }
 
-  /** Parsed CLI arguments; `-` in the blocklist or ordered slot means
-    * "skip that stage" so later positional args stay reachable. */
+  /** Parsed CLI arguments; `-` in an optional slot means "skip that
+    * stage" so later positional args stay reachable. */
   private[graft] case class Args(input: String, outDir: String, minQuality: Long,
       maxDupFrac: Long, maxPerShard: Long, blocklistPath: Option[String],
-      orderTrain: Boolean, spanDedupN: Option[Int])
+      orderTrain: Boolean, spanDedupN: Option[Int],
+      weightsPath: Option[String] = None, weightsDim: Int = 4096,
+      keepQuantile: Option[(Int, Int)] = None,
+      quantileGroup: Option[String] = None, bestKeep: Boolean = false)
 
   private[graft] def parseArgs(args: Array[String]): Args = {
     require(args.length >= 2, "usage: PipelineCli <docsParquet> <outDir> " +
       "[minQuality] [maxDupFrac1000] [maxRecordsPerShard] [blocklistParquet|-]" +
-      " [ordered|-] [spanDedupN] ('-' skips a stage so later positional args" +
-      " stay reachable)")
+      " [ordered|-] [spanDedupN|-] [weightsParquet[@dim]|-]" +
+      " [num/den[@groupCol]|-] [bestkeep|-] ('-' skips a stage so later" +
+      " positional args stay reachable)")
     val orderTrain = args.length > 6 && {
       require(args(6) == "ordered" || args(6) == "-",
         s"7th arg must be 'ordered' or '-', got '${args(6)}'")
       args(6) == "ordered"
     }
-    val spanDedupN = if (args.length > 7) {
+    val spanDedupN = if (args.length > 7 && args(7) != "-") {
       val n = args(7).toInt
       require(n >= 2, s"spanDedupN must be >= 2, got $n")
       Some(n)
     } else None
+    val (weightsPath, weightsDim) =
+      if (args.length > 8 && args(8) != "-") args(8).split("@") match {
+        case Array(p)    => (Some(p), 4096)
+        case Array(p, d) => (Some(p), d.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"9th arg must be weightsParquet[@dim] or '-', got '${args(8)}'")
+      } else (None, 4096)
+    val (keepQuantile, quantileGroup) =
+      if (args.length > 9 && args(9) != "-") {
+        val (frac, group) = args(9).split("@") match {
+          case Array(f)    => (f, None)
+          case Array(f, g) => (f, Some(g))
+          case _ => throw new IllegalArgumentException(
+            s"10th arg must be num/den[@groupCol] or '-', got '${args(9)}'")
+        }
+        frac.split("/") match {
+          case Array(n, d) => (Some((n.toInt, d.toInt)), group)
+          case _ => throw new IllegalArgumentException(
+            s"10th arg needs a num/den fraction, got '$frac'")
+        }
+      } else (None, None)
+    val bestKeep = args.length > 10 && {
+      require(args(10) == "bestkeep" || args(10) == "-",
+        s"11th arg must be 'bestkeep' or '-', got '${args(10)}'")
+      args(10) == "bestkeep"
+    }
     Args(args(0), args(1),
       minQuality = if (args.length > 2) args(2).toLong else 400L,
       maxDupFrac = if (args.length > 3) args(3).toLong else 300L,
       maxPerShard = if (args.length > 4) args(4).toLong else 100000L,
       blocklistPath = if (args.length > 5) Some(args(5)).filter(_ != "-") else None,
-      orderTrain = orderTrain, spanDedupN = spanDedupN)
+      orderTrain = orderTrain, spanDedupN = spanDedupN,
+      weightsPath = weightsPath, weightsDim = weightsDim,
+      keepQuantile = keepQuantile, quantileGroup = quantileGroup,
+      bestKeep = bestKeep)
   }
 
   def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
     val Args(input, outDir, minQuality, maxDupFrac, maxPerShard,
-      blocklistPath, orderTrain, spanDedupN) = parseArgs(args)
+      blocklistPath, orderTrain, spanDedupN, weightsPath, weightsDim,
+      keepQuantile, quantileGroup, bestKeep) = a
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       // same convention as SlidingCli: spark-submit overrides via
@@ -239,7 +356,10 @@ object PipelineCli {
     spark.sparkContext.setLogLevel("WARN")
     val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac,
       evalBlocklist = blocklistPath.map(spark.read.parquet),
-      orderTrain = orderTrain, spanDedupN = spanDedupN)
+      orderTrain = orderTrain, spanDedupN = spanDedupN,
+      classifierWeights = weightsPath.map(spark.read.parquet),
+      classifierDim = weightsDim, keepQuantile = keepQuantile,
+      quantileGroupCol = quantileGroup, survivorPolicy = bestKeep)
     bySplit.foreach { case (name, df) =>
       val sortCol = if (orderTrain && name == "train") "pos" else "doc_id"
       Layout.saveShards(df, s"$outDir/$name", sortCol, maxPerShard)

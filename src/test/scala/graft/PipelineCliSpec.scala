@@ -180,6 +180,125 @@ class PipelineCliSpec extends SparkSpec {
     }
   }
 
+  test("classifier-score → per-group quantile filter → survivor-policy dedup: kept set ≡ the manual operator chain, best-scored duplicate survives") {
+    import org.apache.spark.sql.functions._
+    // uniform weight-1 buckets make the classifier score = n_tokens —
+    // deterministic without knowing the hash, so the fixture can plant a
+    // LONGER (higher-scored) near-duplicate that the survivor policy must
+    // keep over the min-id member the default policy would pick
+    val longDoc = (i: Long) => s"item${i}a item${i}b item${i}c item${i}d " +
+      s"item${i}e item${i}f item${i}g item${i}h item${i}i item${i}j"
+    val dupText = longDoc(101L)
+    val rows = (1L to 20L).map(i =>
+      (i, longDoc(i), if (i % 2 == 1) "web" else "books")) ++ Seq(
+      // short docs (score 5): each group's 1/6-quantile threshold is 10,
+      // so these are exactly what the fraction-budgeted filter drops
+      (31L, "short31a short31b short31c short31d short31e", "web"),
+      (32L, "short32a short32b short32c short32d short32e", "books"),
+      (33L, "short33a short33b short33c short33d short33e", "web"),
+      (34L, "short34a short34b short34c short34d short34e", "books"),
+      // planted near-dup cluster (identical word SET → Jaccard 1): 103's
+      // doubled text scores 20 vs 10, so bestkeep must keep 103, not 101
+      (101L, dupText, "web"), (102L, dupText, "web"),
+      (103L, s"$dupText $dupText", "web"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val weights = spark.range(4096).select(col("id").as("bucket"),
+      lit(1L).as("w_permille"))
+
+    val (bySplit, counts) = PipelineCli.run(docs, minQuality = 0L,
+      maxDupFrac1000 = 1000L, classifierWeights = Some(weights),
+      keepQuantile = Some((1, 6)), quantileGroupCol = Some("source"),
+      survivorPolicy = true)
+    val c = counts.toMap
+    assert(c.contains("scored") && c("scored") == 27L, s"$counts")
+    assert(c.contains("after_quantile_filter"), s"$counts")
+    val ids = bySplit.values.flatMap(_.collect().map(_.getLong(0))).toSet
+
+    // the planted best-scored duplicate survives; its cluster-mates don't
+    assert(ids.contains(103L), s"best-scored near-dup lost: $ids")
+    assert(!ids.contains(101L) && !ids.contains(102L),
+      s"survivor policy kept a lower-scored cluster member: $ids")
+    // the short docs fall below each group's quantile threshold
+    assert(Seq(31L, 32L, 33L, 34L).forall(!ids.contains(_)),
+      s"sub-threshold docs survived the quantile filter: $ids")
+    assert(ids.contains(1L) && ids.contains(2L))
+
+    // ground truth: the SAME operator chain composed by hand
+    val redacted = graft.text.Pipeline.normalize(
+        graft.text.Pipeline.redactPii(docs)
+          .select(col("doc_id"), col("red_text").as("text")))
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val scores = graft.text.TextAnalysis.scoreHashedLinear(redacted, weights, 4096)
+      .select(col("doc_id"), col("logit_permille").as("__score"))
+    // minQuality=0 and maxDupFrac=1000 make the floors no-ops on this
+    // fixture, so the chain starts at the quantile filter
+    val kept = graft.text.Pipeline.filterByQuantilePerGroup(
+        redacted.join(scores, "doc_id")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        "__score", "source", 1, 6)
+      .select("doc_id", "text")
+    val reps = graft.text.Dedup.bestPerCluster(
+        graft.text.Dedup.nearDedup(kept), scores, "__score")
+      .select(col("rep_doc").as("doc_id"))
+    val want = kept.join(reps, "doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want, s"CLI kept set diverges from the operator chain: " +
+      s"cli-only=${ids -- want} chain-only=${want -- ids}")
+    assert(c("after_quantile_filter") == kept.count(), s"$counts")
+    assert(c("after_near_dedup") == want.size.toLong, s"$counts")
+    bySplit.values.foreach(_.unpersist())
+  }
+
+  test("quantile/survivor stages without a classifier fall back to the heuristic quality score") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 12L).map(i =>
+      (i, s"item${i}a item${i}b item${i}c item${i}d item${i}e " +
+        s"item${i}f item${i}g item${i}h item${i}i item${i}j"))
+    val docs = rows.toDF("doc_id", "text")
+    val (bySplit, counts) = PipelineCli.run(docs, minQuality = 0L,
+      maxDupFrac1000 = 1000L, keepQuantile = Some((1, 4)))
+    val c = counts.toMap
+    assert(c.contains("scored") && c.contains("after_quantile_filter"), s"$counts")
+    // uniform-quality fixture: the 1/4-quantile threshold equals every
+    // doc's score, so >= keeps all — the stage ran and dropped nothing
+    assert(c("after_quantile_filter") == c("after_quality_filters"), s"$counts")
+    bySplit.values.foreach(_.unpersist())
+    // a group column without a fraction is a loud error, not a silent skip
+    intercept[IllegalArgumentException] {
+      PipelineCli.run(docs, 0L, 1000L, quantileGroupCol = Some("source"))
+    }
+    // a group column absent from the input is a loud error too
+    intercept[IllegalArgumentException] {
+      PipelineCli.run(docs, 0L, 1000L, keepQuantile = Some((1, 4)),
+        quantileGroupCol = Some("nope"))
+    }
+  }
+
+  test("CLI arg parsing: weights/quantile/bestkeep slots") {
+    val w = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50",
+      "-", "-", "-", "w.parquet@8192", "7/10@source", "bestkeep"))
+    assert(w.weightsPath.contains("w.parquet") && w.weightsDim == 8192)
+    assert(w.keepQuantile.contains((7, 10)) && w.quantileGroup.contains("source"))
+    assert(w.bestKeep && w.spanDedupN.isEmpty)
+    val plain = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50",
+      "-", "-", "4", "w.parquet", "7/10", "-"))
+    assert(plain.weightsPath.contains("w.parquet") && plain.weightsDim == 4096)
+    assert(plain.keepQuantile.contains((7, 10)) && plain.quantileGroup.isEmpty)
+    assert(!plain.bestKeep && plain.spanDedupN.contains(4))
+    // '-' everywhere leaves all three stages off
+    val off = PipelineCli.parseArgs(Array("in", "out", "100", "200", "50",
+      "-", "-", "-", "-", "-", "-"))
+    assert(off.weightsPath.isEmpty && off.keepQuantile.isEmpty && !off.bestKeep)
+    // malformed fraction and flag fail loudly
+    intercept[IllegalArgumentException] {
+      PipelineCli.parseArgs(Array("in", "out", "100", "200", "50",
+        "-", "-", "-", "-", "seven-tenths", "-"))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineCli.parseArgs(Array("in", "out", "100", "200", "50",
+        "-", "-", "-", "-", "-", "bestkep"))
+    }
+  }
+
   test("span-dedup stage: cross-doc boilerplate is edited out, emptied docs drop") {
     // distinct docs sharing an identical 4-token boilerplate tail: near-dedup
     // keeps all (word-set Jaccard is low), the span stage must strip the
