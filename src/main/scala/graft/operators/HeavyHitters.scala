@@ -79,12 +79,34 @@ object HeavyHitters {
     }
   }
 
+  /** Column-metadata keys on the returned `term` column reporting WHICH
+    * path produced the result — at 100 TB the sketch-recount and the
+    * full-vocabulary group-by differ by orders of magnitude of exchange,
+    * and an operator that silently took the expensive path is an
+    * unexplained regression. `path` is "sketch-recount" (certificate
+    * held; wide work = candidate occurrences only) or "exact-fallback"
+    * (realized undercount reached the threshold; full group-by ran);
+    * `dec`/`n`/`min_count` are the certificate's inputs. Read via
+    * `df.schema("term").metadata` — [[pathTaken]] unpacks it. */
+  val MetaPath = "graft.hh.path"
+  val MetaDec = "graft.hh.dec"
+  val MetaN = "graft.hh.n"
+  val MetaMinCount = "graft.hh.min_count"
+
+  /** (path, dec, n, minCount) from a [[frequentTerms]] result. */
+  def pathTaken(df: DataFrame): (String, Long, Long, Long) = {
+    val m = df.schema("term").metadata
+    (m.getString(MetaPath), m.getLong(MetaDec), m.getLong(MetaN),
+      m.getLong(MetaMinCount))
+  }
+
   /** Terms whose global occurrence count is ≥ max(1, totalTokens/den)
     * (integer division) — "at least a 1/den share of the corpus". Output:
-    * (term, cnt), exact, ordered by term. Tokenization matches `vocab`/
-    * the oracles: split on single spaces, trailing empties kept, NULL
-    * text contributes nothing. `den` is capped so the merged summary and
-    * the candidate broadcast stay driver-safe. */
+    * (term, cnt), exact, ordered by term; the `term` column carries
+    * which-path-ran telemetry (see [[MetaPath]]). Tokenization matches
+    * `vocab`/the oracles: split on single spaces, trailing empties kept,
+    * NULL text contributes nothing. `den` is capped so the merged summary
+    * and the candidate broadcast stay driver-safe. */
   def frequentTerms(docs: DataFrame, den: Long): DataFrame = {
     require(den >= 1 && den <= 4000000L,
       s"den must be in [1, 4e6] (driver holds den+1 counters), got $den")
@@ -118,22 +140,32 @@ object HeavyHitters {
     // possible dec) can lose a qualifying term. When the certificate
     // fails, fall back to the exact full group-by — correctness is never
     // a function of the sketch.
-    if (minCount <= summary.dec) {
-      exploded
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .orderBy("term")
-    } else {
-      // pass 2: exact recount of the ≤ k candidates only — the broadcast
-      // semi-join filters map-side, so non-candidate terms never leave
-      // their scan partition
-      import spark.implicits._
-      val candidates = summary.counts.keys.toSeq.toDF("term")
-      exploded
-        .join(broadcast(candidates), Seq("term"), "left_semi")
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .orderBy("term")
-    }
+    def meta(path: String) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(MetaPath, path).putLong(MetaDec, summary.dec)
+      .putLong(MetaN, summary.n).putLong(MetaMinCount, minCount).build()
+
+    val (path, counted) =
+      if (minCount <= summary.dec)
+        "exact-fallback" -> exploded
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+      else {
+        // pass 2: exact recount of the ≤ k candidates only — the broadcast
+        // semi-join filters map-side, so non-candidate terms never leave
+        // their scan partition
+        import spark.implicits._
+        val candidates = summary.counts.keys.toSeq.toDF("term")
+        "sketch-recount" -> exploded
+          .join(broadcast(candidates), Seq("term"), "left_semi")
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+      }
+    if (path == "exact-fallback")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"HeavyHitters.frequentTerms: certificate failed " +
+        s"(minCount=$minCount <= dec=${summary.dec}, n=${summary.n}) — " +
+        "taking the exact full-vocabulary group-by fallback")
+    counted
+      .filter(col("cnt") >= minCount)
+      .select(col("term").as("term", meta(path)), col("cnt"))
+      .orderBy("term")
   }
 }

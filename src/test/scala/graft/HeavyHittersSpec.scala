@@ -99,10 +99,32 @@ class HeavyHittersSpec extends SparkSpec {
     // undercount guard must detect dec >= minCount and take the exact
     // full group-by, so ALL 12 terms come back with cnt 1.
     val docs = (1L to 12L).map(i => (i, s"w$i")).toDF("doc_id", "text")
-    val got = HeavyHitters.frequentTerms(docs, den = 8)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    val df = HeavyHitters.frequentTerms(docs, den = 8)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toList
     assert(got == exact(docs, 8), "fallback did not restore exactness")
     assert(got.size == 12, s"lost singletons: ${got.size}/12")
+    // telemetry: the frame must SAY the expensive path ran, with the
+    // certificate inputs that forced it
+    val (path, dec, n, minCount) = HeavyHitters.pathTaken(df)
+    assert(path == "exact-fallback", s"fallback ran unreported: $path")
+    assert(n == 12L && minCount == 1L && dec >= minCount,
+      s"certificate inputs wrong: dec=$dec n=$n minCount=$minCount")
+  }
+
+  test("telemetry reports the sketch-recount path when the certificate holds") {
+    // heavy corpus: one term dominates hard enough that minCount stays
+    // above any realized dec (each tree-merge can subtract at most 1
+    // here — cold terms are singletons — and there are ≤ 7 data-bearing
+    // merges, far under minCount = 22)
+    val docs = (1L to 8L).map(i => (i, ("hot " * 10) + "cold" + i))
+      .toDF("doc_id", "text")
+    val df = HeavyHitters.frequentTerms(docs, den = 4)
+    val (path, dec, n, minCount) = HeavyHitters.pathTaken(df)
+    assert(path == "sketch-recount", s"expected the cheap path: $path")
+    assert(n == 88L && minCount == 22L && dec < minCount,
+      s"certificate inputs wrong: dec=$dec n=$n minCount=$minCount")
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toList ==
+      List("hot" -> 80L))
   }
 
   test("Summary tracks the realized undercount through adds and merges") {
