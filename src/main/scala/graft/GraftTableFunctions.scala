@@ -22,6 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_dedup_best('docs_view', 'n_chars')
   *   SELECT * FROM graft_quantile_filter('docs_view', 'n_chars', 7, 10)
   *   SELECT * FROM graft_quantile_filter_by('docs_view', 'n_chars', 'lang', 7, 10)
+  *   SELECT * FROM graft_quality_linear('docs_view', 'weights_view', 4096)
+  *   SELECT * FROM graft_bm25_topk('docs_view', 'queries_view', 10)
+  *   SELECT * FROM graft_dedup_best_near('docs_view', 'n_chars')
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -94,6 +97,28 @@ object GraftTableFunctions {
       plan(text.Pipeline.filterByQuantilePerGroup(table(a(0)),
         scoreCol = str(a(1)), groupCol = str(a(2)),
         num = int(a(3)), den = int(a(4))))
+    },
+    // the model is a TABLE argument — a trained linear classifier
+    // exported as (bucket, w_permille), exactly what a pure-SQL session
+    // can CREATE VIEW over
+    "graft_quality_linear" -> { exprs =>
+      val a = args("graft_quality_linear", exprs, 3)
+      plan(text.TextAnalysis.scoreHashedLinear(table(a(0)),
+        weights = table(a(1)), dim = int(a(2))))
+    },
+    // |Q| query ids collect at planning (the graft_sliding_agg note:
+    // driver-bounded eager work, same as the Scala API)
+    "graft_bm25_topk" -> { exprs =>
+      val a = args("graft_bm25_topk", exprs, 3)
+      plan(text.Retrieval.bm25TopK(table(a(0)),
+        queries = table(a(1)), k = int(a(2))))
+    },
+    // near-dedup's LSH/CC rounds run EAGERLY at planning (checkpointed
+    // iterative lineage cannot be a lazy splice) — the result plan the
+    // outer query sees is the survivor table
+    "graft_dedup_best_near" -> { exprs =>
+      val a = args("graft_dedup_best_near", exprs, 2)
+      plan(text.Dedup.nearDedupBest(table(a(0)), scoreCol = str(a(1))))
     })
 
   private[graft] def descriptions

@@ -147,6 +147,45 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet)
       assert(sqlQfBy == Set(2L, 3L)) // per-group medians: web 9, books 4
 
+      // model-scored quality: the weights table is itself a view
+      val weights = s2.range(64).select($"id".as("bucket"),
+        org.apache.spark.sql.functions.lit(1L).as("w_permille"))
+      weights.createOrReplaceTempView("weights_view")
+      val sqlQl = s2.sql(
+        "SELECT * FROM graft_quality_linear('docs_view', 'weights_view', 64)")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlQl == graft.text.TextAnalysis
+        .scoreHashedLinear(docs, weights, 64)
+        .collect().map(_.toSeq).toSeq)
+      // uniform weight-1 model: every doc's logit = its token count
+      assert(sqlQl.map(r => (r(0), r(2))).toSet ==
+        Set((1L, 8L), (2L, 8L), (3L, 3L), (4L, 8L), (5L, 3L)))
+
+      val queries = Seq(("q1", "a b"), ("q2", "x")).toDF("q_id", "qtext")
+      queries.createOrReplaceTempView("queries_view")
+      val sqlBm = s2.sql(
+        "SELECT * FROM graft_bm25_topk('docs_view', 'queries_view', 3)")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlBm == graft.text.Retrieval.bm25TopK(docs, queries, k = 3)
+        .collect().map(_.toSeq).toSeq)
+      assert(sqlBm.nonEmpty)
+      // q2's term 'x' hits exactly docs 3 and 5
+      assert(sqlBm.collect { case Seq("q2", _, d, _) => d }.toSet == Set(3L, 5L))
+
+      val docsNear = Seq(
+        (1L, "alpha beta gamma delta epsilon", 5L),
+        (2L, "alpha beta gamma delta epsilon", 9L),
+        (3L, "other words entirely here now", 2L)).toDF("doc_id", "text", "n_chars")
+      docsNear.createOrReplaceTempView("docs_near_view")
+      val sqlNdBest = s2.sql(
+        "SELECT * FROM graft_dedup_best_near('docs_near_view', 'n_chars')")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlNdBest == graft.text.Dedup.nearDedupBest(docsNear, "n_chars")
+        .collect().map(_.toSeq).toSeq)
+      // cluster {1,2}: the BEST-scored member (doc 2) survives, not the
+      // min-id one; singleton doc 3 is its own representative
+      assert(sqlNdBest.map(r => (r(1), r(2))).toSet == Set((2L, 9L), (3L, 2L)))
+
       // TVFs compose inside a larger statement (the plan splices in)
       val n = s2.sql(
         """SELECT count(*) AS c FROM graft_chunk('docs_view', 4, 1)
