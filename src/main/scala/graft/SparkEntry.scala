@@ -352,7 +352,10 @@ object SparkEntry {
     // identical, and the oracle hash-checks the clusters either way) ─────
     "q38_dedup_clusters" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
-      Dedup.clusters(docs.select("doc_id"),
+      // big-star/small-star CC (round-8 A/B, PLANS.md): measured faster
+      // than the jump rounds at sf0.1 (3.1 vs 4.2 s) and 1.8x at 10x
+      // (1.9M edges), identical labels (signature + parity suite)
+      Dedup.clustersStars(docs.select("doc_id"),
         Dedup.jaccardPairsBitmapBlocked(docs, num = 19, den = 20)
           .select("doc_a", "doc_b"),
         maxIter = 50)

@@ -33,10 +33,20 @@ object CcProbeMain {
         .select("doc_a", "doc_b")
       val ne = edges.count()
       val t1 = System.nanoTime()
+      // SAME-SESSION A/B (cross-session timings are not comparable):
+      // jump rounds vs big-star/small-star alternation (Kiveris et al.),
+      // interleaved per rep, output-signature-checked against each other
       val cl = graft.text.Dedup.clusters(docs.select("doc_id"), edges, maxIter = 50)
-      cl.select(bit_xor(xxhash64(col("doc_id"), col("cluster")))).collect()
+      val sig = cl.select(bit_xor(xxhash64(col("doc_id"), col("cluster"))))
+        .collect()(0).getLong(0)
       val t2 = System.nanoTime()
-      println(f"REP$rep edges=$ne edgeSec=${(t1 - t0) / 1e9}%.2f ccSec=${(t2 - t1) / 1e9}%.2f")
+      val cl2 = graft.text.Dedup.clustersStars(docs.select("doc_id"), edges, maxIter = 50)
+      val sig2 = cl2.select(bit_xor(xxhash64(col("doc_id"), col("cluster"))))
+        .collect()(0).getLong(0)
+      val t3 = System.nanoTime()
+      require(sig == sig2, s"CC algorithms disagree: jump=$sig stars=$sig2")
+      println(f"REP$rep edges=$ne edgeSec=${(t1 - t0) / 1e9}%.2f " +
+        f"jumpSec=${(t2 - t1) / 1e9}%.2f starsSec=${(t3 - t2) / 1e9}%.2f sig=$sig")
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()

@@ -48,6 +48,35 @@ class ClustersPropertySpec extends SparkSpec {
     }
   }
 
+  test("clustersStars (big-star/small-star) == union-find on the same graph family") {
+    val shapes: Seq[(Int, Seq[(Long, Long)])] =
+      Seq(
+        (5, Seq.empty[(Long, Long)]),
+        (12, (0L until 11L).map(i => (i, i + 1))),                   // chain: worst diameter
+        (8, for { a <- 0L until 8L; b <- a + 1 until 8L } yield (a, b)),
+        (6, Seq((0L, 1L), (0L, 1L), (1L, 0L), (4L, 5L))),            // dup + swapped edges
+        (9, Seq((0L, 8L), (8L, 2L), (3L, 4L)))                       // star + pair + isolates
+      ) ++ (1 to 4).map { _ => // fewer random trials than the jump suite:
+        // each stars trial pays several checkpointed edge-rewrite rounds
+        // of fixed Spark latency, and the adversarial shapes above already
+        // cover the convergence-risky structures
+        val n = 6 + rng.nextInt(30)
+        val m = rng.nextInt(n * 2)
+        (n, Seq.fill(m) {
+          val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+          if (a < b) (a, b) else (b, a)
+        }.filter(e => e._1 != e._2))
+      }
+    shapes.zipWithIndex.foreach { case ((n, edges), trial) =>
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val edgeDf = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clustersStars(docs, edgeDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"stars trial $trial n=$n edges=$edges\n got=$got\nwant=$want")
+    }
+  }
+
   test("the all-shuffle rounds (huge-graph path) produce the same clusters") {
     // at test scale |V| is always under the broadcast cap, so the
     // at-scale shuffle rounds would otherwise never execute: force them
