@@ -751,6 +751,21 @@ object SparkEntry {
         seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
     }),
 
+    // ── IVF cosine top-k, fully oracle-replayed: md5-ordered centroid
+    // sample (q88's seed convention), max-cosine cell assignment, top-3
+    // cell probes, exact cosine rerank of the probed cells only — the
+    // q22 integer-cosine score (floor(1e6·dot/√(qn·cn)), proven
+    // engine-identical there) at every step. Completes the IVF family's
+    // oracle coverage: q88 gates the residual-ADC composition, this
+    // gates the plain inverted-file cosine path ─────────────────────────
+    "q89_ivf_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.ivfTopkCosine(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 10, nCells = 8, nProbe = 3,
+        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
+    }),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1748,6 +1763,57 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, cand_id) AS BIGINT) AS rn,
         |  cand_id, dist
         |FROM ex QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    // mirrors Similarity.ivfTopkCosine: q88's md5 seed convention for
+    // the 8 centroids (cell ids by vec_id order among the sample), cell
+    // assignment and probes by the q22 cosine score (NULLS LAST desc
+    // ties-to-smallest — identical to Spark's coalesce-to-MinValue
+    // max_by), exact rerank over probed cells, final rank by
+    // (score desc, cand_id)
+    "q89_ivf_cosine" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cand AS (SELECT vec_id, vd,
+        |           CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e
+        |         WHERE vec_id >= 5),
+        |qv AS (SELECT vec_id, vd,
+        |         CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e
+        |       WHERE vec_id < 5),
+        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        |          FROM (SELECT vec_id, vd FROM cand
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+        |cents AS (SELECT cell, vd AS cv,
+        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed),
+        |asg AS (SELECT cand_id, cell FROM (
+        |          SELECT c.vec_id AS cand_id, ct.cell,
+        |            row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |              CASE WHEN c.n2 = 0 OR ct.cn = 0 THEN NULL
+        |              ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(c.vd, ct.cv) AS BIGINT) AS DOUBLE)
+        |                   / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
+        |              DESC NULLS LAST, ct.cell) AS rn
+        |          FROM cand c, cents ct) WHERE rn = 1),
+        |probes AS (SELECT q_id, cell FROM (
+        |            SELECT q.vec_id AS q_id, ct.cell,
+        |              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |                CASE WHEN q.n2 = 0 OR ct.cn = 0 THEN NULL
+        |                ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(q.vd, ct.cv) AS BIGINT) AS DOUBLE)
+        |                     / sqrt(CAST(q.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
+        |                DESC NULLS LAST, ct.cell) AS pr
+        |            FROM qv q, cents ct) WHERE pr <= 3),
+        |sc AS (SELECT p.q_id, a.cand_id,
+        |         CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(q.vd, c.vd) AS BIGINT) AS DOUBLE)
+        |              / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))) AS BIGINT) AS score
+        |       FROM probes p JOIN asg a USING (cell)
+        |            JOIN qv q ON p.q_id = q.vec_id
+        |            JOIN cand c ON a.cand_id = c.vec_id
+        |       WHERE q.n2 != 0 AND c.n2 != 0)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
+        |  cand_id, score
+        |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties

@@ -309,21 +309,31 @@ object Similarity {
     * Output: (cell, cv, cn) with cell 0..nCells-1.
     *
     * The TakeOrdered sample is per-partition heaps + a driver merge of
-    * nCells·P rows; the trailing cell-id window runs over exactly nCells
-    * rows (bounded by construction — NOT a whole-corpus window). */
-  def ivfCentroids(vectors: DataFrame, nCells: Int): DataFrame = {
+    * nCells·P rows; the centroid table is then ASSEMBLED ON THE DRIVER
+    * (cell ids by vec_id order among the sample) exactly like
+    * [[Pq.seedCodebooks]] — centroids are MODEL state, nCells rows by
+    * contract, so a local relation replaces both the former partitionless
+    * cell-id window (flagged by the gate plan audit once q89 made this a
+    * gate path) and the checkpoint that guarded its whole-corpus sample
+    * lineage from double execution.
+    *
+    * `seedOrder` picks WHICH vectors seed the cells (first nCells by
+    * (seedOrder, vec_id)); the default xxhash64 order is a uniform
+    * deterministic sample, and an oracle-replayable gate passes an order
+    * a foreign engine computes too (q88/q89's md5-hex convention — seed
+    * CHOICE is the only construction step an oracle can't rederive). */
+  def ivfCentroids(vectors: DataFrame, nCells: Int,
+                   seedOrder: Column = xxhash64(col("vec_id"))): DataFrame = {
     graft.functions.DotProductLong.register(vectors.sparkSession)
-    val sample = vectors
+    import vectors.sparkSession.implicits._
+    val rows = vectors
       .select(col("vec_id"), quantize(col("embedding")).as("cv"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(seedOrder, col("vec_id"))
       .limit(nCells)
-    sample
-      .withColumn("cell", row_number().over(Window.orderBy("vec_id")).cast(LongType) - 1)
-      .select(col("cell"), col("cv"), expr(dotExpr("cv", "cv")).as("cn"))
-      // nCells rows, but the LINEAGE is a whole-corpus TakeOrdered sample;
-      // every consumer broadcasts this twice (assign + query probes), so
-      // materialize once rather than re-running the sample job per branch
-      .pipe(graft.operators.Checkpoints.checkpoint(_))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    rows.zipWithIndex
+      .map { case ((_, cv), i) => (i.toLong, cv) }.toSeq.toDF("cell", "cv")
+      .withColumn("cn", expr(dotExpr("cv", "cv")))
   }
 
   /** Optional Lloyd refinement for [[ivfCentroids]]: `iters` rounds of
@@ -392,9 +402,11 @@ object Similarity {
     * property-tested (the scale knobs are nCells ~ sqrt(n) and nProbe). */
   def ivfTopkCosine(queries: DataFrame, candidates: DataFrame, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,
-                    refineIters: Int = 0): DataFrame = {
+                    refineIters: Int = 0,
+                    seedOrder: Column = xxhash64(col("vec_id"))): DataFrame = {
     graft.functions.DotProductLong.register(queries.sparkSession)
-    val cents = ivfRefine(candidates, ivfCentroids(candidates, nCells), refineIters)
+    val cents = ivfRefine(candidates,
+      ivfCentroids(candidates, nCells, seedOrder), refineIters)
     val inverted = ivfAssign(candidates, cents)
       .select(col("vec_id").as("cand_id"), col("cell"))
     val q = queries.select(col("vec_id").as("q_id"),

@@ -96,6 +96,27 @@ class SimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("ivfCentroids seedOrder hook: md5-ordered sample replays exactly (q89's oracle convention)") {
+    // same convention as Pq's q88 spec: seeds = first nCells by
+    // (md5hex(id's decimal spelling), id), cell ids by vec_id order
+    // among the selected — pinned so the q89 DuckDB cseed CTE and this
+    // code can't silently drift apart
+    val t = table(40)
+    val ids = t.select("vec_id").collect().map(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantIds = ids.sortBy(id => (md5hex(id.toString), id)).take(6).sorted
+    val byId = t.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)).toMap
+    val got = Similarity.ivfCentroids(t, nCells = 6,
+        seedOrder = md5(col("vec_id").cast("string").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = wantIds.zipWithIndex.map { case (id, i) =>
+      i.toLong -> byId(id).toSeq }.toMap
+    assert(got == want)
+  }
+
   test("ivfRefine: one Lloyd round lifts recall to >= 0.9 at unchanged nProbe, deterministically") {
     val t = table(120)
     val q = t.filter($"vec_id" < 4)
