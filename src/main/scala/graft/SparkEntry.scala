@@ -766,6 +766,18 @@ object SparkEntry {
         seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
     }),
 
+    // ── end-to-end MinHash/LSH near-dedup, fully oracle-replayed: the
+    // composition a pipeline user actually calls (shingle MinHash →
+    // banded LSH candidates → exact-Jaccard verify of candidates only →
+    // connected components). Every stage reuses an already-proven oracle
+    // recipe: q19's affine minhash, q38's recursive-CTE components; the
+    // banding/verify steps are plain SQL. The oracle's candidate volume
+    // is LSH-bounded like the operator's — this is NOT a quadratic
+    // replay ─────────────────────────────────────────────────────────────
+    "q90_near_dedup" -> ((s, dir) =>
+      graft.text.Dedup.nearDedup(
+        s.read.parquet(t(dir, "documents")).select("doc_id", "text"))),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1814,6 +1826,46 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
         |  cand_id, score
         |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    // mirrors Dedup.nearDedup end-to-end with defaults (16 hashes, 8
+    // bands x 2 rows, verify at 4/5): q19's minhash recipe, band sig =
+    // comma-joined minhashes in i order, bucket self-join (doc_a <
+    // doc_b, distinct), exact word-set Jaccard verify, then q38's
+    // recursive-CTE components seeded from ALL docs (sub-3-token and
+    // NULL-text docs stay singletons)
+    "q90_near_dedup" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
+        |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
+        |              (40503 * (i+1)) % 1000000007 AS b
+        |       FROM (SELECT UNNEST(range(16)) AS i)),
+        |sig AS (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh
+        |        FROM hs CROSS JOIN hf GROUP BY doc_id, i),
+        |bsig AS (SELECT doc_id, i // 2 AS band,
+        |           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bs
+        |         FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bsig a JOIN bsig b
+        |           ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+        |         FROM documents),
+        |ver AS (SELECT doc_a, doc_b FROM cand
+        |        JOIN sets sa ON doc_a = sa.doc_id
+        |        JOIN sets sb ON doc_b = sb.doc_id
+        |        WHERE CAST(len(list_intersect(sa.st, sb.st)) AS BIGINT) * 5 >=
+        |              CAST(len(sa.st) + len(sb.st)
+        |                   - len(list_intersect(sa.st, sb.st)) AS BIGINT) * 4),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+        |      UNION ALL SELECT doc_b, doc_a FROM ver),
+        |reach(s, d) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
+        |SELECT s AS doc_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties
