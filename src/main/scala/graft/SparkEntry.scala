@@ -778,6 +778,17 @@ object SparkEntry {
       graft.text.Dedup.nearDedup(
         s.read.parquet(t(dir, "documents")).select("doc_id", "text"))),
 
+    // ── embedding-cosine near-dup clusters, fully oracle-replayed: the
+    // vector analogue of q90 — deterministic hyperplane-LSH buckets
+    // (fixed integer pseudo-random planes), 1-bit multiprobe candidate
+    // pairs, exact integer-cosine verification (q22's score), connected
+    // components. Threshold matches q54's 0.25; every stage is exact
+    // integer/double arithmetic both engines reproduce, so even the
+    // LSH's approximate RECALL is replayed bit-for-bit ───────────────────
+    "q91_embed_near_dedup" -> ((s, dir) =>
+      Similarity.embedNearDup(s.read.parquet(t(dir, "embeddings")),
+        minScore1e6 = 250000L)),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1866,6 +1877,54 @@ object SparkEntry {
         |  UNION
         |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
         |SELECT s AS doc_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    // mirrors Similarity.embedNearDup with defaults (12 planes, 1-bit
+    // multiprobe, verify >= 0.25): plane j's component for dim d is
+    // ((2654435761·(j+1) mod P)·d mod P) − P DIV 2 over the quantized
+    // grid (exact in doubles: |term| <= 5e11, 64-dim sum <= 3.2e13 <
+    // 2^53), bucket bit j = [projection > 0], candidates from
+    // probe-XOR bucket equality, q22's cosine score, q38's
+    // recursive-CTE components seeded from ALL vectors
+    "q91_embed_near_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |planes AS (SELECT j, (2654435761 * (j+1)) % 1000000007 AS aj
+        |           FROM (SELECT UNNEST(range(12)) AS j)),
+        |proj AS (SELECT e.vec_id, p.j,
+        |           SUM(e.vd[t.d] *
+        |               CAST((p.aj * t.d) % 1000000007 - 500000003 AS DOUBLE)) AS pr
+        |         FROM e, planes p, UNNEST(range(1, 65)) AS t(d)
+        |         GROUP BY e.vec_id, p.j),
+        |bk AS (SELECT vec_id,
+        |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j)
+        |                  ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM proj GROUP BY vec_id),
+        |flips AS (SELECT UNNEST(list_append(
+        |            list_transform(range(12), j -> (CAST(1 AS BIGINT) << j)),
+        |            CAST(0 AS BIGINT))) AS f),
+        |cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+        |         FROM bk a, flips, bk b
+        |         WHERE xor(a.bucket, flips.f) = b.bucket AND a.vec_id < b.vec_id),
+        |ver AS (SELECT vid_a, vid_b FROM cand
+        |        JOIN e a ON vid_a = a.vec_id JOIN e b ON vid_b = b.vec_id,
+        |        LATERAL (SELECT CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |                   CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |                   CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn) s
+        |        WHERE s.qn != 0 AND s.cn != 0
+        |          AND CAST(FLOOR(1000000.0 * CAST(s.dot AS DOUBLE)
+        |              / sqrt(CAST(s.qn AS DOUBLE) * CAST(s.cn AS DOUBLE))) AS BIGINT)
+        |              >= 250000),
+        |ed AS (SELECT vid_a AS a, vid_b AS b FROM ver
+        |       UNION ALL SELECT vid_b, vid_a FROM ver),
+        |reach(s, d) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.s, ed.b FROM reach r JOIN ed ON r.d = ed.a)
+        |SELECT s AS vec_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY vec_id""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties
