@@ -789,6 +789,17 @@ object SparkEntry {
       Similarity.embedNearDup(s.read.parquet(t(dir, "embeddings")),
         minScore1e6 = 250000L)),
 
+    // ── multiprobe ANN top-k, fully oracle-replayed: q91's hyperplane
+    // buckets, query-side 1-bit multiprobe, exact integer-cosine re-rank
+    // of bucket candidates only, q22's score, bounded-heap top-k. With
+    // q89/q91 this closes the last spec-only similarity surface — the
+    // whole ANN family is now hash-gated ────────────────────────────────
+    "q92_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      Similarity.annTopkCosine(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 10)
+    }),
+
     // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
     // BM25 (log-free Robertson idf surrogate, permille saturation —
     // Retrieval scaladoc). Queries are fixed literals over the corpus
@@ -1925,6 +1936,47 @@ object SparkEntry {
         |  UNION
         |  SELECT r.s, ed.b FROM reach r JOIN ed ON r.d = ed.a)
         |SELECT s AS vec_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY vec_id""".stripMargin,
+
+    // mirrors Similarity.annTopkCosine (12 planes, query-side 1-bit
+    // multiprobe): q91's plane/bucket recipe over the whole table,
+    // candidates = query probes meeting candidate buckets, q22's cosine
+    // score, rank by (score desc, cand_id) capped at 10
+    "q92_ann_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |planes AS (SELECT j, (2654435761 * (j+1)) % 1000000007 AS aj
+        |           FROM (SELECT UNNEST(range(12)) AS j)),
+        |proj AS (SELECT e.vec_id, p.j,
+        |           SUM(e.vd[t.d] *
+        |               CAST((p.aj * t.d) % 1000000007 - 500000003 AS DOUBLE)) AS pr
+        |         FROM e, planes p, UNNEST(range(1, 65)) AS t(d)
+        |         GROUP BY e.vec_id, p.j),
+        |bk AS (SELECT vec_id,
+        |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j)
+        |                  ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM proj GROUP BY vec_id),
+        |flips AS (SELECT UNNEST(list_append(
+        |            list_transform(range(12), j -> (CAST(1 AS BIGINT) << j)),
+        |            CAST(0 AS BIGINT))) AS f),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
+        |         FROM bk q, flips, bk c
+        |         WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |           AND xor(q.bucket, flips.f) = c.bucket),
+        |sc AS (SELECT cand.q_id, cand.cand_id,
+        |         CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS DOUBLE)
+        |              / sqrt(CAST(CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS DOUBLE)
+        |                     * CAST(CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS DOUBLE))) AS BIGINT) AS score
+        |       FROM cand JOIN e a ON cand.q_id = a.vec_id
+        |            JOIN e b ON cand.cand_id = b.vec_id
+        |       WHERE CAST(list_dot_product(a.vd, a.vd) AS BIGINT) != 0
+        |         AND CAST(list_dot_product(b.vd, b.vd) AS BIGINT) != 0)
+        |SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
+        |  cand_id, score
+        |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
     // every floor division in the same order as the Spark plan; ties
