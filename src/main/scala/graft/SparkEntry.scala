@@ -328,9 +328,9 @@ object SparkEntry {
         .orderBy("user_id")),
 
     "q36_window_funcs" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-        .select(col("event_id"), col("user_id"),
-          expr("CAST(ts div 1000 AS BIGINT)").as("tus"),
+      val raw = s.read.parquet(t(dir, "events"))
+      val ev = raw.select(col("event_id"), col("user_id"),
+          EventOps.tsMicros(raw).as("tus"),
           cents(col("value")).as("v"))
       val byVal = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("v")
@@ -383,9 +383,10 @@ object SparkEntry {
     // unifies the APIs) — 10-min windows sliding by 5, per user ──────────
     "q41_sliding_time_window" -> ((s, dir) => {
       import s.implicits._
-      val evts = s.read.parquet(t(dir, "events"))
+      val raw = s.read.parquet(t(dir, "events"))
+      val evts = raw
         .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          expr("CAST(ts div 1000 AS BIGINT)").as("tsUs"),
+          EventOps.tsMicros(raw).as("tsUs"),
           cents(col("value")).as("valueCents"))
         .as[graft.streaming.EventStreaming.Event]
       graft.streaming.EventStreaming.windowedAgg(evts,
@@ -830,8 +831,8 @@ object SparkEntry {
     // equi-join on an hour bucket (one bucket per point, ≤2 per interval) ─
     "q52_range_join" -> ((s, dir) => {
       val HOUR = 3600L * 1000000
-      val ev = s.read.parquet(t(dir, "events"))
-        .select(col("event_id"), expr("CAST(ts div 1000 AS BIGINT)").as("tus"))
+      val raw = s.read.parquet(t(dir, "events"))
+      val ev = raw.select(col("event_id"), EventOps.tsMicros(raw).as("tus"))
       val wins = ev.select(expr(s"CAST(tus div $HOUR AS BIGINT)").as("hr")).distinct()
         .select(col("hr"), (col("hr") * HOUR - HOUR / 2).as("w_start"),
           (col("hr") * HOUR + HOUR / 2).as("w_end"))
@@ -866,9 +867,9 @@ object SparkEntry {
 
     // ── as-of join: each purchase ← most recent prior click, per user ────
     "q37_asof" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-        .select(col("event_id"), col("user_id"),
-          expr("CAST(ts div 1000 AS BIGINT)").as("tus"), col("event_type"))
+      val raw = s.read.parquet(t(dir, "events"))
+      val ev = raw.select(col("event_id"), col("user_id"),
+          EventOps.tsMicros(raw).as("tus"), col("event_type"))
       AsOf.backward(
           ev.filter(col("event_type") === "purchase").drop("event_type"),
           ev.filter(col("event_type") === "click").drop("event_type"),
@@ -878,6 +879,29 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("tus"),
           col("asof.event_id").as("click_id"), col("asof.tus").as("click_tus"))
         .orderBy("event_id")
+    }),
+
+    // ── stream-STREAM interval join, batch mode: each click attributed to
+    // every same-user purchase within 1 day after it. Exercises the exact
+    // code path the streaming attribution query runs (Spark unifies the
+    // APIs; the watermark is a no-op on bounded input) — the equi-key +
+    // bounded-time condition is what lets the streaming form evict state,
+    // and in batch it plans as a plain shuffled equi-join on user ─────────
+    "q93_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+      def side(typ: String) = {
+        val f = raw.filter(col("event_type") === typ)
+        f.select(col("event_id").as("eventId"), col("user_id").as("userId"),
+            EventOps.tsMicros(f).as("tsUs"), cents(col("value")).as("valueCents"))
+          .as[graft.streaming.EventStreaming.Event]
+      }
+      graft.streaming.EventStreaming.intervalJoin(
+          side("click"), side("purchase"), horizonSec = 86400, watermarkSec = 0)
+        .select(col("l_id"), col("l_user").as("user_id"),
+          unix_micros(col("l_ts")).as("l_tus"), col("l_cents"),
+          col("r_id"), unix_micros(col("r_ts")).as("r_tus"), col("r_cents"))
+        .orderBy("l_id", "r_id")
     }),
   )
 
@@ -2146,5 +2170,18 @@ object SparkEntry {
         |  make_timestamp(start_us + 600000000) AS win_end,
         |  CAST(SUM(v) AS BIGINT) AS sum_c, COUNT(*) AS cnt
         |FROM w GROUP BY userId, start_us ORDER BY userId, win_start""".stripMargin,
+
+    "q93_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v, event_type
+        |            FROM events),
+        |l AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |r AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT l.event_id AS l_id, l.user_id AS user_id, l.tus AS l_tus,
+        |       l.v AS l_cents, r.event_id AS r_id, r.tus AS r_tus,
+        |       r.v AS r_cents
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
+        |ORDER BY l_id, r_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.events
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,14 +10,15 @@ import org.apache.spark.sql.types._
   * generalized from ROWS frames over a global rank to RANGE frames over
   * event time, per key.
   *
-  * Time base: timestamps arrive as Long nanoseconds
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and are floored to
-  * MICROSECONDS (`ts div 1000`) — DuckDB's parquet reader converts ns to
-  * µs by TRUNCATION toward zero (verified: -1500 ns reads as -1 µs, -1 ns
-  * as 0), and SQL `div` truncates the same way, so the two engines agree
-  * at every timestamp INCLUDING pre-1970 ones; a floor division here
-  * would disagree with the oracle on negative ns. µs is the largest
-  * cross-engine-exact resolution.
+  * Time base: all event-time math runs on epoch MICROSECONDS as BIGINT
+  * (`tus`), derived type-adaptively by [[tsMicros]] — the parquet `ts`
+  * column has shipped both as Long nanoseconds (read via
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, floored with `div 1000`:
+  * DuckDB's ns→µs conversion TRUNCATES toward zero, verified at -1500 ns
+  * → -1 µs, and SQL `div` truncates the same way, so the engines agree
+  * even pre-1970) and as parquet `timestamp[us]` (read as TIMESTAMP_NTZ,
+  * converted with `unix_micros` under a UTC session — exactly DuckDB's
+  * `epoch_us(ts)`). µs is the largest cross-engine-exact resolution.
   *
   * Scale: both operators shuffle ONCE on the partition key (`user_id`);
   * within a key Spark's WindowExec streams with a spillable sort. Skewed
@@ -26,9 +27,32 @@ import org.apache.spark.sql.types._
   */
 object EventOps {
 
+  /** Epoch-microseconds (BIGINT) view of `df`'s `ts` column, adapting to
+    * how the parquet actually stored it:
+    *  - `LongType` — raw nanoseconds (nanosAsLong read): truncating
+    *    `div 1000`, matching DuckDB's ns→µs truncation;
+    *  - `TIMESTAMP_NTZ` — parquet `timestamp[us]`, isAdjustedToUTC=false:
+    *    `unix_micros` after an NTZ→TS cast, which is exact iff the session
+    *    time zone is UTC (enforced here — a non-UTC session would silently
+    *    shift every timestamp), matching DuckDB `epoch_us(ts)`;
+    *  - `TIMESTAMP` — `unix_micros` directly (tz-independent).
+    * Any other type is a schema drift worth a loud, named failure. */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("CAST(ts div 1000 AS BIGINT)")
+    case TimestampNTZType =>
+      require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "tsMicros on TIMESTAMP_NTZ requires spark.sql.session.timeZone=UTC " +
+          "for parity with DuckDB epoch_us")
+      unix_micros(col("ts").cast(TimestampType))
+    case TimestampType => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other — expected ns-as-Long, " +
+        "TIMESTAMP_NTZ, or TIMESTAMP (testdata schema drift?)")
+  }
+
   private def base(events: DataFrame): DataFrame =
     events.select(col("event_id"), col("user_id"),
-      expr("CAST(ts div 1000 AS BIGINT)").as("tus"),
+      tsMicros(events).as("tus"),
       expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v"))
 
   /** Trailing event-time window per user: sum + count of `value` cents over

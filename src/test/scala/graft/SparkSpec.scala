@@ -10,7 +10,8 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // testdata events.parquet carries TIMESTAMP(NANOS); read as Long ns
+    // events.ts has shipped as TIMESTAMP(NANOS) and as timestamp[us];
+      // nanosAsLong covers the ns variant, EventOps.tsMicros adapts to both
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
