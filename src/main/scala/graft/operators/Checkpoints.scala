@@ -36,9 +36,24 @@ object Checkpoints {
   private val scope = new ThreadLocal[scala.collection.mutable.ListBuffer[WeakReference[RDD[_]]]]
 
   /** `df.localCheckpoint(eager)` + registration — what graft operators
-    * call instead of the raw method. */
+    * call instead of the raw method.
+    *
+    * The result is re-wrapped through
+    * [[org.apache.spark.sql.execution.GraftStatsBarrier]]: Spark 4
+    * propagates the origin plan's statistics onto the checkpoint leaf,
+    * and in an iterative operator (CC / k-means / BPE rounds) the
+    * size-only join estimator then SQUARES the estimate every round —
+    * the BigInt's bit-count doubles per round until planning itself
+    * spends minutes in Toom-Cook multiplication (the round-9 q91 bench
+    * hang). Clamping at the checkpoint boundary keeps every leaf ≤ 2^63
+    * — truthful for small frames, bounded for loop lineages. */
   private[graft] def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val cp = df.localCheckpoint(eager)
+    val cp0 = df.localCheckpoint(eager)
+    // memoized on the origin's QueryExecution (the checkpoint just ran
+    // it), and bounded because every upstream checkpoint leaf is clamped
+    val originSize = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cp = org.apache.spark.sql.execution.GraftStatsBarrier
+      .rebuildWithBoundedStats(cp0, originSize)
     backingRdd(cp).foreach { r =>
       val ref = new WeakReference[RDD[_]](r)
       live.synchronized {

@@ -76,8 +76,8 @@ object Ngrams {
     // explode underneath it (the pairs stream itself stays lazy: it is
     // corpus-sized, and its two executions — the model build and the
     // scoring pass — are the irreducible ones)
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
+    val big = graft.operators.Checkpoints.checkpoint(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     // head counts derived from the BIGRAM table (sum of c12 per head), not
     // the token stream: w1 occurrences as a bigram head — so scores of a
     // head's continuations sum to <= 1000 exactly
