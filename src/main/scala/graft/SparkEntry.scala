@@ -903,6 +903,26 @@ object SparkEntry {
           col("r_id"), unix_micros(col("r_ts")).as("r_tus"), col("r_cents"))
         .orderBy("l_id", "r_id")
     }),
+
+    // ── stream-static enrichment, batch mode: the event stream joined to a
+    // bounded dimension snapshot (customer attributes keyed by user id).
+    // The dim is broadcast — per micro-batch in streaming, once here; left
+    // join keeps unmatched events with null attributes ───────────────────
+    "q94_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      val dim = s.read.parquet(t(dir, "customer"))
+        .select(col("c_custkey").as("userId"), col("c_mktsegment"),
+          col("c_nationkey").cast(LongType).as("nation_key"))
+      graft.streaming.EventStreaming.enrich(evts, dim, "userId", left = true)
+        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+          col("c_mktsegment"), col("nation_key"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2183,5 +2203,11 @@ object SparkEntry {
         |FROM l JOIN r ON l.user_id = r.user_id
         |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
         |ORDER BY l_id, r_id""".stripMargin,
+
+    "q94_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment,
+        |       CAST(c.c_nationkey AS BIGINT) AS nation_key
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
   )
 }
