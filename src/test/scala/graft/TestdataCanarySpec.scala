@@ -58,16 +58,21 @@ class TestdataCanarySpec extends SparkSpec {
   private def tsish: Set[DataType] =
     Set(LongType, TimestampNTZType, TimestampType)
 
-  test("canary: every gate-read table exists at sf0.01 with accepted column types") {
-    contract.foreach { case (table, cols) =>
-      val path = s"$sf/$table.parquet"
-      assert(Files.exists(Paths.get(path)), s"testdata table missing: $path")
-      val schema = spark.read.parquet(path).schema
-      cols.foreach { case (name, ok) =>
-        val field = schema.find(_.name == name)
-        assert(field.isDefined, s"$table.$name vanished from testdata (drift)")
-        assert(ok.contains(field.get.dataType),
-          s"$table.$name drifted to ${field.get.dataType} — readers accept $ok")
+  test("canary: every gate-read table exists at every SF with accepted column types") {
+    // all three: Verify runs at sf0.01, Bench at sf0.1, smoke at sf0.001 —
+    // a drift at ANY of them takes a driver artifact down
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                      "/root/testdata/sf0.1")) {
+      contract.foreach { case (table, cols) =>
+        val path = s"$sfDir/$table.parquet"
+        assert(Files.exists(Paths.get(path)), s"testdata table missing: $path")
+        val schema = spark.read.parquet(path).schema
+        cols.foreach { case (name, ok) =>
+          val field = schema.find(_.name == name)
+          assert(field.isDefined, s"$path $table.$name vanished from testdata (drift)")
+          assert(ok.contains(field.get.dataType),
+            s"$path $table.$name drifted to ${field.get.dataType} — readers accept $ok")
+        }
       }
     }
   }
