@@ -904,6 +904,29 @@ object SparkEntry {
         .orderBy("l_id", "r_id")
     }),
 
+    // ── the left-outer form of q93: clicks with NO purchase in the horizon
+    // survive with null right columns (the "unattributed impression" row
+    // the streaming form emits once the watermark passes). Row order needs
+    // NULLS FIRST on r_id in BOTH engines (Spark's ASC default; DuckDB
+    // defaults NULLS LAST) ───────────────────────────────────────────────
+    "q95_interval_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+      def side(typ: String) = {
+        val f = raw.filter(col("event_type") === typ)
+        f.select(col("event_id").as("eventId"), col("user_id").as("userId"),
+            EventOps.tsMicros(f).as("tsUs"), cents(col("value")).as("valueCents"))
+          .as[graft.streaming.EventStreaming.Event]
+      }
+      graft.streaming.EventStreaming.intervalJoin(
+          side("click"), side("purchase"), horizonSec = 86400, watermarkSec = 0,
+          leftOuter = true)
+        .select(col("l_id"), col("l_user").as("user_id"),
+          unix_micros(col("l_ts")).as("l_tus"), col("l_cents"),
+          col("r_id"), unix_micros(col("r_ts")).as("r_tus"), col("r_cents"))
+        .orderBy(col("l_id"), col("r_id").asc_nulls_first)
+    }),
+
     // ── stream-static enrichment, batch mode: the event stream joined to a
     // bounded dimension snapshot (customer attributes keyed by user id).
     // The dim is broadcast — per micro-batch in streaming, once here; left
@@ -2209,5 +2232,18 @@ object SparkEntry {
         |       CAST(c.c_nationkey AS BIGINT) AS nation_key
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+
+    "q95_interval_join_outer" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v, event_type
+        |            FROM events),
+        |l AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |r AS (SELECT * FROM ev WHERE event_type = 'purchase')
+        |SELECT l.event_id AS l_id, l.user_id AS user_id, l.tus AS l_tus,
+        |       l.v AS l_cents, r.event_id AS r_id, r.tus AS r_tus,
+        |       r.v AS r_cents
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
+        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
   )
 }
