@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds the 10× events PERFORMANCE-PROBE table (1M rows from sf0.1's
+  * 100k) for the PLANS.md second-decade scaling runs on the events /
+  * streaming gates — a perf fixture, not an oracle input.
+  *
+  * Construction: 10 copies with DISJOINT user spaces (`user_id +
+  * k·100000`) and distinct event ids (`event_id + k·10000000`),
+  * timestamps unchanged. Every events operator partitions by user
+  * (window/sessionize/asof/interval join), so per-user structure — and
+  * therefore output — replicates exactly 10×: organic user-count growth,
+  * the way a real 10× event stream grows. The one global-key gate
+  * (q52's hour buckets) sees 10× bucket density instead, which is the
+  * harsher direction for it.
+  *
+  * The other tables the gate set reads (customer for q94) are copied
+  * through unchanged — the broadcast dim probe cost is row-count
+  * driven on the stream side either way.
+  *
+  * Usage: Test/runMain graft.Ev10xSynthMain [outDir]
+  */
+object Ev10xSynthMain {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/target/ev10x")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val copies = (0 until 10).map { k =>
+      ev.select(
+        (col("event_id") + lit(k.toLong * 10000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 100000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    copies.reduce(_ union _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    println(s"EV10X done: ${spark.read.parquet(s"$out/events.parquet").count()} events at $out")
+    spark.stop()
+  }
+}
