@@ -927,6 +927,19 @@ object SparkEntry {
         .orderBy(col("l_id"), col("r_id").asc_nulls_first)
     }),
 
+    // ── grouped COUNT(DISTINCT): the two-phase shape (partial distinct on
+    // (group, key), then count per group — Spark plans Expand + two
+    // HashAggregates, map-side combined both times). The exact form is the
+    // oracle gate; the 100 TB path for ultra-high-cardinality keys is
+    // approx_count_distinct (HLL++, one pass, fixed memory), error-bounded
+    // against this exact result in ApproxDistinctSpec ────────────────────
+    "q96_distinct_users" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // ── stream-static enrichment, batch mode: the event stream joined to a
     // bounded dimension snapshot (customer attributes keyed by user id).
     // The dim is broadcast — per micro-batch in streaming, once here; left
@@ -2245,5 +2258,10 @@ object SparkEntry {
         |FROM l LEFT JOIN r ON l.user_id = r.user_id
         |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
         |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
+
+    "q96_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
