@@ -31,6 +31,18 @@ import java.nio.file.{Files, Paths}
   *    the next query's timing.
   */
 object Bench {
+  /** Between-queries cleanup, OUTSIDE the timed span: drop cached frames,
+    * free every checkpoint the query's operators created (deterministic
+    * via [[graft.operators.Checkpoints.releaseAll]] — not at the GC's
+    * mercy), and nudge the ContextCleaner, so one query's blocks can't
+    * pressure the next query's timing. Leaves `Checkpoints.liveCount == 0`
+    * (spec-gated in `CheckpointsSpec`). */
+  def interQueryCleanup(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    graft.operators.Checkpoints.releaseAll()
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,6 +54,16 @@ object Bench {
     // every HotSpot
     def procCpu(): Double = os match {
       case x: com.sun.management.OperatingSystemMXBean => x.getProcessCpuLoad
+      case _ => -1.0
+    }
+    // recent system-wide CPU share (0..1): unlike the 1-min loadavg it
+    // reacts in seconds, so it can gate BETWEEN runs — after a measured
+    // run, the loadavg needs minutes to decay even on an idle machine
+    // (r9's 13.6% warm spread was co-tenant load that the start-only gate
+    // never re-checked), while getCpuLoad distinguishes "indicator still
+    // decaying" from "co-tenant actively burning cores"
+    def sysCpu(): Double = os match {
+      case x: com.sun.management.OperatingSystemMXBean => x.getCpuLoad
       case _ => -1.0
     }
 
@@ -112,19 +134,33 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${errors(name)}")
             None
           }
-          // outside the timed span: drop caches and nudge the ContextCleaner
-          // so this query's cached/checkpointed blocks don't pressure the next
-          spark.catalog.clearCache()
-          System.gc()
+          interQueryCleanup(spark)
           res
         }
       }
 
+    // per-run idle gate: before each measured pass, wait (bounded) until
+    // the recent system CPU share stays below the gate for two consecutive
+    // samples — catches a co-tenant that spun up AFTER the session-start
+    // loadavg gate passed. Skipped when the JMX bean can't report it.
+    val runGate = sys.env.getOrElse("SPARK_GRAFT_RUN_CPU_GATE", "0.20").toDouble
+    val runGateWaitMax = sys.env.getOrElse("SPARK_GRAFT_RUN_CPU_WAIT_SEC", "60").toLong
+    def runGateWait(): Long = {
+      var waited = 0L
+      var ok = 0
+      while (ok < 2 && waited < runGateWaitMax && sysCpu() >= 0) {
+        Thread.sleep(2000); waited += 2
+        if (sysCpu() < runGate) ok += 1 else ok = 0
+      }
+      waited
+    }
+
     val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val runs = (1 to reps).map { _ =>
+      val gw = runGateWait()
       val l0 = load()
       val r = measure()
-      (r, l0, load())
+      (r, l0, load(), gw)
     }
     val byName = runs.map(_._1.map(r => r._1 -> r).toMap)
     // a query can fail in a later run only (flaky): take the min over the
@@ -139,18 +175,32 @@ object Bench {
     // actually achieved, comparable across rounds. The per-query numbers
     // are per-query minima across runs (labeled as such); their sum is a
     // composite no single run achieved, so it's reported separately.
-    val totals = runs.map(_._1.map(_._2).sum)
+    // totals are comparable only over queries measured in EVERY run — a
+    // query that succeeds in run 1 but fails in run 2 would otherwise
+    // deflate run 2's sum and bias the min() headline toward the
+    // deficient run. With zero errors (the normal case) this is all
+    // queries; n_total_queries in the artifact records the basis.
+    val commonNames: Set[String] =
+      if (runs.isEmpty) Set.empty
+      else runs.map(_._1.map(_._1).toSet).reduce(_ intersect _)
+    val totals = runs.map(_._1.filter(r => commonNames(r._1)).map(_._2).sum)
     val total = totals.min
-    val spread = (totals.max - totals.min) / totals.min
+    // guard the min==0 edge (every query failed): 0/0 = NaN is not valid
+    // JSON and would make the partial artifact unparseable in exactly the
+    // catastrophic case it exists to describe
+    def rel(ts: Seq[Double]): Double =
+      if (ts.nonEmpty && ts.min > 0) (ts.max - ts.min) / ts.min else 0.0
+    val spread = rel(totals)
     // run 1 pays per-query codegen JIT no warm-up loop fully removes; the
     // stability signal is the spread of the WARM runs
     val warmTotals = if (totals.length >= 3) totals.drop(1) else totals
-    val warmSpread = (warmTotals.max - warmTotals.min) / warmTotals.min
+    val warmSpread = rel(warmTotals)
     val minComposite = results.map(_._2).sum
     // Locale.ROOT: f"%.2f" under a comma-decimal default locale would
     // corrupt the machine-parsed JSON ("3,14" reads as two array cells)
     def f2(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
-    val runLoads = runs.map { case (_, l0, l1) => s"[${f2(l0)},${f2(l1)}]" }
+    val runLoads = runs.map { case (_, l0, l1, _) => s"[${f2(l0)},${f2(l1)}]" }
+    val runGateWaits = runs.map(_._4)
     // per-query per-run [loadavg, processCpuShare] pairs, in run order
     // (runs where the query failed are absent)
     val queryLoads = measuredNames.map { name =>
@@ -165,6 +215,9 @@ object Bench {
       s""""load_after_gate":$loadAfterGate,""" +
       s""""run_loads":[${runLoads.mkString(",")}],""" +
       s""""query_loads":$queryLoads,""" +
+      s""""run_gate_waits_sec":[${runGateWaits.mkString(",")}],""" +
+      s""""run_cpu_gate":$runGate,""" +
+      s""""n_total_queries":${commonNames.size},""" +
       s""""run_total_spread":$spread,"warm_run_spread":$warmSpread,""" +
       s""""heap_max_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
       s""""run_totals":[${totals.mkString(",")}]}"""

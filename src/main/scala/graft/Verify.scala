@@ -66,12 +66,17 @@ object Verify {
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    runGates(spark, sfDir, outDir,
+    val errors = runGates(spark, sfDir, outDir,
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) })
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // same fail-fast contract as Bench: a driver gating on exit code alone
+    // must not see a run with failed gates as green. All artifacts
+    // (per-gate parquet, _ERROR markers, errors.json, oracle_sql.json)
+    // are already on disk by this point.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -629,29 +629,58 @@ object Dedup {
     * < 3 tokens (no shingles) stay singletons. */
   def nearDedup(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
                 rowsPerBand: Int = 2, num: Int = 4, den: Int = 5,
-                broadcastVerify: Boolean = true): DataFrame = {
+                broadcastVerify: Boolean = true): DataFrame =
+    clusters(docs.select("doc_id"),
+      verifiedPairs(docs, numHashes, bands, rowsPerBand, num, den, broadcastVerify))
+
+  /** The candidate-generation + exact-verification stage of [[nearDedup]],
+    * exposed for plan auditing: LSH candidate pairs, each verified by
+    * exact word-set Jaccard. Returns the surviving (doc_a, doc_b) edges.
+    *
+    * Scale contract for `broadcastVerify = true`: what gets broadcast is
+    * CANDIDATE-bounded, never the corpus. The per-doc word-set table is
+    * O(corpus tokens) — broadcasting it whole is an executor OOM at scale
+    * regardless of how small the candidate set is. So the set table is
+    * first semi-joined down to the distinct doc ids that appear in some
+    * candidate pair (that id table IS LSH-bounded — ~dup mass — and is
+    * itself broadcast into the semi-join, so the corpus-sized set build
+    * never shuffles), and only the pruned survivors are broadcast into
+    * the two verify joins. `broadcastVerify = false` keeps the fully
+    * shuffled keyed-join shape (the embedNearDup verify shape) for
+    * corpora whose dup mass itself is too large to broadcast. */
+  private[graft] def verifiedPairs(docs: DataFrame, numHashes: Int, bands: Int,
+                                   rowsPerBand: Int, num: Int, den: Int,
+                                   broadcastVerify: Boolean): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"banding ($bands x $rowsPerBand) needs more hashes than numHashes=$numHashes")
     // verify uses size(array_intersect) on the raw STRING sets — here the
     // candidate volume is LSH-bounded (~dup mass), so the per-pair hash-set
     // allocation the PPJoin path avoids (see jaccardPairs) doesn't
     // dominate, and skipping the dictionary rank build saves two jobs
-    def hinted(df: DataFrame): DataFrame = if (broadcastVerify) broadcast(df) else df
-    val cand = lshCandidatePairs(minhashSignatures(docs, numHashes), bands, rowsPerBand)
+    val cand0 = lshCandidatePairs(minhashSignatures(docs, numHashes), bands, rowsPerBand)
     val sets = docs
       .select(col("doc_id"),
         sort_array(array_distinct(split(col("text"), " "))).as("set"))
       .select(col("doc_id"), col("set"),
         size(col("set")).cast(LongType).as("nw"))
-    val verified = cand
-      .join(hinted(sets).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(hinted(sets).as("sb"), col("doc_b") === col("sb.doc_id"))
+    def verify(cand: DataFrame, s: DataFrame): DataFrame = cand
+      .join(s.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(s.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.set"), col("sb.set"))).cast(LongType).as("inter"),
         col("sa.nw"), col("sb.nw"))
       .filter(col("inter") * den >= (col("sa.nw") + col("sb.nw") - col("inter")) * num)
       .select("doc_a", "doc_b")
-    clusters(docs.select("doc_id"), verified)
+    if (broadcastVerify) {
+      // the candidate table feeds both the id pruning and the verify join
+      // — checkpoint so the LSH banding job runs once, not twice
+      val cand = graft.operators.Checkpoints.checkpoint(cand0)
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val pruned = sets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      verify(cand, broadcast(pruned))
+    } else verify(cand0, sets)
   }
 
   /** Survivor selection over ANY `(doc_id, cluster)` assignment —

@@ -55,6 +55,21 @@ class CheckpointsSpec extends SparkSpec {
     assert(Checkpoints.liveCount == 0)
   }
 
+  test("Bench.interQueryCleanup leaves liveCount == 0 after a checkpointing gate") {
+    // the bench loop's between-queries contract: a gate whose operators
+    // checkpoint internally (nearDedup does, for the LSH candidate table)
+    // must leave NOTHING pinned once the cleanup runs — otherwise one
+    // query's blocks pressure the next query's measurement
+    val docs = (1L to 50L).map(i => (i, if (i % 4 == 0) s"same near dup body ${i % 8}"
+      else s"distinct words for doc $i only")).toDF("doc_id", "text")
+    assert(graft.text.Dedup.nearDedup(docs).collect().nonEmpty)
+    assert(Checkpoints.liveCount > 0,
+      "expected the gate to have created live checkpoints")
+    Bench.interQueryCleanup(spark)
+    assert(Checkpoints.liveCount == 0, "cleanup left checkpoints pinned")
+    assert(spark.sharedState.cacheManager.isEmpty, "cleanup left cached frames")
+  }
+
   test("nearDedup under scoped leaves no live blocks once results are materialized") {
     val docs = (1L to 60L).map(i => (i, if (i % 3 == 0) s"shared dup text block number ${i % 6}"
       else s"unique document $i with its own words")).toDF("doc_id", "text")
