@@ -959,6 +959,53 @@ object SparkEntry {
           col("c_mktsegment"), col("nation_key"))
         .orderBy("event_id")
     }),
+
+    // ── the STATEFUL streaming sessionization path itself (q29 gates only
+    // the batch twin): the bounded events slice replays through
+    // flatMapGroupsWithState via MemoryStream, a sentinel-advanced
+    // watermark seals every session, and the sealed sessions must match
+    // the oracle's gap-sessionization SQL cell-exactly. A deterministic
+    // user slice (every 8th user): the gate proves the STATE PATH, and a
+    // replay harness re-persists the whole state per micro-batch — full
+    // sf0.1 there is bench weight without extra evidence (the operator's
+    // scale story is the state store + watermark eviction, not the replay)
+    "q97_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("user_id") % 8 === 0)
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.sessionizeReplay(evts, gapSec = 1800)
+        .toDF()
+        .select(col("userId").as("user_id"),
+          col("sessionStartUs").as("session_start_us"),
+          col("sessionEndUs").as("session_end_us"),
+          col("nEvents").as("n_events"), col("sumCents").as("sum_cents"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
+    // the click slice unioned with itself — every id a duplicate — must
+    // come back exactly once with its original row (a slice for the same
+    // reason as q97: the replay harness is driver-fed, so corpus volume
+    // is bench weight, not extra state-path evidence) ────────────────────
+    "q98_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming
+        .dedupReplay(evts.union(evts), watermarkSec = 3600)
+        .toDF()
+        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+          col("tsUs").as("tus"), col("valueCents").as("cents"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2258,6 +2305,29 @@ object SparkEntry {
         |FROM l LEFT JOIN r ON l.user_id = r.user_id
         |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
         |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
+
+    "q97_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
+        |            WHERE user_id % 8 = 0),
+        |g AS (SELECT user_id, tus, v,
+        |        CASE WHEN LAG(tus) OVER w IS NULL
+        |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT user_id, tus, v,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM g)
+        |SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q98_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
 
     "q96_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,

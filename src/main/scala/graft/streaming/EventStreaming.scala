@@ -109,6 +109,83 @@ object EventStreaming {
       .as[Event]
   }
 
+  /** Replays a BOUNDED event slice through [[sessionizeStream]] and
+    * returns every session the stateful query sealed — the batch-parity
+    * harness that lets the `flatMapGroupsWithState` path itself be
+    * oracle-gated (q97) against the gap-sessionization SQL, instead of
+    * only the batch twin ([[graft.events.EventOps.sessionize]], q29).
+    *
+    * Mechanics: all events land as micro-batch 1 (watermark still at its
+    * initial value, so nothing seals); a sentinel event on a synthetic
+    * user far past every real seal point lands as batch 2, advancing the
+    * watermark; a second sentinel 1 µs later forces batch 3, which runs
+    * WITH that advanced watermark and therefore seals and emits every
+    * real session deterministically — no sleep/poll. The sentinels' own
+    * session can never seal (the watermark never passes their seal point)
+    * and their user is filtered out regardless.
+    *
+    * The driver materializes the input once to feed the `MemoryStream` —
+    * this is a replay/verification harness for bounded slices (gates,
+    * specs), not the production entry point; production callers attach
+    * [[sessionizeStream]] to a real source and never collect. */
+  def sessionizeReplay(events: Dataset[Event], gapSec: Long,
+                       watermarkSec: Long = 0L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    if (rows.isEmpty) return spark.emptyDataset[Session]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = "graft_sessions_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionizeStream(stream.toDS(), gapSec, watermarkSec)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val sentinelUser = rows.map(_.userId).max + 1L
+      val sentinelTs = rows.map(_.tsUs).max +
+        2L * (gapSec + watermarkSec + 60L) * 1000000L
+      stream.addData(rows)
+      q.processAllAvailable()
+      stream.addData(Event(-1L, sentinelUser, sentinelTs, 0L))
+      q.processAllAvailable()
+      stream.addData(Event(-2L, sentinelUser, sentinelTs + 1L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[Session]
+      .filter(_.userId != rows.map(_.userId).max + 1L).collect().toSeq
+    spark.catalog.dropTempView(name)
+    out.toDS()
+  }
+
+  /** Replays a bounded (possibly duplicate-bearing) event slice through
+    * [[dedupStream]] and returns the surviving events — the harness that
+    * oracle-gates the streaming dedup state path (q98). Append output
+    * emits each first-seen id immediately (state only FILTERS later
+    * duplicates), so one micro-batch plus `processAllAvailable` is
+    * complete; no sentinel needed. Same bounded-replay caveat as
+    * [[sessionizeReplay]]. */
+  def dedupReplay(events: Dataset[Event], watermarkSec: Long): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    if (rows.isEmpty) return spark.emptyDataset[Event]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = "graft_dedup_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = dedupStream(stream.toDS(), watermarkSec)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).as[Event].collect().toSeq
+    spark.catalog.dropTempView(name)
+    out.toDS()
+  }
+
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): closes a session when `gapSec` passes
     * with no event (driven by the event-time watermark). Mirrors

@@ -35,7 +35,15 @@ object GraftStatsBarrier {
 
   /** `cp` must be a `localCheckpoint` result (analyzed plan = LogicalRDD
     * leaf); returns it re-wrapped with bounded stats. Any other frame is
-    * returned unchanged. */
+    * returned unchanged.
+    *
+    * Constraints are FORWARDED, not dropped: the origin leaf's
+    * `constraints` (public, and already rewritten by `fromDataset` to the
+    * checkpoint's own output attributes — which the rebuilt leaf reuses
+    * verbatim, so no further rewrite is needed) become the new leaf's
+    * `originConstraints`. Only the statistics are replaced; the not-null /
+    * equality facts Spark 4 propagates onto checkpoints keep feeding
+    * downstream constraint-based pruning. */
   def rebuildWithBoundedStats(cp: DataFrame, originSizeInBytes: BigInt): DataFrame =
     cp.queryExecution.analyzed match {
       case l: LogicalRDD =>
@@ -44,7 +52,7 @@ object GraftStatsBarrier {
           sizeInBytes = originSizeInBytes.min(Cap).max(BigInt(1)))
         val plan = LogicalRDD(l.output, l.rdd, l.outputPartitioning,
           l.outputOrdering, l.isStreaming, l.stream)(
-          spark, Some(bounded), None)
+          spark, Some(bounded), Some(l.constraints))
         ClassicDataset.ofRows(spark, plan)
       case _ => cp
     }

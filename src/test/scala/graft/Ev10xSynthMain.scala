@@ -20,11 +20,18 @@ import org.apache.spark.sql.functions._
   * through unchanged — the broadcast dim probe cost is row-count
   * driven on the stream side either way.
   *
-  * Usage: Test/runMain graft.Ev10xSynthMain [outDir]
+  * A second argument generalizes the factor — `100` builds the
+  * THIRD-decade probe (10M events) with the same disjoint-user
+  * construction (user offsets stay collision-free to factor 100:
+  * sf0.1's user ids are < 100000, event ids < 10000000/100).
+  *
+  * Usage: Test/runMain graft.Ev10xSynthMain [outDir] [factor]
   */
 object Ev10xSynthMain {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/target/ev10x")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 1 && factor <= 100, s"factor 1..100, got $factor")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,7 +39,7 @@ object Ev10xSynthMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    val copies = (0 until 10).map { k =>
+    val copies = (0 until factor).map { k =>
       ev.select(
         (col("event_id") + lit(k.toLong * 10000000L)).as("event_id"),
         col("ts"),

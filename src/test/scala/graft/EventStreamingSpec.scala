@@ -179,4 +179,38 @@ class EventStreamingSpec extends SparkSpec {
     assert(got.contains((10L, 20L)), s"matched pair missing: $got")
     assert(got.contains((12L, -1L)), s"unattributed anchor never flushed: $got")
   }
+
+  test("sessionizeReplay seals EVERY session and matches the batch twin") {
+    // unlike the poll-based seal test above, the replay harness must
+    // deterministically flush all sessions — including the trailing
+    // sec(5000) ones the watermark never passes in the raw stream —
+    // and agree with the batch sessionize fold on the same slice
+    val batch = {
+      val df = evts.toDF()
+        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+          timestamp_micros(col("tsUs")).as("ts"),
+          (col("valueCents").cast("double") / 100.0).as("value"))
+      graft.events.EventOps.sessionize(df, gapSec = 1800)
+        .join(evts.toDF().select(col("eventId").as("event_id"),
+          col("tsUs"), col("valueCents")), Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(min("tsUs").as("s"), max("tsUs").as("e"),
+          count(lit(1)).as("n"), sum("valueCents").as("v"))
+        .select("user_id", "s", "e", "n", "v")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    }
+    val replayed = EventStreaming.sessionizeReplay(evts.toDS(), gapSec = 1800)
+      .map(x => (x.userId, x.sessionStartUs, x.sessionEndUs, x.nEvents, x.sumCents))
+      .collect().toSet
+    assert(replayed == batch, s"replay=$replayed batch=$batch")
+    assert(replayed.exists(_._2 == sec(5000)),
+      "trailing sessions were not sealed by the sentinel watermark")
+  }
+
+  test("dedupReplay keeps exactly one copy of each duplicated id") {
+    val dupd = (evts ++ evts ++ evts).toDS()
+    val out = EventStreaming.dedupReplay(dupd, watermarkSec = 3600).collect()
+    assert(out.length == evts.length)
+    assert(out.sortBy(_.eventId).toSeq == evts.sortBy(_.eventId))
+  }
 }
