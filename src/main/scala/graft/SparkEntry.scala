@@ -986,6 +986,23 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // ── the NATIVE session-window aggregate (Spark's session_window —
+    // codegen'd groupBy, state-store-backed in streaming): the scale path
+    // for per-session aggregates, vs q97's explicit-state form. Batch
+    // mode over the full events table; boundary: adjacent session ranges
+    // MERGE, so splits are `diff > gap` — same as q29/q97 (spec-pinned) ──
+    "q99_session_window" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming
+        .sessionWindowAgg(evts, gapSec = 1800, watermarkSec = 0)
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2310,6 +2327,22 @@ object SparkEntry {
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
         |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
         |            WHERE user_id % 8 = 0),
+        |g AS (SELECT user_id, tus, v,
+        |        CASE WHEN LAG(tus) OVER w IS NULL
+        |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT user_id, tus, v,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM g)
+        |SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q99_session_window" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
         |g AS (SELECT user_id, tus, v,
         |        CASE WHEN LAG(tus) OVER w IS NULL
         |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new

@@ -109,6 +109,34 @@ object EventStreaming {
       .as[Event]
   }
 
+  /** Native session-window aggregate — Spark's built-in `session_window`
+    * (gap-based): the PREFERRED scale path for per-session aggregates.
+    * Unlike [[sessionizeStream]]'s explicit `flatMapGroupsWithState`
+    * (which exists for session outputs the groupBy form can't express,
+    * e.g. emitting member event ids), this stays entirely inside
+    * codegen'd aggregation — in streaming it is state-store-backed with
+    * watermark-driven session merge/eviction, in batch it plans as two
+    * hash aggregates; no user state, no encoder round-trips.
+    *
+    * Boundary semantics: sessions MERGE when their [ts, ts+gap) ranges
+    * overlap or touch, so an event landing exactly gap after its
+    * predecessor stays in the SAME session — splits happen on
+    * `diff > gap`, identical to [[graft.events.EventOps.sessionize]]
+    * (empirically pinned in the parity spec; the adjacent-range merge is
+    * Spark's `MergingSessionsIterator` `start <= currentEnd`). */
+  def sessionWindowAgg(events: Dataset[Event], gapSec: Long,
+                       watermarkSec: Long): DataFrame = {
+    val withTs = events.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", s"$watermarkSec seconds")
+    withTs
+      .groupBy(col("userId"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(min("tsUs").as("session_start_us"), max("tsUs").as("session_end_us"),
+        count(lit(1)).as("n_events"), sum("valueCents").as("sum_cents"))
+      .select(col("userId").as("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"), col("sum_cents"))
+  }
+
   /** Replays a BOUNDED event slice through [[sessionizeStream]] and
     * returns every session the stateful query sealed — the batch-parity
     * harness that lets the `flatMapGroupsWithState` path itself be

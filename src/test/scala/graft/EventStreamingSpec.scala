@@ -207,6 +207,37 @@ class EventStreamingSpec extends SparkSpec {
       "trailing sessions were not sealed by the sentinel watermark")
   }
 
+  test("native session_window agg: streaming matches batch; exact-gap successor splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStreaming.sessionWindowAgg(evts.toDS(), gapSec = 1800, watermarkSec = 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val stream = MemoryStream[Event]
+    val q = EventStreaming.sessionWindowAgg(stream.toDS(), gapSec = 1800, watermarkSec = 0)
+      .writeStream.format("memory").queryName("swagg").outputMode("append").start()
+    // sentinel pattern (same as sessionizeReplay): batch 2 advances the
+    // watermark past every real session's end+gap, batch 3 runs WITH it
+    stream.addData(evts: _*)
+    q.processAllAvailable()
+    stream.addData(Event(-1, 99, sec(100000), 0))
+    q.processAllAvailable()
+    stream.addData(Event(-2, 99, sec(100001), 0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("swagg").as[(Long, Long, Long, Long, Long)]
+      .collect().filter(_._1 != 99L).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // boundary semantics: adjacent [ts, ts+gap) ranges MERGE (Spark's
+    // session merge is start <= currentEnd), so an exactly-gap successor
+    // stays in the session — splits need diff > gap, exactly like
+    // EventOps.sessionize. One microsecond past the gap splits.
+    val edge = Seq(Event(0, 1, sec(0), 1), Event(1, 1, sec(1800), 2)).toDS()
+    assert(EventStreaming.sessionWindowAgg(edge, 1800, 0).count() == 1,
+      "exactly-gap successor must merge into the session")
+    val past = Seq(Event(0, 1, sec(0), 1), Event(1, 1, sec(1800) + 1L, 2)).toDS()
+    assert(EventStreaming.sessionWindowAgg(past, 1800, 0).count() == 2,
+      "one microsecond past the gap must start a new session")
+  }
+
   test("dedupReplay keeps exactly one copy of each duplicated id") {
     val dupd = (evts ++ evts ++ evts).toDS()
     val out = EventStreaming.dedupReplay(dupd, watermarkSec = 3600).collect()
