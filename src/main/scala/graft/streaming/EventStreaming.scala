@@ -214,6 +214,19 @@ object EventStreaming {
     out.toDS()
   }
 
+  /** Open-session partial aggregate — what [[sessionizeStream]] keeps in
+    * the state store. Session merge is ASSOCIATIVE on (start, end, n,
+    * sum) under the gap rule, so state is O(#open sessions) per key —
+    * bounded by the watermark horizon — NOT O(session length): an
+    * always-active key (a bot clicking forever) holds one constant-size
+    * record no matter how many events its session has absorbed. (The
+    * earlier List[Event] state grew with session length — the same
+    * unbounded-state hazard class the interval join's time bound exists
+    * to prevent.) This is the same partial-aggregate shape Spark's native
+    * `session_window` merges; the explicit form exists for outputs the
+    * groupBy form can't express. */
+  case class OpenSession(startUs: Long, endUs: Long, nEvents: Long, sumCents: Long)
+
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): closes a session when `gapSec` passes
     * with no event (driven by the event-time watermark). Mirrors
@@ -224,38 +237,43 @@ object EventStreaming {
     val gapUs = gapSec * 1000000L
 
     def update(userId: Long, rows: Iterator[Event],
-               state: GroupState[List[Event]]): Iterator[Session] = {
+               state: GroupState[List[OpenSession]]): Iterator[Session] = {
       val existing = state.getOption.getOrElse(Nil)
-      val buffered = if (state.hasTimedOut) existing else existing ++ rows.toList
-      val sorted = buffered.sortBy(e => (e.tsUs, e.eventId))
+      // each incoming event is a singleton session; merging singletons by
+      // the gap rule partitions events exactly like the event-list fold
+      // did (associativity), and late in-watermark events re-merge into —
+      // or bridge — existing open sessions the same way
+      val incoming =
+        if (state.hasTimedOut) Nil
+        else rows.map(e => OpenSession(e.tsUs, e.tsUs, 1L, e.valueCents)).toList
       val wmMs = math.max(state.getCurrentWatermarkMs(), 0L)
       val wmUs = wmMs * 1000L
-      // split into gap-delimited sessions; emit the ones sealed by
-      // watermark. ArrayBuffers with O(1) append/last — the List form
-      // (`cur :+ e` + `cur.last` inside the fold) was O(n²) per batch for
-      // a key whose session stays open and keeps accumulating state
-      val sessions = {
-        val acc = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Event]]
-        sorted.foreach { e =>
-          if (acc.nonEmpty && e.tsUs - acc.last.last.tsUs <= gapUs) acc.last += e
-          else acc += mutable.ArrayBuffer(e)
+      val merged = {
+        val all = (existing ++ incoming).sortBy(s => (s.startUs, s.endUs))
+        val acc = mutable.ArrayBuffer.empty[OpenSession]
+        all.foreach { s =>
+          if (acc.nonEmpty && s.startUs - acc.last.endUs <= gapUs) {
+            val l = acc.last
+            acc(acc.length - 1) = OpenSession(l.startUs,
+              math.max(l.endUs, s.endUs), l.nEvents + s.nEvents,
+              l.sumCents + s.sumCents)
+          } else acc += s
         }
-        acc.map(_.toList).toList
+        acc.toList
       }
-      val (closed, open) = sessions.partition(s => s.last.tsUs + gapUs < wmUs)
+      val (closed, open) = merged.partition(s => s.endUs + gapUs < wmUs)
       if (open.isEmpty) state.remove()
       else {
-        state.update(open.flatten)
+        state.update(open)
         // wake this key when the watermark passes the EARLIEST open session's
         // seal point (last event + gap), so sealed sessions flush in a
         // no-data micro-batch; the max() guard keeps the timestamp legal
         // when the watermark already overtook it
-        val sealMs = (open.map(_.last.tsUs).min + gapUs) / 1000L + 1
+        val sealMs = (open.map(_.endUs).min + gapUs) / 1000L + 1
         state.setTimeoutTimestamp(math.max(sealMs, wmMs + 1))
       }
-      closed.iterator.map { s =>
-        Session(userId, s.head.tsUs, s.last.tsUs, s.size.toLong, s.map(_.valueCents).sum)
-      }
+      closed.iterator.map(s =>
+        Session(userId, s.startUs, s.endUs, s.nEvents, s.sumCents))
     }
 
     events

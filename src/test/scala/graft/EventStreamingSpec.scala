@@ -238,6 +238,19 @@ class EventStreamingSpec extends SparkSpec {
       "one microsecond past the gap must start a new session")
   }
 
+  test("sessionizeStream handles a 5000-event continuous session (compact state)") {
+    // the always-active-key stress: one user, events every 60s for 5000
+    // events — a single never-gapping session. State must stay a single
+    // (start, end, n, sum) record, and the session must seal correctly
+    // once the sentinel watermark passes
+    val many = (0 until 5000).map(i => Event(i.toLong, 7L, sec(i.toLong * 60), 1L))
+    val out = EventStreaming.sessionizeReplay(many.toDS(), gapSec = 1800).collect()
+    assert(out.length == 1, s"expected one merged session, got ${out.length}")
+    val s = out.head
+    assert((s.userId, s.sessionStartUs, s.sessionEndUs, s.nEvents, s.sumCents) ==
+      ((7L, sec(0), sec(4999L * 60), 5000L, 5000L)), s"got $s")
+  }
+
   test("dedupReplay keeps exactly one copy of each duplicated id") {
     val dupd = (evts ++ evts ++ evts).toDS()
     val out = EventStreaming.dedupReplay(dupd, watermarkSec = 3600).collect()
