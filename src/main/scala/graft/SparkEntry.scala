@@ -1003,6 +1003,21 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // ── character-level near-dup: Levenshtein-scored pairs under
+    // (first-token, token-count) blocking — the Jaccard blind-spot
+    // complement (typo/OCR dups whose word sets diverge). Equi-join on
+    // the block key, codegen'd levenshtein on blocked candidates only ────
+    "q100_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(s.read.parquet(t(dir, "documents")))),
+
+    // ── ordered conversion funnel (view → click → purchase): earliest
+    // stage-k event strictly after the user's stage-(k-1) time; one
+    // filtered agg per stage + one co-partitioned user join per
+    // transition ─────────────────────────────────────────────────────────
+    "q101_funnel" -> ((s, dir) =>
+      EventOps.funnel(s.read.parquet(t(dir, "events")),
+        Seq("view", "click", "purchase"))),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2355,6 +2370,33 @@ object SparkEntry {
         |  COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_cents
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q100_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text, split_part(text, ' ', 1) AS w0,
+        |             len(string_split(text, ' ')) AS nw FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |  CAST(CASE WHEN levenshtein(a.text, b.text) <= 64 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS is_dup
+        |FROM d a JOIN d b
+        |  ON a.w0 = b.w0 AND a.nw = b.nw AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q101_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.tus) AS t_click FROM e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.tus > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.tus) AS t_purchase FROM e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.tus > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

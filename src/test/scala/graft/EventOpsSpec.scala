@@ -56,4 +56,32 @@ class EventOpsSpec extends SparkSpec {
     assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
       ((-1L, 0L, 0L, -999L)))
   }
+
+  test("funnel: earliest stage times, STRICT ordering, nullable tail stages") {
+    val raw = Seq(
+      // user 1: view@10 click@20 purchase@30 — full funnel
+      (0L, 10L, 1L, "view"), (1L, 20L, 1L, "click"), (2L, 30L, 1L, "purchase"),
+      // user 2: click BEFORE the first view never counts; the purchase
+      // can't count either (no click stage reached)
+      (3L, 5L, 2L, "click"), (4L, 10L, 2L, "view"), (5L, 20L, 2L, "purchase"),
+      // user 3: click at the SAME instant as view — not strictly after
+      (6L, 10L, 3L, "view"), (7L, 10L, 3L, "click"),
+      // user 4: never viewed → absent from the funnel entirely
+      (8L, 10L, 4L, "purchase"),
+      // user 5: purchase before the click → t_purchase null
+      (9L, 10L, 5L, "view"), (10L, 20L, 5L, "click"), (11L, 15L, 5L, "purchase"))
+    val df = raw.map { case (id, tsSec, uid, ty) =>
+      (id, tsSec * 1000000000L, uid, ty, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    def us(s: Long) = s * 1000000L
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((us(10), us(20), us(30))))
+    assert(out(2L) == ((us(10), -1L, -1L)))
+    assert(out(3L) == ((us(10), -1L, -1L)))
+    assert(out(5L) == ((us(10), us(20), -1L)))
+  }
 }

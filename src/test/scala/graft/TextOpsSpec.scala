@@ -228,6 +228,24 @@ class TextOpsSpec extends SparkSpec {
     assert(t.getAs[Long]("ws_tokens") == 5 && t.getAs[Long]("re_tokens") == 5)
   }
 
+  test("editDistancePairs: blocked pairs scored; cross-block pairs never generated") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delte", // 1 edit, same block (w0=alpha, nw=4)
+      3L -> "alpha beta gamma", // same first token, different count → other block
+      4L -> "omega beta gamma delta") // different first token → other block
+    val out = Dedup.editDistancePairs(d, maxDist = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("editDistancePairs: distance above maxDist keeps the pair with is_dup=0") {
+    val d = docs(1L -> "a xxxx", 2L -> "a yyyy")
+    val out = Dedup.editDistancePairs(d, maxDist = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 4L, 0L)), s"got ${out.toSeq}")
+  }
+
   test("xhash matches the known cross-engine value for 'hello'") {
     val h = docs(1L -> "x").select(TextOps.xhash(lit("hello"))).collect()(0).getLong(0)
     assert(h == 419982666956583591L) // == DuckDB ('0x'||substr(md5('hello'),1,15))::BIGINT
