@@ -1018,6 +1018,11 @@ object SparkEntry {
       EventOps.funnel(s.read.parquet(t(dir, "events")),
         Seq("view", "click", "purchase"))),
 
+    // ── cohort retention triangle: users bucketed by first-activity week,
+    // distinct-active counts per (cohort, week offset) ───────────────────
+    "q102_retention" -> ((s, dir) =>
+      EventOps.retention(s.read.parquet(t(dir, "events")))),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2397,6 +2402,16 @@ object SparkEntry {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q102_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, c.cohort_week,
+        |        e.wk - c.cohort_week AS week_offset
+        |      FROM e JOIN c USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

@@ -119,4 +119,31 @@ object EventOps {
     }._1
     full.orderBy("user_id")
   }
+
+  /** Cohort retention: bucket event time into fixed windows (weeks by
+    * default), assign each user to the COHORT of their first-activity
+    * bucket, and count distinct users active at each (cohort, offset)
+    * cell — the classic retention triangle. Output: (cohort_week,
+    * week_offset, n_users), offset 0 = the cohort's own bucket.
+    *
+    * Bucketing uses truncating integer division on epoch-µs (`div`),
+    * which matches DuckDB's `//` for the non-negative timestamps events
+    * carry. Scale shape: one aggregation per user (cohort), one
+    * co-partitioned user join, a distinct on (user, cohort, offset) —
+    * map-side combined — then the tiny triangle aggregation; everything
+    * keys on user until the final O(#buckets²) result. */
+  def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val ev = events.select(col("user_id"), tsMicros(events).as("tus"))
+      .withColumn("wk", expr(s"CAST(tus div $bucketUs AS BIGINT)"))
+      .select("user_id", "wk")
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

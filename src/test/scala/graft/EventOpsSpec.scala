@@ -84,4 +84,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out(3L) == ((us(10), -1L, -1L)))
     assert(out(5L) == ((us(10), us(20), -1L)))
   }
+
+  test("retention: cohort by first bucket, distinct-active per offset") {
+    val wk = 604800L // bucket = 1 week of seconds
+    val raw = Seq(
+      // user 1: first active wk0; active wk0 (twice), wk1
+      (0L, 10L, 1L, 0.0), (1L, 20L, 1L, 0.0), (2L, wk + 5L, 1L, 0.0),
+      // user 2: first active wk0; active wk0, wk2
+      (3L, 30L, 2L, 0.0), (4L, 2 * wk + 1L, 2L, 0.0),
+      // user 3: first active wk1 — its own cohort
+      (5L, wk + 50L, 3L, 0.0))
+    val out = EventOps.retention(events(raw: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // users 1,2 in cohort 0 at offset 0 (dup event collapsed)
+      (0L, 1L) -> 1L, // user 1 returned in week 1
+      (0L, 2L) -> 1L, // user 2 returned in week 2
+      (1L, 0L) -> 1L), s"got $out") // user 3's own cohort
+  }
 }
