@@ -1023,6 +1023,25 @@ object SparkEntry {
     "q102_retention" -> ((s, dir) =>
       EventOps.retention(s.read.parquet(t(dir, "events")))),
 
+    // ── behavioral transition matrix: consecutive event-type pairs per
+    // user (one partitioned lead window, O(#types²) output) ──────────────
+    "q103_transitions" -> ((s, dir) =>
+      EventOps.transitions(s.read.parquet(t(dir, "events")))),
+
+    // ── snapshot diff via full-outer join: two deterministic "extracts"
+    // of orders (old drops key%5=0; new drops key%7=0 and bumps
+    // o_totalprice on key%3=0) — added/removed/changed against an oracle
+    // that derives the statuses independently from the key arithmetic ────
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val old = o.filter(col("o_orderkey") % 5 =!= 0)
+      val nw = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.operators.TableOps.snapshotDiff(old, nw, "o_orderkey")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2412,6 +2431,32 @@ object SparkEntry {
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users
         |FROM a GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q103_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |g AS (SELECT event_type AS from_type,
+        |        LEAD(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, COUNT(*) AS n FROM g
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    // independent ground truth: the gate constructs both snapshots from
+    // key arithmetic, so the oracle derives every status WITHOUT running
+    // a diff — it checks the full-outer-join machinery against closed form
+    "q104_snapshot_diff" ->
+      """SELECT o_orderkey, CASE
+        |  WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 != 0 THEN 'added'
+        |  WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 != 0 THEN 'removed'
+        |  ELSE 'changed' END AS status
+        |FROM orders
+        |WHERE (o_orderkey % 5 = 0 AND o_orderkey % 7 != 0)
+        |   OR (o_orderkey % 7 = 0 AND o_orderkey % 5 != 0)
+        |   OR (o_orderkey % 5 != 0 AND o_orderkey % 7 != 0
+        |       AND o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

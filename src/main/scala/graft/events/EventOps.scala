@@ -120,6 +120,22 @@ object EventOps {
     full.orderBy("user_id")
   }
 
+  /** Markov transition counts over each user's event-type sequence: for
+    * every consecutive pair of events (time order, event_id tiebreak)
+    * within a user, count (from_type → to_type) occurrences — the
+    * behavioral transition matrix. One user-partitioned window (lead) and
+    * one tiny aggregation; the matrix is O(#types²). */
+  def transitions(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        tsMicros(events).as("tus"))
+      .withColumn("to_type", lead("event_type", 1).over(order))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Cohort retention: bucket event time into fixed windows (weeks by
     * default), assign each user to the COHORT of their first-activity
     * bucket, and count distinct users active at each (cohort, offset)

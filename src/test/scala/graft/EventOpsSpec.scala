@@ -85,6 +85,19 @@ class EventOpsSpec extends SparkSpec {
     assert(out(5L) == ((us(10), us(20), -1L)))
   }
 
+  test("transitions: consecutive-pair counts per user, time order with id tiebreak") {
+    val raw = Seq(
+      (0L, 10L, 1L, "view"), (1L, 20L, 1L, "click"), (2L, 30L, 1L, "view"),
+      (3L, 10L, 2L, "view"), (4L, 20L, 2L, "click"),
+      (5L, 10L, 3L, "purchase")) // single event: no transition
+    val df = raw.map { case (id, tsSec, uid, ty) =>
+      (id, tsSec * 1000000000L, uid, ty, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.transitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("view", "click") -> 2L, ("click", "view") -> 1L), s"got $out")
+  }
+
   test("retention: cohort by first bucket, distinct-active per offset") {
     val wk = 604800L // bucket = 1 week of seconds
     val raw = Seq(
