@@ -1042,6 +1042,11 @@ object SparkEntry {
       graft.operators.TableOps.snapshotDiff(old, nw, "o_orderkey")
     }),
 
+    // ── hourly trending: top-3 event types per hour bucket (rank window
+    // over the tiny count table, never over raw events) ──────────────────
+    "q105_trending" -> ((s, dir) =>
+      EventOps.trending(s.read.parquet(t(dir, "events")))),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2457,6 +2462,18 @@ object SparkEntry {
         |   OR (o_orderkey % 5 != 0 AND o_orderkey % 7 != 0
         |       AND o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q105_trending" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type
+        |           FROM events),
+        |c AS (SELECT hour, event_type, COUNT(*) AS n FROM e
+        |      GROUP BY hour, event_type),
+        |r AS (SELECT hour, event_type, n,
+        |        ROW_NUMBER() OVER (PARTITION BY hour
+        |          ORDER BY n DESC, event_type) AS rnk
+        |      FROM c)
+        |SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY hour, rnk""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

@@ -136,6 +136,24 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Trending: top-`k` event types per time bucket by count — the
+    * "what's hot this hour" leaderboard. Count per (bucket, type) with
+    * map-side combine, then a rank window PARTITIONED BY BUCKET over the
+    * tiny count table (O(buckets·types) rows — the window never sees raw
+    * events), deterministic tiebreak on type. */
+  def trending(events: DataFrame, bucketUs: Long = 3600000000L,
+               k: Int = 3): DataFrame = {
+    require(bucketUs > 0 && k > 0, "bucketUs and k must be positive")
+    val counts = events
+      .select(col("event_type"), tsMicros(events).as("tus"))
+      .withColumn("hour", expr(s"CAST(tus div $bucketUs AS BIGINT)"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("hour").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .orderBy("hour", "rnk")
+  }
+
   /** Cohort retention: bucket event time into fixed windows (weeks by
     * default), assign each user to the COHORT of their first-activity
     * bucket, and count distinct users active at each (cohort, offset)
