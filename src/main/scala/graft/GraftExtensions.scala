@@ -52,5 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams.builder(exprs)))
+    // bloom semi-join surface: sketch an arbitrary key column, probe it as
+    // a scalar predicate (both sides hash with the same xxhash64 inside)
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(graft.operators.BloomJoin.getClass.getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => graft.operators.BloomJoin.aggBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(graft.operators.BloomJoin.getClass.getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => graft.operators.BloomJoin.containsBuilder(exprs)))
   }
 }

@@ -1047,6 +1047,42 @@ object SparkEntry {
     "q105_trending" -> ((s, dir) =>
       EventOps.trending(s.read.parquet(t(dir, "events")))),
 
+    // ── SCD Type-2 intervals from the event log: collapse consecutive
+    // same-state events per user, emit (state, valid_from, valid_to)
+    // validity intervals — the CDC→dimension warehouse primitive ─────────
+    "q106_scd2" -> ((s, dir) =>
+      EventOps.scd2(s.read.parquet(t(dir, "events")))),
+
+    // ── bloom-prefiltered semi join: lineitem rows of high-value orders;
+    // the key side is sketched (BloomFilterAggregate), the sketch filters
+    // fact rows BEFORE the exchange, an exact semi join removes false
+    // positives — result ≡ the plain semi join the oracle runs ───────────
+    "q107_bloom_semijoin" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val hot = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 400000.0)
+      graft.operators.BloomJoin.semiJoin(li, "l_orderkey", hot, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ── per-user ordered behavior path (first 20 events) + total count:
+    // rank/total in one user window, collect bounded at 20/user ──────────
+    "q108_user_paths" -> ((s, dir) =>
+      EventOps.userPaths(s.read.parquet(t(dir, "events")))),
+
+    // ── half-life-decayed engagement score: integer permille weights
+    // (1000 >> age_days, exact cross-engine), one keyed aggregation ──────
+    "q109_decayed_score" -> ((s, dir) =>
+      EventOps.decayedScore(s.read.parquet(t(dir, "events")))),
+
+    // ── mode event type per user: window-free two-phase argmin on the
+    // composite (-n, value) struct, deterministic tie-break ──────────────
+    "q110_mode" -> ((s, dir) =>
+      graft.operators.TableOps.modePerGroup(
+        s.read.parquet(t(dir, "events")), "user_id", "event_type")),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2474,6 +2510,66 @@ object SparkEntry {
         |      FROM c)
         |SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3
         |ORDER BY hour, rnk""".stripMargin,
+
+    "q106_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, event_id, tus, event_type,
+        |        LAG(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS prev_type
+        |      FROM e),
+        |f AS (SELECT * FROM c
+        |      WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id, event_type AS state, tus AS valid_from_us,
+        |       LEAD(tus) OVER (PARTITION BY user_id
+        |         ORDER BY tus, event_id) AS valid_to_us
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // the bloom prefilter is invisible to semantics (false positives are
+    // removed by the exact semi join), so the oracle IS the plain semi join
+    "q107_bloom_semijoin" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |       ${CENTS.format("l_extendedprice")} AS price_c
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_totalprice > 400000.0)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q108_user_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |r AS (SELECT user_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |      FROM e)
+        |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |       MAX(n_events) AS n_events
+        |FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // integer permille half-life weights: 1000 >> age_buckets, saturating
+    // at bucket 20 (weight already 0) — exact 64-bit in both engines
+    "q109_decayed_score" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT MAX(tus) AS tmax FROM e),
+        |w AS (SELECT user_id, cents,
+        |        1000 // (CAST(1 AS BIGINT) << LEAST(
+        |          CAST((tmax - tus) // 86400000000 AS INT), 20)) AS w_permille
+        |      FROM e, m)
+        |SELECT user_id, CAST(SUM(cents * w_permille) AS BIGINT) AS score_permille,
+        |       COUNT(*) AS n_events
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q110_mode" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |           GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, n,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY n DESC, event_type) AS rnk
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_value, n FROM r WHERE rnk = 1
+        |ORDER BY user_id""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

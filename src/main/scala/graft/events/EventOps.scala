@@ -166,6 +166,89 @@ object EventOps {
     * co-partitioned user join, a distinct on (user, cohort, offset) —
     * map-side combined — then the tiny triangle aggregation; everything
     * keys on user until the final O(#buckets²) result. */
+  /** SCD Type-2 interval construction from an event log: treating each
+    * user's event stream as change records for their "current activity
+    * state" (the event type), collapse runs of consecutive equal states
+    * and emit one validity interval per run — (user_id, state,
+    * valid_from_us, valid_to_us), `valid_to_us` null for the open current
+    * state. The warehouse "build a slowly-changing dimension from a CDC
+    * feed" primitive.
+    *
+    * Two user-partitioned windows (lag for change detection, lead over
+    * the CHANGE rows for interval close) — the second window sorts only
+    * the collapsed change rows, not the raw stream. No global ordering,
+    * one partitioning reused across both windows. */
+  def scd2(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events.select(col("user_id"), col("event_id"),
+        tsMicros(events).as("tus"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(order))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead("tus", 1).over(order))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("tus").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** Per-user ordered behavior path: the event-type sequence of the first
+    * `maxEvents` events (time order, event_id tiebreak) joined with '>',
+    * plus the user's total event count. The sequence-mining / journey-
+    * analysis primitive.
+    *
+    * Scale shape: rank + total-count in ONE user-partitioned window pass,
+    * filter to the first `maxEvents` BEFORE the aggregation — the
+    * collect_list buffer is bounded at `maxEvents` entries per user, so an
+    * always-active user can't blow an agg buffer; the window sort itself
+    * is Spark's spillable sort. */
+  def userPaths(events: DataFrame, maxEvents: Int = 20): DataFrame = {
+    require(maxEvents > 0, "maxEvents must be positive")
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val whole = Window.partitionBy("user_id")
+    events.select(col("user_id"), col("event_id"),
+        tsMicros(events).as("tus"), col("event_type"))
+      .withColumn("rn", row_number().over(order))
+      .withColumn("n_events", count(lit(1)).over(whole))
+      .filter(col("rn") <= maxEvents)
+      .groupBy("user_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+          ">").as("path"),
+        max("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Half-life-decayed engagement score per user: each event contributes
+    * `cents · w(age)` where `w` halves per `halfLifeUs` elapsed before the
+    * corpus's newest event — the recency-weighted feature behind trending
+    * users / freshness-weighted training mixtures. Weights are integer
+    * permille (1000 >> age_buckets, floored at bucket 20 where the weight
+    * is already 0), so the math is exact 64-bit across engines — no
+    * float exp(), no cross-engine summation-order drift.
+    *
+    * The reference instant is the global max event time: an O(1) scalar
+    * aggregate collected to the driver (bounded model state, same class
+    * as IVF centroids), then folded into the per-row projection — the
+    * scoring pass is one map-side-combined aggregation keyed on user. */
+  def decayedScore(events: DataFrame, halfLifeUs: Long = 86400000000L): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    val ev = events.select(col("user_id"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    // O(1) scalar collect; null only when events is empty, in which case
+    // the grouped result below is empty regardless of the reference instant
+    val tmaxRow = ev.agg(max("tus")).head
+    val tmax = if (tmaxRow.isNullAt(0)) 0L else tmaxRow.getLong(0)
+    ev
+      .withColumn("k",
+        least(expr(s"CAST((${tmax}L - tus) div ${halfLifeUs}L AS INT)"), lit(20)))
+      .withColumn("w_permille",
+        expr("CAST(1000 div shiftleft(CAST(1 AS BIGINT), k) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(sum(expr("cents * w_permille")).as("score_permille"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

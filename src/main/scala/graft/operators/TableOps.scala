@@ -19,6 +19,24 @@ object TableOps {
     * key; a production variant can pre-hash each side's struct down to
     * 8 bytes before the exchange (same join, 1/row-width the shuffle
     * volume) at the cost of a 2^-64 collision. */
+  /** Mode (most frequent value) of `value` per `key`, deterministic
+    * tie-break on the smaller value. Output: (<key>, mode_value, n).
+    *
+    * Window-free: count per (key, value), then a second map-side-combined
+    * aggregation argmins the composite (-n, value) struct — struct
+    * ordering is field-lexicographic, so the minimum is exactly "highest
+    * count, then smallest value". Two exchanges on small count tables,
+    * no per-key sort, no rank window — the shape that survives a key
+    * whose value cardinality is huge. */
+  def modePerGroup(df: DataFrame, key: String, value: String): DataFrame = {
+    val counts = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("n"))
+    counts.groupBy(col(key))
+      .agg(min_by(struct(col(value).as("mode_value"), col("n")),
+        struct((-col("n")).as("neg_n"), col(value).as("v"))).as("m"))
+      .select(col(key), col("m.mode_value").as("mode_value"), col("m.n").as("n"))
+      .orderBy(key)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
       s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
