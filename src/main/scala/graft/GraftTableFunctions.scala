@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_quality_linear('docs_view', 'weights_view', 4096)
   *   SELECT * FROM graft_bm25_topk('docs_view', 'queries_view', 10)
   *   SELECT * FROM graft_dedup_best_near('docs_view', 'n_chars')
+  *   SELECT * FROM graft_sessionize('events_view', 1800)
+  *   SELECT * FROM graft_funnel('events_view', 'view,click,purchase')
+  *   SELECT * FROM graft_scd2('events_view')
+  *   SELECT * FROM graft_decayed_score('events_view', 86400)
+  *   SELECT * FROM graft_mode('events_view', 'user_id', 'event_type')
+  *   SELECT * FROM graft_bloom_semijoin('fact_view', 'l_orderkey', 'keys_view', 'o_orderkey')
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -119,6 +125,40 @@ object GraftTableFunctions {
     "graft_dedup_best_near" -> { exprs =>
       val a = args("graft_dedup_best_near", exprs, 2)
       plan(text.Dedup.nearDedupBest(table(a(0)), scoreCol = str(a(1))))
+    },
+    // ── event analytics over an `events`-shaped view ──────────────────
+    "graft_sessionize" -> { exprs =>
+      val a = args("graft_sessionize", exprs, 2)
+      plan(events.EventOps.sessionize(table(a(0)), gapSec = int(a(1)).toLong))
+    },
+    // stages as a comma-separated event-type list, e.g. 'view,click,purchase'
+    "graft_funnel" -> { exprs =>
+      val a = args("graft_funnel", exprs, 2)
+      plan(events.EventOps.funnel(table(a(0)),
+        str(a(1)).split(',').map(_.trim).toIndexedSeq))
+    },
+    "graft_scd2" -> { exprs =>
+      val a = args("graft_scd2", exprs, 1)
+      plan(events.EventOps.scd2(table(a(0))))
+    },
+    // the reference-instant max(ts) scalar job runs EAGERLY at planning
+    // (the graft_sliding_agg note: driver-bounded eager work)
+    "graft_decayed_score" -> { exprs =>
+      val a = args("graft_decayed_score", exprs, 2)
+      plan(events.EventOps.decayedScore(table(a(0)),
+        halfLifeUs = int(a(1)).toLong * 1000000L))
+    },
+    "graft_mode" -> { exprs =>
+      val a = args("graft_mode", exprs, 3)
+      plan(operators.TableOps.modePerGroup(table(a(0)),
+        key = str(a(1)), value = str(a(2))))
+    },
+    // the bloom sketch aggregation runs EAGERLY at planning (bounded:
+    // O(numBits/8) bytes of model state, never O(keys))
+    "graft_bloom_semijoin" -> { exprs =>
+      val a = args("graft_bloom_semijoin", exprs, 4)
+      plan(operators.BloomJoin.semiJoin(table(a(0)), factKey = str(a(1)),
+        keys = table(a(2)), keysKey = str(a(3))))
     })
 
   private[graft] def descriptions

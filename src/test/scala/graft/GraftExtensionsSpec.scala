@@ -204,6 +204,61 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("event-analytics and bloom TVFs match their Scala APIs") {
+    spark.range(1).count() // materialize the shared session first
+    val ext = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ClassicSession.clearDefaultSession()
+    ClassicSession.clearActiveSession()
+    val s2 = ClassicSession.builder()
+      .master("local[2]")
+      .withExtensions(ext)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val ev = Seq(
+        (0L, 10L, 1L, "view", 1.0), (1L, 20L, 1L, "click", 2.0),
+        (2L, 4000L, 1L, "view", 3.0), (3L, 4100L, 1L, "purchase", 4.0),
+        (4L, 50L, 2L, "view", 5.0), (5L, 60L, 2L, "view", 6.0))
+        .map { case (id, s, u, ty, v) => (id, s * 1000000000L, u, ty, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      ev.createOrReplaceTempView("events_view")
+
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+
+      assert(rows(s2.sql("SELECT * FROM graft_sessionize('events_view', 1800)"))
+        == rows(graft.events.EventOps.sessionize(ev, 1800)))
+      assert(rows(s2.sql(
+        "SELECT * FROM graft_funnel('events_view', 'view,click,purchase')"))
+        == rows(graft.events.EventOps.funnel(ev, Seq("view", "click", "purchase"))))
+      assert(rows(s2.sql("SELECT * FROM graft_scd2('events_view')"))
+        == rows(graft.events.EventOps.scd2(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_decayed_score('events_view', 86400)"))
+        == rows(graft.events.EventOps.decayedScore(ev, 86400000000L)))
+      assert(rows(s2.sql("SELECT * FROM graft_mode('events_view', 'user_id', 'event_type')"))
+        == rows(graft.operators.TableOps.modePerGroup(ev, "user_id", "event_type")))
+      // sanity on semantics, not just parity: user 1's mode is the tied
+      // smaller type
+      val mode = s2.sql("SELECT * FROM graft_mode('events_view', 'user_id', 'event_type')")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(mode == Map(1L -> "view", 2L -> "view"))
+
+      val fact = (1L to 50L).map(k => (k, k * 10)).toDF("fk", "payload")
+      val keys = Seq(2L, 3L, 5L, 8L, 13L).toDF("kk")
+      fact.createOrReplaceTempView("fact_view")
+      keys.createOrReplaceTempView("keys_view")
+      val sqlBloom = s2.sql(
+        "SELECT fk, payload FROM graft_bloom_semijoin('fact_view', 'fk', 'keys_view', 'kk')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sqlBloom == Set(2L, 3L, 5L, 8L, 13L).map(k => (k, k * 10)))
+    } finally {
+      val shared = spark.asInstanceOf[ClassicSession]
+      ClassicSession.setDefaultSession(shared)
+      ClassicSession.setActiveSession(shared)
+    }
+  }
+
   test("register() is idempotent and quiet on repeat calls") {
     graft.functions.DotProductLong.register(spark)
     graft.functions.DotProductLong.register(spark) // second call: no replace
