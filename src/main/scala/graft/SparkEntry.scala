@@ -1061,7 +1061,10 @@ object SparkEntry {
       val li = s.read.parquet(t(dir, "lineitem"))
       val hot = s.read.parquet(t(dir, "orders"))
         .filter(col("o_totalprice") > 400000.0)
-      graft.operators.BloomJoin.semiJoin(li, "l_orderkey", hot, "o_orderkey")
+      // sketch sized to the key side (~tens of thousands of hot orders):
+      // 2^20 bits = 128 KiB, FP ≲ 1% — the corrective join stays cheap
+      graft.operators.BloomJoin.semiJoin(li, "l_orderkey", hot, "o_orderkey",
+        expectedItems = 1L << 16, numBits = 1L << 20)
         .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
           cents(col("l_extendedprice")).as("price_c"))
         .orderBy("l_orderkey", "l_linenumber")
