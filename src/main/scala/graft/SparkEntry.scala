@@ -1086,6 +1086,63 @@ object SparkEntry {
       graft.operators.TableOps.modePerGroup(
         s.read.parquet(t(dir, "events")), "user_id", "event_type")),
 
+    // ── PageRank (3 synchronous rounds) over the bidirectional
+    // part↔supplier co-occurrence graph; exact fixed-point ppm arithmetic
+    // so DuckDB replays every iteration cell-for-cell ────────────────────
+    "q111_pagerank" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
+        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 3)
+        .select(col("node"), col("rank").as("pr"))
+    }),
+
+    // ── hourly resample with gap-fill + forward fill: densify each event
+    // type onto the full bucket grid, carry the last observed sum across
+    // the gaps — raw events meet only one map-side-combined agg ──────────
+    "q112_resample" -> ((s, dir) =>
+      EventOps.resample(s.read.parquet(t(dir, "events")))),
+
+    // ── fixed-width price histogram ($5000 bins over price cents): one
+    // map-side-combined aggregation, O(#bins) exchange ───────────────────
+    "q113_histogram" -> ((s, dir) => {
+      val v = s.read.parquet(t(dir, "lineitem"))
+        .select(cents(col("l_extendedprice")).as("price_c"))
+      graft.operators.TableOps.histogram(v, "price_c", binWidth = 500000L)
+    }),
+
+    // ── interval × interval overlap join: user sessions (30-min gap
+    // intervals) vs a synthesized 90-min incident-window schedule; both
+    // sides bucket-exploded to an hour-cell equi join, each pair kept
+    // exactly once in its first shared cell (no distinct pass) ───────────
+    "q114_interval_overlap" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val sess = EventOps.sessionIntervals(ev, gapSec = 1800)
+        .select("user_id", "session_id", "s_start", "s_end")
+      val wins = ev.select(EventOps.tsMicros(ev).as("tus"))
+        .agg(min("tus").as("tmin"))
+        .select(explode(sequence(lit(0L), lit(47L))).as("w_id"), col("tmin"))
+        .select(col("w_id"),
+          (col("tmin") + col("w_id") * 21600000000L).as("w_start"),
+          (col("tmin") + col("w_id") * 21600000000L + 5400000000L).as("w_end"))
+      graft.events.RangeJoin.intervalOverlap(
+        sess, "s_start", "s_end", wins, "w_start", "w_end",
+        bucketWidth = 3600000000L)
+        .select(col("user_id"), col("session_id"), col("w_id"),
+          (least(col("s_end"), col("w_end")) -
+            greatest(col("s_start"), col("w_start")) + 1).as("overlap_us"))
+        .orderBy("user_id", "session_id", "w_id")
+    }),
+
+    // ── column profile of orders: per column, rows / nulls / EXACT
+    // distinct in one explode + single hash agg (two-phase partial
+    // distinct — no per-statistic pass over the table) ───────────────────
+    "q115_profile" -> ((s, dir) =>
+      graft.operators.TableOps.profile(s.read.parquet(t(dir, "orders")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2573,6 +2630,113 @@ object SparkEntry {
         |      FROM c)
         |SELECT user_id, event_type AS mode_value, n FROM r WHERE rnk = 1
         |ORDER BY user_id""".stripMargin,
+
+    // exact fixed-point PageRank: every iteration is pure 64-bit integer
+    // arithmetic (ppm ranks, truncating division — `//` ≡ Spark `div` on
+    // the non-negative values here), replayed as chained CTEs
+    "q111_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
+        |            FROM lineitem),
+        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.d AS node, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r3 AS (SELECT n.node, 150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r AS pr FROM r3 ORDER BY node""".stripMargin,
+
+    "q112_resample" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, tus // 3600000000 AS bucket, cents FROM e),
+        |a AS (SELECT event_type, bucket, COUNT(*) AS n_obs,
+        |        CAST(SUM(cents) AS BIGINT) AS sum_c
+        |      FROM b GROUP BY event_type, bucket),
+        |bounds AS (SELECT MIN(bucket) AS bmin, MAX(bucket) AS bmax FROM b),
+        |grid AS (SELECT t.event_type, g.bucket
+        |         FROM (SELECT DISTINCT event_type FROM events) t,
+        |              (SELECT UNNEST(generate_series(bmin, bmax)) AS bucket
+        |               FROM bounds) g)
+        |SELECT grid.event_type, grid.bucket,
+        |       COALESCE(a.n_obs, 0) AS n_events, a.sum_c,
+        |       LAST_VALUE(a.sum_c IGNORE NULLS) OVER (
+        |         PARTITION BY grid.event_type ORDER BY grid.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_sum_c
+        |FROM grid LEFT JOIN a
+        |  ON grid.event_type = a.event_type AND grid.bucket = a.bucket
+        |ORDER BY grid.event_type, grid.bucket""".stripMargin,
+
+    "q113_histogram" ->
+      """WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+        |           FROM lineitem)
+        |SELECT v // 500000 AS bin, (v // 500000) * 500000 AS lo,
+        |       COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v,
+        |       CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM v GROUP BY bin, lo ORDER BY bin""".stripMargin,
+
+    // the bucketing is invisible to semantics: the oracle is the plain
+    // inequality overlap join over the same session/window intervals
+    "q114_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |s0 AS (SELECT user_id, event_id, tus,
+        |         LAG(tus) OVER (PARTITION BY user_id
+        |           ORDER BY tus, event_id) AS prev FROM e),
+        |s1 AS (SELECT user_id, tus,
+        |         CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |       FROM s0),
+        |sess AS (SELECT user_id, session_id, MIN(tus) AS s_start,
+        |                MAX(tus) AS s_end
+        |         FROM s1 GROUP BY user_id, session_id),
+        |b AS (SELECT MIN(tus) AS tmin FROM e),
+        |w AS (SELECT CAST(g.w_id AS BIGINT) AS w_id,
+        |             b.tmin + g.w_id*21600000000 AS w_start,
+        |             b.tmin + g.w_id*21600000000 + 5400000000 AS w_end
+        |      FROM b, (SELECT UNNEST(generate_series(0, 47)) AS w_id) g)
+        |SELECT sess.user_id, sess.session_id, w.w_id,
+        |       (LEAST(sess.s_end, w.w_end) -
+        |        GREATEST(sess.s_start, w.w_start) + 1) AS overlap_us
+        |FROM sess JOIN w
+        |  ON sess.s_start <= w.w_end AND w.w_start <= sess.s_end
+        |ORDER BY sess.user_id, sess.session_id, w.w_id""".stripMargin,
+
+    "q115_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |         COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |         COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |         COUNT(DISTINCT o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |         COUNT(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |         COUNT(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |         COUNT(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |         COUNT(DISTINCT o_orderpriority) FROM orders
+        |) ORDER BY col_name""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

@@ -84,6 +84,27 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Session INTERVALS: [[sessionize]]'s boundaries materialized as one
+    * row per session — (user_id, session_id, s_start, s_end, n_events),
+    * epoch-µs inclusive bounds. The interval-shaped view that overlap
+    * joins ([[RangeJoin.intervalOverlap]]) and duration analytics
+    * consume. Same single user-keyed partitioning as sessionize; the
+    * closing aggregation reuses it (no second exchange). */
+  def sessionIntervals(events: DataFrame, gapSec: Long): DataFrame = {
+    val us = gapSec * 1000000L
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base(events)
+      .withColumn("prev", lag("tus", 1).over(order))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > us, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(cum).cast(LongType))
+      .groupBy("user_id", "session_id")
+      .agg(min("tus").as("s_start"), max("tus").as("s_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Ordered conversion funnel: per user, the earliest time of stage 1,
     * then the earliest stage-2 event STRICTLY AFTER it, then the earliest
     * stage-3 event strictly after that, and so on — the standard
@@ -247,6 +268,53 @@ object EventOps {
       .agg(sum(expr("cents * w_permille")).as("score_permille"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
+  }
+
+  /** Regular-grid resample with gap-fill and forward-fill: bucket each
+    * event type's stream into fixed `bucketUs` windows, then densify onto
+    * the full [min, max] bucket grid (missing buckets appear with
+    * n_events = 0) and carry the last observed bucket-sum forward across
+    * the gaps — the time-series normalization step every
+    * charting / feature-window / anomaly pipeline needs before it can
+    * difference or lag a metric. Output per (event_type, bucket):
+    * (event_type, bucket, n_events, sum_c nullable, ff_sum_c = last
+    * non-null sum_c at or before this bucket, null before the first
+    * observation).
+    *
+    * Scale shape: the raw stream is reduced FIRST by one map-side-combined
+    * aggregation to O(types·buckets) rows; the global bucket bounds are an
+    * O(1) scalar aggregate collected to the driver (bounded model state,
+    * same class as decayedScore's reference instant — NOT a cross join,
+    * which would plan as a nested-loop), then folded into a per-type
+    * sequence explode over the distinct type table; the forward-fill
+    * window partitions by type over grid rows only — raw events never
+    * meet a window or an explode. */
+  def resample(events: DataFrame, bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    // floor-safe bucketing (pmod form) so a pre-1970 stream can't drift
+    val bucketed = ev.withColumn("bucket",
+      expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+    val agg = bucketed.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_obs"), sum("cents").as("sum_c"))
+    // O(1) scalar collect; null only when events is empty — then the
+    // distinct type table below is empty too and the grid is empty anyway
+    val boundsRow = bucketed.agg(min("bucket"), max("bucket")).head
+    val (bmin, bmax) =
+      if (boundsRow.isNullAt(0)) (0L, 0L)
+      else (boundsRow.getLong(0), boundsRow.getLong(1))
+    val grid = events.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(bmin), lit(bmax))).as("bucket"))
+    val ff = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        col("sum_c"),
+        last("sum_c", ignoreNulls = true).over(ff).as("ff_sum_c"))
+      .orderBy("event_type", "bucket")
   }
 
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {

@@ -63,4 +63,51 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
       .drop(bucketCol)
   }
+
+  /** Interval × interval OVERLAP join — both sides are ranges (inclusive
+    * ends): emit one row per (left, right) pair with
+    * `lStart <= rEnd AND rStart <= lEnd`. The generalization of
+    * [[pointInInterval]] (a point is a zero-length interval); covers
+    * meeting/booking conflicts, session-vs-incident attribution, validity
+    * overlap between two SCD dimensions.
+    *
+    * Same bucket construction on BOTH sides: each interval explodes to the
+    * buckets it covers and the join is a plain equi-join on the bucket id.
+    * Two overlapping intervals co-occupy every bucket their intersection
+    * touches, so the naive form would duplicate pairs; instead of a
+    * `distinct` (an extra full-width shuffle), the match is kept ONLY in
+    * the deterministic first shared bucket — `greatest(bucket(lStart),
+    * bucket(rStart))` — which any overlapping pair occupies exactly once.
+    * Cost: each side shuffles span/B + 1 copies per row; pick `bucketWidth`
+    * near the typical interval length of the DENSER side. Column names
+    * must not collide across inputs (alias before calling). */
+  def intervalOverlap(left: DataFrame, lStartCol: String, lEndCol: String,
+                      right: DataFrame, rStartCol: String, rEndCol: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Long = 1L << 16): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    require(!left.columns.contains(bucketCol) && !right.columns.contains(bucketCol),
+      s"inputs must not contain the internal column name $bucketCol")
+    def bucketOf(c: String) =
+      expr(s"((`$c` - pmod(`$c`, $bucketWidth)) div $bucketWidth)")
+    def exploded(df: DataFrame, startCol: String, endCol: String) = {
+      val bStart = bucketOf(startCol)
+      val bEnd = bucketOf(endCol)
+      val guardedEnd = when(bEnd - bStart < lit(maxBucketsPerInterval), bEnd)
+        .otherwise(raise_error(format_string(
+          "interval [%s, %s] spans more than " +
+            s"maxBucketsPerInterval=$maxBucketsPerInterval buckets at " +
+            s"bucketWidth=$bucketWidth — increase bucketWidth or raise the bound",
+          col(startCol), col(endCol))))
+      df.withColumn(bucketCol, explode(sequence(bStart, guardedEnd)))
+    }
+    exploded(left, lStartCol, lEndCol)
+      .join(exploded(right, rStartCol, rEndCol), Seq(bucketCol))
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      // keep each pair exactly once: in the first bucket both occupy
+      .filter(col(bucketCol) ===
+        greatest(bucketOf(lStartCol), bucketOf(rStartCol)))
+      .drop(bucketCol)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Checkpoints
+
+/** Distributed PageRank by synchronous power iteration — the rank-propagation
+  * complement to the connected-components operator
+  * ([[graft.text.Dedup.clusters]]): CC answers "which nodes form a group",
+  * PageRank answers "which nodes matter inside the graph".
+  *
+  * All arithmetic is EXACT 64-bit integer math so a SQL oracle can replay
+  * every iteration cell-for-cell: ranks live in fixed-point units of
+  * 1/`scale` (default parts-per-million), each edge contributes
+  * `rank div outdeg` (truncating division — identical in Spark `div` and
+  * DuckDB `//` for the non-negative values used here), and the damping step
+  * is `(15*scale) div 100 + (85*sum) div 100`. No doubles anywhere, so no
+  * cross-engine float-summation-order drift. Total mass is ≤ n·scale, so
+  * 85·sum stays inside Int64 up to ~10^11 nodes at the default scale —
+  * shrink `scale` past that.
+  *
+  * Scale shape (per iteration): ONE equi-join of the rank table against the
+  * degree-annotated edge table on the source key, ONE map-side-combined
+  * aggregation on the destination key, ONE left join back to the node set
+  * for sink nodes with no in-edges. The edge table is hash-repartitioned on
+  * `src` once, checkpointed, and reused by every iteration, so each round
+  * exchanges only the O(nodes) rank table — the same label-side-only
+  * per-round exchange discipline as the CC operator. Rank frames are
+  * lineage-truncated through [[Checkpoints.checkpoint]] each round (growth
+  * of both the plan and the size-estimate BigInt is clamped; see
+  * GraftStatsBarrier).
+  */
+object PageRank {
+
+  /** Ranks after `iterations` synchronous rounds over the directed edge set
+    * `edges(srcCol, dstCol)` (BIGINT node ids; parallel edges are NOT
+    * deduplicated — pre-`distinct` if multiplicity should not add weight).
+    * The node set is the union of sources and destinations. Every node
+    * starts at `scale`; output (node, rank) in rank units of 1/`scale`,
+    * ordered by node.
+    *
+    * Dangling mass (nodes with no out-edges) is dropped, not redistributed
+    * — the variant that keeps per-iteration arithmetic oracle-replayable
+    * without a global mass term; for undirected (bidirectional) edge sets
+    * there are no dangling nodes and the distinction vanishes. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale >= 100, "scale must be >= 100 (damping uses div 100)")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val nodes = Checkpoints.checkpoint(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // degree-annotated edges: partitioned on src ONCE, reused every round
+    val eDeg = Checkpoints.checkpoint(
+      e.join(outdeg, "src").repartition(col("src")))
+
+    val base = 15L * scale / 100L
+    var ranks = nodes.withColumn("r", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = Checkpoints.checkpoint(
+        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+    }
+    ranks.select(col("node"), col("r").as("rank")).orderBy("node")
+  }
+}

@@ -45,6 +45,20 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("sessionIntervals materializes sessionize's boundaries and sizes") {
+    val out = EventOps.sessionIntervals(events(
+        (0L, 0L, 1L, 0.0), (1L, 100L, 1L, 0.0),
+        (2L, 2000L, 1L, 0.0), (3L, 3000L, 1L, 0.0),
+        (4L, 7L, 2L, 0.0)), gapSec = 1800)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      (1L, 1L) -> ((0L, 100000000L, 2L)),
+      (1L, 2L) -> ((2000000000L, 3000000000L, 2L)),
+      (2L, 1L) -> ((7000000L, 7000000L, 1L))))
+  }
+
   test("ns-to-us conversion truncates toward zero, matching DuckDB's parquet reader") {
     // DuckDB reads TIMESTAMP(NANOS) parquet by truncation (-1500 ns -> -1 us,
     // -1 ns -> 0); the operators' `ts div 1000` must agree at every

@@ -1,0 +1,61 @@
+package graft
+
+import graft.graph.PageRank
+
+/** Exact-integer PageRank vs a plain-Scala reference iteration — same
+  * fixed-point arithmetic, so parity is cell-exact, not approximate. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SCALE = 1000000L
+
+  // the same fixed-point iteration, single-threaded
+  private def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> SCALE).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / outdeg(s)
+      r = nodes.map(n => n -> (15L * SCALE / 100L + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the reference iteration on a random directed graph (dangling included)") {
+    val rng = new scala.util.Random(7L)
+    // 40 nodes, 250 random edges: duplicates (weight), self-loops, sinks
+    val edges = Seq.fill(250)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    for (iters <- Seq(1, 3)) {
+      assert(run(edges, iters) == ref(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("star graph: the hub outranks every leaf, leaves tie") {
+    // undirected star 0–{1..8}: hub collects 8 whole ranks, leaves 1/8 each
+    val spokes = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val got = run(spokes, 3)
+    val leafRanks = (1L to 8L).map(got)
+    assert(leafRanks.distinct.size == 1, s"leaves should tie: $got")
+    assert(got(0L) > leafRanks.head * 3, s"hub should dominate: $got")
+  }
+
+  test("rank mass is conserved up to truncation on a regular cycle") {
+    // on a directed cycle every node has outdeg 1: no truncation loss at
+    // all, so total mass is exactly n*scale every iteration
+    val n = 12L
+    val cycle = (0L until n).map(i => (i, (i + 1) % n))
+    val got = run(cycle, 5)
+    assert(got.values.toSet == Set(SCALE), s"cycle is rank-uniform: $got")
+  }
+
+  test("rejects bad parameters") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException](PageRank.pageRank(e, "s", "d", 0))
+    intercept[IllegalArgumentException](PageRank.pageRank(e, "s", "d", 1, scale = 10L))
+  }
+}

@@ -31,4 +31,38 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.snapshotDiff(a, b, "k"))
     intercept[IllegalArgumentException](TableOps.snapshotDiff(a, a, "nope"))
   }
+
+  test("histogram bins by floor division, negatives land in the right bin") {
+    val vals = Seq(-21L, -20L, -1L, 0L, 5L, 9L, 10L, 19L, 20L, 20L)
+    val out = TableOps.histogram(vals.toDF("v"), "v", binWidth = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val expect = vals.groupBy(v => Math.floorDiv(v, 10L)).map { case (bin, vs) =>
+      bin -> ((bin * 10L, vs.size.toLong, vs.min, vs.max, vs.sum))
+    }
+    assert(out == expect)
+  }
+
+  test("profile counts rows, nulls, and exact distincts per column") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, Some("a"), None),
+      (3L, None, Some(2.5)),
+      (4L, Some("b"), Some(1.5))).toDF("k", "s", "x")
+    val out = TableOps.profile(df, Seq("k", "s", "x"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      "k" -> ((4L, 0L, 4L)),
+      "s" -> ((4L, 1L, 2L)),
+      "x" -> ((4L, 1L, 2L))))
+  }
+
+  test("profile rejects unknown and empty column lists") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException](TableOps.profile(df, Seq.empty))
+    intercept[IllegalArgumentException](TableOps.profile(df, Seq("nope")))
+  }
 }
