@@ -1143,6 +1143,49 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
 
+    // ── triangle enumeration over the part co-purchase graph (pairs in
+    // ≥2 distinct orders): degree-ordered orientation bounds every
+    // outdegree at O(√m), so wedge generation survives hub skew ──────────
+    "q116_triangles" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // per-order pair explosion is O(k²) with k = lines per order (≤ 7
+      // in this schema) — bounded per group, not per corpus
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      graft.graph.Triangles.triangles(pairs, "pa", "pb")
+    }),
+
+    // ── exact OLS sufficient statistics per event type: y = value cents
+    // vs x = hour offset from the corpus origin (driver scalar — keeps
+    // n·Σx² inside Int64); slope as an exact integer fraction ────────────
+    "q117_linreg_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val e = ev.select(col("event_type"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("y"),
+        EventOps.tsMicros(ev).as("tus"))
+      val hminRow = e.agg(min(expr("tus div 3600000000"))).head
+      val hmin = if (hminRow.isNullAt(0)) 0L else hminRow.getLong(0)
+      val xy = e.select(col("event_type"),
+        (expr("tus div 3600000000") - hmin).as("x"), col("y"))
+      graft.operators.TableOps.linregStats(xy, "event_type", "x", "y")
+    }),
+
+    // ── Morton (Z-order) codes for (l_partkey, l_suppkey): the
+    // two-dimensional clustering key saveZOrdered range-partitions on;
+    // pure shift/mask codegen, oracle replays the interleave bit-exact ───
+    "q118_zorder" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          graft.sources.Layout.zorderValue(
+            col("l_partkey"), col("l_suppkey"), bits = 21).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2715,6 +2758,46 @@ object SparkEntry {
         |FROM sess JOIN w
         |  ON sess.s_start <= w.w_end AND w.w_start <= sess.s_end
         |ORDER BY sess.user_id, sess.session_id, w.w_id""".stripMargin,
+
+    // id-ordered triangle join: a different (simpler) enumeration of the
+    // same triangle set the degree-ordered Spark plan produces
+    "q116_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |pr AS (SELECT x.p AS a, y.p AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2)
+        |SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
+        |       CAST(e2.b AS BIGINT) AS c
+        |FROM pr e1 JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
+        |JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b
+        |ORDER BY a, b, c""".stripMargin,
+
+    "q117_linreg_stats" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
+        |m AS (SELECT MIN(h) AS hmin FROM e),
+        |xy AS (SELECT event_type, h - m.hmin AS x, y FROM e, m),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sum_x,
+        |        CAST(SUM(y) AS BIGINT) AS sum_y,
+        |        CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+        |        CAST(SUM(x*y) AS BIGINT) AS sum_xy
+        |      FROM xy GROUP BY event_type)
+        |SELECT event_type, n, sum_x, sum_y, sum_xx, sum_xy,
+        |       n*sum_xy - sum_x*sum_y AS slope_num,
+        |       n*sum_xx - sum_x*sum_x AS slope_den
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q118_zorder" -> {
+      val terms = (0 until 21).map(i =>
+        s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+          s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |       CAST($terms AS BIGINT) AS z
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "q115_profile" ->
       """SELECT * FROM (

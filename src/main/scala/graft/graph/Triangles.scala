@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed triangle enumeration — the graph-quality primitive behind
+  * clustering coefficients, community density, and link-spam detection.
+  *
+  * Algorithm: degree-ordered node-iterator. Each undirected edge is
+  * oriented from its lower-(degree, id) endpoint to the higher one; every
+  * triangle then has exactly ONE node with two out-edges, so wedges
+  * (u→v, u→w with rank(v) < rank(w)) joined against the oriented edge set
+  * (v→w) enumerate each triangle exactly once — no distinct pass, no
+  * triple-counting correction.
+  *
+  * Why degree ordering (not id ordering): wedge generation is Σ outdeg²,
+  * and orienting by degree bounds every outdegree at O(√m) — a
+  * 10M-follower hub generates ZERO wedges (all its edges point inward)
+  * instead of the 10M² an id-ordered join could hand one task. That is
+  * THE difference between a plan that survives a power-law graph at 100 TB
+  * and one that dies on its biggest hub; the id-ordered form is only safe
+  * on near-regular graphs. Exchanges: degree agg, two joins keyed on
+  * oriented endpoints — all equi-keyed, AQE/salting applies as usual.
+  */
+object Triangles {
+
+  /** Enumerates triangles of the undirected graph given by `edges`
+    * (BIGINT endpoints; self-loops dropped, duplicates and orientation
+    * collapsed). Output: one row per triangle, endpoints id-sorted —
+    * (a, b, c) with a < b < c — ordered lexicographically. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).cast(LongType).as("a"),
+        greatest(col(aCol), col(bCol)).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low-(degree, id) → high; carry the HEAD's rank so the wedge
+    // join below can order heads without another degree lookup
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    // rank(v1) < rank(v2), so a closing edge {v1, v2} is oriented v1→v2
+    val closed = wedges.join(oriented
+        .select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    closed
+      .select(expr("array_sort(array(u, v1, v2))").as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+      .orderBy("a", "b", "c")
+  }
+
+  /** Per-node triangle participation counts over [[triangles]]' output —
+    * (n, n_triangles), nodes in no triangle omitted. */
+  def nodeTriangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = triangles(edges, aCol, bCol)
+    t.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("n")
+  }
+}

@@ -75,6 +75,30 @@ object TableOps {
       .orderBy("bin")
   }
 
+  /** Exact OLS sufficient statistics per group for y ~ a + b·x over
+    * BIGINT columns: (n, Σx, Σy, Σx², Σxy) plus the closed-form slope
+    * fraction b = slope_num / slope_den with slope_num = n·Σxy − Σx·Σy
+    * and slope_den = n·Σx² − (Σx)² — the regression/correlation
+    * pre-aggregation that stays EXACT across engines (integer arithmetic;
+    * float slopes drift with summation order). One map-side-combined
+    * aggregation; downstream does the one division (or combines groups —
+    * the statistics are algebraic and mergeable by plain addition, which
+    * is what makes this the right shuffle unit for distributed model
+    * fitting). Caller keeps x, y small enough that n·Σx² and n·Σxy fit
+    * Int64 — re-center x to its observed origin first (as the gate does)
+    * rather than feeding raw epoch values. */
+  def linregStats(df: DataFrame, group: String, x: String, y: String): DataFrame =
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(col(x)).as("sum_x"), sum(col(y)).as("sum_y"),
+        sum(col(x) * col(x)).as("sum_xx"),
+        sum(col(x) * col(y)).as("sum_xy"))
+      .select(col(group), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_xy"),
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).as("slope_num"),
+        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den"))
+      .orderBy(group)
+
   /** Column profile — the data-quality summary every ingestion pipeline
     * runs before trusting a new extract: per column, total rows, null
     * count, and EXACT distinct count. Output: (col_name, n_rows, n_nulls,

@@ -62,6 +62,47 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderValue interleaves bits exactly; out-of-range raises") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), ((1L << 21) - 1, 0L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zorderValue(col("x"), col("y"), 21).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def refZ(x: Long, y: Long) =
+      (0 until 21).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    assert(got == Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), ((1L << 21) - 1, 0L))
+      .map { case (x, y) => refZ(x, y) })
+    val bad = Seq((1L << 21, 0L)).toDF("x", "y")
+    intercept[Exception](
+      bad.select(Layout.zorderValue(col("x"), col("y"), 21)).collect())
+    intercept[IllegalArgumentException](Layout.zorderValue(col("x"), col("y"), 0))
+  }
+
+  test("saveZOrdered: per-file z ranges are disjoint, both dims clustered") {
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString
+    val rng = new scala.util.Random(11L)
+    val df = Seq.fill(4000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .toDF("x", "y")
+    Layout.saveZOrdered(df, path, "x", "y", bits = 10, numFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4)
+    assert(spark.read.parquet(path).count() == 4000)
+    def refZ(x: Long, y: Long) =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .collect().map(r => refZ(r.getLong(0), r.getLong(1)))
+      (rows.min, rows.max)
+    }
+    // z ranges never interleave → each file is a compact (x, y) tile and
+    // parquet min/max skipping works on both columns
+    val sorted = perFile.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin, s"overlap: $aMax > $bMin")
+      case _ =>
+    }
+  }
+
   test("partitioned parquet read prunes partitions under a filter") {
     val path = java.nio.file.Files.createTempDirectory("parted").toString
     val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")

@@ -60,6 +60,23 @@ class TableOpsSpec extends SparkSpec {
       "x" -> ((4L, 1L, 2L))))
   }
 
+  test("linregStats: exact sufficient statistics and slope fraction") {
+    // y = 3x + 7 exactly for group "g": slope_num/slope_den must be 3
+    val pts = Seq(0L, 1L, 2L, 5L, 9L).map(x => ("g", x, 3 * x + 7)) ++
+      Seq(("h", 1L, 10L), ("h", 2L, 5L)) // slope -5
+    val out = TableOps.linregStats(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val (n, sx, sy, sxx, sxy, num, den) = out("g")
+    assert((n, sx, sy) == ((5L, 17L, 86L)))
+    assert(sxx == Seq(0L, 1L, 4L, 25L, 81L).sum)
+    assert(sxy == Seq(0L, 1L, 2L, 5L, 9L).map(x => x * (3 * x + 7)).sum)
+    assert(num == den * 3, s"slope must be exactly 3: $num/$den")
+    val (_, _, _, _, _, num2, den2) = out("h")
+    assert(num2 == -5 * den2, s"slope must be exactly -5: $num2/$den2")
+  }
+
   test("profile rejects unknown and empty column lists") {
     val df = Seq((1L, "a")).toDF("k", "s")
     intercept[IllegalArgumentException](TableOps.profile(df, Seq.empty))
