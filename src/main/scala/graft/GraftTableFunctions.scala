@@ -31,6 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_decayed_score('events_view', 86400)
   *   SELECT * FROM graft_mode('events_view', 'user_id', 'event_type')
   *   SELECT * FROM graft_bloom_semijoin('fact_view', 'l_orderkey', 'keys_view', 'o_orderkey')
+  *   SELECT * FROM graft_pagerank('edges_view', 's', 'd', 3)
+  *   SELECT * FROM graft_triangles('edges_view', 'a', 'b')
+  *   SELECT * FROM graft_resample('events_view', 3600)
+  *   SELECT * FROM graft_session_intervals('events_view', 1800)
+  *   SELECT * FROM graft_interval_overlap('sess_view', 's_start', 's_end', 'win_view', 'w_start', 'w_end', 3600)
+  *   SELECT * FROM graft_histogram('prices_view', 'price_c', 500000)
+  *   SELECT * FROM graft_profile('orders_view', 'o_orderkey,o_custkey')
+  *   SELECT * FROM graft_linreg('xy_view', 'event_type', 'x', 'y')
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -159,6 +167,54 @@ object GraftTableFunctions {
       val a = args("graft_bloom_semijoin", exprs, 4)
       plan(operators.BloomJoin.semiJoin(table(a(0)), factKey = str(a(1)),
         keys = table(a(2)), keysKey = str(a(3))))
+    },
+    // ── graph analytics over an edge-list view ────────────────────────
+    // iterative checkpointed lineage runs EAGERLY at planning (the
+    // graft_dedup_best_near note); the outer query sees the rank table
+    "graft_pagerank" -> { exprs =>
+      val a = args("graft_pagerank", exprs, 4)
+      plan(graph.PageRank.pageRank(table(a(0)), srcCol = str(a(1)),
+        dstCol = str(a(2)), iterations = int(a(3))))
+    },
+    "graft_triangles" -> { exprs =>
+      val a = args("graft_triangles", exprs, 3)
+      plan(graph.Triangles.triangles(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2))))
+    },
+    // the grid-bounds scalar job runs EAGERLY at planning (the
+    // graft_decayed_score note: driver-bounded eager work)
+    "graft_resample" -> { exprs =>
+      val a = args("graft_resample", exprs, 2)
+      plan(events.EventOps.resample(table(a(0)),
+        bucketUs = int(a(1)).toLong * 1000000L))
+    },
+    "graft_session_intervals" -> { exprs =>
+      val a = args("graft_session_intervals", exprs, 2)
+      plan(events.EventOps.sessionIntervals(table(a(0)),
+        gapSec = int(a(1)).toLong))
+    },
+    "graft_interval_overlap" -> { exprs =>
+      val a = args("graft_interval_overlap", exprs, 7)
+      plan(events.RangeJoin.intervalOverlap(
+        table(a(0)), lStartCol = str(a(1)), lEndCol = str(a(2)),
+        table(a(3)), rStartCol = str(a(4)), rEndCol = str(a(5)),
+        bucketWidth = int(a(6)).toLong))
+    },
+    "graft_histogram" -> { exprs =>
+      val a = args("graft_histogram", exprs, 3)
+      plan(operators.TableOps.histogram(table(a(0)), valueCol = str(a(1)),
+        binWidth = int(a(2)).toLong))
+    },
+    // columns as a comma-separated list, e.g. 'o_orderkey,o_custkey'
+    "graft_profile" -> { exprs =>
+      val a = args("graft_profile", exprs, 2)
+      plan(operators.TableOps.profile(table(a(0)),
+        str(a(1)).split(',').map(_.trim).toIndexedSeq))
+    },
+    "graft_linreg" -> { exprs =>
+      val a = args("graft_linreg", exprs, 4)
+      plan(operators.TableOps.linregStats(table(a(0)), group = str(a(1)),
+        x = str(a(2)), y = str(a(3))))
     })
 
   private[graft] def descriptions

@@ -259,6 +259,69 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graph/resample/profile TVFs match their Scala APIs") {
+    spark.range(1).count()
+    val ext = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ClassicSession.clearDefaultSession()
+    ClassicSession.clearActiveSession()
+    val s2 = ClassicSession.builder()
+      .master("local[2]")
+      .withExtensions(ext)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L))
+        .toDF("s", "d")
+      edges.createOrReplaceTempView("edges_view")
+      assert(rows(s2.sql("SELECT * FROM graft_pagerank('edges_view', 's', 'd', 3)"))
+        == rows(graft.graph.PageRank.pageRank(edges, "s", "d", 3)))
+      assert(rows(s2.sql("SELECT * FROM graft_triangles('edges_view', 's', 'd')"))
+        == rows(graft.graph.Triangles.triangles(edges, "s", "d")))
+
+      val ev = Seq((0L, 10L, 1L, "view", 1.0), (1L, 5000L, 1L, "click", 2.0),
+        (2L, 40L, 2L, "view", 3.0))
+        .map { case (id, s, u, ty, v) => (id, s * 1000000000L, u, ty, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      ev.createOrReplaceTempView("events_view2")
+      assert(rows(s2.sql("SELECT * FROM graft_resample('events_view2', 3600)"))
+        == rows(graft.events.EventOps.resample(ev, 3600000000L)))
+      assert(rows(s2.sql("SELECT * FROM graft_session_intervals('events_view2', 1800)"))
+        == rows(graft.events.EventOps.sessionIntervals(ev, 1800)))
+
+      val sess = Seq((1L, 0L, 100L), (2L, 500L, 600L)).toDF("sid", "s_start", "s_end")
+      val wins = Seq((10L, 50L, 550L)).toDF("wid", "w_start", "w_end")
+      sess.createOrReplaceTempView("sess_view")
+      wins.createOrReplaceTempView("win_view")
+      assert(rows(s2.sql("""SELECT * FROM graft_interval_overlap('sess_view',
+          's_start', 's_end', 'win_view', 'w_start', 'w_end', 64)"""))
+        == rows(graft.events.RangeJoin.intervalOverlap(
+          sess, "s_start", "s_end", wins, "w_start", "w_end", 64L)))
+
+      val vals = Seq(3L, 17L, 25L, -4L).toDF("v")
+      vals.createOrReplaceTempView("vals_view")
+      assert(rows(s2.sql("SELECT * FROM graft_histogram('vals_view', 'v', 10)"))
+        == rows(graft.operators.TableOps.histogram(vals, "v", 10L)))
+
+      val tab = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "g")
+      tab.createOrReplaceTempView("tab_view")
+      assert(rows(s2.sql("SELECT * FROM graft_profile('tab_view', 'k,g')"))
+        == rows(graft.operators.TableOps.profile(tab, Seq("k", "g"))))
+
+      val xy = Seq(("g", 0L, 7L), ("g", 2L, 13L), ("g", 5L, 22L)).toDF("g", "x", "y")
+      xy.createOrReplaceTempView("xy_view")
+      assert(rows(s2.sql("SELECT * FROM graft_linreg('xy_view', 'g', 'x', 'y')"))
+        == rows(graft.operators.TableOps.linregStats(xy, "g", "x", "y")))
+    } finally {
+      val shared = spark.asInstanceOf[ClassicSession]
+      ClassicSession.setDefaultSession(shared)
+      ClassicSession.setActiveSession(shared)
+    }
+  }
+
   test("register() is idempotent and quiet on repeat calls") {
     graft.functions.DotProductLong.register(spark)
     graft.functions.DotProductLong.register(spark) // second call: no replace
