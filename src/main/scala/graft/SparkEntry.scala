@@ -1186,6 +1186,63 @@ object SparkEntry {
             col("l_partkey"), col("l_suppkey"), bits = 21).as("z"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ── latest-wins changelog merge (CDC / MERGE): two update waves, a
+    // delete wave, and shifted-key inserts applied to the orders
+    // snapshot; the changelog collapses map-side before ONE
+    // co-partitioned full-outer join — the 100 TB daily-merge shape ─────
+    "q119_cdc_merge" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).as("price_c"),
+          col("o_orderstatus").as("status"))
+      val upd1 = base.filter(col("k") % 5 === 0)
+        .select(col("k"), (col("price_c") + 10000L).as("price_c"),
+          col("status"), lit("U").as("op"), lit(1L).as("seq"))
+      val upd2 = base.filter(col("k") % 15 === 0)
+        .select(col("k"), (col("price_c") + 20000L).as("price_c"),
+          col("status"), lit("U").as("op"), lit(2L).as("seq"))
+      val dels = base.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(null).cast(LongType).as("price_c"),
+          lit(null).cast(StringType).as("status"),
+          lit("D").as("op"), lit(3L).as("seq"))
+      val ins = base.filter(col("k") % 11 === 0)
+        .select((col("k") + 100000000L).as("k"),
+          (col("price_c") + 5000L).as("price_c"),
+          col("status"), lit("U").as("op"), lit(1L).as("seq"))
+      graft.operators.TableOps.applyChangelog(
+        base, upd1.union(upd2).union(dels).union(ins), "k")
+    }),
+
+    // ── contiguous event-type trigram counts per user stream: all leads
+    // in ONE user window pass, then a map-side-combined count ────────────
+    "q120_type_trigrams" -> ((s, dir) =>
+      EventOps.typeNgrams(s.read.parquet(t(dir, "events")), n = 3)),
+
+    // ── 3-core of the part co-purchase graph after 3 bounded peel
+    // rounds (deterministic round count → exact SQL replay; convergence
+    // inside the bound is a no-op for the replay) ────────────────────────
+    "q121_kcore" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      graft.graph.KCore.kCore(pairs, "pa", "pb", k = 3, maxPeels = 3)
+    }),
+
+    // ── median absolute deviation of value cents per event type: both
+    // medians are LOWER order statistics (rank ceil(n/2)) — exact,
+    // interpolation-free, engine-replayable robust spread ────────────────
+    "q122_mad" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      graft.operators.TableOps.madPerGroup(
+        ev.select(col("event_type"), cents(col("value")).as("c")),
+        "event_type", "c")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -2798,6 +2855,82 @@ object SparkEntry {
          |       CAST($terms AS BIGINT) AS z
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    // the changelog is synthesized by key arithmetic, so the oracle
+    // derives the merged state in closed form — checking the merge
+    // machinery against independent ground truth (the q104 pattern)
+    "q119_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |                o_orderstatus AS status FROM orders)
+        |SELECT k,
+        |       CASE WHEN k % 15 = 0 THEN price_c + 20000
+        |            WHEN k % 5 = 0 THEN price_c + 10000
+        |            ELSE price_c END AS price_c,
+        |       status
+        |FROM base WHERE k % 7 != 0
+        |UNION ALL
+        |SELECT k + 100000000 AS k, price_c + 5000 AS price_c, status
+        |FROM base WHERE k % 11 = 0
+        |ORDER BY k""".stripMargin,
+
+    "q120_type_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |l AS (SELECT user_id, event_type AS t0,
+        |        LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS t1,
+        |        LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS t2
+        |      FROM e)
+        |SELECT t0, t1, t2, COUNT(*) AS cnt FROM l
+        |WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY t0, t1, t2 ORDER BY t0, t1, t2""".stripMargin,
+
+    // three bounded peel rounds replayed as chained CTEs (the q111
+    // pattern); convergence before round 3 would make later peels no-ops
+    // in both engines
+    "q121_kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |d1 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e0
+        |         UNION ALL SELECT b AS n FROM e0) t GROUP BY n),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k1)
+        |                             AND b IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e1
+        |         UNION ALL SELECT b AS n FROM e1) t GROUP BY n),
+        |k2 AS (SELECT n FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k2)
+        |                             AND b IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e2
+        |         UNION ALL SELECT b AS n FROM e2) t GROUP BY n),
+        |k3 AS (SELECT n FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k3)
+        |                             AND b IN (SELECT n FROM k3))
+        |SELECT n, COUNT(*) AS degree FROM (SELECT a AS n FROM e3
+        |  UNION ALL SELECT b AS n FROM e3) t
+        |GROUP BY n ORDER BY n""".stripMargin,
+
+    "q122_mad" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT event_type, c,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, c AS med, n FROM r WHERE rn = (n+1)//2),
+        |dev AS (SELECT e.event_type, ABS(e.c - med.med) AS dv
+        |        FROM e JOIN med ON e.event_type = med.event_type),
+        |r2 AS (SELECT event_type, dv,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM dev)
+        |SELECT r2.event_type, med.n AS n, med.med AS med, r2.dv AS mad
+        |FROM r2 JOIN med ON r2.event_type = med.event_type
+        |WHERE r2.rn = (r2.n2+1)//2
+        |ORDER BY r2.event_type""".stripMargin,
 
     "q115_profile" ->
       """SELECT * FROM (

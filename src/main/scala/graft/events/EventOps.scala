@@ -157,6 +157,30 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sequential pattern counts: occurrences of every CONTIGUOUS length-`n`
+    * event-type sequence within a user's stream (time order, event_id
+    * tiebreak) — [[transitions]] is the n = 2 case; n = 3+ is the
+    * sequence-mining view behind "what 3-step journeys precede a
+    * purchase". Output: (t0, …, t(n-1), cnt) ordered lexicographically.
+    *
+    * One user-partitioned window pass computes all n−1 leads over the
+    * SAME sort (one exchange, one sort), then a map-side-combined count
+    * on the O(#types^n) pattern table. */
+  def typeNgrams(events: DataFrame, n: Int): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in [2, 8], got $n")
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val tcols = (0 until n).map(i => s"t$i")
+    val leads = (1 until n).map(i =>
+      lead("event_type", i).over(order).as(s"t$i"))
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        tsMicros(events).as("tus"))
+      .select(Seq(col("user_id"), col("event_type").as("t0")) ++ leads: _*)
+      .filter(tcols.tail.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(tcols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(tcols.map(col): _*)
+  }
+
   /** Trending: top-`k` event types per time bucket by count — the
     * "what's hot this hour" leaderboard. Count per (bucket, type) with
     * map-side combine, then a rank window PARTITIONED BY BUCKET over the

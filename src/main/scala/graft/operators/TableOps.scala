@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -73,6 +74,70 @@ object TableOps {
       .withColumn("lo", col("bin") * binWidth)
       .select("bin", "lo", "n", "min_v", "max_v", "sum_v")
       .orderBy("bin")
+  }
+
+  /** Latest-wins changelog merge — the CDC / SQL-MERGE primitive: apply a
+    * stream of keyed upserts and deletes to a base snapshot. `changes`
+    * carries the base's columns plus `opCol` ('U' upsert / 'D' delete)
+    * and a BIGINT `seqCol`; per key the change with the highest
+    * (seq, op, row) wins — the struct tiebreak keeps the merge
+    * deterministic even under duplicate sequence numbers — and an
+    * upsert REPLACES the whole row (no per-column coalesce), a delete
+    * removes the key, keys never touched pass through.
+    *
+    * Scale shape: the changelog first collapses to one row per key via a
+    * map-side-combined max_by (so a hot key's million updates never meet
+    * the join), then ONE co-partitioned full-outer join against the base
+    * — exactly the shuffle pattern a 100 TB daily-merge wants. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
+                     opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val valCols = base.columns.filterNot(_ == key).sorted.toIndexedSeq
+    require(valCols.nonEmpty, "base needs at least one non-key column")
+    val expected = (valCols ++ Seq(key, opCol, seqCol)).sorted
+    require(changes.columns.sorted.sameElements(expected),
+      s"changes columns ${changes.columns.sorted.mkString(",")} != expected ${expected.mkString(",")}")
+    val latest = changes.groupBy(col(key))
+      .agg(max_by(
+        struct(col(opCol).as("op"), struct(valCols.map(col): _*).as("v")),
+        struct(col(seqCol), col(opCol), struct(valCols.map(col): _*))).as("c"))
+    base.select(col(key), struct(valCols.map(col): _*).as("b"))
+      .join(latest, Seq(key), "full_outer")
+      .filter(col("c").isNull || col("c.op") =!= "D")
+      .withColumn("r", when(col("c").isNotNull, col("c.v")).otherwise(col("b")))
+      .select(col(key) +: valCols.map(c => col(s"r.$c").as(c)): _*)
+      .orderBy(key)
+  }
+
+  /** Median absolute deviation per group over a BIGINT column — the
+    * robust spread statistic quality pipelines prefer over stddev (one
+    * corrupt outlier moves stddev arbitrarily, MAD not at all). Both
+    * medians are the LOWER order statistic (element at rank ⌈n/2⌉), so
+    * every value is exact and engine-replayable — no interpolation, no
+    * floats. Output: (<group>, n, med, mad).
+    *
+    * Two group-partitioned window passes (rank to pick the median, then
+    * the same over |x − med|) plus one co-partitioned join — all keyed
+    * on the group; no global ordering. A group's rows must fit a window
+    * partition (spillable sort), the same contract as every grouped
+    * order statistic here. */
+  def madPerGroup(df: DataFrame, group: String, x: String): DataFrame = {
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+      // ties need no tiebreak: any order among equal values selects the
+      // same VALUE at rank ceil(n/2)
+      val w = Window.partitionBy(group).orderBy(col(v))
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(group)))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col(group), col(v).as(out), col("__n").as(s"${out}_n"))
+    }
+    val med = lowerMedian(df.select(col(group), col(x)), x, "med")
+    val dev = df.select(col(group), col(x))
+      .join(med, Seq(group))
+      .select(col(group), abs(col(x) - col("med")).as("dev"))
+    lowerMedian(dev, "dev", "mad")
+      .join(med, Seq(group))
+      .select(col(group), col("med_n").as("n"), col("med"), col("mad"))
+      .orderBy(group)
   }
 
   /** Exact OLS sufficient statistics per group for y ~ a + b·x over

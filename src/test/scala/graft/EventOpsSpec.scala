@@ -59,6 +59,24 @@ class EventOpsSpec extends SparkSpec {
       (2L, 1L) -> ((7000000L, 7000000L, 1L))))
   }
 
+  test("typeNgrams counts contiguous type sequences per user, n=2 equals transitions") {
+    val raw = Seq(
+      (0L, 10L, 1L, "a"), (1L, 20L, 1L, "b"), (2L, 30L, 1L, "a"),
+      (3L, 40L, 1L, "b"), (4L, 10L, 2L, "a"), (5L, 20L, 2L, "b"))
+    val ev = raw.map { case (id, s, u, ty) => (id, s * 1000000000L, u, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tri = EventOps.typeNgrams(ev, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    // user 1: a b a b -> (a,b,a), (b,a,b); user 2 too short
+    assert(tri == Map(("a", "b", "a") -> 1L, ("b", "a", "b") -> 1L))
+    val bi = EventOps.typeNgrams(ev, 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val trans = EventOps.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == trans)
+  }
+
   test("ns-to-us conversion truncates toward zero, matching DuckDB's parquet reader") {
     // DuckDB reads TIMESTAMP(NANOS) parquet by truncation (-1500 ns -> -1 us,
     // -1 ns -> 0); the operators' `ts div 1000` must agree at every

@@ -60,6 +60,48 @@ class TableOpsSpec extends SparkSpec {
       "x" -> ((4L, 1L, 2L))))
   }
 
+  test("applyChangelog: latest wins, upserts replace whole rows, deletes drop") {
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "s")
+    val changes = Seq(
+      (1L, 11L, "a1", "U", 1L),  // overwritten by seq 2
+      (1L, 12L, "a2", "U", 2L),  // wins for key 1
+      (2L, 0L, null, "D", 1L),   // key 2 deleted
+      (4L, 40L, "d", "U", 1L))   // insert
+      .toDF("k", "v", "s", "op", "seq")
+    val out = TableOps.applyChangelog(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // output columns are key + non-key sorted: (k, s, v)
+    assert(out == Seq((1L, "a2", 12L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("applyChangelog: a delete then re-insert at a higher seq revives the key") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val changes = Seq((1L, 0L, "D", 1L), (1L, 99L, "U", 2L))
+      .toDF("k", "v", "op", "seq")
+    val out = TableOps.applyChangelog(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 99L)))
+  }
+
+  test("applyChangelog rejects a changelog with mismatched columns") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val bad = Seq((1L, "U", 1L)).toDF("k", "op", "seq") // missing v
+    intercept[IllegalArgumentException](TableOps.applyChangelog(base, bad, "k"))
+  }
+
+  test("madPerGroup: exact lower-order-statistic median and MAD") {
+    val df = Seq(("g", 1L), ("g", 3L), ("g", 7L), ("g", 100L),
+      ("h", 5L), ("h", 5L)).toDF("grp", "x")
+    val out = TableOps.madPerGroup(df, "grp", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // g: sorted (1,3,7,100), lower median = rank 2 -> 3;
+    //    deviations (2,0,4,97) sorted (0,2,4,97), lower median -> 2.
+    //    the outlier 100 moves neither statistic.
+    assert(out == Map("g" -> ((4L, 3L, 2L)), "h" -> ((2L, 5L, 0L))))
+  }
+
   test("linregStats: exact sufficient statistics and slope fraction") {
     // y = 3x + 7 exactly for group "g": slope_num/slope_den must be 3
     val pts = Seq(0L, 1L, 2L, 5L, 9L).map(x => ("g", x, 3 * x + 7)) ++
