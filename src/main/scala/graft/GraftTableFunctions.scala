@@ -39,6 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_histogram('prices_view', 'price_c', 500000)
   *   SELECT * FROM graft_profile('orders_view', 'o_orderkey,o_custkey')
   *   SELECT * FROM graft_linreg('xy_view', 'event_type', 'x', 'y')
+  *   SELECT * FROM graft_cdc_merge('base_view', 'changes_view', 'k')
+  *   SELECT * FROM graft_type_ngrams('events_view', 3)
+  *   SELECT * FROM graft_mad('view', 'event_type', 'c')
+  *   SELECT * FROM graft_kcore('edges_view', 'a', 'b', 3, 10)
+  *   SELECT * FROM graft_bfs('edges_view', 'a', 'b', 'seeds_view', 'n', 4)
   * }}}
   *
   * Each TVF resolves its first argument as a table/view name in the
@@ -215,6 +220,33 @@ object GraftTableFunctions {
       val a = args("graft_linreg", exprs, 4)
       plan(operators.TableOps.linregStats(table(a(0)), group = str(a(1)),
         x = str(a(2)), y = str(a(3))))
+    },
+    "graft_cdc_merge" -> { exprs =>
+      val a = args("graft_cdc_merge", exprs, 3)
+      plan(operators.TableOps.applyChangelog(table(a(0)), table(a(1)),
+        key = str(a(2))))
+    },
+    "graft_type_ngrams" -> { exprs =>
+      val a = args("graft_type_ngrams", exprs, 2)
+      plan(events.EventOps.typeNgrams(table(a(0)), n = int(a(1))))
+    },
+    "graft_mad" -> { exprs =>
+      val a = args("graft_mad", exprs, 3)
+      plan(operators.TableOps.madPerGroup(table(a(0)), group = str(a(1)),
+        x = str(a(2))))
+    },
+    // the peel rounds run EAGERLY at planning (checkpointed iterative
+    // lineage — the graft_pagerank note)
+    "graft_kcore" -> { exprs =>
+      val a = args("graft_kcore", exprs, 5)
+      plan(graph.KCore.kCore(table(a(0)), aCol = str(a(1)), bCol = str(a(2)),
+        k = int(a(3)), maxPeels = int(a(4))))
+    },
+    "graft_bfs" -> { exprs =>
+      val a = args("graft_bfs", exprs, 6)
+      plan(graph.Bfs.hopDistance(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2)), sources = table(a(3)), srcNode = str(a(4)),
+        maxHops = int(a(5))))
     })
 
   private[graft] def descriptions

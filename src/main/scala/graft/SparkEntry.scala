@@ -1233,6 +1233,24 @@ object SparkEntry {
       graft.graph.KCore.kCore(pairs, "pa", "pb", k = 3, maxPeels = 3)
     }),
 
+    // ── multi-source BFS hop distance from the %97 seed parts over the
+    // co-purchase graph, 4 bounded relaxation rounds (chained-CTE
+    // replayable; per-round exchange is the label table only) ────────────
+    "q123_bfs" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      val seeds = pairs.select(col("pa").as("n"))
+        .union(pairs.select(col("pb").as("n")))
+        .filter(col("n") % 97 === 0).distinct()
+      graft.graph.Bfs.hopDistance(pairs, "pa", "pb", seeds, "n", maxHops = 4)
+    }),
+
     // ── median absolute deviation of value cents per event type: both
     // medians are LOWER order statistics (rank ceil(n/2)) — exact,
     // interpolation-free, engine-replayable robust spread ────────────────
@@ -2914,6 +2932,34 @@ object SparkEntry {
         |SELECT n, COUNT(*) AS degree FROM (SELECT a AS n FROM e3
         |  UNION ALL SELECT b AS n FROM e3) t
         |GROUP BY n ORDER BY n""".stripMargin,
+
+    "q123_bfs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS s, b AS d FROM e0
+        |      UNION ALL SELECT b AS s, a AS d FROM e0),
+        |d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist FROM e
+        |       WHERE s % 97 = 0),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL SELECT e.d AS node, d0.dist + 1 AS dist
+        |         FROM e JOIN d0 ON e.s = d0.node) t GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL SELECT e.d AS node, d1.dist + 1 AS dist
+        |         FROM e JOIN d1 ON e.s = d1.node) t GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL SELECT e.d AS node, d2.dist + 1 AS dist
+        |         FROM e JOIN d2 ON e.s = d2.node) t GROUP BY node),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d3
+        |         UNION ALL SELECT e.d AS node, d3.dist + 1 AS dist
+        |         FROM e JOIN d3 ON e.s = d3.node) t GROUP BY node)
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
 
     "q122_mad" ->
       """WITH e AS (SELECT event_type,

@@ -46,10 +46,16 @@ object KCore {
       val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
+      val prev = e
       e = Checkpoints.checkpoint(
-        e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        prev.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
           .select("a", "b"))
+      // the new round's frame is materialized (eager checkpoint); the
+      // previous round's blocks are dead weight — without this release a
+      // deep peel pins every round's full edge set at once (measured
+      // executor OOM at 10M edges × 5 rounds)
+      Checkpoints.release(prev)
       val nNow = e.count()
       converged = nNow == nEdges
       nEdges = nNow

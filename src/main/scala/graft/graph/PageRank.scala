@@ -62,6 +62,7 @@ object PageRank {
 
     val base = 15L * scale / 100L
     var ranks = nodes.withColumn("r", lit(scale))
+    var prevCp: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("contrib"))
@@ -70,6 +71,10 @@ object PageRank {
         nodes.join(contribs, nodes("node") === contribs("dst"), "left")
           .select(col("node"),
             (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+      // the new rank frame is materialized; free the previous round's
+      // blocks instead of pinning every iteration's rank table at once
+      prevCp.foreach(Checkpoints.release)
+      prevCp = Some(ranks)
     }
     ranks.select(col("node"), col("r").as("rank")).orderBy("node")
   }

@@ -115,19 +115,25 @@ object TableOps {
     * every value is exact and engine-replayable — no interpolation, no
     * floats. Output: (<group>, n, med, mad).
     *
-    * Two group-partitioned window passes (rank to pick the median, then
-    * the same over |x − med|) plus one co-partitioned join — all keyed
-    * on the group; no global ordering. A group's rows must fit a window
-    * partition (spillable sort), the same contract as every grouped
-    * order statistic here. */
+    * Each median is found by FREQUENCY COMPRESSION, not a per-group row
+    * sort: a map-side-combined (group, value) count first, then the rank
+    * scan (cumulative-count window) runs over the tiny distinct-value
+    * table. With a handful of groups a naive per-group window would sort
+    * ALL rows in #groups tasks — measured 26× slower at 100× rows on a
+    * 5-group corpus; compressing first keeps the heavy aggregation fully
+    * parallel and the window O(distinct values). Worst case (all values
+    * distinct) degrades gracefully to the plain sorted-rank cost. */
   def madPerGroup(df: DataFrame, group: String, x: String): DataFrame = {
     def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
-      // ties need no tiebreak: any order among equal values selects the
-      // same VALUE at rank ceil(n/2)
+      val cnts = in.groupBy(col(group), col(v)).agg(count(lit(1)).as("__cnt"))
       val w = Window.partitionBy(group).orderBy(col(v))
-      in.withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(group)))
-        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts
+        .withColumn("__cum", sum("__cnt").over(w))
+        .withColumn("__n", sum("__cnt").over(Window.partitionBy(group)))
+        // the value whose cumulative count first reaches rank ceil(n/2)
+        .filter(col("__cum") - col("__cnt") < expr("(__n + 1) div 2") &&
+          expr("(__n + 1) div 2") <= col("__cum"))
         .select(col(group), col(v).as(out), col("__n").as(s"${out}_n"))
     }
     val med = lowerMedian(df.select(col(group), col(x)), x, "med")

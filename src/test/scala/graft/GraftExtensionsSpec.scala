@@ -315,6 +315,23 @@ class GraftExtensionsSpec extends SparkSpec {
       xy.createOrReplaceTempView("xy_view")
       assert(rows(s2.sql("SELECT * FROM graft_linreg('xy_view', 'g', 'x', 'y')"))
         == rows(graft.operators.TableOps.linregStats(xy, "g", "x", "y")))
+
+      val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      val chg = Seq((1L, 11L, "U", 1L), (2L, 0L, "D", 1L)).toDF("k", "v", "op", "seq")
+      base.createOrReplaceTempView("base_view")
+      chg.createOrReplaceTempView("changes_view")
+      assert(rows(s2.sql("SELECT * FROM graft_cdc_merge('base_view', 'changes_view', 'k')"))
+        == rows(graft.operators.TableOps.applyChangelog(base, chg, "k")))
+      assert(rows(s2.sql("SELECT * FROM graft_type_ngrams('events_view2', 2)"))
+        == rows(graft.events.EventOps.typeNgrams(ev, 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_mad('xy_view', 'g', 'y')"))
+        == rows(graft.operators.TableOps.madPerGroup(xy, "g", "y")))
+      assert(rows(s2.sql("SELECT * FROM graft_kcore('edges_view', 's', 'd', 2, 10)"))
+        == rows(graft.graph.KCore.kCore(edges, "s", "d", 2, 10)))
+      val seeds = Seq(1L).toDF("n")
+      seeds.createOrReplaceTempView("seeds_view")
+      assert(rows(s2.sql("SELECT * FROM graft_bfs('edges_view', 's', 'd', 'seeds_view', 'n', 3)"))
+        == rows(graft.graph.Bfs.hopDistance(edges, "s", "d", seeds, "n", 3)))
     } finally {
       val shared = spark.asInstanceOf[ClassicSession]
       ClassicSession.setDefaultSession(shared)

@@ -48,8 +48,15 @@ object GraphProbeMain {
       val t1 = System.nanoTime()
       val nTri = graft.graph.Triangles.triangles(e, "s", "d").count()
       val t2 = System.nanoTime()
+      val nCore = graft.graph.KCore.kCore(e, "s", "d", k = 8, maxPeels = 5).count()
+      val t3 = System.nanoTime()
+      val seeds = spark.range(10).select(col("id").as("n")) // the 10 hubs
+      val nReach = graft.graph.Bfs.hopDistance(e, "s", "d", seeds, "n", maxHops = 3).count()
+      val t4 = System.nanoTime()
       println(f"GRAPH m=$m rep$rep prSec=${(t1 - t0) / 1e9}%.2f " +
-        f"triSec=${(t2 - t1) / 1e9}%.2f nTri=$nTri prSig=$prSig")
+        f"triSec=${(t2 - t1) / 1e9}%.2f coreSec=${(t3 - t2) / 1e9}%.2f " +
+        f"bfsSec=${(t4 - t3) / 1e9}%.2f nTri=$nTri nCore=$nCore " +
+        f"nReach=$nReach prSig=$prSig")
       graft.operators.Checkpoints.releaseAll()
       spark.catalog.clearCache(); System.gc()
     }
