@@ -1251,6 +1251,17 @@ object SparkEntry {
       graft.graph.Bfs.hopDistance(pairs, "pa", "pb", seeds, "n", maxHops = 4)
     }),
 
+    // ── debounce: drop events whose same-(user,type) predecessor is
+    // within 60 s — telemetry double-fire suppression; one lag window ────
+    "q124_debounce" -> ((s, dir) =>
+      EventOps.debounce(s.read.parquet(t(dir, "events")), windowSec = 60)),
+
+    // ── per-user inter-arrival gap stats with an exact lower-median in
+    // ms via the frequency-compressed rank scan (never a per-user raw
+    // sort beyond the one lag window) ────────────────────────────────────
+    "q125_gap_stats" -> ((s, dir) =>
+      EventOps.gapStats(s.read.parquet(t(dir, "events")))),
+
     // ── median absolute deviation of value cents per event type: both
     // medians are LOWER order statistics (rank ceil(n/2)) — exact,
     // interpolation-free, engine-replayable robust spread ────────────────
@@ -2960,6 +2971,35 @@ object SparkEntry {
         |         UNION ALL SELECT e.d AS node, d3.dist + 1 AS dist
         |         FROM e JOIN d3 ON e.s = d3.node) t GROUP BY node)
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+
+    "q124_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |l AS (SELECT event_id, user_id, event_type, tus,
+        |        LAG(tus) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY tus, event_id) AS prev
+        |      FROM e)
+        |SELECT event_id, user_id, event_type, tus FROM l
+        |WHERE prev IS NULL OR tus - prev > 60000000
+        |ORDER BY event_id""".stripMargin,
+
+    "q125_gap_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT user_id,
+        |        (tus - LAG(tus) OVER (PARTITION BY user_id
+        |           ORDER BY tus, event_id)) // 1000 AS gap_ms
+        |      FROM e),
+        |gg AS (SELECT user_id, gap_ms FROM g WHERE gap_ms IS NOT NULL),
+        |r AS (SELECT user_id, gap_ms,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_ms) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |        MIN(gap_ms) OVER (PARTITION BY user_id) AS mn,
+        |        MAX(gap_ms) OVER (PARTITION BY user_id) AS mx
+        |      FROM gg)
+        |SELECT user_id, n AS n_gaps, mn AS min_gap_ms,
+        |       gap_ms AS med_gap_ms, mx AS max_gap_ms
+        |FROM r WHERE rn = (n+1)//2
+        |ORDER BY user_id""".stripMargin,
 
     "q122_mad" ->
       """WITH e AS (SELECT event_type,

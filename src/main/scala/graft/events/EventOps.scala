@@ -157,6 +157,60 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Debounce: drop an event when the IMMEDIATELY PRECEDING event of the
+    * same (user, event_type) lies within `windowSec` — double-click /
+    * retry-storm suppression for telemetry. Lag-based (each event
+    * compares against its raw predecessor, not the last RETAINED one —
+    * the stateful variant is the streaming dedup's job); one window over
+    * the (user, type) partitioning. Output: the surviving events'
+    * (event_id, user_id, event_type, tus), ordered by event_id. */
+  def debounce(events: DataFrame, windowSec: Long): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val us = windowSec * 1000000L
+    val order = Window.partitionBy("user_id", "event_type")
+      .orderBy("tus", "event_id")
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        tsMicros(events).as("tus"))
+      .withColumn("prev", lag("tus", 1).over(order))
+      .filter(col("prev").isNull || col("tus") - col("prev") > us)
+      .select("event_id", "user_id", "event_type", "tus")
+      .orderBy("event_id")
+  }
+
+  /** Inter-arrival gap statistics per user: count, min/max gap, and the
+    * exact lower-median gap in MILLISECONDS — the latency/engagement-
+    * cadence profile (median is robust where one overnight gap destroys
+    * the mean). The median uses the frequency-compression rank scan
+    * ([[graft.operators.TableOps.madPerGroup]]'s trick): gaps quantize
+    * to ms (bounded distinct cardinality), a map-side-combined count per
+    * (user, gap_ms), and the cumulative-count window runs over distinct
+    * values — never a per-user sort of raw events beyond the one lag
+    * window. Output: (user_id, n_gaps, min_gap_ms, med_gap_ms,
+    * max_gap_ms). */
+  def gapStats(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val gaps = events.select(col("user_id"), col("event_id"),
+        tsMicros(events).as("tus"))
+      .withColumn("prev", lag("tus", 1).over(order))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        expr("(tus - prev) div 1000").as("gap_ms"))
+    val cnts = gaps.groupBy("user_id", "gap_ms").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id").orderBy("gap_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnts
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("user_id")))
+      .withColumn("mn", min("gap_ms").over(Window.partitionBy("user_id")))
+      .withColumn("mx", max("gap_ms").over(Window.partitionBy("user_id")))
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
+      .select(col("user_id"), col("n").as("n_gaps"),
+        col("mn").as("min_gap_ms"), col("gap_ms").as("med_gap_ms"),
+        col("mx").as("max_gap_ms"))
+      .orderBy("user_id")
+  }
+
   /** Sequential pattern counts: occurrences of every CONTIGUOUS length-`n`
     * event-type sequence within a user's stream (time order, event_id
     * tiebreak) — [[transitions]] is the n = 2 case; n = 3+ is the

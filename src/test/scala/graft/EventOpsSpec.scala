@@ -59,6 +59,32 @@ class EventOpsSpec extends SparkSpec {
       (2L, 1L) -> ((7000000L, 7000000L, 1L))))
   }
 
+  test("debounce drops events within windowSec of their raw same-(user,type) predecessor") {
+    val ev = Seq(
+      (0L, 0L, 1L, "c"), (1L, 30L, 1L, "c"),  // 30s gap <= 60 -> dropped
+      (2L, 95L, 1L, "c"),  // 65s after event 1 (raw predecessor) -> kept
+      (3L, 10L, 1L, "v"),  // other type: own partition, kept
+      (4L, 20L, 2L, "c"))  // other user, kept
+      .map { case (id, s, u, ty) => (id, s * 1000000000L, u, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = EventOps.debounce(ev, windowSec = 60)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("gapStats: exact lower-median / min / max inter-arrival gaps in ms") {
+    val ev = Seq(
+      (0L, 0L, 1L), (1L, 10L, 1L), (2L, 30L, 1L), (3L, 100L, 1L),
+      (4L, 5L, 2L))  // single event: no gaps, absent from output
+      .map { case (id, s, u) => (id, s * 1000000000L, u, "x", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.gapStats(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // user 1 gaps: 10s, 20s, 70s -> n=3, min=10000ms, med=20000, max=70000
+    assert(out == Map(1L -> ((3L, 10000L, 20000L, 70000L))))
+  }
+
   test("typeNgrams counts contiguous type sequences per user, n=2 equals transitions") {
     val raw = Seq(
       (0L, 10L, 1L, "a"), (1L, 20L, 1L, "b"), (2L, 30L, 1L, "a"),
