@@ -49,8 +49,12 @@ object PageRank {
                iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 100, "scale must be >= 100 (damping uses div 100)")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
+    // materialize the edge list ONCE — nodes and degrees both derive from
+    // it, and without this the caller's (possibly expensive) edge
+    // construction would recompute per derived checkpoint
+    val e = Checkpoints.checkpoint(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst")))
     val nodes = Checkpoints.checkpoint(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
@@ -59,6 +63,7 @@ object PageRank {
     // degree-annotated edges: partitioned on src ONCE, reused every round
     val eDeg = Checkpoints.checkpoint(
       e.join(outdeg, "src").repartition(col("src")))
+    Checkpoints.release(e) // nodes + eDeg are materialized; e is consumed
 
     val base = 15L * scale / 100L
     var ranks = nodes.withColumn("r", lit(scale))
@@ -76,6 +81,9 @@ object PageRank {
       prevCp.foreach(Checkpoints.release)
       prevCp = Some(ranks)
     }
+    // the final rank frame is materialized; the loop inputs are done
+    Checkpoints.release(nodes)
+    Checkpoints.release(eDeg)
     ranks.select(col("node"), col("r").as("rank")).orderBy("node")
   }
 }

@@ -30,16 +30,23 @@ object Triangles {
     * collapsed). Output: one row per triangle, endpoints id-sorted —
     * (a, b, c) with a < b < c — ordered lexicographically. */
   def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(aCol), col(bCol)).cast(LongType).as("a"),
-        greatest(col(aCol), col(bCol)).cast(LongType).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // materialize the canonical edge set once: it feeds the degree agg
+    // and the orientation join, and the ORIENTED set is consumed by
+    // THREE plan branches (two wedge sides + the closing probe) — Spark
+    // does not common-subexpression-eliminate across join branches, so
+    // without these checkpoints the caller's edge construction would run
+    // ~5× inside one job
+    val e = graft.operators.Checkpoints.checkpoint(
+      edges.select(
+          least(col(aCol), col(bCol)).cast(LongType).as("a"),
+          greatest(col(aCol), col(bCol)).cast(LongType).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient low-(degree, id) → high; carry the HEAD's rank so the wedge
     // join below can order heads without another degree lookup
-    val oriented = e
+    val oriented = graft.operators.Checkpoints.checkpoint(e
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
@@ -49,7 +56,8 @@ object Triangles {
           .otherwise(
             struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
           .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv")))
+    graft.operators.Checkpoints.release(e) // oriented is materialized
     val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     val wedges = w1.join(w2, Seq("u"))
