@@ -1251,6 +1251,37 @@ object SparkEntry {
       graft.graph.Bfs.hopDistance(pairs, "pa", "pb", seeds, "n", maxHops = 4)
     }),
 
+    // ── 3-dimensional Morton code (part, supplier, linenumber): the
+    // N-dim clustering generalization; bit i of dim j at position 3i+j ───
+    "q127_zorder3" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          graft.sources.Layout.zorderValueN(
+            Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+            bits = 18).as("z3"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ── WEIGHTED PageRank over the co-purchase graph: edge weight = the
+    // pair's co-occurrence count, contribution = rank·w div Σw — same
+    // exact fixed-point arithmetic as q111 (w ≡ 1 is that gate) ──────────
+    "q126_weighted_pagerank" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").cast(LongType).as("pa"),
+          col("y.p").cast(LongType).as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+      val edges = e0.union(
+        e0.select(col("pb").as("pa"), col("pa").as("pb"), col("m")))
+      graft.graph.PageRank.pageRank(edges, "pa", "pb", iterations = 3,
+          weightCol = Some("m"))
+        .select(col("node"), col("rank").as("pr"))
+    }),
+
     // ── debounce: drop events whose same-(user,type) predecessor is
     // within 60 s — telemetry double-fire suppression; one lag window ────
     "q124_debounce" -> ((s, dir) =>
@@ -2971,6 +3002,50 @@ object SparkEntry {
         |         UNION ALL SELECT e.d AS node, d3.dist + 1 AS dist
         |         FROM e JOIN d3 ON e.s = d3.node) t GROUP BY node)
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+
+    "q127_zorder3" -> {
+      val cols = Seq("l_partkey", "l_suppkey", "l_linenumber")
+      val terms = (for (i <- 0 until 18; j <- 0 until 3) yield
+        s"(((CAST(${cols(j)} AS BIGINT) >> $i) & 1) << ${i * 3 + j})")
+        .mkString(" + ")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |       CAST($terms AS BIGINT) AS z3
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q126_weighted_pagerank" ->
+      """WITH e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b,
+        |              COUNT(*) AS m
+        |            FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |                  FROM lineitem) x
+        |            JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |                  FROM lineitem) y
+        |              ON x.o = y.o AND x.p < y.p
+        |            GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS s, b AS d, m AS w FROM e0
+        |      UNION ALL SELECT b AS s, a AS d, m AS w FROM e0),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |ww AS (SELECT s, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY s),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS node,
+        |         CAST(SUM((r0.r * e.w) // ww.outw) AS BIGINT) AS sc
+        |       FROM e JOIN r0 ON e.s = r0.node JOIN ww ON ww.s = e.s
+        |       GROUP BY e.d),
+        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.d AS node,
+        |         CAST(SUM((r1.r * e.w) // ww.outw) AS BIGINT) AS sc
+        |       FROM e JOIN r1 ON e.s = r1.node JOIN ww ON ww.s = e.s
+        |       GROUP BY e.d),
+        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.d AS node,
+        |         CAST(SUM((r2.r * e.w) // ww.outw) AS BIGINT) AS sc
+        |       FROM e JOIN r2 ON e.s = r2.node JOIN ww ON ww.s = e.s
+        |       GROUP BY e.d),
+        |r3 AS (SELECT n.node, 150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, r AS pr FROM r3 ORDER BY node""".stripMargin,
 
     "q124_debounce" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus

@@ -41,28 +41,41 @@ object PageRank {
     * starts at `scale`; output (node, rank) in rank units of 1/`scale`,
     * ordered by node.
     *
+    * With `weightCol` (positive BIGINT) each out-edge carries
+    * `rank·w div Σw(src)` instead of `rank div outdeg` — co-occurrence
+    * counts, interaction strengths, transition frequencies. The
+    * unweighted form is exactly the all-weights-1 case, so both share
+    * one arithmetic path (and one oracle shape). Keep `rank·w` inside
+    * Int64: worst-case rank ≈ n·scale, so wmax·n·scale must stay below
+    * 2^63 — rescale weights or shrink `scale` for extreme graphs.
+    *
     * Dangling mass (nodes with no out-edges) is dropped, not redistributed
     * — the variant that keeps per-iteration arithmetic oracle-replayable
     * without a global mass term; for undirected (bidirectional) edge sets
     * there are no dangling nodes and the distinction vanishes. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, scale: Long = 1000000L): DataFrame = {
+               iterations: Int, scale: Long = 1000000L,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 100, "scale must be >= 100 (damping uses div 100)")
+    val w = weightCol.map(c => col(c).cast(LongType)).getOrElse(lit(1L))
     // materialize the edge list ONCE — nodes and degrees both derive from
     // it, and without this the caller's (possibly expensive) edge
     // construction would recompute per derived checkpoint
     val e = Checkpoints.checkpoint(
       edges.select(col(srcCol).cast(LongType).as("src"),
-        col(dstCol).cast(LongType).as("dst")))
+        col(dstCol).cast(LongType).as("dst"),
+        when(w > 0, w).otherwise(raise_error(
+          format_string("pageRank: non-positive edge weight %s", w)))
+          .as("w")))
     val nodes = Checkpoints.checkpoint(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // degree-annotated edges: partitioned on src ONCE, reused every round
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    // weight-annotated edges: partitioned on src ONCE, reused every round
     val eDeg = Checkpoints.checkpoint(
-      e.join(outdeg, "src").repartition(col("src")))
+      e.join(outw, "src").repartition(col("src")))
     Checkpoints.release(e) // nodes + eDeg are materialized; e is consumed
 
     val base = 15L * scale / 100L
@@ -70,7 +83,7 @@ object PageRank {
     var prevCp: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .select(col("dst"), expr("(r * w) div outw").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
       ranks = Checkpoints.checkpoint(
         nodes.join(contribs, nodes("node") === contribs("dst"), "left")

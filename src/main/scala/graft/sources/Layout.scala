@@ -61,19 +61,28 @@ object Layout {
     * files for predicates on x, on y, or on both. Pure shift/mask
     * arithmetic (whole-stage codegen'd, no UDF); out-of-range input
     * raises rather than silently corrupting the clustering. */
-  def zorderValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xs = x.cast(LongType)
-    val ys = y.cast(LongType)
+  def zorderValue(x: Column, y: Column, bits: Int): Column =
+    zorderValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension j lands at
+    * position i·N + j (dimension 0 in the lowest lane — the 2-column
+    * [[zorderValue]] is exactly N = 2). N·bits must fit a non-negative
+    * Int64 (≤ 62). */
+  def zorderValueN(cols: Seq[Column], bits: Int): Column = {
+    val nDims = cols.length
+    require(nDims >= 2, "zorder needs at least 2 columns")
+    require(bits >= 1 && nDims * bits <= 62,
+      s"need 1 <= bits and ${nDims}*bits <= 62, got bits=$bits")
+    val vs = cols.map(_.cast(LongType))
     val lim = 1L << bits
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
-    when(xs >= 0 && xs < lim && ys >= 0 && ys < lim, z)
-      .otherwise(raise_error(format_string(
-        s"zorderValue: inputs (%s, %s) outside [0, ${lim}) — raise bits",
-        xs, ys)))
+    val z = (for (i <- 0 until bits; j <- 0 until nDims) yield
+      shiftleft(shiftright(vs(j), i).bitwiseAND(lit(1L)), i * nDims + j))
+      .reduce(_ + _)
+    val inRange = vs.map(v => v >= 0 && v < lim).reduce(_ && _)
+    when(inRange, z)
+      .otherwise(raise_error(concat(
+        lit(s"zorderValue: input outside [0, $lim) — raise bits: ("),
+        concat_ws(", ", vs.map(_.cast("string")): _*), lit(")"))))
   }
 
   /** Z-order-clustered write: range-repartition on the Morton code of

@@ -77,6 +77,25 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.zorderValue(col("x"), col("y"), 0))
   }
 
+  test("zorderValueN: 3-dim interleave matches the reference; bit budget guarded") {
+    def refZ3(a: Long, b: Long, c: Long, bits: Int) =
+      (0 until bits).map(i => (((a >> i) & 1L) << (3 * i)) |
+        (((b >> i) & 1L) << (3 * i + 1)) | (((c >> i) & 1L) << (3 * i + 2))).sum
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (5L, 3L, 7L), (255L, 1L, 128L))
+    val got = rows.toDF("a", "b", "c")
+      .select(Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 9).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == rows.map { case (a, b, c) => refZ3(a, b, c, 9) })
+    // 2-dim wrapper is the N=2 case
+    val two = Seq((3L, 5L)).toDF("x", "y")
+    assert(two.select(Layout.zorderValue(col("x"), col("y"), 21)).head.getLong(0)
+      == two.select(Layout.zorderValueN(Seq(col("x"), col("y")), 21)).head.getLong(0))
+    intercept[IllegalArgumentException](
+      Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 21)) // 63 > 62
+    intercept[IllegalArgumentException](Layout.zorderValueN(Seq(col("a")), 4))
+  }
+
   test("saveZOrdered: per-file z ranges are disjoint, both dims clustered") {
     val path = java.nio.file.Files.createTempDirectory("zorder").toString
     val rng = new scala.util.Random(11L)

@@ -53,9 +53,40 @@ class PageRankSpec extends SparkSpec {
     assert(got.values.toSet == Set(SCALE), s"cycle is rank-uniform: $got")
   }
 
-  test("rejects bad parameters") {
+  test("rejects bad parameters and non-positive weights") {
     val e = Seq((1L, 2L)).toDF("s", "d")
     intercept[IllegalArgumentException](PageRank.pageRank(e, "s", "d", 0))
     intercept[IllegalArgumentException](PageRank.pageRank(e, "s", "d", 1, scale = 10L))
+    val ew = Seq((1L, 2L, 0L)).toDF("s", "d", "w")
+    intercept[Exception](
+      PageRank.pageRank(ew, "s", "d", 1, weightCol = Some("w")).collect())
+  }
+
+  // weighted reference: contribution = r*w / sum(w over src's out-edges)
+  private def refW(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outw = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = nodes.map(_ -> SCALE).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d, w) <- edges) contrib(d) += r(s) * w / outw(s)
+      r = nodes.map(n => n -> (15L * SCALE / 100L + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("weighted ranks match the reference; all-weights-1 equals unweighted") {
+    val rng = new scala.util.Random(31L)
+    val edges = Seq.fill(200)(
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong, 1L + rng.nextInt(9).toLong))
+    val got = PageRank.pageRank(edges.toDF("s", "d", "w"), "s", "d", 3,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refW(edges, 3))
+    val unit = edges.map { case (s, d, _) => (s, d, 1L) }
+    val gotUnit = PageRank.pageRank(unit.toDF("s", "d", "w"), "s", "d", 3,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotUnit == run(unit.map(t => (t._1, t._2)), 3))
   }
 }
