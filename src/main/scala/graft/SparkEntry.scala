@@ -1177,7 +1177,12 @@ object SparkEntry {
 
     // ── Morton (Z-order) codes for (l_partkey, l_suppkey): the
     // two-dimensional clustering key saveZOrdered range-partitions on;
-    // pure shift/mask codegen, oracle replays the interleave bit-exact ───
+    // pure shift/mask codegen, oracle replays the interleave bit-exact.
+    // SF CEILING: bits=21 covers l_partkey/l_suppkey < 2^21 ≈ 2.1M, i.e.
+    // TPC-H SF ≲ 10.5 (partkey max = 200000·SF); beyond that the gate's
+    // raise_error fires — a production caller derives bits from a max()
+    // scan of the key columns (the z values change with bits, so the
+    // gate pins a constant to keep the oracle bit-exact) ─────────────────
     "q118_zorder" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"),
@@ -1252,7 +1257,11 @@ object SparkEntry {
     }),
 
     // ── 3-dimensional Morton code (part, supplier, linenumber): the
-    // N-dim clustering generalization; bit i of dim j at position 3i+j ───
+    // N-dim clustering generalization; bit i of dim j at position 3i+j.
+    // SF CEILING: bits=18 covers keys < 2^18 ≈ 262k, i.e. TPC-H SF ≲ 1.31
+    // (partkey max = 200000·SF) — past that the raise_error fires; derive
+    // bits from a key max() in production (constant here keeps the
+    // oracle's interleave expression bit-exact) ──────────────────────────
     "q127_zorder3" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
         .select(col("l_orderkey"),

@@ -52,11 +52,17 @@ object RangeJoin {
     val pts = points.withColumn(bucketCol, bucketOf(pointCol))
     val bStart = bucketOf(startCol)
     val bEnd = bucketOf(endCol)
-    val guardedEnd = when(bEnd - bStart < lit(maxBucketsPerInterval), bEnd)
+    // both directions guarded: an INVERTED interval (end < start — one
+    // corrupt row) would otherwise slip past the span bound with a
+    // negative bucket delta and make sequence() emit a DESCENDING run —
+    // exactly the unbounded per-row blowup the guard exists to stop
+    val guardedEnd = when(
+        bEnd - bStart >= 0 && bEnd - bStart < lit(maxBucketsPerInterval), bEnd)
       .otherwise(raise_error(format_string(
-        "interval [%s, %s] spans more than " +
+        "interval [%s, %s] is inverted (end < start) or spans more than " +
           s"maxBucketsPerInterval=$maxBucketsPerInterval buckets at " +
-          s"bucketWidth=$bucketWidth — increase bucketWidth or raise the bound",
+          s"bucketWidth=$bucketWidth — fix the interval, increase " +
+          "bucketWidth, or raise the bound",
         col(startCol), col(endCol))))
     val ivs = intervals.withColumn(bucketCol, explode(sequence(bStart, guardedEnd)))
     pts.join(ivs, Seq(bucketCol))
@@ -94,11 +100,17 @@ object RangeJoin {
     def exploded(df: DataFrame, startCol: String, endCol: String) = {
       val bStart = bucketOf(startCol)
       val bEnd = bucketOf(endCol)
-      val guardedEnd = when(bEnd - bStart < lit(maxBucketsPerInterval), bEnd)
+      // inverted intervals (end < start) raise rather than exploding a
+      // descending sequence or being silently dropped by the
+      // first-shared-bucket keep rule — same both-directions guard as
+      // [[pointInInterval]]
+      val guardedEnd = when(
+          bEnd - bStart >= 0 && bEnd - bStart < lit(maxBucketsPerInterval), bEnd)
         .otherwise(raise_error(format_string(
-          "interval [%s, %s] spans more than " +
+          "interval [%s, %s] is inverted (end < start) or spans more than " +
             s"maxBucketsPerInterval=$maxBucketsPerInterval buckets at " +
-            s"bucketWidth=$bucketWidth — increase bucketWidth or raise the bound",
+            s"bucketWidth=$bucketWidth — fix the interval, increase " +
+            "bucketWidth, or raise the bound",
           col(startCol), col(endCol))))
       df.withColumn(bucketCol, explode(sequence(bStart, guardedEnd)))
     }

@@ -50,6 +50,10 @@ object Bfs {
       // without it every round's full label table stays pinned at once)
       Checkpoints.release(prev)
     }
+    // the final dist checkpoint is eager, so nothing downstream recomputes
+    // through the edge frame — release it too (loop-release discipline:
+    // PageRank releases eDeg/nodes, KCore releases each peeled round)
+    Checkpoints.release(e)
     dist.orderBy("node")
   }
 }

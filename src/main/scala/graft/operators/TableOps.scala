@@ -91,7 +91,12 @@ object TableOps {
     * — exactly the shuffle pattern a 100 TB daily-merge wants. */
   def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
                      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
-    val valCols = base.columns.filterNot(_ == key).sorted.toIndexedSeq
+    // base ORDER for the output (a caller writing the merge back over the
+    // base positionally must get the base's own column order); SORTED
+    // order only where determinism needs it — the schema-set check and
+    // the tiebreak struct
+    val valColsBase = base.columns.filterNot(_ == key).toIndexedSeq
+    val valCols = valColsBase.sorted
     require(valCols.nonEmpty, "base needs at least one non-key column")
     val expected = (valCols ++ Seq(key, opCol, seqCol)).sorted
     require(changes.columns.sorted.sameElements(expected),
@@ -104,7 +109,7 @@ object TableOps {
       .join(latest, Seq(key), "full_outer")
       .filter(col("c").isNull || col("c.op") =!= "D")
       .withColumn("r", when(col("c").isNotNull, col("c.v")).otherwise(col("b")))
-      .select(col(key) +: valCols.map(c => col(s"r.$c").as(c)): _*)
+      .select(col(key) +: valColsBase.map(c => col(s"r.$c").as(c)): _*)
       .orderBy(key)
   }
 
@@ -124,6 +129,15 @@ object TableOps {
     * parallel and the window O(distinct values). Worst case (all values
     * distinct) degrades gracefully to the plain sorted-rank cost. */
   def madPerGroup(df: DataFrame, group: String, x: String): DataFrame = {
+    // the rank-scan machinery introduces these names; a caller column
+    // that collides (group = "med", x = "dev", …) would turn into a
+    // duplicate-column / ambiguous-reference analysis error deep inside
+    // the plan — reject it at the API boundary instead
+    val reserved = Set("med", "dev", "mad", "n", "med_n", "dev_n")
+    Seq(group, x).foreach(c => require(
+      !reserved.contains(c) && !c.startsWith("__"),
+      s"madPerGroup: column name '$c' collides with an internal name " +
+        s"(reserved: ${reserved.mkString(", ")}, __*) — alias it first"))
     def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
       val cnts = in.groupBy(col(group), col(v)).agg(count(lit(1)).as("__cnt"))
       val w = Window.partitionBy(group).orderBy(col(v))

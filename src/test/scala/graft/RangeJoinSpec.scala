@@ -70,4 +70,23 @@ class RangeJoinSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("maxBucketsPerInterval")), e.toString)
   }
+
+  test("an INVERTED interval (end < start) fails loudly instead of exploding or vanishing") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val pts = Seq((1L, 10L)).toDF("p_id", "t")
+    // end far below start: the negative bucket delta used to pass the
+    // span guard and hand sequence() a descending range
+    val ivs = Seq((1L, 1000000L, 0L)).toDF("iv_id", "s", "e")
+    val e1 = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "t", ivs, "s", "e", 100L).collect()
+    }
+    assert(messages(e1).exists(_.contains("inverted")), e1.toString)
+    val l = Seq((1L, 5L, 20L)).toDF("l_id", "ls", "le")
+    val r = Seq((1L, 900L, 2L)).toDF("r_id", "rs", "re")
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re", 10L).collect()
+    }
+    assert(messages(e2).exists(_.contains("inverted")), e2.toString)
+  }
 }

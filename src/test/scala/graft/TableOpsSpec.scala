@@ -70,9 +70,20 @@ class TableOpsSpec extends SparkSpec {
       (4L, 40L, "d", "U", 1L))   // insert
       .toDF("k", "v", "s", "op", "seq")
     val out = TableOps.applyChangelog(base, changes, "k")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    // output columns are key + non-key sorted: (k, s, v)
-    assert(out == Seq((1L, "a2", 12L), (3L, "c", 30L), (4L, "d", 40L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // output columns keep the BASE's order (k, v, s) — a caller writing
+    // the merge back over the base positionally must not get shuffled cols
+    assert(out == Seq((1L, 12L, "a2"), (3L, 30L, "c"), (4L, 40L, "d")))
+  }
+
+  test("applyChangelog preserves the base's column order, not sorted order") {
+    // base order (k, z, a) — alphabetical would flip z/a
+    val base = Seq((1L, 10L, "p")).toDF("k", "z", "a")
+    val changes = Seq((1L, 11L, "q", "U", 1L)).toDF("k", "z", "a", "op", "seq")
+    val out = TableOps.applyChangelog(base, changes, "k")
+    assert(out.columns.toSeq == Seq("k", "z", "a"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      == Seq((1L, 11L, "q")))
   }
 
   test("applyChangelog: a delete then re-insert at a higher seq revives the key") {
@@ -100,6 +111,15 @@ class TableOpsSpec extends SparkSpec {
     //    deviations (2,0,4,97) sorted (0,2,4,97), lower median -> 2.
     //    the outlier 100 moves neither statistic.
     assert(out == Map("g" -> ((4L, 3L, 2L)), "h" -> ((2L, 5L, 0L))))
+  }
+
+  test("madPerGroup rejects column names that collide with internal names") {
+    val df = Seq(("g", 1L)).toDF("med", "x")
+    intercept[IllegalArgumentException](TableOps.madPerGroup(df, "med", "x"))
+    val df2 = Seq(("g", 1L)).toDF("grp", "dev")
+    intercept[IllegalArgumentException](TableOps.madPerGroup(df2, "grp", "dev"))
+    val df3 = Seq(("g", 1L)).toDF("__g", "x")
+    intercept[IllegalArgumentException](TableOps.madPerGroup(df3, "__g", "x"))
   }
 
   test("linregStats: exact sufficient statistics and slope fraction") {
