@@ -52,10 +52,25 @@ object PageRank {
     * Dangling mass (nodes with no out-edges) is dropped, not redistributed
     * — the variant that keeps per-iteration arithmetic oracle-replayable
     * without a global mass term; for undirected (bidirectional) edge sets
-    * there are no dangling nodes and the distinction vanishes. */
+    * there are no dangling nodes and the distinction vanishes.
+    *
+    * EARLY STOP: the loop exits as soon as a round leaves every rank
+    * EXACTLY unchanged (integer fixed point). A no-op round makes every
+    * further round a no-op too — the update is a pure function of the
+    * rank table — so stopping is indistinguishable from running all
+    * `iterations` rounds and a chained-CTE oracle that always writes
+    * `iterations` CTEs still replays the result cell-for-cell. The check
+    * is exact (each round's frame carries its predecessor rank; one scan
+    * of the already-materialized checkpoint, short-circuited by limit-1),
+    * never a probabilistic signature — a colliding signature would
+    * silently ship wrong ranks. At scale, rounds after stabilization are
+    * pure waste; this converts them into one cheap scan.
+    * `roundsOut`, when supplied, receives the number of rounds actually
+    * executed (observability / spec hook). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000L,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 100, "scale must be >= 100 (damping uses div 100)")
     val w = weightCol.map(c => col(c).cast(LongType)).getOrElse(lit(1L))
@@ -79,23 +94,35 @@ object PageRank {
     Checkpoints.release(e) // nodes + eDeg are materialized; e is consumed
 
     val base = 15L * scale / 100L
-    var ranks = nodes.withColumn("r", lit(scale))
-    var prevCp: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    // ranks always covers the full node set (invariant of the left join
+    // below), so the loop joins against the previous RANK frame, not the
+    // node set — which also puts old and new rank side by side for the
+    // exact fixed-point test. nodes is consumed once ranks materializes.
+    var ranks = Checkpoints.checkpoint(nodes.withColumn("r", lit(scale)))
+    Checkpoints.release(nodes)
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("(r * w) div outw").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
-      ranks = Checkpoints.checkpoint(
-        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-          .select(col("node"),
+      val next = Checkpoints.checkpoint(
+        ranks.select(col("node"), col("r").as("rp"))
+          .join(contribs, col("node") === contribs("dst"), "left")
+          .select(col("node"), col("rp"),
             (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+      rounds += 1
+      // exact fixed point reached? one scan of the materialized
+      // checkpoint, short-circuited at the first changed rank
+      converged = rounds < iterations &&
+        next.filter(col("r") =!= col("rp")).limit(1).isEmpty
       // the new rank frame is materialized; free the previous round's
       // blocks instead of pinning every iteration's rank table at once
-      prevCp.foreach(Checkpoints.release)
-      prevCp = Some(ranks)
+      Checkpoints.release(ranks)
+      ranks = next
     }
+    roundsOut.foreach(_.set(rounds))
     // the final rank frame is materialized; the loop inputs are done
-    Checkpoints.release(nodes)
     Checkpoints.release(eDeg)
     ranks.select(col("node"), col("r").as("rank")).orderBy("node")
   }

@@ -89,4 +89,31 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotUnit == run(unit.map(t => (t._1, t._2)), 3))
   }
+
+  test("early stop: a rank-stable graph exits after one round, result unchanged") {
+    // 4-cycle, bidirectional: 2-regular and 2 | scale, so round 1 maps
+    // every rank to exactly `scale` — an integer fixed point from the
+    // start. 10 requested rounds must execute as 1.
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("s", "d")
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val got = PageRank.pageRank(edges, "s", "d", iterations = 10,
+        roundsOut = Some(rounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds.get == 1, s"expected early stop after 1 round, ran ${rounds.get}")
+    assert(got == Map(1L -> SCALE, 2L -> SCALE, 3L -> SCALE, 4L -> SCALE))
+  }
+
+  test("early stop never fires before the fixed point: star graph runs all rounds") {
+    // directed star 1->2..1->5 plus back-edges: ranks keep moving for the
+    // first rounds, so all requested rounds must execute and the result
+    // must equal the driver-side reference
+    val edges = (2L to 5L).flatMap(k => Seq((1L, k), (k, 1L)))
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val got = PageRank.pageRank(edges.toDF("s", "d"), "s", "d", iterations = 3,
+        roundsOut = Some(rounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds.get == 3, s"expected all 3 rounds, ran ${rounds.get}")
+    assert(got == run(edges, 3))
+  }
 }
