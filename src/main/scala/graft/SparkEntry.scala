@@ -1312,6 +1312,15 @@ object SparkEntry {
         "event_type", "c")
     }),
 
+    // ── WIDE-TABLE column profile (batched path): one pruned single-
+    // column job per column, groupBy(value) frequency compression — no
+    // ×#cols explode, no Expand; peak per-stage shuffle is O(rows) not
+    // O(#cols·rows) (ProfileBatchedSpec pins the bound) ──────────────────
+    "q128_profile_batched" -> ((s, dir) =>
+      graft.operators.TableOps.profileBatched(s.read.parquet(t(dir, "lineitem")),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3123,6 +3132,16 @@ object SparkEntry {
         |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
         |         COUNT(DISTINCT o_orderpriority) FROM orders
         |) ORDER BY col_name""".stripMargin,
+
+    "q128_profile_batched" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |       COUNT(*) - COUNT($c) AS n_nulls,
+           |       COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

@@ -211,4 +211,30 @@ object TableOps {
         count_distinct(col("v")).as("n_distinct"))
       .orderBy("col_name")
   }
+
+  /** WIDE-TABLE form of [[profile]] — same output, no ×#cols row
+    * multiplication. One job per column: the scan prunes to that single
+    * column (columnar formats read exactly one column per job, so total
+    * scan I/O across all jobs equals ONE full-width pass), a map-side-
+    * combined `groupBy(value).count` compresses to the column's distinct
+    * values — the O(distinct) exchange — and rows / nulls / distinct all
+    * derive from that tiny grouped table. No Expand (the fused
+    * distinct+non-distinct aggregate doubles its input; this pass touches
+    * each row once) and per-job state is one column's distinct set, not
+    * every profiled column's at once. The explode form remains the right
+    * call for narrow tables (one job, no per-column scheduling); past a
+    * few dozen columns this is the shape that holds. */
+  def profileBatched(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    cols.map { c =>
+      df.select(col(c).cast(StringType).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum("cnt"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }.reduce(_.unionAll(_)).orderBy("col_name")
+  }
 }
