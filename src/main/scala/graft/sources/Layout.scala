@@ -90,11 +90,21 @@ object Layout {
     * ranges never interleave, so each file covers a compact (x, y) tile
     * and min/max skipping works on both columns. One shuffle. */
   def saveZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                   bits: Int, numFiles: Int): Unit = {
+                   bits: Int, numFiles: Int): Unit =
+    saveZOrderedN(df, path, Seq(xCol, yCol), bits, numFiles)
+
+  /** N-dimensional [[saveZOrdered]]: range-repartition on the N-column
+    * Morton code of `cols` into `numFiles` files, sorted within each.
+    * File z ranges never interleave, so each file covers a compact
+    * N-dimensional tile and parquet min/max footers prune on ANY of the
+    * N columns (the 2-column form is exactly `cols.length == 2`). One
+    * shuffle; `N·bits <= 62` as in [[zorderValueN]]. */
+  def saveZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                    bits: Int, numFiles: Int): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val zCol = "__graft_zorder"
     require(!df.columns.contains(zCol), s"input must not contain $zCol")
-    df.withColumn(zCol, zorderValue(col(xCol), col(yCol), bits))
+    df.withColumn(zCol, zorderValueN(cols.map(col), bits))
       .repartitionByRange(numFiles, col(zCol))
       .sortWithinPartitions(zCol)
       .drop(zCol)

@@ -122,6 +122,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("saveZOrderedN: 3-dim per-file z ranges disjoint, min/max skips on every dim") {
+    val path = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val rng = new scala.util.Random(13L)
+    val df = Seq.fill(6000)((rng.nextInt(256).toLong, rng.nextInt(256).toLong,
+      rng.nextInt(256).toLong)).toDF("x", "y", "w")
+    Layout.saveZOrderedN(df, path, Seq("x", "y", "w"), bits = 8, numFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4)
+    assert(spark.read.parquet(path).count() == 6000)
+    def refZ(x: Long, y: Long, w: Long) =
+      (0 until 8).map(i => (((x >> i) & 1L) << (3 * i)) |
+        (((y >> i) & 1L) << (3 * i + 1)) | (((w >> i) & 1L) << (3 * i + 2))).sum
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (rows.map(t => refZ(t._1, t._2, t._3)).min,
+        rows.map(t => refZ(t._1, t._2, t._3)).max, rows)
+    }
+    // 1) z ranges never interleave across files
+    val sorted = perFile.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, aMax, _), (bMin, _, _)) =>
+        assert(aMax <= bMin, s"overlap: $aMax > $bMin")
+      case _ =>
+    }
+    // 2) per-dimension min/max footers actually skip: for a point
+    // predicate on EACH dim, some files' [min,max] excludes the point —
+    // the compact-tile property the z layout exists to buy. A random
+    // (non-z) layout of uniform values would leave every file's range
+    // covering every point.
+    for (d <- 0 until 3) {
+      val v = 7L
+      val containing = perFile.count { case (_, _, rows) =>
+        val dim = rows.map(t => d match {
+          case 0 => t._1; case 1 => t._2; case _ => t._3
+        })
+        dim.min <= v && v <= dim.max
+      }
+      assert(containing < files.length,
+        s"dim $d: every file's min/max covers $v — no skipping possible")
+    }
+  }
+
   test("partitioned parquet read prunes partitions under a filter") {
     val path = java.nio.file.Files.createTempDirectory("parted").toString
     val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
