@@ -1321,6 +1321,33 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))),
 
+    // ── CDC COMPACTION LOOP: three changelog batches applied in order
+    // (per-batch seqs restart at 1 — ordering comes from batch position),
+    // with delete-then-revive ACROSS batches: %7 keys die in batch 1,
+    // revive in batch 2; %3 keys die in batch 2, the %9 subset revives in
+    // batch 3. Each merged snapshot is lineage-truncated and the consumed
+    // round released (the PageRank loop discipline); ONE global sort at
+    // the end, one collapse + one full-outer join per batch ──────────────
+    "q129_cdc_compaction" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).as("price_c"),
+          col("o_orderstatus").as("status"))
+      def u(cond: Column, delta: Long, seq: Long) =
+        base.filter(cond).select(col("k"),
+          (col("price_c") + delta).as("price_c"), col("status"),
+          lit("U").as("op"), lit(seq).as("seq"))
+      def d(cond: Column, seq: Long) =
+        base.filter(cond).select(col("k"),
+          lit(null).cast(LongType).as("price_c"),
+          lit(null).cast(StringType).as("status"),
+          lit("D").as("op"), lit(seq).as("seq"))
+      val b1 = u(col("k") % 5 === 0, 10000L, 1L).union(d(col("k") % 7 === 0, 2L))
+      val b2 = u(col("k") % 7 === 0, 777L, 1L).union(d(col("k") % 3 === 0, 2L))
+      val b3 = u(col("k") % 9 === 0, 99L, 1L)
+      graft.operators.TableOps.applyChangelogs(base, Seq(b1, b2, b3), "k")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3142,6 +3169,24 @@ object SparkEntry {
            |       COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    // closed form of the three-batch fold: a key survives unless its
+    // LAST-effective op was a delete — %3 keys die in batch 2, only the
+    // %9 subset revives in batch 3; price reflects the latest surviving
+    // upsert (batch 3's %9 beats batch 2's %7 beats batch 1's %5)
+    "q129_cdc_compaction" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |                o_orderstatus AS status FROM orders)
+        |SELECT k,
+        |       CASE WHEN k % 9 = 0 THEN price_c + 99
+        |            WHEN k % 7 = 0 THEN price_c + 777
+        |            WHEN k % 5 = 0 THEN price_c + 10000
+        |            ELSE price_c END AS price_c,
+        |       status
+        |FROM base
+        |WHERE k % 3 != 0 OR k % 9 = 0
+        |ORDER BY k""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

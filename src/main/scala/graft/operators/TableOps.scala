@@ -90,7 +90,14 @@ object TableOps {
     * the join), then ONE co-partitioned full-outer join against the base
     * — exactly the shuffle pattern a 100 TB daily-merge wants. */
   def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
-                     opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+                     opCol: String = "op", seqCol: String = "seq"): DataFrame =
+    mergeChangelogOnce(base, changes, key, opCol, seqCol).orderBy(key)
+
+  /** One changelog merge WITHOUT the final global order — the loop body
+    * of [[applyChangelogs]] (ordering every intermediate batch would add
+    * a full sort per batch for nothing). */
+  private def mergeChangelogOnce(base: DataFrame, changes: DataFrame, key: String,
+                                 opCol: String, seqCol: String): DataFrame = {
     // base ORDER for the output (a caller writing the merge back over the
     // base positionally must get the base's own column order); SORTED
     // order only where determinism needs it — the schema-set check and
@@ -110,7 +117,36 @@ object TableOps {
       .filter(col("c").isNull || col("c.op") =!= "D")
       .withColumn("r", when(col("c").isNotNull, col("c.v")).otherwise(col("b")))
       .select(col(key) +: valColsBase.map(c => col(s"r.$c").as(c)): _*)
-      .orderBy(key)
+  }
+
+  /** CDC COMPACTION LOOP — the daily-pipeline shape: a base snapshot and
+    * N changelog batches applied IN ORDER (each batch's sequence numbers
+    * are local to that batch; a later batch always beats an earlier one,
+    * so a key deleted in batch 1 and upserted in batch 2 is revived).
+    * Equivalent to folding [[applyChangelog]] but with the iterative-
+    * operator discipline: each merged snapshot is lineage-truncated
+    * through [[Checkpoints.checkpoint]] (plan size and the stats
+    * estimate stay bounded at any batch count — the PageRank/KCore loop
+    * pattern, spec-pinned in `TableOpsSpec`), the consumed round's
+    * blocks are released the moment the next round materializes, and the
+    * single global sort happens ONCE at the end, not per batch. Per
+    * batch the cost is exactly one map-side changelog collapse plus one
+    * co-partitioned full-outer join. */
+  def applyChangelogs(base: DataFrame, batches: Seq[DataFrame], key: String,
+                      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(batches.nonEmpty, "applyChangelogs needs at least one batch")
+    var cur = base
+    var prevCp: Option[DataFrame] = None
+    for (b <- batches) {
+      val merged = Checkpoints.checkpoint(
+        mergeChangelogOnce(cur, b, key, opCol, seqCol))
+      // the new snapshot is materialized (eager checkpoint); the previous
+      // round's blocks are dead weight — release, don't pin every batch
+      prevCp.foreach(Checkpoints.release)
+      prevCp = Some(merged)
+      cur = merged
+    }
+    cur.orderBy(key)
   }
 
   /** Median absolute deviation per group over a BIGINT column — the

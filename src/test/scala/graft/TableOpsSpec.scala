@@ -113,6 +113,44 @@ class TableOpsSpec extends SparkSpec {
     assert(out == Map("g" -> ((4L, 3L, 2L)), "h" -> ((2L, 5L, 0L))))
   }
 
+  test("applyChangelogs: delete-then-revive ACROSS batches, later batch always wins") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    // batch 1 deletes key 1 and bumps key 2; batch 2 revives key 1 and
+    // deletes key 3; batch 3 bumps key 1 again — per-batch seqs restart
+    // at 1, so ordering must come from batch position, not seq
+    val b1 = Seq((1L, 0L, "D", 1L), (2L, 21L, "U", 1L)).toDF("k", "v", "op", "seq")
+    val b2 = Seq((1L, 100L, "U", 1L), (3L, 0L, "D", 1L)).toDF("k", "v", "op", "seq")
+    val b3 = Seq((1L, 101L, "U", 1L)).toDF("k", "v", "op", "seq")
+    val out = TableOps.applyChangelogs(base, Seq(b1, b2, b3), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 101L), (2L, 21L)))
+    // and the fold equals chaining applyChangelog by hand
+    val manual = TableOps.applyChangelog(
+      TableOps.applyChangelog(TableOps.applyChangelog(base, b1, "k"), b2, "k"),
+      b3, "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == manual)
+    graft.operators.Checkpoints.releaseAll()
+  }
+
+  test("applyChangelogs: plan and stats stay bounded across many batches") {
+    // the StatsBarrier discipline: without per-batch lineage truncation a
+    // 20-batch fold would nest 20 full-outer joins in one plan (and the
+    // size estimate would compound); with it, every round's plan hangs
+    // off one checkpoint leaf
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val batches = (1 to 20).map(i =>
+      Seq((1L, 10L + i, "U", 1L)).toDF("k", "v", "op", "seq"))
+    val out = TableOps.applyChangelogs(base, batches, "k")
+    val bits = out.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 64, s"stats estimate grew to $bits bits")
+    val planNodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes <= 10,
+      s"final plan has $planNodes nodes — lineage is not being truncated")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 30L)))
+    graft.operators.Checkpoints.releaseAll()
+  }
+
   test("madPerGroup rejects column names that collide with internal names") {
     val df = Seq(("g", 1L)).toDF("med", "x")
     intercept[IllegalArgumentException](TableOps.madPerGroup(df, "med", "x"))
