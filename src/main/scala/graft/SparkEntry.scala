@@ -1348,6 +1348,28 @@ object SparkEntry {
       graft.operators.TableOps.applyChangelogs(base, Seq(b1, b2, b3), "k")
     }),
 
+    // ── label-propagation communities (2 synchronous rounds) over the
+    // part co-purchase graph: plurality neighbor vote, smallest-label
+    // tiebreak — deterministic, chained-CTE-replayable; per-round
+    // exchange is label FREQUENCIES (map-side-combined), not edges ───────
+    "q130_label_prop" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      graft.graph.LabelProp.labelPropagation(pairs, "pa", "pb", rounds = 2)
+    }),
+
+    // ── gaps-and-islands: per-user maximal runs of consecutive active
+    // days via the constant-minus-rank trick — distinct user-days first
+    // (O(active days) exchange), one per-user window, one agg ────────────
+    "q131_streaks" -> ((s, dir) =>
+      EventOps.activityStreaks(s.read.parquet(t(dir, "events")))),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3187,6 +3209,43 @@ object SparkEntry {
         |FROM base
         |WHERE k % 3 != 0 OR k % 9 = 0
         |ORDER BY k""".stripMargin,
+
+    // two synchronous plurality-vote rounds as chained CTEs; the argmax
+    // is ROW_NUMBER ordered (count DESC, label ASC) — the same
+    // deterministic tiebreak the Spark min_by struct encodes
+    "q130_label_prop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS s, b AS d FROM e0
+        |      UNION ALL SELECT b AS s, a AS d FROM e0),
+        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
+        |v1 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
+        |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
+        |l1 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
+        |       WHERE rn = 1),
+        |v2 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
+        |       FROM e JOIN l1 l ON e.s = l.node GROUP BY e.d, l.lbl),
+        |l2 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2)
+        |       WHERE rn = 1)
+        |SELECT node, lbl AS label FROM l2 ORDER BY node""".stripMargin,
+
+    "q131_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY day) AS grp FROM d)
+        |SELECT user_id, MIN(day) AS streak_start_day,
+        |       MAX(day) AS streak_end_day, COUNT(*) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start_day""".stripMargin,
 
     "q98_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS tus,

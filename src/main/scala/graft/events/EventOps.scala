@@ -177,6 +177,33 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Activity streaks — the gaps-and-islands primitive: per user, the
+    * maximal runs of CONSECUTIVE active days (engagement streaks,
+    * SLA-uptime islands, contiguous-coverage audit). Output: (user_id,
+    * streak_start_day, streak_end_day, n_days) with day = UTC epoch-day,
+    * ordered by user and streak start.
+    *
+    * The classic constant-minus-rank trick: distinct (user, day) first —
+    * a map-side-combined exchange of O(active user-days), never raw
+    * events — then `day − row_number` is constant exactly within a
+    * consecutive run, so one per-user window plus one aggregation finds
+    * every island. No self-join, no iteration; the window is partitioned
+    * by user (bounded partitions — plan-audit-safe). */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    // integral `div`, not `/` (Column `/` is floating division); ts is
+    // non-negative so truncation == floor
+    val days = events.select(col("user_id"), tsMicros(events).as("tus"))
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min("day").as("streak_start_day"), max("day").as("streak_end_day"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "streak_start_day", "streak_end_day", "n_days")
+      .orderBy("user_id", "streak_start_day")
+  }
+
   /** Inter-arrival gap statistics per user: count, min/max gap, and the
     * exact lower-median gap in MILLISECONDS — the latency/engagement-
     * cadence profile (median is robust where one overnight gap destroys

@@ -1,0 +1,80 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Checkpoints
+
+/** Synchronous label-propagation community detection (Raghavan et al.
+  * 2007) — the "which nodes cluster together" complement to connected
+  * components: CC finds REACHABILITY groups, LPA finds DENSITY groups
+  * inside one component (near-duplicate families, interaction circles,
+  * co-purchase communities).
+  *
+  * Every node starts labeled with its own id; each synchronous round a
+  * node adopts the label held by the PLURALITY of its neighbors, ties
+  * broken toward the smallest label — fully deterministic (the classic
+  * asynchronous/random-order variant is not engine-replayable). A fixed
+  * round count makes the result exactly replayable as chained SQL CTEs
+  * (the PageRank/KCore oracle pattern), and the loop still exits early
+  * at an exact fixed point — an unchanged round makes every further
+  * round a no-op, so stopping is output-identical.
+  *
+  * Scale shape (per round): ONE equi-join of the O(nodes) label table
+  * against the edge table on the source key, then a map-side-combined
+  * (dst, label) count — the exchange carries label FREQUENCIES, not
+  * edges — and an argmax by `min_by` over a (−count, label) struct (the
+  * [[graft.operators.TableOps.modePerGroup]] trick: no per-node sort, no
+  * rank window). Edge table repartitioned on src ONCE and checkpointed;
+  * per-round frames are lineage-truncated and the consumed round's
+  * blocks released immediately (the loop-release discipline).
+  */
+object LabelProp {
+
+  /** Community labels after at most `rounds` synchronous rounds over the
+    * UNDIRECTED edge set `edges(aCol, bCol)` (BIGINT ids; both
+    * orientations are generated internally, self-loops dropped,
+    * parallel edges deduplicated so multiplicity does not vote twice).
+    * Output: (node, label), ordered by node. `roundsOut`, when
+    * supplied, receives the executed round count. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int,
+                       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e0 = edges.select(col(aCol).cast(LongType).as("s"),
+      col(bCol).cast(LongType).as("d"))
+    val e = Checkpoints.checkpoint(
+      e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d"))
+        .distinct()
+        .repartition(col("s")))
+    var labels = Checkpoints.checkpoint(
+      e.select(col("s").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
+      val votes = e.join(labels, e("s") === labels("node"))
+        .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
+      val next = Checkpoints.checkpoint(
+        votes.groupBy(col("d"))
+          .agg(min_by(col("lbl"),
+            struct((-col("c")).as("nc"), col("lbl").as("l"))).as("nl"))
+          .select(col("d").as("node"), col("nl"))
+          .join(labels.select(col("node"), col("lbl").as("lp")), Seq("node"))
+          .select(col("node"), col("lp"), col("nl").as("lbl")))
+      executed += 1
+      // exact fixed point: an unchanged labeling is stable forever under
+      // the synchronous plurality rule — one limit-1 scan of the
+      // materialized checkpoint (never a probabilistic signature)
+      converged = executed < rounds &&
+        next.filter(col("lbl") =!= col("lp")).limit(1).isEmpty
+      Checkpoints.release(labels)
+      labels = next
+    }
+    roundsOut.foreach(_.set(executed))
+    Checkpoints.release(e)
+    labels.select(col("node"), col("lbl").as("label")).orderBy("node")
+  }
+}

@@ -72,6 +72,22 @@ class EventOpsSpec extends SparkSpec {
     assert(kept == Seq(0L, 2L, 3L, 4L))
   }
 
+  test("activityStreaks: consecutive active days group into maximal islands") {
+    val day = 86400L
+    val ev = events(
+      // user 1: days 0,1,2 (two events on day 1 — dedup), then 5,6
+      (0L, 0L, 1L, 0.0), (1L, day + 10L, 1L, 0.0), (2L, day + 20L, 1L, 0.0),
+      (3L, 2 * day, 1L, 0.0), (4L, 5 * day, 1L, 0.0), (5L, 6 * day + 100L, 1L, 0.0),
+      // user 2: one isolated day
+      (6L, 9 * day, 2L, 0.0))
+    val out = EventOps.activityStreaks(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 3L),   // days 0-2
+      (1L, 5L, 6L, 2L),   // days 5-6
+      (2L, 9L, 9L, 1L)))
+  }
+
   test("gapStats: exact lower-median / min / max inter-arrival gaps in ms") {
     val ev = Seq(
       (0L, 0L, 1L), (1L, 10L, 1L), (2L, 30L, 1L), (3L, 100L, 1L),

@@ -1,11 +1,14 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scaling probe for the graph operators (PageRank, Triangles) on
-  * synthetic hub-skewed graphs — the decade-scaling evidence PLANS.md
-  * records for every operator family.
+/** Scaling probe for the graph operators (PageRank ±weights, Triangles,
+  * KCore, BFS) on synthetic hub-skewed graphs — the decade-scaling
+  * evidence PLANS.md records for every operator family, now with
+  * per-operator SHUFFLE BYTES so the "per-round exchange is the O(nodes)
+  * label table" claim is measured, not asserted.
   *
   * Graph: m hash-derived edges over n = m/10 nodes; 10% of endpoints
   * collapse onto 10 hub nodes (so the biggest hubs carry ~m/100 edges
@@ -15,11 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: Test/runMain graft.GraphProbeMain [edgesPerDecade...]
   *        (default: 1000000 10000000)
+  *        GRAFT_PROBE_REPS=1 for the big decades (default 3);
+  *        SPARK_DRIVER_MEM=64g for the 100M-edge decade.
   */
 object GraphProbeMain {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(1000000L, 10000000L)
+    val reps = sys.env.getOrElse("GRAFT_PROBE_REPS", "3").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,7 +33,25 @@ object GraphProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
 
-    for (m <- sizes; rep <- 1 to 3) {
+    // cumulative shuffle-write bytes across all completed stages; the
+    // per-operator delta (after a settle wait for the async bus) is the
+    // operator's total exchange volume
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def settledShuffle(): Long = {
+      var last = -1L; var cur = shuffleBytes.get; var spins = 0
+      while (cur != last && spins < 20) {
+        last = cur; Thread.sleep(300); cur = shuffleBytes.get; spins += 1
+      }
+      cur
+    }
+
+    for (m <- sizes; rep <- 1 to reps) {
       val n = m / 10
       def endpoint(salt: Int) = {
         val h = s"xxhash64(id, $salt)"
@@ -40,25 +64,46 @@ object GraphProbeMain {
         .filter(col("s") =!= col("d"))
       edges.write.mode("overwrite").parquet("/root/repo/target/graphprobe")
       val e = spark.read.parquet("/root/repo/target/graphprobe")
+      val ew = e.withColumn("w", expr("1L + pmod(xxhash64(s, d), 9)"))
 
-      val t0 = System.nanoTime()
-      val pr = graft.graph.PageRank.pageRank(e, "s", "d", iterations = 3)
-      val prSig = pr.select(bit_xor(xxhash64(col("node"), col("rank"))))
-        .collect()(0).getLong(0)
-      val t1 = System.nanoTime()
-      val nTri = graft.graph.Triangles.triangles(e, "s", "d").count()
-      val t2 = System.nanoTime()
-      val nCore = graft.graph.KCore.kCore(e, "s", "d", k = 8, maxPeels = 5).count()
-      val t3 = System.nanoTime()
-      val seeds = spark.range(10).select(col("id").as("n")) // the 10 hubs
-      val nReach = graft.graph.Bfs.hopDistance(e, "s", "d", seeds, "n", maxHops = 3).count()
-      val t4 = System.nanoTime()
-      println(f"GRAPH m=$m rep$rep prSec=${(t1 - t0) / 1e9}%.2f " +
-        f"triSec=${(t2 - t1) / 1e9}%.2f coreSec=${(t3 - t2) / 1e9}%.2f " +
-        f"bfsSec=${(t4 - t3) / 1e9}%.2f nTri=$nTri nCore=$nCore " +
-        f"nReach=$nReach prSig=$prSig")
-      graft.operators.Checkpoints.releaseAll()
-      spark.catalog.clearCache(); System.gc()
+      def gb(x: Long) = f"${x / 1e9}%.2f"
+      var mark = settledShuffle()
+      def step(label: String)(body: => Long): (Double, Long, String) = {
+        val t0 = System.nanoTime()
+        val v = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        val now = settledShuffle()
+        val delta = now - mark
+        mark = now
+        graft.operators.Checkpoints.releaseAll()
+        spark.catalog.clearCache(); System.gc()
+        (sec, v, f"${label}Sec=$sec%.2f ${label}ShufGB=${gb(delta)}")
+      }
+
+      val (_, prSig, prLine) = step("pr") {
+        graft.graph.PageRank.pageRank(e, "s", "d", iterations = 3)
+          .select(bit_xor(xxhash64(col("node"), col("rank"))))
+          .collect()(0).getLong(0)
+      }
+      val (_, wprSig, wprLine) = step("wpr") {
+        graft.graph.PageRank.pageRank(ew, "s", "d", iterations = 3,
+            weightCol = Some("w"))
+          .select(bit_xor(xxhash64(col("node"), col("rank"))))
+          .collect()(0).getLong(0)
+      }
+      val (_, nTri, triLine) = step("tri") {
+        graft.graph.Triangles.triangles(e, "s", "d").count()
+      }
+      val (_, nCore, coreLine) = step("core") {
+        graft.graph.KCore.kCore(e, "s", "d", k = 8, maxPeels = 5).count()
+      }
+      val (_, nReach, bfsLine) = step("bfs") {
+        val seeds = spark.range(10).select(col("id").as("n")) // the 10 hubs
+        graft.graph.Bfs.hopDistance(e, "s", "d", seeds, "n", maxHops = 3).count()
+      }
+      println(s"GRAPH m=$m rep$rep $prLine $wprLine $triLine $coreLine " +
+        s"$bfsLine nTri=$nTri nCore=$nCore nReach=$nReach " +
+        s"prSig=$prSig wprSig=$wprSig")
     }
     spark.stop()
   }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.LabelProp
+
+class LabelPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: synchronous plurality vote, smallest-label
+    * tiebreak, over the deduplicated bidirectional neighbor sets. */
+  private def ref(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  private def run(edges: Seq[(Long, Long)], rounds: Int,
+                  out: Option[java.util.concurrent.atomic.AtomicInteger] = None) =
+    LabelProp.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two cliques bridged by one edge settle into two communities") {
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))
+    val got = run(edges, 5)
+    // each clique converges onto its smallest member's label
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct.size == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(got).distinct.size == 1)
+    assert(got(1L) != got(11L), s"bridge merged the cliques: $got")
+    assert(got == ref(edges, 5))
+  }
+
+  test("matches the synchronous reference on a random graph, round by round") {
+    val rng = new scala.util.Random(23L)
+    val edges = Seq.fill(150)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    for (r <- 1 to 3) assert(run(edges, r) == ref(edges, r), s"rounds=$r")
+  }
+
+  test("parallel edges do not vote twice; self-loops are dropped") {
+    // node 3's neighbors are {1, 2}; 10 parallel (3,2) edges must not
+    // make 2's label win over 1's smaller label at the tie
+    val edges = Seq((3L, 1L)) ++ Seq.fill(10)((3L, 2L)) ++ Seq((3L, 3L), (1L, 2L))
+    val got = run(edges, 1)
+    assert(got(3L) == 1L, s"multiplicity or self-loop voted: $got")
+    assert(got == ref(edges, 1))
+  }
+
+  test("early stop: a stable labeling exits before the round budget") {
+    // a single edge pair: round 1 swaps labels 1<->2? no — each adopts
+    // the other's label; round 2 swaps back. Use a triangle: round 1
+    // sends every node to label 1, round 2 is a no-op -> stop at 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val got = run(edges, 10, Some(rounds))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(rounds.get < 10, s"no early stop: ran ${rounds.get}")
+    assert(got == ref(edges, 10))
+  }
+
+  test("rejects a non-positive round budget") {
+    intercept[IllegalArgumentException](
+      LabelProp.labelPropagation(Seq((1L, 2L)).toDF("a", "b"), "a", "b", 0))
+  }
+}
