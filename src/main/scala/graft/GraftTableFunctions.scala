@@ -216,6 +216,12 @@ object GraftTableFunctions {
       plan(operators.TableOps.profile(table(a(0)),
         str(a(1)).split(',').map(_.trim).toIndexedSeq))
     },
+    // the wide-table form: one pruned single-column job per column
+    "graft_profile_batched" -> { exprs =>
+      val a = args("graft_profile_batched", exprs, 2)
+      plan(operators.TableOps.profileBatched(table(a(0)),
+        str(a(1)).split(',').map(_.trim).toIndexedSeq))
+    },
     "graft_linreg" -> { exprs =>
       val a = args("graft_linreg", exprs, 4)
       plan(operators.TableOps.linregStats(table(a(0)), group = str(a(1)),
@@ -226,9 +232,22 @@ object GraftTableFunctions {
       plan(operators.TableOps.applyChangelog(table(a(0)), table(a(1)),
         key = str(a(2))))
     },
+    // N ordered changelog batches as a comma-separated view list; the
+    // merges run EAGERLY at planning (checkpointed loop — the
+    // graft_pagerank note)
+    "graft_cdc_compact" -> { exprs =>
+      val a = args("graft_cdc_compact", exprs, 3)
+      plan(operators.TableOps.applyChangelogs(table(a(0)),
+        str(a(1)).split(',').map(_.trim).toIndexedSeq.map(table),
+        key = str(a(2))))
+    },
     "graft_type_ngrams" -> { exprs =>
       val a = args("graft_type_ngrams", exprs, 2)
       plan(events.EventOps.typeNgrams(table(a(0)), n = int(a(1))))
+    },
+    "graft_streaks" -> { exprs =>
+      val a = args("graft_streaks", exprs, 1)
+      plan(events.EventOps.activityStreaks(table(a(0))))
     },
     "graft_mad" -> { exprs =>
       val a = args("graft_mad", exprs, 3)
@@ -241,6 +260,11 @@ object GraftTableFunctions {
       val a = args("graft_kcore", exprs, 5)
       plan(graph.KCore.kCore(table(a(0)), aCol = str(a(1)), bCol = str(a(2)),
         k = int(a(3)), maxPeels = int(a(4))))
+    },
+    "graft_label_prop" -> { exprs =>
+      val a = args("graft_label_prop", exprs, 4)
+      plan(graph.LabelProp.labelPropagation(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2)), rounds = int(a(3))))
     },
     "graft_bfs" -> { exprs =>
       val a = args("graft_bfs", exprs, 6)

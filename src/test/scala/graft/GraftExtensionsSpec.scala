@@ -310,6 +310,8 @@ class GraftExtensionsSpec extends SparkSpec {
       tab.createOrReplaceTempView("tab_view")
       assert(rows(s2.sql("SELECT * FROM graft_profile('tab_view', 'k,g')"))
         == rows(graft.operators.TableOps.profile(tab, Seq("k", "g"))))
+      assert(rows(s2.sql("SELECT * FROM graft_profile_batched('tab_view', 'k,g')"))
+        == rows(graft.operators.TableOps.profileBatched(tab, Seq("k", "g"))))
 
       val xy = Seq(("g", 0L, 7L), ("g", 2L, 13L), ("g", 5L, 22L)).toDF("g", "x", "y")
       xy.createOrReplaceTempView("xy_view")
@@ -324,10 +326,19 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.operators.TableOps.applyChangelog(base, chg, "k")))
       assert(rows(s2.sql("SELECT * FROM graft_type_ngrams('events_view2', 2)"))
         == rows(graft.events.EventOps.typeNgrams(ev, 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_streaks('events_view2')"))
+        == rows(graft.events.EventOps.activityStreaks(ev)))
+      val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
+      chg2.createOrReplaceTempView("changes2_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_cdc_compact('base_view', 'changes_view,changes2_view', 'k')"))
+        == rows(graft.operators.TableOps.applyChangelogs(base, Seq(chg, chg2), "k")))
       assert(rows(s2.sql("SELECT * FROM graft_mad('xy_view', 'g', 'y')"))
         == rows(graft.operators.TableOps.madPerGroup(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_kcore('edges_view', 's', 'd', 2, 10)"))
         == rows(graft.graph.KCore.kCore(edges, "s", "d", 2, 10)))
+      assert(rows(s2.sql("SELECT * FROM graft_label_prop('edges_view', 's', 'd', 2)"))
+        == rows(graft.graph.LabelProp.labelPropagation(edges, "s", "d", 2)))
       val seeds = Seq(1L).toDF("n")
       seeds.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_bfs('edges_view', 's', 'd', 'seeds_view', 'n', 3)"))
