@@ -64,6 +64,29 @@ object Bench {
     dt
   }
 
+  /** ALL-CORES spin probe: every hardware thread runs the full serial
+    * quantum concurrently, so the wall time equals the serial probe's
+    * (~constant) when the hypervisor actually delivers all cores and
+    * degrades in proportion to whatever share a co-tenant is taking.
+    * This is the contention signal the SERIAL probe cannot see — a
+    * co-tenant stealing 10 of 32 cores leaves a one-thread probe
+    * untouched while inflating every 32-thread Spark stage — and it is
+    * what the per-run gate now keys on. */
+  def spinProbeParSec(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L ^ k.toLong
+        var i = 0L
+        while (i < spinIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 0L) System.err.println("unreachable")
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,10 +124,13 @@ object Bench {
     val loadAfterGate = load()
 
     // JIT-warm the spin loop (first call pays compilation), then take the
-    // session-start calibration reading
+    // session-start calibration readings — serial (per-core speed) and
+    // parallel (delivered-core count)
     spinProbeSec()
     var bestSpin = spinProbeSec()
     val spinAtStart = bestSpin
+    var bestSpinPar = spinProbeParSec()
+    val spinParAtStart = bestSpinPar
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -188,14 +214,17 @@ object Bench {
     // its pre/post probes land in the artifact, so it self-identifies.
     val spinTol = sys.env.getOrElse("SPARK_GRAFT_SPIN_TOL", "1.10").toDouble
     val spinWaitMax = sys.env.getOrElse("SPARK_GRAFT_SPIN_WAIT_SEC", "90").toLong
+    // the gate keys on the PARALLEL probe (delivered cores — what every
+    // 32-thread stage actually gets); the serial probe is recorded as
+    // the per-core-speed baseline
     def spinGateWait(): (Double, Long) = {
       var waited = 0L
-      var p = spinProbeSec()
-      bestSpin = math.min(bestSpin, p)
-      while (p > bestSpin * spinTol && waited < spinWaitMax) {
+      var p = spinProbeParSec()
+      bestSpinPar = math.min(bestSpinPar, p)
+      while (p > bestSpinPar * spinTol && waited < spinWaitMax) {
         Thread.sleep(5000); waited += 5
-        p = spinProbeSec()
-        bestSpin = math.min(bestSpin, p)
+        p = spinProbeParSec()
+        bestSpinPar = math.min(bestSpinPar, p)
       }
       (p, waited)
     }
@@ -206,8 +235,8 @@ object Bench {
       val (spinPre, spinWaited) = spinGateWait()
       val l0 = load()
       val r = measure()
-      val spinPost = spinProbeSec()
-      bestSpin = math.min(bestSpin, spinPost)
+      val spinPost = spinProbeParSec()
+      bestSpinPar = math.min(bestSpinPar, spinPost)
       (r, l0, load(), gw, spinPre, spinPost, spinWaited)
     }
     val byName = runs.map(_._1.map(r => r._1 -> r).toMap)
@@ -249,8 +278,8 @@ object Bench {
     def f2(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", x: java.lang.Double)
     val runLoads = runs.map { case (_, l0, l1, _, _, _, _) => s"[${f2(l0)},${f2(l1)}]" }
     val runGateWaits = runs.map(_._4)
-    // pre/post spin probes per run: a run whose probes sit well above
-    // spin_best was measured under host contention — discount it
+    // pre/post PARALLEL spin probes per run: a run whose probes sit well
+    // above spin_par_best was measured under host contention — discount it
     val runSpins = runs.map { case (_, _, _, _, p0, p1, _) => s"[${f2(p0)},${f2(p1)}]" }
     val spinGateWaits = runs.map(_._7)
     // per-query per-run [loadavg, processCpuShare] pairs, in run order
@@ -271,7 +300,9 @@ object Bench {
       s""""run_cpu_gate":$runGate,""" +
       s""""spin_iters":$spinIters,"spin_at_start":${f2(spinAtStart)},""" +
       s""""spin_best":${f2(bestSpin)},"spin_tol":$spinTol,""" +
-      s""""run_spin_probes":[${runSpins.mkString(",")}],""" +
+      s""""spin_par_at_start":${f2(spinParAtStart)},""" +
+      s""""spin_par_best":${f2(bestSpinPar)},""" +
+      s""""run_spin_par_probes":[${runSpins.mkString(",")}],""" +
       s""""spin_gate_waits_sec":[${spinGateWaits.mkString(",")}],""" +
       s""""n_total_queries":${commonNames.size},""" +
       s""""run_total_spread":$spread,"warm_run_spread":$warmSpread,""" +
