@@ -101,9 +101,14 @@ object GraphProbeMain {
         val seeds = spark.range(10).select(col("id").as("n")) // the 10 hubs
         graft.graph.Bfs.hopDistance(e, "s", "d", seeds, "n", maxHops = 3).count()
       }
+      val (_, lpSig, lpLine) = step("lp") {
+        graft.graph.LabelProp.labelPropagation(e, "s", "d", rounds = 3)
+          .select(bit_xor(xxhash64(col("node"), col("label"))))
+          .collect()(0).getLong(0)
+      }
       println(s"GRAPH m=$m rep$rep $prLine $wprLine $triLine $coreLine " +
-        s"$bfsLine nTri=$nTri nCore=$nCore nReach=$nReach " +
-        s"prSig=$prSig wprSig=$wprSig")
+        s"$bfsLine $lpLine nTri=$nTri nCore=$nCore nReach=$nReach " +
+        s"prSig=$prSig wprSig=$wprSig lpSig=$lpSig")
     }
     spark.stop()
   }
