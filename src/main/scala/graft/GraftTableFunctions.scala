@@ -266,6 +266,12 @@ object GraftTableFunctions {
       plan(graph.LabelProp.labelPropagation(table(a(0)), aCol = str(a(1)),
         bCol = str(a(2)), rounds = int(a(3))))
     },
+    "graft_sssp" -> { exprs =>
+      val a = args("graft_sssp", exprs, 7)
+      plan(graph.Bfs.shortestPaths(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2)), wCol = Some(str(a(3))), sources = table(a(4)),
+        srcNode = str(a(5)), maxRounds = int(a(6))))
+    },
     "graft_bfs" -> { exprs =>
       val a = args("graft_bfs", exprs, 6)
       plan(graph.Bfs.hopDistance(table(a(0)), aCol = str(a(1)),

@@ -1370,6 +1370,29 @@ object SparkEntry {
     "q131_streaks" -> ((s, dir) =>
       EventOps.activityStreaks(s.read.parquet(t(dir, "events")))),
 
+    // ── multi-source WEIGHTED shortest paths (Bellman-Ford, 3 bounded
+    // relaxation rounds) over the co-purchase graph; edge weight derived
+    // deterministically from the endpoints so the chained-CTE oracle
+    // replays cost-for-cost; non-negative weights enforced ───────────────
+    "q132_sssp" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").cast(LongType).as("pa"),
+          col("y.p").cast(LongType).as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa"), col("pb"),
+          (lit(1L) + (col("pa") + col("pb")) % 5).as("w"))
+      val seeds = pairs.select(col("pa").as("n"))
+        .union(pairs.select(col("pb").as("n")))
+        .filter(col("n") % 97 === 0).distinct()
+      graft.graph.Bfs.shortestPaths(pairs, "pa", "pb", Some("w"),
+        seeds, "n", maxRounds = 3)
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3235,6 +3258,31 @@ object SparkEntry {
         |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2)
         |       WHERE rn = 1)
         |SELECT node, lbl AS label FROM l2 ORDER BY node""".stripMargin,
+
+    "q132_sssp" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |ew AS (SELECT a, b, 1 + (a + b) % 5 AS w FROM e0),
+        |e AS (SELECT a AS s, b AS d, w FROM ew
+        |      UNION ALL SELECT b AS s, a AS d, w FROM ew),
+        |d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist FROM e
+        |       WHERE s % 97 = 0),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL SELECT e.d AS node, d0.dist + e.w AS dist
+        |         FROM e JOIN d0 ON e.s = d0.node) t GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL SELECT e.d AS node, d1.dist + e.w AS dist
+        |         FROM e JOIN d1 ON e.s = d1.node) t GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL SELECT e.d AS node, d2.dist + e.w AS dist
+        |         FROM e JOIN d2 ON e.s = d2.node) t GROUP BY node)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
 
     "q131_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.functions.expr
 
 /** The extensions entry point must make the native functions available to
   * a pure-SQL session with no Scala-API register() call. */
@@ -343,6 +344,10 @@ class GraftExtensionsSpec extends SparkSpec {
       seeds.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_bfs('edges_view', 's', 'd', 'seeds_view', 'n', 3)"))
         == rows(graft.graph.Bfs.hopDistance(edges, "s", "d", seeds, "n", 3)))
+      val wEdges = edges.withColumn("w", expr("1L + (s + d) % 3"))
+      wEdges.createOrReplaceTempView("wedges_view")
+      assert(rows(s2.sql("SELECT * FROM graft_sssp('wedges_view', 's', 'd', 'w', 'seeds_view', 'n', 3)"))
+        == rows(graft.graph.Bfs.shortestPaths(wEdges, "s", "d", Some("w"), seeds, "n", 3)))
     } finally {
       val shared = spark.asInstanceOf[ClassicSession]
       ClassicSession.setDefaultSession(shared)
