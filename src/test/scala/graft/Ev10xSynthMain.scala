@@ -51,7 +51,17 @@ object Ev10xSynthMain {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    println(s"EV10X done: ${spark.read.parquet(s"$out/events.parquet").count()} events at $out")
+    // orders expanded with DISJOINT key spaces — the CDC-merge probes
+    // (q119/q129) are keyed joins on o_orderkey, so disjoint-key growth
+    // is organic table growth for them (sf0.1 keys are < 10M)
+    val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    (0 until factor).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ union _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println(s"EV10X done: ${spark.read.parquet(s"$out/events.parquet").count()} events, " +
+      s"${spark.read.parquet(s"$out/orders.parquet").count()} orders at $out")
     spark.stop()
   }
 }
