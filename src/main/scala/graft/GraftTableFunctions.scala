@@ -261,6 +261,16 @@ object GraftTableFunctions {
       plan(graph.KCore.kCore(table(a(0)), aCol = str(a(1)), bCol = str(a(2)),
         k = int(a(3)), maxPeels = int(a(4))))
     },
+    "graft_clustering_coeff" -> { exprs =>
+      val a = args("graft_clustering_coeff", exprs, 3)
+      plan(graph.Triangles.clusteringCoefficient(table(a(0)),
+        aCol = str(a(1)), bCol = str(a(2))))
+    },
+    "graft_percent_ranks" -> { exprs =>
+      val a = args("graft_percent_ranks", exprs, 3)
+      plan(operators.TableOps.percentRanks(table(a(0)), group = str(a(1)),
+        x = str(a(2))))
+    },
     "graft_label_prop" -> { exprs =>
       val a = args("graft_label_prop", exprs, 4)
       plan(graph.LabelProp.labelPropagation(table(a(0)), aCol = str(a(1)),

@@ -1393,6 +1393,32 @@ object SparkEntry {
         seeds, "n", maxRounds = 3)
     }),
 
+    // ── local clustering coefficient over the co-purchase graph as an
+    // exact integer fraction 2·tri(n) / (deg·(deg−1)); one canonical-
+    // edge checkpoint feeds the degree agg and the hub-proof triangle
+    // pass — community DENSITY beside q130's community LABELS ───────────
+    "q133_clustering_coeff" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      graft.graph.Triangles.clusteringCoefficient(pairs, "pa", "pb")
+    }),
+
+    // ── exact percent-rank table per event type over value cents:
+    // frequency-compressed (counts first, window over distinct values
+    // only) — rank-based feature scaling as integer fractions ────────────
+    "q134_percent_ranks" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      graft.operators.TableOps.percentRanks(
+        ev.select(col("event_type"), cents(col("value")).as("c")),
+        "event_type", "c")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3258,6 +3284,39 @@ object SparkEntry {
         |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2)
         |       WHERE rn = 1)
         |SELECT node, lbl AS label FROM l2 ORDER BY node""".stripMargin,
+
+    "q133_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |pr AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |deg AS (SELECT n, COUNT(*) AS degree FROM (SELECT a AS n FROM pr
+        |          UNION ALL SELECT b AS n FROM pr) t GROUP BY n),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |        FROM pr e1 JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tn AS (SELECT n, COUNT(*) AS n_triangles FROM (
+        |         SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+        |         UNION ALL SELECT c AS n FROM tri) t GROUP BY n)
+        |SELECT deg.n, deg.degree,
+        |       COALESCE(tn.n_triangles, 0) AS n_triangles,
+        |       2 * COALESCE(tn.n_triangles, 0) AS coeff_num,
+        |       deg.degree * (deg.degree - 1) AS coeff_den
+        |FROM deg LEFT JOIN tn ON deg.n = tn.n
+        |WHERE deg.degree >= 2
+        |ORDER BY deg.n""".stripMargin,
+
+    "q134_percent_ranks" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS c,
+        |             COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, c, cnt,
+        |       CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rank_m1,
+        |       CAST(SUM(cnt) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS n_m1
+        |FROM c ORDER BY event_type, c""".stripMargin,
 
     "q132_sssp" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

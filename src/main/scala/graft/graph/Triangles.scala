@@ -81,4 +81,37 @@ object Triangles {
       .groupBy("n").agg(count(lit(1)).as("n_triangles"))
       .orderBy("n")
   }
+
+  /** Local clustering coefficient per node as an EXACT integer fraction
+    * — coeff(n) = 2·triangles(n) / (deg(n)·(deg(n)−1)) over the simple
+    * undirected graph: "how close is n's neighborhood to a clique", the
+    * community-density score next to [[graft.graph.LabelProp]]'s
+    * community LABELS. Output (n, degree, n_triangles, coeff_num,
+    * coeff_den) for every node with degree ≥ 2 (the denominator
+    * exists), ordered by node. No floats anywhere, so any engine
+    * replays cell-for-cell; the caller divides (or compares fractions
+    * cross-multiplied). Cost: one canonical-edge checkpoint shared by
+    * the degree aggregate and the triangle pass — the hub-proof
+    * degree-ordered orientation bounds the triangle join exactly as in
+    * [[triangles]]. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = graft.operators.Checkpoints.checkpoint(
+      edges.select(
+          least(col(aCol), col(bCol)).cast(LongType).as("a"),
+          greatest(col(aCol), col(bCol)).cast(LongType).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+    val tri = triangles(e, "a", "b")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("n"), "left")
+      .select(col("n"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_num", lit(2L) * col("n_triangles"))
+      .withColumn("coeff_den", col("degree") * (col("degree") - 1L))
+      .orderBy("n")
+  }
 }

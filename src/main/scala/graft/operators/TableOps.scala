@@ -220,6 +220,36 @@ object TableOps {
         (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den"))
       .orderBy(group)
 
+  /** Exact percent-rank table per group — rank-based feature scaling
+    * (percentile normalization), the preprocessing step that is robust
+    * where min-max and z-score are outlier-hostage. For every DISTINCT
+    * (group, x): its multiplicity `cnt`, `rank_m1` = #rows in the group
+    * strictly below x (RANK−1 under competition ranking), and `n_m1` =
+    * group size − 1; the caller's percent rank is rank_m1/n_m1 (kept as
+    * an exact integer fraction — no floats, engine-replayable; join
+    * this table back to the data to scale it).
+    *
+    * FREQUENCY-COMPRESSED like [[madPerGroup]]: one map-side-combined
+    * (group, x) count, then the cumulative window runs over the tiny
+    * distinct-value table — never a per-group sort of raw rows, the
+    * shape that survives a group with a billion rows and a thousand
+    * distinct values. */
+  def percentRanks(df: DataFrame, group: String, x: String): DataFrame = {
+    val reserved = Set("cnt", "rank_m1", "n_m1")
+    Seq(group, x).foreach(c => require(
+      !reserved.contains(c) && !c.startsWith("__"),
+      s"percentRanks: column name '$c' collides with an output name " +
+        s"(${reserved.mkString(", ")}, __*) — alias it first"))
+    val cnts = df.groupBy(col(group), col(x)).agg(count(lit(1)).as("cnt"))
+    val below = Window.partitionBy(group).orderBy(x)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnts
+      .withColumn("rank_m1", coalesce(sum("cnt").over(below), lit(0L)))
+      .withColumn("n_m1",
+        sum("cnt").over(Window.partitionBy(group)) - 1L)
+      .orderBy(group, x)
+  }
+
   /** Column profile — the data-quality summary every ingestion pipeline
     * runs before trusting a new extract: per column, total rows, null
     * count, and EXACT distinct count. Output: (col_name, n_rows, n_nulls,

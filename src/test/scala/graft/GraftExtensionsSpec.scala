@@ -340,6 +340,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.KCore.kCore(edges, "s", "d", 2, 10)))
       assert(rows(s2.sql("SELECT * FROM graft_label_prop('edges_view', 's', 'd', 2)"))
         == rows(graft.graph.LabelProp.labelPropagation(edges, "s", "d", 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_clustering_coeff('edges_view', 's', 'd')"))
+        == rows(graft.graph.Triangles.clusteringCoefficient(edges, "s", "d")))
+      assert(rows(s2.sql("SELECT * FROM graft_percent_ranks('xy_view', 'g', 'y')"))
+        == rows(graft.operators.TableOps.percentRanks(xy, "g", "y")))
       val seeds = Seq(1L).toDF("n")
       seeds.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_bfs('edges_view', 's', 'd', 'seeds_view', 'n', 3)"))

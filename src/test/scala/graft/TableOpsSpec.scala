@@ -160,6 +160,28 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.madPerGroup(df3, "__g", "x"))
   }
 
+  test("percentRanks: frequency-compressed exact competition ranks") {
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 20L), ("g", 30L),
+      ("h", 5L)).toDF("grp", "v")
+    val out = TableOps.percentRanks(df, "grp", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // g: 10 appears twice at rank_m1 0; 20 has 2 below; 30 has 3 below;
+    // n_m1 = 3. Singleton group h: rank 0 of 0.
+    assert(out == Map(
+      ("g", 10L) -> ((2L, 0L, 3L)),
+      ("g", 20L) -> ((1L, 2L, 3L)),
+      ("g", 30L) -> ((1L, 3L, 3L)),
+      ("h", 5L) -> ((1L, 0L, 0L))))
+  }
+
+  test("percentRanks rejects colliding column names") {
+    val df = Seq(("g", 1L)).toDF("cnt", "v")
+    intercept[IllegalArgumentException](TableOps.percentRanks(df, "cnt", "v"))
+    val df2 = Seq(("g", 1L)).toDF("grp", "rank_m1")
+    intercept[IllegalArgumentException](TableOps.percentRanks(df2, "grp", "rank_m1"))
+  }
+
   test("linregStats: exact sufficient statistics and slope fraction") {
     // y = 3x + 7 exactly for group "g": slope_num/slope_den must be 3
     val pts = Seq(0L, 1L, 2L, 5L, 9L).map(x => ("g", x, 3 * x + 7)) ++

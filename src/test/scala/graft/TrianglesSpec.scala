@@ -57,4 +57,17 @@ class TrianglesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
+
+  test("clusteringCoefficient: exact fractions, triangle-free nodes at 0, deg<2 absent") {
+    // triangle {1,2,3} plus pendant 4 on node 3 and a bare edge 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+    val got = Triangles.clusteringCoefficient(edges.toDF("x", "y"), "x", "y")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 2L, 2L)),   // coeff 1
+      2L -> ((2L, 1L, 2L, 2L)),   // coeff 1
+      3L -> ((3L, 1L, 2L, 6L))))  // coeff 1/3; 4,5,6 have deg < 2
+  }
 }
