@@ -249,6 +249,18 @@ object GraftTableFunctions {
       val a = args("graft_streaks", exprs, 1)
       plan(events.EventOps.activityStreaks(table(a(0))))
     },
+    // the prefix-sum pass runs EAGERLY at planning (the graft_pagerank note)
+    "graft_sliding_distinct" -> { exprs =>
+      val a = args("graft_sliding_distinct", exprs, 2)
+      plan(events.EventOps.slidingDistinctUsers(table(a(0)),
+        windowDays = int(a(1))))
+    },
+    "graft_frequent_pairs" -> { exprs =>
+      val a = args("graft_frequent_pairs", exprs, 4)
+      plan(operators.Association.frequentPairs(table(a(0)),
+        basketCol = str(a(1)), itemCol = str(a(2)),
+        minSupport = int(a(3)).toLong))
+    },
     "graft_mad" -> { exprs =>
       val a = args("graft_mad", exprs, 3)
       plan(operators.TableOps.madPerGroup(table(a(0)), group = str(a(1)),

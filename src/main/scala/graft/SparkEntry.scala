@@ -1419,6 +1419,54 @@ object SparkEntry {
         "event_type", "c")
     }),
 
+    // ── exact 7-day-actives curve: distinct users per trailing 7-day
+    // window at each observed day, via the first-in-window ±1 delta trick
+    // — O(distinct user-days) exchange, a PrefixSum over O(days), never a
+    // ×7 replication or a distinct-over-window ───────────────────────────
+    "q135_sliding_distinct" -> ((s, dir) =>
+      EventOps.slidingDistinctUsers(
+        s.read.parquet(t(dir, "events")), windowDays = 7)),
+
+    // ── warehouse ROLLUP: subtotal + grand-total rows in one pass (the
+    // Expand operator), grouping flags folded to 'ALL' labels so both
+    // engines sort and hash identical cells ──────────────────────────────
+    "q136_rollup" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_extendedprice")).as("p"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("p").as("sum_price_c"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
+          col("n"), col("sum_price_c"))
+        .orderBy("rf", "ls")),
+
+    // ── pivot (crosstab): per-linestatus price sums spread across the
+    // pinned returnflag domain — one hash aggregate, no joins; absent
+    // cells coalesce to 0 in both engines ────────────────────────────────
+    "q137_pivot" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_linestatus"), col("l_returnflag"),
+          cents(col("l_extendedprice")).as("p"))
+        .groupBy("l_linestatus").pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("p"))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0L)).as("sum_a"),
+          coalesce(col("N"), lit(0L)).as("sum_n"),
+          coalesce(col("R"), lit(0L)).as("sum_r"))
+        .orderBy("l_linestatus")),
+
+    // ── market-basket pair mining with exact lift fractions: orders are
+    // baskets, parts are items; A-Priori prune before the quadratic pair
+    // self-join ──────────────────────────────────────────────────────────
+    "q138_frequent_pairs" -> ((s, dir) =>
+      graft.operators.Association.frequentPairs(
+        s.read.parquet(t(dir, "lineitem")),
+        basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2L)),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3364,5 +3412,52 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q135_sliding_distinct" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM d)
+        |SELECT days.day, COUNT(DISTINCT d.user_id) AS n_users
+        |FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+        |GROUP BY days.day ORDER BY days.day""".stripMargin,
+
+    "q136_rollup" ->
+      s"""SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE l_returnflag END AS rf,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE l_linestatus END AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(${CENTS.format("l_extendedprice")}) AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q137_pivot" -> {
+      val p = CENTS.format("l_extendedprice")
+      s"""SELECT l_linestatus,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN $p END), 0) AS BIGINT) AS sum_a,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN $p END), 0) AS BIGINT) AS sum_n,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN $p END), 0) AS BIGINT) AS sum_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+    },
+
+    "q138_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+        |           FROM lineitem),
+        |ic AS (SELECT i, COUNT(*) AS cnt FROM b GROUP BY i),
+        |f AS (SELECT i, cnt FROM ic WHERE cnt >= 2),
+        |fb AS (SELECT b.bk, b.i FROM b JOIN f ON b.i = f.i),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS pair_cnt
+        |      FROM fb x JOIN fb y ON x.bk = y.bk AND x.i < y.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b)
+        |SELECT p.item_a, p.item_b, p.pair_cnt,
+        |       fa.cnt AS cnt_a, fbb.cnt AS cnt_b, nb.n_baskets,
+        |       CAST(p.pair_cnt * nb.n_baskets AS BIGINT) AS lift_num,
+        |       CAST(fa.cnt * fbb.cnt AS BIGINT) AS lift_den
+        |FROM p JOIN f fa ON p.item_a = fa.i
+        |       JOIN f fbb ON p.item_b = fbb.i, nb
+        |ORDER BY item_a, item_b""".stripMargin,
   )
 }

@@ -204,6 +204,50 @@ object EventOps {
       .orderBy("user_id", "streak_start_day")
   }
 
+  /** Exact distinct active users per trailing `windowDays`-day window
+    * ending at each OBSERVED day — the "7-day actives" (WAU) curve — with
+    * neither per-window replication nor a distinct-over-window:
+    *
+    * For a user's sorted distinct active days, a day `d0` with previous
+    * active day `p` is the user's FIRST active day inside exactly the
+    * window-ends `d ∈ [max(d0, p+W), d0+W−1]` (consecutive pairs of the
+    * same user tile these ranges disjointly — the next active day's range
+    * starts at `d0+W` or later), so every user contributes EXACTLY one
+    * +1/−1 delta pair per activity gap and the count at window-end `d` is
+    * the running sum of deltas at days ≤ d.
+    *
+    * Scale: the exchange is O(distinct user-days) (one `distinct`, one
+    * per-user lag window); the running sum runs over O(distinct days) rows
+    * via [[graft.operators.PrefixSum.exclusive]] — never a partitionless
+    * window over raw events, never a ×W replication of the corpus.
+    * Output: (day, n_users) at each observed day. */
+  def slidingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events.select(col("user_id"), tsMicros(events).as("tus"))
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val iv = ud.withColumn("prev", lag("day", 1).over(w))
+      .select(
+        // first-in-window range [lo, hi]; hi1 = hi + 1 is the −1 delta day
+        greatest(col("day"), coalesce(col("prev") + windowDays, col("day")))
+          .as("lo"),
+        (col("day") + windowDays).as("hi1"))
+    val deltas = iv.select(col("lo").as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("hi1").as("day"), lit(-1L).as("delta")))
+    val observed = ud.select("day").distinct()
+    // observed days join the delta table with delta 0 so the prefix scan
+    // lands on every reporting day even when no delta falls on it
+    val perDay = deltas
+      .unionByName(observed.select(col("day"), lit(0L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("delta"))
+    val run = graft.operators.PrefixSum.exclusive(
+      perDay, "delta", "excl", numParts = 0, col("day"))
+    run.select(col("day"), (col("excl") + col("delta")).as("n_users"))
+      .join(observed, Seq("day"), "left_semi")
+      .orderBy("day")
+  }
+
   /** Inter-arrival gap statistics per user: count, min/max gap, and the
     * exact lower-median gap in MILLISECONDS — the latency/engagement-
     * cadence profile (median is robust where one overnight gap destroys

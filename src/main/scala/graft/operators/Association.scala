@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair mining (association rules) with exact integer
+  * statistics — which items co-occur in the same basket more often than
+  * chance. The classic A-Priori observation does the scale work: an item
+  * occurring in fewer than `minSupport` baskets cannot appear in a pair
+  * with support ≥ `minSupport`, so infrequent items are pruned BEFORE the
+  * quadratic per-basket pair generation, which is what bounds the
+  * self-join fan-out (Σ k² over pruned baskets, the A-Priori bound).
+  *
+  * All derived statistics are exact BIGINT fractions (the library's
+  * cross-engine determinism discipline — no floating division):
+  * lift(a,b) = lift_num/lift_den = (pair_cnt·n_baskets)/(cnt_a·cnt_b);
+  * confidence(a→b) = pair_cnt/cnt_a, read off the same columns.
+  *
+  * Scale shape: one distinct + one aggregation for item counts, a semi
+  * join for the prune (frequent-item side is aggregate-sized — AQE
+  * broadcasts it when small), one equi-self-join on the basket key with
+  * map-side-combined pair counts, and the global basket count reduced to
+  * ONE driver Long (never a nested-loop cross).
+  */
+object Association {
+
+  /** Pairs (item_a < item_b) co-occurring in ≥ `minSupport` distinct
+    * baskets. Output: (item_a, item_b, pair_cnt, cnt_a, cnt_b, n_baskets,
+    * lift_num, lift_den), ordered by (item_a, item_b). */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("i")).distinct()
+    val itemCnt = b.groupBy("i").agg(count(lit(1)).as("cnt"))
+    val freq = itemCnt.filter(col("cnt") >= minSupport)
+    val fb = b.join(freq.select("i"), Seq("i"), "left_semi")
+    val pairs = fb.as("x").join(fb.as("y"),
+        col("x.bk") === col("y.bk") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+    // ONE distributed count-distinct aggregate whose single-Long result is
+    // embedded as a literal — the scalar-attach join alternative constant-
+    // folds its key and degrades to a nested-loop cross (plan-audit-banned)
+    val nBaskets = b.select("bk").distinct().count()
+    pairs
+      .join(freq.select(col("i").as("item_a"), col("cnt").as("cnt_a")),
+        Seq("item_a"))
+      .join(freq.select(col("i").as("item_b"), col("cnt").as("cnt_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"), lit(nBaskets).as("n_baskets"),
+        (col("pair_cnt") * nBaskets).as("lift_num"),
+        (col("cnt_a") * col("cnt_b")).as("lift_den"))
+      .orderBy("item_a", "item_b")
+  }
+}

@@ -329,6 +329,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.typeNgrams(ev, 2)))
       assert(rows(s2.sql("SELECT * FROM graft_streaks('events_view2')"))
         == rows(graft.events.EventOps.activityStreaks(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_sliding_distinct('events_view2', 7)"))
+        == rows(graft.events.EventOps.slidingDistinctUsers(ev, 7)))
       val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
       chg2.createOrReplaceTempView("changes2_view")
       assert(rows(s2.sql(
@@ -344,6 +346,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.Triangles.clusteringCoefficient(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_percent_ranks('xy_view', 'g', 'y')"))
         == rows(graft.operators.TableOps.percentRanks(xy, "g", "y")))
+      assert(rows(s2.sql("SELECT * FROM graft_frequent_pairs('tab_view', 'g', 'k', 1)"))
+        == rows(graft.operators.Association.frequentPairs(tab, "g", "k", 1L)))
       val seeds = Seq(1L).toDF("n")
       seeds.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_bfs('edges_view', 's', 'd', 'seeds_view', 'n', 3)"))
