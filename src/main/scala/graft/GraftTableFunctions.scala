@@ -261,6 +261,47 @@ object GraftTableFunctions {
         basketCol = str(a(1)), itemCol = str(a(2)),
         minSupport = int(a(3)).toLong))
     },
+    "graft_winsorize" -> { exprs =>
+      val a = args("graft_winsorize", exprs, 6)
+      plan(operators.TableOps.winsorize(table(a(0)), group = str(a(1)),
+        x = str(a(2)), loNum = int(a(3)), hiNum = int(a(4)), den = int(a(5))))
+    },
+    // rule grammar: ';'-separated not_null:col | unique:col |
+    // accepted:col=v1|v2|... | range:col=lo..hi
+    "graft_expectations" -> { exprs =>
+      val a = args("graft_expectations", exprs, 2)
+      val rules = str(a(1)).split(';').map(_.trim).filter(_.nonEmpty).map { r =>
+        r.split(":", 2) match {
+          case Array("not_null", c) => operators.Quality.ExpectNotNull(c)
+          case Array("unique", c) => operators.Quality.ExpectUnique(c)
+          case Array("accepted", spec) => spec.split("=", 2) match {
+            case Array(c, vs) =>
+              operators.Quality.ExpectAccepted(c, vs.split('|').toSeq)
+            case _ => sys.error(s"accepted needs col=v1|v2..., got '$r'")
+          }
+          case Array("range", spec) => spec.split("=", 2) match {
+            case Array(c, b) => b.split("\\.\\.", 2) match {
+              case Array(lo, hi) =>
+                operators.Quality.ExpectRange(c, lo.trim.toLong, hi.trim.toLong)
+              case _ => sys.error(s"range needs col=lo..hi, got '$r'")
+            }
+            case _ => sys.error(s"range needs col=lo..hi, got '$r'")
+          }
+          case _ => sys.error(s"unknown expectation rule '$r'")
+        }
+      }.toSeq
+      plan(operators.Quality.expectations(table(a(0)), rules))
+    },
+    "graft_agg_state" -> { exprs =>
+      val a = args("graft_agg_state", exprs, 3)
+      plan(operators.TableOps.aggState(table(a(0)), key = str(a(1)),
+        x = str(a(2))))
+    },
+    "graft_merge_agg_states" -> { exprs =>
+      val a = args("graft_merge_agg_states", exprs, 3)
+      plan(operators.TableOps.mergeAggStates(table(a(0)), table(a(1)),
+        key = str(a(2))))
+    },
     "graft_mad" -> { exprs =>
       val a = args("graft_mad", exprs, 3)
       plan(operators.TableOps.madPerGroup(table(a(0)), group = str(a(1)),

@@ -1467,6 +1467,45 @@ object SparkEntry {
         s.read.parquet(t(dir, "lineitem")),
         basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2L)),
 
+    // ── winsorize event value cents to the [5%, 95%] exact per-type
+    // quantile band — frequency-compressed thresholds, one clamp join ───
+    "q139_winsorize" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("c"))
+      graft.operators.TableOps.winsorize(ev, "event_type", "c",
+          loNum = 1, hiNum = 19, den = 20)
+        .select(col("event_id"), col("event_type"), col("c"), col("c_w"))
+        .orderBy("event_id")
+    }),
+
+    // ── declarative data-quality expectations over orders: one shared
+    // conditional-agg pass for the row-local rules + a column-pruned
+    // cardinality pass for uniqueness; range pinned to force a nonzero
+    // violation count ────────────────────────────────────────────────────
+    "q140_expectations" -> ((s, dir) => {
+      import graft.operators.Quality._
+      expectations(s.read.parquet(t(dir, "orders")), Seq(
+        ExpectNotNull("o_custkey"),
+        ExpectUnique("o_orderkey"),
+        ExpectAccepted("o_orderstatus", Seq("F", "O", "P")),
+        ExpectRange("o_custkey", 1L, 1000L)))
+        .withColumn("pass", col("pass").cast(LongType))
+    }),
+
+    // ── incremental aggregate maintenance: per-customer order-total
+    // state built over two disjoint halves, merged — must equal the
+    // direct aggregate over everything (the algebraic-merge contract) ────
+    "q141_agg_state_merge" -> ((s, dir) => {
+      val ord = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("v"))
+      val sA = graft.operators.TableOps.aggState(
+        ord.filter(col("o_orderkey") % 2 === 0), "o_custkey", "v")
+      val sB = graft.operators.TableOps.aggState(
+        ord.filter(col("o_orderkey") % 2 === 1), "o_custkey", "v")
+      graft.operators.TableOps.mergeAggStates(sA, sB, "o_custkey")
+        .orderBy("o_custkey")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3440,6 +3479,58 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN $p END), 0) AS BIGINT) AS sum_n,
         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN $p END), 0) AS BIGINT) AS sum_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+    },
+
+    "q139_winsorize" -> {
+      val c = CENTS.format("value")
+      s"""WITH v AS (SELECT event_id, event_type, $c AS c FROM events),
+        |cn AS (SELECT event_type, c, COUNT(*) AS cnt FROM v
+        |       WHERE c IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, c, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM cn),
+        |thr AS (SELECT event_type,
+        |          MIN(CASE WHEN cum - cnt <= (1 * n) // 20
+        |                    AND (1 * n) // 20 < cum THEN c END) AS lo,
+        |          MIN(CASE WHEN cum - cnt <= (19 * n) // 20
+        |                    AND (19 * n) // 20 < cum THEN c END) AS hi
+        |        FROM r GROUP BY event_type)
+        |SELECT v.event_id, v.event_type, v.c,
+        |       GREATEST(thr.lo, LEAST(thr.hi, v.c)) AS c_w
+        |FROM v JOIN thr USING (event_type)
+        |ORDER BY event_id""".stripMargin
+    },
+
+    "q140_expectations" ->
+      """WITH nn AS (SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+        |              COUNT(*) AS n_rows,
+        |              SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+        |            FROM orders),
+        |un AS (SELECT 'unique', 'o_orderkey', COUNT(*),
+        |         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders),
+        |av AS (SELECT 'accepted_values', 'o_orderstatus', COUNT(*),
+        |         SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |               AND o_orderstatus NOT IN ('F', 'O', 'P')
+        |             THEN 1 ELSE 0 END) FROM orders),
+        |rg AS (SELECT 'range', 'o_custkey', COUNT(*),
+        |         SUM(CASE WHEN o_custkey IS NOT NULL
+        |               AND (o_custkey < 1 OR o_custkey > 1000)
+        |             THEN 1 ELSE 0 END) FROM orders)
+        |SELECT rule, col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_violations AS BIGINT) AS n_violations,
+        |       CAST(n_violations = 0 AS BIGINT) AS pass
+        |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
+        |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
+        |ORDER BY rule, col_name""".stripMargin,
+
+    "q141_agg_state_merge" -> {
+      val v = CENTS.format("o_totalprice")
+      s"""SELECT o_custkey, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_x,
+        |       MIN(v) AS min_x, MAX(v) AS max_x
+        |FROM (SELECT o_custkey, $v AS v FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
     },
 
     "q138_frequent_pairs" ->

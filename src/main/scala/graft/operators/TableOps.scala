@@ -250,6 +250,96 @@ object TableOps {
       .orderBy(group, x)
   }
 
+  /** Winsorization — clamp a BIGINT column to its group's exact
+    * [loNum/den, hiNum/den] quantile values, the outlier treatment ML
+    * feature pipelines apply where dropping rows (the filter form) would
+    * bias the sample. Thresholds use the library's deterministic rank
+    * convention (the value at 0-indexed rank ⌊num·n/den⌋ of the group's
+    * non-NULL values ascending — `Pipeline.filterByQuantilePerGroup`'s
+    * exact, engine-replayable cut; approx_percentile would make the
+    * clamp partition-dependent).
+    *
+    * FREQUENCY-COMPRESSED like [[madPerGroup]]: one map-side-combined
+    * (group, x) count, ONE cumulative window over the distinct-value
+    * table, and both thresholds read off it in a single conditional
+    * aggregation — the O(#groups) threshold frame then joins back
+    * (broadcast-sized under AQE). Rows with NULL `x` keep NULL in the
+    * clamped column; groups whose values are all NULL are dropped (their
+    * quantiles do not exist — the filterByQuantile degrade). Output: the
+    * input columns plus `<x>_w` (the clamped value). */
+  def winsorize(df: DataFrame, group: String, x: String,
+                loNum: Int, hiNum: Int, den: Int): DataFrame = {
+    require(den >= 2 && loNum >= 0 && loNum <= hiNum && hiNum < den,
+      s"need 0 <= loNum <= hiNum < den (den >= 2), got $loNum/$den .. $hiNum/$den")
+    Seq(group, x).foreach(c => require(!c.startsWith("__"),
+      s"winsorize: column name '$c' collides with internal __* names"))
+    require(!df.columns.contains(s"${x}_w"),
+      s"input already has a '${x}_w' column")
+    val cnts = df.filter(col(x).isNotNull)
+      .groupBy(col(group), col(x)).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(group).orderBy(x)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnts
+      .withColumn("__cum", sum("__cnt").over(w))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(group)))
+    // rank r lives in exactly one distinct value's [cum−cnt, cum) span,
+    // so each min(when(...)) selects exactly one value per group
+    def hit(num: Int) = {
+      val r = expr(s"CAST($num * __n AS BIGINT) DIV $den")
+      col("__cum") - col("__cnt") <= r && r < col("__cum")
+    }
+    val thr = ranked.groupBy(col(group)).agg(
+      min(when(hit(loNum), col(x))).as("__lo"),
+      min(when(hit(hiNum), col(x))).as("__hi"))
+    df.join(thr, Seq(group))
+      // least/greatest SKIP nulls in Spark — without the explicit guard a
+      // NULL x would come back as the hi threshold instead of NULL
+      .withColumn(s"${x}_w", when(col(x).isNull, lit(null))
+        .otherwise(greatest(col("__lo"), least(col("__hi"), col(x)))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Algebraic per-key aggregate STATE over a BIGINT column — the
+    * mergeable unit of incremental (materialized-view) maintenance:
+    * yesterday's state ⊕ tonight's insert-only delta = today's state,
+    * with no recompute over history. (n counts non-NULL `x`, matching
+    * SQL COUNT(x); sum/min/max ignore NULLs the same way.) Output:
+    * (<key>, n, sum_x, min_x, max_x). */
+  def aggState(df: DataFrame, key: String, x: String): DataFrame =
+    df.groupBy(col(key)).agg(count(col(x)).as("n"), sum(col(x)).as("sum_x"),
+      min(col(x)).as("min_x"), max(col(x)).as("max_x"))
+
+  /** Merges two [[aggState]] tables: one co-partitioned full-outer join,
+    * counts/sums add, min/max fold null-safely (a key absent from one
+    * side keeps the other side's statistics unchanged). Associative and
+    * commutative — state tables combine in any batch order, which is
+    * what lets a 1000-partition nightly delta merge without touching the
+    * base table's history. The result IS [[aggState]] of the
+    * concatenated inputs (spec-pinned). */
+  def mergeAggStates(state: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val expect = Seq(key, "n", "sum_x", "min_x", "max_x")
+    Seq(state -> "state", delta -> "delta").foreach { case (df, side) =>
+      require(df.columns.toSeq == expect,
+        s"$side columns must be exactly $expect, got ${df.columns.toSeq}")
+    }
+    val a = state.select(col(key), col("n").as("__n1"), col("sum_x").as("__s1"),
+      col("min_x").as("__mn1"), col("max_x").as("__mx1"))
+    val b = delta.select(col(key), col("n").as("__n2"), col("sum_x").as("__s2"),
+      col("min_x").as("__mn2"), col("max_x").as("__mx2"))
+    a.join(b, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("__n1"), lit(0L)) + coalesce(col("__n2"), lit(0L))).as("n"),
+        // both-NULL stays NULL (an all-NULL x key sums to NULL in
+        // aggState; 0 here would diverge from the recompute)
+        when(col("__s1").isNull && col("__s2").isNull, lit(null))
+          .otherwise(coalesce(col("__s1"), lit(0L)) + coalesce(col("__s2"), lit(0L)))
+          .as("sum_x"),
+        // least/greatest skip NULLs in Spark, so a one-sided key keeps
+        // its own min/max; an all-NULL x keeps NULL
+        least(col("__mn1"), col("__mn2")).as("min_x"),
+        greatest(col("__mx1"), col("__mx2")).as("max_x"))
+  }
+
   /** Column profile — the data-quality summary every ingestion pipeline
     * runs before trusting a new extract: per column, total rows, null
     * count, and EXACT distinct count. Output: (col_name, n_rows, n_nulls,

@@ -60,8 +60,20 @@ object Ev10xSynthMain {
     }.reduce(_ union _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // lineitem expanded with DISJOINT order-key spaces: orders are the
+    // BASKETS of the market-basket probe (q138), so disjoint-key growth
+    // is organic basket-count growth — item (partkey) frequencies and
+    // pair supports scale ×factor, the linear direction for the pair
+    // self-join and the A-Priori prune
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    (0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ union _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     println(s"EV10X done: ${spark.read.parquet(s"$out/events.parquet").count()} events, " +
-      s"${spark.read.parquet(s"$out/orders.parquet").count()} orders at $out")
+      s"${spark.read.parquet(s"$out/orders.parquet").count()} orders, " +
+      s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems at $out")
     spark.stop()
   }
 }

@@ -348,6 +348,23 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.operators.TableOps.percentRanks(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_frequent_pairs('tab_view', 'g', 'k', 1)"))
         == rows(graft.operators.Association.frequentPairs(tab, "g", "k", 1L)))
+      assert(rows(s2.sql("SELECT * FROM graft_winsorize('xy_view', 'g', 'y', 1, 2, 4)"))
+        == rows(graft.operators.TableOps.winsorize(xy, "g", "y", 1, 2, 4)))
+      assert(rows(s2.sql(
+          """SELECT * FROM graft_expectations('tab_view',
+            |  'not_null:k;unique:k;accepted:g=a|b;range:k=1..2')""".stripMargin))
+        == rows(graft.operators.Quality.expectations(tab, Seq(
+          graft.operators.Quality.ExpectNotNull("k"),
+          graft.operators.Quality.ExpectUnique("k"),
+          graft.operators.Quality.ExpectAccepted("g", Seq("a", "b")),
+          graft.operators.Quality.ExpectRange("k", 1L, 2L)))))
+      assert(rows(s2.sql("SELECT * FROM graft_agg_state('xy_view', 'g', 'y')"))
+        == rows(graft.operators.TableOps.aggState(xy, "g", "y")))
+      val st = graft.operators.TableOps.aggState(xy, "g", "y")
+      st.createOrReplaceTempView("st_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_merge_agg_states('st_view', 'st_view', 'g')"))
+        == rows(graft.operators.TableOps.mergeAggStates(st, st, "g")))
       val seeds = Seq(1L).toDF("n")
       seeds.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_bfs('edges_view', 's', 'd', 'seeds_view', 'n', 3)"))
