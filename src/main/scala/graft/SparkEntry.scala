@@ -1506,6 +1506,24 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ── incremental materialized aggregate: the click slice replayed in
+    // 3 micro-batches through the foreachBatch merge-state maintainer —
+    // the fold across batch boundaries must equal the direct GROUP BY
+    // (a slice for the q97 reason: the replay harness is driver-fed) ─────
+    "q142_stream_agg_state" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.aggStateReplay(evts, nChunks = 3)
+        .select(col("userId").as("user_id"), col("n"), col("sum_x"),
+          col("min_x"), col("max_x"))
+        .orderBy("user_id")
+    }),
+
     // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
     // the click slice unioned with itself — every id a duplicate — must
     // come back exactly once with its original row (a slice for the same
@@ -3524,6 +3542,15 @@ object SparkEntry {
         |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
         |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
         |ORDER BY rule, col_name""".stripMargin,
+
+    "q142_stream_agg_state" -> {
+      val v = CENTS.format("value")
+      s"""SELECT user_id, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_x,
+        |       MIN(v) AS min_x, MAX(v) AS max_x
+        |FROM (SELECT user_id, $v AS v FROM events
+        |      WHERE event_type = 'click') t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     "q141_agg_state_merge" -> {
       val v = CENTS.format("o_totalprice")

@@ -214,6 +214,80 @@ object EventStreaming {
     out.toDS()
   }
 
+  /** Incremental materialized-AGGREGATE maintenance — the streaming →
+    * warehouse pattern: every micro-batch folds into a running per-key
+    * (n, sum_x, min_x, max_x) snapshot via
+    * [[graft.operators.TableOps.mergeAggStates]] (algebraic and
+    * order-independent, so batch boundaries never change the result),
+    * under the iterative-operator checkpoint discipline — each merged
+    * snapshot is lineage-truncated and the consumed one released, so
+    * plan size and pinned blocks stay BOUNDED at any batch count (the
+    * applyChangelogs/PageRank loop pattern). [[current]] is always a
+    * complete queryable snapshot; a production caller would also write
+    * it out (or push the per-batch delta) inside the same foreachBatch.
+    *
+    * This is the aggregate complement of Spark's own streaming
+    * aggregation: the state store holds per-key state INSIDE one query,
+    * while this maintains a snapshot any OTHER query/reader can join
+    * against between batches — the materialized-view shape. */
+  final class AggStateMaintainer(key: String, x: String) {
+    @volatile private var snapOpt: Option[DataFrame] = None
+
+    /** The current complete snapshot (None before the first batch). */
+    def current: Option[DataFrame] = snapOpt
+
+    /** Folds one bounded batch into the snapshot. foreachBatch invokes
+      * sequentially per query; synchronized anyway for direct callers. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      val st = graft.operators.TableOps.aggState(batch, key, x)
+      val next = snapOpt match {
+        case None => graft.operators.Checkpoints.checkpoint(st)
+        case Some(prev) =>
+          val merged = graft.operators.Checkpoints.checkpoint(
+            graft.operators.TableOps.mergeAggStates(prev, st, key))
+          graft.operators.Checkpoints.release(prev)
+          merged
+      }
+      snapOpt = Some(next)
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice through an [[AggStateMaintainer]] in
+    * `nChunks` micro-batches and returns the final snapshot — the
+    * harness that oracle-gates the incremental-maintenance path (q142)
+    * against the plain GROUP BY: the fold across ANY batch split must
+    * equal the direct aggregate. Same bounded-replay caveat as
+    * [[sessionizeReplay]]. */
+  def aggStateReplay(events: Dataset[Event], nChunks: Int): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    val m = new AggStateMaintainer("userId", "valueCents")
+    if (rows.isEmpty)
+      return graft.operators.TableOps.aggState(
+        spark.emptyDataset[Event].toDF(), "userId", "valueCents")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(stream.toDS().toDF()).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current.get.orderBy("userId")
+  }
+
   /** Open-session partial aggregate — what [[sessionizeStream]] keeps in
     * the state store. Session merge is ASSOCIATIVE on (start, end, n,
     * sum) under the gap rule, so state is O(#open sessions) per key —
