@@ -1506,6 +1506,20 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ── ORC round-trip: orders written as zstd ORC and read back must be
+    // value-identical to the parquet original (the Hive-era interchange
+    // format; oracle reads the parquet — DuckDB has no ORC reader, so
+    // equality to it IS the round-trip proof) ────────────────────────────
+    "q143_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+      graft.sources.Orc.save(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_c")),
+        out, numFiles = 4)
+      graft.sources.Orc.read(s, out).orderBy("o_orderkey")
+    }),
+
     // ── incremental materialized aggregate: the click slice replayed in
     // 3 micro-batches through the foreachBatch merge-state maintainer —
     // the fold across batch boundaries must equal the direct GROUP BY
@@ -3542,6 +3556,11 @@ object SparkEntry {
         |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
         |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
         |ORDER BY rule, col_name""".stripMargin,
+
+    "q143_orc_roundtrip" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       ${CENTS.format("o_totalprice")} AS price_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q142_stream_agg_state" -> {
       val v = CENTS.format("value")
