@@ -1520,6 +1520,25 @@ object SparkEntry {
       graft.sources.Orc.read(s, out).orderBy("o_orderkey")
     }),
 
+    // ── co-located bucketed join: both sides written hash-bucketed on the
+    // order key (8 buckets), then joined + aggregated — the write-once-
+    // join-often layout; zero join exchanges spec-pinned in BucketedSpec ─
+    "q144_bucketed_join" -> ((s, dir) => {
+      graft.sources.Bucketed.saveBucketed(
+        s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_orderstatus"),
+        "graft_gate_bord", "o_orderkey", nBuckets = 8)
+      graft.sources.Bucketed.saveBucketed(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("p")),
+        "graft_gate_bli", "l_orderkey", nBuckets = 8)
+      graft.sources.Bucketed.table(s, "graft_gate_bli")
+        .join(graft.sources.Bucketed.table(s, "graft_gate_bord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("p").as("sum_p"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── incremental materialized aggregate: the click slice replayed in
     // 3 micro-batches through the foreachBatch merge-state maintainer —
     // the fold across batch boundaries must equal the direct GROUP BY
@@ -3556,6 +3575,12 @@ object SparkEntry {
         |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
         |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
         |ORDER BY rule, col_name""".stripMargin,
+
+    "q144_bucketed_join" ->
+      s"""SELECT o.o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(${CENTS.format("l.l_extendedprice")}) AS BIGINT) AS sum_p
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
 
     "q143_orc_roundtrip" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
