@@ -292,6 +292,12 @@ object GraftTableFunctions {
       }.toSeq
       plan(operators.Quality.expectations(table(a(0)), rules))
     },
+    // the prefix-max pass runs EAGERLY at planning (the graft_pagerank note)
+    "graft_skyline" -> { exprs =>
+      val a = args("graft_skyline", exprs, 3)
+      plan(operators.Skyline.pareto2d(table(a(0)), x = str(a(1)),
+        y = str(a(2))))
+    },
     "graft_agg_state" -> { exprs =>
       val a = args("graft_agg_state", exprs, 3)
       plan(operators.TableOps.aggState(table(a(0)), key = str(a(1)),

@@ -1520,6 +1520,17 @@ object SparkEntry {
       graft.sources.Orc.read(s, out).orderBy("o_orderkey")
     }),
 
+    // ── Pareto frontier over per-customer (order count, spend): the
+    // staircase prefix-MAX scan replaces the oracle's O(n²) dominance
+    // anti-join — O(distinct x) exchange, TeraSort two-pass machinery ────
+    "q145_skyline" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "orders"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend_c"))
+      graft.operators.Skyline.pareto2d(c, "n_orders", "spend_c")
+        .orderBy("o_custkey")
+    }),
+
     // ── co-located bucketed join: both sides written hash-bucketed on the
     // order key (8 buckets), then joined + aggregated — the write-once-
     // join-often layout; zero join exchanges spec-pinned in BucketedSpec ─
@@ -3575,6 +3586,18 @@ object SparkEntry {
         |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
         |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
         |ORDER BY rule, col_name""".stripMargin,
+
+    "q145_skyline" -> {
+      val v = CENTS.format("o_totalprice")
+      s"""WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |             CAST(SUM($v) AS BIGINT) AS spend_c
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, spend_c FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM c c2
+        |                  WHERE c2.n_orders > c.n_orders
+        |                    AND c2.spend_c > c.spend_c)
+        |ORDER BY o_custkey""".stripMargin
+    },
 
     "q144_bucketed_join" ->
       s"""SELECT o.o_orderstatus, COUNT(*) AS n,

@@ -4,28 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed running totals — the scalable replacement for
-  * `SUM(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` with no
+  * `AGG(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` with no
   * PARTITION BY, which Spark executes as ONE task holding the whole
   * dataset.
   *
-  * Classic two-pass prefix sum over a range shuffle (the same
+  * Classic two-pass prefix scan over a range shuffle (the same
   * per-partition-offsets machinery as [[OrderStats]] and the reference's
   * count-sentinel protocol,
-  * `/root/reference/src/SlidingAggregation.java:159-210`):
+  * `/root/reference/src/SlidingAggregation.java:159-210`), generic over
+  * any [[LongMonoid]] (sum, min, max, count — the prefix-MAX form is what
+  * turns the skyline's all-pairs dominance anti-join into one scan):
   *   1. range-partition + sort by the order columns (TeraSort);
-  *   2. per-partition totals → driver `scanLeft` → broadcast (O(parts));
-  *   3. narrow map emitting each row's exclusive running total.
+  *   2. per-partition fold → driver `scanLeft` → broadcast (O(parts));
+  *   3. narrow map emitting each row's exclusive running aggregate.
   * The totals pass and the output pass are jobs over the SAME shuffled RDD,
   * so the range shuffle's map output is reused (data moves once).
   */
 object PrefixSum {
 
-  /** Appends `outCol` = exclusive running total of `valueCol` (a BIGINT
-    * column) in `orderCols` order: the sum of all STRICTLY PRECEDING rows'
-    * values. `numParts <= 0` derives the partition count from default
-    * parallelism; the result is partition-count independent. */
+  /** Appends `outCol` = exclusive running SUM of `valueCol` in
+    * `orderCols` order (the monoid-generic [[scan]] with
+    * [[LongMonoid.Sum]] — kept as the named common case). */
   def exclusive(df: DataFrame, valueCol: String, outCol: String, numParts: Int,
-                orderCols: Column*): DataFrame = {
+                orderCols: Column*): DataFrame =
+    scan(df, valueCol, outCol, numParts, LongMonoid.Sum, orderCols: _*)
+
+  /** Appends `outCol` = exclusive running `monoid`-aggregate of
+    * `valueCol` (a BIGINT column) in `orderCols` order: the fold of all
+    * STRICTLY PRECEDING rows' values (monoid zero for the first row).
+    * `numParts <= 0` derives the partition count from default
+    * parallelism; the result is partition-count independent. */
+  def scan(df: DataFrame, valueCol: String, outCol: String, numParts: Int,
+           monoid: LongMonoid, orderCols: Column*): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numParts >= 1) numParts
       else math.max(2, spark.sparkContext.defaultParallelism)
@@ -40,24 +50,24 @@ object PrefixSum {
     // job then re-reads (skipped map stage) — data moves once
     val rdd = sorted.rdd
     val totals = rdd.mapPartitions({ it =>
-      var s = 0L
+      var s = monoid.zero
       it.foreach { r =>
         if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
-          s"prefix sum over NULL in '$valueCol' — a null would otherwise " +
+          s"prefix scan over NULL in '$valueCol' — a null would otherwise " +
             "NPE four task retries deep; filter or coalesce upstream")
-        s += r.getLong(vIdx)
+        s = monoid.combine(s, r.getLong(vIdx))
       }
       Iterator.single(s)
     }, preservesPartitioning = true).collect()
     release() // the shuffle files hold the sorted data now
-    val offsets = totals.scanLeft(0L)(_ + _)
+    val offsets = totals.scanLeft(monoid.zero)(monoid.combine)
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val outSchema = StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
     val result = rdd.mapPartitionsWithIndex { (pi, it) =>
       var running = bOffsets.value(pi)
       it.map { r =>
         val out = Row.fromSeq(r.toSeq :+ running)
-        running += r.getLong(vIdx)
+        running = monoid.combine(running, r.getLong(vIdx))
         out
       }
     }

@@ -360,6 +360,8 @@ class GraftExtensionsSpec extends SparkSpec {
           graft.operators.Quality.ExpectRange("k", 1L, 2L)))))
       assert(rows(s2.sql("SELECT * FROM graft_agg_state('xy_view', 'g', 'y')"))
         == rows(graft.operators.TableOps.aggState(xy, "g", "y")))
+      assert(rows(s2.sql("SELECT * FROM graft_skyline('xy_view', 'x', 'y')"))
+        == rows(graft.operators.Skyline.pareto2d(xy, "x", "y")))
       val st = graft.operators.TableOps.aggState(xy, "g", "y")
       st.createOrReplaceTempView("st_view")
       assert(rows(s2.sql(
