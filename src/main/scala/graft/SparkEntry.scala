@@ -1520,6 +1520,25 @@ object SparkEntry {
       graft.sources.Orc.read(s, out).orderBy("o_orderkey")
     }),
 
+    // ── modularity of the LPA communities over the co-purchase graph:
+    // exact per-community fractions (4·m·e_c − d_c²) / 4m² — the quality
+    // score beside q130's labels and q133's density ──────────────────────
+    "q146_modularity" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // the pair-graph build feeds both LPA and the modularity joins —
+      // no cross-branch CSE in Spark, so materialize it once
+      val pairs = graft.operators.Checkpoints.checkpoint(
+        op.as("x").join(op.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+          .agg(count(lit(1)).as("m"))
+          .filter(col("m") >= 2).select(col("pa"), col("pb")))
+      val labels = graft.graph.LabelProp.labelPropagation(pairs, "pa", "pb", rounds = 2)
+      graft.graph.Modularity.perCommunity(pairs, "pa", "pb", labels)
+    }),
+
     // ── Pareto frontier over per-customer (order count, spend): the
     // staircase prefix-MAX scan replaces the oracle's O(n²) dominance
     // anti-join — O(distinct x) exchange, TeraSort two-pass machinery ────
@@ -3586,6 +3605,45 @@ object SparkEntry {
         |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
         |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
         |ORDER BY rule, col_name""".stripMargin,
+
+    "q146_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |e AS (SELECT a AS s, b AS d FROM e0
+        |      UNION ALL SELECT b AS s, a AS d FROM e0),
+        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
+        |v1 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
+        |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
+        |l1 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
+        |       WHERE rn = 1),
+        |v2 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
+        |       FROM e JOIN l1 l ON e.s = l.node GROUP BY e.d, l.lbl),
+        |l2 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2)
+        |       WHERE rn = 1),
+        |mm AS (SELECT COUNT(*) AS m FROM e0),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n FROM e0
+        |          UNION ALL SELECT b AS n FROM e0) t GROUP BY n),
+        |comm AS (SELECT l.lbl AS label, COUNT(*) AS n_nodes,
+        |           CAST(SUM(deg.deg) AS BIGINT) AS deg_sum
+        |         FROM l2 l JOIN deg ON l.node = deg.n GROUP BY l.lbl),
+        |intra AS (SELECT la.lbl AS label, COUNT(*) AS intra_edges
+        |          FROM e0 JOIN l2 la ON e0.a = la.node
+        |                  JOIN l2 lb ON e0.b = lb.node
+        |          WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+        |SELECT c.label, c.n_nodes, c.deg_sum,
+        |       COALESCE(i.intra_edges, 0) AS intra_edges,
+        |       CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+        |            - c.deg_sum * c.deg_sum AS BIGINT) AS q_num,
+        |       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+        |FROM comm c LEFT JOIN intra i ON c.label = i.label, mm
+        |ORDER BY c.label""".stripMargin,
 
     "q145_skyline" -> {
       val v = CENTS.format("o_totalprice")
