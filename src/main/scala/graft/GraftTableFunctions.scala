@@ -308,6 +308,10 @@ object GraftTableFunctions {
       plan(operators.TableOps.mergeAggStates(table(a(0)), table(a(1)),
         key = str(a(2))))
     },
+    "graft_twap" -> { exprs =>
+      val a = args("graft_twap", exprs, 1)
+      plan(events.EventOps.timeWeightedAvg(table(a(0))))
+    },
     "graft_mad" -> { exprs =>
       val a = args("graft_mad", exprs, 3)
       plan(operators.TableOps.madPerGroup(table(a(0)), group = str(a(1)),

@@ -1520,6 +1520,12 @@ object SparkEntry {
       graft.sources.Orc.read(s, out).orderBy("o_orderkey")
     }),
 
+    // ── exact per-user time-weighted average of event value: one lead
+    // window + one aggregation; the holding average a plain mean gets
+    // wrong under bursts ─────────────────────────────────────────────────
+    "q147_twap" -> ((s, dir) =>
+      EventOps.timeWeightedAvg(s.read.parquet(t(dir, "events")))),
+
     // ── modularity of the LPA communities over the co-purchase graph:
     // exact per-community fractions (4·m·e_c − d_c²) / 4m² — the quality
     // score beside q130's labels and q133's density ──────────────────────
@@ -3605,6 +3611,19 @@ object SparkEntry {
         |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
         |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
         |ORDER BY rule, col_name""".stripMargin,
+
+    "q147_twap" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+        |g AS (SELECT user_id, v,
+        |        (LEAD(tus) OVER (PARTITION BY user_id
+        |           ORDER BY tus, event_id) - tus) // 1000 AS dt_ms
+        |      FROM x)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       CAST(SUM(v * dt_ms) AS BIGINT) AS twa_num,
+        |       CAST(SUM(dt_ms) AS BIGINT) AS twa_den
+        |FROM g WHERE dt_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q146_modularity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

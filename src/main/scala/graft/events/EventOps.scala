@@ -248,6 +248,36 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Exact time-weighted average (TWAP) per user — the telemetry /
+    * financial "average of the held value" where each event's value
+    * counts for as long as it was the latest one, so a burst of 1000
+    * readings in a second cannot drown one reading that held for an
+    * hour (the failure mode of the plain mean).
+    *
+    * Per user, events ordered by (tus, event_id): each consecutive pair
+    * contributes (value · Δt) with Δt in MILLISECONDS (µs div 1000 —
+    * truncation agrees across engines, and the coarser unit keeps
+    * Σ v·Δt within Int64: cents ≲ 10⁵ × week-long holds ≲ 10⁹ ms ×
+    * thousands of intervals ≈ 10¹⁷). The average is the exact fraction
+    * twa_num/twa_den; zero-length holds contribute zero weight; a user
+    * with a single event has no holding interval and is absent. One
+    * user-partitioned lead window + one map-side-combined aggregation.
+    * Output: (user_id, n_intervals, twa_num, twa_den). */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events.select(col("user_id"), col("event_id"), tsMicros(events).as("tus"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v"))
+      .withColumn("nxt", lead("tus", 1).over(order))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("v"),
+        expr("(nxt - tus) div 1000").as("dt_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("v") * col("dt_ms")).as("twa_num"),
+        sum("dt_ms").as("twa_den"))
+      .orderBy("user_id")
+  }
+
   /** Inter-arrival gap statistics per user: count, min/max gap, and the
     * exact lower-median gap in MILLISECONDS — the latency/engagement-
     * cadence profile (median is robust where one overnight gap destroys

@@ -47,8 +47,11 @@ object Modularity {
       s"modularity denominator 4m^2 overflows Int64 at m=$m edges")
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    // a node labeled twice would double-count its degree and intra edges
+    // — dedupe defensively (LPA emits each node once; external label
+    // tables may not)
     val lab = labels.select(col(nodeCol).cast(LongType).as("n"),
-      col(labelCol).as("label"))
+      col(labelCol).as("label")).distinct()
     val comm = lab.join(deg, Seq("n"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))

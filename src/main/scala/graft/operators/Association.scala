@@ -30,7 +30,12 @@ object Association {
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
                     minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("i")).distinct()
+    // a NULL basket would silently vanish from the pair join (null never
+    // equi-joins) yet still count toward n_baskets, skewing every lift —
+    // drop both null sides explicitly
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
+      .filter(col("bk").isNotNull && col("i").isNotNull)
+      .distinct()
     val itemCnt = b.groupBy("i").agg(count(lit(1)).as("cnt"))
     val freq = itemCnt.filter(col("cnt") >= minSupport)
     val fb = b.join(freq.select("i"), Seq("i"), "left_semi")

@@ -24,6 +24,7 @@ object Skyline {
   /** Rows of `df` (NULL x/y rows dropped — dominance over NULL is
     * undefined) not strictly dominated on BIGINT columns (x, y). */
   def pareto2d(df: DataFrame, x: String, y: String): DataFrame = {
+    require(x != y, s"skyline needs two distinct criteria, got '$x' twice")
     Seq(x, y).foreach { c =>
       require(df.columns.contains(c), s"no such column: $c")
       require(!c.startsWith("__"), s"column name '$c' collides with internal __* names")

@@ -271,6 +271,7 @@ object TableOps {
                 loNum: Int, hiNum: Int, den: Int): DataFrame = {
     require(den >= 2 && loNum >= 0 && loNum <= hiNum && hiNum < den,
       s"need 0 <= loNum <= hiNum < den (den >= 2), got $loNum/$den .. $hiNum/$den")
+    require(group != x, s"winsorize: group and value column are both '$x'")
     Seq(group, x).foreach(c => require(!c.startsWith("__"),
       s"winsorize: column name '$c' collides with internal __* names"))
     require(!df.columns.contains(s"${x}_w"),

@@ -329,6 +329,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.typeNgrams(ev, 2)))
       assert(rows(s2.sql("SELECT * FROM graft_streaks('events_view2')"))
         == rows(graft.events.EventOps.activityStreaks(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_twap('events_view2')"))
+        == rows(graft.events.EventOps.timeWeightedAvg(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_sliding_distinct('events_view2', 7)"))
         == rows(graft.events.EventOps.slidingDistinctUsers(ev, 7)))
       val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
