@@ -48,6 +48,12 @@ object Association {
     // embedded as a literal — the scalar-attach join alternative constant-
     // folds its key and degrades to a nested-loop cross (plan-audit-banned)
     val nBaskets = b.select("bk").distinct().count()
+    // lift_num = pair_cnt·n_baskets and lift_den = cnt_a·cnt_b are both
+    // bounded by n_baskets², so Int64 exactness holds iff n_baskets ≤
+    // ⌊√(2⁶³−1)⌋ — fail loudly rather than wrap (the z-order bit-width
+    // ceiling discipline); past it, emit counts only and divide downstream
+    require(nBaskets <= 3037000499L,
+      s"lift fractions overflow Int64 at n_baskets=$nBaskets (> 3.03e9)")
     pairs
       .join(freq.select(col("i").as("item_a"), col("cnt").as("cnt_a")),
         Seq("item_a"))
