@@ -33,6 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_bloom_semijoin('fact_view', 'l_orderkey', 'keys_view', 'o_orderkey')
   *   SELECT * FROM graft_pagerank('edges_view', 's', 'd', 3)
   *   SELECT * FROM graft_triangles('edges_view', 'a', 'b')
+  *   SELECT * FROM graft_hits('edges_view', 's', 'd', 2)
+  *   SELECT * FROM graft_link_predict('edges_view', 'a', 'b', 20, 2)
   *   SELECT * FROM graft_resample('events_view', 3600)
   *   SELECT * FROM graft_session_intervals('events_view', 1800)
   *   SELECT * FROM graft_interval_overlap('sess_view', 's_start', 's_end', 'win_view', 'w_start', 'w_end', 3600)
@@ -185,6 +187,16 @@ object GraftTableFunctions {
       val a = args("graft_triangles", exprs, 3)
       plan(graph.Triangles.triangles(table(a(0)), aCol = str(a(1)),
         bCol = str(a(2))))
+    },
+    "graft_hits" -> { exprs =>
+      val a = args("graft_hits", exprs, 4)
+      plan(graph.Hits.hits(table(a(0)), srcCol = str(a(1)),
+        dstCol = str(a(2)), iterations = int(a(3))))
+    },
+    "graft_link_predict" -> { exprs =>
+      val a = args("graft_link_predict", exprs, 5)
+      plan(graph.LinkPredict.commonNeighbors(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2)), maxDegree = int(a(3)), minCommon = int(a(4)).toLong))
     },
     // the grid-bounds scalar job runs EAGERLY at planning (the
     // graft_decayed_score note: driver-bounded eager work)

@@ -1526,6 +1526,34 @@ object SparkEntry {
     "q147_twap" -> ((s, dir) =>
       EventOps.timeWeightedAvg(s.read.parquet(t(dir, "events")))),
 
+    // ── HITS hubs & authorities (2 rounds) over the directed
+    // part→supplier interaction graph: exact max-rescaled fixed-point
+    // integer arithmetic so DuckDB replays every round cell-for-cell; the
+    // bipartite sides naturally carry hub (parts) / authority (suppliers)
+    "q148_hits" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "lineitem"))
+        .select((col("l_partkey") * 2).cast(LongType).as("s"),
+          (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      graft.graph.Hits.hits(e, "s", "d", iterations = 2)
+    }),
+
+    // ── link prediction over the co-purchase graph: common-neighbor
+    // count + neighborhood Jaccard for NON-adjacent pairs, defined over
+    // the capped-connector neighborhoods (maxDegree hub guard — per-
+    // center wedge work is bounded at maxDegree² regardless of skew) ─────
+    "q149_link_predict" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      graft.graph.LinkPredict.commonNeighbors(pairs, "pa", "pb",
+        maxDegree = 20, minCommon = 2L)
+    }),
+
     // ── modularity of the LPA communities over the co-purchase graph:
     // exact per-community fractions (4·m·e_c − d_c²) / 4m² — the quality
     // score beside q130's labels and q133's density ──────────────────────
@@ -3624,6 +3652,60 @@ object SparkEntry {
         |       CAST(SUM(dt_ms) AS BIGINT) AS twa_den
         |FROM g WHERE dt_ms IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // exact fixed-point HITS: each round is pure 64-bit integer
+    // arithmetic — gather-sum then max-rescale (`//` ≡ Spark `div` on the
+    // non-negative values here) — replayed as chained CTEs with scalar
+    // MAX subqueries standing in for the operator's O(1) driver scalars
+    "q148_hits" ->
+      """WITH e AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
+        |           FROM lineitem),
+        |n AS (SELECT s AS node FROM e UNION SELECT d AS node FROM e),
+        |s0 AS (SELECT node, CAST(10000 AS BIGINT) AS h FROM n),
+        |ca1 AS (SELECT e.d AS node, CAST(SUM(s0.h) AS BIGINT) AS raw
+        |        FROM e JOIN s0 ON e.s = s0.node GROUP BY e.d),
+        |a1 AS (SELECT n.node, CAST(COALESCE(
+        |         (ca1.raw * 10000) // (SELECT MAX(raw) FROM ca1), 0) AS BIGINT) AS a
+        |       FROM n LEFT JOIN ca1 ON n.node = ca1.node),
+        |ch1 AS (SELECT e.s AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
+        |        FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s),
+        |h1 AS (SELECT n.node, CAST(COALESCE(
+        |         (ch1.raw * 10000) // (SELECT MAX(raw) FROM ch1), 0) AS BIGINT) AS h
+        |       FROM n LEFT JOIN ch1 ON n.node = ch1.node),
+        |ca2 AS (SELECT e.d AS node, CAST(SUM(h1.h) AS BIGINT) AS raw
+        |        FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d),
+        |a2 AS (SELECT n.node, CAST(COALESCE(
+        |         (ca2.raw * 10000) // (SELECT MAX(raw) FROM ca2), 0) AS BIGINT) AS a
+        |       FROM n LEFT JOIN ca2 ON n.node = ca2.node),
+        |ch2 AS (SELECT e.s AS node, CAST(SUM(a2.a) AS BIGINT) AS raw
+        |        FROM e JOIN a2 ON e.d = a2.node GROUP BY e.s),
+        |h2 AS (SELECT n.node, CAST(COALESCE(
+        |         (ch2.raw * 10000) // (SELECT MAX(raw) FROM ch2), 0) AS BIGINT) AS h
+        |       FROM n LEFT JOIN ch2 ON n.node = ch2.node)
+        |SELECT h2.node, h2.h AS hub, a2.a AS auth
+        |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
+
+    "q149_link_predict" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e
+        |          UNION ALL SELECT b AS n FROM e) t GROUP BY n),
+        |nb AS (SELECT t.u, t.x FROM (SELECT a AS u, b AS x FROM e
+        |         UNION ALL SELECT b AS u, a AS x FROM e) t
+        |       JOIN deg ON deg.n = t.u WHERE deg.d <= 20),
+        |dc AS (SELECT x, COUNT(*) AS dc FROM nb GROUP BY x),
+        |w AS (SELECT n1.x AS pa, n2.x AS pb, COUNT(*) AS common
+        |      FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.x < n2.x
+        |      GROUP BY n1.x, n2.x HAVING COUNT(*) >= 2),
+        |na AS (SELECT w.* FROM w WHERE NOT EXISTS
+        |        (SELECT 1 FROM e WHERE e.a = w.pa AND e.b = w.pb))
+        |SELECT na.pa AS a, na.pb AS b, na.common,
+        |       d1.dc + d2.dc - na.common AS jaccard_den
+        |FROM na JOIN dc d1 ON d1.x = na.pa JOIN dc d2 ON d2.x = na.pb
+        |ORDER BY a, b""".stripMargin,
 
     "q146_modularity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -1,0 +1,147 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Checkpoints
+
+/** HITS (Kleinberg hubs & authorities) by synchronous power iteration —
+  * the DIRECTED-role complement to [[PageRank]]: PageRank scores a single
+  * notion of importance; HITS separates "points at good things" (hub)
+  * from "is pointed at by good hubs" (authority). On a bipartite
+  * interaction graph (buyers→products, parts→suppliers, queries→docs)
+  * the two sides naturally carry one score each.
+  *
+  * All arithmetic is EXACT 64-bit integer math so a SQL oracle replays
+  * every iteration cell-for-cell: scores live in fixed-point units of
+  * 1/`scale`, and the per-round normalization — classically an L2 norm,
+  * a square root no integer oracle can replay — is replaced by MAX
+  * rescaling: `x ← (x·scale) div max(x)` (truncating division, identical
+  * in Spark `div` and DuckDB `//` on the non-negative values here). Max
+  * rescaling preserves the fixed point's direction exactly like any
+  * positive-scalar normalization and keeps every score in [0, scale].
+  *
+  * Scale shape (per round): TWO equi-joins of the O(nodes) score table
+  * against the edge table — one keyed on src (authority gather), one on
+  * dst (hub gather) — each followed by a map-side-combined aggregation,
+  * plus two O(1) driver scalars (the maxima; the same bounded-driver-
+  * state class as the convergence scans — embedding them as literals
+  * keeps the plan free of the constant-key join that degrades to a
+  * plan-audit-banned nested-loop cross). The edge table is materialized
+  * TWICE up front, pre-partitioned on src and on dst, so every round
+  * exchanges only the score table. Score frames are lineage-truncated
+  * through [[Checkpoints.checkpoint]] each round.
+  *
+  * Int64 bounds: hub ≤ scale, so a raw authority is ≤ indeg·scale and
+  * the rescale product is ≤ maxRaw·scale — guarded at runtime
+  * (`maxRaw ≤ 2^63/scale`, i.e. in-degree ≤ 9.2e14 at the default
+  * scale 10^4). Shrink `scale` for graphs beyond that.
+  */
+object Hits {
+
+  /** Hub/authority scores after `iterations` synchronous rounds over the
+    * DIRECTED edge set `edges(srcCol, dstCol)` (BIGINT node ids; parallel
+    * edges are NOT deduplicated — pre-`distinct` if multiplicity should
+    * not add weight). Node set = union of sources and destinations.
+    * Every node starts at hub = `scale`; each round computes
+    * `auth(v) = Σ_{u→v} hub(u)` then `hub(u) = Σ_{u→v} auth(v)`, each
+    * max-rescaled to [0, scale]. Output (node, hub, auth), ordered by
+    * node; sources never pointed at have auth 0, sinks with no out-edges
+    * have hub 0.
+    *
+    * EARLY STOP: exits on the first round that leaves every (hub, auth)
+    * EXACTLY unchanged — the update is a pure function of the score
+    * table (the maxima included), so a no-op round makes all further
+    * rounds no-ops and a chained-CTE oracle that always writes
+    * `iterations` rounds still replays the result cell-for-cell. The
+    * check is exact (the new frame carries the previous scores; one
+    * limit-1 scan of the materialized checkpoint), never a probabilistic
+    * signature. `roundsOut`, when supplied, receives the executed round
+    * count (observability / spec hook).
+    *
+    * Degenerate graphs where a round's gathered scores are ALL zero
+    * (e.g. every edge out of a zero-hub node) raise rather than divide
+    * by zero — such a graph has no hub/authority structure to rank. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, scale: Long = 10000L,
+           roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale >= 100 && scale <= 100000000L,
+      "scale must be in [100, 1e8] (Int64 rescale headroom)")
+    // materialize the caller's (possibly expensive) edge construction
+    // ONCE, then keep one copy per join key so neither round-join
+    // re-shuffles the O(edges) side
+    val e = Checkpoints.checkpoint(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst")))
+    val nodes = Checkpoints.checkpoint(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val eSrc = Checkpoints.checkpoint(e.repartition(col("src")))
+    val eDst = Checkpoints.checkpoint(e.repartition(col("dst")))
+    Checkpoints.release(e)
+
+    var state = Checkpoints.checkpoint(
+      nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a")))
+    Checkpoints.release(nodes)
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
+      // authority gather: one equi-join keyed on src, map-side-combined
+      // sum on dst; materialized because BOTH the max scalar and the
+      // rescale join consume it (Spark does no cross-branch CSE)
+      val ca = Checkpoints.checkpoint(
+        eSrc.join(state.select(col("node"), col("h")),
+            eSrc("src") === col("node"))
+          .groupBy("dst").agg(sum("h").as("raw")))
+      val amax = maxRaw(ca, scale, "authority")
+      val aTbl = Checkpoints.checkpoint(
+        state.select(col("node"), col("h").as("hp"), col("a").as("ap"))
+          .join(ca, col("node") === ca("dst"), "left")
+          .select(col("node"), col("hp"), col("ap"),
+            coalesce(expr(s"(raw * $scale) div $amax"), lit(0L)).as("a")))
+      Checkpoints.release(ca)
+      // hub gather: the mirror pass keyed on dst, using the NEW auth
+      val ch = Checkpoints.checkpoint(
+        eDst.join(aTbl.select(col("node"), col("a")),
+            eDst("dst") === col("node"))
+          .groupBy("src").agg(sum("a").as("raw")))
+      val hmax = maxRaw(ch, scale, "hub")
+      val next = Checkpoints.checkpoint(
+        aTbl.select(col("node"), col("hp"), col("ap"), col("a"))
+          .join(ch, col("node") === ch("src"), "left")
+          .select(col("node"), col("hp"), col("ap"), col("a"),
+            coalesce(expr(s"(raw * $scale) div $hmax"), lit(0L)).as("h")))
+      Checkpoints.release(aTbl)
+      Checkpoints.release(ch)
+      rounds += 1
+      // exact fixed point? one limit-1 scan of the materialized frame
+      converged = rounds < iterations &&
+        next.filter(col("h") =!= col("hp") || col("a") =!= col("ap"))
+          .limit(1).isEmpty
+      Checkpoints.release(state)
+      state = next
+    }
+    roundsOut.foreach(_.set(rounds))
+    Checkpoints.release(eSrc)
+    Checkpoints.release(eDst)
+    state.select(col("node"), col("h").as("hub"), col("a").as("auth"))
+      .orderBy("node")
+  }
+
+  /** The round's normalizer: one O(1) driver scalar off the materialized
+    * gather table, with the Int64 rescale-product guard. */
+  private def maxRaw(gathered: DataFrame, scale: Long, side: String): Long = {
+    val row = gathered.agg(max("raw")).head()
+    val m = if (row.isNullAt(0)) 0L else row.getLong(0)
+    require(m > 0,
+      s"hits: all gathered $side scores are zero — the graph has no " +
+        "hub/authority structure to rank (e.g. no edge chain of length 2)")
+    require(m <= Long.MaxValue / scale,
+      s"hits: $side rescale product overflows Int64 (max raw $m × scale " +
+        s"$scale); shrink scale")
+    m
+  }
+}

@@ -282,6 +282,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.PageRank.pageRank(edges, "s", "d", 3)))
       assert(rows(s2.sql("SELECT * FROM graft_triangles('edges_view', 's', 'd')"))
         == rows(graft.graph.Triangles.triangles(edges, "s", "d")))
+      assert(rows(s2.sql("SELECT * FROM graft_hits('edges_view', 's', 'd', 2)"))
+        == rows(graft.graph.Hits.hits(edges, "s", "d", 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_link_predict('edges_view', 's', 'd', 10, 1)"))
+        == rows(graft.graph.LinkPredict.commonNeighbors(edges, "s", "d", 10, 1L)))
 
       val ev = Seq((0L, 10L, 1L, "view", 1.0), (1L, 5000L, 1L, "click", 2.0),
         (2L, 40L, 2L, "view", 3.0))
