@@ -34,6 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_pagerank('edges_view', 's', 'd', 3)
   *   SELECT * FROM graft_triangles('edges_view', 'a', 'b')
   *   SELECT * FROM graft_hits('edges_view', 's', 'd', 2)
+  *   SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)
+  *   SELECT * FROM graft_gini('events_view', 'user_id', 'event_type')
   *   SELECT * FROM graft_link_predict('edges_view', 'a', 'b', 20, 2)
   *   SELECT * FROM graft_resample('events_view', 3600)
   *   SELECT * FROM graft_session_intervals('events_view', 1800)
@@ -187,6 +189,16 @@ object GraftTableFunctions {
       val a = args("graft_triangles", exprs, 3)
       plan(graph.Triangles.triangles(table(a(0)), aCol = str(a(1)),
         bCol = str(a(2))))
+    },
+    "graft_rrf_fuse" -> { exprs =>
+      val a = args("graft_rrf_fuse", exprs, 5)
+      plan(text.Retrieval.rrfFuse(table(a(0)), queryCol = str(a(1)),
+        docCol = str(a(2)), rankCol = str(a(3)), k = int(a(4))))
+    },
+    "graft_gini" -> { exprs =>
+      val a = args("graft_gini", exprs, 3)
+      plan(operators.TableOps.giniImpurity(table(a(0)),
+        group = str(a(1)), label = str(a(2))))
     },
     "graft_hits" -> { exprs =>
       val a = args("graft_hits", exprs, 4)

@@ -1537,6 +1537,32 @@ object SparkEntry {
       graft.graph.Hits.hits(e, "s", "d", iterations = 2)
     }),
 
+    // ── reciprocal-rank fusion of two per-type user rankings (count vs
+    // spend): integer-division RRF points so the fused score is exact;
+    // map-side-combined point sum, candidate-set window only ─────────────
+    "q150_rrf_fusion" -> ((s, dir) => {
+      // the per-(type,user) aggregate feeds BOTH ranking windows — no
+      // cross-branch CSE in Spark, so materialize it once
+      val agg = graft.operators.Checkpoints.checkpoint(
+        s.read.parquet(t(dir, "events"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("spend")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val byN = agg.select(col("event_type"), col("user_id"),
+        row_number().over(w.orderBy(col("n").desc, col("user_id"))).as("rank"))
+      val bySpend = agg.select(col("event_type"), col("user_id"),
+        row_number().over(w.orderBy(col("spend").desc, col("user_id"))).as("rank"))
+      graft.text.Retrieval.rrfFuse(byN.union(bySpend),
+        "event_type", "user_id", "rank", k = 10)
+    }),
+
+    // ── per-user Gini impurity of the event-type distribution: exact
+    // integer fractions, frequency-compressed — behavioral diversity
+    // (0 = single-type user, →1 = uniform over many types) ───────────────
+    "q151_gini" -> ((s, dir) =>
+      graft.operators.TableOps.giniImpurity(
+        s.read.parquet(t(dir, "events")), "user_id", "event_type")),
+
     // ── link prediction over the co-purchase graph: common-neighbor
     // count + neighborhood Jaccard for NON-adjacent pairs, defined over
     // the capped-connector neighborhoods (maxDegree hub guard — per-
@@ -3684,6 +3710,40 @@ object SparkEntry {
         |       FROM n LEFT JOIN ch2 ON n.node = ch2.node)
         |SELECT h2.node, h2.h AS hub, a2.a AS auth
         |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
+
+    // RRF with integer-division points (`//` ≡ Spark `div` on the
+    // positive ranks here) — the fused score replays exactly
+    "q150_rrf_fusion" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, user_id, $c AS c FROM events),
+        |agg AS (SELECT event_type, user_id, COUNT(*) AS n,
+        |          CAST(SUM(c) AS BIGINT) AS spend
+        |        FROM ev GROUP BY event_type, user_id),
+        |u AS (SELECT event_type, user_id, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+        |      FROM agg
+        |      UNION ALL
+        |      SELECT event_type, user_id, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type ORDER BY spend DESC, user_id) AS rank
+        |      FROM agg),
+        |sc AS (SELECT event_type, user_id,
+        |         CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
+        |       FROM u GROUP BY event_type, user_id),
+        |f AS (SELECT event_type, user_id, rrf_score, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type
+        |        ORDER BY rrf_score DESC, user_id) AS fused_rank FROM sc)
+        |SELECT event_type, user_id, rrf_score, fused_rank FROM f
+        |WHERE fused_rank <= 10
+        |ORDER BY event_type, fused_rank""".stripMargin
+    },
+
+    "q151_gini" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
+        |           GROUP BY user_id, event_type),
+        |g AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
+        |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q149_link_predict" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

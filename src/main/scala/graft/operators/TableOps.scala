@@ -39,6 +39,37 @@ object TableOps {
       .orderBy(key)
   }
 
+  /** Gini impurity of the `label` distribution within each `group`, as an
+    * EXACT integer fraction: gini = 1 − Σ(cᵢ/n)² = (n² − Σcᵢ²) / n² —
+    * the float-free form of the diversity/purity score behind decision-
+    * tree splits, dataset-mixture balance checks ("is this source one
+    * language or fifty?"), and per-user behavioral diversity. 0/n² = pure
+    * (one label), approaching 1 = uniform over many labels. NULL labels
+    * count as a label class of their own; NULL groups are a group.
+    *
+    * Frequency-compressed (the [[modePerGroup]] shape): count per
+    * (group, label), then one map-side-combined aggregation of n and
+    * Σc² — two exchanges on count tables, never a row-level shuffle.
+    * Output: (<group>, n, gini_num, gini_den), ordered by group. Int64
+    * exactness needs n ≤ ⌊√(2⁶³−1)⌋ per group — guarded per row, the
+    * loud-failure discipline of the association miner. */
+  def giniImpurity(df: DataFrame, group: String, label: String): DataFrame = {
+    require(group != label, "group and label columns must differ")
+    require(!Seq("n", "gini_num", "gini_den", "__c").contains(group),
+      s"group column `$group` collides with an output/internal name")
+    val counts = df.groupBy(col(group), col(label)).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(group))
+      .agg(sum("__c").as("n"), sum(col("__c") * col("__c")).as("__ss"))
+      .select(col(group),
+        when(col("n") <= 3037000499L, col("n"))
+          .otherwise(raise_error(format_string(
+            "giniImpurity: n² overflows Int64 at n=%s (> 3.03e9)", col("n"))))
+          .as("n"),
+        (col("n") * col("n") - col("__ss")).as("gini_num"),
+        (col("n") * col("n")).as("gini_den"))
+      .orderBy(group)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
       s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")

@@ -114,4 +114,51 @@ object Retrieval {
       .select("q_id", "rank", "doc_id", "score1000")
       .orderBy("q_id", "rank")
   }
+
+  /** Reciprocal-rank fusion — merge rankings from heterogeneous retrievers
+    * (BM25 × dense ANN, multiple query rewrites, per-shard lists) without
+    * comparable scores: each run contributes `scale div (rrfK + rank)`
+    * points per (query, doc), summed across runs (Cormack et al., SIGIR'09;
+    * rrfK = 60 is the paper's constant). Integer division replaces the
+    * paper's 1/(k+r) float so the fused score is EXACT and any engine
+    * replays it; `scale` = 1e9 keeps three significant digits between
+    * adjacent ranks out to rank ~1e6 while Int64 holds ≤ 9.2e9 runs/doc.
+    *
+    * Input `runs`: the UNION of the runs' (query, doc, rank) triples, rank
+    * 1-based within each run (rank < 1 or NULL raises — a 0-based run
+    * would silently dominate every fusion). Output: top-`k` per query —
+    * (query, doc, rrf_score, fused_rank) under the caller's query/doc
+    * column names, fused_rank 1..k by (rrf_score desc, doc) — a strict
+    * total order, ordered by (query, fused_rank).
+    *
+    * Scale shape: one map-side-combined aggregation keyed (query, doc),
+    * one query-partitioned window over the fused candidates (each doc
+    * appears once per query after the groupBy — the window input is the
+    * candidate set, never runs × docs), no collect, no broadcast. */
+  def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
+              rankCol: String, k: Int, rrfK: Int = 60,
+              scale: Long = 1000000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    require(scale >= 1000, s"scale must be >= 1000, got $scale")
+    require(Seq(queryCol, docCol, rankCol).distinct.size == 3,
+      "query/doc/rank columns must be distinct")
+    require(!Seq(queryCol, docCol).contains("rrf_score") &&
+      !Seq(queryCol, docCol).contains("fused_rank"),
+      "query/doc columns must not be named rrf_score/fused_rank")
+    val rank = col(rankCol).cast(LongType)
+    val pts = runs.select(col(queryCol), col(docCol),
+      when(rank >= 1L, expr(s"$scale div ($rrfK + CAST(`$rankCol` AS BIGINT))"))
+        .otherwise(raise_error(format_string(
+          "rrfFuse: rank must be >= 1, got %s", col(rankCol))))
+        .as("__pts"))
+    val fused = pts.groupBy(col(queryCol), col(docCol))
+      .agg(sum("__pts").as("rrf_score"))
+    fused.withColumn("fused_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(queryCol))
+          .orderBy(col("rrf_score").desc, col(docCol))))
+      .filter(col("fused_rank") <= k)
+      .orderBy(col(queryCol), col("fused_rank"))
+  }
 }

@@ -287,6 +287,15 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(rows(s2.sql("SELECT * FROM graft_link_predict('edges_view', 's', 'd', 10, 1)"))
         == rows(graft.graph.LinkPredict.commonNeighbors(edges, "s", "d", 10, 1L)))
 
+      val runs = Seq(("q", 1L, 2), ("q", 2L, 1), ("q", 1L, 2)).toDF("q", "doc", "rank")
+      runs.createOrReplaceTempView("runs_view")
+      assert(rows(s2.sql("SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)"))
+        == rows(graft.text.Retrieval.rrfFuse(runs, "q", "doc", "rank", 10)))
+      val lbl = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("g", "l")
+      lbl.createOrReplaceTempView("lbl_view")
+      assert(rows(s2.sql("SELECT * FROM graft_gini('lbl_view', 'g', 'l')"))
+        == rows(graft.operators.TableOps.giniImpurity(lbl, "g", "l")))
+
       val ev = Seq((0L, 10L, 1L, "view", 1.0), (1L, 5000L, 1L, "click", 2.0),
         (2L, 40L, 2L, "view", 3.0))
         .map { case (id, s, u, ty, v) => (id, s * 1000000000L, u, ty, v) }

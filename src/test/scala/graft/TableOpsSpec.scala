@@ -204,4 +204,37 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.profile(df, Seq.empty))
     intercept[IllegalArgumentException](TableOps.profile(df, Seq("nope")))
   }
+
+  test("giniImpurity: exact fractions, pure group is 0, null labels are a class") {
+    val rows = Seq(
+      ("a", Some("x")), ("a", Some("x")), ("a", Some("y")),   // 3², Σc²=5
+      ("b", Some("z")), ("b", Some("z")),                      // pure
+      ("c", Some("x")), ("c", None))                           // null class
+    val got = TableOps.giniImpurity(rows.toDF("g", "l"), "g", "l")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 4L, 9L)))   // 1 − 5/9 = 4/9
+    assert(got("b") == ((2L, 0L, 4L)))   // pure
+    assert(got("c") == ((2L, 2L, 4L)))   // {x, NULL} → 1 − 2/4
+  }
+
+  test("giniImpurity matches a plain-Scala computation on random data") {
+    val rng = new scala.util.Random(41L)
+    val rows = Seq.fill(300)((rng.nextInt(7).toString, rng.nextInt(5).toString))
+    val expect = rows.groupBy(_._1).map { case (g, v) =>
+      val n = v.size.toLong
+      val ss = v.groupBy(_._2).values.map(c => c.size.toLong * c.size).sum
+      g -> ((n, n * n - ss, n * n))
+    }
+    val got = TableOps.giniImpurity(rows.toDF("g", "l"), "g", "l")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("giniImpurity rejects colliding column names") {
+    val df = Seq(("a", "x")).toDF("n", "l")
+    intercept[IllegalArgumentException](TableOps.giniImpurity(df, "n", "l"))
+    intercept[IllegalArgumentException](TableOps.giniImpurity(df, "l", "l"))
+  }
 }
