@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_triangles('edges_view', 'a', 'b')
   *   SELECT * FROM graft_hits('edges_view', 's', 'd', 2)
   *   SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)
+  *   SELECT * FROM graft_ewma('events_view', 3, 10, 32)
   *   SELECT * FROM graft_gini('events_view', 'user_id', 'event_type')
   *   SELECT * FROM graft_link_predict('edges_view', 'a', 'b', 20, 2)
   *   SELECT * FROM graft_resample('events_view', 3600)
@@ -189,6 +190,11 @@ object GraftTableFunctions {
       val a = args("graft_triangles", exprs, 3)
       plan(graph.Triangles.triangles(table(a(0)), aCol = str(a(1)),
         bCol = str(a(2))))
+    },
+    "graft_ewma" -> { exprs =>
+      val a = args("graft_ewma", exprs, 4)
+      plan(events.EventOps.ewma(table(a(0)), alphaNum = int(a(1)).toLong,
+        alphaDen = int(a(2)).toLong, lastN = int(a(3))))
     },
     "graft_rrf_fuse" -> { exprs =>
       val a = args("graft_rrf_fuse", exprs, 5)

@@ -1563,6 +1563,13 @@ object SparkEntry {
       graft.operators.TableOps.giniImpurity(
         s.read.parquet(t(dir, "events")), "user_id", "event_type")),
 
+    // ── per-user EWMA (α = 3/10) over the trailing 32 events: exact
+    // Int64 fixed-point fold via a codegen aggregate() lambda — the
+    // lastN cap bounds per-user state and the oracle's replay depth ──────
+    "q152_ewma" -> ((s, dir) =>
+      EventOps.ewma(s.read.parquet(t(dir, "events")),
+        alphaNum = 3L, alphaDen = 10L, lastN = 32)),
+
     // ── link prediction over the co-purchase graph: common-neighbor
     // count + neighborhood Jaccard for NON-adjacent pairs, defined over
     // the capped-connector neighborhoods (maxDegree hub guard — per-
@@ -3736,6 +3743,22 @@ object SparkEntry {
         |WHERE fused_rank <= 10
         |ORDER BY event_type, fused_rank""".stripMargin
     },
+
+    // the EWMA fold is not associative (integer division per step), so
+    // the oracle replays the SAME time-sorted fold with list_reduce —
+    // `//` ≡ Spark `div` on the non-negative cents the operator enforces
+    "q152_ewma" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY tus DESC, event_id DESC) AS rn FROM x),
+        |g AS (SELECT user_id, COUNT(*) AS n_obs,
+        |        list(v ORDER BY tus, event_id) AS vs
+        |      FROM r WHERE rn <= 32 GROUP BY user_id)
+        |SELECT user_id, n_obs,
+        |       CAST(list_reduce(vs, (acc, v) -> (3*v + 7*acc) // 10)
+        |            AS BIGINT) AS ewma_c
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q151_gini" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events

@@ -278,6 +278,56 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-user exponentially-weighted moving average of value cents over
+    * the trailing `lastN` events — the recency-biased engagement/price
+    * signal a plain mean lags behind. All arithmetic is EXACT Int64
+    * fixed-point with rational α = `alphaNum`/`alphaDen`:
+    *
+    *   y₁ = v₁;  yₜ = (alphaNum·vₜ + (alphaDen−alphaNum)·yₜ₋₁) div alphaDen
+    *
+    * — truncating division each step (identical in Spark `div`, DuckDB
+    * `//`, and any engine, on the NON-NEGATIVE values enforced here;
+    * floor-vs-truncate semantics diverge below zero, so negative cents
+    * raise rather than silently drift by ±1 per step). The fold is NOT
+    * associative (each step divides), so it runs as a per-user
+    * `aggregate()` lambda over the time-sorted value array — whole-stage
+    * codegen, no UDF. The `lastN` cap (rank window, newest first) bounds
+    * the per-user array at a constant — state never scales with a hot
+    * user's history, and an oracle's replay depth is bounded the same
+    * way. Events order by (tus, event_id) — a strict total order.
+    *
+    * Output: (user_id, n_obs, ewma_c), ordered by user_id. Int64 bounds:
+    * the step's products are ≤ alphaDen·max(v, y) — safe while
+    * alphaDen·maxCents < 2⁶³. */
+  def ewma(events: DataFrame, alphaNum: Long, alphaDen: Long,
+           lastN: Int): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 1 && alphaNum <= alphaDen,
+      s"need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    require(lastN >= 1, s"lastN must be >= 1, got $lastN")
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val capped = events.select(col("user_id"), col("event_id"),
+        tsMicros(events).as("tus"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v0"))
+      .select(col("user_id"), col("event_id"), col("tus"),
+        when(col("v0") >= 0L, col("v0")).otherwise(raise_error(format_string(
+          "ewma: negative cents %s (truncating vs flooring division " +
+            "diverge below zero)", col("v0")))).as("v"))
+      .withColumn("rn", row_number().over(order))
+      .filter(col("rn") <= lastN)
+    capped.groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col("tus"), col("event_id"),
+          col("v")))).as("xs"))
+      .select(col("user_id"), col("n_obs"),
+        expr(s"""aggregate(
+          slice(transform(xs, x -> x.v), 2, size(xs) - 1),
+          element_at(transform(xs, x -> x.v), 1),
+          (acc, v) -> ($alphaNum * v + ${alphaDen - alphaNum} * acc) div $alphaDen
+        )""").as("ewma_c"))
+      .orderBy("user_id")
+  }
+
   /** Inter-arrival gap statistics per user: count, min/max gap, and the
     * exact lower-median gap in MILLISECONDS — the latency/engagement-
     * cadence profile (median is robust where one overnight gap destroys

@@ -303,6 +303,8 @@ class GraftExtensionsSpec extends SparkSpec {
       ev.createOrReplaceTempView("events_view2")
       assert(rows(s2.sql("SELECT * FROM graft_resample('events_view2', 3600)"))
         == rows(graft.events.EventOps.resample(ev, 3600000000L)))
+      assert(rows(s2.sql("SELECT * FROM graft_ewma('events_view2', 3, 10, 32)"))
+        == rows(graft.events.EventOps.ewma(ev, 3L, 10L, 32)))
       assert(rows(s2.sql("SELECT * FROM graft_session_intervals('events_view2', 1800)"))
         == rows(graft.events.EventOps.sessionIntervals(ev, 1800)))
 
