@@ -34,6 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_pagerank('edges_view', 's', 'd', 3)
   *   SELECT * FROM graft_triangles('edges_view', 'a', 'b')
   *   SELECT * FROM graft_hits('edges_view', 's', 'd', 2)
+  *   SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 3)
   *   SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)
   *   SELECT * FROM graft_ewma('events_view', 3, 10, 32)
   *   SELECT * FROM graft_gini('events_view', 'user_id', 'event_type')
@@ -205,6 +206,12 @@ object GraftTableFunctions {
       val a = args("graft_gini", exprs, 3)
       plan(operators.TableOps.giniImpurity(table(a(0)),
         group = str(a(1)), label = str(a(2))))
+    },
+    "graft_ppr" -> { exprs =>
+      val a = args("graft_ppr", exprs, 6)
+      plan(graph.PageRank.personalizedPageRank(table(a(0)),
+        srcCol = str(a(1)), dstCol = str(a(2)), seeds = table(a(3)),
+        seedCol = str(a(4)), iterations = int(a(5))))
     },
     "graft_hits" -> { exprs =>
       val a = args("graft_hits", exprs, 4)

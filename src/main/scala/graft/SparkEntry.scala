@@ -1570,6 +1570,22 @@ object SparkEntry {
       EventOps.ewma(s.read.parquet(t(dir, "events")),
         alphaNum = 3L, alphaDen = 10L, lastN = 32)),
 
+    // ── personalized PageRank from the nation-1 suppliers over the
+    // bidirectional part↔supplier graph: restart mass on seeds only, so
+    // ranks measure relevance NEAR the seed set; exact ppm arithmetic ────
+    "q153_ppr" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
+        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      val seeds = s.read.parquet(t(dir, "supplier"))
+        .filter(col("s_nationkey") === 1)
+        .select((col("s_suppkey") * 2 + 1).cast(LongType).as("node"))
+      graft.graph.PageRank.personalizedPageRank(
+          edges, "s", "d", seeds, "node", iterations = 3)
+        .select(col("node"), col("rank").as("ppr"))
+    }),
+
     // ── link prediction over the co-purchase graph: common-neighbor
     // count + neighborhood Jaccard for NON-adjacent pairs, defined over
     // the capped-connector neighborhoods (maxDegree hub guard — per-
@@ -3767,6 +3783,41 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    // personalized PageRank: q111's chained-CTE replay with the teleport
+    // term landing on seed nodes only
+    "q153_ppr" ->
+      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
+        |            FROM lineitem),
+        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        |sd AS (SELECT DISTINCT 2*s_suppkey+1 AS node FROM supplier
+        |       WHERE s_nationkey = 1),
+        |n AS (SELECT node, MAX(seed) AS seed FROM (
+        |        SELECT s AS node, 0 AS seed FROM e
+        |        UNION ALL SELECT d AS node, 0 AS seed FROM e
+        |        UNION ALL SELECT node, 1 AS seed FROM sd) t GROUP BY node),
+        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+        |r0 AS (SELECT node, seed, CAST(seed * 1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r1 AS (SELECT n.node, n.seed,
+        |         n.seed*150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r2 AS (SELECT n.node, n.seed,
+        |         n.seed*150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.d AS node, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r3 AS (SELECT n.node, n.seed,
+        |         n.seed*150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, CAST(r AS BIGINT) AS ppr FROM r3
+        |ORDER BY node""".stripMargin,
 
     "q149_link_predict" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -126,4 +126,68 @@ object PageRank {
     Checkpoints.release(eDeg)
     ranks.select(col("node"), col("r").as("rank")).orderBy("node")
   }
+
+  /** Personalized PageRank: random-walk-with-restart importance RELATIVE
+    * TO a seed set — "what matters near these nodes", the
+    * recommendation / related-items / local-relevance form of
+    * [[pageRank]] (global importance). Same exact fixed-point integer
+    * arithmetic and per-round shape; two deltas: only seeds start with
+    * mass (`scale`), and the teleport term `(15·scale) div 100` lands on
+    * SEEDS ONLY each round (the restart distribution) instead of on
+    * every node. Nodes outside the seeds' reach stay at rank 0.
+    *
+    * `seeds` is a DataFrame (any size — it joins, never broadcasts by
+    * contract) whose `seedCol` lists the restart nodes; seed ids absent
+    * from the edge set still rank (they hold their teleport mass). The
+    * node set is endpoints ∪ seeds. Output (node, rank), rank in
+    * 1/`scale` units, ordered by node; same early-stop contract as
+    * [[pageRank]] (`roundsOut` observes executed rounds). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int, scale: Long = 1000000L,
+                           roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale >= 100, "scale must be >= 100 (damping uses div 100)")
+    val e = Checkpoints.checkpoint(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst")))
+    val seedSet = seeds.select(col(seedCol).cast(LongType).as("node")).distinct()
+    // node table carries the seed flag so the loop never re-joins seeds
+    val nodes = Checkpoints.checkpoint(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(seedSet.withColumn("s", lit(1L)), Seq("node"), "full_outer")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("seed")))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = Checkpoints.checkpoint(
+      e.join(outdeg, "src").repartition(col("src")))
+    Checkpoints.release(e)
+
+    val base = 15L * scale / 100L
+    var ranks = Checkpoints.checkpoint(
+      nodes.select(col("node"), col("seed"), (col("seed") * scale).as("r")))
+    Checkpoints.release(nodes)
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      val next = Checkpoints.checkpoint(
+        ranks.select(col("node"), col("seed"), col("r").as("rp"))
+          .join(contribs, col("node") === contribs("dst"), "left")
+          .select(col("node"), col("seed"), col("rp"),
+            (col("seed") * base +
+              expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+      rounds += 1
+      converged = rounds < iterations &&
+        next.filter(col("r") =!= col("rp")).limit(1).isEmpty
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    roundsOut.foreach(_.set(rounds))
+    Checkpoints.release(eDeg)
+    ranks.select(col("node"), col("r").as("rank")).orderBy("node")
+  }
 }

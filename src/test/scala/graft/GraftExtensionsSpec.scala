@@ -284,6 +284,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.Triangles.triangles(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_hits('edges_view', 's', 'd', 2)"))
         == rows(graft.graph.Hits.hits(edges, "s", "d", 2)))
+      val seedsDf = Seq(1L).toDF("node")
+      seedsDf.createOrReplaceTempView("seeds_view")
+      assert(rows(s2.sql("SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))
+        == rows(graft.graph.PageRank.personalizedPageRank(edges, "s", "d", seedsDf, "node", 2)))
       assert(rows(s2.sql("SELECT * FROM graft_link_predict('edges_view', 's', 'd', 10, 1)"))
         == rows(graft.graph.LinkPredict.commonNeighbors(edges, "s", "d", 10, 1L)))
 

@@ -116,4 +116,55 @@ class PageRankSpec extends SparkSpec {
     assert(rounds.get == 3, s"expected all 3 rounds, ran ${rounds.get}")
     assert(got == run(edges, 3))
   }
+
+  // personalized reference: mass and teleport land on seeds only
+  private def refP(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val nodes = ((edges.map(_._1) ++ edges.map(_._2)) ++ seeds).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(n => n -> (if (seeds(n)) SCALE else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / outdeg(s)
+      r = nodes.map(n => n ->
+        ((if (seeds(n)) 15L * SCALE / 100L else 0L) + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runP(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] =
+    PageRank.personalizedPageRank(edges.toDF("s", "d"),
+        "s", "d", seeds.toSeq.toDF("node"), "node", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalized: matches the seed-restart reference on a random graph") {
+    val rng = new scala.util.Random(17L)
+    val edges = Seq.fill(250)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    for (iters <- Seq(1, 3))
+      assert(runP(edges, Set(0L, 7L, 13L), iters) == refP(edges, Set(0L, 7L, 13L), iters),
+        s"iters=$iters")
+  }
+
+  test("personalized: mass stays in the seed's reachable component") {
+    // two disjoint 3-cycles; seeding one leaves the other at rank 0
+    val c1 = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val c2 = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val got = runP(c1 ++ c2, Set(0L), 4)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 0L), s"mass leaked: $got")
+    // the walk circulates — which node leads depends on the round — but
+    // the seeded cycle always carries mass and matches the reference
+    assert(Seq(0L, 1L, 2L).map(got).sum > 0L, s"seeded cycle is dry: $got")
+    assert(got == refP(c1 ++ c2, Set(0L), 4))
+  }
+
+  test("personalized: a seed outside the edge set holds its teleport mass") {
+    val got = runP(Seq((1L, 2L)), Set(99L), 2)
+    assert(got(99L) == 15L * SCALE / 100L)
+    assert(got(2L) > 0L || got(1L) >= 0L) // graph nodes present in output
+    assert(got.keySet == Set(1L, 2L, 99L))
+  }
+
+  test("personalized: empty seed set yields all-zero ranks") {
+    val got = runP(Seq((1L, 2L), (2L, 1L)), Set.empty, 3)
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
 }
