@@ -1570,6 +1570,18 @@ object SparkEntry {
       EventOps.ewma(s.read.parquet(t(dir, "events")),
         alphaNum = 3L, alphaDen = 10L, lastN = 32)),
 
+    // ── streaming frequent-keys maintainer: event types replayed in 3
+    // micro-batches through the Misra-Gries fold; k = 64 exceeds the
+    // distinct-type count so dec = 0 and the bounds COLLAPSE — the
+    // snapshot must equal the exact GROUP BY (the decrement path is
+    // property-specced where no SQL oracle can follow) ───────────────────
+    "q154_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      val keys = s.read.parquet(t(dir, "events"))
+        .select(col("event_type").cast(StringType)).as[String]
+      graft.streaming.EventStreaming.topkReplay(keys, k = 64, nChunks = 3)
+    }),
+
     // ── personalized PageRank from the nation-1 suppliers over the
     // bidirectional part↔supplier graph: restart mass on seeds only, so
     // ranks measure relevance NEAR the seed set; exact ppm arithmetic ────
@@ -3783,6 +3795,11 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q154_stream_topk" ->
+      """SELECT event_type AS key, COUNT(*) AS cnt_lo, COUNT(*) AS cnt_hi
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY key""".stripMargin,
 
     // personalized PageRank: q111's chained-CTE replay with the teleport
     // term landing on seed nodes only

@@ -288,6 +288,84 @@ object EventStreaming {
     m.current.get.orderBy("userId")
   }
 
+  /** Streaming frequent-keys maintainer — the unbounded-stream form of
+    * [[graft.operators.HeavyHitters]]: a Misra-Gries summary (≤ k
+    * counters, O(k) driver state FOREVER, independent of stream length
+    * or key cardinality) folded batch-by-batch via foreachBatch. Each
+    * micro-batch is summarized DISTRIBUTED (per-partition MG summaries,
+    * treeAggregate-merged — the executors never ship raw keys, only ≤ k
+    * counters per partition) and merged into the running summary under
+    * the mergeable-summaries bound (Agarwal et al., PODS 2012): total
+    * undercount `dec` only ever ADDS, so at any point
+    * `counter ≤ true-count ≤ counter + dec` and every key with true
+    * count > dec is guaranteed present. The snapshot other queries read
+    * between batches is (key, cnt_lo, cnt_hi) with cnt_lo the counter
+    * and cnt_hi = counter + dec — honest bounds, not a point estimate;
+    * when `dec` = 0 (distinct keys never exceeded k anywhere) the
+    * bounds collapse and the counts are EXACT. */
+  final class TopKMaintainer(keyCol: String, k: Int) {
+    require(k >= 1, s"need k >= 1 counters, got $k")
+    @volatile private var summary = new graft.operators.HeavyHitters.Summary(k)
+
+    /** (keys observed, realized undercount bound). */
+    def stats: (Long, Long) = synchronized((summary.n, summary.dec))
+
+    /** Folds one bounded batch into the summary. */
+    def absorb(batch: DataFrame): Unit = {
+      val kk = k
+      val s = batch.select(col(keyCol).cast(org.apache.spark.sql.types.StringType))
+        .where(col(keyCol).isNotNull)
+        .rdd.treeAggregate(new graft.operators.HeavyHitters.Summary(kk))(
+          (acc, row) => { acc.add(row.getString(0)); acc },
+          (a, b) => a.merge(b))
+      synchronized { summary = summary.merge(s) }
+    }
+
+    /** The current snapshot: (key, cnt_lo, cnt_hi), ordered by key. */
+    def current(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      val (rows, dec) = synchronized(
+        (summary.counts.toSeq.sortBy(_._1), summary.dec))
+      rows.map { case (t, c) => (t, c, c + dec) }
+        .toDF("key", "cnt_lo", "cnt_hi")
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the summary; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded key slice through a [[TopKMaintainer]] in
+    * `nChunks` micro-batches and returns the final snapshot — the
+    * harness that oracle-gates the streaming frequent-keys path: with
+    * k above the slice's distinct-key count the realized undercount is
+    * 0 and the snapshot must EQUAL the exact GROUP BY (the decrement
+    * path is property-specced separately, where no SQL oracle can
+    * follow). Same bounded-replay caveat as [[aggStateReplay]]. */
+  def topkReplay(keys: Dataset[String], k: Int, nChunks: Int): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val rows = keys.collect().toSeq
+    val m = new TopKMaintainer("key", k)
+    if (rows.isEmpty) return m.current(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = m.sink(stream.toDS().toDF("key")).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current(spark)
+  }
+
   /** Open-session partial aggregate — what [[sessionizeStream]] keeps in
     * the state store. Session merge is ASSOCIATIVE on (start, end, n,
     * sum) under the gap rule, so state is O(#open sessions) per key —

@@ -72,7 +72,8 @@ class StreamingStateGuardSpec extends SparkSpec {
     // the two harnesses are the documented exception; each must keep the
     // harness disclaimer next to the collect so the contract is visible
     // at the call site
-    for (h <- Seq("sessionizeReplay", "dedupReplay", "aggStateReplay")) {
+    for (h <- Seq("sessionizeReplay", "dedupReplay", "aggStateReplay",
+        "topkReplay")) {
       val body = span(h, withDoc = true)
       assert(body.contains(".collect()"), s"$h no longer collects — update this spec")
       assert(body.toLowerCase.contains("harness"),
