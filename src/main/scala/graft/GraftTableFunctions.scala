@@ -35,6 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_triangles('edges_view', 'a', 'b')
   *   SELECT * FROM graft_hits('edges_view', 's', 'd', 2)
   *   SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 3)
+  *   SELECT * FROM graft_harmonic('edges_view', 's', 'd', 'seeds_view', 'node', 3)
+  *   SELECT * FROM graft_make_changelog('base_view', 'target_view', 'k', 1)
   *   SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)
   *   SELECT * FROM graft_ewma('events_view', 3, 10, 32)
   *   SELECT * FROM graft_gini('events_view', 'user_id', 'event_type')
@@ -206,6 +208,17 @@ object GraftTableFunctions {
       val a = args("graft_gini", exprs, 3)
       plan(operators.TableOps.giniImpurity(table(a(0)),
         group = str(a(1)), label = str(a(2))))
+    },
+    "graft_harmonic" -> { exprs =>
+      val a = args("graft_harmonic", exprs, 6)
+      plan(graph.Centrality.harmonicCentrality(table(a(0)),
+        aCol = str(a(1)), bCol = str(a(2)), seeds = table(a(3)),
+        seedCol = str(a(4)), maxHops = int(a(5))))
+    },
+    "graft_make_changelog" -> { exprs =>
+      val a = args("graft_make_changelog", exprs, 4)
+      plan(operators.TableOps.makeChangelog(table(a(0)), table(a(1)),
+        key = str(a(2)), seq = int(a(3)).toLong))
     },
     "graft_ppr" -> { exprs =>
       val a = args("graft_ppr", exprs, 6)

@@ -1582,6 +1582,36 @@ object SparkEntry {
       graft.streaming.EventStreaming.topkReplay(keys, k = 64, nChunks = 3)
     }),
 
+    // ── per-seed harmonic centrality (every 100th supplier, 3 hops) over
+    // the part↔supplier graph: Σ L/d as an exact fraction with
+    // L = lcm(1..3) = 6 divisible by every hop count — no truncation ─────
+    "q155_harmonic" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
+        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      val seeds = s.read.parquet(t(dir, "supplier"))
+        .filter(pmod(col("s_suppkey"), lit(100)) === 1)
+        .select((col("s_suppkey") * 2 + 1).cast(LongType).as("node"))
+      graft.graph.Centrality.harmonicCentrality(
+        e0, "s", "d", seeds, "node", maxHops = 3)
+    }),
+
+    // ── snapshot diff → APPLYABLE changelog: the minimal U/D batch that
+    // transforms the base orders snapshot into a simulated next-day
+    // snapshot (deletes, reprices, inserts); round-trip law spec-pinned ──
+    "q156_make_changelog" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_c"))
+      val target = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("price_c", when(pmod(col("o_orderkey"), lit(5)) === 0,
+          col("price_c") + 100L).otherwise(col("price_c")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_custkey"), col("price_c")))
+      graft.operators.TableOps.makeChangelog(base, target, "o_orderkey", seq = 1L)
+    }),
+
     // ── personalized PageRank from the nation-1 suppliers over the
     // bidirectional part↔supplier graph: restart mass on seeds only, so
     // ranks measure relevance NEAR the seed set; exact ppm arithmetic ────
@@ -3795,6 +3825,61 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    // per-seed BFS replayed as chained CTEs (one per hop), then the
+    // harmonic aggregate — 6 // dist is exact for every dist ≤ 3
+    "q155_harmonic" ->
+      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT s, d FROM (SELECT s, d FROM e0
+        |        UNION ALL SELECT d AS s, s AS d FROM e0) t),
+        |sd AS (SELECT DISTINCT 2*s_suppkey+1 AS seed FROM supplier
+        |       WHERE s_suppkey % 100 = 1),
+        |d0 AS (SELECT seed, seed AS node, 0 AS dist FROM sd),
+        |d1 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+        |         SELECT seed, node, dist FROM d0
+        |         UNION ALL SELECT d0.seed, e.d AS node, d0.dist + 1
+        |         FROM d0 JOIN e ON d0.node = e.s) t GROUP BY seed, node),
+        |d2 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+        |         SELECT seed, node, dist FROM d1
+        |         UNION ALL SELECT d1.seed, e.d AS node, d1.dist + 1
+        |         FROM d1 JOIN e ON d1.node = e.s) t GROUP BY seed, node),
+        |d3 AS (SELECT seed, node, MIN(dist) AS dist FROM (
+        |         SELECT seed, node, dist FROM d2
+        |         UNION ALL SELECT d2.seed, e.d AS node, d2.dist + 1
+        |         FROM d2 JOIN e ON d2.node = e.s) t GROUP BY seed, node),
+        |sc AS (SELECT seed, COUNT(*) AS n_reached,
+        |         CAST(SUM(6 // dist) AS BIGINT) AS harm_num
+        |       FROM d3 WHERE dist > 0 GROUP BY seed)
+        |SELECT sd.seed, COALESCE(sc.n_reached, 0) AS n_reached,
+        |       COALESCE(sc.harm_num, 0) AS harm_num,
+        |       CAST(6 AS BIGINT) AS harm_den
+        |FROM sd LEFT JOIN sc ON sd.seed = sc.seed
+        |ORDER BY sd.seed""".stripMargin,
+
+    "q156_make_changelog" -> {
+      val c = CENTS.format("o_totalprice")
+      s"""WITH b AS (SELECT o_orderkey AS k, o_custkey, $c AS price_c
+        |           FROM orders),
+        |tg AS (SELECT k, o_custkey,
+        |         CASE WHEN k % 5 = 0 THEN price_c + 100 ELSE price_c END
+        |           AS price_c
+        |       FROM b WHERE k % 7 <> 0
+        |       UNION ALL
+        |       SELECT k + 1000000000, o_custkey, price_c FROM b
+        |       WHERE k % 11 = 0),
+        |j AS (SELECT COALESCE(b.k, tg.k) AS o_orderkey, b.k AS bk,
+        |        tg.k AS tk, b.o_custkey AS bc, b.price_c AS bp,
+        |        tg.o_custkey AS tc, tg.price_c AS tp
+        |      FROM b FULL OUTER JOIN tg ON b.k = tg.k)
+        |SELECT o_orderkey,
+        |       CASE WHEN tk IS NULL THEN 'D' ELSE 'U' END AS op,
+        |       CAST(1 AS BIGINT) AS seq,
+        |       tc AS o_custkey, tp AS price_c
+        |FROM j
+        |WHERE bk IS NULL OR tk IS NULL OR bc <> tc OR bp <> tp
+        |ORDER BY o_orderkey""".stripMargin
+    },
 
     "q154_stream_topk" ->
       """SELECT event_type AS key, COUNT(*) AS cnt_lo, COUNT(*) AS cnt_hi

@@ -120,6 +120,40 @@ object TableOps {
     * map-side-combined max_by (so a hot key's million updates never meet
     * the join), then ONE co-partitioned full-outer join against the base
     * — exactly the shuffle pattern a 100 TB daily-merge wants. */
+  /** The INVERSE of [[applyChangelog]]: diff two snapshots into the
+    * minimal changelog that transforms `base` into `target` — upserts
+    * ("U", target values) for added and changed keys, deletes ("D",
+    * NULL values) for removed keys, nothing for unchanged keys. The
+    * round-trip law `applyChangelog(base, makeChangelog(base, target)) ≡
+    * target` is spec-pinned; together the pair is the snapshot-diff
+    * replication unit (compute the delta once, ship and apply it
+    * anywhere) — [[snapshotDiff]]'s status report upgraded to an
+    * APPLYABLE artifact. Comparison is null-safe per whole row (the
+    * snapshotDiff struct convention). One co-partitioned full-outer
+    * join; output (key, op, seq, value columns in base order), ordered
+    * by key. */
+  def makeChangelog(base: DataFrame, target: DataFrame, key: String,
+                    seq: Long = 0L, opCol: String = "op",
+                    seqCol: String = "seq"): DataFrame = {
+    require(base.columns.sorted.sameElements(target.columns.sorted),
+      s"snapshot schemas differ: ${base.columns.mkString(",")} vs ${target.columns.mkString(",")}")
+    require(base.columns.contains(key), s"key $key missing")
+    val valCols = base.columns.filterNot(_ == key).toIndexedSeq
+    require(valCols.nonEmpty, "base needs at least one non-key column")
+    require(!valCols.contains(opCol) && !valCols.contains(seqCol) &&
+      key != opCol && key != seqCol,
+      s"op/seq column names ($opCol/$seqCol) collide with snapshot columns")
+    def pack(df: DataFrame, side: String) =
+      df.select(col(key), struct(valCols.map(col): _*).as(side))
+    pack(base, "o").join(pack(target, "n"), Seq(key), "full_outer")
+      .filter(!(col("o") <=> col("n")))
+      .select(Seq(col(key),
+        when(col("n").isNull, lit("D")).otherwise(lit("U")).as(opCol),
+        lit(seq).as(seqCol)) ++
+        valCols.map(c => col(s"n.$c").as(c)): _*)
+      .orderBy(key)
+  }
+
   def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
                      opCol: String = "op", seqCol: String = "seq"): DataFrame =
     mergeChangelogOnce(base, changes, key, opCol, seqCol).orderBy(key)

@@ -288,6 +288,14 @@ class GraftExtensionsSpec extends SparkSpec {
       seedsDf.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))
         == rows(graft.graph.PageRank.personalizedPageRank(edges, "s", "d", seedsDf, "node", 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_harmonic('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))
+        == rows(graft.graph.Centrality.harmonicCentrality(edges, "s", "d", seedsDf, "node", 2)))
+      val baseCl = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      val tgtCl = Seq((1L, "a"), (3L, "c")).toDF("k", "s")
+      baseCl.createOrReplaceTempView("basecl_view")
+      tgtCl.createOrReplaceTempView("tgtcl_view")
+      assert(rows(s2.sql("SELECT * FROM graft_make_changelog('basecl_view', 'tgtcl_view', 'k', 1)"))
+        == rows(graft.operators.TableOps.makeChangelog(baseCl, tgtCl, "k", 1L)))
       assert(rows(s2.sql("SELECT * FROM graft_link_predict('edges_view', 's', 'd', 10, 1)"))
         == rows(graft.graph.LinkPredict.commonNeighbors(edges, "s", "d", 10, 1L)))
 

@@ -106,9 +106,27 @@ object GraphProbeMain {
           .select(bit_xor(xxhash64(col("node"), col("label"))))
           .collect()(0).getLong(0)
       }
+      val (_, hitsSig, hitsLine) = step("hits") {
+        graft.graph.Hits.hits(e, "s", "d", iterations = 2)
+          .select(bit_xor(xxhash64(col("node"), col("hub"), col("auth"))))
+          .collect()(0).getLong(0)
+      }
+      val (_, pprSig, pprLine) = step("ppr") {
+        val seeds = spark.range(10).select(col("id").as("n")) // the 10 hubs
+        graft.graph.PageRank.personalizedPageRank(e, "s", "d", seeds, "n",
+            iterations = 3)
+          .select(bit_xor(xxhash64(col("node"), col("rank"))))
+          .collect()(0).getLong(0)
+      }
+      val (_, nPred, lpredLine) = step("lpred") {
+        graft.graph.LinkPredict.commonNeighbors(e, "s", "d",
+          maxDegree = 20, minCommon = 2L).count()
+      }
       println(s"GRAPH m=$m rep$rep $prLine $wprLine $triLine $coreLine " +
-        s"$bfsLine $lpLine nTri=$nTri nCore=$nCore nReach=$nReach " +
-        s"prSig=$prSig wprSig=$wprSig lpSig=$lpSig")
+        s"$bfsLine $lpLine $hitsLine $pprLine $lpredLine " +
+        s"nTri=$nTri nCore=$nCore nReach=$nReach nPred=$nPred " +
+        s"prSig=$prSig wprSig=$wprSig lpSig=$lpSig hitsSig=$hitsSig " +
+        s"pprSig=$pprSig")
     }
     spark.stop()
   }

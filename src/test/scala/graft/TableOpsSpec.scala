@@ -205,6 +205,49 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.profile(df, Seq("nope")))
   }
 
+  test("makeChangelog emits the minimal U/D batch") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val tgt = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L)).toDF("k", "s", "v")
+    val got = TableOps.makeChangelog(base, tgt, "k", seq = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq == Seq(
+      (2L, "U", 5L, Some("B"), Some(20L)),   // changed
+      (3L, "D", 5L, None, None),             // removed
+      (4L, "U", 5L, Some("d"), Some(40L)))) // added
+  }
+
+  test("round-trip law: applyChangelog(base, makeChangelog(base, target)) == target") {
+    val rng = new scala.util.Random(83L)
+    val base = Seq.tabulate(60)(i => (i.toLong, rng.nextInt(5).toString, rng.nextInt(100).toLong))
+    // random target: drop some, mutate some, add some — nulls included
+    val target = base.filter(_ => rng.nextBoolean())
+      .map { case (k, s, v) => if (rng.nextBoolean()) (k, null.asInstanceOf[String], v + 1) else (k, s, v) } ++
+      Seq.tabulate(10)(i => (1000L + i, "new", i.toLong))
+    val bDf = base.toDF("k", "s", "v")
+    val tDf = target.toDF("k", "s", "v")
+    val log = TableOps.makeChangelog(bDf, tDf, "k")
+    val replayed = TableOps.applyChangelog(bDf, log, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(replayed == target.toSet)
+  }
+
+  test("makeChangelog null-safe compare: null == null is unchanged") {
+    val base = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "s")
+    val tgt = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val got = TableOps.makeChangelog(base, tgt, "k").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L), "only key 2 changed")
+  }
+
+  test("makeChangelog rejects mismatched schemas and colliding names") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException](
+      TableOps.makeChangelog(a, Seq((1L, "x", 2L)).toDF("k", "s", "v"), "k"))
+    intercept[IllegalArgumentException](
+      TableOps.makeChangelog(Seq((1L, "x")).toDF("k", "op"),
+        Seq((1L, "y")).toDF("k", "op"), "k"))
+  }
+
   test("giniImpurity: exact fractions, pure group is 0, null labels are a class") {
     val rows = Seq(
       ("a", Some("x")), ("a", Some("x")), ("a", Some("y")),   // 3², Σc²=5
