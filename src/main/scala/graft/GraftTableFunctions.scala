@@ -36,6 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_hits('edges_view', 's', 'd', 2)
   *   SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 3)
   *   SELECT * FROM graft_harmonic('edges_view', 's', 'd', 'seeds_view', 'node', 3)
+  *   SELECT * FROM graft_ktruss('edges_view', 'a', 'b', 4, 5)
+  *   SELECT * FROM graft_fd_check('orders_view', 'o_orderkey:o_custkey')
   *   SELECT * FROM graft_make_changelog('base_view', 'target_view', 'k', 1)
   *   SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)
   *   SELECT * FROM graft_ewma('events_view', 3, 10, 32)
@@ -208,6 +210,23 @@ object GraftTableFunctions {
       val a = args("graft_gini", exprs, 3)
       plan(operators.TableOps.giniImpurity(table(a(0)),
         group = str(a(1)), label = str(a(2))))
+    },
+    "graft_ktruss" -> { exprs =>
+      val a = args("graft_ktruss", exprs, 5)
+      plan(graph.Truss.kTruss(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2)), k = int(a(3)), maxPeels = int(a(4))))
+    },
+    // pair list grammar: 'det:dep,det:dep'
+    "graft_fd_check" -> { exprs =>
+      val a = args("graft_fd_check", exprs, 2)
+      val pairs = str(a(1)).split(",").toSeq.map { p =>
+        p.split(":") match {
+          case Array(x, y) => (x.trim, y.trim)
+          case _ => throw new IllegalArgumentException(
+            s"graft_fd_check pair '$p' is not det:dep")
+        }
+      }
+      plan(operators.TableOps.functionalDeps(table(a(0)), pairs))
     },
     "graft_harmonic" -> { exprs =>
       val a = args("graft_harmonic", exprs, 6)

@@ -1582,6 +1582,29 @@ object SparkEntry {
       graft.streaming.EventStreaming.topkReplay(keys, k = 64, nChunks = 3)
     }),
 
+    // ── 3-truss of the co-purchase graph (2 peel rounds): every
+    // surviving edge sits in ≥ 1 triangle — edge cohesion one notch
+    // stronger than q121's k-core; support recounted per peel ───────────
+    "q157_ktruss" -> ((s, dir) => {
+      val op = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2).select(col("pa"), col("pb"))
+      graft.graph.Truss.kTruss(pairs, "pa", "pb", k = 3, maxPeels = 2)
+    }),
+
+    // ── functional-dependency check over orders: key discovery with the
+    // violation DEGREE (max fan-out), one pruned two-level agg per pair ──
+    "q158_fd_check" -> ((s, dir) =>
+      graft.operators.TableOps.functionalDeps(
+        s.read.parquet(t(dir, "orders")),
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+          ("o_orderkey", "o_orderstatus")))),
+
     // ── per-seed harmonic centrality (every 100th supplier, 3 hops) over
     // the part↔supplier graph: Σ L/d as an exact fraction with
     // L = lcm(1..3) = 6 divisible by every hop count — no truncation ─────
@@ -3825,6 +3848,51 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    // two peel rounds, each a full triangle enumeration (x<y<z join
+    // chain) + per-edge support count + filter, chained
+    "q157_ktruss" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
+        |t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |       FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+        |       JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |s1 AS (SELECT a, b, COUNT(*) AS s FROM (
+        |         SELECT x AS a, y AS b FROM t1
+        |         UNION ALL SELECT x AS a, z AS b FROM t1
+        |         UNION ALL SELECT y AS a, z AS b FROM t1) u GROUP BY a, b),
+        |e1 AS (SELECT e0.a, e0.b FROM e0 LEFT JOIN s1
+        |         ON e0.a = s1.a AND e0.b = s1.b
+        |       WHERE COALESCE(s1.s, 0) >= 1),
+        |t2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |       FROM e1 JOIN e1 e2 ON e1.a = e2.a AND e1.b < e2.b
+        |       JOIN e1 e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |s2 AS (SELECT a, b, COUNT(*) AS s FROM (
+        |         SELECT x AS a, y AS b FROM t2
+        |         UNION ALL SELECT x AS a, z AS b FROM t2
+        |         UNION ALL SELECT y AS a, z AS b FROM t2) u GROUP BY a, b),
+        |e2 AS (SELECT e1.a, e1.b FROM e1 LEFT JOIN s2
+        |         ON e1.a = s2.a AND e1.b = s2.b
+        |       WHERE COALESCE(s2.s, 0) >= 1)
+        |SELECT a, b FROM e2 ORDER BY a, b""".stripMargin,
+
+    "q158_fd_check" -> Seq(
+      ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
+      ("o_orderkey", "o_orderstatus"))
+      .map { case (a, b) =>
+        s"""SELECT '$a' AS det, '$b' AS dep, COUNT(*) AS n_det,
+          |       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_pairs,
+          |       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_deps,
+          |       CAST(CASE WHEN MAX(c) IS NULL OR MAX(c) = 1
+          |            THEN 1 ELSE 0 END AS BIGINT) AS holds
+          |FROM (SELECT x, COUNT(*) AS c FROM
+          |        (SELECT DISTINCT $a AS x, $b AS y FROM orders
+          |         WHERE $a IS NOT NULL AND $b IS NOT NULL) d
+          |      GROUP BY x) g""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY det, dep"),
 
     // per-seed BFS replayed as chained CTEs (one per hop), then the
     // harmonic aggregate — 6 // dist is exact for every dist ≤ 3

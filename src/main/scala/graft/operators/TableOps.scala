@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Whole-table relational utilities that aren't tied to one domain. */
 object TableOps {
@@ -120,6 +120,44 @@ object TableOps {
     * map-side-combined max_by (so a hot key's million updates never meet
     * the join), then ONE co-partitioned full-outer join against the base
     * — exactly the shuffle pattern a 100 TB daily-merge wants. */
+  /** Functional-dependency check — data profiling's key-discovery
+    * primitive: for each candidate (determinant → dependent) pair, does
+    * every determinant value map to exactly one dependent value? Output
+    * per pair: (det, dep, n_det, n_pairs, max_deps, holds) where n_det
+    * counts distinct determinant values, n_pairs distinct (det, dep)
+    * combinations, max_deps the worst per-determinant fan-out, and
+    * holds = 1 iff max_deps = 1 (equivalently n_det = n_pairs) — the
+    * violation DEGREE, not just a boolean. Rows where either column is
+    * NULL are excluded (the engine-portable convention: NULL determines
+    * nothing and is determined by nothing). Ordered by (det, dep).
+    *
+    * Scale shape: one column-pruned two-level aggregation per pair (the
+    * [[profileBatched]] discipline — no row multiplication, no Expand);
+    * the exchange per pair is O(distinct combinations). */
+  def functionalDeps(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDeps needs at least one column pair")
+    pairs.foreach { case (a, b) =>
+      require(df.columns.contains(a) && df.columns.contains(b),
+        s"unknown column in pair ($a, $b)")
+      require(a != b, s"determinant and dependent must differ, got ($a, $b)")
+    }
+    pairs.map { case (a, b) =>
+      df.select(col(a).as("__x"), col(b).as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull)
+        .groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
+        .groupBy("__x").agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_det"), sum("__c").as("n_pairs"),
+          max("__c").as("max_deps"))
+        .select(lit(a).as("det"), lit(b).as("dep"),
+          coalesce(col("n_det"), lit(0L)).as("n_det"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("max_deps"), lit(0L)).as("max_deps"),
+          // an empty relation vacuously satisfies every FD
+          when(col("max_deps").isNull || col("max_deps") === 1L, lit(1L))
+            .otherwise(lit(0L)).as("holds"))
+    }.reduce(_ unionByName _).orderBy("det", "dep")
+  }
+
   /** The INVERSE of [[applyChangelog]]: diff two snapshots into the
     * minimal changelog that transforms `base` into `target` — upserts
     * ("U", target values) for added and changed keys, deletes ("D",

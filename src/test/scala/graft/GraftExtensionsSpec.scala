@@ -290,6 +290,12 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.PageRank.personalizedPageRank(edges, "s", "d", seedsDf, "node", 2)))
       assert(rows(s2.sql("SELECT * FROM graft_harmonic('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))
         == rows(graft.graph.Centrality.harmonicCentrality(edges, "s", "d", seedsDf, "node", 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_ktruss('edges_view', 's', 'd', 3, 4)"))
+        == rows(graft.graph.Truss.kTruss(edges, "s", "d", 3, 4)))
+      val fdDf = Seq((1L, "a"), (2L, "a"), (2L, "b")).toDF("k", "s")
+      fdDf.createOrReplaceTempView("fd_view")
+      assert(rows(s2.sql("SELECT * FROM graft_fd_check('fd_view', 'k:s, s:k')"))
+        == rows(graft.operators.TableOps.functionalDeps(fdDf, Seq(("k", "s"), ("s", "k")))))
       val baseCl = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
       val tgtCl = Seq((1L, "a"), (3L, "c")).toDF("k", "s")
       baseCl.createOrReplaceTempView("basecl_view")

@@ -205,6 +205,41 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.profile(df, Seq("nope")))
   }
 
+  test("functionalDeps: holds, violation degree, and null exclusion") {
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("a"), "x"), (3L, Some("b"), "y"),
+      (3L, Some("b"), "y"),                       // duplicate row: no effect
+      (4L, Some("c"), "x"), (4L, Some("c"), "y"), // k=4 maps to 2 statuses
+      (5L, None, "z"))                            // null determinant: excluded
+    val got = TableOps.functionalDeps(df.toDF("k", "s", "v"),
+        Seq(("k", "v"), ("s", "v"), ("v", "k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("k", "v"))  == ((5L, 6L, 2L, 0L)))  // k=4 fans out; the
+    // null-s row still counts here (nulls only exclude per-pair columns)
+    assert(got(("s", "v"))  == ((3L, 4L, 2L, 0L)))  // c -> {x, y}
+    assert(got(("v", "k"))  == ((3L, 6L, 3L, 0L)))  // x -> {1,2,4}
+    val unique = TableOps.functionalDeps(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "s"), Seq(("k", "s")))
+      .collect()(0)
+    assert((unique.getLong(2), unique.getLong(5)) == ((2L, 1L)))
+  }
+
+  test("functionalDeps: an empty relation vacuously holds") {
+    val got = TableOps.functionalDeps(
+        Seq.empty[(Long, String)].toDF("k", "s"), Seq(("k", "s")))
+      .collect()(0)
+    assert((got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5))
+      == ((0L, 0L, 0L, 1L)))
+  }
+
+  test("functionalDeps rejects bad pairs") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException](TableOps.functionalDeps(df, Seq.empty))
+    intercept[IllegalArgumentException](TableOps.functionalDeps(df, Seq(("k", "k"))))
+    intercept[IllegalArgumentException](TableOps.functionalDeps(df, Seq(("k", "nope"))))
+  }
+
   test("makeChangelog emits the minimal U/D batch") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v")
     val tgt = Seq((1L, "a", 10L), (2L, "B", 20L), (4L, "d", 40L)).toDF("k", "s", "v")
