@@ -37,6 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 3)
   *   SELECT * FROM graft_harmonic('edges_view', 's', 'd', 'seeds_view', 'node', 3)
   *   SELECT * FROM graft_ktruss('edges_view', 'a', 'b', 4, 5)
+  *   SELECT * FROM graft_robust_outliers('events_view', 'event_type', 'c', 3)
+  *   SELECT * FROM graft_missing_ranges('orders_view', 'o_orderkey')
+  *   SELECT * FROM graft_ref_check('lineitem_view', 'l_orderkey', 'orders_view', 'o_orderkey')
+  *   SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 4)
   *   SELECT * FROM graft_fd_check('orders_view', 'o_orderkey:o_custkey')
   *   SELECT * FROM graft_make_changelog('base_view', 'target_view', 'k', 1)
   *   SELECT * FROM graft_rrf_fuse('runs_view', 'q', 'doc', 'rank', 10)
@@ -210,6 +214,26 @@ object GraftTableFunctions {
       val a = args("graft_gini", exprs, 3)
       plan(operators.TableOps.giniImpurity(table(a(0)),
         group = str(a(1)), label = str(a(2))))
+    },
+    "graft_robust_outliers" -> { exprs =>
+      val a = args("graft_robust_outliers", exprs, 4)
+      plan(operators.TableOps.robustOutliers(table(a(0)),
+        group = str(a(1)), x = str(a(2)), mult = int(a(3)).toLong))
+    },
+    // the range splitters compute EAGERLY at planning (graft_sliding_agg note)
+    "graft_missing_ranges" -> { exprs =>
+      val a = args("graft_missing_ranges", exprs, 2)
+      plan(operators.TableOps.missingRanges(table(a(0)), idCol = str(a(1))))
+    },
+    "graft_ref_check" -> { exprs =>
+      val a = args("graft_ref_check", exprs, 4)
+      plan(operators.Quality.referential(table(a(0)), childCol = str(a(1)),
+        parent = table(a(2)), parentCol = str(a(3))))
+    },
+    "graft_ancestors" -> { exprs =>
+      val a = args("graft_ancestors", exprs, 4)
+      plan(graph.Hierarchy.ancestors(table(a(0)), childCol = str(a(1)),
+        parentCol = str(a(2)), maxDepth = int(a(3))))
     },
     "graft_ktruss" -> { exprs =>
       val a = args("graft_ktruss", exprs, 5)

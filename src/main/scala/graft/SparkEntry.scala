@@ -1582,6 +1582,41 @@ object SparkEntry {
       graft.streaming.EventStreaming.topkReplay(keys, k = 64, nChunks = 3)
     }),
 
+    // ── MAD-rule robust outliers: event values beyond 3·MAD of their
+    // type's exact median — the flag a single wild value can't corrupt ───
+    "q159_robust_outliers" -> ((s, dir) =>
+      graft.operators.TableOps.robustOutliers(
+        s.read.parquet(t(dir, "events"))
+          .select(col("event_type"), cents(col("value")).as("c")),
+        "event_type", "c", mult = 3L)),
+
+    // ── referential integrity both ways: lineitem→orders holds by
+    // construction; events users→customers is the orphan-heavy case ──────
+    "q160_ref_integrity" -> ((s, dir) =>
+      graft.operators.Quality.referential(
+          s.read.parquet(t(dir, "lineitem")), "l_orderkey",
+          s.read.parquet(t(dir, "orders")), "o_orderkey")
+        .unionByName(graft.operators.Quality.referential(
+          s.read.parquet(t(dir, "events")), "user_id",
+          s.read.parquet(t(dir, "customer")), "c_custkey"))
+        .orderBy("col_name")),
+
+    // ── missing o_orderkey ranges: the neighbor pair via the TeraSort
+    // sliding machinery (window-2 Min), never a partitionless window ─────
+    "q161_missing_ranges" -> ((s, dir) =>
+      graft.operators.TableOps.missingRanges(
+        s.read.parquet(t(dir, "orders"))
+          .filter(col("o_orderstatus") === "F"), "o_orderkey")),
+
+    // ── ancestor closure of the decimal part hierarchy (parent = key
+    // div 10), 4 levels: the dimension-flattening closure table ──────────
+    "q162_ancestors" -> ((s, dir) => {
+      val pc = s.read.parquet(t(dir, "part"))
+        .filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("c"), expr("p_partkey div 10").as("p"))
+      graft.graph.Hierarchy.ancestors(pc, "c", "p", maxDepth = 4)
+    }),
+
     // ── 3-truss of the co-purchase graph (2 peel rounds): every
     // surviving edge sits in ≥ 1 triangle — edge cohesion one notch
     // stronger than q121's k-core; support recounted per peel ───────────
@@ -3848,6 +3883,83 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    // q122's exact lower-median chain extended with the flag join
+    "q159_robust_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT event_type, c,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, c AS med, n FROM r WHERE rn = (n+1)//2),
+        |dev AS (SELECT e.event_type, ABS(e.c - med.med) AS dv
+        |        FROM e JOIN med ON e.event_type = med.event_type),
+        |r2 AS (SELECT event_type, dv,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM dev),
+        |mad AS (SELECT event_type, dv AS mad FROM r2 WHERE rn = (n2+1)//2),
+        |st AS (SELECT med.event_type, med.med, mad.mad
+        |       FROM med JOIN mad ON med.event_type = mad.event_type)
+        |SELECT e.event_type, e.c, st.med, st.mad, ABS(e.c - st.med) AS dev
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE ABS(e.c - st.med) > 3 * st.mad
+        |ORDER BY e.event_type, e.c""".stripMargin,
+
+    "q160_ref_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'relationship' AS rule, 'l_orderkey' AS col_name,
+        |         COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL
+        |                        AND o.o_orderkey IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |         SUM(CASE WHEN l.l_orderkey IS NOT NULL
+        |                        AND o.o_orderkey IS NULL
+        |                  THEN 1 ELSE 0 END) = 0 AS pass
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders
+        |     WHERE o_orderkey IS NOT NULL) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'relationship', 'user_id', COUNT(*),
+        |         CAST(SUM(CASE WHEN e.user_id IS NOT NULL
+        |                        AND c.c_custkey IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT),
+        |         SUM(CASE WHEN e.user_id IS NOT NULL
+        |                        AND c.c_custkey IS NULL
+        |                  THEN 1 ELSE 0 END) = 0
+        |  FROM events e LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer
+        |     WHERE c_custkey IS NOT NULL) c
+        |    ON e.user_id = c.c_custkey) t
+        |ORDER BY col_name""".stripMargin,
+
+    "q161_missing_ranges" ->
+      """WITH ids AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS id
+        |             FROM orders WHERE o_orderkey IS NOT NULL
+        |               AND o_orderstatus = 'F'),
+        |l AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM ids)
+        |SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+        |       id - prev - 1 AS gap_len
+        |FROM l WHERE prev IS NOT NULL AND id - prev > 1
+        |ORDER BY gap_start""".stripMargin,
+
+    // the decimal hierarchy is a tree (anc strictly shrinks), so plain
+    // chained joins replay the operator's min-depth closure exactly
+    "q162_ancestors" ->
+      """WITH pc AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS c,
+        |              CAST(p_partkey // 10 AS BIGINT) AS p
+        |            FROM part WHERE p_partkey >= 10),
+        |l1 AS (SELECT c AS node, p AS anc, CAST(1 AS BIGINT) AS depth FROM pc),
+        |l2 AS (SELECT l1.node, pc.p AS anc, CAST(2 AS BIGINT) AS depth
+        |       FROM l1 JOIN pc ON l1.anc = pc.c),
+        |l3 AS (SELECT l2.node, pc.p AS anc, CAST(3 AS BIGINT) AS depth
+        |       FROM l2 JOIN pc ON l2.anc = pc.c),
+        |l4 AS (SELECT l3.node, pc.p AS anc, CAST(4 AS BIGINT) AS depth
+        |       FROM l3 JOIN pc ON l3.anc = pc.c)
+        |SELECT node, anc, depth FROM (
+        |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        |  UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4) u
+        |ORDER BY node, depth, anc""".stripMargin,
 
     // two peel rounds, each a full triangle enumeration (x<y<z join
     // chain) + per-edge support count + filter, chained

@@ -93,4 +93,30 @@ object Quality {
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("rule", "col_name")
   }
+
+  /** Referential-integrity expectation (dbt's `relationships` test) —
+    * the cross-table rule [[expectations]]' single-table grammar can't
+    * express: every non-NULL `childCol` value must exist in
+    * `parent.parentCol`. Same report shape as [[expectations]]
+    * ((rule, col_name, n_rows, n_violations, pass), one row), so the
+    * two compose by plain union into one quality report. NULL foreign
+    * keys never violate (the optional-reference convention, matching
+    * the NULL handling of accepted/range rules). Cost: one left join
+    * against the DISTINCT parent-key set (broadcast when small) + one
+    * aggregate — the orphan COUNT, not an orphan materialization. */
+  def referential(child: DataFrame, childCol: String,
+                  parent: DataFrame, parentCol: String): DataFrame = {
+    require(child.columns.contains(childCol), s"unknown child column $childCol")
+    require(parent.columns.contains(parentCol), s"unknown parent column $parentCol")
+    child.select(col(childCol).as("__fk"))
+      .join(parent.select(col(parentCol).as("__fk"))
+        .filter(col("__fk").isNotNull).distinct()
+        .withColumn("__hit", lit(1L)), Seq("__fk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)).as("__viol"))
+      .select(lit("relationship").as("rule"), lit(childCol).as("col_name"),
+        col("n_rows"), coalesce(col("__viol"), lit(0L)).as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

@@ -299,6 +299,51 @@ object TableOps {
       .orderBy(group)
   }
 
+  /** Robust outlier rows by the MAD rule: every (group, x) whose
+    * deviation from the group's exact lower median exceeds
+    * `mult`·MAD — the outlier filter that survives what the z-score
+    * does not (one wild value corrupts mean AND stddev; the median/MAD
+    * pair shrugs it off). All-integer: `mult` is a whole-number
+    * multiplier (fold the 1.4826 normal-consistency constant into your
+    * choice of mult — 3·MAD ≈ 2·σ-equivalent), so any engine replays
+    * the flags exactly. Groups with MAD = 0 (over half the mass on one
+    * value) flag EVERY deviating row — the honest reading of "the
+    * group does not vary". Output: (group, x, med, mad, dev) per
+    * flagged row (duplicates kept — each event flags), ordered by
+    * (group, x). Cost: [[madPerGroup]] + one O(#groups) stats join. */
+  def robustOutliers(df: DataFrame, group: String, x: String,
+                     mult: Long): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1, got $mult")
+    val stats = madPerGroup(df, group, x)
+    df.select(col(group), col(x))
+      .join(stats.select(col(group), col("med"), col("mad")), Seq(group))
+      .filter(abs(col(x) - col("med")) > lit(mult) * col("mad"))
+      .select(col(group), col(x), col("med"), col("mad"),
+        abs(col(x) - col("med")).as("dev"))
+      .orderBy(group, x)
+  }
+
+  /** Missing id ranges — "which sequence numbers never arrived": the
+    * gaps between consecutive DISTINCT values of `idCol`, as
+    * (gap_start, gap_end, gap_len) closed intervals. The neighbor pair
+    * is NOT a partitionless window (the single-task sort the plan audit
+    * bans): it reuses the TeraSort sliding machinery —
+    * [[SlidingAggregate.scalable]] with window 2 and the Min monoid
+    * puts each distinct id beside its predecessor under range
+    * partitioning with bounded boundary replication, so the exchange is
+    * O(distinct ids) across however many tasks the data needs. Ordered
+    * by gap_start. */
+  def missingRanges(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("__id"))
+      .filter(col("__id").isNotNull).distinct()
+    SlidingAggregate.scalable(ids, "__id", "__id", window = 2,
+        numParts = 0, LongMonoid.Min)
+      .filter(col("key") - col("agg") > 1L)
+      .select((col("agg") + 1L).as("gap_start"), (col("key") - 1L).as("gap_end"),
+        (col("key") - col("agg") - 1L).as("gap_len"))
+      .orderBy("gap_start")
+  }
+
   /** Exact OLS sufficient statistics per group for y ~ a + b·x over
     * BIGINT columns: (n, Σx, Σy, Σx², Σxy) plus the closed-form slope
     * fraction b = slope_num / slope_den with slope_num = n·Σxy − Σx·Σy

@@ -296,6 +296,23 @@ class GraftExtensionsSpec extends SparkSpec {
       fdDf.createOrReplaceTempView("fd_view")
       assert(rows(s2.sql("SELECT * FROM graft_fd_check('fd_view', 'k:s, s:k')"))
         == rows(graft.operators.TableOps.functionalDeps(fdDf, Seq(("k", "s"), ("s", "k")))))
+      val outDf = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 50L)).toDF("g", "x")
+      outDf.createOrReplaceTempView("out_view")
+      assert(rows(s2.sql("SELECT * FROM graft_robust_outliers('out_view', 'g', 'x', 3)"))
+        == rows(graft.operators.TableOps.robustOutliers(outDf, "g", "x", 3L)))
+      val gapDf = Seq(1L, 2L, 7L).toDF("id")
+      gapDf.createOrReplaceTempView("gap_view")
+      assert(rows(s2.sql("SELECT * FROM graft_missing_ranges('gap_view', 'id')"))
+        == rows(graft.operators.TableOps.missingRanges(gapDf, "id")))
+      val chDf = Seq(1L, 9L).toDF("fk"); val paDf = Seq(1L, 2L).toDF("pk")
+      chDf.createOrReplaceTempView("ch_view")
+      paDf.createOrReplaceTempView("pa_view")
+      assert(rows(s2.sql("SELECT * FROM graft_ref_check('ch_view', 'fk', 'pa_view', 'pk')"))
+        == rows(graft.operators.Quality.referential(chDf, "fk", paDf, "pk")))
+      val pcDf = Seq((4L, 3L), (3L, 2L)).toDF("c", "p")
+      pcDf.createOrReplaceTempView("pc_view")
+      assert(rows(s2.sql("SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 3)"))
+        == rows(graft.graph.Hierarchy.ancestors(pcDf, "c", "p", 3)))
       val baseCl = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
       val tgtCl = Seq((1L, "a"), (3L, "c")).toDF("k", "s")
       baseCl.createOrReplaceTempView("basecl_view")

@@ -52,4 +52,24 @@ class QualitySpec extends SparkSpec {
       expectations(df.withColumnRenamed("v", "v'x"), Seq(ExpectNotNull("v'x"))))
     intercept[IllegalArgumentException](expectations(df, Seq.empty))
   }
+
+  test("referential: orphans counted, null FKs never violate, duplicates count per row") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 2L).toDF("pk") // duplicate parent keys collapse
+    val r = graft.operators.Quality.referential(child, "fk", parent, "pk")
+      .collect()(0)
+    assert((r.getString(0), r.getString(1)) == (("relationship", "fk")))
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(4)) == ((4L, 1L, false)))
+    // fully-covered child passes; empty child passes vacuously
+    val ok = graft.operators.Quality.referential(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk").collect()(0)
+    assert(ok.getLong(3) == 0L && ok.getBoolean(4))
+    val empty = graft.operators.Quality.referential(
+      Seq.empty[Long].toDF("fk"), "fk", parent, "pk").collect()(0)
+    assert((empty.getLong(2), empty.getLong(3), empty.getBoolean(4))
+      == ((0L, 0L, true)))
+    intercept[IllegalArgumentException](
+      graft.operators.Quality.referential(child, "nope", parent, "pk"))
+  }
 }

@@ -205,6 +205,42 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.profile(df, Seq("nope")))
   }
 
+  test("robustOutliers: MAD rule flags, zero-MAD group flags every deviation") {
+    // group a: values 1..7 plus wild 100 → med 4 (lower), MAD from devs
+    // {3,2,1,0,1,2,3,96} sorted {0,1,1,2,2,3,3,96} → lower median 2;
+    // 3·MAD = 6 → only the 100 flags (dev 96)
+    val a = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L).map(("a", _))
+    // group b: constant 5 except one 6 → MAD 0 → the 6 flags (dev 1 > 0)
+    val b = Seq(5L, 5L, 5L, 6L).map(("b", _))
+    val got = TableOps.robustOutliers((a ++ b).toDF("g", "x"), "g", "x", 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 100L, 4L, 2L, 96L), ("b", 6L, 5L, 0L, 1L)))
+  }
+
+  test("robustOutliers keeps duplicate flagged rows and validates mult") {
+    val rows = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 9L), ("g", 9L))
+    val got = TableOps.robustOutliers(rows.toDF("g", "x"), "g", "x", 3L)
+    assert(got.count() == 2L, "both 9s must flag") // med 1, MAD 0
+    intercept[IllegalArgumentException](
+      TableOps.robustOutliers(rows.toDF("g", "x"), "g", "x", 0L))
+  }
+
+  test("missingRanges finds closed gap intervals over distinct ids") {
+    val ids = Seq(1L, 2L, 5L, 6L, 9L, 9L, 15L) // dup 9 collapses
+    val got = TableOps.missingRanges(ids.map(Tuple1(_)).toDF("id"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 4L, 2L), (7L, 8L, 2L), (10L, 14L, 5L)))
+  }
+
+  test("missingRanges: dense and single-value inputs have no gaps; nulls drop") {
+    assert(TableOps.missingRanges(
+      Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id"), "id").isEmpty)
+    assert(TableOps.missingRanges(
+      Seq(Tuple1(Option(7L)), Tuple1(Option.empty[Long]))
+        .toDF("id"), "id").isEmpty)
+  }
+
   test("functionalDeps: holds, violation degree, and null exclusion") {
     val df = Seq(
       (1L, Some("a"), "x"), (2L, Some("a"), "x"), (3L, Some("b"), "y"),
