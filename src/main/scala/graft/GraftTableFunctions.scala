@@ -38,6 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_harmonic('edges_view', 's', 'd', 'seeds_view', 'node', 3)
   *   SELECT * FROM graft_ktruss('edges_view', 'a', 'b', 4, 5)
   *   SELECT * FROM graft_robust_outliers('events_view', 'event_type', 'c', 3)
+  *   SELECT * FROM graft_zero_floor('deltas_view', 'k', 'ord', 'delta')
+  *   SELECT * FROM graft_attribution('events_view', 'purchase', 'click,view', 3600)
   *   SELECT * FROM graft_missing_ranges('orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ref_check('lineitem_view', 'l_orderkey', 'orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 4)
@@ -214,6 +216,19 @@ object GraftTableFunctions {
       val a = args("graft_gini", exprs, 3)
       plan(operators.TableOps.giniImpurity(table(a(0)),
         group = str(a(1)), label = str(a(2))))
+    },
+    "graft_zero_floor" -> { exprs =>
+      val a = args("graft_zero_floor", exprs, 4)
+      plan(operators.TableOps.zeroFloorBalance(table(a(0)),
+        key = str(a(1)), ord = str(a(2)), delta = str(a(3))))
+    },
+    // window in SECONDS (a literal-int surface; converted to micros)
+    "graft_attribution" -> { exprs =>
+      val a = args("graft_attribution", exprs, 4)
+      plan(events.EventOps.linearAttribution(table(a(0)),
+        convType = str(a(1)),
+        touchTypes = str(a(2)).split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+        windowUs = int(a(3)).toLong * 1000000L))
     },
     "graft_robust_outliers" -> { exprs =>
       val a = args("graft_robust_outliers", exprs, 4)

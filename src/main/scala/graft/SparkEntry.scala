@@ -1582,6 +1582,25 @@ object SparkEntry {
       graft.streaming.EventStreaming.topkReplay(keys, k = 64, nChunks = 3)
     }),
 
+    // ── zero-floor running balance per customer: max(0, y+Δ) via the
+    // closed form S − min(prefix-min S, 0) — two partitioned windows
+    // replace the sequential clamp fold ──────────────────────────────────
+    "q163_zero_floor" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "orders"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderstatus") === "O", cents(col("o_totalprice")))
+            .otherwise(-cents(col("o_totalprice"))).as("delta"))
+      graft.operators.TableOps.zeroFloorBalance(
+        d, "o_custkey", "o_orderkey", "delta")
+    }),
+
+    // ── linear multi-touch attribution: purchases split their cents
+    // equally (as exact fractions) over the hour's click/view touches;
+    // (user, bucket) equi-join — never a cross-user bucket join ──────────
+    "q164_attribution" -> ((s, dir) =>
+      EventOps.linearAttribution(s.read.parquet(t(dir, "events")),
+        "purchase", Seq("click", "view"), windowUs = 3600000000L)),
+
     // ── MAD-rule robust outliers: event values beyond 3·MAD of their
     // type's exact median — the flag a single wild value can't corrupt ───
     "q159_robust_outliers" -> ((s, dir) =>
@@ -3883,6 +3902,48 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q163_zero_floor" -> {
+      val c = CENTS.format("o_totalprice")
+      s"""WITH d AS (SELECT o_custkey, o_orderkey,
+        |             CASE WHEN o_orderstatus = 'O' THEN $c
+        |                  ELSE -$c END AS delta
+        |           FROM orders),
+        |s AS (SELECT o_custkey, o_orderkey, delta,
+        |        CAST(SUM(delta) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS rs
+        |      FROM d),
+        |m AS (SELECT *, MIN(rs) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |      FROM s)
+        |SELECT o_custkey, o_orderkey, delta,
+        |       CAST(rs - LEAST(rm, 0) AS BIGINT) AS balance
+        |FROM m ORDER BY o_custkey, o_orderkey""".stripMargin
+    },
+
+    "q164_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |tch AS (SELECT user_id, event_id AS touch_id,
+        |          event_type AS touch_type, tus AS tts
+        |        FROM ev WHERE event_type IN ('click', 'view')),
+        |cv AS (SELECT user_id, event_id AS conv_id, tus AS cts, cents
+        |       FROM ev WHERE event_type = 'purchase'),
+        |p AS (SELECT cv.user_id, cv.conv_id, tch.touch_id,
+        |        tch.touch_type, cv.cents
+        |      FROM cv JOIN tch ON cv.user_id = tch.user_id
+        |       AND cv.cts - 3600000000 <= tch.tts AND tch.tts < cv.cts),
+        |n AS (SELECT conv_id, COUNT(*) AS credit_den FROM p
+        |      GROUP BY conv_id)
+        |SELECT p.user_id, p.conv_id, p.touch_id, p.touch_type,
+        |       p.cents AS credit_num, n.credit_den
+        |FROM p JOIN n ON p.conv_id = n.conv_id
+        |ORDER BY p.conv_id, p.touch_id""".stripMargin,
 
     // q122's exact lower-median chain extended with the flag join
     "q159_robust_outliers" ->

@@ -328,6 +328,56 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Linear multi-touch attribution: each conversion's value splits
+    * EQUALLY across the user's touch events inside the trailing
+    * `windowUs` lookback — the credit model between last-touch (all to
+    * one) and data-driven (needs a model). Credit stays an EXACT
+    * fraction (conv_cents / n_touches per touch), never a divided
+    * float, so credits re-aggregate losslessly downstream.
+    *
+    * Scale shape (the [[RangeJoin]] bucket discipline with the user in
+    * the key): conversions explode to the ≤ windowUs/bucket + 1 time
+    * buckets their lookback spans, touches compute their single bucket,
+    * and the join is a plain EQUI-join on (user, bucket) with the exact
+    * range predicate as a post-filter — a (touch, conversion) pair can
+    * meet only in the touch's bucket, so no dedup pass. Bucket width =
+    * windowUs ⇒ explosion factor ≤ 2. Cross-user bucket collisions
+    * never join (the user is IN the key — the whole point vs a plain
+    * bucket join).
+    *
+    * Conversions with NO touch in the window are unattributed and
+    * absent from the output (count them via anti-join if needed).
+    * Output: (user_id, conv_id, touch_id, touch_type, credit_num,
+    * credit_den), ordered by (conv_id, touch_id). */
+  def linearAttribution(events: DataFrame, convType: String,
+                        touchTypes: Seq[String], windowUs: Long): DataFrame = {
+    require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    val b = windowUs // bucket width = lookback ⇒ ≤ 2 buckets per conversion
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val touches = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("tus").as("tts"),
+        expr(s"((tus - pmod(tus, $b)) div $b)").as("__b"))
+    val convs = ev.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("tus").as("cts"), col("cents"),
+        explode(sequence(
+          expr(s"(((tus - $windowUs) - pmod(tus - $windowUs, $b)) div $b)"),
+          expr(s"((tus - pmod(tus, $b)) div $b)"))).as("__b"))
+    val pairs = touches.join(convs, Seq("user_id", "__b"))
+      .filter(col("cts") - lit(windowUs) <= col("tts") && col("tts") < col("cts"))
+    val n = pairs.groupBy("conv_id").agg(count(lit(1)).as("credit_den"))
+    pairs.join(n, Seq("conv_id"))
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        col("touch_type"), col("cents").as("credit_num"), col("credit_den"))
+      .orderBy("conv_id", "touch_id")
+  }
+
   /** Inter-arrival gap statistics per user: count, min/max gap, and the
     * exact lower-median gap in MILLISECONDS — the latency/engagement-
     * cadence profile (median is robust where one overnight gap destroys

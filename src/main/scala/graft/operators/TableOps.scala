@@ -299,6 +299,34 @@ object TableOps {
       .orderBy(group)
   }
 
+  /** Zero-floor running balance — inventory/credit semantics where the
+    * balance can never go negative: y_t = max(0, y_{t−1} + Δ_t). The
+    * clamp makes the fold non-associative, but it has a closed form over
+    * plain windows: with S_t the running sum of deltas and
+    * M_t = min_{i≤t} S_i,  y_t = S_t − min(M_t, 0) — every unit of
+    * "would-be-negative" mass is exactly the depth of the deepest prefix
+    * dip, so two partitioned cumulative windows (sum + min) replace a
+    * sequential scan. Exact Int64; any engine replays it. (Only the
+    * ZERO floor telescopes like this — a general floor/cap pair is the
+    * sequential [[graft.events.EventOps.ewma]]-style fold.)
+    *
+    * `(key, ord)` must uniquely identify rows — the window frame is
+    * row-ordered, so duplicate ord values would make the fold
+    * order-ambiguous. Output: (key, ord, delta, balance), ordered. */
+  def zeroFloorBalance(df: DataFrame, key: String, ord: String,
+                       delta: String): DataFrame = {
+    require(Seq(key, ord, delta).distinct.size == 3,
+      "key/ord/delta columns must be distinct")
+    val w = Window.partitionBy(key).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(key), col(ord), col(delta).cast(LongType).as(delta))
+      .withColumn("__s", sum(delta).over(w))
+      .withColumn("__m", min("__s").over(w))
+      .select(col(key), col(ord), col(delta),
+        (col("__s") - least(col("__m"), lit(0L))).as("balance"))
+      .orderBy(key, ord)
+  }
+
   /** Robust outlier rows by the MAD rule: every (group, x) whose
     * deviation from the group's exact lower median exceeds
     * `mult`·MAD — the outlier filter that survives what the z-score

@@ -313,6 +313,10 @@ class GraftExtensionsSpec extends SparkSpec {
       pcDf.createOrReplaceTempView("pc_view")
       assert(rows(s2.sql("SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 3)"))
         == rows(graft.graph.Hierarchy.ancestors(pcDf, "c", "p", 3)))
+      val zfDf = Seq(("a", 1L, 5L), ("a", 2L, -9L)).toDF("k", "o", "d")
+      zfDf.createOrReplaceTempView("zf_view")
+      assert(rows(s2.sql("SELECT * FROM graft_zero_floor('zf_view', 'k', 'o', 'd')"))
+        == rows(graft.operators.TableOps.zeroFloorBalance(zfDf, "k", "o", "d")))
       val baseCl = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
       val tgtCl = Seq((1L, "a"), (3L, "c")).toDF("k", "s")
       baseCl.createOrReplaceTempView("basecl_view")
@@ -340,6 +344,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.resample(ev, 3600000000L)))
       assert(rows(s2.sql("SELECT * FROM graft_ewma('events_view2', 3, 10, 32)"))
         == rows(graft.events.EventOps.ewma(ev, 3L, 10L, 32)))
+      assert(rows(s2.sql("SELECT * FROM graft_attribution('events_view2', 'click', 'view', 3600)"))
+        == rows(graft.events.EventOps.linearAttribution(ev, "click", Seq("view"), 3600000000L)))
       assert(rows(s2.sql("SELECT * FROM graft_session_intervals('events_view2', 1800)"))
         == rows(graft.events.EventOps.sessionIntervals(ev, 1800)))
 

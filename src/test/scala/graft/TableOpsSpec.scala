@@ -205,6 +205,28 @@ class TableOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableOps.profile(df, Seq("nope")))
   }
 
+  test("zeroFloorBalance: closed form equals the sequential clamp fold") {
+    // hand: deltas 5, -10, 3 → balances 5, 0, 3
+    val hand = Seq(("a", 1L, 5L), ("a", 2L, -10L), ("a", 3L, 3L))
+    val got = TableOps.zeroFloorBalance(hand.toDF("k", "o", "d"), "k", "o", "d")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 5L), (2L, 0L), (3L, 3L)))
+    // property: random walks, multiple keys
+    val rng = new scala.util.Random(97L)
+    val rows = for (k <- Seq("x", "y", "z"); i <- 1 to 50)
+      yield (k, i.toLong, rng.nextInt(21).toLong - 10L)
+    val expect = rows.groupBy(_._1).flatMap { case (k, v) =>
+      v.sortBy(_._2).scanLeft((0L, 0L)) { case ((_, bal), (_, o, d)) =>
+        (o, math.max(0L, bal + d))
+      }.tail.map { case (o, bal) => (k, o) -> bal }
+    }
+    val all = TableOps.zeroFloorBalance(rows.toDF("k", "o", "d"), "k", "o", "d")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(all == expect)
+    intercept[IllegalArgumentException](
+      TableOps.zeroFloorBalance(hand.toDF("k", "o", "d"), "k", "k", "d"))
+  }
+
   test("robustOutliers: MAD rule flags, zero-MAD group flags every deviation") {
     // group a: values 1..7 plus wild 100 → med 4 (lower), MAD from devs
     // {3,2,1,0,1,2,3,96} sorted {0,1,1,2,2,3,3,96} → lower median 2;
