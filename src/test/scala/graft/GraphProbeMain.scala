@@ -67,8 +67,15 @@ object GraphProbeMain {
       val ew = e.withColumn("w", expr("1L + pmod(xxhash64(s, d), 9)"))
 
       def gb(x: Long) = f"${x / 1e9}%.2f"
+      // GRAFT_PROBE_OPS=hits,ppr,lpred runs only those steps — the big
+      // decades are expensive enough that re-probing the whole family to
+      // measure one new operator would waste an hour of machine time
+      val onlyOps = sys.env.get("GRAFT_PROBE_OPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       var mark = settledShuffle()
       def step(label: String)(body: => Long): (Double, Long, String) = {
+        if (onlyOps.exists(!_.contains(label)))
+          return (0.0, 0L, f"${label}Sec=skip")
         val t0 = System.nanoTime()
         val v = body
         val sec = (System.nanoTime() - t0) / 1e9
