@@ -40,6 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_robust_outliers('events_view', 'event_type', 'c', 3)
   *   SELECT * FROM graft_zero_floor('deltas_view', 'k', 'ord', 'delta')
   *   SELECT * FROM graft_attribution('events_view', 'purchase', 'click,view', 3600)
+  *   SELECT * FROM graft_position_attribution('events_view', 'purchase', 'click,view', 3600)
+  *   SELECT * FROM graft_cohort_ltv('events_view', 'purchase')
   *   SELECT * FROM graft_missing_ranges('orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ref_check('lineitem_view', 'l_orderkey', 'orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 4)
@@ -226,6 +228,17 @@ object GraftTableFunctions {
     "graft_attribution" -> { exprs =>
       val a = args("graft_attribution", exprs, 4)
       plan(events.EventOps.linearAttribution(table(a(0)),
+        convType = str(a(1)),
+        touchTypes = str(a(2)).split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+        windowUs = int(a(3)).toLong * 1000000L))
+    },
+    "graft_cohort_ltv" -> { exprs =>
+      val a = args("graft_cohort_ltv", exprs, 2)
+      plan(events.EventOps.cohortLtv(table(a(0)), revenueType = str(a(1))))
+    },
+    "graft_position_attribution" -> { exprs =>
+      val a = args("graft_position_attribution", exprs, 4)
+      plan(events.EventOps.positionAttribution(table(a(0)),
         convType = str(a(1)),
         touchTypes = str(a(2)).split(",").toSeq.map(_.trim).filter(_.nonEmpty),
         windowUs = int(a(3)).toLong * 1000000L))

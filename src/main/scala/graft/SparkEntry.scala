@@ -1601,6 +1601,17 @@ object SparkEntry {
       EventOps.linearAttribution(s.read.parquet(t(dir, "events")),
         "purchase", Seq("click", "view"), windowUs = 3600000000L)),
 
+    // ── cohort LTV curve: cumulative purchase cents by days-since-first
+    // activity per signup cohort; raw events never meet a window ─────────
+    "q165_cohort_ltv" -> ((s, dir) =>
+      EventOps.cohortLtv(s.read.parquet(t(dir, "events")), "purchase")),
+
+    // ── U-shaped attribution: 400/200/400 permille position weights as
+    // exact fractions over the same (user, bucket) pair machinery ────────
+    "q166_position_attribution" -> ((s, dir) =>
+      EventOps.positionAttribution(s.read.parquet(t(dir, "events")),
+        "purchase", Seq("click", "view"), windowUs = 3600000000L)),
+
     // ── MAD-rule robust outliers: event values beyond 3·MAD of their
     // type's exact median — the flag a single wild value can't corrupt ───
     "q159_robust_outliers" -> ((s, dir) =>
@@ -3902,6 +3913,62 @@ object SparkEntry {
         |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
         |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q165_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |d AS (SELECT user_id, event_type, cents,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS day FROM ev),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d
+        |      GROUP BY user_id),
+        |sz AS (SELECT cohort_day, COUNT(*) AS n_users FROM f
+        |       GROUP BY cohort_day),
+        |r AS (SELECT f.cohort_day, d.day - f.cohort_day AS age_days,
+        |        CAST(SUM(d.cents) AS BIGINT) AS rev_c
+        |      FROM d JOIN f ON d.user_id = f.user_id
+        |      WHERE d.event_type = 'purchase'
+        |      GROUP BY f.cohort_day, d.day - f.cohort_day)
+        |SELECT r.cohort_day, r.age_days, sz.n_users, r.rev_c,
+        |       CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_day
+        |         ORDER BY r.age_days
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_rev_c
+        |FROM r JOIN sz ON r.cohort_day = sz.cohort_day
+        |ORDER BY r.cohort_day, r.age_days""".stripMargin,
+
+    "q166_position_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(ts) AS tus,
+        |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |tch AS (SELECT user_id, event_id AS touch_id,
+        |          event_type AS touch_type, tus AS tts
+        |        FROM ev WHERE event_type IN ('click', 'view')),
+        |cv AS (SELECT user_id, event_id AS conv_id, tus AS cts, cents
+        |       FROM ev WHERE event_type = 'purchase'),
+        |p AS (SELECT cv.user_id, cv.conv_id, tch.touch_id,
+        |        tch.touch_type, tch.tts, cv.cents
+        |      FROM cv JOIN tch ON cv.user_id = tch.user_id
+        |       AND cv.cts - 3600000000 <= tch.tts AND tch.tts < cv.cts),
+        |r AS (SELECT p.*,
+        |        ROW_NUMBER() OVER (PARTITION BY conv_id
+        |          ORDER BY tts, touch_id) AS ra,
+        |        ROW_NUMBER() OVER (PARTITION BY conv_id
+        |          ORDER BY tts DESC, touch_id DESC) AS rd,
+        |        COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |      FROM p)
+        |SELECT user_id, conv_id, touch_id, touch_type,
+        |       CASE WHEN n = 1 THEN 'only' WHEN n = 2 THEN 'half'
+        |            WHEN ra = 1 THEN 'first' WHEN rd = 1 THEN 'last'
+        |            ELSE 'middle' END AS position,
+        |       CAST(CASE WHEN n = 1 THEN cents * 1000
+        |            WHEN n = 2 THEN cents * 500
+        |            WHEN ra = 1 OR rd = 1 THEN cents * 400
+        |            ELSE cents * 200 END AS BIGINT) AS credit_num,
+        |       CAST(CASE WHEN n <= 2 OR ra = 1 OR rd = 1 THEN 1000
+        |            ELSE 1000 * (n - 2) END AS BIGINT) AS credit_den
+        |FROM r ORDER BY conv_id, touch_id""".stripMargin,
 
     "q163_zero_floor" -> {
       val c = CENTS.format("o_totalprice")

@@ -351,11 +351,68 @@ object EventOps {
     * credit_den), ordered by (conv_id, touch_id). */
   def linearAttribution(events: DataFrame, convType: String,
                         touchTypes: Seq[String], windowUs: Long): DataFrame = {
+    val pairs = touchPairs(events, convType, touchTypes, windowUs)
+    val n = pairs.groupBy("conv_id").agg(count(lit(1)).as("credit_den"))
+    pairs.join(n, Seq("conv_id"))
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        col("touch_type"), col("cents").as("credit_num"), col("credit_den"))
+      .orderBy("conv_id", "touch_id")
+  }
+
+  /** Position-based ("U-shaped") multi-touch attribution — the credit
+    * model that values INTRODUCTION and CLOSING over the middle: one
+    * touch takes everything; two split 500‰/500‰; three or more give
+    * the first and last 400‰ each and the middles 200‰/(n−2) apiece.
+    * Credits stay EXACT fractions — credit_num = cents·w and
+    * credit_den = 1000 (or 1000·(n−2) for middles) — so they
+    * re-aggregate losslessly and any engine replays them. First/last
+    * break timestamp ties by touch_id (a strict total order). Same
+    * (user, time-bucket) pair machinery and window-edge semantics as
+    * [[linearAttribution]]; position is ONE partitioned window pass
+    * over the per-conversion candidate set. Output: (user_id, conv_id,
+    * touch_id, touch_type, position, credit_num, credit_den), position
+    * ∈ {'first', 'last', 'middle', 'only', 'half'}, ordered by
+    * (conv_id, touch_id). */
+  def positionAttribution(events: DataFrame, convType: String,
+                          touchTypes: Seq[String], windowUs: Long): DataFrame = {
+    val pairs = touchPairs(events, convType, touchTypes, windowUs)
+    val w = Window.partitionBy("conv_id")
+    val ranked = pairs
+      .withColumn("__asc", row_number().over(
+        w.orderBy(col("tts"), col("touch_id"))))
+      .withColumn("__desc", row_number().over(
+        w.orderBy(col("tts").desc, col("touch_id").desc)))
+      .withColumn("__n", count(lit(1)).over(w))
+    ranked.select(col("user_id"), col("conv_id"), col("touch_id"),
+        col("touch_type"),
+        when(col("__n") === 1, lit("only"))
+          .when(col("__n") === 2, lit("half"))
+          .when(col("__asc") === 1, lit("first"))
+          .when(col("__desc") === 1, lit("last"))
+          .otherwise(lit("middle")).as("position"),
+        when(col("__n") === 1, col("cents") * 1000L)
+          .when(col("__n") === 2, col("cents") * 500L)
+          .when(col("__asc") === 1 || col("__desc") === 1, col("cents") * 400L)
+          .otherwise(col("cents") * 200L).as("credit_num"),
+        when(col("__n") <= 2 || col("__asc") === 1 || col("__desc") === 1,
+          lit(1000L))
+          .otherwise(lit(1000L) * (col("__n") - 2L)).as("credit_den"))
+      .orderBy("conv_id", "touch_id")
+  }
+
+  /** The attribution candidate set: every (touch, conversion) pair of
+    * the same user with the touch inside the conversion's trailing
+    * `windowUs` lookback — the [[RangeJoin]] bucket discipline with the
+    * user IN the equi-key (bucket width = lookback ⇒ each conversion
+    * explodes to ≤ 2 buckets; a pair meets only in the touch's bucket,
+    * so no dedup pass; cross-user bucket collisions never join). */
+  private def touchPairs(events: DataFrame, convType: String,
+                         touchTypes: Seq[String], windowUs: Long): DataFrame = {
     require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
     require(!touchTypes.contains(convType),
       s"convType $convType cannot also be a touch type")
-    val b = windowUs // bucket width = lookback ⇒ ≤ 2 buckets per conversion
+    val b = windowUs
     val ev = events.select(col("user_id"), col("event_id"),
       col("event_type"), tsMicros(events).as("tus"),
       expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
@@ -369,13 +426,45 @@ object EventOps {
         explode(sequence(
           expr(s"(((tus - $windowUs) - pmod(tus - $windowUs, $b)) div $b)"),
           expr(s"((tus - pmod(tus, $b)) div $b)"))).as("__b"))
-    val pairs = touches.join(convs, Seq("user_id", "__b"))
+    touches.join(convs, Seq("user_id", "__b"))
       .filter(col("cts") - lit(windowUs) <= col("tts") && col("tts") < col("cts"))
-    val n = pairs.groupBy("conv_id").agg(count(lit(1)).as("credit_den"))
-    pairs.join(n, Seq("conv_id"))
-      .select(col("user_id"), col("conv_id"), col("touch_id"),
-        col("touch_type"), col("cents").as("credit_num"), col("credit_den"))
-      .orderBy("conv_id", "touch_id")
+  }
+
+  /** Cohort LTV curve — cumulative revenue by cohort age: users grouped
+    * by their FIRST-activity day, revenue (conversion cents) laid out
+    * by days-since-first, accumulated per cohort. THE
+    * product-analytics payback view ("when does a signup cohort earn
+    * its acquisition cost back"). Exchanges: one map-side-combined
+    * first-day aggregate per user, one keyed join of revenue events to
+    * their user's cohort, one (cohort, age) aggregate, one
+    * cohort-partitioned cumulative window over the O(cohorts · ages)
+    * curve table — raw events never meet a window. Ages with no
+    * revenue are absent (the curve is sparse; densify with
+    * [[resample]]-style grids downstream if needed). Output:
+    * (cohort_day, age_days, n_users, rev_c, cum_rev_c), n_users the
+    * cohort's size, ordered by (cohort_day, age_days). */
+  def cohortLtv(events: DataFrame, revenueType: String): DataFrame = {
+    val dayUs = 86400000000L
+    val withTus = events.select(col("user_id"), col("event_type"),
+      tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .select(col("user_id"), col("event_type"), col("cents"),
+        expr(s"((tus - pmod(tus, $dayUs)) div $dayUs)").as("day"))
+    // the first-day table feeds BOTH the cohort sizes and the revenue
+    // join — no cross-branch CSE in Spark, so materialize it once
+    val firsts = graft.operators.Checkpoints.checkpoint(
+      withTus.groupBy("user_id").agg(min("day").as("cohort_day")))
+    val sizes = firsts.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    val rev = withTus.filter(col("event_type") === revenueType)
+      .join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(sum("cents").as("rev_c"))
+    val w = Window.partitionBy("cohort_day").orderBy("age_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("age_days"), col("n_users"),
+        col("rev_c"), sum("rev_c").over(w).as("cum_rev_c"))
+      .orderBy("cohort_day", "age_days")
   }
 
   /** Inter-arrival gap statistics per user: count, min/max gap, and the

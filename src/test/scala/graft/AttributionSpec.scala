@@ -75,4 +75,42 @@ class AttributionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       EventOps.linearAttribution(d, "buy", Seq("ad"), 0L))
   }
+
+  private def runPos(rows: Seq[(Long, Long, String, Long, Double)])
+      : Map[(Long, Long), (String, Long, Long)] =
+    EventOps.positionAttribution(df(rows), "buy", Seq("ad"), W)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getString(4), r.getLong(5), r.getLong(6)))).toMap
+
+  test("position attribution: only / half / U-shaped splits as exact fractions") {
+    def touch(id: Long, us: Long) = (1L, id, "ad", us, 0.0)
+    // n = 1: everything
+    assert(runPos(Seq(touch(10, 1500000L), (1L, 20L, "buy", 2000000L, 3.00)))
+      == Map((20L, 10L) -> (("only", 300L * 1000L, 1000L))))
+    // n = 2: halves
+    val two = runPos(Seq(touch(10, 1200000L), touch(11, 1500000L),
+      (1L, 20L, "buy", 2000000L, 3.00)))
+    assert(two((20L, 10L)) == (("half", 300L * 500L, 1000L)))
+    assert(two((20L, 11L)) == (("half", 300L * 500L, 1000L)))
+    // n = 4: 400 / 200/2 / 200/2 / 400 — credits sum to exactly cents
+    val four = runPos(Seq(touch(10, 1100000L), touch(11, 1200000L),
+      touch(12, 1300000L), touch(13, 1400000L),
+      (1L, 20L, "buy", 2000000L, 3.00)))
+    assert(four((20L, 10L)) == (("first", 300L * 400L, 1000L)))
+    assert(four((20L, 13L)) == (("last", 300L * 400L, 1000L)))
+    assert(four((20L, 11L)) == (("middle", 300L * 200L, 2000L)))
+    assert(four((20L, 12L)) == (("middle", 300L * 200L, 2000L)))
+    // total credit = cents exactly: 2·(400/1000) + 2·(200/2000) = 1
+    val total = four.values.map { case (_, n, d) => BigDecimal(n) / d }.sum
+    assert(total == BigDecimal(300))
+  }
+
+  test("position attribution: timestamp ties break by touch_id") {
+    val rows = Seq((1L, 11L, "ad", 1500000L, 0.0), (1L, 10L, "ad", 1500000L, 0.0),
+      (1L, 12L, "ad", 1500000L, 0.0), (1L, 20L, "buy", 2000000L, 1.00))
+    val got = runPos(rows)
+    assert(got((20L, 10L))._1 == "first")
+    assert(got((20L, 12L))._1 == "last")
+    assert(got((20L, 11L))._1 == "middle")
+  }
 }

@@ -346,6 +346,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.ewma(ev, 3L, 10L, 32)))
       assert(rows(s2.sql("SELECT * FROM graft_attribution('events_view2', 'click', 'view', 3600)"))
         == rows(graft.events.EventOps.linearAttribution(ev, "click", Seq("view"), 3600000000L)))
+      assert(rows(s2.sql("SELECT * FROM graft_position_attribution('events_view2', 'click', 'view', 3600)"))
+        == rows(graft.events.EventOps.positionAttribution(ev, "click", Seq("view"), 3600000000L)))
+      assert(rows(s2.sql("SELECT * FROM graft_cohort_ltv('events_view2', 'click')"))
+        == rows(graft.events.EventOps.cohortLtv(ev, "click")))
       assert(rows(s2.sql("SELECT * FROM graft_session_intervals('events_view2', 1800)"))
         == rows(graft.events.EventOps.sessionIntervals(ev, 1800)))
 
