@@ -42,6 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_attribution('events_view', 'purchase', 'click,view', 3600)
   *   SELECT * FROM graft_position_attribution('events_view', 'purchase', 'click,view', 3600)
   *   SELECT * FROM graft_cohort_ltv('events_view', 'purchase')
+  *   SELECT * FROM graft_minmax_scale('orders_view', 'o_orderpriority', 'c', 1000000)
+  *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
   *   SELECT * FROM graft_missing_ranges('orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ref_check('lineitem_view', 'l_orderkey', 'orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 4)
@@ -455,6 +457,16 @@ object GraftTableFunctions {
       plan(operators.TableOps.percentRanks(table(a(0)), group = str(a(1)),
         x = str(a(2))))
     },
+    "graft_minmax_scale" -> { exprs =>
+      val a = args("graft_minmax_scale", exprs, 4)
+      plan(operators.TableOps.minmaxScale(table(a(0)), group = str(a(1)),
+        x = str(a(2)), scale = long(a(3))))
+    },
+    "graft_equidepth" -> { exprs =>
+      val a = args("graft_equidepth", exprs, 3)
+      plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
+        nBuckets = int(a(2))))
+    },
     "graft_label_prop" -> { exprs =>
       val a = args("graft_label_prop", exprs, 4)
       plan(graph.LabelProp.labelPropagation(table(a(0)), aCol = str(a(1)),
@@ -499,6 +511,12 @@ object GraftTableFunctions {
   private def int(v: Any): Int = v match {
     case i: Int => i
     case l: Long => Math.toIntExact(l)
+    case other => sys.error(s"expected an integer literal, got $other")
+  }
+
+  private def long(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
     case other => sys.error(s"expected an integer literal, got $other")
   }
 

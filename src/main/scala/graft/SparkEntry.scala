@@ -1612,6 +1612,28 @@ object SparkEntry {
       EventOps.positionAttribution(s.read.parquet(t(dir, "events")),
         "purchase", Seq("click", "view"), windowUs = 3600000000L)),
 
+    // ── min-max feature scaling: order totals normalized to 0..10^6
+    // within their priority class — exact integer scaling, one O(#groups)
+    // stats join, overflow-guarded per group ─────────────────────────────
+    "q167_minmax_scale" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("c"))
+      graft.operators.TableOps.minmaxScale(d, "o_orderpriority", "c")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("c"),
+          col("c_mm"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── equi-depth histogram: event values cut into 8 equal-frequency
+    // buckets — frequency-compressed counts + a PrefixSum range scan,
+    // never a partitionless window over the domain ───────────────────────
+    "q168_equidepth" -> ((s, dir) =>
+      graft.operators.TableOps.equiDepthBuckets(
+        s.read.parquet(t(dir, "events"))
+          .select(cents(col("value")).as("c")),
+        "c", nBuckets = 8)),
+
     // ── MAD-rule robust outliers: event values beyond 3·MAD of their
     // type's exact median — the flag a single wild value can't corrupt ───
     "q159_robust_outliers" -> ((s, dir) =>
@@ -3969,6 +3991,37 @@ object SparkEntry {
         |       CAST(CASE WHEN n <= 2 OR ra = 1 OR rd = 1 THEN 1000
         |            ELSE 1000 * (n - 2) END AS BIGINT) AS credit_den
         |FROM r ORDER BY conv_id, touch_id""".stripMargin,
+
+    "q167_minmax_scale" -> {
+      val c = CENTS.format("o_totalprice")
+      s"""WITH d AS (SELECT o_orderkey, o_orderpriority, $c AS c
+        |           FROM orders),
+        |s AS (SELECT o_orderpriority, MIN(c) AS mn, MAX(c) AS mx FROM d
+        |      GROUP BY o_orderpriority)
+        |SELECT d.o_orderkey, d.o_orderpriority, d.c,
+        |       CAST(CASE WHEN s.mx = s.mn THEN 0
+        |            ELSE (d.c - s.mn) * 1000000 // (s.mx - s.mn) END
+        |            AS BIGINT) AS c_mm
+        |FROM d JOIN s USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q168_equidepth" -> {
+      val c = CENTS.format("value")
+      s"""WITH d AS (SELECT $c AS v FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT v, COUNT(*) AS cnt FROM d GROUP BY v),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+        |r AS (SELECT v, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS below
+        |      FROM c)
+        |SELECT CAST(r.below * 8 // t.n AS BIGINT) AS bucket,
+        |       MIN(r.v) AS lo, MAX(r.v) AS hi,
+        |       CAST(SUM(r.cnt) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q163_zero_floor" -> {
       val c = CENTS.format("o_totalprice")

@@ -570,4 +570,89 @@ object TableOps {
           col("n_distinct"))
     }.reduce(_.unionAll(_)).orderBy("col_name")
   }
+
+  /** Min-max feature scaling — each BIGINT `x` mapped to its group's
+    * `(x − min) · scale div (max − min)` (0..scale inclusive), the
+    * bounded-range normalization ML feature pipelines apply where the
+    * raw units are meaningless. EXACT: integer arithmetic end to end
+    * (both operands non-negative, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree) — no float division, no cross-engine
+    * drift. NULL `x` stays NULL; a constant group (max = min) scales to
+    * 0 by convention (documented, spec-pinned).
+    *
+    * Scale shape: ONE map-side-combined (group → min, max) aggregation —
+    * O(#groups) rows — joined back (broadcast-sized under AQE); the data
+    * never meets a window. The span·scale product is overflow-guarded
+    * per GROUP (O(#groups) checks, not per row): a group span above
+    * Long.Max / scale raises instead of wrapping. Output: the input
+    * columns plus `<x>_mm`. */
+  def minmaxScale(df: DataFrame, group: String, x: String,
+                  scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(group != x, s"minmaxScale: group and value column are both '$x'")
+    Seq(group, x).foreach(c => require(!c.startsWith("__"),
+      s"minmaxScale: column name '$c' collides with internal __* names"))
+    require(!df.columns.contains(s"${x}_mm"),
+      s"input already has a '${x}_mm' column")
+    val stats = df.filter(col(x).isNotNull)
+      .groupBy(col(group))
+      .agg(min(col(x)).as("__mn"), max(col(x)).as("__mx"))
+      // guard the span BEFORE it multiplies: (mx − mn) · scale must fit
+      // Int64 — checked once per group, raises loudly instead of wrapping
+      .withColumn("__mx", when(
+        col("__mx") - col("__mn") > lit(Long.MaxValue / scale),
+        raise_error(concat(lit(s"minmaxScale: group span * $scale " +
+          "overflows Int64 for group "), col(group).cast(StringType))))
+        .otherwise(col("__mx")))
+    df.join(stats, Seq(group), "left")
+      .withColumn(s"${x}_mm",
+        when(col(x).isNull, lit(null).cast(LongType))
+          .when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(s"(($x - __mn) * ${scale}L) div (__mx - __mn)")))
+      .drop("__mn", "__mx")
+  }
+
+  /** Equi-depth (equal-frequency) histogram — partition a BIGINT column's
+    * value domain into `nBuckets` buckets holding ~n/nBuckets rows each:
+    * the boundary computation behind range-partitioned layouts, quantile
+    * sketch validation, and "decile report" analytics. Every row of a
+    * given value lands in ONE bucket (bucket = rows-strictly-below ·
+    * nBuckets div n — value-deterministic, unlike NTILE which splits
+    * ties by arbitrary row order), so the output is engine-replayable.
+    * Output per non-empty bucket: (bucket, lo, hi, n_rows, n_distinct),
+    * bucket-ascending; heavy values may overfill their bucket (exactness
+    * over balance — the documented equi-depth trade).
+    *
+    * Scale shape: FREQUENCY-COMPRESSED like [[madPerGroup]] — one
+    * map-side-combined distinct-value count, then the global cumulative
+    * rank runs as a [[PrefixSum]] two-pass range scan over the O(distinct
+    * values) table (NEVER a partitionless window — that is one task
+    * holding the domain); the total row count is an O(1) driver scalar
+    * folded into the bucket projection. NULLs are excluded (they have no
+    * rank); n · nBuckets is overflow-guarded. */
+  def equiDepthBuckets(df: DataFrame, x: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(!x.startsWith("__"),
+      s"equiDepthBuckets: column name '$x' collides with internal __* names")
+    val cnts = df.filter(col(x).isNotNull)
+      .groupBy(col(x)).agg(count(lit(1)).as("__cnt"))
+    // O(1) scalar collect (bounded driver state, the resample/decayedScore
+    // class); null only when the input is empty — output is empty anyway
+    val nRow = cnts.agg(sum("__cnt")).head
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    require(n <= Long.MaxValue / math.max(nBuckets, 1),
+      s"equiDepthBuckets: n * nBuckets overflows Int64 (n=$n)")
+    if (n == 0L) {
+      val s = df.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("bucket", "lo", "hi", "n_rows", "n_distinct")
+    }
+    PrefixSum.exclusive(cnts, "__cnt", "__below", numParts = -1, col(x))
+      .withColumn("bucket", expr(s"(__below * $nBuckets) div ${n}L"))
+      .groupBy("bucket")
+      .agg(min(col(x)).as("lo"), max(col(x)).as("hi"),
+        sum("__cnt").as("n_rows"), count(lit(1)).as("n_distinct"))
+      .orderBy("bucket")
+  }
 }

@@ -408,6 +408,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.Triangles.clusteringCoefficient(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_percent_ranks('xy_view', 'g', 'y')"))
         == rows(graft.operators.TableOps.percentRanks(xy, "g", "y")))
+      assert(rows(s2.sql("SELECT * FROM graft_minmax_scale('xy_view', 'g', 'y', 1000000)"))
+        == rows(graft.operators.TableOps.minmaxScale(xy, "g", "y")))
+      assert(rows(s2.sql("SELECT * FROM graft_equidepth('xy_view', 'y', 2)"))
+        == rows(graft.operators.TableOps.equiDepthBuckets(xy, "y", 2)))
       assert(rows(s2.sql("SELECT * FROM graft_frequent_pairs('tab_view', 'g', 'k', 1)"))
         == rows(graft.operators.Association.frequentPairs(tab, "g", "k", 1L)))
       assert(rows(s2.sql("SELECT * FROM graft_winsorize('xy_view', 'g', 'y', 1, 2, 4)"))
