@@ -44,6 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cohort_ltv('events_view', 'purchase')
   *   SELECT * FROM graft_minmax_scale('orders_view', 'o_orderpriority', 'c', 1000000)
   *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
+  *   SELECT * FROM graft_corr_pairs('wide_view', 'qty_c,price_c,disc_c')
+  *   SELECT * FROM graft_melt('wide_view', 'id1,id2', 'm1,m2,m3')
   *   SELECT * FROM graft_missing_ranges('orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ref_check('lineitem_view', 'l_orderkey', 'orders_view', 'o_orderkey')
   *   SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 4)
@@ -466,6 +468,18 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_corr_pairs" -> { exprs =>
+      val a = args("graft_corr_pairs", exprs, 2)
+      plan(operators.TableOps.corrPairs(table(a(0)),
+        str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    },
+    "graft_melt" -> { exprs =>
+      val a = args("graft_melt", exprs, 3)
+      def split(s: String) =
+        s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.TableOps.melt(table(a(0)), split(str(a(1))),
+        split(str(a(2)))))
     },
     "graft_label_prop" -> { exprs =>
       val a = args("graft_label_prop", exprs, 4)

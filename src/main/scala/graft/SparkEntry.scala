@@ -1634,6 +1634,40 @@ object SparkEntry {
           .select(cents(col("value")).as("c")),
         "c", nBuckets = 8)),
 
+    // ── exact correlation matrix: all 6 pairs of the lineitem measures
+    // in ONE shared scan (6·C(4,2) conditional aggregates into one row,
+    // stack-reshaped). The gate compares the BIGINT power sums (the
+    // mergeable state); the DECIMAL(38,0) moment forms are spec-pinned
+    // (DuckDB's pandas bridge degrades DECIMAL to float64 — not hashable
+    // cell-exact across engines) ─────────────────────────────────────────
+    "q169_corr_matrix" -> ((s, dir) =>
+      // price in WHOLE DOLLARS: Σ(price²) in cents passes 9.2e18 at
+      // ~600k rows — the operator's documented rescale-units contract
+      graft.operators.TableOps.corrPairs(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(cents(col("l_quantity")).as("qty_c"),
+            floor(col("l_extendedprice")).cast(LongType).as("price_d"),
+            cents(col("l_discount")).as("disc_c"),
+            cents(col("l_tax")).as("tax_c")),
+        Seq("qty_c", "price_d", "disc_c", "tax_c"))
+        .select("x_col", "y_col", "n", "sum_x", "sum_y", "sum_xx",
+          "sum_yy", "sum_xy")
+        .orderBy("x_col", "y_col")),
+
+    // ── melt / unpivot: the wide lineitem measures to long
+    // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
+    "q170_melt" -> ((s, dir) =>
+      graft.operators.TableOps.melt(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            cents(col("l_quantity")).as("qty_c"),
+            cents(col("l_extendedprice")).as("price_c"),
+            cents(col("l_discount")).as("disc_c"),
+            cents(col("l_tax")).as("tax_c")),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("qty_c", "price_c", "disc_c", "tax_c"))
+        .orderBy("l_orderkey", "l_linenumber", "var")),
+
     // ── MAD-rule robust outliers: event values beyond 3·MAD of their
     // type's exact median — the flag a single wild value can't corrupt ───
     "q159_robust_outliers" -> ((s, dir) =>
@@ -4021,6 +4055,44 @@ object SparkEntry {
         |       CAST(SUM(r.cnt) AS BIGINT) AS n_rows,
         |       CAST(COUNT(*) AS BIGINT) AS n_distinct
         |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q169_corr_matrix" -> {
+      val cols = Seq("qty_c" -> CENTS.format("l_quantity"),
+        "price_d" -> "CAST(FLOOR(l_extendedprice) AS BIGINT)",
+        "disc_c" -> CENTS.format("l_discount"),
+        "tax_c" -> CENTS.format("l_tax"))
+      val defs = cols.map { case (a, e) => s"$e AS $a" }.mkString(", ")
+      val pairSqls = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield {
+        val (x, y) = (cols(i)._1, cols(j)._1)
+        s"""SELECT '$x' AS x_col, '$y' AS y_col,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(COALESCE(SUM($x), 0) AS BIGINT) AS sum_x,
+          |  CAST(COALESCE(SUM($y), 0) AS BIGINT) AS sum_y,
+          |  CAST(COALESCE(SUM($x * $x), 0) AS BIGINT) AS sum_xx,
+          |  CAST(COALESCE(SUM($y * $y), 0) AS BIGINT) AS sum_yy,
+          |  CAST(COALESCE(SUM($x * $y), 0) AS BIGINT) AS sum_xy
+          |FROM d WHERE $x IS NOT NULL AND $y IS NOT NULL""".stripMargin
+      }
+      s"""WITH d AS (SELECT $defs FROM lineitem)
+        |SELECT * FROM (${pairSqls.mkString("\n UNION ALL\n")})
+        |ORDER BY x_col, y_col""".stripMargin
+    },
+
+    "q170_melt" -> {
+      val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",
+        "disc_c" -> "l_discount", "tax_c" -> "l_tax")
+      val defs = cols.map { case (a, src) =>
+        s"${CENTS.format(src)} AS $a"
+      }.mkString(", ")
+      val arms = cols.map { case (a, _) =>
+        s"""SELECT l_orderkey, l_linenumber, '$a' AS var, $a AS val FROM d"""
+      }
+      s"""WITH d AS (SELECT l_orderkey, l_linenumber, $defs FROM lineitem)
+        |${arms.mkString("\n UNION ALL\n")}
+        |ORDER BY l_orderkey, l_linenumber, var""".stripMargin
     },
 
     "q163_zero_floor" -> {

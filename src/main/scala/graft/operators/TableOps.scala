@@ -612,6 +612,94 @@ object TableOps {
       .drop("__mn", "__mx")
   }
 
+  /** Pairwise-exact correlation statistics over every pair of BIGINT
+    * columns — the feature-redundancy screen run before model training
+    * (drop one of two near-collinear features) and the
+    * [[linregStats]] generalization from one (x, y) to the full matrix.
+    * For each unordered pair (x, y), over PAIRWISE-COMPLETE rows (both
+    * non-NULL): n and the five power sums as BIGINT — the mergeable
+    * algebraic state (the [[aggState]] discipline: state(A) + state(B) =
+    * state(A∪B), so shards/days combine without recompute) — plus the
+    * moment forms cov_num = n·Σxy − Σx·Σy, var_x = n·Σxx − (Σx)², var_y
+    * as EXACT DECIMAL(38,0) (the n·Σ products overflow Int64 as soon as
+    * n²·x̄² passes 9.2e18 — real already for cents at 10^5 rows — while
+    * 38 digits hold to 10^9 rows of 10^7-unit cents with room to spare).
+    * Pearson's r² is cov_num² / (var_x · var_y), sign(r) = sign(cov_num);
+    * everything replays cell-for-cell in any engine (float covariance
+    * drifts with summation order). Int64 bound on the SUMS: n·x̄² under
+    * 9.2e18 — rescale units past that (the [[linregStats]] contract).
+    *
+    * Scale shape: ONE shared map-side-combined scan computes all
+    * 6·C(k,2) conditional aggregates into a single row; the row→pairs
+    * reshape is a `stack` Generate over that ONE row (the expectations
+    * discipline — never a row-multiplying Expand over the data). */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrPairs needs at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(df.schema(c).dataType == LongType, s"$c must be BIGINT")
+      require(!c.contains("'"), s"corrPairs: column name '$c' contains a quote")
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), k) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      Seq(
+        count(when(both, lit(1))).as(s"__n$k"),
+        coalesce(sum(when(both, col(x))), lit(0L)).as(s"__sx$k"),
+        coalesce(sum(when(both, col(y))), lit(0L)).as(s"__sy$k"),
+        coalesce(sum(when(both, col(x) * col(x))), lit(0L)).as(s"__sxx$k"),
+        coalesce(sum(when(both, col(y) * col(y))), lit(0L)).as(s"__syy$k"),
+        coalesce(sum(when(both, col(x) * col(y))), lit(0L)).as(s"__sxy$k"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.zipWithIndex.map { case ((x, y), k) =>
+      s"'$x', '$y', __n$k, __sx$k, __sy$k, __sxx$k, __syy$k, __sxy$k"
+    }.mkString(", ")
+    // widen BEFORE multiplying: the products live in decimal(38,0)
+    def d(c: String) = col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    one.select(expr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(x_col, y_col, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)"))
+      .withColumn("cov_num",
+        (d("n") * d("sum_xy") - d("sum_x") * d("sum_y"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .withColumn("var_x",
+        (d("n") * d("sum_xx") - d("sum_x") * d("sum_x"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .withColumn("var_y",
+        (d("n") * d("sum_yy") - d("sum_y") * d("sum_y"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .orderBy("x_col", "y_col")
+  }
+
+  /** Unpivot / melt — wide measures to long (id..., var, val) rows, the
+    * reshape feeding per-metric operators ([[histogram]], [[madPerGroup]],
+    * [[percentRanks]]) from a wide fact table without k separate scans.
+    * NULL measures are KEPT (a missing reading is data — DuckDB's UNPIVOT
+    * default drops them, so the oracle uses the UNION ALL form); `var`
+    * carries the source column name. Value columns must share one type
+    * (Spark's unpivot requires it — a mixed set raises at plan time).
+    *
+    * Scale shape: Spark's native Expand — each input row fans out to
+    * exactly |valueCols| narrow rows in the same task, no shuffle, no
+    * window; the ×k row growth is the operator's contract, not a
+    * planning accident. */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "var", valName: String = "val"): DataFrame = {
+    require(idCols.nonEmpty && valueCols.nonEmpty,
+      "melt needs id columns and value columns")
+    (idCols ++ valueCols).foreach(c =>
+      require(df.columns.contains(c), s"no such column: $c"))
+    require(idCols.intersect(valueCols).isEmpty,
+      s"columns in both id and value sets: ${idCols.intersect(valueCols)}")
+    Seq(varName, valName).foreach(c => require(!idCols.contains(c),
+      s"output column '$c' collides with an id column"))
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valName)
+  }
+
   /** Equi-depth (equal-frequency) histogram — partition a BIGINT column's
     * value domain into `nBuckets` buckets holding ~n/nBuckets rows each:
     * the boundary computation behind range-partitioned layouts, quantile

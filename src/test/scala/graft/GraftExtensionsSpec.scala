@@ -412,6 +412,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.operators.TableOps.minmaxScale(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_equidepth('xy_view', 'y', 2)"))
         == rows(graft.operators.TableOps.equiDepthBuckets(xy, "y", 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_corr_pairs('xy_view', 'x,y')"))
+        == rows(graft.operators.TableOps.corrPairs(xy, Seq("x", "y"))))
+      assert(rows(s2.sql("SELECT * FROM graft_melt('xy_view', 'g', 'x,y')"))
+        == rows(graft.operators.TableOps.melt(xy, Seq("g"), Seq("x", "y"))))
       assert(rows(s2.sql("SELECT * FROM graft_frequent_pairs('tab_view', 'g', 'k', 1)"))
         == rows(graft.operators.Association.frequentPairs(tab, "g", "k", 1L)))
       assert(rows(s2.sql("SELECT * FROM graft_winsorize('xy_view', 'g', 'y', 1, 2, 4)"))
