@@ -44,6 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cohort_ltv('events_view', 'purchase')
   *   SELECT * FROM graft_minmax_scale('orders_view', 'o_orderpriority', 'c', 1000000)
   *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
+  *   SELECT * FROM graft_collocations('docs_view', 5)
+  *   SELECT * FROM graft_cusum('events_view', 86400)
   *   SELECT * FROM graft_corr_pairs('wide_view', 'qty_c,price_c,disc_c')
   *   SELECT * FROM graft_melt('wide_view', 'id1,id2', 'm1,m2,m3')
   *   SELECT * FROM graft_missing_ranges('orders_view', 'o_orderkey')
@@ -468,6 +470,15 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_collocations" -> { exprs =>
+      val a = args("graft_collocations", exprs, 2)
+      plan(text.Ngrams.collocations(table(a(0)), minCount = long(a(1))))
+    },
+    "graft_cusum" -> { exprs =>
+      val a = args("graft_cusum", exprs, 2)
+      plan(events.EventOps.cusumChangepoint(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L))
     },
     "graft_corr_pairs" -> { exprs =>
       val a = args("graft_corr_pairs", exprs, 2)

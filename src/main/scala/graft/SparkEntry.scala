@@ -1654,6 +1654,18 @@ object SparkEntry {
           "sum_yy", "sum_xy")
         .orderBy("x_col", "y_col")),
 
+    // ── collocation mining: adjacent word pairs scored by exact
+    // PMI-lift fractions — bound pairs, not merely frequent ones ─────────
+    "q171_collocations" -> ((s, dir) =>
+      graft.text.Ngrams.collocations(
+        s.read.parquet(t(dir, "documents")), minCount = 5L)),
+
+    // ── CUSUM changepoint: per event type, the day where the cumulative
+    // value sum deviates most from the constant-rate line — exact
+    // integer dev = n·C_t − t·T over the tiny (type, day) table ──────────
+    "q172_cusum" -> ((s, dir) =>
+      EventOps.cusumChangepoint(s.read.parquet(t(dir, "events")))),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4079,6 +4091,55 @@ object SparkEntry {
       s"""WITH d AS (SELECT $defs FROM lineitem)
         |SELECT * FROM (${pairSqls.mkString("\n UNION ALL\n")})
         |ORDER BY x_col, y_col""".stripMargin
+    },
+
+    "q171_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS cnt
+        |        FROM (SELECT UNNEST(ws) AS w FROM toks) GROUP BY w),
+        |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt_pair FROM p GROUP BY w1, w2
+        |      HAVING COUNT(*) >= 5)
+        |SELECT c.w1, c.w2, c.cnt_pair,
+        |       u1.cnt AS cnt_w1, u2.cnt AS cnt_w2,
+        |       CAST(c.cnt_pair * nt.n AS BIGINT) AS lift_num,
+        |       CAST(u1.cnt * u2.cnt AS BIGINT) AS lift_den
+        |FROM c
+        |JOIN uni u1 ON c.w1 = u1.w
+        |JOIN uni u2 ON c.w2 = u2.w
+        |CROSS JOIN nt
+        |ORDER BY c.w1, c.w2""".stripMargin,
+
+    "q172_cusum" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS s
+        |      FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, s,
+        |        CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS c,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY bucket) AS BIGINT) AS t,
+        |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS n,
+        |        CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS total
+        |      FROM a),
+        |d AS (SELECT event_type, n, total, bucket, t,
+        |        n * c - t * total AS dev,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY ABS(n * c - t * total) DESC, bucket) AS rn
+        |      FROM r WHERE n >= 2)
+        |SELECT event_type, n AS n_buckets, total AS total_c,
+        |       bucket AS cp_bucket, t AS cp_idx, dev AS cp_dev
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
     },
 
     "q170_melt" -> {

@@ -685,6 +685,61 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** CUSUM changepoint detection — for each event type's bucketed value
+    * series, the bucket where the cumulative sum deviates most from the
+    * constant-rate line: dev_t = n·C_t − t·T (C_t = running bucket-sum
+    * through the t-th observed bucket, T = series total, n = #buckets),
+    * which is n·T times the classic CUSUM statistic C_t/T − t/n — same
+    * argmax, EXACT Int64 arithmetic (the float CUSUM's argmax can flip
+    * under summation-order drift near ties). A level shift at bucket k
+    * maximizes |dev| at k; output per type: (event_type, n_buckets,
+    * total_c, cp_bucket, cp_idx, cp_dev), tie-broken to the earliest
+    * bucket, types with < 2 buckets omitted (no interior point).
+    *
+    * Scale shape: raw events collapse FIRST to O(types·buckets) rows by
+    * one map-side-combined aggregation; the running sum / index / argmax
+    * windows all partition by type over that small table — raw events
+    * never meet a window. Int64 guard: n_buckets·|total_c| raises past
+    * Long.Max (one check per type, not per row). */
+  def cusumChangepoint(events: DataFrame,
+                       bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val agg = ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("s"))
+    val byType = Window.partitionBy("event_type").orderBy("bucket")
+    val run = agg
+      .withColumn("c", sum("s").over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(byType).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("total", sum("s").over(Window.partitionBy("event_type")))
+      .filter(col("n") >= 2)
+      // one guard per (type, bucket) row of the SMALL aggregated table;
+      // n·|total| bounds every |n·c − t·total| term below
+      .withColumn("total", when(
+        abs(col("total")) > expr(s"${Long.MaxValue}L div n"),
+        raise_error(concat(lit("cusumChangepoint: n_buckets * |total_c| " +
+          "overflows Int64 for type "), col("event_type"))))
+        .otherwise(col("total")))
+      .withColumn("dev", col("n") * col("c") - col("t") * col("total"))
+    // argmax |dev| with earliest-bucket tiebreak, via the min_by struct
+    // trick (no second window pass over a rank)
+    run.groupBy("event_type")
+      .agg(max("n").as("n_buckets"), max("total").as("total_c"),
+        min_by(struct(col("bucket").as("cp_bucket"), col("t").as("cp_idx"),
+          col("dev").as("cp_dev")),
+          struct((-abs(col("dev"))).as("a"), col("bucket").as("b")))
+          .as("cp"))
+      .select(col("event_type"), col("n_buckets"), col("total_c"),
+        col("cp.cp_bucket"), col("cp.cp_idx"), col("cp.cp_dev"))
+      .orderBy("event_type")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -134,6 +134,62 @@ object Ngrams {
       .orderBy("term")
   }
 
+  /** Collocation mining — adjacent word pairs scored by exact PMI-style
+    * lift `p(w1 w2) / (p(w1)·p(w2))`, kept as the integer fraction
+    * lift_num / lift_den with lift_num = cnt_pair · n_tokens and
+    * lift_den = cnt_w1 · cnt_w2 (log-free PMI: the LOG is monotone, so
+    * ranking and thresholding on the fraction are ranking and
+    * thresholding on PMI — the [[graft.operators.Association]] lift
+    * convention applied to word adjacency). High lift = words that
+    * co-occur far above chance ("new york"); raw-count ranking
+    * ([[topBigrams]]) surfaces frequent pairs, this surfaces BOUND
+    * pairs. Output: (w1, w2, cnt_pair, cnt_w1, cnt_w2, lift_num,
+    * lift_den) for pairs with cnt_pair >= `minCount`, ordered by
+    * (w1, w2).
+    *
+    * Scale shape: one bigram explode + one unigram explode, each
+    * collapsed by map-side-combined aggregation BEFORE any join; the two
+    * unigram-count joins are keyed on the word (broadcast while the
+    * vocabulary fits, shuffled hash past it — never data × data). The
+    * n_tokens total is an O(1) driver scalar. Int64 guard: cnt_pair ·
+    * n_tokens raises past Long.Max (the frequentPairs overflow
+    * discipline) — reached only beyond ~3e9 tokens with a ~3e9-count
+    * pair, where unit rescaling applies. */
+  def collocations(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // O(1) scalar collect (bounded driver state, the resample class)
+    val nRow = uni.agg(sum("cnt")).head
+    val nTokens = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val pairs = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> struct(element_at(ws, i+1) AS w1, element_at(ws, i+2) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_pair"))
+      .filter(col("cnt_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("cnt").as("cnt_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_w2")), Seq("w2"))
+      .withColumn("lift_num", when(
+        col("cnt_pair") > lit(if (nTokens == 0L) Long.MaxValue
+          else Long.MaxValue / math.max(nTokens, 1L)),
+        raise_error(lit(s"collocations: cnt_pair * $nTokens tokens " +
+          "overflows Int64 — rescale units")))
+        .otherwise(col("cnt_pair") * lit(nTokens)))
+      .withColumn("lift_den", when(
+        col("cnt_w1") > expr(s"${Long.MaxValue}L div greatest(cnt_w2, 1L)"),
+        raise_error(lit("collocations: cnt_w1 * cnt_w2 overflows Int64 " +
+          "— rescale units")))
+        .otherwise(col("cnt_w1") * col("cnt_w2")))
+      .select("w1", "w2", "cnt_pair", "cnt_w1", "cnt_w2",
+        "lift_num", "lift_den")
+      .orderBy("w1", "w2")
+  }
+
   /** Skip-gram (center, context) pair counts within ± `radius` positions —
     * word2vec-style training pairs. Output: top `k` pairs by
     * (cnt desc, w1, w2).

@@ -93,6 +93,11 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(sqlChunk == apiChunk && sqlChunk.nonEmpty)
 
+      val sqlColl = s2.sql("SELECT * FROM graft_collocations('docs_view', 2)")
+        .collect().map(_.toSeq).toSeq
+      assert(sqlColl == graft.text.Ngrams.collocations(docs, 2L)
+        .collect().map(_.toSeq).toSeq && sqlColl.nonEmpty)
+
       val docsSrc = Seq(
         (1L, "t1", "web"), (2L, "t2", "web"), (3L, "t3", "web"), (4L, "t4", "web"),
         (5L, "t5", "books"), (6L, "t6", "books"), (7L, "t7", "books"), (8L, "t8", "books")
@@ -391,6 +396,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.activityStreaks(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_twap('events_view2')"))
         == rows(graft.events.EventOps.timeWeightedAvg(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_cusum('events_view2', 86400)"))
+        == rows(graft.events.EventOps.cusumChangepoint(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_sliding_distinct('events_view2', 7)"))
         == rows(graft.events.EventOps.slidingDistinctUsers(ev, 7)))
       val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
