@@ -44,6 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cohort_ltv('events_view', 'purchase')
   *   SELECT * FROM graft_minmax_scale('orders_view', 'o_orderpriority', 'c', 1000000)
   *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
+  *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
+  *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
   *   SELECT * FROM graft_cusum('events_view', 86400)
   *   SELECT * FROM graft_corr_pairs('wide_view', 'qty_c,price_c,disc_c')
@@ -470,6 +472,17 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_assortativity" -> { exprs =>
+      val a = args("graft_assortativity", exprs, 3)
+      plan(graph.Assortativity.degreeAssortativity(table(a(0)),
+        aCol = str(a(1)), bCol = str(a(2))))
+    },
+    "graft_rolling_anomaly" -> { exprs =>
+      val a = args("graft_rolling_anomaly", exprs, 4)
+      plan(events.EventOps.rollingAnomaly(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L, window = int(a(2)),
+        zTimes10 = int(a(3))))
     },
     "graft_collocations" -> { exprs =>
       val a = args("graft_collocations", exprs, 2)

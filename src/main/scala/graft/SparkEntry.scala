@@ -1666,6 +1666,26 @@ object SparkEntry {
     "q172_cusum" -> ((s, dir) =>
       EventOps.cusumChangepoint(s.read.parquet(t(dir, "events")))),
 
+    // ── degree assortativity: Pearson moment sums of endpoint degrees
+    // over both orientations of the part↔supplier graph — corrPairs
+    // composed over graph structure; BIGINT sums compared, symmetric
+    // by construction (sum_x = sum_y, var_x = var_y) ─────────────────────
+    "q173_assortativity" -> ((s, dir) =>
+      graft.graph.Assortativity.degreeAssortativity(
+        s.read.parquet(t(dir, "lineitem"))
+          .select((col("l_partkey") * 2).cast(LongType).as("p"),
+            (col("l_suppkey") * 2 + 1).cast(LongType).as("q")),
+        "p", "q")
+        .select("x_col", "y_col", "n", "sum_x", "sum_y", "sum_xx",
+          "sum_yy", "sum_xy")),
+
+    // ── rolling z-score anomaly: event-type daily sums flagged when the
+    // value leaves 3σ of the 7 PRECEDING buckets (current excluded —
+    // included, a lone spike masks itself) — exact moment forms,
+    // decimal-exact flag, windows over the tiny (type, day) table only ───
+    "q174_rolling_anomaly" -> ((s, dir) =>
+      EventOps.rollingAnomaly(s.read.parquet(t(dir, "events")))),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4140,6 +4160,52 @@ object SparkEntry {
         |SELECT event_type, n AS n_buckets, total AS total_c,
         |       bucket AS cp_bucket, t AS cp_idx, dev AS cp_dev
         |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
+    },
+
+    "q173_assortativity" ->
+      """WITH e AS (SELECT DISTINCT 2*l_partkey AS a, 2*l_suppkey+1 AS b
+        |           FROM lineitem),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |        GROUP BY n),
+        |p0 AS (SELECT da.d AS dx, db.d AS dy
+        |       FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        |p AS (SELECT dx, dy FROM p0 UNION ALL SELECT dy AS dx, dx AS dy
+        |      FROM p0)
+        |SELECT 'deg_x' AS x_col, 'deg_y' AS y_col,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(dx) AS BIGINT) AS sum_x,
+        |       CAST(SUM(dy) AS BIGINT) AS sum_y,
+        |       CAST(SUM(dx * dx) AS BIGINT) AS sum_xx,
+        |       CAST(SUM(dy * dy) AS BIGINT) AS sum_yy,
+        |       CAST(SUM(dx * dy) AS BIGINT) AS sum_xy
+        |FROM p""".stripMargin,
+
+    "q174_rolling_anomaly" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, bucket, x_c,
+        |        CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+        |        CAST(SUM(x_c) OVER w AS BIGINT) AS sum_w,
+        |        CAST(SUM(x_c * x_c) OVER w AS BIGINT) AS sumsq_w
+        |      FROM a
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT *, n_w * x_c - sum_w AS dev_num,
+        |        n_w * sumsq_w - sum_w * sum_w AS var_num
+        |      FROM r)
+        |SELECT event_type, bucket, x_c, n_w, sum_w, sumsq_w,
+        |       dev_num, var_num,
+        |       CAST(CASE WHEN n_w >= 2 AND
+        |           CAST(dev_num AS HUGEINT) * dev_num * (n_w - 1) * 100 >
+        |           CAST(900 AS HUGEINT) * var_num * n_w
+        |         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM m ORDER BY event_type, bucket""".stripMargin
     },
 
     "q170_melt" -> {

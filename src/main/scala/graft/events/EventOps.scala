@@ -740,6 +740,66 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Rolling z-score anomaly detection — for each event type's bucketed
+    * value series, flag buckets whose value deviates more than z from the
+    * mean of the `window` PRECEDING buckets (the current bucket is
+    * EXCLUDED: included, a lone spike inflates its own baseline variance
+    * and caps the attainable z at (n−1)/√n ≈ 2.3 for a week — it can
+    * never cross 3σ; spec-caught during development). Mean and variance
+    * are EXACT integer moment forms over the preceding window: dev_num =
+    * n_w·x − sum_w and var_num = n_w·sumsq_w − sum_w². The flag compares
+    * dev_num²·(n_w−1)·100 > z10²·var_num·n_w — algebraically identical
+    * to |x − x̄| > (z10/10)·s with the SAMPLE std s, no float, no sqrt
+    * (both sides squared; the multiplication runs in DECIMAL(38,0), so
+    * the comparison is exact even where dev_num² passes Int64). This is
+    * the trailing-window complement to [[graft.operators.TableOps
+    * .robustOutliers]]'s whole-history MAD rule: a metric that drifts
+    * legitimately over months still flags a one-day spike.
+    *
+    * Buckets with fewer than 2 preceding observations carry flag 0 (no
+    * baseline variance exists). Output per (event_type, bucket):
+    * (event_type, bucket, x_c, n_w, sum_w, sumsq_w, dev_num, var_num,
+    * is_anomaly 0/1). Int64 bound on the BIGINT columns: window·x̄²
+    * under 9.2e18 (ANSI mode raises loudly past it — the linregStats
+    * rescale-units contract).
+    *
+    * Scale shape: raw events collapse FIRST to the O(types·buckets)
+    * daily table by one map-side-combined aggregation; the trailing
+    * window partitions by event_type over that small table — raw events
+    * never meet a window. */
+  def rollingAnomaly(events: DataFrame, bucketUs: Long = 86400000000L,
+                     window: Int = 7, zTimes10: Int = 30): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(zTimes10 >= 1, s"zTimes10 must be >= 1, got $zTimes10")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val daily = ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(-window.toLong, -1L)
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("sum_w", sum("x_c").over(w))
+      .withColumn("sumsq_w", sum(col("x_c") * col("x_c")).over(w))
+      .withColumn("dev_num", col("n_w") * col("x_c") - col("sum_w"))
+      .withColumn("var_num",
+        col("n_w") * col("sumsq_w") - col("sum_w") * col("sum_w"))
+      .withColumn("is_anomaly",
+        when(col("n_w") >= 2 &&
+          dec(col("dev_num")) * dec(col("dev_num")) *
+            dec(col("n_w") - 1) * lit(100) >
+          dec(lit(zTimes10.toLong * zTimes10)) * dec(col("var_num")) *
+            dec(col("n_w")),
+          lit(1L)).otherwise(lit(0L)))
+      .orderBy("event_type", "bucket")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -398,6 +398,11 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.timeWeightedAvg(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_cusum('events_view2', 86400)"))
         == rows(graft.events.EventOps.cusumChangepoint(ev)))
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_rolling_anomaly('events_view2', 86400, 7, 30)"))
+        == rows(graft.events.EventOps.rollingAnomaly(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_assortativity('edges_view', 's', 'd')"))
+        == rows(graft.graph.Assortativity.degreeAssortativity(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_sliding_distinct('events_view2', 7)"))
         == rows(graft.events.EventOps.slidingDistinctUsers(ev, 7)))
       val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
