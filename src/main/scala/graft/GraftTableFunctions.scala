@@ -44,6 +44,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cohort_ltv('events_view', 'purchase')
   *   SELECT * FROM graft_minmax_scale('orders_view', 'o_orderpriority', 'c', 1000000)
   *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
+  *   SELECT * FROM graft_weighted_sample('orders_view', 'c', 1000, 'o_orderkey')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -472,6 +473,12 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_weighted_sample" -> { exprs =>
+      val a = args("graft_weighted_sample", exprs, 4)
+      plan(operators.Sampling.systematicWeighted(table(a(0)),
+        weightCol = str(a(1)), k = int(a(2)),
+        org.apache.spark.sql.functions.col(str(a(3)))))
     },
     "graft_assortativity" -> { exprs =>
       val a = args("graft_assortativity", exprs, 3)

@@ -1686,6 +1686,33 @@ object SparkEntry {
     "q174_rolling_anomaly" -> ((s, dir) =>
       EventOps.rollingAnomaly(s.read.parquet(t(dir, "events")))),
 
+    // ── CUBE subtotals: all four grouping sets of (returnflag,
+    // linestatus) in one Expand pass — the ROLLUP (q136) sibling with
+    // the cross-margins included ─────────────────────────────────────────
+    "q175_cube" -> ((s, dir) =>
+      s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_extendedprice")).as("p"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("p").as("sum_price_c"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
+          col("n"), col("sum_price_c"))
+        .orderBy("rf", "ls")),
+
+    // ── deterministic weight-proportional systematic sample: ~1000 order
+    // draws proportional to price, zero randomness — PrefixSum layout +
+    // one stride test, exactly k copies total ────────────────────────────
+    "q176_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.systematicWeighted(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("c")),
+        "c", k = 1000, col("o_orderkey"))
+        .orderBy("o_orderkey")),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4206,6 +4233,35 @@ object SparkEntry {
         |           CAST(900 AS HUGEINT) * var_num * n_w
         |         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM m ORDER BY event_type, bucket""".stripMargin
+    },
+
+    "q175_cube" ->
+      s"""SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE l_returnflag END AS rf,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE l_linestatus END AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(${CENTS.format("l_extendedprice")}) AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q176_weighted_sample" -> {
+      val c = CENTS.format("o_totalprice")
+      s"""WITH d AS (SELECT o_orderkey, $c AS c FROM orders),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS w FROM d),
+        |r AS (SELECT o_orderkey, c,
+        |        COALESCE(SUM(c) OVER (ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum
+        |      FROM d)
+        |SELECT o_orderkey, c,
+        |       CAST(((cum + c) * 1000) // t.w - (cum * 1000) // t.w
+        |            AS BIGINT) AS copies
+        |FROM r, t
+        |WHERE ((cum + c) * 1000) // t.w - (cum * 1000) // t.w >= 1
+        |ORDER BY o_orderkey""".stripMargin
     },
 
     "q170_melt" -> {

@@ -137,4 +137,47 @@ object Sampling {
     def keep(nd: (Int, Int)) = h % nd._2 < nd._1
     df.filter(strataCase(strataCol, fractions, keep(defaultFraction))(keep))
   }
+
+  /** Deterministic weight-proportional SYSTEMATIC sampling — ~`k` rows
+    * drawn with probability proportional to a BIGINT weight (importance
+    * sampling for training mixtures, weighted eval-set draws), with NO
+    * randomness: lay the rows out on the cumulative-weight axis in
+    * `orderCols` order and take one at every W/k stride. A row spanning
+    * [cum, cum+w) is selected iff an integer multiple of W/k falls inside
+    * — tested exactly as ⌊(cum+w)·k/W⌋ − ⌊cum·k/W⌋ ≥ 1 (no division of
+    * the stride itself, so no rounding drift); `copies` = that
+    * difference, the row's multiplicity under with-replacement semantics
+    * (a row heavier than the stride legitimately draws multiple times —
+    * weighted-bootstrap ready). Exactly k copies total across the
+    * output, every row's selection a pure function of the data —
+    * reproducible across engines, retries, and cluster sizes (the
+    * float-keyed A-Res reservoir is none of those). Zero-weight rows are
+    * never selected; negative weights raise.
+    *
+    * Scale shape: the cumulative position is a [[PrefixSum]] two-pass
+    * range scan (never a partitionless window); the selection test is a
+    * narrow map. W·k is overflow-guarded. `orderCols` must be a total
+    * order for the layout to be well-defined (enforce uniqueness
+    * upstream — typically the primary key). */
+  def systematicWeighted(df: DataFrame, weightCol: String, k: Int,
+                         orderCols: Column*): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(orderCols.nonEmpty, "systematicWeighted needs order columns")
+    require(!df.columns.contains("copies"),
+      "input already has a 'copies' column")
+    val neg = df.filter(col(weightCol) < 0).limit(1).count()
+    require(neg == 0L, s"negative weights in '$weightCol'")
+    // O(1) driver scalar (the resample/decayedScore bounded-state class)
+    val wRow = df.agg(sum(weightCol)).head
+    val total = if (wRow.isNullAt(0)) 0L else wRow.getLong(0)
+    if (total == 0L) return df.withColumn("copies", lit(0L)).limit(0)
+    require(total <= Long.MaxValue / k,
+      s"total weight $total * k=$k overflows Int64 — rescale weights")
+    PrefixSum.exclusive(df, weightCol, "__cum", numParts = -1, orderCols: _*)
+      .withColumn("copies",
+        expr(s"((__cum + $weightCol) * $k) div ${total}L" +
+          s" - (__cum * $k) div ${total}L"))
+      .filter(col("copies") >= 1L)
+      .drop("__cum")
+  }
 }

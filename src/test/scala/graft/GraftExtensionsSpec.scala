@@ -403,6 +403,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.rollingAnomaly(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_assortativity('edges_view', 's', 'd')"))
         == rows(graft.graph.Assortativity.degreeAssortativity(edges, "s", "d")))
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_weighted_sample('xy_view', 'y', 2, 'x')"))
+        == rows(graft.operators.Sampling.systematicWeighted(
+          xy, "y", 2, org.apache.spark.sql.functions.col("x"))))
       assert(rows(s2.sql("SELECT * FROM graft_sliding_distinct('events_view2', 7)"))
         == rows(graft.events.EventOps.slidingDistinctUsers(ev, 7)))
       val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
