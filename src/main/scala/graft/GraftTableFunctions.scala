@@ -45,6 +45,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_minmax_scale('orders_view', 'o_orderpriority', 'c', 1000000)
   *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
   *   SELECT * FROM graft_weighted_sample('orders_view', 'c', 1000, 'o_orderkey')
+  *   SELECT * FROM graft_ab_report('units_view', 'variant', 'cv', 'control')
+  *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -473,6 +475,22 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_ab_report" -> { exprs =>
+      val a = args("graft_ab_report", exprs, 4)
+      plan(operators.Experiment.abReport(table(a(0)),
+        variantCol = str(a(1)), convertedCol = str(a(2)),
+        control = str(a(3))))
+    },
+    // quantiles as 'num/den' pairs: '1/4,1/2,3/4'
+    "graft_quantile_summary" -> { exprs =>
+      val a = args("graft_quantile_summary", exprs, 4)
+      val qs = str(a(3)).split(',').map(_.trim).filter(_.nonEmpty).map { q =>
+        val Array(n, d) = q.split('/')
+        (n.trim.toInt, d.trim.toInt)
+      }.toSeq
+      plan(operators.TableOps.quantileSummary(table(a(0)),
+        group = str(a(1)), x = str(a(2)), qs))
     },
     "graft_weighted_sample" -> { exprs =>
       val a = args("graft_weighted_sample", exprs, 4)

@@ -1713,6 +1713,29 @@ object SparkEntry {
         "c", k = 1000, col("o_orderkey"))
         .orderBy("o_orderkey")),
 
+    // ── A/B experiment readout: per-user conversion under a hash-variant
+    // split, effect sizes vs control as exact count fractions — one
+    // map-side collapse to O(#variants) rows + a broadcast control join ──
+    "q177_ab_report" -> ((s, dir) => {
+      val units = s.read.parquet(t(dir, "events"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("cv"))
+        .select(concat(lit("v"), pmod(col("user_id"), lit(3L))
+          .cast(StringType)).as("variant"), col("cv"))
+      graft.operators.Experiment.abReport(units, "variant", "cv", "v0")
+    }),
+
+    // ── exact quantile summary: per returnflag, the p10/p25/p50/p75/p90
+    // price values off ONE cumulative window over distinct values — all
+    // quantiles in a single conditional aggregation ──────────────────────
+    "q178_quantile_summary" -> ((s, dir) =>
+      graft.operators.TableOps.quantileSummary(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c")),
+        "l_returnflag", "price_c",
+        Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)))),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4262,6 +4285,45 @@ object SparkEntry {
         |FROM r, t
         |WHERE ((cum + c) * 1000) // t.w - (cum * 1000) // t.w >= 1
         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q177_ab_report" ->
+      """WITH u AS (SELECT user_id,
+        |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS cv
+        |      FROM events GROUP BY user_id),
+        |v AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant, cv
+        |      FROM u),
+        |a AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(cv) AS BIGINT) AS conv FROM v GROUP BY variant),
+        |c AS (SELECT n AS n_ctl, conv AS conv_ctl FROM a
+        |      WHERE variant = 'v0')
+        |SELECT a.variant, a.n, a.conv, c.n_ctl, c.conv_ctl,
+        |       CAST(a.conv * c.n_ctl AS BIGINT) AS rr_num,
+        |       CAST(c.conv_ctl * a.n AS BIGINT) AS rr_den,
+        |       CAST(a.conv * (c.n_ctl - c.conv_ctl) AS BIGINT) AS or_num,
+        |       CAST(c.conv_ctl * (a.n - a.conv) AS BIGINT) AS or_den
+        |FROM a, c WHERE a.variant <> 'v0' ORDER BY a.variant""".stripMargin,
+
+    "q178_quantile_summary" -> {
+      val p = CENTS.format("l_extendedprice")
+      s"""WITH v AS (SELECT l_returnflag AS g, $p AS x FROM lineitem),
+        |cn AS (SELECT g, x, COUNT(*) AS cnt FROM v WHERE x IS NOT NULL
+        |       GROUP BY g, x),
+        |r AS (SELECT g, x, cnt,
+        |        SUM(cnt) OVER (PARTITION BY g ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM cn),
+        |q AS (SELECT 1 AS q_num, 10 AS q_den UNION ALL SELECT 1, 4
+        |      UNION ALL SELECT 1, 2 UNION ALL SELECT 3, 4
+        |      UNION ALL SELECT 9, 10)
+        |SELECT r.g AS l_returnflag, CAST(q.q_num AS BIGINT) AS q_num,
+        |       CAST(q.q_den AS BIGINT) AS q_den, r.x AS v, r.n
+        |FROM r JOIN q
+        |  ON (q.q_num * r.n) // q.q_den >= r.cum - r.cnt
+        | AND (q.q_num * r.n) // q.q_den < r.cum
+        |ORDER BY l_returnflag, CAST(q_num AS DOUBLE) / q_den""".stripMargin
     },
 
     "q170_melt" -> {

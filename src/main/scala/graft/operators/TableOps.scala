@@ -476,6 +476,56 @@ object TableOps {
       .drop("__lo", "__hi")
   }
 
+  /** Exact quantile summary table — per group, the VALUE at each
+    * requested quantile (num/den fractions, the library's deterministic
+    * rank convention: the value at 0-indexed rank ⌊num·n/den⌋ of the
+    * group's non-NULL values ascending), plus the group size: the
+    * p25/p50/p75 report every metrics dashboard and feature-scaling
+    * audit starts from, with none of approx_percentile's
+    * partition-dependence. Output: (<group>, q_num, q_den, v, n),
+    * ordered by (group, q_num·den'… as fraction).
+    *
+    * FREQUENCY-COMPRESSED like [[winsorize]]: one map-side-combined
+    * (group, x) count, ONE cumulative window over the distinct-value
+    * table, and ALL requested quantiles read off it in a single
+    * conditional aggregation — adding quantiles adds agg columns, never
+    * passes. The per-group row then unpivots via a stack Generate over
+    * O(#groups) rows. Groups whose values are all NULL are dropped. */
+  def quantileSummary(df: DataFrame, group: String, x: String,
+                      qs: Seq[(Int, Int)] = Seq((1, 4), (2, 4), (3, 4)))
+      : DataFrame = {
+    require(qs.nonEmpty, "quantileSummary needs at least one quantile")
+    qs.foreach { case (num, den) => require(den >= 1 && num >= 0 && num < den,
+      s"need 0 <= num < den, got $num/$den") }
+    require(qs.distinct.size == qs.size, s"duplicate quantiles in $qs")
+    require(group != x, s"quantileSummary: group and value are both '$x'")
+    Seq(group, x).foreach(c => require(!c.startsWith("__"),
+      s"quantileSummary: column name '$c' collides with internal __* names"))
+    val cnts = df.filter(col(x).isNotNull)
+      .groupBy(col(group), col(x)).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(group).orderBy(x)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnts
+      .withColumn("__cum", sum("__cnt").over(w))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(group)))
+    def hit(num: Int, den: Int) = {
+      val r = expr(s"CAST($num * __n AS BIGINT) DIV $den")
+      col("__cum") - col("__cnt") <= r && r < col("__cum")
+    }
+    val aggs = qs.zipWithIndex.map { case ((num, den), i) =>
+      min(when(hit(num, den), col(x))).as(s"__q$i")
+    } :+ max("__n").as("__gn")
+    val perGroup = ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = qs.zipWithIndex.map { case ((num, den), i) =>
+      s"${num}L, ${den}L, __q$i"
+    }.mkString(", ")
+    perGroup.select(col(group),
+        expr(s"stack(${qs.size}, $stackArgs) AS (q_num, q_den, v)"),
+        col("__gn").as("n"))
+      .select(col(group), col("q_num"), col("q_den"), col("v"), col("n"))
+      .orderBy(col(group), col("q_num") * lit(1000000L) / col("q_den"))
+  }
+
   /** Algebraic per-key aggregate STATE over a BIGINT column — the
     * mergeable unit of incremental (materialized-view) maintenance:
     * yesterday's state ⊕ tonight's insert-only delta = today's state,

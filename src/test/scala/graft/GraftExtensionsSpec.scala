@@ -407,6 +407,16 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT * FROM graft_weighted_sample('xy_view', 'y', 2, 'x')"))
         == rows(graft.operators.Sampling.systematicWeighted(
           xy, "y", 2, org.apache.spark.sql.functions.col("x"))))
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_quantile_summary('xy_view', 'g', 'y', '1/4,1/2,3/4')"))
+        == rows(graft.operators.TableOps.quantileSummary(xy, "g", "y",
+          Seq((1, 4), (1, 2), (3, 4)))))
+      val units = Seq(("a", 1L), ("a", 0L), ("b", 1L), ("b", 1L),
+        ("ctl", 1L), ("ctl", 0L)).toDF("variant", "cv")
+      units.createOrReplaceTempView("units_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_ab_report('units_view', 'variant', 'cv', 'ctl')"))
+        == rows(graft.operators.Experiment.abReport(units, "variant", "cv", "ctl")))
       assert(rows(s2.sql("SELECT * FROM graft_sliding_distinct('events_view2', 7)"))
         == rows(graft.events.EventOps.slidingDistinctUsers(ev, 7)))
       val chg2 = Seq((2L, 21L, "U", 1L), (3L, 30L, "U", 1L)).toDF("k", "v", "op", "seq")
