@@ -46,6 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_equidepth('events_view', 'c', 8)
   *   SELECT * FROM graft_weighted_sample('orders_view', 'c', 1000, 'o_orderkey')
   *   SELECT * FROM graft_ab_report('units_view', 'variant', 'cv', 'control')
+  *   SELECT * FROM graft_funnel_latency('events_view', 'view,click,purchase')
+  *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
@@ -475,6 +477,16 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_funnel_latency" -> { exprs =>
+      val a = args("graft_funnel_latency", exprs, 2)
+      plan(events.EventOps.funnelLatency(table(a(0)),
+        str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    },
+    "graft_diff_columns" -> { exprs =>
+      val a = args("graft_diff_columns", exprs, 3)
+      plan(operators.TableOps.snapshotDiffColumns(table(a(0)), table(a(1)),
+        key = str(a(2))))
     },
     "graft_ab_report" -> { exprs =>
       val a = args("graft_ab_report", exprs, 4)

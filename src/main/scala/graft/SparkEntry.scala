@@ -1736,6 +1736,32 @@ object SparkEntry {
         "l_returnflag", "price_c",
         Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)))),
 
+    // ── funnel time-to-convert: exact min/median/max latency per stage
+    // pair — one (user, stage) first-event agg, tail events equi-join it,
+    // stats frequency-compressed over distinct latencies ─────────────────
+    "q179_funnel_latency" -> ((s, dir) =>
+      EventOps.funnelLatency(s.read.parquet(t(dir, "events")),
+        Seq("view", "click", "purchase"))),
+
+    // ── column-level diff blame: which column moved, from what, to what
+    // — ONE struct compare filters to changed keys BEFORE the ×#cols
+    // explode ────────────────────────────────────────────────────────────
+    "q180_diff_columns" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val old = o.filter(col("o_orderkey") % 5 =!= 0)
+      val nw = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0,
+            concat(lit("X-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")))
+      graft.operators.TableOps.snapshotDiffColumns(old, nw, "o_orderkey")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4325,6 +4351,66 @@ object SparkEntry {
         | AND (q.q_num * r.n) // q.q_den < r.cum
         |ORDER BY l_returnflag, CAST(q_num AS DOUBLE) / q_den""".stripMargin
     },
+
+    "q179_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |            FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |f AS (SELECT user_id, event_type, MIN(tus) AS ta FROM ev
+        |      GROUP BY user_id, event_type),
+        |pairs(hd, tl) AS (VALUES ('view', 'click'), ('click', 'purchase')),
+        |lat AS (SELECT p.hd AS stage_from, p.tl AS stage_to, e.user_id,
+        |          MIN((e.tus - f.ta) // 1000) AS lat_ms
+        |        FROM ev e
+        |        JOIN pairs p ON e.event_type = p.tl
+        |        JOIN f ON f.user_id = e.user_id AND f.event_type = p.hd
+        |        WHERE e.tus >= f.ta
+        |        GROUP BY 1, 2, 3),
+        |c AS (SELECT stage_from, stage_to, lat_ms, COUNT(*) AS cnt
+        |      FROM lat GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |        SUM(cnt) OVER (PARTITION BY stage_from, stage_to
+        |          ORDER BY lat_ms
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY stage_from, stage_to)
+        |          AS BIGINT) AS n,
+        |        MIN(lat_ms) OVER (PARTITION BY stage_from, stage_to) AS mn,
+        |        MAX(lat_ms) OVER (PARTITION BY stage_from, stage_to) AS mx
+        |      FROM c)
+        |SELECT stage_from, stage_to, n AS n_users, mn AS min_ms,
+        |       lat_ms AS med_ms, mx AS max_ms
+        |FROM r
+        |WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |ORDER BY stage_from, stage_to""".stripMargin,
+
+    "q180_diff_columns" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |             o_orderpriority
+        |           FROM orders WHERE o_orderkey % 5 <> 0),
+        |nw AS (SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 11 = 0
+        |              THEN 'X-' || o_orderpriority
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |       FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT b.o_orderkey,
+        |        b.o_orderstatus AS os_o, nw.o_orderstatus AS os_n,
+        |        CAST(b.o_totalprice AS VARCHAR) AS tp_o,
+        |        CAST(nw.o_totalprice AS VARCHAR) AS tp_n,
+        |        b.o_orderpriority AS op_o, nw.o_orderpriority AS op_n
+        |      FROM b JOIN nw USING (o_orderkey))
+        |SELECT o_orderkey, col_name, old_val, new_val FROM (
+        |  SELECT o_orderkey, 'o_orderstatus' AS col_name,
+        |         os_o AS old_val, os_n AS new_val FROM j
+        |  WHERE os_o IS DISTINCT FROM os_n
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_totalprice', tp_o, tp_n FROM j
+        |  WHERE tp_o IS DISTINCT FROM tp_n
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_orderpriority', op_o, op_n FROM j
+        |  WHERE op_o IS DISTINCT FROM op_n)
+        |ORDER BY o_orderkey, col_name""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

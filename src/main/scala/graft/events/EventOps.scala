@@ -800,6 +800,66 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Funnel time-to-convert — for each consecutive stage pair of a
+    * funnel, the latency distribution between a user's FIRST head-stage
+    * event and their first tail-stage event at-or-after it: n converted
+    * users, exact min / lower-median / max milliseconds ([[funnel]] says
+    * how MANY convert; this says how FAST — the metric behind "checkout
+    * friction" dashboards). Median is the exact lower median under the
+    * [[gapStats]] rank convention — engine-replayable, no
+    * approx_percentile. Users who never reach the head stage, or whose
+    * tail events all precede it, are absent from that pair.
+    *
+    * Scale shape: ONE map-side-combined (user, stage) first-event
+    * aggregation over the stage-filtered stream; tail events join it
+    * keyed on (user, head-stage) — an equi-join against an
+    * O(users·stages) table, never event × event — and collapse to one
+    * latency per (pair, user). The stats pass is frequency-compressed
+    * ([[gapStats]]): windows run over distinct (pair, latency) values
+    * only. */
+  def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    require(stages.distinct.size == stages.size,
+      s"duplicate stages in $stages")
+    val headOf = stages.sliding(2).map { case Seq(a, b) => b -> a }.toMap
+    val ev = events.select(col("user_id"), col("event_type"),
+        tsMicros(events).as("tus"))
+      .filter(col("event_type").isin(stages: _*))
+    val firsts = ev.groupBy("user_id", "event_type")
+      .agg(min("tus").as("ta"))
+    val heads = firsts.select(col("user_id"),
+      col("event_type").as("stage_from"), col("ta"))
+    val tailMap = headOf.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (tail, head)) =>
+        when(col("event_type") === tail, lit(head)).otherwise(acc)
+    }
+    val lat = ev
+      .withColumn("stage_from", tailMap)
+      .filter(col("stage_from").isNotNull)
+      .join(heads, Seq("user_id", "stage_from"))
+      .filter(col("tus") >= col("ta"))
+      .groupBy(col("stage_from"), col("event_type").as("stage_to"),
+        col("user_id"))
+      .agg(min(expr("(tus - ta) div 1000")).as("lat_ms"))
+    // frequency-compressed stats per stage pair (the gapStats scan)
+    val cnts = lat.groupBy("stage_from", "stage_to", "lat_ms")
+      .agg(count(lit(1)).as("cnt"))
+    val pair = Window.partitionBy("stage_from", "stage_to")
+    val w = pair.orderBy("lat_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnts
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(pair))
+      .withColumn("mn", min("lat_ms").over(pair))
+      .withColumn("mx", max("lat_ms").over(pair))
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
+      .select(col("stage_from"), col("stage_to"), col("n").as("n_users"),
+        col("mn").as("min_ms"), col("lat_ms").as("med_ms"),
+        col("mx").as("max_ms"))
+      .orderBy("stage_from", "stage_to")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -25,9 +25,13 @@ object Experiment {
     * the caller's "not yet powered" signal, never a division.
     *
     * Scale shape: ONE map-side-combined aggregation collapses units to
-    * O(#variants) rows; the control row attaches via a broadcast-sized
-    * join. Output: (variant, n, conv, n_ctl, conv_ctl, rr_num, rr_den,
-    * or_num, or_den), variant-ordered. */
+    * O(#variants) rows; the control's two counts are an O(1) driver
+    * scalar (the decayedScore/resample bounded-state class) folded into
+    * the projection as literals — a 1-row broadcast cross join would
+    * constant-fold its key and plan as the nested-loop cross the gate
+    * plan audit bans (audit-caught during development). A missing
+    * control variant raises. Output: (variant, n, conv, n_ctl,
+    * conv_ctl, rr_num, rr_den, or_num, or_den), variant-ordered. */
   def abReport(units: DataFrame, variantCol: String, convertedCol: String,
                control: String): DataFrame = {
     val agg = units
@@ -38,8 +42,11 @@ object Experiment {
           "be 0/1, got "), col("cv").cast("string")))))
       .groupBy("variant")
       .agg(count(lit(1)).as("n"), sum("cv").as("conv"))
-    val ctl = agg.filter(col("variant") === control)
-      .select(col("n").as("n_ctl"), col("conv").as("conv_ctl"))
+    val ctlRows = agg.filter(col("variant") === control)
+      .select("n", "conv").collect()
+    require(ctlRows.nonEmpty,
+      s"abReport: control variant '$control' has no units")
+    val (nCtl, convCtl) = (ctlRows.head.getLong(0), ctlRows.head.getLong(1))
     // guard per variant row (O(#variants) checks): the product is first
     // formed in DECIMAL(38,0) — exact — and compared against Long.Max
     def prod(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
@@ -50,13 +57,12 @@ object Experiment {
           "pre-aggregate units"))).otherwise(a * b)
     }
     agg.filter(col("variant") =!= control)
-      .crossJoin(broadcast(ctl))
       .select(col("variant"), col("n"), col("conv"),
-        col("n_ctl"), col("conv_ctl"),
-        prod(col("conv"), col("n_ctl")).as("rr_num"),
-        prod(col("conv_ctl"), col("n")).as("rr_den"),
-        prod(col("conv"), col("n_ctl") - col("conv_ctl")).as("or_num"),
-        prod(col("conv_ctl"), col("n") - col("conv")).as("or_den"))
+        lit(nCtl).as("n_ctl"), lit(convCtl).as("conv_ctl"),
+        prod(col("conv"), lit(nCtl)).as("rr_num"),
+        prod(lit(convCtl), col("n")).as("rr_den"),
+        prod(col("conv"), lit(nCtl - convCtl)).as("or_num"),
+        prod(lit(convCtl), col("n") - col("conv")).as("or_den"))
       .orderBy("variant")
   }
 }

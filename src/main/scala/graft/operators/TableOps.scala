@@ -87,6 +87,42 @@ object TableOps {
       .orderBy(key)
   }
 
+  /** Column-level diff blame — for every key CHANGED between two
+    * snapshots, one row per column that actually differs, with both
+    * values rendered as strings: the [[snapshotDiff]] drill-down a CDC
+    * debugging session reaches for ("which column moved, from what, to
+    * what"). NULL-safe: a NULL→value or value→NULL transition is a
+    * difference and the NULL side stays NULL in the output. Keys only in
+    * one snapshot are out of scope here (they have no column-wise blame;
+    * [[snapshotDiff]] reports them as added/removed). Output:
+    * (<key>, col_name, old_val, new_val), ordered by (key, col_name).
+    *
+    * Scale shape: one co-partitioned inner join on the key; rows are
+    * filtered to changed ones by ONE struct comparison BEFORE the
+    * per-column explode, so the ×#cols fan-out touches only changed rows
+    * — a 10⁹-row table with 10³ changed rows explodes 10³·#cols, not
+    * 10⁹·#cols. */
+  def snapshotDiffColumns(oldDf: DataFrame, newDf: DataFrame,
+                          key: String): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs " +
+        newDf.columns.mkString(","))
+    require(oldDf.columns.contains(key), s"key $key missing")
+    val cols = oldDf.columns.filterNot(_ == key).sorted.toIndexedSeq
+    def pack(df: DataFrame, side: String) =
+      df.select(col(key), struct(
+        cols.map(c => col(c).cast(StringType).as(c)): _*).as(side))
+    pack(oldDf, "o").join(pack(newDf, "n"), Seq(key))
+      .filter(!(col("o") <=> col("n")))
+      .select(col(key), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"o.$c").as("old_val"),
+          col(s"n.$c").as("new_val"))): _*)).as("d"))
+      .filter(!(col("d.old_val") <=> col("d.new_val")))
+      .select(col(key), col("d.col_name"), col("d.old_val"),
+        col("d.new_val"))
+      .orderBy(key, "col_name")
+  }
+
   /** Fixed-width histogram of the BIGINT column `valueCol`: bin id is the
     * floor of value/binWidth (pmod form, so negative values land in the
     * correct bin), with per-bin count, min, max and sum. One map-side-

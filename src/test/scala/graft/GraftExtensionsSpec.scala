@@ -390,6 +390,10 @@ class GraftExtensionsSpec extends SparkSpec {
       chg.createOrReplaceTempView("changes_view")
       assert(rows(s2.sql("SELECT * FROM graft_cdc_merge('base_view', 'changes_view', 'k')"))
         == rows(graft.operators.TableOps.applyChangelog(base, chg, "k")))
+      val nw2 = Seq((1L, 11L), (2L, 20L)).toDF("k", "v")
+      nw2.createOrReplaceTempView("nw2_view")
+      assert(rows(s2.sql("SELECT * FROM graft_diff_columns('base_view', 'nw2_view', 'k')"))
+        == rows(graft.operators.TableOps.snapshotDiffColumns(base, nw2, "k")))
       assert(rows(s2.sql("SELECT * FROM graft_type_ngrams('events_view2', 2)"))
         == rows(graft.events.EventOps.typeNgrams(ev, 2)))
       assert(rows(s2.sql("SELECT * FROM graft_streaks('events_view2')"))
@@ -401,6 +405,10 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(rows(s2.sql(
           "SELECT * FROM graft_rolling_anomaly('events_view2', 86400, 7, 30)"))
         == rows(graft.events.EventOps.rollingAnomaly(ev)))
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_funnel_latency('events_view2', 'view,click,purchase')"))
+        == rows(graft.events.EventOps.funnelLatency(ev,
+          Seq("view", "click", "purchase"))))
       assert(rows(s2.sql("SELECT * FROM graft_assortativity('edges_view', 's', 'd')"))
         == rows(graft.graph.Assortativity.degreeAssortativity(edges, "s", "d")))
       assert(rows(s2.sql(
