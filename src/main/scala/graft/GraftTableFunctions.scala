@@ -47,6 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_weighted_sample('orders_view', 'c', 1000, 'o_orderkey')
   *   SELECT * FROM graft_ab_report('units_view', 'variant', 'cv', 'control')
   *   SELECT * FROM graft_funnel_latency('events_view', 'view,click,purchase')
+  *   SELECT * FROM graft_graph_profile('edges_view', 'a', 'b')
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
@@ -477,6 +478,11 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_graph_profile" -> { exprs =>
+      val a = args("graft_graph_profile", exprs, 3)
+      plan(graph.GraphProfile.profile(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2))))
     },
     "graft_funnel_latency" -> { exprs =>
       val a = args("graft_funnel_latency", exprs, 2)

@@ -1762,6 +1762,36 @@ object SparkEntry {
       graft.operators.TableOps.snapshotDiffColumns(old, nw, "o_orderkey")
     }),
 
+    // ── streaming rolling-anomaly maintenance: micro-batches fold into
+    // the per-(user, day) sum table (lineage-truncated, released), flags
+    // read off the LITERALLY shared batch window math — fold across any
+    // split ≡ batch operator (click slice per the q97 volume note) ───────
+    "q181_stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.anomalyReplay(evts, nChunks = 3,
+          window = 3, zTimes10 = 20)
+        .select(col("userId").as("user_id"), col("bucket"), col("x_c"),
+          col("n_w"), col("sum_w"), col("sumsq_w"), col("dev_num"),
+          col("var_num"), col("is_anomaly"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    // ── graph profile: node/edge counts, exact degree min/median/max,
+    // density fraction — the pre-algorithm skew probe; median over the
+    // frequency-compressed degree table via a PrefixSum rank hit ─────────
+    "q182_graph_profile" -> ((s, dir) =>
+      graft.graph.GraphProfile.profile(
+        s.read.parquet(t(dir, "lineitem"))
+          .select((col("l_partkey") * 2).cast(LongType).as("p"),
+            (col("l_suppkey") * 2 + 1).cast(LongType).as("q")),
+        "p", "q")),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4411,6 +4441,56 @@ object SparkEntry {
         |  SELECT o_orderkey, 'o_orderpriority', op_o, op_n FROM j
         |  WHERE op_o IS DISTINCT FROM op_n)
         |ORDER BY o_orderkey, col_name""".stripMargin,
+
+    "q181_stream_anomaly" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events WHERE event_type = 'click'),
+        |a AS (SELECT user_id,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |r AS (SELECT user_id, bucket, x_c,
+        |        CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+        |        CAST(SUM(x_c) OVER w AS BIGINT) AS sum_w,
+        |        CAST(SUM(x_c * x_c) OVER w AS BIGINT) AS sumsq_w
+        |      FROM a
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+        |        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT *, n_w * x_c - sum_w AS dev_num,
+        |        n_w * sumsq_w - sum_w * sum_w AS var_num
+        |      FROM r)
+        |SELECT user_id, bucket, x_c, n_w, sum_w, sumsq_w,
+        |       dev_num, var_num,
+        |       CAST(CASE WHEN n_w >= 2 AND
+        |           CAST(dev_num AS HUGEINT) * dev_num * (n_w - 1) * 100 >
+        |           CAST(400 AS HUGEINT) * var_num * n_w
+        |         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM m ORDER BY user_id, bucket""".stripMargin
+    },
+
+    "q182_graph_profile" ->
+      """WITH e AS (SELECT DISTINCT 2*l_partkey AS a, 2*l_suppkey+1 AS b
+        |           FROM lineitem),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |        GROUP BY n),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |        CAST(SUM(d) // 2 AS BIGINT) AS m,
+        |        MIN(d) AS mnd, MAX(d) AS mxd FROM deg),
+        |c AS (SELECT d, COUNT(*) AS cnt FROM deg GROUP BY d),
+        |r AS (SELECT d, cnt,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS below
+        |      FROM c)
+        |SELECT s.nn AS n_nodes, s.m AS n_edges, s.mnd AS min_deg,
+        |       r.d AS med_deg, s.mxd AS max_deg,
+        |       CAST(2 * s.m AS BIGINT) AS density_num,
+        |       CAST(s.nn * (s.nn - 1) AS BIGINT) AS density_den
+        |FROM s, r
+        |WHERE r.below < (s.nn + 1) // 2 AND (s.nn + 1) // 2 <= r.below + r.cnt
+        |""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

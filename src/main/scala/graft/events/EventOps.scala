@@ -779,7 +779,19 @@ object EventOps {
         expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
       .groupBy("event_type", "bucket")
       .agg(sum("cents").as("x_c"))
-    val w = Window.partitionBy("event_type").orderBy("bucket")
+    rollingAnomalyFromDaily(daily, "event_type", window, zTimes10)
+  }
+
+  /** The [[rollingAnomaly]] window/flag math over an already-bucketed
+    * daily table (`<key>`, bucket, x_c) — shared verbatim by the batch
+    * operator and the streaming
+    * [[graft.streaming.EventStreaming.AnomalyMaintainer]], so the
+    * incremental path is flag-for-flag the batch path by construction. */
+  private[graft] def rollingAnomalyFromDaily(daily: DataFrame, key: String,
+      window: Int, zTimes10: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(zTimes10 >= 1, s"zTimes10 must be >= 1, got $zTimes10")
+    val w = Window.partitionBy(key).orderBy("bucket")
       .rowsBetween(-window.toLong, -1L)
     def dec(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
@@ -797,7 +809,7 @@ object EventOps {
           dec(lit(zTimes10.toLong * zTimes10)) * dec(col("var_num")) *
             dec(col("n_w")),
           lit(1L)).otherwise(lit(0L)))
-      .orderBy("event_type", "bucket")
+      .orderBy(key, "bucket")
   }
 
   /** Funnel time-to-convert — for each consecutive stage pair of a

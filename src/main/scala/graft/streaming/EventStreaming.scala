@@ -435,4 +435,93 @@ object EventStreaming {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Streaming rolling-anomaly maintenance — the monitoring shape:
+    * micro-batches fold into a running per-(user, day) sum table (the
+    * [[AggStateMaintainer]] discipline: each merged snapshot
+    * lineage-truncated, the consumed one released, plan size bounded at
+    * any batch count), and [[AnomalyMaintainer.flags]] applies
+    * [[graft.events.EventOps.rollingAnomaly]]'s EXACT window/flag math —
+    * the literally shared `rollingAnomalyFromDaily` code path — to the
+    * snapshot, so the incremental readout is flag-for-flag the batch
+    * operator's at every point in the stream. State is O(users·days
+    * observed): bounded by calendar × population, never by event volume
+    * (the per-day sums are the compression). */
+  final class AnomalyMaintainer(bucketUs: Long = 86400000000L,
+                                window: Int = 7, zTimes10: Int = 30) {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(zTimes10 >= 1, s"zTimes10 must be >= 1, got $zTimes10")
+    @volatile private var snapOpt: Option[DataFrame] = None
+
+    /** The running (userId, bucket, x_c) daily-sum table. */
+    def current: Option[DataFrame] = snapOpt
+
+    /** Folds one bounded batch of [[Event]] rows into the daily table. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      val part = batch
+        .select(col("userId"),
+          expr(s"(tsUs - pmod(tsUs, ${bucketUs}L)) div ${bucketUs}L")
+            .as("bucket"),
+          col("valueCents"))
+        .groupBy("userId", "bucket")
+        .agg(sum("valueCents").as("x_c"))
+      val next = snapOpt match {
+        case None => graft.operators.Checkpoints.checkpoint(part)
+        case Some(prev) =>
+          val merged = graft.operators.Checkpoints.checkpoint(
+            prev.unionByName(part).groupBy("userId", "bucket")
+              .agg(sum("x_c").as("x_c")))
+          graft.operators.Checkpoints.release(prev)
+          merged
+      }
+      snapOpt = Some(next)
+    }
+
+    /** The anomaly readout over the current snapshot — empty before the
+      * first batch. */
+    def flags: DataFrame = snapOpt match {
+      case Some(snap) => graft.events.EventOps
+        .rollingAnomalyFromDaily(snap, "userId", window, zTimes10)
+      case None => throw new IllegalStateException(
+        "AnomalyMaintainer.flags before any batch")
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream`. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice through an [[AnomalyMaintainer]] in
+    * `nChunks` micro-batches and returns the final flag table — the
+    * harness that oracle-gates the streaming anomaly path (q181): the
+    * fold across ANY batch split must equal the batch operator on the
+    * whole slice. Same bounded-replay caveat as [[sessionizeReplay]]. */
+  def anomalyReplay(events: Dataset[Event], nChunks: Int,
+                    bucketUs: Long = 86400000000L, window: Int = 7,
+                    zTimes10: Int = 30): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    val m = new AnomalyMaintainer(bucketUs, window, zTimes10)
+    if (rows.isEmpty) {
+      m.absorb(events.toDF())
+      return m.flags
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(stream.toDS().toDF()).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.flags
+  }
 }

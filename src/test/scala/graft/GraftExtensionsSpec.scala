@@ -440,6 +440,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.LabelProp.labelPropagation(edges, "s", "d", 2)))
       assert(rows(s2.sql("SELECT * FROM graft_clustering_coeff('edges_view', 's', 'd')"))
         == rows(graft.graph.Triangles.clusteringCoefficient(edges, "s", "d")))
+      assert(rows(s2.sql("SELECT * FROM graft_graph_profile('edges_view', 's', 'd')"))
+        == rows(graft.graph.GraphProfile.profile(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_percent_ranks('xy_view', 'g', 'y')"))
         == rows(graft.operators.TableOps.percentRanks(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_minmax_scale('xy_view', 'g', 'y', 1000000)"))
