@@ -48,6 +48,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_ab_report('units_view', 'variant', 'cv', 'control')
   *   SELECT * FROM graft_funnel_latency('events_view', 'view,click,purchase')
   *   SELECT * FROM graft_graph_profile('edges_view', 'a', 'b')
+  *   SELECT * FROM graft_join_profile('fact_view', 'fk', 'dim_view', 'k')
+  *   SELECT * FROM graft_histogram2d('events_view', 'hour', 'c', 1, 500)
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
@@ -478,6 +480,16 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_join_profile" -> { exprs =>
+      val a = args("graft_join_profile", exprs, 4)
+      plan(operators.TableOps.joinProfile(table(a(0)), keyA = str(a(1)),
+        table(a(2)), keyB = str(a(3))))
+    },
+    "graft_histogram2d" -> { exprs =>
+      val a = args("graft_histogram2d", exprs, 5)
+      plan(operators.TableOps.histogram2d(table(a(0)), xCol = str(a(1)),
+        yCol = str(a(2)), binX = long(a(3)), binY = long(a(4))))
     },
     "graft_graph_profile" -> { exprs =>
       val a = args("graft_graph_profile", exprs, 3)

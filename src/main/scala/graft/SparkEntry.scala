@@ -1792,6 +1792,26 @@ object SparkEntry {
             (col("l_suppkey") * 2 + 1).cast(LongType).as("q")),
         "p", "q")),
 
+    // ── join-key profile: lineitem ↔ F-status orders — match fractions,
+    // multiplicities, and the exact inner-join cardinality, off two
+    // O(distinct keys) count tables (the data rows never join) ───────────
+    "q183_join_profile" -> ((s, dir) =>
+      graft.operators.TableOps.joinProfile(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey",
+        s.read.parquet(t(dir, "orders"))
+          .filter(col("o_orderstatus") === "F"), "o_orderkey")),
+
+    // ── 2-D histogram: event value × hour-of-day heatmap — one map-side
+    // agg, exchange O(#cells) ────────────────────────────────────────────
+    "q184_histogram2d" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      graft.operators.TableOps.histogram2d(
+        ev.select(EventOps.tsMicros(ev).as("tus"),
+            cents(col("value")).as("c"))
+          .select(expr("(tus div 3600000000L) % 24").as("hour"), col("c")),
+        "hour", "c", binX = 1L, binY = 500L)
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4491,6 +4511,43 @@ object SparkEntry {
         |FROM s, r
         |WHERE r.below < (s.nn + 1) // 2 AND (s.nn + 1) // 2 <= r.below + r.cnt
         |""".stripMargin,
+
+    "q183_join_profile" ->
+      """WITH ka AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |kb AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders
+        |       WHERE o_orderstatus = 'F' AND o_orderkey IS NOT NULL
+        |       GROUP BY 1),
+        |j AS (SELECT ka.ca, kb.cb FROM ka FULL OUTER JOIN kb USING (k))
+        |SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_rows_a,
+        |       CAST(0 AS BIGINT) AS n_null_a,
+        |       CAST(COUNT(ca) AS BIGINT) AS n_keys_a,
+        |       CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN ca END), 0)
+        |            AS BIGINT) AS rows_a_matched,
+        |       CAST(COALESCE(MAX(ca), 0) AS BIGINT) AS max_mult_a,
+        |       CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_rows_b,
+        |       CAST(0 AS BIGINT) AS n_null_b,
+        |       CAST(COUNT(cb) AS BIGINT) AS n_keys_b,
+        |       CAST(COALESCE(SUM(CASE WHEN ca IS NOT NULL THEN cb END), 0)
+        |            AS BIGINT) AS rows_b_matched,
+        |       CAST(COALESCE(MAX(cb), 0) AS BIGINT) AS max_mult_b,
+        |       CAST(COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+        |            THEN 1 END) AS BIGINT) AS n_keys_both,
+        |       CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows
+        |FROM j""".stripMargin,
+
+    "q184_histogram2d" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT epoch_us(ts) AS tus, $c AS c FROM events),
+        |d AS (SELECT (tus // 3600000000) % 24 AS h, c FROM ev
+        |      WHERE c IS NOT NULL)
+        |SELECT h AS bin_x, c // 500 AS bin_y,
+        |       h AS lo_x, CAST((c // 500) * 500 AS BIGINT) AS lo_y,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(h) AS BIGINT) AS sum_x,
+        |       CAST(SUM(c) AS BIGINT) AS sum_y
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

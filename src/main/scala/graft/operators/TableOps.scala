@@ -123,6 +123,89 @@ object TableOps {
       .orderBy(key, "col_name")
   }
 
+  /** Join-key profile — the pre-join diagnostic that predicts whether an
+    * equi-join is safe to run: per side, row/NULL-key/distinct-key
+    * counts, how many rows actually find a match, and the maximum key
+    * multiplicity; plus the shared-key count and the EXACT inner-join
+    * output cardinality Σ cnt_a·cnt_b (the number a query planner
+    * estimates and a skewed key silently explodes — max_mult_a ·
+    * max_mult_b bounds the single-key worst case, the salting decision
+    * input). NULL keys are counted but excluded from matching (SQL
+    * equi-join semantics). Output: one row (n_rows_a, n_null_a,
+    * n_keys_a, rows_a_matched, max_mult_a, …same for b…, n_keys_both,
+    * join_rows). join_rows is decimal-checked and raises past Int64 —
+    * the profile refusing to print a number the join itself could not
+    * materialize.
+    *
+    * Scale shape: each side collapses to its O(distinct keys) count
+    * table map-side; ONE full-outer co-partitioned join of the two key
+    * tables, then a single aggregation — the data rows never join. */
+  def joinProfile(a: DataFrame, keyA: String, b: DataFrame,
+                  keyB: String): DataFrame = {
+    def keys(df: DataFrame, key: String, cnt: String) =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).as("__k")).agg(count(lit(1)).as(cnt))
+    def nulls(df: DataFrame, key: String) =
+      df.filter(col(key).isNull).count()
+    // O(1) driver scalars (the bounded-state class)
+    val (nullA, nullB) = (nulls(a, keyA), nulls(b, keyB))
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    keys(a, keyA, "ca").join(keys(b, keyB, "cb"), Seq("__k"), "full_outer")
+      .agg(
+        coalesce(sum("ca"), lit(0L)).as("n_rows_a"),
+        count(col("ca")).as("n_keys_a"),
+        coalesce(sum(when(col("cb").isNotNull, col("ca"))), lit(0L))
+          .as("rows_a_matched"),
+        coalesce(max("ca"), lit(0L)).as("max_mult_a"),
+        coalesce(sum("cb"), lit(0L)).as("n_rows_b"),
+        count(col("cb")).as("n_keys_b"),
+        coalesce(sum(when(col("ca").isNotNull, col("cb"))), lit(0L))
+          .as("rows_b_matched"),
+        coalesce(max("cb"), lit(0L)).as("max_mult_b"),
+        count(when(col("ca").isNotNull && col("cb").isNotNull, lit(1)))
+          .as("n_keys_both"),
+        coalesce(sum(dec(col("ca")) * dec(col("cb"))), lit(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__jr"))
+      .withColumn("join_rows", when(col("__jr") > lit(Long.MaxValue),
+        raise_error(lit("joinProfile: inner-join cardinality overflows " +
+          "Int64 — the join itself would not materialize")))
+        .otherwise(col("__jr").cast(LongType)))
+      .select(col("n_rows_a"), lit(nullA).as("n_null_a"), col("n_keys_a"),
+        col("rows_a_matched"), col("max_mult_a"),
+        col("n_rows_b"), lit(nullB).as("n_null_b"), col("n_keys_b"),
+        col("rows_b_matched"), col("max_mult_b"),
+        col("n_keys_both"), col("join_rows"))
+  }
+
+  /** 2-D fixed-grid histogram — the joint distribution heatmap behind
+    * "value by hour", "latency by region bucket" views: both BIGINT
+    * columns floored onto `binX`/`binY`-wide cells (pmod form, so
+    * negatives land correctly), with per-cell count and the x/y sums
+    * (enough to place the cell centroid). One map-side-combined
+    * aggregation — the exchange carries O(#cells) rows per task, never
+    * the data. Rows with a NULL coordinate are excluded (they have no
+    * cell). Output: (bin_x, bin_y, lo_x, lo_y, n, sum_x, sum_y),
+    * cell-ordered. */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+                  binX: Long, binY: Long): DataFrame = {
+    require(binX >= 1 && binY >= 1,
+      s"bin widths must be >= 1, got ($binX, $binY)")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(
+        expr(s"((`$xCol` - pmod(`$xCol`, $binX)) div $binX)").as("bin_x"),
+        expr(s"((`$yCol` - pmod(`$yCol`, $binY)) div $binY)").as("bin_y"),
+        col(xCol).as("__x"), col(yCol).as("__y"))
+      .groupBy("bin_x", "bin_y")
+      .agg(count(lit(1)).as("n"), sum("__x").as("sum_x"),
+        sum("__y").as("sum_y"))
+      .select(col("bin_x"), col("bin_y"),
+        (col("bin_x") * binX).as("lo_x"), (col("bin_y") * binY).as("lo_y"),
+        col("n"), col("sum_x"), col("sum_y"))
+      .orderBy("bin_x", "bin_y")
+  }
+
   /** Fixed-width histogram of the BIGINT column `valueCol`: bin id is the
     * floor of value/binWidth (pmod form, so negative values land in the
     * correct bin), with per-bin count, min, max and sum. One map-side-

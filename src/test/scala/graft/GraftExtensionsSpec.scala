@@ -258,6 +258,15 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT fk, payload FROM graft_bloom_semijoin('fact_view', 'fk', 'keys_view', 'kk')")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(sqlBloom == Set(2L, 3L, 5L, 8L, 13L).map(k => (k, k * 10)))
+
+      def rows2(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+      assert(rows2(s2.sql(
+          "SELECT * FROM graft_join_profile('fact_view', 'fk', 'keys_view', 'kk')"))
+        == rows2(graft.operators.TableOps.joinProfile(fact, "fk", keys, "kk")))
+      assert(rows2(s2.sql(
+          "SELECT * FROM graft_histogram2d('fact_view', 'fk', 'payload', 7, 100)"))
+        == rows2(graft.operators.TableOps.histogram2d(fact, "fk", "payload", 7L, 100L)))
     } finally {
       val shared = spark.asInstanceOf[ClassicSession]
       ClassicSession.setDefaultSession(shared)
