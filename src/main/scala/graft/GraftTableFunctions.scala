@@ -49,6 +49,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_funnel_latency('events_view', 'view,click,purchase')
   *   SELECT * FROM graft_graph_profile('edges_view', 'a', 'b')
   *   SELECT * FROM graft_join_profile('fact_view', 'fk', 'dim_view', 'k')
+  *   SELECT * FROM graft_seasonality('events_view', 86400, 7)
+  *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
   *   SELECT * FROM graft_histogram2d('events_view', 'hour', 'c', 1, 500)
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
@@ -480,6 +482,16 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_seasonality" -> { exprs =>
+      val a = args("graft_seasonality", exprs, 3)
+      plan(events.EventOps.seasonalProfile(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L, periodBuckets = int(a(2))))
+    },
+    "graft_abc" -> { exprs =>
+      val a = args("graft_abc", exprs, 5)
+      plan(operators.TableOps.abcAnalysis(table(a(0)), group = str(a(1)),
+        x = str(a(2)), aPct = int(a(3)), bPct = int(a(4))))
     },
     "graft_join_profile" -> { exprs =>
       val a = args("graft_join_profile", exprs, 4)

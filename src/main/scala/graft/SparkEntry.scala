@@ -1812,6 +1812,21 @@ object SparkEntry {
         "hour", "c", binX = 1L, binY = 500L)
     }),
 
+    // ── seasonal phase profile: day-of-week baseline + exact residual
+    // moment per (type, day) — "it's Sunday" separated from "something
+    // broke"; two aggs over the tiny daily table, no window ──────────────
+    "q185_seasonality" -> ((s, dir) =>
+      EventOps.seasonalProfile(s.read.parquet(t(dir, "events")))),
+
+    // ── ABC / Pareto analysis: customers ranked by order-value share,
+    // A/B/C classes via exact integer boundary comparisons — distributed
+    // rank + PrefixSum over the O(#groups) sum table ─────────────────────
+    "q186_abc_analysis" -> ((s, dir) =>
+      graft.operators.TableOps.abcAnalysis(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("c")),
+        "o_custkey", "c")),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4547,6 +4562,44 @@ object SparkEntry {
         |       CAST(SUM(h) AS BIGINT) AS sum_x,
         |       CAST(SUM(c) AS BIGINT) AS sum_y
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q185_seasonality" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |d AS (SELECT event_type, bucket, bucket % 7 AS phase, x_c FROM a),
+        |b AS (SELECT event_type, phase, CAST(COUNT(*) AS BIGINT) AS n_p,
+        |        CAST(SUM(x_c) AS BIGINT) AS sum_p
+        |      FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, d.bucket, d.phase, d.x_c, b.n_p, b.sum_p,
+        |       CAST(b.n_p * d.x_c - b.sum_p AS BIGINT) AS resid_num
+        |FROM d JOIN b ON d.event_type = b.event_type AND d.phase = b.phase
+        |ORDER BY d.event_type, d.bucket""".stripMargin
+    },
+
+    "q186_abc_analysis" -> {
+      val c = CENTS.format("o_totalprice")
+      s"""WITH s AS (SELECT o_custkey, CAST(SUM($c) AS BIGINT) AS sum_x
+        |           FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(SUM(sum_x) AS BIGINT) AS tot FROM s),
+        |r AS (SELECT o_custkey, sum_x,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY sum_x DESC, o_custkey)
+        |          AS BIGINT) AS rank,
+        |        CAST(COALESCE(SUM(sum_x) OVER (ORDER BY sum_x DESC,
+        |            o_custkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cum_before
+        |      FROM s)
+        |SELECT r.o_custkey, r.sum_x, r.rank, r.cum_before,
+        |       CASE WHEN r.cum_before * 100 < 80 * t.tot THEN 'A'
+        |            WHEN r.cum_before * 100 < 95 * t.tot THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM r, t ORDER BY r.rank""".stripMargin
     },
 
     "q170_melt" -> {

@@ -872,6 +872,45 @@ object EventOps {
       .orderBy("stage_from", "stage_to")
   }
 
+  /** Seasonal (phase) profile with exact residuals — for each event
+    * type's bucketed series, the periodic baseline (per phase = bucket
+    * mod `periodBuckets`, e.g. day-of-week for daily buckets and period
+    * 7) and each bucket's deviation from ITS phase's mean as the exact
+    * moment form resid_num = n_p·x − sum_p (n_p times the deviation; the
+    * mean itself is the fraction sum_p / n_p). The weekly-shape
+    * complement to [[rollingAnomaly]]: that flags spikes against the
+    * RECENT past, this separates "it's Sunday" from "something broke" —
+    * compare |resid| across buckets sharing a phase and the seasonal
+    * confound is gone. Output per (event_type, bucket): (event_type,
+    * bucket, phase, x_c, n_p, sum_p, resid_num), ordered.
+    *
+    * Scale shape: raw events collapse FIRST to the O(types·buckets)
+    * table by one map-side-combined aggregation; the phase baseline is a
+    * second aggregation to O(types·period) rows joined back
+    * (broadcast-sized under AQE) — raw events never meet a window or a
+    * join. */
+  def seasonalProfile(events: DataFrame, bucketUs: Long = 86400000000L,
+                      periodBuckets: Int = 7): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(periodBuckets >= 2,
+      s"periodBuckets must be >= 2, got $periodBuckets")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val daily = ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c"))
+      .withColumn("phase", pmod(col("bucket"), lit(periodBuckets.toLong)))
+    val base = daily.groupBy("event_type", "phase")
+      .agg(count(lit(1)).as("n_p"), sum("x_c").as("sum_p"))
+    daily.join(base, Seq("event_type", "phase"))
+      .select(col("event_type"), col("bucket"), col("phase"), col("x_c"),
+        col("n_p"), col("sum_p"),
+        (col("n_p") * col("x_c") - col("sum_p")).as("resid_num"))
+      .orderBy("event_type", "bucket")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -206,6 +206,49 @@ object TableOps {
       .orderBy("bin_x", "bin_y")
   }
 
+  /** ABC / Pareto contribution analysis — groups ranked by their value
+    * sum, with the running total and the classic A/B/C classes: a group
+    * is 'A' if it STARTS before the `aPct`% cumulative boundary
+    * (cum_before·100 < aPct·total — exclusive-prefix rule, so the top
+    * group is always A even when it alone exceeds the boundary), 'B'
+    * before `bPct`%, else 'C'. The "20% of SKUs carry 80% of revenue"
+    * report, exact: integer comparisons only, no float shares. Output:
+    * (<group>, sum_x, rank, cum_before, abc_class), rank-ordered
+    * (ties broken by group).
+    *
+    * Scale shape: one map-side-combined per-group sum to O(#groups)
+    * rows; the rank is a distributed [[GlobalRank]] and the running
+    * total a [[PrefixSum]] range scan over that small table — never a
+    * partitionless window. Negative sums raise (Pareto shares are
+    * ill-defined under mixed sign); total·100 is overflow-guarded. */
+  def abcAnalysis(df: DataFrame, group: String, x: String,
+                  aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    require(0 < aPct && aPct < bPct && bPct < 100,
+      s"need 0 < aPct < bPct < 100, got ($aPct, $bPct)")
+    val reserved = Set("sum_x", "rank", "cum_before", "abc_class")
+    Seq(group, x).foreach(c => require(!reserved.contains(c),
+      s"abcAnalysis: column name '$c' collides with an output name"))
+    val sums = df.filter(col(x).isNotNull)
+      .groupBy(col(group)).agg(sum(col(x)).as("sum_x"))
+    require(sums.filter(col("sum_x") < 0).limit(1).count() == 0L,
+      s"abcAnalysis: negative group sums in '$x' — shares are ill-defined")
+    // O(1) driver scalar (the bounded-state class)
+    val tRow = sums.agg(sum("sum_x")).head
+    val total = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+    require(total <= Long.MaxValue / 100,
+      s"abcAnalysis: total * 100 overflows Int64 (total=$total)")
+    val ranked = GlobalRank.withRank(sums, numParts = 0, "__r",
+      col("sum_x").desc, col(group))
+    PrefixSum.exclusive(ranked, "sum_x", "cum_before", numParts = -1,
+        col("sum_x").desc, col(group))
+      .select(col(group), col("sum_x"), (col("__r") + 1L).as("rank"),
+        col("cum_before"),
+        when(col("cum_before") * 100 < lit(aPct.toLong) * total, lit("A"))
+          .when(col("cum_before") * 100 < lit(bPct.toLong) * total, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+      .orderBy("rank")
+  }
+
   /** Fixed-width histogram of the BIGINT column `valueCol`: bin id is the
     * floor of value/binWidth (pmod form, so negative values land in the
     * correct bin), with per-bin count, min, max and sum. One map-side-

@@ -418,6 +418,10 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT * FROM graft_funnel_latency('events_view2', 'view,click,purchase')"))
         == rows(graft.events.EventOps.funnelLatency(ev,
           Seq("view", "click", "purchase"))))
+      assert(rows(s2.sql("SELECT * FROM graft_seasonality('events_view2', 86400, 7)"))
+        == rows(graft.events.EventOps.seasonalProfile(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_abc('xy_view', 'g', 'y', 80, 95)"))
+        == rows(graft.operators.TableOps.abcAnalysis(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_assortativity('edges_view', 's', 'd')"))
         == rows(graft.graph.Assortativity.degreeAssortativity(edges, "s", "d")))
       assert(rows(s2.sql(
