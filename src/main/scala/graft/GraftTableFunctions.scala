@@ -50,6 +50,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_graph_profile('edges_view', 'a', 'b')
   *   SELECT * FROM graft_join_profile('fact_view', 'fk', 'dim_view', 'k')
   *   SELECT * FROM graft_seasonality('events_view', 86400, 7)
+  *   SELECT * FROM graft_vec_stats('embeddings_view', 'embedding', 64)
+  *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
   *   SELECT * FROM graft_histogram2d('events_view', 'hour', 'c', 1, 500)
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
@@ -482,6 +484,17 @@ object GraftTableFunctions {
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
         nBuckets = int(a(2))))
+    },
+    "graft_vec_stats" -> { exprs =>
+      val a = args("graft_vec_stats", exprs, 3)
+      plan(embed.VecStats.perDimStats(table(a(0)), vecCol = str(a(1)),
+        dim = int(a(2))))
+    },
+    "graft_topk_others" -> { exprs =>
+      val a = args("graft_topk_others", exprs, 5)
+      plan(operators.TableOps.topKWithOthers(table(a(0)),
+        group = str(a(1)), item = str(a(2)), x = str(a(3)),
+        k = int(a(4))))
     },
     "graft_seasonality" -> { exprs =>
       val a = args("graft_seasonality", exprs, 3)

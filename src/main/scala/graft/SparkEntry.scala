@@ -1827,6 +1827,22 @@ object SparkEntry {
           .select(col("o_custkey"), cents(col("o_totalprice")).as("c")),
         "o_custkey", "c")),
 
+    // ── embedding-column profile: per-dimension exact stats over
+    // fixed-point quantized values — dead/off-center dimension detector;
+    // one narrow posexplode into an O(dim)-keyed agg ──────────────────────
+    "q187_vec_stats" -> ((s, dir) =>
+      graft.embed.VecStats.perDimStats(
+        s.read.parquet(t(dir, "embeddings")), "embedding", dim = 64)),
+
+    // ── top-k per group with OTHERS rollup: top-3 suppliers per return
+    // flag + the residual row, totals reconciling by construction ────────
+    "q188_topk_others" -> ((s, dir) =>
+      graft.operators.TableOps.topKWithOthers(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_returnflag"), col("l_suppkey"),
+            cents(col("l_extendedprice")).as("c")),
+        "l_returnflag", "l_suppkey", "c", k = 3)),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4600,6 +4616,37 @@ object SparkEntry {
         |            WHEN r.cum_before * 100 < 95 * t.tot THEN 'B'
         |            ELSE 'C' END AS abc_class
         |FROM r, t ORDER BY r.rank""".stripMargin
+    },
+
+    "q187_vec_stats" ->
+      """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |        CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+        |          AS BIGINT) AS q
+        |      FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(q) AS BIGINT) AS sum_q,
+        |       CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sumsq_q,
+        |       MIN(q) AS min_q, MAX(q) AS max_q
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q188_topk_others" -> {
+      val c = CENTS.format("l_extendedprice")
+      s"""WITH s AS (SELECT l_returnflag,
+        |        CAST(l_suppkey AS VARCHAR) AS item,
+        |        CAST(SUM($c) AS BIGINT) AS sum_x
+        |      FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY sum_x DESC, item) AS rk FROM s),
+        |m AS (SELECT l_returnflag,
+        |        CASE WHEN rk <= 3 THEN item ELSE '<OTHERS>' END AS item,
+        |        CAST(CASE WHEN rk <= 3 THEN rk ELSE 4 END AS BIGINT)
+        |          AS rank,
+        |        sum_x
+        |      FROM r)
+        |SELECT l_returnflag, item, CAST(SUM(sum_x) AS BIGINT) AS sum_x,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items, rank
+        |FROM m GROUP BY l_returnflag, item, rank
+        |ORDER BY l_returnflag, rank""".stripMargin
     },
 
     "q170_melt" -> {

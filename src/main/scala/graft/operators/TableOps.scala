@@ -249,6 +249,43 @@ object TableOps {
       .orderBy("rank")
   }
 
+  /** Top-k contributors per group with an OTHERS rollup — the report
+    * shape every "top products per region" chart needs: within each
+    * group, the k largest items by value sum keep their identity
+    * (rank-ordered, ties broken by item) and the remainder collapses to
+    * ONE `<OTHERS>` row carrying the residual sum and its item count, so
+    * totals reconcile without a second query. Output: (<group>, item
+    * STRING, sum_x, n_items, rank) with rank k+1 for the OTHERS row;
+    * groups with ≤ k items have no OTHERS row.
+    *
+    * Scale shape: one map-side-combined (group, item) sum to
+    * O(distinct pairs) rows; the rank window and the rollup re-agg both
+    * run over that compressed table, partitioned by group — raw rows
+    * never meet a window. */
+  def topKWithOthers(df: DataFrame, group: String, item: String,
+                     x: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(Seq(group, item, x).distinct.size == 3,
+      s"group/item/value columns must be distinct, got ($group, $item, $x)")
+    val sums = df.filter(col(x).isNotNull)
+      .groupBy(col(group), col(item).cast(StringType).as("item"))
+      .agg(sum(col(x)).as("sum_x"))
+    require(sums.filter(col("item") === "<OTHERS>").limit(1).count() == 0L,
+      "topKWithOthers: an item renders as the reserved label '<OTHERS>'")
+    val w = Window.partitionBy(group)
+      .orderBy(col("sum_x").desc, col("item"))
+    sums
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .withColumn("item",
+        when(col("rank") <= k, col("item")).otherwise(lit("<OTHERS>")))
+      .withColumn("rank", least(col("rank"), lit(k.toLong + 1)))
+      .groupBy(col(group), col("item"), col("rank"))
+      .agg(sum("sum_x").as("sum_x"), count(lit(1)).as("n_items"))
+      .select(col(group), col("item"), col("sum_x"), col("n_items"),
+        col("rank"))
+      .orderBy(group, "rank")
+  }
+
   /** Fixed-width histogram of the BIGINT column `valueCol`: bin id is the
     * floor of value/binWidth (pmod form, so negative values land in the
     * correct bin), with per-bin count, min, max and sum. One map-side-

@@ -422,6 +422,13 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.seasonalProfile(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_abc('xy_view', 'g', 'y', 80, 95)"))
         == rows(graft.operators.TableOps.abcAnalysis(xy, "g", "y")))
+      assert(rows(s2.sql("SELECT * FROM graft_topk_others('xy_view', 'g', 'x', 'y', 1)"))
+        == rows(graft.operators.TableOps.topKWithOthers(xy, "g", "x", "y", 1)))
+      val vecs = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(1.5f, 0.75f)))
+        .toDF("vec_id", "embedding")
+      vecs.createOrReplaceTempView("vecs_view")
+      assert(rows(s2.sql("SELECT * FROM graft_vec_stats('vecs_view', 'embedding', 2)"))
+        == rows(graft.embed.VecStats.perDimStats(vecs, "embedding", 2)))
       assert(rows(s2.sql("SELECT * FROM graft_assortativity('edges_view', 's', 'd')"))
         == rows(graft.graph.Assortativity.degreeAssortativity(edges, "s", "d")))
       assert(rows(s2.sql(
