@@ -51,6 +51,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_join_profile('fact_view', 'fk', 'dim_view', 'k')
   *   SELECT * FROM graft_seasonality('events_view', 86400, 7)
   *   SELECT * FROM graft_vec_stats('embeddings_view', 'embedding', 64)
+  *   SELECT * FROM graft_period_deltas('events_view', 86400, 7)
+  *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
   *   SELECT * FROM graft_histogram2d('events_view', 'hour', 'c', 1, 500)
@@ -483,6 +485,17 @@ object GraftTableFunctions {
     "graft_equidepth" -> { exprs =>
       val a = args("graft_equidepth", exprs, 3)
       plan(operators.TableOps.equiDepthBuckets(table(a(0)), x = str(a(1)),
+        nBuckets = int(a(2))))
+    },
+    "graft_period_deltas" -> { exprs =>
+      val a = args("graft_period_deltas", exprs, 3)
+      plan(events.EventOps.periodDeltas(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L, periodBuckets = int(a(2))))
+    },
+    "graft_equidepth_scores" -> { exprs =>
+      val a = args("graft_equidepth_scores", exprs, 3)
+      plan(operators.TableOps.equiDepthScores(table(a(0)),
+        str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         nBuckets = int(a(2))))
     },
     "graft_vec_stats" -> { exprs =>

@@ -1843,6 +1843,35 @@ object SparkEntry {
             cents(col("l_extendedprice")).as("c")),
         "l_returnflag", "l_suppkey", "c", k = 3)),
 
+    // ── period-over-period deltas: day-over-day and same-phase
+    // week-over-week growth off shifted self-joins of the tiny daily
+    // table — gap-proof where positional lag lies ────────────────────────
+    "q189_period_deltas" -> ((s, dir) =>
+      EventOps.periodDeltas(s.read.parquet(t(dir, "events")))),
+
+    // ── RFM segmentation: per-customer recency/frequency/monetary
+    // metrics scored into exact equi-depth quintiles (ties share a
+    // bucket — no NTILE arbitrariness) ───────────────────────────────────
+    "q190_rfm" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast(TimestampType)).as("otus"),
+          cents(col("o_totalprice")).as("c"))
+      // O(1) driver scalar: the corpus "now" reference instant
+      val mxRow = o.agg(max("otus")).head
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val m = o.groupBy("o_custkey").agg(
+        expr(s"(${mx}L - max(otus)) div 86400000000L").as("recency_d"),
+        count(lit(1)).as("freq"),
+        sum("c").as("mon_c"))
+      graft.operators.TableOps.equiDepthScores(m,
+          Seq("recency_d", "freq", "mon_c"), nBuckets = 5)
+        .select(col("o_custkey"), col("recency_d"), col("freq"),
+          col("mon_c"), col("recency_d_score"), col("freq_score"),
+          col("mon_c_score"))
+        .orderBy("o_custkey")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4647,6 +4676,59 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_items, rank
         |FROM m GROUP BY l_returnflag, item, rank
         |ORDER BY l_returnflag, rank""".stripMargin
+    },
+
+    "q189_period_deltas" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT a.event_type, a.bucket, a.x_c,
+        |       p.x_c AS prev_c,
+        |       CAST(a.x_c - p.x_c AS BIGINT) AS dod_delta,
+        |       q.x_c AS prev_period_c,
+        |       CAST(a.x_c - q.x_c AS BIGINT) AS pop_delta
+        |FROM a
+        |LEFT JOIN a p ON p.event_type = a.event_type
+        |  AND p.bucket = a.bucket - 1
+        |LEFT JOIN a q ON q.event_type = a.event_type
+        |  AND q.bucket = a.bucket - 7
+        |ORDER BY a.event_type, a.bucket""".stripMargin
+    },
+
+    "q190_rfm" -> {
+      val c = CENTS.format("o_totalprice")
+      def metric(v: String) =
+        s"""${v}c AS (SELECT $v AS v, COUNT(*) AS cnt FROM m GROUP BY 1),
+          |${v}t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ${v}c),
+          |${v}b AS (SELECT v,
+          |    COALESCE(SUM(cnt) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS below
+          |  FROM ${v}c)""".stripMargin
+      s"""WITH mx AS (SELECT MAX(epoch_us(o_orderdate)) AS md FROM orders),
+        |m AS (SELECT o_custkey,
+        |        CAST((mx.md - MAX(epoch_us(o_orderdate)))
+        |          // 86400000000 AS BIGINT) AS recency_d,
+        |        CAST(COUNT(*) AS BIGINT) AS freq,
+        |        CAST(SUM($c) AS BIGINT) AS mon_c
+        |      FROM orders, mx GROUP BY o_custkey, mx.md),
+        |${metric("recency_d")},
+        |${metric("freq")},
+        |${metric("mon_c")}
+        |SELECT m.o_custkey, m.recency_d, m.freq, m.mon_c,
+        |       CAST((rb.below * 5) // rt.n AS BIGINT) AS recency_d_score,
+        |       CAST((fb.below * 5) // ft.n AS BIGINT) AS freq_score,
+        |       CAST((mb.below * 5) // mt.n AS BIGINT) AS mon_c_score
+        |FROM m
+        |JOIN recency_db rb ON m.recency_d = rb.v
+        |JOIN freqb fb ON m.freq = fb.v
+        |JOIN mon_cb mb ON m.mon_c = mb.v
+        |CROSS JOIN recency_dt rt CROSS JOIN freqt ft CROSS JOIN mon_ct mt
+        |ORDER BY m.o_custkey""".stripMargin
     },
 
     "q170_melt" -> {

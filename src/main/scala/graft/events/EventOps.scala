@@ -911,6 +911,54 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Period-over-period deltas — the growth report: for each event
+    * type's bucketed value series, the change versus the PREVIOUS bucket
+    * (day-over-day) and versus the SAME PHASE one period earlier
+    * (week-over-week for daily buckets and period 7 — the comparison
+    * that doesn't lie about Mondays). Deltas are exact integers; a
+    * missing comparison point leaves NULL (the honest "no prior week"),
+    * and the phase comparison matches on bucket distance EXACTLY
+    * `periodBuckets` (a gap in the series yields NULL rather than
+    * silently comparing against an older week). Output per (event_type,
+    * bucket): (event_type, bucket, x_c, prev_c, dod_delta, prev_period_c,
+    * pop_delta), ordered.
+    *
+    * Scale shape: raw events collapse FIRST to the O(types·buckets)
+    * table; the comparisons are two SHIFTED SELF-JOINS keyed on
+    * (type, bucket) over that tiny table — gap-proof where a positional
+    * `lag(period)` silently compares against an older week whenever the
+    * series skips a bucket (join-vs-lag chosen for exactly that case). */
+  def periodDeltas(events: DataFrame, bucketUs: Long = 86400000000L,
+                   periodBuckets: Int = 7): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(periodBuckets >= 2,
+      s"periodBuckets must be >= 2, got $periodBuckets")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    // the daily table feeds THREE plan branches (base + two shifts) —
+    // checkpoint once so the raw-event aggregation doesn't run 3×
+    // (the Triangles cross-branch-CSE lesson; released by the caller's
+    // Checkpoints.releaseAll cycle)
+    val daily = graft.operators.Checkpoints.checkpoint(ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c")))
+    val prev = daily.select(col("event_type"),
+      (col("bucket") + 1L).as("bucket"), col("x_c").as("prev_c"))
+    val prevPeriod = daily.select(col("event_type"),
+      (col("bucket") + periodBuckets.toLong).as("bucket"),
+      col("x_c").as("prev_period_c"))
+    daily
+      .join(prev, Seq("event_type", "bucket"), "left")
+      .join(prevPeriod, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"), col("x_c"), col("prev_c"),
+        (col("x_c") - col("prev_c")).as("dod_delta"),
+        col("prev_period_c"),
+        (col("x_c") - col("prev_period_c")).as("pop_delta"))
+      .orderBy("event_type", "bucket")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

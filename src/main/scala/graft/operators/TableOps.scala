@@ -286,6 +286,54 @@ object TableOps {
       .orderBy(group, "rank")
   }
 
+  /** Equi-depth scoring of one or more BIGINT metric columns — each row
+    * gets, per metric, its global quantile bucket 0..nBuckets−1 under the
+    * [[equiDepthBuckets]] value-deterministic rule (bucket =
+    * rows-strictly-below · B div n, ties always share a bucket). With
+    * recency/frequency/monetary metrics and nBuckets = 5 this IS the
+    * classic RFM segmentation, exact and engine-replayable where
+    * NTILE-based scorers split ties arbitrarily. NULL metric values
+    * score NULL. Output: the input columns plus `<col>_score` per
+    * metric.
+    *
+    * Scale shape: per metric, one map-side-combined distinct-value count
+    * + a [[PrefixSum]] range scan over the O(distinct values) table
+    * (never a partitionless window), then ONE join back keyed on the
+    * metric value — an O(distinct values) table the data joins against
+    * (broadcast while it fits). k metrics = k such passes, each
+    * column-pruned. */
+  def equiDepthScores(df: DataFrame, cols: Seq[String],
+                      nBuckets: Int): DataFrame = {
+    require(cols.nonEmpty, "equiDepthScores needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(df.schema(c).dataType == LongType, s"$c must be BIGINT")
+      require(!df.columns.contains(s"${c}_score"),
+        s"input already has a '${c}_score' column")
+    }
+    val scored = cols.foldLeft(df) { (acc, c) =>
+      val cnts = df.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      val nRow = cnts.agg(sum("__cnt")).head
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      if (n == 0L) acc.withColumn(s"${c}_score", lit(null).cast(LongType))
+      else {
+        require(n <= Long.MaxValue / nBuckets,
+          s"equiDepthScores: n * nBuckets overflows Int64 (n=$n)")
+        val buckets = PrefixSum
+          .exclusive(cnts, "__cnt", "__below", numParts = -1, col(c))
+          .select(col(c),
+            expr(s"(__below * $nBuckets) div ${n}L").as(s"${c}_score"))
+        acc.join(buckets, Seq(c), "left")
+      }
+    }
+    // equi-joins move their key first — restore input order, scores after
+    scored.select((df.columns.map(col) ++
+      cols.map(c => col(s"${c}_score"))).toIndexedSeq: _*)
+  }
+
   /** Fixed-width histogram of the BIGINT column `valueCol`: bin id is the
     * floor of value/binWidth (pmod form, so negative values land in the
     * correct bin), with per-bin count, min, max and sum. One map-side-

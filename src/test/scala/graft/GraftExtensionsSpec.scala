@@ -420,6 +420,10 @@ class GraftExtensionsSpec extends SparkSpec {
           Seq("view", "click", "purchase"))))
       assert(rows(s2.sql("SELECT * FROM graft_seasonality('events_view2', 86400, 7)"))
         == rows(graft.events.EventOps.seasonalProfile(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_period_deltas('events_view2', 86400, 7)"))
+        == rows(graft.events.EventOps.periodDeltas(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_equidepth_scores('xy_view', 'x,y', 2)"))
+        == rows(graft.operators.TableOps.equiDepthScores(xy, Seq("x", "y"), 2)))
       assert(rows(s2.sql("SELECT * FROM graft_abc('xy_view', 'g', 'y', 80, 95)"))
         == rows(graft.operators.TableOps.abcAnalysis(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_topk_others('xy_view', 'g', 'x', 'y', 1)"))
