@@ -52,6 +52,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_seasonality('events_view', 86400, 7)
   *   SELECT * FROM graft_vec_stats('embeddings_view', 'embedding', 64)
   *   SELECT * FROM graft_period_deltas('events_view', 86400, 7)
+  *   SELECT * FROM graft_lag_stats('events_view', 86400, 7)
+  *   SELECT * FROM graft_radius_join('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
@@ -497,6 +499,16 @@ object GraftTableFunctions {
       plan(operators.TableOps.equiDepthScores(table(a(0)),
         str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         nBuckets = int(a(2))))
+    },
+    "graft_lag_stats" -> { exprs =>
+      val a = args("graft_lag_stats", exprs, 3)
+      plan(events.EventOps.lagStats(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L, maxLag = int(a(2))))
+    },
+    "graft_radius_join" -> { exprs =>
+      val a = args("graft_radius_join", exprs, 5)
+      plan(operators.Spatial.radiusJoin(table(a(0)), idCol = str(a(1)),
+        xCol = str(a(2)), yCol = str(a(3)), radius = long(a(4))))
     },
     "graft_vec_stats" -> { exprs =>
       val a = args("graft_vec_stats", exprs, 3)

@@ -1872,6 +1872,23 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ── autocorrelation lag statistics: exact Pearson sufficient stats
+    // at lags 1..7 over each type's daily series — the lag dimension
+    // explodes the tiny daily table, never raw events ────────────────────
+    "q191_lag_stats" -> ((s, dir) =>
+      EventOps.lagStats(s.read.parquet(t(dir, "events")))),
+
+    // ── grid-bucketed spatial radius self-join: all point pairs within
+    // r = 250 on a synthetic integer plane keyed off p_partkey — 3×3
+    // cell-neighborhood equi-join, never an all-pairs cross ──────────────
+    "q192_radius_join" -> ((s, dir) =>
+      graft.operators.Spatial.radiusJoin(
+        s.read.parquet(t(dir, "part"))
+          .select(col("p_partkey").as("id"),
+            pmod(col("p_partkey") * 7919L, lit(9973L)).as("x"),
+            pmod(col("p_partkey") * 4241L, lit(9941L)).as("y")),
+        "id", "x", "y", radius = 250L)),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4730,6 +4747,44 @@ object SparkEntry {
         |CROSS JOIN recency_dt rt CROSS JOIN freqt ft CROSS JOIN mon_ct mt
         |ORDER BY m.o_custkey""".stripMargin
     },
+
+    "q191_lag_stats" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |l AS (SELECT CAST(r AS BIGINT) AS lag FROM range(1, 8) t(r))
+        |SELECT a.event_type, l.lag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(a.x_c) AS BIGINT) AS sum_x,
+        |       CAST(SUM(b.x_c) AS BIGINT) AS sum_y,
+        |       CAST(SUM(a.x_c * b.x_c) AS BIGINT) AS sum_xy,
+        |       CAST(SUM(a.x_c * a.x_c) AS BIGINT) AS sum_x2,
+        |       CAST(SUM(b.x_c * b.x_c) AS BIGINT) AS sum_y2
+        |FROM a CROSS JOIN l
+        |JOIN a b ON b.event_type = a.event_type
+        |  AND b.bucket = a.bucket - l.lag
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    },
+
+    "q192_radius_join" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+        |             CAST((p_partkey * 7919) % 9973 AS BIGINT) AS x,
+        |             CAST((p_partkey * 4241) % 9941 AS BIGINT) AS y
+        |           FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST((a.x - b.x) * (a.x - b.x)
+        |          + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND b.x BETWEEN a.x - 250 AND a.x + 250
+        |  AND b.y BETWEEN a.y - 250 AND a.y + 250
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 62500
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

@@ -959,6 +959,57 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Autocorrelation lag statistics — for each event type's bucketed
+    * value series, the exact sufficient statistics of Pearson r at every
+    * lag 1..maxLag: over all pairs (x_t, x_{t−lag}) present in the
+    * series, (n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2) — x the
+    * later bucket, y the lagged one. Downstream divides once; the engine
+    * ships only exact integers (the q117 linreg-stats contract). Pairs
+    * form on bucket distance EXACTLY lag, so a gap in the series shrinks
+    * n_pairs instead of silently pairing across it (the periodDeltas
+    * join-vs-lag rule). Output: (event_type, lag, n_pairs, sum_x, sum_y,
+    * sum_xy, sum_x2, sum_y2), ordered.
+    *
+    * Scale shape: raw events collapse FIRST to the O(types·buckets)
+    * daily table (checkpointed once — it feeds both join sides); the
+    * lag dimension is an explode ×maxLag of THAT table, never of raw
+    * events, and the pairing is an equi-join on (type, bucket). Int64
+    * exactness: |daily sum| ≤ 9.5e7 cents keeps each x²/xy term ≤
+    * 9.03e15, so their sums stay exact through 1000 max-magnitude
+    * buckets (raise_error-guarded per value, the giniImpurity
+    * discipline); a hotter series should be re-centered/scaled first,
+    * the linregStats contract. */
+  def lagStats(events: DataFrame, bucketUs: Long = 86400000000L,
+               maxLag: Int = 7): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val daily = graft.operators.Checkpoints.checkpoint(ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c"))
+      // past |x| = 9.5e7 a 1000-term Σx² leaves Int64 — fail loudly
+      .withColumn("x_c", when(abs(col("x_c")) <= 95000000L, col("x_c"))
+        .otherwise(raise_error(format_string(
+          "lagStats: |daily sum| %s overflows the Int64 x-squared bound",
+          col("x_c"))))))
+    val lagged = daily.select(col("event_type"),
+        explode(expr(s"sequence(1L, ${maxLag.toLong}L)")).as("lag"),
+        col("bucket"), col("x_c").as("y_c"))
+      .select(col("event_type"), col("lag"),
+        (col("bucket") + col("lag")).as("bucket"), col("y_c"))
+    daily.join(lagged, Seq("event_type", "bucket"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x_c").as("sum_x"), sum("y_c").as("sum_y"),
+        sum(col("x_c") * col("y_c")).as("sum_xy"),
+        sum(col("x_c") * col("x_c")).as("sum_x2"),
+        sum(col("y_c") * col("y_c")).as("sum_y2"))
+      .orderBy("event_type", "lag")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Grid-bucketed spatial self-join — all point pairs within a radius,
+  * without the all-pairs cross join. The classic fixed-grid spatial-join
+  * shape (e.g. Zhang et al., "Spatial Queries... on MapReduce", and the
+  * grid variant in Spark's own range-join literature): bucket the plane
+  * into cells of width = radius; any two points within the radius land
+  * in the SAME or ADJACENT cells (|Δx| ≤ r ⇒ floor-cell coords differ by
+  * ≤ 1), so candidates come from an equi-join of one side's home cell
+  * against the other side exploded to its 3×3 cell neighborhood — a
+  * constant ×9 fan-out of points, never ×points. Each qualifying pair
+  * joins EXACTLY once (the probe's home cell is a single key; only one
+  * of the builder's nine neighbor copies carries it), so no
+  * dedup-distinct pass is needed.
+  */
+object Spatial {
+
+  /** All pairs (id_a < id_b) of `points` with squared Euclidean distance
+    * ≤ radius². Integer coordinates, exact integer dist² output —
+    * (id_a, id_b, dist2), ordered. Rows with a NULL id or coordinate are
+    * dropped; ids must be unique (pairs are keyed by them).
+    *
+    * Scale shape: shuffle is keyed on the (cx, cy) grid cell — pick
+    * `radius` so a cell holds O(1)–O(100) points; a cell with k points
+    * does k² candidate work, so heavy point clustering should shrink the
+    * radius (or pre-aggregate coincident points) rather than rely on
+    * AQE skew splitting alone. Int64 exactness is structural: dist² is
+    * only ever computed for same-or-adjacent-cell pairs, where
+    * |Δx|, |Δy| ≤ 2·radius, so dist² ≤ 8·radius² — radius ≤ 1e9 keeps
+    * it exact for ANY coordinates (enforced). */
+  def radiusJoin(points: DataFrame, idCol: String, xCol: String,
+                 yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1 && radius <= 1000000000L,
+      s"radius must be in [1, 1e9] (Int64 dist-squared bound), got $radius")
+    val pts = points.select(col(idCol).cast(LongType).as("id"),
+        col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+      .filter(col("id").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    // floor division valid for negatives: pmod keeps the remainder
+    // non-negative, so (v - pmod(v, r)) div r == floor(v / r)
+    def cell(c: String) = expr(s"($c - pmod($c, ${radius}L)) div ${radius}L")
+    val home = pts
+      .withColumn("cx", cell("x")).withColumn("cy", cell("y"))
+    val probe = home.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val build = home.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr("sequence(-1L, 1L)")).as("dx"), col("cx"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("dx")).as("cx"),
+        explode(expr("sequence(-1L, 1L)")).as("dy"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"), col("cx"),
+        (col("cy") + col("dy")).as("cy"))
+    val r2 = radius * radius
+    build.join(probe, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= r2)
+      .select(col("id_a"), col("id_b"), col("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -424,6 +424,14 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.periodDeltas(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_equidepth_scores('xy_view', 'x,y', 2)"))
         == rows(graft.operators.TableOps.equiDepthScores(xy, Seq("x", "y"), 2)))
+      assert(rows(s2.sql("SELECT * FROM graft_lag_stats('events_view2', 86400, 3)"))
+        == rows(graft.events.EventOps.lagStats(ev, maxLag = 3)))
+      val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 50L, 50L))
+        .toDF("pid", "px", "py")
+      pts.createOrReplaceTempView("pts_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_radius_join('pts_view', 'pid', 'px', 'py', 6)"))
+        == rows(graft.operators.Spatial.radiusJoin(pts, "pid", "px", "py", 6L)))
       assert(rows(s2.sql("SELECT * FROM graft_abc('xy_view', 'g', 'y', 80, 95)"))
         == rows(graft.operators.TableOps.abcAnalysis(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_topk_others('xy_view', 'g', 'x', 'y', 1)"))
