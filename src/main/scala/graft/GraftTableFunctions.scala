@@ -53,6 +53,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_vec_stats('embeddings_view', 'embedding', 64)
   *   SELECT * FROM graft_period_deltas('events_view', 86400, 7)
   *   SELECT * FROM graft_lag_stats('events_view', 86400, 7)
+  *   SELECT * FROM graft_item_sim('li_view', 'bk', 'item', 2, 5)
+  *   SELECT * FROM graft_rollup_tree('pc_view', 'c', 'p', 4, 'f_view', 'k', 'v')
   *   SELECT * FROM graft_radius_join('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
@@ -499,6 +501,18 @@ object GraftTableFunctions {
       plan(operators.TableOps.equiDepthScores(table(a(0)),
         str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         nBuckets = int(a(2))))
+    },
+    "graft_item_sim" -> { exprs =>
+      val a = args("graft_item_sim", exprs, 5)
+      plan(operators.Association.itemSimilarity(table(a(0)),
+        basketCol = str(a(1)), itemCol = str(a(2)),
+        minSupport = long(a(3)), k = int(a(4))))
+    },
+    "graft_rollup_tree" -> { exprs =>
+      val a = args("graft_rollup_tree", exprs, 7)
+      plan(graph.Hierarchy.rollupSum(table(a(0)), childCol = str(a(1)),
+        parentCol = str(a(2)), maxDepth = int(a(3)), facts = table(a(4)),
+        keyCol = str(a(5)), valueCol = str(a(6))))
     },
     "graft_lag_stats" -> { exprs =>
       val a = args("graft_lag_stats", exprs, 3)

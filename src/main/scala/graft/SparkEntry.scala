@@ -1889,6 +1889,28 @@ object SparkEntry {
             pmod(col("p_partkey") * 4241L, lit(9941L)).as("y")),
         "id", "x", "y", radius = 250L)),
 
+    // ── item-to-item similarity top-5: "also bought" neighbors by exact
+    // scaled cosine² over supplier co-occurrence in order baskets —
+    // A-Priori-pruned pairs, one window over the pair table ──────────────
+    "q193_item_sim" -> ((s, dir) =>
+      graft.operators.Association.itemSimilarity(
+        s.read.parquet(t(dir, "lineitem")),
+        basketCol = "l_orderkey", itemCol = "l_suppkey",
+        minSupport = 2L, k = 5)),
+
+    // ── subtree rollup: lineitem quantity cents rolled up the q162 part
+    // hierarchy (p → p div 10) — facts pre-aggregated per key, closure
+    // join fans out aggregates only ──────────────────────────────────────
+    "q194_rollup_tree" -> ((s, dir) => {
+      val pc = s.read.parquet(t(dir, "part"))
+        .filter(col("p_partkey") >= 10)
+        .select(col("p_partkey").as("c"), expr("p_partkey div 10").as("p"))
+      graft.graph.Hierarchy.rollupSum(pc, "c", "p", maxDepth = 4,
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c")),
+        "l_partkey", "qty_c")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4785,6 +4807,64 @@ object SparkEntry {
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |      <= 62500
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q193_item_sim" ->
+      """WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS bk,
+        |             CAST(l_suppkey AS BIGINT) AS i
+        |           FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |f AS (SELECT * FROM ic WHERE cnt >= 2),
+        |fb AS (SELECT b.bk, b.i FROM b JOIN f ON f.i = b.i),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b,
+        |        CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        |      FROM fb x JOIN fb y ON x.bk = y.bk AND x.i < y.i
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |wc AS (SELECT p.*, fa.cnt AS cnt_a, fo.cnt AS cnt_b
+        |       FROM p JOIN f fa ON fa.i = p.item_a
+        |              JOIN f fo ON fo.i = p.item_b),
+        |sym AS (SELECT item_a AS item, item_b AS other, pair_cnt,
+        |          cnt_a AS cnt_i, cnt_b AS cnt_o FROM wc
+        |        UNION ALL
+        |        SELECT item_b, item_a, pair_cnt, cnt_b, cnt_a FROM wc),
+        |sc AS (SELECT *,
+        |         CAST((((pair_cnt * 1000000) // cnt_i) * pair_cnt) // cnt_o
+        |           AS BIGINT) AS sim_scaled
+        |       FROM sym),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY item ORDER BY sim_scaled DESC, other) AS rk
+        |      FROM sc)
+        |SELECT item, other, pair_cnt, cnt_i, cnt_o, sim_scaled,
+        |       CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 5
+        |ORDER BY item, rank""".stripMargin,
+
+    "q194_rollup_tree" -> {
+      val c = CENTS.format("l_quantity")
+      s"""WITH pc AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS c,
+        |              CAST(p_partkey // 10 AS BIGINT) AS p
+        |            FROM part WHERE p_partkey >= 10),
+        |l1 AS (SELECT c AS node, p AS anc FROM pc),
+        |l2 AS (SELECT l1.node AS node, pc.p AS anc
+        |       FROM l1 JOIN pc ON l1.anc = pc.c),
+        |l3 AS (SELECT l2.node AS node, pc.p AS anc
+        |       FROM l2 JOIN pc ON l2.anc = pc.c),
+        |l4 AS (SELECT l3.node AS node, pc.p AS anc
+        |       FROM l3 JOIN pc ON l3.anc = pc.c),
+        |cl AS (SELECT DISTINCT node, anc FROM
+        |        (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        |         UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4)),
+        |fct AS (SELECT CAST(l_partkey AS BIGINT) AS node,
+        |          CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |          CAST(SUM($c) AS BIGINT) AS total
+        |        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |mem AS (SELECT node, anc FROM cl
+        |        UNION ALL SELECT node, node AS anc FROM fct)
+        |SELECT mem.anc AS node, CAST(SUM(fct.n_rows) AS BIGINT) AS n_rows,
+        |       CAST(SUM(fct.total) AS BIGINT) AS total
+        |FROM mem JOIN fct ON fct.node = mem.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

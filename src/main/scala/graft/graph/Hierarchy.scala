@@ -75,4 +75,33 @@ object Hierarchy {
     Checkpoints.release(pc)
     all.orderBy("node", "depth", "anc")
   }
+
+  /** Subtree rollup — per hierarchy node, the count and sum of every
+    * fact attached at or below it: total(a) = Σ facts over {key : a ∈
+    * ancestors*(key) ∪ {key}}. The "roll sales up the category tree"
+    * query, answered from the [[ancestors]] closure instead of a
+    * recursive walk per node. Output: (node, n_rows, total), one row per
+    * node with ≥ 1 fact in its subtree, ordered.
+    *
+    * Scale shape: facts pre-aggregate to O(distinct keys) FIRST — the
+    * closure join fans out aggregated rows ×O(depth), never raw facts —
+    * then one groupBy on the ancestor. Every fact key contributes to
+    * itself (depth 0) even when it never appears in `edges` (a leaf-only
+    * or orphan key still rolls up to itself). NULL keys/values drop. */
+  def rollupSum(edges: DataFrame, childCol: String, parentCol: String,
+                maxDepth: Int, facts: DataFrame, keyCol: String,
+                valueCol: String): DataFrame = {
+    val perNode = facts.select(col(keyCol).cast(LongType).as("node"),
+        col(valueCol).cast(LongType).as("v"))
+      .filter(col("node").isNotNull && col("v").isNotNull)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
+    val membership = ancestors(edges, childCol, parentCol, maxDepth)
+      .select(col("node"), col("anc"))
+      .unionByName(perNode.select(col("node"), col("node").as("anc")))
+    membership.join(perNode, Seq("node"))
+      .groupBy(col("anc").as("node"))
+      .agg(sum("n_rows").as("n_rows"), sum("total").as("total"))
+      .orderBy("node")
+  }
 }

@@ -29,21 +29,7 @@ object Association {
     * lift_num, lift_den), ordered by (item_a, item_b). */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
                     minSupport: Long): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    // a NULL basket would silently vanish from the pair join (null never
-    // equi-joins) yet still count toward n_baskets, skewing every lift —
-    // drop both null sides explicitly
-    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
-      .filter(col("bk").isNotNull && col("i").isNotNull)
-      .distinct()
-    val itemCnt = b.groupBy("i").agg(count(lit(1)).as("cnt"))
-    val freq = itemCnt.filter(col("cnt") >= minSupport)
-    val fb = b.join(freq.select("i"), Seq("i"), "left_semi")
-    val pairs = fb.as("x").join(fb.as("y"),
-        col("x.bk") === col("y.bk") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
-      .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= minSupport)
+    val (b, freq, pairs) = prunedPairCounts(df, basketCol, itemCol, minSupport)
     // ONE distributed count-distinct aggregate whose single-Long result is
     // embedded as a literal — the scalar-attach join alternative constant-
     // folds its key and degrades to a nested-loop cross (plan-audit-banned)
@@ -64,5 +50,75 @@ object Association {
         (col("pair_cnt") * nBaskets).as("lift_num"),
         (col("cnt_a") * col("cnt_b")).as("lift_den"))
       .orderBy("item_a", "item_b")
+  }
+
+  /** The shared A-Priori-pruned co-count pipeline: (distinct basket-item
+    * rows, frequent-item counts, pair counts ≥ minSupport). */
+  private def prunedPairCounts(df: DataFrame, basketCol: String,
+                               itemCol: String, minSupport: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // a NULL basket would silently vanish from the pair join (null never
+    // equi-joins) yet still count toward n_baskets, skewing every lift —
+    // drop both null sides explicitly
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("i"))
+      .filter(col("bk").isNotNull && col("i").isNotNull)
+      .distinct()
+    val itemCnt = b.groupBy("i").agg(count(lit(1)).as("cnt"))
+    val freq = itemCnt.filter(col("cnt") >= minSupport)
+    val fb = b.join(freq.select("i"), Seq("i"), "left_semi")
+    val pairs = fb.as("x").join(fb.as("y"),
+        col("x.bk") === col("y.bk") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+    (b, freq, pairs)
+  }
+
+  /** Item-to-item similarity top-k — the "customers also bought"
+    * neighborhood model (item-based collaborative filtering, Sarwar et
+    * al., WWW'01) over co-occurrence counts: for every frequent item,
+    * its k most-similar other items by cosine² over basket incidence
+    * vectors, sim = pair_cnt²/(cnt_i·cnt_o), kept as a SCALED INTEGER —
+    * sim_scaled = ((pair_cnt·scale div cnt_i)·pair_cnt) div cnt_o, a
+    * nested form every engine replays bit-identically AND that stays
+    * inside Int64 structurally (pair_cnt ≤ cnt_i bounds the first
+    * quotient by `scale`; exact for pair_cnt ≤ 9.2e12). cosine² is
+    * monotone in cosine on non-negative counts, so the ranking is the
+    * cosine ranking; ties break on the smaller neighbor id.
+    *
+    * Output: (item, other, pair_cnt, cnt_i, cnt_o, sim_scaled, rank),
+    * rank 1..k per item, ordered by (item, rank).
+    *
+    * Scale shape: the [[frequentPairs]] A-Priori-pruned co-count pipeline
+    * (each undirected pair counted once), symmetrized by a zero-shuffle
+    * union, then ONE window partitioned by item over the support-pruned
+    * pair table — never over baskets or raw rows. */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+                     minSupport: Long, k: Int,
+                     scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1 && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    val (_, freq, pairs) = prunedPairCounts(df, basketCol, itemCol, minSupport)
+    val wc = pairs
+      .join(freq.select(col("i").as("item_a"), col("cnt").as("cnt_a")),
+        Seq("item_a"))
+      .join(freq.select(col("i").as("item_b"), col("cnt").as("cnt_b")),
+        Seq("item_b"))
+    val sym = wc.select(col("item_a").as("item"), col("item_b").as("other"),
+        col("pair_cnt"), col("cnt_a").as("cnt_i"), col("cnt_b").as("cnt_o"))
+      .unionByName(wc.select(col("item_b").as("item"),
+        col("item_a").as("other"), col("pair_cnt"),
+        col("cnt_b").as("cnt_i"), col("cnt_a").as("cnt_o")))
+    val scored = sym.withColumn("sim_scaled",
+      expr(s"(((pair_cnt * ${scale}L) div cnt_i) * pair_cnt) div cnt_o"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
+      .orderBy(col("sim_scaled").desc, col("other"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("other"), col("pair_cnt"), col("cnt_i"),
+        col("cnt_o"), col("sim_scaled"), col("rank"))
+      .orderBy("item", "rank")
   }
 }

@@ -327,6 +327,19 @@ class GraftExtensionsSpec extends SparkSpec {
       pcDf.createOrReplaceTempView("pc_view")
       assert(rows(s2.sql("SELECT * FROM graft_ancestors('pc_view', 'c', 'p', 3)"))
         == rows(graft.graph.Hierarchy.ancestors(pcDf, "c", "p", 3)))
+      val factDf = Seq((4L, 10L), (3L, 5L), (9L, 7L)).toDF("k", "v")
+      factDf.createOrReplaceTempView("rollfact_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_rollup_tree('pc_view', 'c', 'p', 3, 'rollfact_view', 'k', 'v')"))
+        == rows(graft.graph.Hierarchy.rollupSum(pcDf, "c", "p", 3,
+          factDf, "k", "v")))
+      val bskDf = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L))
+        .toDF("bk", "item")
+      bskDf.createOrReplaceTempView("bsk_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_item_sim('bsk_view', 'bk', 'item', 2, 3)"))
+        == rows(graft.operators.Association.itemSimilarity(bskDf,
+          "bk", "item", 2L, 3)))
       val zfDf = Seq(("a", 1L, 5L), ("a", 2L, -9L)).toDF("k", "o", "d")
       zfDf.createOrReplaceTempView("zf_view")
       assert(rows(s2.sql("SELECT * FROM graft_zero_floor('zf_view', 'k', 'o', 'd')"))
