@@ -54,6 +54,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_period_deltas('events_view', 86400, 7)
   *   SELECT * FROM graft_lag_stats('events_view', 86400, 7)
   *   SELECT * FROM graft_item_sim('li_view', 'bk', 'item', 2, 5)
+  *   SELECT * FROM graft_prorate('li_view', 'g', 'id', 'w', 'tot_view', 't')
   *   SELECT * FROM graft_rollup_tree('pc_view', 'c', 'p', 4, 'f_view', 'k', 'v')
   *   SELECT * FROM graft_radius_join('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
@@ -513,6 +514,12 @@ object GraftTableFunctions {
       plan(graph.Hierarchy.rollupSum(table(a(0)), childCol = str(a(1)),
         parentCol = str(a(2)), maxDepth = int(a(3)), facts = table(a(4)),
         keyCol = str(a(5)), valueCol = str(a(6))))
+    },
+    "graft_prorate" -> { exprs =>
+      val a = args("graft_prorate", exprs, 6)
+      plan(operators.TableOps.prorate(table(a(0)), group = str(a(1)),
+        id = str(a(2)), weightCol = str(a(3)), totals = table(a(4)),
+        totalCol = str(a(5))))
     },
     "graft_lag_stats" -> { exprs =>
       val a = args("graft_lag_stats", exprs, 3)

@@ -1911,6 +1911,36 @@ object SparkEntry {
         "l_partkey", "qty_c")
     }),
 
+    // ── largest-remainder proration: each order's total price split
+    // across its lineitems by quantity, shares summing back EXACTLY —
+    // the Hamilton rule, two group-partitioned windows ───────────────────
+    "q195_prorate" -> ((s, dir) =>
+      graft.operators.TableOps.prorate(
+        s.read.parquet(t(dir, "lineitem"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            cents(col("l_quantity")).as("qty_c")),
+        "l_orderkey", "l_linenumber", "qty_c",
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderkey").as("l_orderkey"),
+            cents(col("o_totalprice")).as("price_c")),
+        "price_c")),
+
+    // ── streaming upsert maintainer: the click slice replayed as a CDC
+    // changelog (id mod 10 deletes) through 3 foreachBatch merges — the
+    // sequential fold must equal global last-writer-wins by id ───────────
+    "q196_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.upsertReplay(evts, nChunks = 3)
+        .select(col("userId").as("user_id"), col("valueCents").as("value_c"))
+        .orderBy("user_id")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4864,6 +4894,43 @@ object SparkEntry {
         |       CAST(SUM(fct.total) AS BIGINT) AS total
         |FROM mem JOIN fct ON fct.node = mem.node
         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q195_prorate" -> {
+      val w = CENTS.format("l_quantity")
+      val tt = CENTS.format("o_totalprice")
+      s"""WITH r AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |             l_linenumber, $w AS w
+        |           FROM lineitem),
+        |t AS (SELECT CAST(o_orderkey AS BIGINT) AS l_orderkey, $tt AS tt
+        |      FROM orders),
+        |j AS (SELECT r.l_orderkey, r.l_linenumber, r.w, t.tt,
+        |        CAST(SUM(r.w) OVER (PARTITION BY r.l_orderkey) AS BIGINT)
+        |          AS bw
+        |      FROM r JOIN t USING (l_orderkey)),
+        |b AS (SELECT *, CAST((tt * w) // bw AS BIGINT) AS base,
+        |        CAST((tt * w) % bw AS BIGINT) AS rem
+        |      FROM j),
+        |s AS (SELECT *,
+        |        tt - SUM(base) OVER (PARTITION BY l_orderkey) AS lft,
+        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |          ORDER BY rem DESC, l_linenumber) AS rk
+        |      FROM b)
+        |SELECT l_orderkey, l_linenumber, w AS qty_c,
+        |       CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+        |         AS share
+        |FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q196_stream_upsert" -> {
+      val v = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_id, user_id, $v AS v FROM events
+        |            WHERE event_type = 'click'),
+        |lst AS (SELECT user_id, MAX(event_id) AS me FROM ev GROUP BY 1)
+        |SELECT ev.user_id, CAST(ev.v AS BIGINT) AS value_c
+        |FROM ev JOIN lst ON ev.user_id = lst.user_id AND ev.event_id = lst.me
+        |WHERE lst.me % 10 <> 0
+        |ORDER BY ev.user_id""".stripMargin
     },
 
     "q170_melt" -> {

@@ -445,9 +445,10 @@ object TableOps {
 
   /** One changelog merge WITHOUT the final global order — the loop body
     * of [[applyChangelogs]] (ordering every intermediate batch would add
-    * a full sort per batch for nothing). */
-  private def mergeChangelogOnce(base: DataFrame, changes: DataFrame, key: String,
-                                 opCol: String, seqCol: String): DataFrame = {
+    * a full sort per batch for nothing); also the per-micro-batch fold
+    * of the streaming [[graft.streaming.EventStreaming.UpsertMaintainer]]. */
+  private[graft] def mergeChangelogOnce(base: DataFrame, changes: DataFrame, key: String,
+                                        opCol: String, seqCol: String): DataFrame = {
     // base ORDER for the output (a caller writing the merge back over the
     // base positionally must get the base's own column order); SORTED
     // order only where determinism needs it — the schema-set check and
@@ -671,6 +672,53 @@ object TableOps {
       .withColumn("n_m1",
         sum("cnt").over(Window.partitionBy(group)) - 1L)
       .orderBy(group, x)
+  }
+
+  /** Largest-remainder proration — split each group's integer total
+    * across its rows proportionally to a weight so the shares SUM BACK
+    * EXACTLY to the total (the financial-allocation invariant naive
+    * rounding breaks): base_i = ⌊total·w_i / W⌋, and the leftover
+    * total − Σ base (< #rows units, one per lost floor fraction) goes
+    * +1 each to the rows with the largest remainders (total·w_i mod W),
+    * ties broken by ascending id — the Hamilton apportionment rule,
+    * deterministic and engine-replayable. Output: (group, id, weight,
+    * share), ordered by (group, id); Σ share per group ≡ total.
+    *
+    * Rows whose group has no total drop (inner join); totals with no
+    * rows stay unallocated. NULL/negative weights and negative or
+    * oversized totals raise (weights and totals are bounded at 2³¹−1 so
+    * total·weight stays exact in Int64). Groups summing to W = 0 raise —
+    * there is no proportion to honor. Both windows are partitioned by
+    * the group key; the shuffle unit is the fact table itself. */
+  def prorate(rows: DataFrame, group: String, id: String, weightCol: String,
+              totals: DataFrame, totalCol: String): DataFrame = {
+    val reserved = Set("__w", "__t", "__big", "__base", "__rem", "__rk")
+    Seq(group, id, weightCol).foreach(c => require(
+      !reserved.contains(c) && c != "share",
+      s"prorate: column name '$c' collides with an internal/output name"))
+    def bounded(c: String, what: String) =
+      when(col(c).isNotNull && col(c) >= 0 && col(c) <= 2147483647L, col(c))
+        .otherwise(raise_error(format_string(
+          s"prorate: $what %s must be in [0, 2^31-1] and non-NULL", col(c))))
+    val r = rows.select(col(group), col(id),
+      bounded(weightCol, s"weight $weightCol").cast(LongType).as("__w"))
+    val t = totals.select(col(group),
+      bounded(totalCol, s"total $totalCol").cast(LongType).as("__t"))
+    val byGroup = Window.partitionBy(group)
+    val j = r.join(t, Seq(group))
+      .withColumn("__big", sum("__w").over(byGroup))
+      .withColumn("__big", when(col("__big") > 0, col("__big"))
+        .otherwise(raise_error(format_string(
+          "prorate: group %s has zero total weight", col(group)))))
+      .withColumn("__base", expr("(__t * __w) div __big"))
+      .withColumn("__rem", expr("(__t * __w) % __big"))
+    j.withColumn("__rk", row_number().over(
+        Window.partitionBy(group).orderBy(col("__rem").desc, col(id))))
+      .withColumn("share",
+        col("__base") + when(col("__rk") <= col("__t")
+          - sum("__base").over(byGroup), 1L).otherwise(0L))
+      .select(col(group), col(id), col("__w").as(weightCol), col("share"))
+      .orderBy(group, id)
   }
 
   /** Winsorization — clamp a BIGINT column to its group's exact

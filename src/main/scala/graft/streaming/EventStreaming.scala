@@ -260,6 +260,86 @@ object EventStreaming {
           absorb(batch.toDF()))
   }
 
+  /** Streaming upsert (CDC) maintainer — foreachBatch folding each
+    * micro-batch CHANGELOG (key, value columns, op ∈ {U, D}, seq) into a
+    * running row-state snapshot via the
+    * [[graft.operators.TableOps.applyChangelog]] merge: within a batch
+    * the highest seq per key wins, a later batch overrides an earlier
+    * one, 'D' removes the key, and a delete can be revived by any later
+    * upsert — the streaming half of the warehouse CDC-compaction loop
+    * (q129), maintaining the table OTHER queries join between batches
+    * where Spark's own streaming state lives inside one query. Per-batch
+    * lineage truncation + release of the consumed snapshot (the
+    * applyChangelogs discipline) keeps the plan and memory bounded at
+    * any batch count. */
+  final class UpsertMaintainer(key: String, opCol: String = "op",
+                               seqCol: String = "seq") {
+    @volatile private var snapOpt: Option[DataFrame] = None
+
+    /** The current complete snapshot (None before the first batch). */
+    def current: Option[DataFrame] = snapOpt
+
+    /** Folds one bounded changelog batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      val base = snapOpt.getOrElse {
+        val valCols = batch.columns
+          .filterNot(c => c == key || c == opCol || c == seqCol).toIndexedSeq
+        batch.select((key +: valCols).map(col): _*).limit(0)
+      }
+      val next = graft.operators.Checkpoints.checkpoint(
+        graft.operators.TableOps.mergeChangelogOnce(
+          base, batch, key, opCol, seqCol))
+      snapOpt.foreach(graft.operators.Checkpoints.release)
+      snapOpt = Some(next)
+    }
+
+    /** foreachBatch writer folding every micro-batch changelog of
+      * `stream` into the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice as a changelog through an
+    * [[UpsertMaintainer]] in `nChunks` seq-ordered micro-batches and
+    * returns the final snapshot — the harness that oracle-gates the
+    * streaming upsert path (q196) against the closed-form last-writer-
+    * wins state: op is derived deterministically from the event id
+    * (id ≡ 0 mod 10 deletes, else upserts), seq = event id, and chunks
+    * are fed in ascending id order so the sequential fold must equal
+    * global LWW by id. Same bounded-replay caveat as
+    * [[sessionizeReplay]] (driver-fed verification scaffolding, not the
+    * production path). */
+  def upsertReplay(events: Dataset[Event], nChunks: Int): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ascending-id chunks make batch order = seq order — LWW is the oracle
+    val rows = events.orderBy("eventId").collect().toSeq
+    val m = new UpsertMaintainer("userId")
+    if (rows.isEmpty)
+      return spark.emptyDataset[Event].toDF()
+        .select(col("userId"), col("valueCents"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val ch = stream.toDS().toDF()
+      .select(col("userId"), col("valueCents"),
+        when(pmod(col("eventId"), lit(10L)) === 0L, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("eventId").as("seq"))
+    val q = m.sink(ch).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current.get.orderBy("userId")
+  }
+
   /** Replays a bounded event slice through an [[AggStateMaintainer]] in
     * `nChunks` micro-batches and returns the final snapshot — the
     * harness that oracle-gates the incremental-maintenance path (q142)

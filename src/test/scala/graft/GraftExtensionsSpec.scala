@@ -340,6 +340,14 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT * FROM graft_item_sim('bsk_view', 'bk', 'item', 2, 3)"))
         == rows(graft.operators.Association.itemSimilarity(bskDf,
           "bk", "item", 2L, 3)))
+      val prRows = Seq((1L, 1L, 1L), (1L, 2L, 2L)).toDF("g", "id", "w")
+      val prTots = Seq((1L, 10L)).toDF("g", "t")
+      prRows.createOrReplaceTempView("pr_rows_view")
+      prTots.createOrReplaceTempView("pr_tots_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_prorate('pr_rows_view', 'g', 'id', 'w', 'pr_tots_view', 't')"))
+        == rows(graft.operators.TableOps.prorate(prRows, "g", "id", "w",
+          prTots, "t")))
       val zfDf = Seq(("a", 1L, 5L), ("a", 2L, -9L)).toDF("k", "o", "d")
       zfDf.createOrReplaceTempView("zf_view")
       assert(rows(s2.sql("SELECT * FROM graft_zero_floor('zf_view', 'k', 'o', 'd')"))

@@ -73,7 +73,7 @@ class StreamingStateGuardSpec extends SparkSpec {
     // harness disclaimer next to the collect so the contract is visible
     // at the call site
     for (h <- Seq("sessionizeReplay", "dedupReplay", "aggStateReplay",
-        "topkReplay", "anomalyReplay")) {
+        "topkReplay", "anomalyReplay", "upsertReplay")) {
       val body = span(h, withDoc = true)
       assert(body.contains(".collect()"), s"$h no longer collects — update this spec")
       assert(body.toLowerCase.contains("harness"),
