@@ -313,8 +313,14 @@ object TableOps {
       require(!df.columns.contains(s"${c}_score"),
         s"input already has a '${c}_score' column")
     }
-    val scored = cols.foldLeft(df) { (acc, c) =>
-      val cnts = df.filter(col(c).isNotNull)
+    // the input feeds 2 plan branches + 1 driver action PER metric plus
+    // the accumulating joins — checkpoint once so an expensive upstream
+    // (e.g. the RFM per-customer aggregation) runs once, not 3k+1 times
+    // (the Triangles cross-branch-CSE lesson; released by the caller's
+    // Checkpoints.releaseAll cycle)
+    val src = Checkpoints.checkpoint(df)
+    val scored = cols.foldLeft(src) { (acc, c) =>
+      val cnts = src.filter(col(c).isNotNull)
         .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
       val nRow = cnts.agg(sum("__cnt")).head
       val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
