@@ -55,6 +55,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_lag_stats('events_view', 86400, 7)
   *   SELECT * FROM graft_item_sim('li_view', 'bk', 'item', 2, 5)
   *   SELECT * FROM graft_prorate('li_view', 'g', 'id', 'w', 'tot_view', 't')
+  *   SELECT * FROM graft_rolling_median('events_view', 86400, 7)
+  *   SELECT * FROM graft_holt('events_view', 3, 10, 1, 10)
   *   SELECT * FROM graft_rollup_tree('pc_view', 'c', 'p', 4, 'f_view', 'k', 'v')
   *   SELECT * FROM graft_radius_join('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
@@ -520,6 +522,16 @@ object GraftTableFunctions {
       plan(operators.TableOps.prorate(table(a(0)), group = str(a(1)),
         id = str(a(2)), weightCol = str(a(3)), totals = table(a(4)),
         totalCol = str(a(5))))
+    },
+    "graft_rolling_median" -> { exprs =>
+      val a = args("graft_rolling_median", exprs, 3)
+      plan(events.EventOps.rollingMedian(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L, window = int(a(2))))
+    },
+    "graft_holt" -> { exprs =>
+      val a = args("graft_holt", exprs, 5)
+      plan(events.EventOps.holtSmooth(table(a(0)), alphaNum = long(a(1)),
+        alphaDen = long(a(2)), betaNum = long(a(3)), betaDen = long(a(4))))
     },
     "graft_lag_stats" -> { exprs =>
       val a = args("graft_lag_stats", exprs, 3)

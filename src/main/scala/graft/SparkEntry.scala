@@ -1941,6 +1941,19 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ── trailing 7-day exact rolling median per type: robust center of
+    // the daily series — bounded explode of the tiny daily table, lower-
+    // median convention, gaps shrink the window honestly ─────────────────
+    "q197_rolling_median" -> ((s, dir) =>
+      EventOps.rollingMedian(s.read.parquet(t(dir, "events")))),
+
+    // ── Holt level+trend smoothing, α=3/10 β=1/10: exact fixed-point
+    // forecaster over the capped daily series — explicit floor division
+    // so the negative-trend path replays identically in any engine ───────
+    "q198_holt" -> ((s, dir) =>
+      EventOps.holtSmooth(s.read.parquet(t(dir, "events")),
+        alphaNum = 3L, alphaDen = 10L, betaNum = 1L, betaDen = 10L)),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -4931,6 +4944,66 @@ object SparkEntry {
         |FROM ev JOIN lst ON ev.user_id = lst.user_id AND ev.event_id = lst.me
         |WHERE lst.me % 10 <> 0
         |ORDER BY ev.user_id""".stripMargin
+    },
+
+    "q197_rolling_median" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |c AS (SELECT a.event_type, a.bucket + r AS bucket, a.x_c
+        |      FROM a CROSS JOIN range(0, 7) t(r)),
+        |j AS (SELECT c.event_type, c.bucket, c.x_c
+        |      FROM c JOIN a e ON e.event_type = c.event_type
+        |                     AND e.bucket = c.bucket)
+        |SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST((list(x_c ORDER BY x_c))
+        |            [CAST((COUNT(*) - 1) // 2 + 1 AS BIGINT)]
+        |         AS BIGINT) AS med_c
+        |FROM j GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    },
+
+    "q198_holt" -> {
+      val c = CENTS.format("value")
+      // a recursive CTE, NOT list_reduce: DuckDB 1.0.0's list_reduce
+      // miscomputes struct-state folds whose fields repeat a common
+      // subexpression (verified: single step right, multi-step wrong)
+      def fd(e: String, d: Long) =
+        s"((($e) - (((($e) % $d) + $d) % $d)) // $d)"
+      val newL = fd("3*s.x_c + 7*(h.l + h.b)", 10L)
+      val newB = fd(s"1*(($newL) - h.l) + 9*h.b", 10L)
+      s"""WITH RECURSIVE ev AS (SELECT event_type, epoch_us(ts) AS tus,
+        |              $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |         ORDER BY bucket DESC) AS rnd FROM a),
+        |s AS (SELECT event_type, x_c,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY bucket) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n_obs
+        |      FROM rr WHERE rnd <= 64),
+        |h AS (
+        |  SELECT event_type, n_obs, rn, CAST(x_c AS BIGINT) AS l,
+        |         CAST(0 AS BIGINT) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.n_obs, s.rn, CAST($newL AS BIGINT) AS l,
+        |         CAST($newB AS BIGINT) AS b
+        |  FROM h JOIN s ON s.event_type = h.event_type AND s.rn = h.rn + 1
+        |)
+        |SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+        |       CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+        |       CAST(l + b AS BIGINT) AS forecast_c
+        |FROM h WHERE rn = n_obs
+        |ORDER BY event_type""".stripMargin
     },
 
     "q170_melt" -> {

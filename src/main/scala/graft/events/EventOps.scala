@@ -1010,6 +1010,106 @@ object EventOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Trailing rolling MEDIAN of each type's bucketed value series — the
+    * robust center a rolling mean gets wrong under spikes (and what the
+    * rollingAnomaly z-score can't give). Exact: for each OBSERVED bucket,
+    * the lower median (0-indexed rank ⌊(n−1)/2⌋, the library's
+    * deterministic rank convention) over the ≤ `window` observed buckets
+    * in [bucket − window + 1, bucket]; a gap contributes nothing (n_days
+    * shrinks — the honest form, never zero-filled silently). Output:
+    * (event_type, bucket, n_days, med_c), ordered.
+    *
+    * Scale shape: raw events collapse FIRST to the O(types·buckets)
+    * daily table (checkpointed once — it feeds the contribution AND the
+    * observed-end branch); each daily row explodes to the ≤ `window`
+    * window-ends it serves, the pairing is an equi-join on (type, end),
+    * and the per-end sorted list is bounded at `window` elements — never
+    * a partitionless window, never raw events in the exchange. */
+  def rollingMedian(events: DataFrame, bucketUs: Long = 86400000000L,
+                    window: Int = 7): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(window >= 1 && window <= 64,
+      s"window must be in [1,64], got $window")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val daily = graft.operators.Checkpoints.checkpoint(ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c")))
+    val contrib = daily.select(col("event_type"),
+      explode(expr(s"sequence(bucket, bucket + ${(window - 1).toLong}L)"))
+        .as("end"), col("x_c"))
+    contrib
+      .join(daily.select(col("event_type"), col("bucket").as("end")),
+        Seq("event_type", "end"))
+      .groupBy(col("event_type"), col("end").as("bucket"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(col("x_c"))).as("xs"))
+      .select(col("event_type"), col("bucket"), col("n_days"),
+        expr("element_at(xs, CAST((n_days - 1) div 2 AS INT) + 1)")
+          .as("med_c"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Holt double-exponential smoothing (level + trend) of each type's
+    * bucketed value series — the one-step forecaster EWMA can't be when
+    * the series trends (a pure EWMA lags a ramp forever). Exact Int64
+    * fixed-point over cents with rational α = alphaNum/alphaDen and
+    * β = betaNum/betaDen:
+    *   l_t = ⌊(αN·x_t + (αD−αN)·(l_{t−1}+b_{t−1})) / αD⌋
+    *   b_t = ⌊(βN·(l_t−l_{t−1}) + (βD−βN)·b_{t−1}) / βD⌋
+    * with l_1 = x_1, b_1 = 0. Division is FLOOR division spelled out as
+    * (e − pmod(e, d)) div d — the trend goes negative on declines, where
+    * truncating `div` and flooring `//` diverge; making the numerator an
+    * exact multiple first means every engine computes the same quotient.
+    * The fold is non-associative, so it runs as a codegen aggregate()
+    * lambda over the per-type sorted series capped at the LAST `lastN`
+    * buckets (the ewma contract: per-type state is a bounded array, and
+    * a capped restart re-converges geometrically anyway). Output:
+    * (event_type, n_obs, level_c, trend_c, forecast_c) with forecast =
+    * level + trend (the one-step-ahead), ordered by type. */
+  def holtSmooth(events: DataFrame, alphaNum: Long, alphaDen: Long,
+                 betaNum: Long, betaDen: Long,
+                 bucketUs: Long = 86400000000L, lastN: Int = 64): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 1 && alphaNum <= alphaDen,
+      s"need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    require(betaDen >= 1 && betaNum >= 1 && betaNum <= betaDen,
+      s"need 0 < betaNum <= betaDen, got $betaNum/$betaDen")
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(lastN >= 1 && lastN <= 4096, s"lastN must be in [1,4096], got $lastN")
+    def fdiv(e: String, d: Long) = s"(($e) - pmod(($e), ${d}L)) div ${d}L"
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val daily = ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("bucket").desc)))
+      .filter(col("rn") <= lastN)
+    val aN = alphaNum; val a1 = alphaDen - alphaNum
+    val bN = betaNum; val b1 = betaDen - betaNum
+    val newL = fdiv(s"$aN * s.x_c + $a1 * (acc.l + acc.b)", alphaDen)
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col("bucket"), col("x_c")))).as("xs"))
+      .select(col("event_type"), col("n_obs"),
+        expr(s"""aggregate(
+          slice(xs, 2, size(xs) - 1),
+          struct(CAST(xs[0].x_c AS BIGINT) AS l, CAST(0 AS BIGINT) AS b),
+          (acc, s) -> struct(
+            CAST($newL AS BIGINT) AS l,
+            CAST(${fdiv(s"$bN * (($newL) - acc.l) + $b1 * acc.b", betaDen)}
+              AS BIGINT) AS b)
+        )""").as("st"))
+      .select(col("event_type"), col("n_obs"),
+        col("st.l").as("level_c"), col("st.b").as("trend_c"),
+        (col("st.l") + col("st.b")).as("forecast_c"))
+      .orderBy("event_type")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

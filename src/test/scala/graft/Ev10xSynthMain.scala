@@ -71,6 +71,16 @@ object Ev10xSynthMain {
     }.reduce(_ union _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // part expanded with DISJOINT key spaces: for the hierarchy-rollup
+    // probe (q194) this grows the forest ×factor (each copy a factless
+    // tree except the original — the closure-construction direction);
+    // sf0.1 part keys are < 10M so offsets stay collision-free
+    val prt = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+    (0 until factor).map { k =>
+      prt.withColumn("p_partkey", col("p_partkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ union _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
     println(s"EV10X done: ${spark.read.parquet(s"$out/events.parquet").count()} events, " +
       s"${spark.read.parquet(s"$out/orders.parquet").count()} orders, " +
       s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems at $out")

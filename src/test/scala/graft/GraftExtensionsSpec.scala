@@ -447,6 +447,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.operators.TableOps.equiDepthScores(xy, Seq("x", "y"), 2)))
       assert(rows(s2.sql("SELECT * FROM graft_lag_stats('events_view2', 86400, 3)"))
         == rows(graft.events.EventOps.lagStats(ev, maxLag = 3)))
+      assert(rows(s2.sql("SELECT * FROM graft_rolling_median('events_view2', 86400, 7)"))
+        == rows(graft.events.EventOps.rollingMedian(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_holt('events_view2', 3, 10, 1, 10)"))
+        == rows(graft.events.EventOps.holtSmooth(ev, 3L, 10L, 1L, 10L)))
       val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 50L, 50L))
         .toDF("pid", "px", "py")
       pts.createOrReplaceTempView("pts_view")
