@@ -59,6 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_holt('events_view', 3, 10, 1, 10)
   *   SELECT * FROM graft_rollup_tree('pc_view', 'c', 'p', 4, 'f_view', 'k', 'v')
   *   SELECT * FROM graft_radius_join('pts_view', 'id', 'x', 'y', 250)
+  *   SELECT * FROM graft_nearest_within('pts_view', 'id', 'x', 'y', 250)
+  *   SELECT * FROM graft_zipf('docs_view', 2)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
@@ -542,6 +544,15 @@ object GraftTableFunctions {
       val a = args("graft_radius_join", exprs, 5)
       plan(operators.Spatial.radiusJoin(table(a(0)), idCol = str(a(1)),
         xCol = str(a(2)), yCol = str(a(3)), radius = long(a(4))))
+    },
+    "graft_nearest_within" -> { exprs =>
+      val a = args("graft_nearest_within", exprs, 5)
+      plan(operators.Spatial.nearestNeighbor(table(a(0)), idCol = str(a(1)),
+        xCol = str(a(2)), yCol = str(a(3)), radius = long(a(4))))
+    },
+    "graft_zipf" -> { exprs =>
+      val a = args("graft_zipf", exprs, 2)
+      plan(text.Ngrams.zipfProfile(table(a(0)), minCount = long(a(1))))
     },
     "graft_vec_stats" -> { exprs =>
       val a = args("graft_vec_stats", exprs, 3)

@@ -1954,6 +1954,23 @@ object SparkEntry {
       EventOps.holtSmooth(s.read.parquet(t(dir, "events")),
         alphaNum = 3L, alphaDen = 10L, betaNum = 1L, betaDen = 10L)),
 
+    // ── bounded nearest neighbor: each point's closest other point
+    // within r = 250 on the q192 plane — grid candidates, one
+    // min(struct) argmin, smaller-id tiebreak ────────────────────────────
+    "q199_nearest_within" -> ((s, dir) =>
+      graft.operators.Spatial.nearestNeighbor(
+        s.read.parquet(t(dir, "part"))
+          .select(col("p_partkey").as("id"),
+            pmod(col("p_partkey") * 7919L, lit(9973L)).as("x"),
+            pmod(col("p_partkey") * 4241L, lit(9941L)).as("y")),
+        "id", "x", "y", radius = 250L)),
+
+    // ── Zipf profile: token frequencies collapsed into log₂-rank
+    // buckets — the natural-language shape check over the corpus ─────────
+    "q200_zipf" -> ((s, dir) =>
+      graft.text.Ngrams.zipfProfile(s.read.parquet(t(dir, "documents")),
+        minCount = 2L)),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -5005,6 +5022,40 @@ object SparkEntry {
         |FROM h WHERE rn = n_obs
         |ORDER BY event_type""".stripMargin
     },
+
+    "q199_nearest_within" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+        |             CAST((p_partkey * 7919) % 9973 AS BIGINT) AS x,
+        |             CAST((p_partkey * 4241) % 9941 AS BIGINT) AS y
+        |           FROM part),
+        |c AS (SELECT a.id, b.id AS nn_id,
+        |        (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |          AS dist2
+        |      FROM p a JOIN p b ON a.id <> b.id
+        |        AND b.x BETWEEN a.x - 250 AND a.x + 250
+        |        AND b.y BETWEEN a.y - 250 AND a.y + 250
+        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |            <= 62500),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY dist2, nn_id) AS rk FROM c)
+        |SELECT id, nn_id, CAST(dist2 AS BIGINT) AS dist2
+        |FROM r WHERE rk = 1
+        |ORDER BY id""".stripMargin,
+
+    "q200_zipf" ->
+      """WITH c AS (SELECT t AS token, COUNT(*) AS cnt
+        |           FROM (SELECT UNNEST(string_split(text, ' ')) AS t
+        |                 FROM documents)
+        |           GROUP BY t HAVING COUNT(*) >= 2),
+        |v AS (SELECT cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+        |      FROM c)
+        |SELECT CAST(FLOOR(LOG2(rank)) AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+        |       CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+        |       CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

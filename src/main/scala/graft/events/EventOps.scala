@@ -974,11 +974,12 @@ object EventOps {
     * daily table (checkpointed once — it feeds both join sides); the
     * lag dimension is an explode ×maxLag of THAT table, never of raw
     * events, and the pairing is an equi-join on (type, bucket). Int64
-    * exactness: |daily sum| ≤ 9.5e7 cents keeps each x²/xy term ≤
-    * 9.03e15, so their sums stay exact through 1000 max-magnitude
-    * buckets (raise_error-guarded per value, the giniImpurity
-    * discipline); a hotter series should be re-centered/scaled first,
-    * the linregStats contract. */
+    * exactness: |daily sum| is bounded at 3.03e9 cents (so each x²/xy
+    * term stays exact) and the five sums accumulate as DECIMAL(38,0)
+    * with a raise_error cast-back — the joinProfile discipline: the
+    * operator raises only when the OUTPUT genuinely leaves Int64, not
+    * at a conservative per-value cap; a hotter series should be
+    * re-centered/scaled first, the linregStats contract. */
   def lagStats(events: DataFrame, bucketUs: Long = 86400000000L,
                maxLag: Int = 7): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
@@ -990,8 +991,8 @@ object EventOps {
         expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
       .groupBy("event_type", "bucket")
       .agg(sum("cents").as("x_c"))
-      // past |x| = 9.5e7 a 1000-term Σx² leaves Int64 — fail loudly
-      .withColumn("x_c", when(abs(col("x_c")) <= 95000000L, col("x_c"))
+      // past |x| = 3.03e9 a single x² term leaves Int64 — fail loudly
+      .withColumn("x_c", when(abs(col("x_c")) <= 3037000499L, col("x_c"))
         .otherwise(raise_error(format_string(
           "lagStats: |daily sum| %s overflows the Int64 x-squared bound",
           col("x_c"))))))
@@ -1000,13 +1001,22 @@ object EventOps {
         col("bucket"), col("x_c").as("y_c"))
       .select(col("event_type"), col("lag"),
         (col("bucket") + col("lag")).as("bucket"), col("y_c"))
+    // sums run in DECIMAL(38,0) and raise on the cast back iff the
+    // result itself leaves Int64 (exact, never a conservative cap)
+    def dsum(e: String, name: String) = {
+      val s = sum(expr(s"CAST($e AS DECIMAL(38,0))"))
+      when(abs(s) <= lit(Long.MaxValue), s.cast(LongType))
+        .otherwise(raise_error(lit(
+          s"lagStats: $name overflows Int64 — re-center/scale the series")))
+        .as(name)
+    }
     daily.join(lagged, Seq("event_type", "bucket"))
       .groupBy("event_type", "lag")
       .agg(count(lit(1)).as("n_pairs"),
-        sum("x_c").as("sum_x"), sum("y_c").as("sum_y"),
-        sum(col("x_c") * col("y_c")).as("sum_xy"),
-        sum(col("x_c") * col("x_c")).as("sum_x2"),
-        sum(col("y_c") * col("y_c")).as("sum_y2"))
+        dsum("x_c", "sum_x"), dsum("y_c", "sum_y"),
+        dsum("CAST(x_c AS DECIMAL(38,0)) * y_c", "sum_xy"),
+        dsum("CAST(x_c AS DECIMAL(38,0)) * x_c", "sum_x2"),
+        dsum("CAST(y_c AS DECIMAL(38,0)) * y_c", "sum_y2"))
       .orderBy("event_type", "lag")
   }
 

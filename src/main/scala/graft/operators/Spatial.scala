@@ -33,7 +33,37 @@ object Spatial {
     * |Δx|, |Δy| ≤ 2·radius, so dist² ≤ 8·radius² — radius ≤ 1e9 keeps
     * it exact for ANY coordinates (enforced). */
   def radiusJoin(points: DataFrame, idCol: String, xCol: String,
-                 yCol: String, radius: Long): DataFrame = {
+                 yCol: String, radius: Long): DataFrame =
+    candidates(points, idCol, xCol, yCol, radius)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+      .orderBy("id_a", "id_b")
+
+  /** For every point, its nearest OTHER point within `radius` — the
+    * bounded-radius nearest-neighbor join (entity resolution's "closest
+    * candidate", geo's "nearest store"). Same grid machinery as
+    * [[radiusJoin]]; the per-point argmin is ONE min(struct(dist2, id))
+    * aggregate, so ties break on the smaller neighbor id
+    * deterministically. Points with no neighbor within the radius are
+    * OMITTED (the bounded contract — an unbounded exact NN needs
+    * expanding-ring search, deliberately out of scope). Output:
+    * (id, nn_id, dist2), ordered by id. */
+  def nearestNeighbor(points: DataFrame, idCol: String, xCol: String,
+                      yCol: String, radius: Long): DataFrame =
+    candidates(points, idCol, xCol, yCol, radius)
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_b").as("id"))
+      .agg(min(struct(col("dist2"), col("id_a"))).as("nn"))
+      .select(col("id"), col("nn.id_a").as("nn_id"),
+        col("nn.dist2").as("dist2"))
+      .orderBy("id")
+
+  /** The shared grid candidate generator: all (a, b) point pairs in the
+    * same or adjacent cells with dist² ≤ radius², each pair ONCE per
+    * direction (b's home cell is a single key; exactly one of a's nine
+    * neighbor copies carries it). */
+  private def candidates(points: DataFrame, idCol: String, xCol: String,
+                         yCol: String, radius: Long): DataFrame = {
     require(radius >= 1 && radius <= 1000000000L,
       s"radius must be in [1, 1e9] (Int64 dist-squared bound), got $radius")
     val pts = points.select(col(idCol).cast(LongType).as("id"),
@@ -56,12 +86,9 @@ object Spatial {
         (col("cy") + col("dy")).as("cy"))
     val r2 = radius * radius
     build.join(probe, Seq("cx", "cy"))
-      .filter(col("id_a") < col("id_b"))
       .withColumn("dist2",
         (col("xa") - col("xb")) * (col("xa") - col("xb")) +
           (col("ya") - col("yb")) * (col("ya") - col("yb")))
       .filter(col("dist2") <= r2)
-      .select(col("id_a"), col("id_b"), col("dist2"))
-      .orderBy("id_a", "id_b")
   }
 }

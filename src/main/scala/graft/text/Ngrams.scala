@@ -33,6 +33,28 @@ object Ngrams {
       .orderBy("rank")
   }
 
+  /** Zipf / vocabulary-shape profile — the corpus diagnostic behind
+    * "does this crawl look like natural language": token frequencies
+    * ranked, then collapsed into LOG-RANK buckets (bucket = ⌊log₂ rank⌋),
+    * each with its token count and frequency mass. On Zipfian text the
+    * per-bucket mass is near-flat; boilerplate-heavy or synthetic dumps
+    * bend the curve. Exact integers throughout — floor(log₂) of an
+    * integer rank is float-safe because a double error cannot cross an
+    * integer boundary except AT an exact power of two, where log₂ is
+    * exactly representable. Output: (bucket, n_tokens, sum_cnt, min_cnt,
+    * max_cnt), ordered by bucket.
+    *
+    * Scale shape: rides [[vocab]]'s map-side-combined token count and
+    * scalable GlobalRank; the bucket collapse is one aggregation over
+    * the O(vocabulary) table. */
+  def zipfProfile(docs: DataFrame, minCount: Long = 1L): DataFrame =
+    vocab(docs, minCount)
+      .withColumn("bucket", expr("CAST(floor(log2(rank)) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), sum("cnt").as("sum_cnt"),
+        min("cnt").as("min_cnt"), max("cnt").as("max_cnt"))
+      .orderBy("bucket")
+
   /** Bigram counts with the top `k` continuations per head word, ranked by
     * (count desc, word). Output: (w1, w2, cnt, rn). */
   def topBigrams(docs: DataFrame, k: Int): DataFrame = {

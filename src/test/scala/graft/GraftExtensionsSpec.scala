@@ -457,6 +457,13 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(rows(s2.sql(
           "SELECT * FROM graft_radius_join('pts_view', 'pid', 'px', 'py', 6)"))
         == rows(graft.operators.Spatial.radiusJoin(pts, "pid", "px", "py", 6L)))
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_nearest_within('pts_view', 'pid', 'px', 'py', 6)"))
+        == rows(graft.operators.Spatial.nearestNeighbor(pts, "pid", "px", "py", 6L)))
+      val zdocs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+      zdocs.createOrReplaceTempView("zdocs_view")
+      assert(rows(s2.sql("SELECT * FROM graft_zipf('zdocs_view', 1)"))
+        == rows(graft.text.Ngrams.zipfProfile(zdocs, 1L)))
       assert(rows(s2.sql("SELECT * FROM graft_abc('xy_view', 'g', 'y', 80, 95)"))
         == rows(graft.operators.TableOps.abcAnalysis(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_topk_others('xy_view', 'g', 'x', 'y', 1)"))

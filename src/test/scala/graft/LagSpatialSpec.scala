@@ -58,6 +58,22 @@ class LagSpatialSpec extends SparkSpec {
     assert(e.getMessage.contains("overflows"))
   }
 
+  test("per-value-legal series whose SUM leaves Int64 raises at the cast back") {
+    // three days at 3.0e9 cents each: every x² term fits Int64 but the
+    // 2-pair lag-1 sum_x2 = 1.8e19 does not — the decimal check fires
+    val rows = (0L until 3L).map(d => ("a", d, 3.0e7))
+    val e = intercept[Exception](EventOps.lagStats(ev(rows)).collect())
+    assert(e.getMessage.contains("overflows Int64"))
+  }
+
+  test("large-but-legal values aggregate exactly through the decimal path") {
+    // two days at 2e9 cents: lag-1 pair sums x², xy = 4e18 — inside Int64
+    val rows = Seq(("a", 0L, 2.0e7), ("a", 1L, 2.0e7))
+    val got = EventOps.lagStats(ev(rows), maxLag = 1).collect().head
+    assert(got.getLong(5) == 4000000000000000000L) // sum_xy
+    assert(got.getLong(6) == 4000000000000000000L) // sum_x2
+  }
+
   // ── radiusJoin ────────────────────────────────────────────────────────
 
   test("property: grid join equals the all-pairs filter, exactly once") {
