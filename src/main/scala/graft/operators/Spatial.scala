@@ -49,14 +49,23 @@ object Spatial {
     * expanding-ring search, deliberately out of scope). Output:
     * (id, nn_id, dist2), ordered by id. */
   def nearestNeighbor(points: DataFrame, idCol: String, xCol: String,
-                      yCol: String, radius: Long): DataFrame =
-    candidates(points, idCol, xCol, yCol, radius)
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_b").as("id"))
-      .agg(min(struct(col("dist2"), col("id_a"))).as("nn"))
-      .select(col("id"), col("nn.id_a").as("nn_id"),
-        col("nn.dist2").as("dist2"))
+                      yCol: String, radius: Long): DataFrame = {
+    // two plain-min HASH aggregations + one keyed join instead of one
+    // min(struct(...)): a struct min can't use a mutable HashAggregate
+    // buffer, so Spark plans SortAggregate — measured 2× slower from
+    // double-sorting every candidate row. The candidate table feeds both
+    // phases, so it is checkpointed once (released by the caller's
+    // releaseAll cycle).
+    val cand = Checkpoints.checkpoint(
+      candidates(points, idCol, xCol, yCol, radius)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_b").as("id"), col("id_a"), col("dist2")))
+    val best = cand.groupBy("id").agg(min("dist2").as("dist2"))
+    cand.join(best, Seq("id", "dist2"))
+      .groupBy("id").agg(min("id_a").as("nn_id"), min("dist2").as("dist2"))
+      .select(col("id"), col("nn_id"), col("dist2"))
       .orderBy("id")
+  }
 
   /** The shared grid candidate generator: all (a, b) point pairs in the
     * same or adjacent cells with dist² ≤ radius², each pair ONCE per
