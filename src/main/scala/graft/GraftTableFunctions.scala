@@ -61,6 +61,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_radius_join('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_nearest_within('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_zipf('docs_view', 2)
+  *   SELECT * FROM graft_fifo_match('buys_v', 'sells_v', 'k', 'id', 'q', 'seq', 64)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
@@ -518,6 +519,12 @@ object GraftTableFunctions {
       plan(graph.Hierarchy.rollupSum(table(a(0)), childCol = str(a(1)),
         parentCol = str(a(2)), maxDepth = int(a(3)), facts = table(a(4)),
         keyCol = str(a(5)), valueCol = str(a(6))))
+    },
+    "graft_fifo_match" -> { exprs =>
+      val a = args("graft_fifo_match", exprs, 7)
+      plan(operators.Inventory.fifoMatch(table(a(0)), table(a(1)),
+        key = str(a(2)), id = str(a(3)), qtyCol = str(a(4)),
+        seqCol = str(a(5)), qtyBucket = long(a(6))))
     },
     "graft_prorate" -> { exprs =>
       val a = args("graft_prorate", exprs, 6)

@@ -1971,6 +1971,43 @@ object SparkEntry {
       graft.text.Ngrams.zipfProfile(s.read.parquet(t(dir, "documents")),
         minCount = 2L)),
 
+    // ── FIFO lot matching: returns ('R') consume earlier non-return
+    // lots per part, oldest first — the sequential loop as a closed
+    // form: two prefix sums + a quantity-bucketed interval equi-join ─────
+    "q201_fifo_match" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_partkey"), col("l_returnflag"),
+          (col("l_orderkey") * 10L + col("l_linenumber")).as("lid"),
+          col("l_quantity").cast(LongType).as("q"),
+          unix_micros(col("l_shipdate").cast(TimestampType)).as("sq"))
+      graft.operators.Inventory.fifoMatch(
+        li.filter(col("l_returnflag") =!= "R"),
+        li.filter(col("l_returnflag") === "R"),
+        "l_partkey", "lid", "q", "sq", qtyBucket = 64L)
+    }),
+
+    // ── forward as-of with tolerance: each view's next purchase by the
+    // same user within the hour; NULL rows ARE the abandonment report —
+    // one union-merge shuffle, no range cross join ───────────────────────
+    "q202_asof_forward" -> ((s, dir) => {
+      val raw = s.read.parquet(t(dir, "events"))
+      val ev = raw.select(col("user_id"), col("event_id"), col("event_type"),
+        EventOps.tsMicros(raw).as("tus"), cents(col("value")).as("v_c"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "event_id", "tus")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("tus"), col("v_c").as("p_value_c"))
+      graft.events.AsOf.forward(views, buys, Seq("user_id"), "tus",
+          "event_id", "p_event_id", Seq("p_event_id", "p_value_c"),
+          toleranceUs = Some(3600000000L))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          col("asof._t").as("p_tus"),
+          col("asof.p_event_id").as("p_event_id"),
+          col("asof.p_value_c").as("p_value_c"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -5056,6 +5093,49 @@ object SparkEntry {
         |       CAST(MIN(cnt) AS BIGINT) AS min_cnt,
         |       CAST(MAX(cnt) AS BIGINT) AS max_cnt
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q201_fifo_match" ->
+      """WITH li AS (SELECT l_partkey AS k, l_returnflag AS f,
+        |              CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS lid,
+        |              CAST(l_quantity AS BIGINT) AS q,
+        |              epoch_us(l_shipdate) AS sq
+        |            FROM lineitem),
+        |b AS (SELECT k, lid, q,
+        |        COALESCE(SUM(q) OVER (PARTITION BY k ORDER BY sq, lid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+        |      FROM li WHERE f <> 'R'),
+        |s AS (SELECT k, lid, q,
+        |        COALESCE(SUM(q) OVER (PARTITION BY k ORDER BY sq, lid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t0
+        |      FROM li WHERE f = 'R')
+        |SELECT b.k AS l_partkey, b.lid AS buy_id, s.lid AS sell_id,
+        |       CAST(LEAST(b.s0 + b.q, s.t0 + s.q)
+        |            - GREATEST(b.s0, s.t0) AS BIGINT) AS qty
+        |FROM b JOIN s ON b.k = s.k
+        |  AND b.s0 < s.t0 + s.q AND s.t0 < b.s0 + b.q
+        |ORDER BY l_partkey, buy_id, sell_id""".stripMargin,
+
+    "q202_asof_forward" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(ts) AS tus, $c AS v_c FROM events),
+        |v AS (SELECT user_id, event_id, tus FROM ev
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_event_id, tus AS p_tus,
+        |        v_c AS p_value_c
+        |      FROM ev WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id, v.event_id, p.p_tus, p.p_event_id,
+        |        p.p_value_c,
+        |        ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
+        |          ORDER BY p.p_tus, p.p_event_id) AS rk
+        |      FROM v JOIN p ON p.user_id = v.user_id
+        |        AND p.p_tus >= v.tus AND p.p_tus <= v.tus + 3600000000)
+        |SELECT v.user_id, v.event_id, v.tus, j.p_tus, j.p_event_id,
+        |       j.p_value_c
+        |FROM v LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+        |  ON j.user_id = v.user_id AND j.event_id = v.event_id
+        |ORDER BY v.user_id, v.event_id""".stripMargin
+    },
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

@@ -340,6 +340,15 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT * FROM graft_item_sim('bsk_view', 'bk', 'item', 2, 3)"))
         == rows(graft.operators.Association.itemSimilarity(bskDf,
           "bk", "item", 2L, 3)))
+      val fifoBuys = Seq((1L, 10L, 5L, 1L), (1L, 11L, 3L, 2L))
+        .toDF("g", "id", "q", "seq")
+      val fifoSells = Seq((1L, 20L, 6L, 1L)).toDF("g", "id", "q", "seq")
+      fifoBuys.createOrReplaceTempView("fifo_b_view")
+      fifoSells.createOrReplaceTempView("fifo_s_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_fifo_match('fifo_b_view', 'fifo_s_view', 'g', 'id', 'q', 'seq', 4)"))
+        == rows(graft.operators.Inventory.fifoMatch(fifoBuys, fifoSells,
+          "g", "id", "q", "seq", 4L)))
       val prRows = Seq((1L, 1L, 1L), (1L, 2L, 2L)).toDF("g", "id", "w")
       val prTots = Seq((1L, 10L)).toDF("g", "t")
       prRows.createOrReplaceTempView("pr_rows_view")
