@@ -2008,6 +2008,52 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ── CSV round-trip: gzip'd header CSV out, FAILFAST explicit-schema
+    // read back — equality to the parquet oracle IS the proof ────────────
+    "q203_csv_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      graft.sources.Text.saveCsv(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_c")),
+        out, numFiles = 4)
+      graft.sources.Text.readCsv(s, out, StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("price_c", LongType))))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── JSON-lines round-trip: the API-dump ingest path, gzip'd,
+    // FAILFAST, explicit schema ──────────────────────────────────────────
+    "q204_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt"
+      graft.sources.Text.saveJsonl(
+        s.read.parquet(t(dir, "customer"))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        out, numFiles = 4)
+      graft.sources.Text.readJsonl(s, out, StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_nationkey", LongType))))
+        .orderBy("c_custkey")
+    }),
+
+    // ── hive-partitioned write + pruned read: only the o_orderstatus=F
+    // directory is opened (PartitionFilters — spec-pinned) ───────────────
+    "q205_partition_prune" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_rt"
+      graft.sources.Partitioned.save(
+        s.read.parquet(t(dir, "orders"))
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+            col("o_orderstatus")),
+        out, "o_orderstatus")
+      graft.sources.Partitioned.read(s, out)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("price_c"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -5136,6 +5182,21 @@ object SparkEntry {
         |  ON j.user_id = v.user_id AND j.event_id = v.event_id
         |ORDER BY v.user_id, v.event_id""".stripMargin
     },
+
+    "q203_csv_roundtrip" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+        |       ${CENTS.format("o_totalprice")} AS price_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q204_jsonl_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q205_partition_prune" ->
+      s"""SELECT o_orderkey, ${CENTS.format("o_totalprice")} AS price_c,
+        |       o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",
