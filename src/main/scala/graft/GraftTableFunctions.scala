@@ -62,6 +62,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_nearest_within('pts_view', 'id', 'x', 'y', 250)
   *   SELECT * FROM graft_zipf('docs_view', 2)
   *   SELECT * FROM graft_fifo_match('buys_v', 'sells_v', 'k', 'id', 'q', 'seq', 64)
+  *   SELECT * FROM graft_scd2_lookup('dim_v', 'facts_v', 'user_id', 'tus')
+  *   SELECT * FROM graft_dense_series('events_view', 86400)
+  *   SELECT * FROM graft_velocity('events_view', 600, 3)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
@@ -519,6 +522,21 @@ object GraftTableFunctions {
       plan(graph.Hierarchy.rollupSum(table(a(0)), childCol = str(a(1)),
         parentCol = str(a(2)), maxDepth = int(a(3)), facts = table(a(4)),
         keyCol = str(a(5)), valueCol = str(a(6))))
+    },
+    "graft_scd2_lookup" -> { exprs =>
+      val a = args("graft_scd2_lookup", exprs, 4)
+      plan(events.EventOps.scd2Lookup(table(a(0)), table(a(1)),
+        keyCol = str(a(2)), timeCol = str(a(3))))
+    },
+    "graft_dense_series" -> { exprs =>
+      val a = args("graft_dense_series", exprs, 2)
+      plan(events.EventOps.denseSeries(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L))
+    },
+    "graft_velocity" -> { exprs =>
+      val a = args("graft_velocity", exprs, 3)
+      plan(events.EventOps.velocity(table(a(0)),
+        windowUs = long(a(1)) * 1000000L, minBurst = long(a(2))))
     },
     "graft_fifo_match" -> { exprs =>
       val a = args("graft_fifo_match", exprs, 7)

@@ -2054,6 +2054,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ── SCD2 point-in-time lookup: each user's state (q106's version
+    // table) at noon of each active day — backward as-of on valid_from,
+    // never an interval cross join ───────────────────────────────────────
+    "q206_scd2_lookup" -> ((s, dir) => {
+      val raw = s.read.parquet(t(dir, "events"))
+      val dim = EventOps.scd2(raw)
+      val probes = raw
+        .select(col("user_id"), EventOps.tsMicros(raw).as("tus"))
+        .withColumn("tus",
+          expr("(tus - pmod(tus, 86400000000L)) + 43200000000L"))
+        .distinct()
+      EventOps.scd2Lookup(dim, probes, "user_id", "tus")
+    }),
+
+    // ── dense spine with zero-fill: every bucket between each type's
+    // first and last day present, absent ones as 0 — the report where a
+    // missing week must SHOW as zero ─────────────────────────────────────
+    "q207_dense_series" -> ((s, dir) =>
+      EventOps.denseSeries(s.read.parquet(t(dir, "events")))),
+
+    // ── sliding velocity check: users with ≥ 2 events inside any
+    // trailing 6 hours — one RANGE-frame window, no self-join ────────────
+    "q208_velocity" -> ((s, dir) =>
+      EventOps.velocity(s.read.parquet(t(dir, "events")),
+        windowUs = 21600000000L, minBurst = 2L)),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -5197,6 +5223,64 @@ object SparkEntry {
         |       o_orderstatus
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q206_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |c AS (SELECT user_id, event_id, tus, event_type,
+        |        LAG(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS prev_type
+        |      FROM e),
+        |f AS (SELECT * FROM c
+        |      WHERE prev_type IS NULL OR prev_type != event_type),
+        |d AS (SELECT user_id, event_type AS state, tus AS valid_from_us,
+        |        LEAD(tus) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS valid_to_us
+        |      FROM f),
+        |p AS (SELECT DISTINCT user_id,
+        |        (tus - (((tus % 86400000000) + 86400000000) % 86400000000))
+        |          + 43200000000 AS tus
+        |      FROM e)
+        |SELECT p.user_id, p.tus, d.state, d.valid_to_us
+        |FROM p LEFT JOIN d ON d.user_id = p.user_id
+        |  AND d.valid_from_us <= p.tus
+        |  AND (d.valid_to_us IS NULL OR p.tus < d.valid_to_us)
+        |ORDER BY p.user_id, p.tus""".stripMargin,
+
+    "q207_dense_series" -> {
+      val c = CENTS.format("value")
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
+        |        CAST(SUM(cents) AS BIGINT) AS x_c
+        |      FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |      FROM a GROUP BY 1),
+        |sp AS (SELECT event_type,
+        |         CAST(UNNEST(generate_series(b0, b1)) AS BIGINT) AS bucket
+        |       FROM b)
+        |SELECT sp.event_type, sp.bucket,
+        |       CAST(COALESCE(a.x_c, 0) AS BIGINT) AS x_c
+        |FROM sp LEFT JOIN a ON a.event_type = sp.event_type
+        |                   AND a.bucket = sp.bucket
+        |ORDER BY sp.event_type, sp.bucket""".stripMargin
+    },
+
+    "q208_velocity" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT user_id,
+        |        CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tus
+        |          RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS burst
+        |      FROM e),
+        |g AS (SELECT user_id, MAX(burst) AS peak_burst,
+        |        CAST(SUM(CASE WHEN burst >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_burst_events
+        |      FROM w GROUP BY 1)
+        |SELECT user_id, peak_burst, n_burst_events
+        |FROM g WHERE peak_burst >= 2
+        |ORDER BY user_id""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

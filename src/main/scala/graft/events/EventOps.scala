@@ -1120,6 +1120,86 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** SCD2 point-in-time lookup — enrich timestamped facts with the
+    * dimension version valid AT each fact's time: the query every SCD2
+    * table exists to answer ("what plan was this user on when they
+    * clicked"). Because versions TILE per key (valid_from of version
+    * k+1 = valid_to of version k, last one open), containment lookup is
+    * exactly a BACKWARD AS-OF on valid_from — one union-merge shuffle
+    * ([[AsOf.backward]]), never an interval cross join. Facts before the
+    * key's first version get NULL state (the honest "no version yet").
+    * `dim` must be [[scd2]]-shaped: (key, state, valid_from_us,
+    * valid_to_us); facts need (key, timeCol) with timeCol unique per key
+    * (dedupe first — it doubles as the as-of tiebreak). Output: facts'
+    * (key, timeCol) plus (state, valid_to_us), ordered. */
+  def scd2Lookup(dim: DataFrame, facts: DataFrame, keyCol: String,
+                 timeCol: String): DataFrame = {
+    val d = dim.select(col(keyCol), col("valid_from_us").as(timeCol),
+      col("state"), col("valid_to_us"))
+    AsOf.backward(facts.select(col(keyCol), col(timeCol)), d, Seq(keyCol),
+        timeCol, leftTie = timeCol, rightTie = timeCol,
+        payloadCols = Seq("state", "valid_to_us"))
+      .select(col(keyCol), col(timeCol), col("asof.state").as("state"),
+        col("asof.valid_to_us").as("valid_to_us"))
+      .orderBy(keyCol, timeCol)
+  }
+
+  /** Dense bucket spine with zero-fill — each type's value series with
+    * EVERY bucket between its first and last present, absent ones as 0:
+    * the report shape where a missing week must show as zero, not
+    * disappear (the complement of [[resample]]'s forward-fill). The
+    * spine explodes from the per-type (min, max) AGGREGATE — O(types)
+    * rows fan out to O(types·span), never raw events; a span wider than
+    * `maxBuckets` raises (the guarded-explode rule). Output:
+    * (event_type, bucket, x_c), dense, ordered. */
+  def denseSeries(events: DataFrame, bucketUs: Long = 86400000000L,
+                  maxBuckets: Long = 1L << 20): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(maxBuckets >= 1, "maxBuckets must be >= 1")
+    val ev = events.select(col("event_type"), tsMicros(events).as("tus"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val daily = graft.operators.Checkpoints.checkpoint(ev
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("cents").as("x_c")))
+    val spine = daily.groupBy("event_type")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .withColumn("b1", when(col("b1") - col("b0") < maxBuckets, col("b1"))
+        .otherwise(raise_error(format_string(
+          s"denseSeries: span [%s, %s] exceeds maxBuckets=$maxBuckets",
+          col("b0"), col("b1")))))
+      .select(col("event_type"),
+        explode(expr("sequence(b0, b1)")).as("bucket"))
+    spine.join(daily, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("x_c"), lit(0L)).as("x_c"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Sliding velocity check — burst detection: for each user, the peak
+    * number of events inside ANY trailing `windowUs` window and how many
+    * events sat in a window of ≥ `minBurst`; only users reaching
+    * `minBurst` are reported (the fraud/abuse "too fast to be human"
+    * primitive). ONE user-partitioned window with a RANGE frame on the
+    * timestamp — the time-window count without self-joins or explodes;
+    * equal timestamps all see each other (RANGE semantics, order-proof).
+    * Output: (user_id, peak_burst, n_burst_events), ordered. */
+  def velocity(events: DataFrame, windowUs: Long, minBurst: Long): DataFrame = {
+    require(windowUs >= 1, "windowUs must be positive")
+    require(minBurst >= 1, "minBurst must be >= 1")
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(-(windowUs - 1), 0)
+    events.select(col("user_id"), tsMicros(events).as("tus"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max("burst").as("peak_burst"),
+        sum(when(col("burst") >= minBurst, 1L).otherwise(0L))
+          .as("n_burst_events"))
+      .filter(col("peak_burst") >= minBurst)
+      .orderBy("user_id")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -458,6 +458,19 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.lagStats(ev, maxLag = 3)))
       assert(rows(s2.sql("SELECT * FROM graft_rolling_median('events_view2', 86400, 7)"))
         == rows(graft.events.EventOps.rollingMedian(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_dense_series('events_view2', 86400)"))
+        == rows(graft.events.EventOps.denseSeries(ev)))
+      assert(rows(s2.sql("SELECT * FROM graft_velocity('events_view2', 600, 2)"))
+        == rows(graft.events.EventOps.velocity(ev, 600000000L, 2L)))
+      val dimScd = graft.events.EventOps.scd2(ev)
+      val probesScd = graft.events.EventOps.scd2(ev)
+        .selectExpr("user_id", "valid_from_us AS tus")
+      dimScd.createOrReplaceTempView("scd_dim_view")
+      probesScd.createOrReplaceTempView("scd_probe_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_scd2_lookup('scd_dim_view', 'scd_probe_view', 'user_id', 'tus')"))
+        == rows(graft.events.EventOps.scd2Lookup(dimScd, probesScd,
+          "user_id", "tus")))
       assert(rows(s2.sql("SELECT * FROM graft_holt('events_view2', 3, 10, 1, 10)"))
         == rows(graft.events.EventOps.holtSmooth(ev, 3L, 10L, 1L, 10L)))
       val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 50L, 50L))
