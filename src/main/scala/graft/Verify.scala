@@ -26,6 +26,10 @@ object Verify {
         errors(name) = msg
         Files.writeString(Paths.get(s"$outDir/${name}._ERROR"), msg)
       }
+      // the parquet write fully materialized the result — release the
+      // gate's internal checkpoints NOW (the Bench discipline) so block
+      // storage doesn't accumulate across a 200+-gate board
+      finally graft.operators.Checkpoints.releaseAll()
     }
     val errJson = errors.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
       .mkString("{", ",", "}")
