@@ -65,6 +65,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_scd2_lookup('dim_v', 'facts_v', 'user_id', 'tus')
   *   SELECT * FROM graft_dense_series('events_view', 86400)
   *   SELECT * FROM graft_velocity('events_view', 600, 3)
+  *   SELECT * FROM graft_cumulative_users('events_view', 86400)
   *   SELECT * FROM graft_equidepth_scores('rfm_view', 'recency_d,freq,mon_c', 5)
   *   SELECT * FROM graft_topk_others('li_view', 'g', 'item', 'c', 3)
   *   SELECT * FROM graft_abc('orders_view', 'o_custkey', 'c', 80, 95)
@@ -531,6 +532,11 @@ object GraftTableFunctions {
     "graft_dense_series" -> { exprs =>
       val a = args("graft_dense_series", exprs, 2)
       plan(events.EventOps.denseSeries(table(a(0)),
+        bucketUs = long(a(1)) * 1000000L))
+    },
+    "graft_cumulative_users" -> { exprs =>
+      val a = args("graft_cumulative_users", exprs, 2)
+      plan(events.EventOps.cumulativeUsers(table(a(0)),
         bucketUs = long(a(1)) * 1000000L))
     },
     "graft_velocity" -> { exprs =>

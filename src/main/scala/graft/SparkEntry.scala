@@ -2080,6 +2080,13 @@ object SparkEntry {
       EventOps.velocity(s.read.parquet(t(dir, "events")),
         windowUs = 21600000000L, minBurst = 2L)),
 
+    // ── audience growth: per day, first-time users and the cumulative
+    // distinct-user count — first-touch compression + PrefixSum, never a
+    // distinct-over-window ───────────────────────────────────────────────
+    "q209_cumulative_users" -> ((s, dir) =>
+      EventOps.cumulativeUsers(s.read.parquet(t(dir, "events")),
+        bucketUs = 3600000000L)),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -5281,6 +5288,19 @@ object SparkEntry {
         |SELECT user_id, peak_burst, n_burst_events
         |FROM g WHERE peak_burst >= 2
         |ORDER BY user_id""".stripMargin,
+
+    "q209_cumulative_users" ->
+      """WITH e AS (SELECT user_id,
+        |             (epoch_us(ts) - (epoch_us(ts) % 3600000000))
+        |               // 3600000000 AS bucket
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(bucket) AS bucket FROM e GROUP BY 1),
+        |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_users
+        |      FROM f GROUP BY 1)
+        |SELECT bucket, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY bucket) AS BIGINT)
+        |         AS cum_users
+        |FROM d ORDER BY bucket""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

@@ -1200,6 +1200,29 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Cumulative-unique-users curve — per bucket with ≥ 1 first-time
+    * user: how many users are NEW that bucket and how many DISTINCT
+    * users have been seen up to and including it (the audience-growth
+    * chart). The distinct-count never runs over raw events: a user's
+    * contribution collapses to their FIRST bucket (O(users) exchange),
+    * new-user counts collapse to O(buckets), and the running total is a
+    * [[graft.operators.PrefixSum]] two-pass scan — never a partitionless
+    * window. Output: (bucket, new_users, cum_users), ordered. */
+  def cumulativeUsers(events: DataFrame,
+                      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val first = events.select(col("user_id"), tsMicros(events).as("tus"))
+      .withColumn("bucket",
+        expr(s"(tus - pmod(tus, ${bucketUs}L)) div ${bucketUs}L"))
+      .groupBy("user_id").agg(min("bucket").as("bucket"))
+    val daily = first.groupBy("bucket").agg(count(lit(1)).as("new_users"))
+    graft.operators.PrefixSum
+      .exclusive(daily, "new_users", "__below", -1, col("bucket"))
+      .select(col("bucket"), col("new_users"),
+        (col("__below") + col("new_users")).as("cum_users"))
+      .orderBy("bucket")
+  }
+
   def retention(events: DataFrame, bucketUs: Long = 604800000000L): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     val ev = events.select(col("user_id"), tsMicros(events).as("tus"))

@@ -462,6 +462,8 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.events.EventOps.denseSeries(ev)))
       assert(rows(s2.sql("SELECT * FROM graft_velocity('events_view2', 600, 2)"))
         == rows(graft.events.EventOps.velocity(ev, 600000000L, 2L)))
+      assert(rows(s2.sql("SELECT * FROM graft_cumulative_users('events_view2', 86400)"))
+        == rows(graft.events.EventOps.cumulativeUsers(ev)))
       val dimScd = graft.events.EventOps.scd2(ev)
       val probesScd = graft.events.EventOps.scd2(ev)
         .selectExpr("user_id", "valid_from_us AS tus")

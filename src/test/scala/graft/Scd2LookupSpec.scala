@@ -90,6 +90,29 @@ class Scd2LookupSpec extends SparkSpec {
     }
   }
 
+  // ── cumulativeUsers ───────────────────────────────────────────────────
+
+  test("cumulative users: first-touch property against brute force") {
+    val rnd = new scala.util.Random(209)
+    val day = 86400000L
+    val rows = (0 until 400).map { _ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(30).toLong * day, "a", 1.0)
+    }
+    val got = EventOps.cumulativeUsers(ev(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val firstDay = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2 / day).min
+    }
+    val newPer = firstDay.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    assert(got.keySet == newPer.keySet)
+    for ((d, n) <- newPer) {
+      val cum = firstDay.values.count(_ <= d).toLong
+      assert(got(d) == ((n, cum)), s"day $d")
+    }
+    assert(got.values.map(_._2).max == firstDay.size.toLong,
+      "final cumulative equals total distinct users")
+  }
+
   test("equal timestamps all see each other (RANGE, not ROWS)") {
     val rows = Seq((1L, 1000L, "a", 1.0), (1L, 1000L, "a", 1.0),
       (1L, 1000L, "a", 1.0))
