@@ -72,6 +72,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_histogram2d('events_view', 'hour', 'c', 1, 500)
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
+  *   SELECT * FROM graft_qsketch('li_view', 'g', 'x', 1, 51, 50, '1/2,9/10')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -454,6 +455,17 @@ object GraftTableFunctions {
       val a = args("graft_skyline", exprs, 3)
       plan(operators.Skyline.pareto2d(table(a(0)), x = str(a(1)),
         y = str(a(2))))
+    },
+    "graft_qsketch" -> { exprs =>
+      val a = args("graft_qsketch", exprs, 7)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val qs = str(a(6)).split(',').map(_.trim).filter(_.nonEmpty).map { q =>
+        val Array(n, d) = q.split('/')
+        (n.trim.toInt, d.trim.toInt)
+      }.toSeq
+      plan(operators.QuantileSketch.summary(table(a(0)), grps,
+        valueCol = str(a(2)), lo = long(a(3)), hi = long(a(4)),
+        bins = int(a(5)), qs = qs))
     },
     "graft_agg_state" -> { exprs =>
       val a = args("graft_agg_state", exprs, 3)

@@ -2087,6 +2087,47 @@ object SparkEntry {
       EventOps.cumulativeUsers(s.read.parquet(t(dir, "events")),
         bucketUs = 3600000000L)),
 
+    // ── re-aggregatable quantile sketch (the cube's quantile column):
+    // one map-side-combined hash agg of bins+2 conditional counts per
+    // flag, quantiles read back by a HOF walk; l_quantity's integer
+    // domain at bin width 1 makes the lower-quantile read EXACT ──────────
+    "q210_qsketch_quantiles" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"))
+      graft.operators.QuantileSketch.sketch(li, Seq("l_returnflag"), "v",
+          lo = 1L, hi = 51L, bins = 50)
+        .select(col("l_returnflag"),
+          graft.operators.QuantileSketch.total(col("sketch")).as("n"),
+          graft.operators.QuantileSketch.quantileLower(col("sketch"),
+            1, 2, 1L, 51L, 50).as("p50"),
+          graft.operators.QuantileSketch.quantileLower(col("sketch"),
+            9, 10, 1L, 51L, 50).as("p90"),
+          graft.operators.QuantileSketch.quantileLower(col("sketch"),
+            99, 100, 1L, 51L, 50).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── sketch ROLLUP: fine (flag, status) sketches re-aggregated to per-
+    // flag cells by element-wise vector sum — the pre-aggregated-cube
+    // path; the oracle computes per-flag quantiles directly, so the gate
+    // hash-pins merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) on real data ─
+    "q211_qsketch_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(LongType).as("v"))
+      val fine = graft.operators.QuantileSketch.sketch(li,
+        Seq("l_returnflag", "l_linestatus"), "v", lo = 1L, hi = 51L, bins = 50)
+      graft.operators.QuantileSketch.rollup(fine, "sketch", bins = 50,
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          graft.operators.QuantileSketch.total(col("sketch")).as("n"),
+          graft.operators.QuantileSketch.quantileLower(col("sketch"),
+            1, 2, 1L, 51L, 50).as("p50"),
+          graft.operators.QuantileSketch.quantileLower(col("sketch"),
+            3, 4, 1L, 51L, 50).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
     // ── melt / unpivot: the wide lineitem measures to long
     // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
     "q170_melt" -> ((s, dir) =>
@@ -5301,6 +5342,38 @@ object SparkEntry {
         |       CAST(SUM(new_users) OVER (ORDER BY bucket) AS BIGINT)
         |         AS cum_users
         |FROM d ORDER BY bucket""".stripMargin,
+
+    // lower quantile ⇔ smallest v whose cumulative count reaches rank
+    // ⌈(num·n)/den⌉; compared cross-multiplied (cum·den ≥ n·num) exactly
+    // as the sketch's HOF walk does
+    "q210_qsketch_quantiles" ->
+      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+        |           FROM lineitem),
+        |c AS (SELECT l_returnflag, v, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, v,
+        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |          AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT l_returnflag, MAX(n) AS n,
+        |       MIN(v) FILTER (WHERE cum * 2 >= n) AS p50,
+        |       MIN(v) FILTER (WHERE cum * 10 >= 9 * n) AS p90,
+        |       MIN(v) FILTER (WHERE cum * 100 >= 99 * n) AS p99
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q211_qsketch_rollup" ->
+      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
+        |           FROM lineitem),
+        |c AS (SELECT l_returnflag, v, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, v,
+        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |          AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT l_returnflag, MAX(n) AS n,
+        |       MIN(v) FILTER (WHERE cum * 2 >= n) AS p50,
+        |       MIN(v) FILTER (WHERE cum * 4 >= 3 * n) AS p75
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q170_melt" -> {
       val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",

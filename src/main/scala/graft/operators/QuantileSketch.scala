@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Re-aggregatable quantile sketches — the quantile column of a
+  * pre-aggregated cube. Exact order statistics ([[OrderStats]], the q178
+  * per-group machinery) answer one ad-hoc query well; a dashboard cube
+  * wants per-cell state it can ROLL UP (day→week, sku→category) without
+  * revisiting the raw rows. Distinct counts already have that here (HLL
+  * rollup, SketchRollupSpec); this is the quantile counterpart.
+  *
+  * The sketch is a DETERMINISTIC fixed-bin count vector over a declared
+  * domain [lo, hi): `bins` equal-width bins plus an underflow and an
+  * overflow slot (layout: slot 0 = v < lo; slot i∈[1,bins] =
+  * [lo+(i−1)·w, lo+i·w) with w = (hi−lo)/bins; slot bins+1 = v ≥ hi).
+  * Unlike KLL/GK compactors, counts form a commutative monoid under
+  * vector addition, so the cube contract is EXACT, not approximate:
+  *
+  *   sketch(A ⊎ B) == merge(sketch(A), sketch(B))   (cell-for-cell)
+  *
+  * in any grouping/order — what makes a sketch column safely storable
+  * and re-aggregatable. The approximation lives only in the QUERY:
+  * [[quantileLower]] returns the lower edge of the bin holding the
+  * rank-⌈q·n⌉ value, so its error is bounded by one bin width; with an
+  * integer domain at w = 1 it is EXACT (equals SQL's smallest value whose
+  * cumulative count reaches the rank), which is what the DuckDB gates
+  * pin.
+  *
+  * Scale shape: [[sketch]] is ONE map-side-combined hash aggregation of
+  * bins+2 conditional counts (whole-stage codegen, no UDAF, no shuffle of
+  * values — the exchange per group is one fixed-width Long vector);
+  * [[rollup]] re-aggregates stored sketches the same way; [[merge]] is a
+  * `zip_with` two-column combine; [[quantileLower]]/[[total]] are
+  * higher-order-function folds over the (small, fixed-size) array. `bins`
+  * is capped at 1024 so the widest aggregate stays inside what codegen
+  * splits comfortably.
+  */
+object QuantileSketch {
+
+  /** Slots in a sketch array for `bins` bins (+ under/overflow). */
+  def slots(bins: Int): Int = bins + 2
+
+  private def width(lo: Long, hi: Long, bins: Int): Long = {
+    require(bins >= 1 && bins <= 1024, s"bins must be in [1, 1024], got $bins")
+    require(lo < hi, s"domain must be non-empty: [$lo, $hi)")
+    require((hi - lo) % bins == 0,
+      s"bin width must be integral: ($hi - $lo) is not divisible by $bins")
+    (hi - lo) / bins
+  }
+
+  /** One sketch per `groupCols` cell (global when empty) over BIGINT
+    * `valueCol` — NULL values are ignored (they carry no rank). Output:
+    * groupCols..., `out` ARRAY<BIGINT> of length bins+2. */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             lo: Long, hi: Long, bins: Int, out: String = "sketch"): DataFrame = {
+    val w = width(lo, hi, bins)
+    (groupCols :+ valueCol).foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(!c.startsWith("__"),
+        s"column name '$c' collides with internal __* names")
+    }
+    require(df.schema(valueCol).dataType == LongType, s"$valueCol must be BIGINT")
+    require(!groupCols.contains(valueCol), s"$valueCol is also a group column")
+    val slot = when(col("__qs_v") < lo, 0)
+      .when(col("__qs_v") >= hi, bins + 1)
+      // all-Long `div` keeps the binning exact for the full BIGINT domain
+      // (a double-floor path would misplace values past 2^53)
+      .otherwise(expr(s"(__qs_v - ${lo}L) div ${w}L").cast(IntegerType) + 1)
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__qs_v", col(valueCol))
+      .withColumn("__qs_slot", slot)
+    // coalesce: a global (no-group) sketch of an empty input is the
+    // all-zero vector, not NULLs (SUM over zero rows is NULL in SQL)
+    val aggs = (0 until slots(bins)).map(i =>
+      coalesce(sum(when(col("__qs_slot") === i, 1L).otherwise(0L)), lit(0L))
+        .as(s"__qs_c$i"))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+
+        array((0 until slots(bins)).map(i => col(s"__qs_c$i")): _*).as(out): _*)
+  }
+
+  /** Element-wise sum of two sketch columns (same domain by contract) —
+    * the ⊕ of the cube contract. */
+  def merge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Re-aggregates a stored sketch column to coarser `groupCols` cells
+    * (global when empty): the cube rollup, touching only the sketch
+    * vectors — never the raw rows. */
+  def rollup(df: DataFrame, sketchCol: String, bins: Int,
+             groupCols: Seq[String]): DataFrame = {
+    require(df.columns.contains(sketchCol), s"no such column: $sketchCol")
+    val aggs = (0 until slots(bins)).map(i =>
+      coalesce(sum(element_at(col(sketchCol), i + 1)), lit(0L)).as(s"__qs_c$i"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+
+        array((0 until slots(bins)).map(i => col(s"__qs_c$i")): _*).as(sketchCol): _*)
+  }
+
+  /** Total count held by a sketch (BIGINT). */
+  def total(sk: Column): Column = aggregate(sk, lit(0L), (a, x) => a + x)
+
+  /** The (num/den)-quantile read from a sketch: the lower edge of the
+    * first slot where the cumulative count reaches rank ⌈(num·n)/den⌉
+    * (compared cross-multiplied — `cum·den ≥ n·num` — so no division
+    * anywhere). NULL for an empty sketch and for a rank landing in the
+    * underflow slot (only "< lo" is known there); `hi` for the overflow
+    * slot ("≥ hi"). At bin width 1 over an integer domain this is the
+    * exact classic lower quantile. */
+  def quantileLower(sk: Column, num: Int, den: Int,
+                    lo: Long, hi: Long, bins: Int): Column = {
+    require(den >= 1 && num >= 1 && num <= den,
+      s"quantile num/den must satisfy 1 <= num <= den, got $num/$den")
+    val w = width(lo, hi, bins)
+    val n = total(sk)
+    val walk = aggregate(sk,
+      struct(lit(0L).as("cum"), lit(0).as("pos"), lit(-1).as("ans")),
+      (acc, c) => {
+        val cum = acc.getField("cum") + c
+        val pos = acc.getField("pos")
+        struct(cum.as("cum"), (pos + 1).as("pos"),
+          when(acc.getField("ans") >= 0, acc.getField("ans"))
+            .when(cum * den >= n * num, pos)
+            .otherwise(-1).as("ans"))
+      })
+    val slot = walk.getField("ans")
+    when(n === 0L, lit(null).cast(LongType))
+      .when(slot === 0, lit(null).cast(LongType))
+      .when(slot === bins + 1, lit(hi))
+      .otherwise(lit(lo) + (slot.cast(LongType) - 1L) * w)
+  }
+
+  /** One-call sketch → quantile read-back (the SQL TVF shape):
+    * groupCols..., n, q_<num>_<den> per requested quantile, ordered by
+    * the group columns. */
+  def summary(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              lo: Long, hi: Long, bins: Int, qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "summary needs at least one quantile")
+    val sk = sketch(df, groupCols, valueCol, lo, hi, bins)
+    val out = sk.select(groupCols.map(col) ++ (total(col("sketch")).as("n") +:
+      qs.map { case (nu, de) =>
+        quantileLower(col("sketch"), nu, de, lo, hi, bins).as(s"q_${nu}_$de")
+      }): _*)
+    if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
+  }
+}

@@ -556,6 +556,10 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.operators.TableOps.aggState(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_skyline('xy_view', 'x', 'y')"))
         == rows(graft.operators.Skyline.pareto2d(xy, "x", "y")))
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_qsketch('xy_view', 'g', 'y', 0, 30, 30, '1/2,9/10')"))
+        == rows(graft.operators.QuantileSketch.summary(xy, Seq("g"), "y",
+          0L, 30L, 30, Seq((1, 2), (9, 10)))))
       val st = graft.operators.TableOps.aggState(xy, "g", "y")
       st.createOrReplaceTempView("st_view")
       assert(rows(s2.sql(
