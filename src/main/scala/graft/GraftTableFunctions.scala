@@ -73,6 +73,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_qsketch('li_view', 'g', 'x', 1, 51, 50, '1/2,9/10')
+  *   SELECT * FROM graft_skyline3d('pts_view', 'x', 'y', 'z')
+  *   SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -455,6 +457,19 @@ object GraftTableFunctions {
       val a = args("graft_skyline", exprs, 3)
       plan(operators.Skyline.pareto2d(table(a(0)), x = str(a(1)),
         y = str(a(2))))
+    },
+    // the iterations run EAGERLY at planning (the graft_pagerank note)
+    "graft_pagerank_warm" -> { exprs =>
+      val a = args("graft_pagerank_warm", exprs, 5)
+      plan(graph.PageRank.pageRank(table(a(0)), srcCol = str(a(1)),
+        dstCol = str(a(2)), iterations = int(a(3)),
+        prior = Some(table(a(4)))))
+    },
+    // the frontier passes run EAGERLY at planning (the graft_pagerank note)
+    "graft_skyline3d" -> { exprs =>
+      val a = args("graft_skyline3d", exprs, 4)
+      plan(operators.Skyline.pareto3d(table(a(0)), x = str(a(1)),
+        y = str(a(2)), z = str(a(3))))
     },
     "graft_qsketch" -> { exprs =>
       val a = args("graft_qsketch", exprs, 7)

@@ -125,13 +125,43 @@ object PipelineCli {
                         pin: DataFrame => DataFrame)
       : (Map[String, DataFrame], Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
-    counts += "input" -> docs.count()
+    // stage 0: input-contract expectations (the dbt-test / Great-
+    // Expectations gate, [[graft.operators.Quality.expectations]]): ONE
+    // shared aggregation reports NULL ids, NULL text and duplicate ids
+    // BEFORE anything downstream trusts the extract; the report rides
+    // into the stage-count JSON as expect_<rule>_<col> entries, and its
+    // n_rows doubles as the input count (no extra scan).
+    import graft.operators.Quality
+    val expReport = Quality.expectations(docs.select("doc_id", "text"), Seq(
+      Quality.ExpectNotNull("doc_id"), Quality.ExpectNotNull("text"),
+      Quality.ExpectUnique("doc_id"))).collect()
+    counts += "input" -> expReport.head.getAs[Long]("n_rows")
+    expReport.foreach { r =>
+      counts += s"expect_${r.getAs[String]("rule")}_${r.getAs[String]("col_name")}" ->
+        r.getAs[Long]("n_violations")
+    }
+    // contract ENFORCEMENT, branched on the (already-collected) report so
+    // clean corpora pay nothing: NULL ids/text carry no training signal
+    // and break the doc_id-join discipline — dropped; duplicated ids
+    // would ROW-MULTIPLY every later doc_id join (scores, groups, splits)
+    // — collapsed to one deterministic survivor (smallest remaining
+    // columns, a doc_id-partitioned window, never partitionless)
+    def viol(rule: String) = expReport
+      .filter(_.getAs[String]("rule") == rule).map(_.getAs[Long]("n_violations")).sum
+    val nonNull = if (viol("not_null") == 0L) docs
+      else docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val input = if (viol("unique") == 0L) nonNull else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(docs.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq: _*)
+      nonNull.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
     // redaction MUST see the RAW text: normalize strips exactly the
     // characters the email/phone patterns need ('@', '.', '-'), so the
     // reverse order silently ships PII into the shards (spec-gated now).
     // The placeholders then normalize to plain 'email'/'phone' tokens.
-    val redactedRaw = Pipeline.redactPii(docs)
+    val redactedRaw = Pipeline.redactPii(input)
       .select(col("doc_id"), col("red_text").as("text"))
     val redacted = pin(Pipeline.normalize(redactedRaw)
       .select(col("doc_id"), col("norm_text").as("text"))) // feeds both filter scans and the filtered join
@@ -180,7 +210,7 @@ object PipelineCli {
         val scored = afterFilters.join(scores.get, "doc_id")
         val kept = quantileGroupCol match {
           case Some(g) => Pipeline.filterByQuantilePerGroup(
-              scored.join(docs.select(col("doc_id"), col(g)), "doc_id"),
+              scored.join(input.select(col("doc_id"), col(g)), "doc_id"),
               "__score", g, num, den)
           case None => Pipeline.filterByQuantile(scored, "__score", num, den)
         }
@@ -262,9 +292,9 @@ object PipelineCli {
       val train = bySplit("train")
       val ids = train.select("doc_id")
       val (mode, order) =
-        if (docs.columns.contains("source"))
+        if (input.columns.contains("source"))
           "interleave" -> Pipeline.interleaveBySource(
-              docs.select(col("doc_id"), col("source")).join(ids, "doc_id"))
+              input.select(col("doc_id"), col("source")).join(ids, "doc_id"))
             .select("pos", "doc_id")
         else
           "shuffle" -> Pipeline.trainingOrder(ids)

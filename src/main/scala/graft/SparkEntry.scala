@@ -2293,6 +2293,39 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ── incremental PageRank warm start: 2 warm rounds seeded by a
+    // 2-round cold run ≡ the oracle's 4-round CTE replay — the update is
+    // a pure function of the rank table, so continuing from round-k
+    // state IS rounds k+1..k+j; with the exact early stop this makes
+    // re-ranking after a small edge delta one-or-few rounds, not a full
+    // cold trajectory ─────────────────────────────────────────────────────
+    "q213_pagerank_warm" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+      val e0 = cust.select((col("c_custkey") * 2).cast(LongType).as("s"),
+        (col("c_nationkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      val cold = graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 2)
+      graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 2,
+          prior = Some(cold))
+        .select(col("node"), col("rank").as("pr"))
+    }),
+
+    // ── 3-D Pareto frontier over per-customer (order count, spend,
+    // recency): x-desc TeraSort + carried 2-D (y,z) frontier — two jobs
+    // over one shuffle, never the oracle's O(n²) dominance anti-join ─────
+    "q212_skyline3d" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "orders"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("spend_c"),
+          // NTZ → TimestampType under the session's UTC zone, the
+          // EventOps.tsMicros parity convention with DuckDB epoch_us
+          max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            ).as("recency_d"))
+      graft.operators.Skyline.pareto3d(c, "n_orders", "spend_c", "recency_d")
+        .orderBy("o_custkey")
+    }),
+
     // ── co-located bucketed join: both sides written hash-bucketed on the
     // order key (8 buckets), then joined + aggregated — the write-once-
     // join-often layout; zero join exchanges spec-pinned in BucketedSpec ─
@@ -5718,6 +5751,51 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM c c2
         |                  WHERE c2.n_orders > c.n_orders
         |                    AND c2.spend_c > c.spend_c)
+        |ORDER BY o_custkey""".stripMargin
+    },
+
+    // warm(2) after cold(2) ≡ one 4-round replay: the oracle never sees
+    // the seam (purity of the per-round update)
+    "q213_pagerank_warm" ->
+      """WITH e0 AS (SELECT DISTINCT 2*c_custkey AS s, 2*c_nationkey+1 AS d
+        |            FROM customer),
+        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.d AS node, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r3 AS (SELECT n.node, 150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c3 ON n.node = c3.node),
+        |c4 AS (SELECT e.d AS node, CAST(SUM(r3.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r3 ON e.s = r3.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r4 AS (SELECT n.node, 150000 + ((85 * COALESCE(c4.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c4 ON n.node = c4.node)
+        |SELECT node, r AS pr FROM r4 ORDER BY node""".stripMargin,
+
+    "q212_skyline3d" -> {
+      val v = CENTS.format("o_totalprice")
+      s"""WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |             CAST(SUM($v) AS BIGINT) AS spend_c,
+        |             MAX(epoch_us(o_orderdate) // 86400000000) AS recency_d
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, spend_c, recency_d FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM c c2
+        |                  WHERE c2.n_orders > c.n_orders
+        |                    AND c2.spend_c > c.spend_c
+        |                    AND c2.recency_d > c.recency_d)
         |ORDER BY o_custkey""".stripMargin
     },
 

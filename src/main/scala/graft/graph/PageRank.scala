@@ -66,11 +66,25 @@ object PageRank {
     * silently ship wrong ranks. At scale, rounds after stabilization are
     * pure waste; this converts them into one cheap scan.
     * `roundsOut`, when supplied, receives the number of rounds actually
-    * executed (observability / spec hook). */
+    * executed (observability / spec hook).
+    *
+    * WARM START: `prior` (a (node, rank) frame — the exact output shape
+    * of a previous [[pageRank]] run) seeds the initial rank table instead
+    * of the uniform `scale`. The update is a pure function of the rank
+    * table, so continuing j rounds from a round-k table is EXACTLY rounds
+    * k+1..k+j of the cold run — which is what makes incremental
+    * maintenance cheap: after a small edge delta, ranks are near the old
+    * fixed point, and the exact early stop exits after one-or-few rounds
+    * instead of re-walking the whole cold trajectory. Nodes absent from
+    * `prior` (new in the delta'd edge set) start at `scale`; prior rows
+    * for vanished nodes are ignored (the node set always derives from
+    * the edges). Same oracle shape: warm(k rounds) after cold(j rounds)
+    * replays as the cold k+j-round CTE chain. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000L,
                weightCol: Option[String] = None,
-               roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+               roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+               prior: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 100, "scale must be >= 100 (damping uses div 100)")
     val w = weightCol.map(c => col(c).cast(LongType)).getOrElse(lit(1L))
@@ -98,7 +112,15 @@ object PageRank {
     // below), so the loop joins against the previous RANK frame, not the
     // node set — which also puts old and new rank side by side for the
     // exact fixed-point test. nodes is consumed once ranks materializes.
-    var ranks = Checkpoints.checkpoint(nodes.withColumn("r", lit(scale)))
+    var ranks = Checkpoints.checkpoint(prior match {
+      case Some(p) =>
+        require(p.columns.contains("node") && p.columns.contains("rank"),
+          "prior must carry (node, rank) — the pageRank output shape")
+        nodes.join(p.select(col("node"),
+            col("rank").cast(LongType).as("__prior")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__prior"), lit(scale)).as("r"))
+      case None => nodes.withColumn("r", lit(scale))
+    })
     Checkpoints.release(nodes)
     var rounds = 0
     var converged = false

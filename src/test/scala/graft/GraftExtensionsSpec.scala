@@ -294,6 +294,11 @@ class GraftExtensionsSpec extends SparkSpec {
       edges.createOrReplaceTempView("edges_view")
       assert(rows(s2.sql("SELECT * FROM graft_pagerank('edges_view', 's', 'd', 3)"))
         == rows(graft.graph.PageRank.pageRank(edges, "s", "d", 3)))
+      val prior = graft.graph.PageRank.pageRank(edges, "s", "d", 1)
+      prior.createOrReplaceTempView("prior_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')"))
+        == rows(graft.graph.PageRank.pageRank(edges, "s", "d", 3)))
       assert(rows(s2.sql("SELECT * FROM graft_triangles('edges_view', 's', 'd')"))
         == rows(graft.graph.Triangles.triangles(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_hits('edges_view', 's', 'd', 2)"))
@@ -556,6 +561,11 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.operators.TableOps.aggState(xy, "g", "y")))
       assert(rows(s2.sql("SELECT * FROM graft_skyline('xy_view', 'x', 'y')"))
         == rows(graft.operators.Skyline.pareto2d(xy, "x", "y")))
+      val xyz = Seq((1L, 5L, 1L, 2L), (2L, 3L, 4L, 4L), (3L, 1L, 9L, 1L),
+        (4L, 2L, 3L, 3L)).toDF("id", "x", "y", "z")
+      xyz.createOrReplaceTempView("xyz_view")
+      assert(rows(s2.sql("SELECT * FROM graft_skyline3d('xyz_view', 'x', 'y', 'z')"))
+        == rows(graft.operators.Skyline.pareto3d(xyz, "x", "y", "z")))
       assert(rows(s2.sql(
           "SELECT * FROM graft_qsketch('xy_view', 'g', 'y', 0, 30, 30, '1/2,9/10')"))
         == rows(graft.operators.QuantileSketch.summary(xy, Seq("g"), "y",

@@ -104,6 +104,46 @@ class PageRankSpec extends SparkSpec {
     assert(got == Map(1L -> SCALE, 2L -> SCALE, 3L -> SCALE, 4L -> SCALE))
   }
 
+  test("warm start: continuing j rounds from round-k ranks == cold k+j rounds") {
+    val rng = new scala.util.Random(23L)
+    val edges = Seq.fill(200)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    val eDf = edges.toDF("s", "d")
+    val after2 = PageRank.pageRank(eDf, "s", "d", iterations = 2)
+    val warm = PageRank.pageRank(eDf, "s", "d", iterations = 3,
+        prior = Some(after2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == ref(edges, 5))
+  }
+
+  test("warm start from a converged prior exits after ONE round, bit-identical") {
+    // rank-stable graph: directed cycle is at its fixed point immediately
+    val n = 10L
+    val cycle = (0L until n).map(i => (i, (i + 1) % n)).toDF("s", "d")
+    val cold = PageRank.pageRank(cycle, "s", "d", iterations = 8)
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val warm = PageRank.pageRank(cycle, "s", "d", iterations = 50,
+      prior = Some(cold), roundsOut = Some(rounds))
+    assert(rounds.get == 1, s"expected 1 verification round, ran ${rounds.get}")
+    assert(warm.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == cold.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("warm start: new nodes start at scale, vanished prior nodes are ignored") {
+    val prior = Seq((1L, 777L), (99L, 5L)).toDF("node", "rank") // 99 vanished
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d") // node 2 is new
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val got = PageRank.pageRank(edges, "s", "d", iterations = 1,
+        prior = Some(prior), roundsOut = Some(rounds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 from r = {1 → 777, 2 → SCALE}: r(2) = base + 85·777/100
+    val base = 15L * SCALE / 100L
+    assert(got == Map(1L -> (base + 85L * SCALE / 100L),
+      2L -> (base + 85L * 777L / 100L)))
+    assert(!got.contains(99L))
+    intercept[IllegalArgumentException](PageRank.pageRank(edges, "s", "d", 1,
+      prior = Some(Seq((1L, 1L)).toDF("node", "oops"))))
+  }
+
   test("early stop never fires before the fixed point: star graph runs all rounds") {
     // directed star 1->2..1->5 plus back-edges: ranks keep moving for the
     // first rounds, so all requested rounds must execute and the result

@@ -325,4 +325,46 @@ class PipelineCliSpec extends SparkSpec {
     assert(c("split_train") + c("split_val") + c("split_test") == c("after_span_dedup"))
     bySplit.values.foreach(_.unpersist())
   }
+
+  test("stage 0 expectations: report counts violations, contract rows are enforced") {
+    // clean corpus + every violation class: a NULL id, a NULL text, and a
+    // duplicated id (two DIFFERENT texts — the case that would otherwise
+    // row-multiply every later doc_id join)
+    val clean = (1L to 25L).map(i =>
+      (Option(i), Option(s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e " +
+        s"tok${i}f tok${i}g tok${i}h tok${i}i tok${i}j")))
+    val dirty = Seq(
+      (None: Option[Long], Option("orphan text with no identifier at all here")),
+      (Option(500L), None: Option[String]),
+      (Option(600L), Option("dupa dupb dupc dupd dupe dupf dupg duph dupi dupj")),
+      (Option(600L), Option("dupk dupl dupm dupn dupo dupp dupq dupr dups dupt")))
+    val docs = (clean ++ dirty).toDF("doc_id", "text")
+    val (bySplit, counts) = PipelineCli.run(docs, minQuality = 0L,
+      maxDupFrac1000 = 1000L)
+    val c = counts.toMap
+    assert(c("input") == 29L, s"$counts")
+    assert(c("expect_not_null_doc_id") == 1L, s"$counts")
+    assert(c("expect_not_null_text") == 1L, s"$counts")
+    assert(c("expect_unique_doc_id") == 1L, s"$counts")
+    val allRows = bySplit.values.flatMap(_.collect().map(r =>
+      r.getLong(0) -> r.getString(1))).toSeq
+    // contract enforced: no NULL-contract rows downstream, the dup id
+    // appears ONCE with the deterministic (smallest-text) survivor
+    assert(allRows.count(_._1 == 600L) == 1, s"dup id multiplied: $allRows")
+    assert(allRows.find(_._1 == 600L).get._2.startsWith("dupa"))
+    assert(!allRows.exists(_._1 == 500L), "null-text row survived")
+    assert(c("split_train") + c("split_val") + c("split_test") == c("after_near_dedup"))
+    bySplit.values.foreach(_.unpersist())
+
+    // non-vacuous control: a clean corpus reports all-zero violations and
+    // takes the zero-cost path (no dedup window, no filter)
+    val cleanDocs = clean.toDF("doc_id", "text")
+    val (bySplit2, counts2) = PipelineCli.run(cleanDocs, minQuality = 0L,
+      maxDupFrac1000 = 1000L)
+    val c2 = counts2.toMap
+    assert(c2("expect_not_null_doc_id") == 0L && c2("expect_not_null_text") == 0L
+      && c2("expect_unique_doc_id") == 0L, s"$counts2")
+    assert(c2("input") == 25L)
+    bySplit2.values.foreach(_.unpersist())
+  }
 }

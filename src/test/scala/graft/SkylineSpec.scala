@@ -42,4 +42,79 @@ class SkylineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Skyline.pareto2d(df, "x", "nope"))
     intercept[IllegalArgumentException](Skyline.pareto2d(df, "x", "d"))
   }
+
+  // ── 3-D ──────────────────────────────────────────────────────────────
+
+  private def naive3(pts: Seq[(Long, Long, Long, Long)]): Set[(Long, Long, Long, Long)] =
+    pts.filterNot { case (_, x, y, z) =>
+      pts.exists { case (_, x2, y2, z2) => x2 > x && y2 > y && z2 > z }
+    }.toSet
+
+  test("3-D hand example: ties survive, strict dominance on all axes kills") {
+    val pts = Seq(
+      (1L, 5L, 5L, 5L), // frontier
+      (2L, 4L, 4L, 4L), // dominated by 1 on all three
+      (3L, 5L, 1L, 9L), // frontier (beats 1 on z, loses y — incomparable)
+      (4L, 9L, 1L, 1L), // frontier (best x)
+      (5L, 5L, 5L, 5L), // exact tie twin of 1 — both survive
+      (6L, 4L, 5L, 5L)) // survives: nothing beats it on ALL axes (1/5 tie y,z)
+    val got = Skyline.pareto3d(pts.toDF("id", "x", "y", "z"), "x", "y", "z")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == naive3(pts))
+    assert(got.map(_._1) == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("3-D property: matches all-pairs dominance on random points, many partitions") {
+    val rnd = new scala.util.Random(29)
+    // small coordinate domain forces heavy x-ties ACROSS partition
+    // boundaries and y/z ties inside equal-x runs
+    val pts = (1 to 900).map(i => (i.toLong, rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    for (parts <- Seq(1, 7)) {
+      val got = Skyline.pareto3d(pts.toDF("id", "x", "y", "z"),
+        "x", "y", "z", numParts = parts)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == naive3(pts), s"numParts=$parts")
+    }
+  }
+
+  test("3-D anti-correlated plane (everything survives) and a dominated grid") {
+    // x + y + z = 60: no point strictly beats another on all three
+    val plane = (0L to 30L).map(i => (i, i, 30L - i, 30L))
+      .map { case (id, a, b, c) => (id, a, b, c) }
+    val gotPlane = Skyline.pareto3d(plane.toDF("id", "x", "y", "z"), "x", "y", "z")
+      .count()
+    assert(gotPlane == plane.size)
+    // strict chain: only the top corner survives
+    val chain = (1L to 50L).map(i => (i, i, i, i))
+    val gotChain = Skyline.pareto3d(chain.toDF("id", "x", "y", "z"), "x", "y", "z")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotChain == Seq((50L, 50L, 50L, 50L)))
+  }
+
+  test("3-D NULLs dropped, extra columns pass through, validation") {
+    val df = Seq((1L, Some(5L), Some(1L), Some(2L), "a"),
+      (2L, None, Some(9L), Some(9L), "b"),
+      (3L, Some(9L), Some(9L), None, "c")).toDF("id", "x", "y", "z", "tag")
+    val got = Skyline.pareto3d(df, "x", "y", "z").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(got.head.getString(4) == "a")
+    intercept[IllegalArgumentException](Skyline.pareto3d(df, "x", "y", "y"))
+    intercept[IllegalArgumentException](Skyline.pareto3d(df, "x", "y", "tag"))
+  }
+
+  test("Frontier: staircase invariant, weak-dominance rejection, probe") {
+    val f = new Skyline.Frontier
+    f.insert(5L, 1L); f.insert(3L, 4L); f.insert(1L, 9L)
+    assert(f.size == 3)
+    f.insert(4L, 2L) // covered by... nothing ≥ (4,2)? (5,1) no, so inserted
+    assert(f.size == 4)
+    f.insert(4L, 0L) // weakly dominated by (4,2) — rejected
+    assert(f.size == 4)
+    f.insert(6L, 5L) // sweeps out (5,1), (3,4), (4,2)
+    assert(f.size == 2 && f.toPairs.toSeq == Seq((1L, 9L), (6L, 5L)))
+    assert(f.dominated(0L, 8L)) // (1,9) covers
+    assert(!f.dominated(1L, 9L)) // equal is not strict
+    assert(!f.dominated(6L, 0L)) // nothing above x=6
+  }
 }
