@@ -474,10 +474,7 @@ object GraftTableFunctions {
     "graft_qsketch" -> { exprs =>
       val a = args("graft_qsketch", exprs, 7)
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val qs = str(a(6)).split(',').map(_.trim).filter(_.nonEmpty).map { q =>
-        val Array(n, d) = q.split('/')
-        (n.trim.toInt, d.trim.toInt)
-      }.toSeq
+      val qs = parseQuantiles("graft_qsketch", str(a(6)))
       plan(operators.QuantileSketch.summary(table(a(0)), grps,
         valueCol = str(a(2)), lo = long(a(3)), hi = long(a(4)),
         bins = int(a(5)), qs = qs))
@@ -667,10 +664,7 @@ object GraftTableFunctions {
     // quantiles as 'num/den' pairs: '1/4,1/2,3/4'
     "graft_quantile_summary" -> { exprs =>
       val a = args("graft_quantile_summary", exprs, 4)
-      val qs = str(a(3)).split(',').map(_.trim).filter(_.nonEmpty).map { q =>
-        val Array(n, d) = q.split('/')
-        (n.trim.toInt, d.trim.toInt)
-      }.toSeq
+      val qs = parseQuantiles("graft_quantile_summary", str(a(3)))
       plan(operators.TableOps.quantileSummary(table(a(0)),
         group = str(a(1)), x = str(a(2)), qs))
     },
@@ -745,6 +739,28 @@ object GraftTableFunctions {
       require(e.foldable, s"$fn arguments must be literals, got: ${e.sql}")
       e.eval()
     }
+  }
+
+  /** Parses a 'num/den[,num/den...]' quantile list, failing with the
+    * argument-error shape the other TVFs emit (a malformed '0.5' or
+    * '1/2/3' previously surfaced as an opaque MatchError). Range checks
+    * (1 <= num <= den, den bound) stay in [[operators.QuantileSketch]]. */
+  private def parseQuantiles(fn: String, spec: String): Seq[(Int, Int)] = {
+    val qs = spec.split(',').map(_.trim).filter(_.nonEmpty).map { q =>
+      q.split('/') match {
+        case Array(n, d) =>
+          try (n.trim.toInt, d.trim.toInt)
+          catch { case _: NumberFormatException => sys.error(
+            s"$fn: quantile term '$q' is not integer num/den " +
+              "(expected 'num/den[,num/den...]', e.g. '1/4,1/2,3/4')") }
+        case _ => sys.error(
+          s"$fn: quantile term '$q' malformed " +
+            "(expected 'num/den[,num/den...]', e.g. '1/4,1/2,3/4')")
+      }
+    }.toSeq
+    require(qs.nonEmpty, s"$fn: empty quantile list " +
+      "(expected 'num/den[,num/den...]', e.g. '1/4,1/2,3/4')")
+    qs
   }
 
   private def str(v: Any): String = v match {

@@ -2383,6 +2383,31 @@ object SparkEntry {
           col("tsUs").as("tus"), col("valueCents").as("cents"))
         .orderBy("event_id")
     }),
+
+    // ── incremental PageRank over an EDGE DELTA — the scenario the warm
+    // start exists for (q213 pins the k+j contract on identical edges):
+    // cold-rank E (customer↔nation bipartite), then re-rank E ∪ ΔE (ΔE
+    // links the 25 nation nodes to 5 new region hubs) seeded with the
+    // cold output. Nodes new in ΔE start at scale, touched ranks shift,
+    // and the exact early stop makes post-delta maintenance one-or-few
+    // rounds at a real fixed point (spec-pinned in PageRankSpec); the
+    // oracle replays cold(2 rounds on E) + warm(3 rounds on E ∪ ΔE)
+    // cell-for-cell ───────────────────────────────────────────────────────
+    "q214_pagerank_delta" -> ((s, dir) => {
+      val cust = s.read.parquet(t(dir, "customer"))
+      val nat = s.read.parquet(t(dir, "nation"))
+      val e0 = cust.select((col("c_custkey") * 2).cast(LongType).as("s"),
+        (col("c_nationkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      val cold = graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 2)
+      val d0 = nat.select((col("n_nationkey") * 2 + 1).cast(LongType).as("s"),
+        (col("n_regionkey") + 9000000L).cast(LongType).as("d")).distinct()
+      val delta = edges.union(d0)
+        .union(d0.select(col("d").as("s"), col("s").as("d")))
+      graft.graph.PageRank.pageRank(delta, "s", "d", iterations = 3,
+          prior = Some(cold))
+        .select(col("node"), col("rank").as("pr"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5784,6 +5809,48 @@ object SparkEntry {
         |r4 AS (SELECT n.node, 150000 + ((85 * COALESCE(c4.sc, 0)) // 100) AS r
         |       FROM n LEFT JOIN c4 ON n.node = c4.node)
         |SELECT node, r AS pr FROM r4 ORDER BY node""".stripMargin,
+
+    "q214_pagerank_delta" ->
+      """WITH e0 AS (SELECT DISTINCT 2*c_custkey AS s, 2*c_nationkey+1 AS d
+        |            FROM customer),
+        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
+        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
+        |       GROUP BY e.d),
+        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |d0 AS (SELECT DISTINCT 2*n_nationkey+1 AS s, 9000000 + n_regionkey AS d
+        |       FROM nation),
+        |de AS (SELECT s, d FROM e UNION ALL SELECT s, d FROM d0
+        |       UNION ALL SELECT d AS s, s AS d FROM d0),
+        |dn AS (SELECT DISTINCT s AS node FROM de),
+        |ddeg AS (SELECT s, COUNT(*) AS outdeg FROM de GROUP BY s),
+        |w0 AS (SELECT dn.node, CAST(COALESCE(r2.r, 1000000) AS BIGINT) AS r
+        |       FROM dn LEFT JOIN r2 ON dn.node = r2.node),
+        |x1 AS (SELECT de.d AS node, CAST(SUM(w0.r // ddeg.outdeg) AS BIGINT) AS sc
+        |       FROM de JOIN w0 ON de.s = w0.node JOIN ddeg ON ddeg.s = de.s
+        |       GROUP BY de.d),
+        |w1 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x1.sc, 0)) // 100) AS r
+        |       FROM dn LEFT JOIN x1 ON dn.node = x1.node),
+        |x2 AS (SELECT de.d AS node, CAST(SUM(w1.r // ddeg.outdeg) AS BIGINT) AS sc
+        |       FROM de JOIN w1 ON de.s = w1.node JOIN ddeg ON ddeg.s = de.s
+        |       GROUP BY de.d),
+        |w2 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x2.sc, 0)) // 100) AS r
+        |       FROM dn LEFT JOIN x2 ON dn.node = x2.node),
+        |x3 AS (SELECT de.d AS node, CAST(SUM(w2.r // ddeg.outdeg) AS BIGINT) AS sc
+        |       FROM de JOIN w2 ON de.s = w2.node JOIN ddeg ON ddeg.s = de.s
+        |       GROUP BY de.d),
+        |w3 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x3.sc, 0)) // 100) AS r
+        |       FROM dn LEFT JOIN x3 ON dn.node = x3.node)
+        |SELECT node, r AS pr FROM w3 ORDER BY node""".stripMargin,
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

@@ -116,8 +116,21 @@ object PageRank {
       case Some(p) =>
         require(p.columns.contains("node") && p.columns.contains("rank"),
           "prior must carry (node, rank) — the pageRank output shape")
-        nodes.join(p.select(col("node"),
-            col("rank").cast(LongType).as("__prior")), Seq("node"), "left")
+        // one map-side-combined agg de-fans the prior BEFORE the seed
+        // join: a duplicate node row would otherwise row-multiply the
+        // rank frame (left-join fan-out) and silently double every
+        // contribution downstream. Duplicates RAISE (two ranks for one
+        // node has no right answer) instead of being averaged away.
+        val p1 = p.select(col("node"), col("rank").cast(LongType).as("__prior"))
+          .groupBy("node")
+          .agg(max("__prior").as("__prior"), count(lit(1)).as("__pn"))
+          .select(col("node"),
+            when(col("__pn") === 1L, col("__prior"))
+              .otherwise(raise_error(format_string(
+                "pageRank: prior has %s rows for node %s — (node, rank) " +
+                  "must be unique", col("__pn").cast("string"),
+                col("node").cast("string")))).as("__prior"))
+        nodes.join(p1, Seq("node"), "left")
           .select(col("node"), coalesce(col("__prior"), lit(scale)).as("r"))
       case None => nodes.withColumn("r", lit(scale))
     })

@@ -91,8 +91,19 @@ object QuantileSketch {
   def rollup(df: DataFrame, sketchCol: String, bins: Int,
              groupCols: Seq[String]): DataFrame = {
     require(df.columns.contains(sketchCol), s"no such column: $sketchCol")
+    require(bins >= 1 && bins <= 1024, s"bins must be in [1, 1024], got $bins")
+    // runtime guard: a `bins` that disagrees with the stored array length
+    // would otherwise silently truncate (smaller bins drops overflow
+    // counts) or zero-fill (element_at out-of-bounds NULL + coalesce) —
+    // wrong sketches, not an error. raise_error is NullType, coerced to
+    // the array branch type by CaseWhen.
+    val sk = when(size(col(sketchCol)) === slots(bins), col(sketchCol))
+      .otherwise(raise_error(format_string(
+        s"rollup: sketch array length %s != ${slots(bins)} (bins=$bins + " +
+          "under/overflow slots) — bins must match the stored sketch",
+        size(col(sketchCol)).cast("string"))))
     val aggs = (0 until slots(bins)).map(i =>
-      coalesce(sum(element_at(col(sketchCol), i + 1)), lit(0L)).as(s"__qs_c$i"))
+      coalesce(sum(element_at(sk, i + 1)), lit(0L)).as(s"__qs_c$i"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(groupCols.map(col) :+
         array((0 until slots(bins)).map(i => col(s"__qs_c$i")): _*).as(sketchCol): _*)
@@ -112,6 +123,11 @@ object QuantileSketch {
                     lo: Long, hi: Long, bins: Int): Column = {
     require(den >= 1 && num >= 1 && num <= den,
       s"quantile num/den must satisfy 1 <= num <= den, got $num/$den")
+    // the rank test cross-multiplies (cum·den ≥ n·num — no division), so
+    // den·n must stay inside Int64: bounding den at 10^6 keeps the test
+    // exact to ~9.2e12 total count (raise the sketch granularity, not
+    // den, past that)
+    require(den <= 1000000, s"quantile den must be <= 1000000, got $den")
     val w = width(lo, hi, bins)
     val n = total(sk)
     val walk = aggregate(sk,

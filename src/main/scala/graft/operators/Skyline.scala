@@ -94,9 +94,11 @@ object Skyline {
     * Never the O(n²) dominance anti-join. The cross-partition state is
     * output-sensitive — O(|2-D maxima of the prefix|) per partition, the
     * skyline analogue of [[OrderStats]]' splitter tables; real trade-off
-    * data keeps it tiny (anti-correlated worst case degrades the DRIVER
-    * merge first, not the executors, and size is observable via
-    * [[Frontier.size]]).
+    * data keeps it tiny. The anti-correlated worst case degrades the
+    * DRIVER merge first, not the executors, so the collected total is
+    * ENFORCED against `maxFrontierPoints` (default 2^20) — exceeding it
+    * raises with the observed size rather than silently becoming a
+    * driver-bound job.
     *
     * NULL in any criterion drops the row (dominance over NULL is
     * undefined); ties survive on every axis (equal is not strict
@@ -104,7 +106,8 @@ object Skyline {
     * default parallelism; the surviving SET is partition-count
     * independent. */
   def pareto3d(df: DataFrame, x: String, y: String, z: String,
-               numParts: Int = 0): DataFrame = {
+               numParts: Int = 0,
+               maxFrontierPoints: Long = 1L << 20): DataFrame = {
     val crit = Seq(x, y, z)
     require(crit.distinct.size == 3,
       s"skyline needs three distinct criteria, got ${crit.mkString(", ")}")
@@ -134,6 +137,21 @@ object Skyline {
       Iterator.single(f.toPairs)
     }, preservesPartitioning = true).collect()
     release() // the shuffle files hold the sorted data now
+    // ENFORCED budget on the output-sensitive cross-partition state (the
+    // joinProfile discipline): the per-partition (y, z) frontiers just
+    // collected bound both the driver merge (O(total·log)) and the prefix
+    // broadcast (≤ parts·total pairs). Real trade-off data keeps totals
+    // tiny; ANTI-CORRELATED (y, z) within x-runs makes every point a 2-D
+    // maximum and the total O(n) — raise instead of silently becoming a
+    // driver-bound job. Callers with driver memory to match may raise the
+    // cap explicitly.
+    val frontierPoints = partFrontiers.iterator.map(_.length.toLong).sum
+    require(frontierPoints <= maxFrontierPoints,
+      s"pareto3d: cross-partition frontier carries $frontierPoints points " +
+        s"(cap $maxFrontierPoints) — the (y, z) prefix state is output-" +
+        "sensitive and this input (anti-correlated y/z?) exceeds the " +
+        "driver-merge budget; raise maxFrontierPoints only with driver " +
+        "memory to match")
     // exclusive prefix merge: prefix(p) = frontier of partitions 0..p-1,
     // all of whose x strictly exceed partition p's
     val acc = new Frontier

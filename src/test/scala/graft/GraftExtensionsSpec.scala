@@ -570,6 +570,15 @@ class GraftExtensionsSpec extends SparkSpec {
           "SELECT * FROM graft_qsketch('xy_view', 'g', 'y', 0, 30, 30, '1/2,9/10')"))
         == rows(graft.operators.QuantileSketch.summary(xy, Seq("g"), "y",
           0L, 30L, 30, Seq((1, 2), (9, 10)))))
+      // malformed quantile lists fail with the argument-error shape
+      // (named grammar), not an opaque MatchError
+      for (bad <- Seq("0.5", "1/2/3", "a/b", "")) {
+        val e = intercept[Exception](s2.sql(
+          s"SELECT * FROM graft_qsketch('xy_view', 'g', 'y', 0, 30, 30, '$bad')"))
+        def m(t: Throwable): String =
+          Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+        assert(m(e).contains("num/den"), s"'$bad': ${m(e)}")
+      }
       val st = graft.operators.TableOps.aggState(xy, "g", "y")
       st.createOrReplaceTempView("st_view")
       assert(rows(s2.sql(

@@ -45,7 +45,10 @@ object GraphKneeProbeMain {
     val m = if (args.nonEmpty) args(0).toLong else 100000000L
     val wanted = if (args.length > 1) args(1).split(",").map(_.trim).toSet
                  else KNOBS.map(_._1).toSet
-    val path = "/root/repo/target/kneeprobe"
+    // user.dir-relative (the forked test JVM runs with user.dir = repo
+    // root), overridable for other layouts
+    val path = sys.props.getOrElse("graft.kneeprobe.dir",
+      s"${sys.props("user.dir")}/target/kneeprobe")
 
     def session(extra: Map[String, String]): SparkSession = {
       val b = SparkSession.builder().master("local[32]")

@@ -144,6 +144,54 @@ class PageRankSpec extends SparkSpec {
       prior = Some(Seq((1L, 1L)).toDF("node", "oops"))))
   }
 
+  test("edge delta: warm re-rank from the old fixed point beats the cold trajectory") {
+    // the q214 scenario: rank E to its exact integer fixed point, perturb
+    // with a small ΔE (one new node, two new bidirectional links), then
+    // re-rank E ∪ ΔE (a) cold and (b) warm-seeded with the old ranks —
+    // the warm run must reach ITS fixed point in strictly fewer rounds
+    val rng = new scala.util.Random(7L)
+    val base0 = Seq.fill(150)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val base = (base0 ++ base0.map(_.swap)).distinct
+    val delta = Seq((0L, 40L), (40L, 0L), (40L, 3L), (3L, 40L))
+    val cap = 120
+    val coldRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val cold = PageRank.pageRank(base.toDF("s", "d"), "s", "d",
+      iterations = cap, roundsOut = Some(coldRounds))
+    val fullRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    PageRank.pageRank((base ++ delta).toDF("s", "d"), "s", "d",
+      iterations = cap, roundsOut = Some(fullRounds)).collect()
+    val warmRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    PageRank.pageRank((base ++ delta).toDF("s", "d"), "s", "d",
+      iterations = cap, prior = Some(cold),
+      roundsOut = Some(warmRounds)).collect()
+    // the prior run and the warm run genuinely converged (exact fixed
+    // point, not the cap); the cold run on the delta'd set oscillates in
+    // an integer limit cycle and burns the whole budget (deterministic —
+    // observed: cold=21, full=120(cap), warm=22) — warm start is the
+    // difference between ~20 rounds and never settling
+    assert(coldRounds.get < cap && warmRounds.get < cap,
+      s"no fixed point within $cap rounds: cold=${coldRounds.get} " +
+        s"warm=${warmRounds.get}")
+    assert(warmRounds.get < fullRounds.get,
+      s"warm ${warmRounds.get} rounds !< cold ${fullRounds.get} rounds")
+  }
+
+  test("warm start: a prior with duplicate node rows RAISES, never fans out") {
+    // duplicate (node, rank) rows would left-join-fan-out the rank frame
+    // and silently double every downstream contribution — must raise
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val dup = Seq((1L, 777L), (1L, 778L), (2L, 5L)).toDF("node", "rank")
+    val e = intercept[Exception](PageRank.pageRank(edges, "s", "d", 1,
+      prior = Some(dup)).collect())
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+    assert(msg(e).contains("must be unique"), msg(e))
+    // a unique prior over the same nodes is untouched by the guard
+    val ok = Seq((1L, 777L), (2L, 5L)).toDF("node", "rank")
+    assert(PageRank.pageRank(edges, "s", "d", 1, prior = Some(ok)).count() == 2)
+  }
+
   test("early stop never fires before the fixed point: star graph runs all rounds") {
     // directed star 1->2..1->5 plus back-edges: ranks keep moving for the
     // first rounds, so all requested rounds must execute and the result

@@ -116,5 +116,29 @@ class QuantileSketchSpec extends SparkSpec {
       QuantileSketch.sketch(df.withColumn("d", lit(1.0)), Nil, "d", 0L, 10L, 5))
     intercept[IllegalArgumentException](
       QuantileSketch.quantileLower(col("s"), 3, 2, 0L, 10L, 5)) // num > den
+    // den bound: the cross-multiplied rank test (cum·den ≥ n·num) must
+    // stay inside Int64 — huge den would silently pick the wrong slot
+    intercept[IllegalArgumentException](
+      QuantileSketch.quantileLower(col("s"), 1, 2000000, 0L, 10L, 5))
+  }
+
+  test("rollup: a bins mismatched with the stored array length RAISES") {
+    // sketch written at 10 bins (12 slots); rolling up at 5 bins would
+    // silently drop the overflow counts, at 20 would zero-fill — both
+    // must raise instead
+    val sk = QuantileSketch.sketch(
+      (1L to 40L).toDF("v"), Seq.empty, "v", 0L, 40L, 10)
+    for (wrong <- Seq(5, 20)) {
+      val e = intercept[Exception](
+        QuantileSketch.rollup(sk, "sketch", wrong, Nil).collect())
+      assert(e.getMessage.contains("bins must match the stored sketch") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("bins must match the stored sketch")),
+        s"bins=$wrong: ${e.getMessage}")
+    }
+    // the matching bins still rolls up exactly
+    val ok = QuantileSketch.rollup(sk, "sketch", 10, Nil)
+      .select(QuantileSketch.total(col("sketch"))).as[Long].head()
+    assert(ok == 40L)
   }
 }

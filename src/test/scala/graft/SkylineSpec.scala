@@ -103,6 +103,31 @@ class SkylineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Skyline.pareto3d(df, "x", "y", "tag"))
   }
 
+  test("3-D frontier budget: trips on anti-correlated (y,z), never on benign") {
+    // pathological shape: y strictly increases while z strictly decreases
+    // — EVERY point is a 2-D (y,z) maximum, so the per-partition frontiers
+    // collected to the driver total O(n). The enforced cap must raise
+    // (with the observed size in the message) instead of silently running
+    // a driver-bound merge…
+    val anti = (0L until 5000L).map(i => (i, i % 7, i, 5000L - i))
+    val antiDf = anti.toDF("id", "x", "y", "z")
+    val err = intercept[IllegalArgumentException](
+      Skyline.pareto3d(antiDf, "x", "y", "z", maxFrontierPoints = 1000L))
+    assert(err.getMessage.contains("cap 1000") &&
+      err.getMessage.contains("anti-correlated"))
+    // …while a cap that fits still computes the exact frontier
+    assert(Skyline.pareto3d(antiDf, "x", "y", "z").count() ==
+      naive3(anti).size)
+    // benign (correlated) data stays far inside the default budget: the
+    // q212 gate shape — a strict chain collapses every prefix frontier
+    // to one point, so even a TINY cap passes
+    val chain = (1L to 4000L).map(i => (i, i, i, i))
+    val got = Skyline.pareto3d(chain.toDF("id", "x", "y", "z"),
+      "x", "y", "z", maxFrontierPoints = 64L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4000L, 4000L, 4000L, 4000L)))
+  }
+
   test("Frontier: staircase invariant, weak-dominance rejection, probe") {
     val f = new Skyline.Frontier
     f.insert(5L, 1L); f.insert(3L, 4L); f.insert(1L, 9L)
