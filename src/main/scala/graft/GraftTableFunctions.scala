@@ -73,6 +73,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_diff_columns('old_view', 'new_view', 'k')
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_qsketch('li_view', 'g', 'x', 1, 51, 50, '1/2,9/10')
+  *   SELECT * FROM graft_logsketch('li_view', 'g', 'x', 2, '1/2,9/10')
   *   SELECT * FROM graft_skyline3d('pts_view', 'x', 'y', 'z')
   *   SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
@@ -478,6 +479,13 @@ object GraftTableFunctions {
       plan(operators.QuantileSketch.summary(table(a(0)), grps,
         valueCol = str(a(2)), lo = long(a(3)), hi = long(a(4)),
         bins = int(a(5)), qs = qs))
+    },
+    "graft_logsketch" -> { exprs =>
+      val a = args("graft_logsketch", exprs, 5)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.LogQuantileSketch.summary(table(a(0)), grps,
+        valueCol = str(a(2)), digits = int(a(3)),
+        qs = parseQuantiles("graft_logsketch", str(a(4)))))
     },
     "graft_agg_state" -> { exprs =>
       val a = args("graft_agg_state", exprs, 3)

@@ -61,6 +61,18 @@ import graft.text.{Dedup, Pipeline, TextAnalysis}
   */
 object PipelineCli {
 
+  /** Declared domain of the stage report's score-distribution sketch
+    * (`score_sketch_<slot>` entries): FIXED slots are what make shard
+    * reports align, so rolling reports up across shards/runs is a plain
+    * field-wise sum — exactly [[graft.operators.QuantileSketch.merge]]'s
+    * vector-add monoid, spec-gated round-trip. [-1000, 1000) × 20 bins
+    * (width 100) covers the heuristic quality score (0..~1000) and the
+    * classifier's logit_permille around 0; anything outside lands in the
+    * sketch's own under/overflow slots, never dropped. */
+  private[graft] val ScoreSketchLo = -1000L
+  private[graft] val ScoreSketchHi = 1000L
+  private[graft] val ScoreSketchBins = 20
+
   /** The pipeline as a library call — returns (splitName -> cleaned docs)
     * plus the per-stage counts. Deterministic end to end: re-running on
     * the same corpus yields byte-identical shards.
@@ -196,6 +208,19 @@ object PipelineCli {
             qualityDF.select(col("doc_id"), col("quality").as("__score"))
         })
         counts += "scored" -> s.count()
+        // the score DISTRIBUTION rides the report next to the count:
+        // one fixed-slot quantile sketch of the stage-4b scores (one
+        // map-side-combined aggregation over the just-cached score
+        // table; the collected row is bins+2 longs, O(1) driver state).
+        // Reports from independent shards/runs roll up by field-wise
+        // sum — the sketch's exact merge contract
+        val skRow = graft.operators.QuantileSketch.sketch(
+            s.select(col("__score").as("score")), Seq.empty,
+            "score", ScoreSketchLo, ScoreSketchHi, ScoreSketchBins)
+          .head.getSeq[Long](0)
+        skRow.zipWithIndex.foreach { case (cnt, i) =>
+          counts += s"score_sketch_$i" -> cnt
+        }
         Some(s)
       }
     redacted.unpersist() // its last consumers (filtered, scores) just

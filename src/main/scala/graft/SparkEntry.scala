@@ -2408,6 +2408,34 @@ object SparkEntry {
           prior = Some(cold))
         .select(col("node"), col("rank").as("pr"))
     }),
+
+    // ── unknown-domain quantile sketch (decimal-log binning): the
+    // [lo,hi)-free counterpart of q210 — per-flag sketches over an
+    // UNBOUNDED cents column, one map-side-combined count per (group,
+    // bucket), ≤ ~1.7k buckets per group over the whole Long range;
+    // quantile read = lower edge of the rank bucket (exact integer
+    // binning, never a floating log) ─────────────────────────────────────
+    "q215_logsketch_quantiles" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag").as("g"),
+          cents(col("l_extendedprice")).as("v"))
+      graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
+        digits = 2, qs = Seq((1, 2), (9, 10)))
+    }),
+
+    // ── the log sketch's cube contract on real data: fine sketches per
+    // (returnflag, linestatus) rolled up to returnflag must equal the
+    // direct coarse sketch — the oracle computes the DIRECT side, so the
+    // hash match IS the merge-contract proof at data scale ───────────────
+    "q216_logsketch_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag").as("g"), col("l_linestatus").as("sub"),
+          cents(col("l_extendedprice")).as("v"))
+      val fine = graft.operators.LogQuantileSketch.sketch(li, Seq("g", "sub"), "v")
+      val coarse = graft.operators.LogQuantileSketch.rollup(fine, Seq("g"))
+      graft.operators.LogQuantileSketch.quantiles(coarse, Seq("g"),
+        Seq((1, 4), (3, 4)))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5851,6 +5879,51 @@ object SparkEntry {
         |w3 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x3.sc, 0)) // 100) AS r
         |       FROM dn LEFT JOIN x3 ON dn.node = x3.node)
         |SELECT node, r AS pr FROM w3 ORDER BY node""".stripMargin,
+
+    // decimal-log binning replayed with exact STRING arithmetic (first 2
+    // digits kept, rest zeroed) — a different exact formulation than the
+    // Spark side's integer div/multiply, so the hash match cross-checks
+    // the binning itself
+    "q215_logsketch_quantiles" ->
+      s"""WITH v AS (SELECT l_returnflag AS g,
+        |             ${CENTS.format("l_extendedprice")} AS v FROM lineitem),
+        |b AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1,
+        |                       LEAST(length(CAST(v AS VARCHAR)), 2))
+        |               || repeat('0',
+        |                    GREATEST(length(CAST(v AS VARCHAR)) - 2, 0))
+        |               AS BIGINT) AS edge
+        |      FROM v),
+        |sk AS (SELECT g, edge, COUNT(*) AS cnt FROM b GROUP BY g, edge),
+        |c AS (SELECT g, edge,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM sk)
+        |SELECT g, MAX(n) AS n,
+        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
+        |FROM c GROUP BY g ORDER BY g""".stripMargin,
+
+    // the oracle sketches DIRECTLY at the coarse level — the gate rolls
+    // fine sketches up, so the hash match proves the merge contract on
+    // real data
+    "q216_logsketch_rollup" ->
+      s"""WITH v AS (SELECT l_returnflag AS g,
+        |             ${CENTS.format("l_extendedprice")} AS v FROM lineitem),
+        |b AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1,
+        |                       LEAST(length(CAST(v AS VARCHAR)), 2))
+        |               || repeat('0',
+        |                    GREATEST(length(CAST(v AS VARCHAR)) - 2, 0))
+        |               AS BIGINT) AS edge
+        |      FROM v),
+        |sk AS (SELECT g, edge, COUNT(*) AS cnt FROM b GROUP BY g, edge),
+        |c AS (SELECT g, edge,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM sk)
+        |SELECT g, MAX(n) AS n,
+        |       MIN(CASE WHEN cum * 4 >= n * 1 THEN edge END) AS q_1_4,
+        |       MIN(CASE WHEN cum * 4 >= n * 3 THEN edge END) AS q_3_4
+        |FROM c GROUP BY g ORDER BY g""".stripMargin,
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

@@ -107,7 +107,8 @@ object Skyline {
     * independent. */
   def pareto3d(df: DataFrame, x: String, y: String, z: String,
                numParts: Int = 0,
-               maxFrontierPoints: Long = 1L << 20): DataFrame = {
+               maxFrontierPoints: Long = 1L << 20,
+               frontierPointsOut: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
     val crit = Seq(x, y, z)
     require(crit.distinct.size == 3,
       s"skyline needs three distinct criteria, got ${crit.mkString(", ")}")
@@ -146,6 +147,7 @@ object Skyline {
     // driver-bound job. Callers with driver memory to match may raise the
     // cap explicitly.
     val frontierPoints = partFrontiers.iterator.map(_.length.toLong).sum
+    frontierPointsOut.foreach(_.set(frontierPoints)) // observability (probes)
     require(frontierPoints <= maxFrontierPoints,
       s"pareto3d: cross-partition frontier carries $frontierPoints points " +
         s"(cap $maxFrontierPoints) — the (y, z) prefix state is output-" +

@@ -129,11 +129,32 @@ object GraphProbeMain {
         graft.graph.LinkPredict.commonNeighbors(e, "s", "d",
           maxDegree = 20, minCommon = 2L).count()
       }
+      // warm-start maintenance (the q213/q214 shape at probe scale): the
+      // timed step is ONLY the warm re-rank of a 1%-delta'd edge set
+      // seeded with cold ranks computed (and materialized — the rounds
+      // run eagerly) outside the timer; wRounds prints separately
+      val wRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val warmReady = if (onlyOps.exists(!_.contains("wstart"))) None else {
+        val cold = graft.graph.PageRank.pageRank(e, "s", "d", iterations = 3)
+        val dE = e.union(spark.range(m / 100).select(
+          expr(s"pmod(xxhash64(id, 7), ${n}L)").as("s"),
+          (lit(n) + expr(s"pmod(xxhash64(id, 8), ${math.max(n / 100L, 1L)}L)"))
+            .as("d")))
+        mark = settledShuffle() // cold run + fixture cost is NOT the step's
+        Some((cold, dE))
+      }
+      val (_, wsSig, wsLine) = step("wstart") {
+        val (cold, dE) = warmReady.get
+        graft.graph.PageRank.pageRank(dE, "s", "d", iterations = 3,
+            prior = Some(cold), roundsOut = Some(wRounds))
+          .select(bit_xor(xxhash64(col("node"), col("rank"))))
+          .collect()(0).getLong(0)
+      }
       println(s"GRAPH m=$m rep$rep $prLine $wprLine $triLine $coreLine " +
-        s"$bfsLine $lpLine $hitsLine $pprLine $lpredLine " +
+        s"$bfsLine $lpLine $hitsLine $pprLine $lpredLine $wsLine " +
         s"nTri=$nTri nCore=$nCore nReach=$nReach nPred=$nPred " +
         s"prSig=$prSig wprSig=$wprSig lpSig=$lpSig hitsSig=$hitsSig " +
-        s"pprSig=$pprSig")
+        s"pprSig=$pprSig wsSig=$wsSig wRounds=${wRounds.get}")
     }
     spark.stop()
   }

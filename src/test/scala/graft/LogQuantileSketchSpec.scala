@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LogQuantileSketch
+
+class LogQuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // mixed-magnitude corpus: zeros, single digits, mid, huge — the
+  // unknown-domain shape the sketch exists for
+  private def corpus(seed: Long, n: Int): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(10).toLong                 // 0..9 (exact zone)
+        case 1 => rnd.nextInt(100000).toLong             // mid
+        case 2 => math.abs(rnd.nextLong()) % 1000000000L // wide
+        case 3 => math.abs(rnd.nextLong())               // full Long range
+      }
+    }
+  }
+
+  /** Exact classic lower quantile: smallest value whose rank reaches
+    * ⌈(num·n)/den⌉. */
+  private def exactLower(vs: Seq[Long], num: Int, den: Int): Long = {
+    val s = vs.sorted
+    val rank = (num.toLong * s.size + den - 1) / den // ceil
+    s((rank - 1).toInt)
+  }
+
+  test("merge contract: rollup(sketch(A) ∪ sketch(B)) == sketch(A ⊎ B), exactly") {
+    for (digits <- Seq(1, 2, 3)) {
+      val a = corpus(7L * digits, 400)
+      val b = corpus(11L * digits, 300)
+      val skA = LogQuantileSketch.sketch(a.toDF("v"), Seq.empty, "v", digits)
+      val skB = LogQuantileSketch.sketch(b.toDF("v"), Seq.empty, "v", digits)
+      val merged = LogQuantileSketch.rollup(skA.union(skB), Seq.empty)
+        .orderBy("edge").as[(Long, Long)].collect().toSeq
+      val direct = LogQuantileSketch.sketch((a ++ b).toDF("v"), Seq.empty, "v", digits)
+        .orderBy("edge").as[(Long, Long)].collect().toSeq
+      assert(merged == direct, s"digits=$digits")
+    }
+  }
+
+  test("grouped rollup == direct coarse sketch (binning is grouping-independent)") {
+    val rnd = new scala.util.Random(3L)
+    val rows = corpus(5L, 600).map(v =>
+      (s"g${rnd.nextInt(3)}", s"s${rnd.nextInt(4)}", v))
+    val df = rows.toDF("g", "sub", "v")
+    val fine = LogQuantileSketch.sketch(df, Seq("g", "sub"), "v")
+    val rolled = LogQuantileSketch.rollup(fine, Seq("g"))
+      .orderBy("g", "edge").as[(String, Long, Long)].collect().toSeq
+    val direct = LogQuantileSketch.sketch(df, Seq("g"), "v")
+      .orderBy("g", "edge").as[(String, Long, Long)].collect().toSeq
+    assert(rolled == direct)
+  }
+
+  test("quantile answer == bucketEdge(true lower quantile) — error one bucket") {
+    val vs = corpus(17L, 2000)
+    val sk = LogQuantileSketch.sketch(vs.toDF("v"), Seq.empty, "v", 2)
+    val got = LogQuantileSketch.quantiles(sk, Seq.empty,
+      Seq((1, 4), (1, 2), (3, 4), (99, 100)))
+      .select("n", "q_1_4", "q_1_2", "q_3_4", "q_99_100")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._1 == vs.size)
+    for (((num, den), ans) <- Seq((1, 4), (1, 2), (3, 4), (99, 100))
+           .zip(Seq(got._2, got._3, got._4, got._5))) {
+      val exact = exactLower(vs, num, den)
+      assert(ans == LogQuantileSketch.edgeOf(exact, 2),
+        s"q=$num/$den: $ans vs exact $exact")
+      assert(ans <= exact, s"q=$num/$den")
+      // relative error < 10^(1-digits) = 10% at digits=2 (exact below 100)
+      assert(exact - ans <= exact / 10, s"q=$num/$den: $ans vs $exact")
+    }
+  }
+
+  test("values below 10^digits are EXACT; zero lands in its own bucket") {
+    val vs: Seq[Long] = Seq(0L, 0L, 1L, 5L, 7L, 42L, 99L)
+    val sk = LogQuantileSketch.sketch(vs.toDF("v"), Seq.empty, "v", 2)
+    // every value its own edge (digits <= 2 → identity binning)
+    assert(sk.orderBy("edge").as[(Long, Long)].collect().toSeq ==
+      Seq((0L, 2L), (1L, 1L), (5L, 1L), (7L, 1L), (42L, 1L), (99L, 1L)))
+    val q = LogQuantileSketch.quantiles(sk, Seq.empty, Seq((1, 2)))
+      .select("q_1_2").as[Long].head()
+    assert(q == exactLower(vs, 1, 2))
+  }
+
+  test("bounded state: a wide corpus occupies at most maxBuckets(digits) buckets") {
+    val vs = corpus(23L, 20000)
+    for (digits <- Seq(1, 2)) {
+      val n = LogQuantileSketch.sketch(vs.toDF("v"), Seq.empty, "v", digits).count()
+      assert(n <= LogQuantileSketch.maxBuckets(digits),
+        s"digits=$digits: $n buckets > ${LogQuantileSketch.maxBuckets(digits)}")
+    }
+    // reference edges agree with the column expression on every value
+    val spark2 = spark
+    import spark2.implicits._
+    val viaCol = LogQuantileSketch.sketch(vs.toDF("v"), Seq.empty, "v", 2)
+      .orderBy("edge").as[(Long, Long)].collect().toSeq
+    val viaRef = vs.groupBy(LogQuantileSketch.edgeOf(_, 2)).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(viaCol == viaRef)
+  }
+
+  test("negative values RAISE; NULLs are ignored") {
+    val bad = Seq(5L, -3L).toDF("v")
+    val e = intercept[Exception](
+      LogQuantileSketch.sketch(bad, Seq.empty, "v").collect())
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+    assert(m(e).contains("non-negative"), m(e))
+    val withNulls = Seq(Some(10L), None, Some(20L)).toDF("v")
+    assert(LogQuantileSketch.sketch(withNulls, Seq.empty, "v")
+      .agg(sum("cnt")).as[Long].head() == 2L)
+  }
+
+  test("validation: digits range, columns, den bound") {
+    val df = Seq((1L, "a")).toDF("v", "g")
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.sketch(df, Seq.empty, "v", digits = 0))
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.sketch(df, Seq.empty, "v", digits = 5))
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.sketch(df, Seq.empty, "nope"))
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.sketch(df.withColumn("d", lit(1.0)), Seq.empty, "d"))
+    val sk = LogQuantileSketch.sketch(df, Seq("g"), "v")
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.quantiles(sk, Seq("g"), Seq((3, 2))))
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.quantiles(sk, Seq("g"), Seq((1, 2000000))))
+    intercept[IllegalArgumentException](
+      LogQuantileSketch.quantiles(sk, Seq("g"), Seq.empty))
+  }
+}

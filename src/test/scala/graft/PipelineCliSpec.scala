@@ -367,4 +367,40 @@ class PipelineCliSpec extends SparkSpec {
     assert(c2("input") == 25L)
     bySplit2.values.foreach(_.unpersist())
   }
+
+  test("stage report: score sketch rides the report and rolls up across shards") {
+    import graft.operators.QuantileSketch
+    import org.apache.spark.sql.functions.col
+    // two disjoint corpus "shards" and their union — the fleet scenario:
+    // each shard's pipeline run emits its own report; a dashboard rolls
+    // the reports up WITHOUT revisiting any rows
+    val rows = (1L to 24L).map(i =>
+      (i, (1 to 8).map(j => s"tok${i}w$j").mkString(" ")))
+    val (a, b) = rows.splitAt(12)
+    val slots = QuantileSketch.slots(PipelineCli.ScoreSketchBins)
+    def reportSketch(rs: Seq[(Long, String)]): Seq[Long] = {
+      val (bySplit, counts) = PipelineCli.run(rs.toDF("doc_id", "text"),
+        minQuality = 0L, maxDupFrac1000 = 1000L,
+        keepQuantile = Some((1, 10))) // triggers the scoring stage
+      bySplit.values.foreach(_.unpersist())
+      val c = counts.toMap
+      (0 until slots).map(i => c(s"score_sketch_$i"))
+    }
+    val skA = reportSketch(a)
+    val skB = reportSketch(b)
+    val skAll = reportSketch(rows)
+    // total mass = scored docs; nothing silently dropped
+    assert(skAll.sum == rows.size.toLong, s"$skAll")
+    // field-wise sum of the shard reports == the full run's sketch (the
+    // JSON-level rollup a dashboard does)
+    assert(skA.zip(skB).map { case (x, y) => x + y } == skAll,
+      s"$skA + $skB != $skAll")
+    // and the round trip through the OPERATOR: the two report rows fed to
+    // QuantileSketch.rollup reproduce the full sketch cell-for-cell
+    val rolled = QuantileSketch.rollup(
+        Seq(Tuple1(skA), Tuple1(skB)).toDF("sketch"),
+        "sketch", PipelineCli.ScoreSketchBins, Nil)
+      .select(col("sketch")).head.getSeq[Long](0)
+    assert(rolled == skAll, s"$rolled != $skAll")
+  }
 }

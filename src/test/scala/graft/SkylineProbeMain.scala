@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures [[graft.operators.Skyline.pareto3d]]'s one structural
+  * exposure directly: the cross-partition (y, z) frontier is
+  * OUTPUT-SENSITIVE, and the driver merges + broadcasts it (guarded at
+  * `maxFrontierPoints`, default 2^20). Two planted regimes at 150k /
+  * 1.5M / 15M points (q212's sf0.1 input is ~150k customers — so 1× /
+  * 10× / 100×):
+  *
+  *   benign — x, y, z all hash-correlated with a shared key (the real
+  *   trade-off-data shape): the frontier stays tiny, wall tracks the
+  *   TeraSort.
+  *
+  *   anti — within each x value, y = i and z = N - i (every point a
+  *   2-D (y, z) maximum): the frontier is O(n). The probe records the
+  *   OBSERVED frontier size (via `frontierPointsOut`) with the guard
+  *   lifted, plus whether the DEFAULT guard trips — at 1.5M+ points it
+  *   must, because a silent O(n) driver merge is exactly what the cap
+  *   exists to stop.
+  *
+  * Usage: Test/runMain graft.SkylineProbeMain [n,n,...]
+  */
+object SkylineProbeMain {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args(0).split(",").map(_.trim.toLong).toSeq
+                else Seq(150000L, 1500000L, 15000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
+
+    for (n <- sizes) {
+      // benign: hash-correlated criteria (big x tends to big y, z)
+      val benign = spark.range(n).select(
+        expr("pmod(xxhash64(id, 1), 1000000)").as("x"),
+        expr("pmod(xxhash64(id, 1), 1000000) + pmod(xxhash64(id, 2), 1000)").as("y"),
+        expr("pmod(xxhash64(id, 1), 1000000) + pmod(xxhash64(id, 3), 1000)").as("z"))
+      // anti: y up, z down — every point a 2-D (y, z) maximum
+      val anti = spark.range(n).select(
+        expr("pmod(xxhash64(id, 4), 97)").as("x"),
+        col("id").as("y"), (lit(n) - col("id")).as("z"))
+      for ((label, df) <- Seq("benign" -> benign, "anti" -> anti)) {
+        val obs = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val t0 = System.nanoTime()
+        val cnt = graft.operators.Skyline
+          .pareto3d(df, "x", "y", "z",
+            maxFrontierPoints = Long.MaxValue, frontierPointsOut = Some(obs))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // does the DEFAULT cap hold / trip for this regime at this size?
+        val default = try {
+          graft.operators.Skyline.pareto3d(df, "x", "y", "z").count(); "pass"
+        } catch { case e: IllegalArgumentException => "TRIP" }
+        println(f"SKYLINE n=$n%-9d $label%-7s sec=$sec%7.2f " +
+          s"frontierPts=${obs.get} survivors=$cnt defaultGuard=$default")
+        graft.operators.Checkpoints.releaseAll()
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
