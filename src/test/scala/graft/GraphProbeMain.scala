@@ -150,11 +150,22 @@ object GraphProbeMain {
           .select(bit_xor(xxhash64(col("node"), col("rank"))))
           .collect()(0).getLong(0)
       }
+      // the wstart baseline: COLD re-rank of the SAME delta'd edge set at
+      // the same round count — isolates what the prior seed itself costs
+      val (_, wcSig, wcLine) = step("wcold") {
+        val dE = e.union(spark.range(m / 100).select(
+          expr(s"pmod(xxhash64(id, 7), ${n}L)").as("s"),
+          (lit(n) + expr(s"pmod(xxhash64(id, 8), ${math.max(n / 100L, 1L)}L)"))
+            .as("d")))
+        graft.graph.PageRank.pageRank(dE, "s", "d", iterations = 3)
+          .select(bit_xor(xxhash64(col("node"), col("rank"))))
+          .collect()(0).getLong(0)
+      }
       println(s"GRAPH m=$m rep$rep $prLine $wprLine $triLine $coreLine " +
-        s"$bfsLine $lpLine $hitsLine $pprLine $lpredLine $wsLine " +
+        s"$bfsLine $lpLine $hitsLine $pprLine $lpredLine $wsLine $wcLine " +
         s"nTri=$nTri nCore=$nCore nReach=$nReach nPred=$nPred " +
         s"prSig=$prSig wprSig=$wprSig lpSig=$lpSig hitsSig=$hitsSig " +
-        s"pprSig=$pprSig wsSig=$wsSig wRounds=${wRounds.get}")
+        s"pprSig=$pprSig wsSig=$wsSig wcSig=$wcSig wRounds=${wRounds.get}")
     }
     spark.stop()
   }
