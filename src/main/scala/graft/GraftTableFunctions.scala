@@ -74,6 +74,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_quantile_summary('li_view', 'g', 'x', '1/4,1/2,3/4')
   *   SELECT * FROM graft_qsketch('li_view', 'g', 'x', 1, 51, 50, '1/2,9/10')
   *   SELECT * FROM graft_logsketch('li_view', 'g', 'x', 2, '1/2,9/10')
+  *   SELECT * FROM graft_qsketch_weighted('li_view', 'g', 'x', 'w', 1, 51, 50, '1/2,9/10')
   *   SELECT * FROM graft_skyline3d('pts_view', 'x', 'y', 'z')
   *   SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
@@ -479,6 +480,15 @@ object GraftTableFunctions {
       plan(operators.QuantileSketch.summary(table(a(0)), grps,
         valueCol = str(a(2)), lo = long(a(3)), hi = long(a(4)),
         bins = int(a(5)), qs = qs))
+    },
+    "graft_qsketch_weighted" -> { exprs =>
+      val a = args("graft_qsketch_weighted", exprs, 8)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.QuantileSketch.summary(table(a(0)), grps,
+        valueCol = str(a(2)), lo = long(a(4)), hi = long(a(5)),
+        bins = int(a(6)),
+        qs = parseQuantiles("graft_qsketch_weighted", str(a(7))),
+        weightCol = Some(str(a(3)))))
     },
     "graft_logsketch" -> { exprs =>
       val a = args("graft_logsketch", exprs, 5)

@@ -2436,6 +2436,20 @@ object SparkEntry {
       graft.operators.LogQuantileSketch.quantiles(coarse, Seq("g"),
         Seq((1, 4), (3, 4)))
     }),
+
+    // ── WEIGHTED quantile sketch: revenue-weighted order-size quantiles
+    // per flag ("at what quantity does half the revenue sit") — slots
+    // accumulate SUM(weight) instead of COUNT in the same exact
+    // vector-add monoid; width-1 integer domain → exact, so the oracle
+    // replays it as a weight-cumulative window over the raw values ──────
+    "q217_qsketch_weighted" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"),
+          cents(col("l_extendedprice")).as("w"))
+      graft.operators.QuantileSketch.summary(li, Seq("l_returnflag"), "v",
+        lo = 1L, hi = 51L, bins = 50, qs = Seq((1, 2), (9, 10)),
+        weightCol = Some("w"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5924,6 +5938,21 @@ object SparkEntry {
         |       MIN(CASE WHEN cum * 4 >= n * 1 THEN edge END) AS q_1_4,
         |       MIN(CASE WHEN cum * 4 >= n * 3 THEN edge END) AS q_3_4
         |FROM c GROUP BY g ORDER BY g""".stripMargin,
+
+    // weighted quantiles at bin width 1 are exact, so the oracle is the
+    // weight-cumulative window over the raw values (RANGE frame: tied
+    // values share the full tied cumulative, exactly the slot semantics)
+    "q217_qsketch_weighted" ->
+      s"""WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |             ${CENTS.format("l_extendedprice")} AS w FROM lineitem),
+        |c AS (SELECT l_returnflag, v,
+        |        CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+        |        CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |      FROM v)
+        |SELECT l_returnflag, MAX(n) AS n,
+        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS q_1_2,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS q_9_10
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

@@ -52,30 +52,51 @@ object QuantileSketch {
 
   /** One sketch per `groupCols` cell (global when empty) over BIGINT
     * `valueCol` — NULL values are ignored (they carry no rank). Output:
-    * groupCols..., `out` ARRAY<BIGINT> of length bins+2. */
+    * groupCols..., `out` ARRAY<BIGINT> of length bins+2.
+    *
+    * With `weightCol` (non-negative BIGINT; NULL or negative RAISES —
+    * silently defaulting a weight would shift every quantile) each slot
+    * accumulates SUM(weight) instead of COUNT: the sketch answers
+    * WEIGHTED quantiles ("the value at which cumulative weight reaches
+    * q·W" — token-weighted score distributions, revenue-weighted size
+    * distributions). Same vector-add monoid, same rollup/merge/read
+    * machinery — a count sketch IS the all-weights-1 case. Keep total
+    * weight·den inside Int64 ([[quantileLower]] bounds den at 10^6, so
+    * W ≤ ~9.2e12 — rescale heavier weight columns). */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
-             lo: Long, hi: Long, bins: Int, out: String = "sketch"): DataFrame = {
+             lo: Long, hi: Long, bins: Int, out: String = "sketch",
+             weightCol: Option[String] = None): DataFrame = {
     val w = width(lo, hi, bins)
-    (groupCols :+ valueCol).foreach { c =>
+    (groupCols ++ weightCol :+ valueCol).foreach { c =>
       require(df.columns.contains(c), s"no such column: $c")
       require(!c.startsWith("__"),
         s"column name '$c' collides with internal __* names")
     }
     require(df.schema(valueCol).dataType == LongType, s"$valueCol must be BIGINT")
     require(!groupCols.contains(valueCol), s"$valueCol is also a group column")
+    weightCol.foreach(c => require(df.schema(c).dataType == LongType,
+      s"$c must be BIGINT"))
     val slot = when(col("__qs_v") < lo, 0)
       .when(col("__qs_v") >= hi, bins + 1)
       // all-Long `div` keeps the binning exact for the full BIGINT domain
       // (a double-floor path would misplace values past 2^53)
       .otherwise(expr(s"(__qs_v - ${lo}L) div ${w}L").cast(IntegerType) + 1)
+    val wexpr = weightCol match {
+      case None => lit(1L)
+      case Some(c) => when(col(c).isNull || col(c) < 0L, raise_error(
+          format_string(s"sketch: weight '$c' must be a non-negative " +
+            "BIGINT, got %s", coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(col(c))
+    }
     val base = df.filter(col(valueCol).isNotNull)
       .withColumn("__qs_v", col(valueCol))
+      .withColumn("__qs_w", wexpr)
       .withColumn("__qs_slot", slot)
     // coalesce: a global (no-group) sketch of an empty input is the
     // all-zero vector, not NULLs (SUM over zero rows is NULL in SQL)
     val aggs = (0 until slots(bins)).map(i =>
-      coalesce(sum(when(col("__qs_slot") === i, 1L).otherwise(0L)), lit(0L))
-        .as(s"__qs_c$i"))
+      coalesce(sum(when(col("__qs_slot") === i, col("__qs_w")).otherwise(0L)),
+        lit(0L)).as(s"__qs_c$i"))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(groupCols.map(col) :+
         array((0 until slots(bins)).map(i => col(s"__qs_c$i")): _*).as(out): _*)
@@ -151,9 +172,11 @@ object QuantileSketch {
     * groupCols..., n, q_<num>_<den> per requested quantile, ordered by
     * the group columns. */
   def summary(df: DataFrame, groupCols: Seq[String], valueCol: String,
-              lo: Long, hi: Long, bins: Int, qs: Seq[(Int, Int)]): DataFrame = {
+              lo: Long, hi: Long, bins: Int, qs: Seq[(Int, Int)],
+              weightCol: Option[String] = None): DataFrame = {
     require(qs.nonEmpty, "summary needs at least one quantile")
-    val sk = sketch(df, groupCols, valueCol, lo, hi, bins)
+    val sk = sketch(df, groupCols, valueCol, lo, hi, bins,
+      weightCol = weightCol)
     val out = sk.select(groupCols.map(col) ++ (total(col("sketch")).as("n") +:
       qs.map { case (nu, de) =>
         quantileLower(col("sketch"), nu, de, lo, hi, bins).as(s"q_${nu}_$de")

@@ -122,6 +122,58 @@ class QuantileSketchSpec extends SparkSpec {
       QuantileSketch.quantileLower(col("s"), 1, 2000000, 0L, 10L, 5))
   }
 
+  test("weighted sketch: all-weights-1 == count sketch; weighted quantile exact") {
+    val rnd = new scala.util.Random(31L)
+    val rows = Seq.fill(500)((rnd.nextInt(50).toLong + 1L, rnd.nextInt(100).toLong + 1L))
+    val df = rows.toDF("v", "w")
+    // the count sketch IS the all-weights-1 case (same arithmetic path)
+    val ones = QuantileSketch.sketch(df.withColumn("w", lit(1L)),
+      Nil, "v", 1L, 51L, 50, weightCol = Some("w"))
+      .select("sketch").as[Seq[Long]].head()
+    val counts = QuantileSketch.sketch(df, Nil, "v", 1L, 51L, 50)
+      .select("sketch").as[Seq[Long]].head()
+    assert(ones == counts)
+    // weighted p50 at width 1 == the driver-side weighted lower quantile
+    val sk = QuantileSketch.sketch(df, Nil, "v", 1L, 51L, 50,
+      weightCol = Some("w"))
+    val got = sk.select(
+      QuantileSketch.total(col("sketch")).as("n"),
+      QuantileSketch.quantileLower(col("sketch"), 1, 2, 1L, 51L, 50).as("q"))
+      .as[(Long, Long)].head()
+    val totalW = rows.map(_._2).sum
+    assert(got._1 == totalW)
+    val ref = {
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; cum * 2 >= totalW }.get._1
+    }
+    assert(got._2 == ref, s"weighted p50 ${got._2} != $ref")
+    // the cube contract survives weights: split-merge == direct
+    val (a, b) = rows.splitAt(213)
+    val merged = QuantileSketch.sketch(a.toDF("v", "w"), Nil, "v", 1L, 51L, 50,
+        weightCol = Some("w")).select(col("sketch").as("a"))
+      .crossJoin(QuantileSketch.sketch(b.toDF("v", "w"), Nil, "v", 1L, 51L, 50,
+        weightCol = Some("w")).select(col("sketch").as("b")))
+      .select(QuantileSketch.merge(col("a"), col("b"))).as[Seq[Long]].head()
+    assert(merged == sk.select("sketch").as[Seq[Long]].head())
+  }
+
+  test("weighted sketch: NULL or negative weight RAISES") {
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+    val neg = Seq((5L, 2L), (7L, -1L)).toDF("v", "w")
+    val e1 = intercept[Exception](QuantileSketch.sketch(neg, Nil, "v",
+      1L, 51L, 50, weightCol = Some("w")).collect())
+    assert(m(e1).contains("non-negative"), m(e1))
+    val nul = Seq((5L, Some(2L)), (7L, None)).toDF("v", "w")
+    val e2 = intercept[Exception](QuantileSketch.sketch(nul, Nil, "v",
+      1L, 51L, 50, weightCol = Some("w")).collect())
+    assert(m(e2).contains("non-negative"), m(e2))
+    intercept[IllegalArgumentException](QuantileSketch.sketch(
+      neg.withColumn("d", lit(1.0)), Nil, "v", 1L, 51L, 50,
+      weightCol = Some("d"))) // non-BIGINT weight
+  }
+
   test("rollup: a bins mismatched with the stored array length RAISES") {
     // sketch written at 10 bins (12 slots); rolling up at 5 bins would
     // silently drop the overflow counts, at 20 would zero-fill — both
