@@ -75,6 +75,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_qsketch('li_view', 'g', 'x', 1, 51, 50, '1/2,9/10')
   *   SELECT * FROM graft_logsketch('li_view', 'g', 'x', 2, '1/2,9/10')
   *   SELECT * FROM graft_qsketch_weighted('li_view', 'g', 'x', 'w', 1, 51, 50, '1/2,9/10')
+  *   SELECT * FROM graft_logsketch_weighted('li_view', 'g', 'x', 'w', 2, '1/2,9/10')
   *   SELECT * FROM graft_skyline3d('pts_view', 'x', 'y', 'z')
   *   SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
@@ -496,6 +497,14 @@ object GraftTableFunctions {
       plan(operators.LogQuantileSketch.summary(table(a(0)), grps,
         valueCol = str(a(2)), digits = int(a(3)),
         qs = parseQuantiles("graft_logsketch", str(a(4)))))
+    },
+    "graft_logsketch_weighted" -> { exprs =>
+      val a = args("graft_logsketch_weighted", exprs, 6)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.LogQuantileSketch.summary(table(a(0)), grps,
+        valueCol = str(a(2)), digits = int(a(4)),
+        qs = parseQuantiles("graft_logsketch_weighted", str(a(5))),
+        weightCol = Some(str(a(3)))))
     },
     "graft_agg_state" -> { exprs =>
       val a = args("graft_agg_state", exprs, 3)

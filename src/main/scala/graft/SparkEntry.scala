@@ -2450,6 +2450,45 @@ object SparkEntry {
         lo = 1L, hi = 51L, bins = 50, qs = Seq((1, 2), (9, 10)),
         weightCol = Some("w"))
     }),
+
+    // ── weighted UNKNOWN-domain sketch: quantity-weighted price
+    // quantiles per flag over an undeclared cents column — the log
+    // sketch's bucket rows accumulate SUM(weight); the string-arithmetic
+    // oracle replays binning AND weighting ──────────────────────────────
+    "q218_logsketch_weighted" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag").as("g"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast(LongType).as("w"))
+      graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
+        digits = 2, qs = Seq((1, 2), (9, 10)), weightCol = Some("w"))
+    }),
+
+    // ── streaming quantile-sketch maintainer: the click slice replayed
+    // in 3 micro-batches through the per-user sketch fold — exact
+    // vector-add merge means the final snapshot IS the batch sketch
+    // (any chunking), so the oracle is the plain per-user binned
+    // cumulative window. The maintainer state is O(users · bins+2)
+    // regardless of stream length ───────────────────────────────────────
+    "q219_stream_qsketch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.QuantileSketch
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      val snap = graft.streaming.EventStreaming.sketchReplay(evts,
+        nChunks = 3, lo = 0L, hi = 50000L, bins = 100)
+      snap.select(col("userId").as("user_id"),
+          QuantileSketch.total(col("sketch")).as("n"),
+          QuantileSketch.quantileLower(col("sketch"), 1, 2, 0L, 50000L, 100)
+            .as("p50"),
+          QuantileSketch.quantileLower(col("sketch"), 9, 10, 0L, 50000L, 100)
+            .as("p90"))
+        .orderBy("user_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5953,6 +5992,47 @@ object SparkEntry {
         |       MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS q_1_2,
         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS q_9_10
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q218_logsketch_weighted" ->
+      s"""WITH v AS (SELECT l_returnflag AS g,
+        |             ${CENTS.format("l_extendedprice")} AS v,
+        |             CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |b AS (SELECT g, w, CAST(substr(CAST(v AS VARCHAR), 1,
+        |                       LEAST(length(CAST(v AS VARCHAR)), 2))
+        |               || repeat('0',
+        |                    GREATEST(length(CAST(v AS VARCHAR)) - 2, 0))
+        |               AS BIGINT) AS edge
+        |      FROM v),
+        |sk AS (SELECT g, edge, CAST(SUM(w) AS BIGINT) AS cnt
+        |       FROM b GROUP BY g, edge),
+        |c AS (SELECT g, edge,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM sk)
+        |SELECT g, MAX(n) AS n,
+        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
+        |FROM c GROUP BY g ORDER BY g""".stripMargin,
+
+    // the streaming fold == the batch sketch (exact monoid), so the
+    // oracle is the direct per-user binned cumulative window (width-500
+    // slots over [0, 50000); values >= hi land on the overflow answer hi)
+    "q219_stream_qsketch" -> {
+      val v = CENTS.format("value")
+      s"""WITH t AS (SELECT user_id, $v AS v FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT user_id,
+        |        CASE WHEN v >= 50000 THEN 50000 ELSE (v // 500) * 500 END AS edge
+        |      FROM t),
+        |c AS (SELECT user_id, edge,
+        |        COUNT(*) OVER (PARTITION BY user_id ORDER BY edge) AS cum,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n
+        |      FROM b)
+        |SELECT user_id, MAX(n) AS n,
+        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS p50,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS p90
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

@@ -75,13 +75,36 @@ object LogQuantileSketch {
 
   /** One sketch row per (groupCols..., occupied bucket): `edge` BIGINT
     * (bucket lower edge), `cnt` BIGINT. Output ordered by nothing —
-    * it's an intermediate table by contract. */
+    * it's an intermediate table by contract.
+    *
+    * With `weightCol` (non-negative BIGINT; NULL or negative RAISES —
+    * silently defaulting a weight would shift every quantile) `cnt`
+    * accumulates SUM(weight) instead of the row count: weighted
+    * quantiles over an UNDECLARED domain (token-weighted score
+    * distributions over unbounded magnitudes). The count sketch is the
+    * all-weights-1 case; the rollup/quantile machinery is weight-blind
+    * (it only ever re-adds `cnt`). Keep total weight·den inside Int64
+    * ([[quantiles]] bounds den at 10^6 → W ≤ ~9.2e12). */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
-             digits: Int = 2): DataFrame = {
+             digits: Int = 2, weightCol: Option[String] = None): DataFrame = {
     validate(df, groupCols, valueCol, digits)
+    weightCol.foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(!c.startsWith("__"),
+        s"column name '$c' collides with internal __* names")
+      require(df.schema(c).dataType == LongType, s"$c must be BIGINT")
+    }
+    val wexpr = weightCol match {
+      case None => lit(1L)
+      case Some(c) => when(col(c).isNull || col(c) < 0L, raise_error(
+          format_string(s"logSketch: weight '$c' must be a non-negative " +
+            "BIGINT, got %s", coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(col(c))
+    }
     val p10 = array(POW10.map(lit).toIndexedSeq: _*)
     val base = df.filter(col(valueCol).isNotNull)
       .withColumn("__lq_v", col(valueCol))
+      .withColumn("__lq_w", wexpr)
       .withColumn("__lq_pw", element_at(p10,
         greatest(length(col("__lq_v").cast("string")) - lit(digits), lit(0)) + 1))
       .withColumn("edge", when(col("__lq_v") < 0,
@@ -90,7 +113,7 @@ object LogQuantileSketch {
               "non-negative magnitude", col("__lq_v").cast("string"))))
         .otherwise(expr("__lq_v div __lq_pw") * col("__lq_pw")))
     base.groupBy((groupCols :+ "edge").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__lq_w")).as("cnt"))
   }
 
   /** Re-aggregates stored sketch rows to coarser `groupCols` cells: the
@@ -143,6 +166,7 @@ object LogQuantileSketch {
 
   /** One-call sketch → quantile read-back (the SQL TVF shape). */
   def summary(df: DataFrame, groupCols: Seq[String], valueCol: String,
-              digits: Int, qs: Seq[(Int, Int)]): DataFrame =
-    quantiles(sketch(df, groupCols, valueCol, digits), groupCols, qs)
+              digits: Int, qs: Seq[(Int, Int)],
+              weightCol: Option[String] = None): DataFrame =
+    quantiles(sketch(df, groupCols, valueCol, digits, weightCol), groupCols, qs)
 }

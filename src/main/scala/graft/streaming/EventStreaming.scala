@@ -260,6 +260,89 @@ object EventStreaming {
           absorb(batch.toDF()))
   }
 
+  /** Streaming quantile-sketch maintainer — the DISTRIBUTION complement
+    * of [[AggStateMaintainer]] (which keeps count/sum/min/max):
+    * foreachBatch computes each micro-batch's per-key fixed-bin sketch
+    * ([[graft.operators.QuantileSketch.sketch]] — ONE map-side-combined
+    * aggregation; the exchange per batch is one Long vector per observed
+    * key) and folds it into the running snapshot with the exact
+    * vector-add merge (full-outer on the key; a side's absent key
+    * contributes the zero vector). Because bucket counts are a
+    * commutative monoid, the snapshot between batches is EXACTLY the
+    * batch-mode sketch of everything absorbed, in any chunking — the
+    * cube contract as a streaming invariant — and quantiles read from it
+    * are the batch answers. State is O(keys · (bins+2)) regardless of
+    * stream length; per-batch lineage truncation + release of the
+    * consumed snapshot (the applyChangelogs discipline) keeps plan and
+    * memory bounded at any batch count. */
+  final class SketchStateMaintainer(key: String, x: String,
+                                    lo: Long, hi: Long, bins: Int) {
+    @volatile private var snapOpt: Option[DataFrame] = None
+
+    /** The current complete snapshot (None before the first batch):
+      * (key, sketch ARRAY<BIGINT> of length bins+2). */
+    def current: Option[DataFrame] = snapOpt
+
+    /** Folds one bounded batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      import graft.operators.QuantileSketch
+      val st = QuantileSketch.sketch(batch, Seq(key), x, lo, hi, bins)
+      val zero = array_repeat(lit(0L), QuantileSketch.slots(bins))
+      val next = snapOpt match {
+        case None => graft.operators.Checkpoints.checkpoint(st)
+        case Some(prev) =>
+          val merged = graft.operators.Checkpoints.checkpoint(
+            prev.select(col(key), col("sketch").as("__sk_a"))
+              .join(st.select(col(key), col("sketch").as("__sk_b")),
+                Seq(key), "full_outer")
+              .select(col(key), QuantileSketch.merge(
+                coalesce(col("__sk_a"), zero),
+                coalesce(col("__sk_b"), zero)).as("sketch")))
+          graft.operators.Checkpoints.release(prev)
+          merged
+      }
+      snapOpt = Some(next)
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice through a [[SketchStateMaintainer]]
+    * in `nChunks` micro-batches and returns the final snapshot — the
+    * harness that oracle-gates the streaming sketch path (q219) against
+    * the batch sketch: the fold across ANY batch split must equal the
+    * direct per-key sketch. Same bounded-replay caveat as
+    * [[sessionizeReplay]]. */
+  def sketchReplay(events: Dataset[Event], nChunks: Int,
+                   lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.collect().toSeq
+    val m = new SketchStateMaintainer("userId", "valueCents", lo, hi, bins)
+    if (rows.isEmpty)
+      return graft.operators.QuantileSketch.sketch(
+        spark.emptyDataset[Event].toDF(), Seq("userId"), "valueCents",
+        lo, hi, bins)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(stream.toDS().toDF()).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current.get.orderBy("userId")
+  }
+
   /** Streaming upsert (CDC) maintainer — foreachBatch folding each
     * micro-batch CHANGELOG (key, value columns, op ∈ {U, D}, seq) into a
     * running row-state snapshot via the

@@ -257,4 +257,34 @@ class EventStreamingSpec extends SparkSpec {
     assert(out.length == evts.length)
     assert(out.sortBy(_.eventId).toSeq == evts.sortBy(_.eventId))
   }
+
+  test("sketchReplay: fold across ANY chunking equals the one-batch sketch") {
+    // richer corpus: 40 events over 3 users, values spanning the domain
+    // plus one overflow (>= hi) landing in the overflow slot
+    val rnd = new scala.util.Random(9L)
+    val rows = (0L until 40L).map(i =>
+      Event(i, i % 3 + 1, sec(i * 10), rnd.nextInt(1000).toLong)) :+
+      Event(99L, 1L, sec(9999), 5000L) // overflow vs hi = 1000
+    val ds = rows.toDS()
+    val snaps = Seq(1, 4, 7).map { k =>
+      EventStreaming.sketchReplay(ds, nChunks = k, lo = 0L, hi = 1000L, bins = 10)
+        .as[(Long, Seq[Long])].collect().toSeq
+    }
+    // chunking-independent (the exact monoid fold)…
+    assert(snaps(0) == snaps(1) && snaps(1) == snaps(2))
+    // …and equal to the direct batch sketch of the whole slice
+    val batch = graft.operators.QuantileSketch.sketch(
+        ds.toDF(), Seq("userId"), "valueCents", 0L, 1000L, 10)
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    assert(snaps(0) == batch)
+    // the overflow event is in user 1's overflow slot
+    val u1 = batch.find(_._1 == 1L).get._2
+    assert(u1.last == 1L)
+    // totals conserve the event count
+    assert(batch.map(_._2.sum).sum == rows.size.toLong)
+    // empty slice: empty snapshot with the sketch schema
+    val empty = EventStreaming.sketchReplay(
+      spark.emptyDataset[Event], nChunks = 3, lo = 0L, hi = 1000L, bins = 10)
+    assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
+  }
 }

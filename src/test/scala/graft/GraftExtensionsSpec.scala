@@ -578,6 +578,10 @@ class GraftExtensionsSpec extends SparkSpec {
           "'xy_view', 'g', 'y', 'x', 0, 30, 30, '1/2')"))
         == rows(graft.operators.QuantileSketch.summary(xy, Seq("g"), "y",
           0L, 30L, 30, Seq((1, 2)), weightCol = Some("x"))))
+      assert(rows(s2.sql("SELECT * FROM graft_logsketch_weighted(" +
+          "'xy_view', 'g', 'y', 'x', 2, '1/2')"))
+        == rows(graft.operators.LogQuantileSketch.summary(xy, Seq("g"), "y",
+          2, Seq((1, 2)), weightCol = Some("x"))))
       // malformed quantile lists fail with the argument-error shape
       // (named grammar), not an opaque MatchError
       for (bad <- Seq("0.5", "1/2/3", "a/b", "")) {

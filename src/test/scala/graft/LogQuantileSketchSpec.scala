@@ -103,6 +103,43 @@ class LogQuantileSketchSpec extends SparkSpec {
     assert(viaCol == viaRef)
   }
 
+  test("weighted: all-weights-1 == count sketch; weighted quantile reference; bad weight raises") {
+    val rnd = new scala.util.Random(41L)
+    val rows = corpus(13L, 600).map(v => (v, rnd.nextInt(50).toLong + 1L))
+    val df = rows.toDF("v", "w")
+    val ones = LogQuantileSketch.sketch(df.withColumn("w", lit(1L)),
+        Seq.empty, "v", 2, weightCol = Some("w"))
+      .orderBy("edge").as[(Long, Long)].collect().toSeq
+    val counts = LogQuantileSketch.sketch(df, Seq.empty, "v", 2)
+      .orderBy("edge").as[(Long, Long)].collect().toSeq
+    assert(ones == counts)
+    // weighted p50: answer == bucketEdge(weighted lower quantile)
+    val sk = LogQuantileSketch.sketch(df, Seq.empty, "v", 2, weightCol = Some("w"))
+    val got = LogQuantileSketch.quantiles(sk, Seq.empty, Seq((1, 2)))
+      .select("n", "q_1_2").as[(Long, Long)].head()
+    val totalW = rows.map(_._2).sum
+    assert(got._1 == totalW)
+    val ref = {
+      val sorted = rows.sortBy(r => LogQuantileSketch.edgeOf(r._1, 2))
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; cum * 2 >= totalW }.get._1
+    }
+    assert(got._2 == LogQuantileSketch.edgeOf(ref, 2),
+      s"weighted p50 ${got._2} vs ref value $ref")
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+    val e1 = intercept[Exception](LogQuantileSketch.sketch(
+      Seq((5L, -1L)).toDF("v", "w"), Seq.empty, "v", 2,
+      weightCol = Some("w")).collect())
+    assert(m(e1).contains("non-negative"), m(e1))
+    val e2 = intercept[Exception](LogQuantileSketch.sketch(
+      Seq((5L, Option.empty[Long])).toDF("v", "w"), Seq.empty, "v", 2,
+      weightCol = Some("w")).collect())
+    assert(m(e2).contains("non-negative"), m(e2))
+    intercept[IllegalArgumentException](LogQuantileSketch.sketch(
+      df.withColumn("d", lit(1.0)), Seq.empty, "v", 2, weightCol = Some("d")))
+  }
+
   test("negative values RAISE; NULLs are ignored") {
     val bad = Seq(5L, -3L).toDF("v")
     val e = intercept[Exception](
