@@ -2489,6 +2489,20 @@ object SparkEntry {
             .as("p90"))
         .orderBy("user_id")
     }),
+
+    // ── SIGNED unknown-domain sketch (r14): price-delta quantiles per
+    // flag over a column that crosses zero — negatives key the negated
+    // magnitude-bucket CEILING (still the bucket's numeric lower edge),
+    // so binning stays monotone across the signed line and the same
+    // bounded-bucket quantile read works unchanged; the oracle replays
+    // the signed binning with string arithmetic ─────────────────────────
+    "q220_logsketch_signed" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag").as("g"),
+          (cents(col("l_extendedprice")) - lit(5000000L)).as("v"))
+      graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
+        digits = 2, qs = Seq((1, 10), (1, 2), (9, 10)))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6033,6 +6047,40 @@ object SparkEntry {
         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS p90
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+
+    // signed decimal-log binning replayed with exact STRING arithmetic on
+    // the magnitude: positives keep the first-2-digits floor edge;
+    // negatives take the negated CEILING (floor + one bucket width unless
+    // already on an edge) — a different exact formulation than the Spark
+    // side's integer div/abs, so the hash match cross-checks the signed
+    // binning itself
+    "q220_logsketch_signed" ->
+      s"""WITH v AS (SELECT l_returnflag AS g,
+        |             ${CENTS.format("l_extendedprice")} - 5000000 AS v
+        |           FROM lineitem),
+        |a AS (SELECT g, v, ABS(v) AS m FROM v),
+        |b AS (SELECT g, v, m,
+        |        CAST(substr(CAST(m AS VARCHAR), 1,
+        |               LEAST(length(CAST(m AS VARCHAR)), 2))
+        |          || repeat('0', GREATEST(length(CAST(m AS VARCHAR)) - 2, 0))
+        |          AS BIGINT) AS fe,
+        |        CAST('1' || repeat('0',
+        |               GREATEST(length(CAST(m AS VARCHAR)) - 2, 0))
+        |          AS BIGINT) AS pw
+        |      FROM a),
+        |e AS (SELECT g, CASE WHEN v >= 0 THEN fe
+        |                     WHEN m = fe THEN -fe
+        |                     ELSE -(fe + pw) END AS edge FROM b),
+        |sk AS (SELECT g, edge, COUNT(*) AS cnt FROM e GROUP BY g, edge),
+        |c AS (SELECT g, edge,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |      FROM sk)
+        |SELECT g, MAX(n) AS n,
+        |       MIN(CASE WHEN cum * 10 >= n * 1 THEN edge END) AS q_1_10,
+        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
+        |FROM c GROUP BY g ORDER BY g""".stripMargin,
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

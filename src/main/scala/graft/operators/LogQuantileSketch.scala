@@ -37,9 +37,18 @@ import org.apache.spark.sql.types.LongType
   * width below the true value, a relative error < `10^(1−digits)`
   * (`digits = 2` → under 10%), and EXACT for values below `10^digits`.
   *
-  * Scope bound: values must be NON-NEGATIVE (a negative value RAISES —
-  * magnitudes are the use case; a signed domain has no single log
-  * scale). NULLs carry no rank and are ignored.
+  * SIGNED values are supported (r14 — deltas, PnL, balance changes): a
+  * negative value bins on its MAGNITUDE but keys the bucket by the
+  * negated magnitude-bucket UPPER edge (ceiling), so the key is still
+  * the bucket's numeric LOWER edge and binning stays monotone across
+  * the whole signed line — the same [[quantiles]] read works unchanged
+  * and its answer stays ≤ the true value within relative error
+  * `10^(1−digits)` of |value| (EXACT for |v| < 10^digits, matching the
+  * positive side). The signed line occupies ≤ `2·maxBuckets(digits)+1`
+  * buckets. Two scope notes: `Long.MinValue` RAISES (it has no Long
+  * magnitude), and the single deepest negative bucket whose ceiling
+  * would overflow Int64 is keyed `Long.MinValue` (still a lower bound;
+  * relative error there < 0.3%). NULLs carry no rank and are ignored.
   */
 object LogQuantileSketch {
 
@@ -47,17 +56,28 @@ object LogQuantileSketch {
   private val POW10: Array[Long] = Iterator.iterate(1L)(_ * 10L).take(19).toArray
 
   /** Upper bound on DISTINCT buckets anywhere in [0, Long.Max] —
-    * the state-per-group contract. */
+    * the state-per-group contract. The full SIGNED line is bounded by
+    * `2·maxBuckets + 1` (each sign's lattice, plus the one clamped
+    * deepest-negative bucket). */
   def maxBuckets(digits: Int): Long =
     (19 - digits).toLong * 9 * POW10(digits - 1) + POW10(digits)
 
   /** Reference edge for one value (driver-side twin of the column
-    * expression; spec oracle). */
+    * expression; spec oracle). Negative values key by the negated
+    * magnitude-bucket CEILING (their bucket's numeric lower edge);
+    * the one ceiling that would overflow clamps to Long.MinValue. */
   def edgeOf(v: Long, digits: Int): Long = {
-    require(v >= 0, s"logSketch: negative value $v")
-    val d = v.toString.length
+    require(v != Long.MinValue,
+      "logSketch: Long.MinValue has no Long magnitude — rescale")
+    val m = math.abs(v)
+    val d = m.toString.length
     val s = math.max(d - digits, 0)
-    v / POW10(s) * POW10(s)
+    val pw = POW10(s)
+    val fe = m / pw * pw
+    if (v >= 0) fe
+    else if (m == fe) -fe
+    else if (fe > Long.MaxValue - pw) Long.MinValue
+    else -(fe + pw)
   }
 
   private def validate(df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -102,16 +122,28 @@ object LogQuantileSketch {
         .otherwise(col(c))
     }
     val p10 = array(POW10.map(lit).toIndexedSeq: _*)
+    // Long.MinValue is pre-raised (its magnitude is not a Long); every
+    // other value bins on |v|: positives key the magnitude-bucket FLOOR,
+    // negatives the negated CEILING — both are the bucket's numeric
+    // lower edge, so binning is monotone over the whole signed line
     val base = df.filter(col(valueCol).isNotNull)
-      .withColumn("__lq_v", col(valueCol))
+      .withColumn("__lq_v", when(col(valueCol) === Long.MinValue,
+          raise_error(lit("logSketch: value -9223372036854775808 has no " +
+            "Long magnitude — rescale the column")))
+        .otherwise(col(valueCol)))
       .withColumn("__lq_w", wexpr)
+      .withColumn("__lq_m", abs(col("__lq_v")))
       .withColumn("__lq_pw", element_at(p10,
-        greatest(length(col("__lq_v").cast("string")) - lit(digits), lit(0)) + 1))
-      .withColumn("edge", when(col("__lq_v") < 0,
-          raise_error(format_string(
-            "logSketch: negative value %s — log binning needs a " +
-              "non-negative magnitude", col("__lq_v").cast("string"))))
-        .otherwise(expr("__lq_v div __lq_pw") * col("__lq_pw")))
+        greatest(length(col("__lq_m").cast("string")) - lit(digits), lit(0)) + 1))
+      .withColumn("__lq_fe", expr("__lq_m div __lq_pw") * col("__lq_pw"))
+      .withColumn("edge",
+        when(col("__lq_v") >= 0, col("__lq_fe"))
+          .when(col("__lq_m") === col("__lq_fe"), -col("__lq_fe"))
+          // ceiling would overflow Int64 (only |v| > 92·10^17 at the
+          // default digits): clamp to the Long.MinValue sentinel bucket
+          .when(col("__lq_fe") > lit(Long.MaxValue) - col("__lq_pw"),
+            lit(Long.MinValue))
+          .otherwise(-(col("__lq_fe") + col("__lq_pw"))))
     base.groupBy((groupCols :+ "edge").map(col): _*)
       .agg(sum(col("__lq_w")).as("cnt"))
   }
@@ -152,12 +184,24 @@ object LogQuantileSketch {
       if (groupCols.nonEmpty) groupCols.map(col) else Seq(lit(1))
     val w = Window.partitionBy(parts: _*).orderBy(col(edgeCol))
     val wAll = Window.partitionBy(parts: _*)
+    // eager Int64 guard on the cross-multiplied rank test (cum ≤ n, so n
+    // is the binding factor): a total·den past Long.Max would otherwise
+    // surface as a generic ANSI overflow deep in the window
+    val lim = Long.MaxValue / qs.map(_._2).max
     val cum = sk
       .withColumn("__lq_cum", sum(col(cntCol)).over(w))
-      .withColumn("__lq_n", sum(col(cntCol)).over(wAll))
+      .withColumn("__lq_n", when(sum(col(cntCol)).over(wAll) > lim,
+          raise_error(format_string("logSketch quantiles: group total %s × " +
+            s"den overflows Int64 (limit $lim) — rescale weights or lower den",
+            sum(col(cntCol)).over(wAll).cast("string"))))
+        .otherwise(sum(col(cntCol)).over(wAll)))
+    // the `__lq_n > 0` conjunct maps an all-zero-weight group to NULL
+    // (min over no rows) — the empty-sketch semantics QuantileSketch
+    // pins — instead of the first bucket edge (0 ≥ 0 is true)
     val aggs = max(col("__lq_n")).as("n") +:
       qs.map { case (num, den) =>
-        min(when(col("__lq_cum") * den >= col("__lq_n") * num, col(edgeCol)))
+        min(when(col("__lq_n") > 0 &&
+            col("__lq_cum") * den >= col("__lq_n") * num, col(edgeCol)))
           .as(s"q_${num}_$den")
       }
     val out = cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

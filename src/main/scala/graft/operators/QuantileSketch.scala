@@ -150,7 +150,16 @@ object QuantileSketch {
     // den, past that)
     require(den <= 1000000, s"quantile den must be <= 1000000, got $den")
     val w = width(lo, hi, bins)
-    val n = total(sk)
+    // eager Int64 guard (r14): a weighted sketch whose total·den exceeds
+    // Long.Max must fail LOUDLY like the NULL/negative-weight paths, not
+    // as a generic ANSI overflow inside the fold (cum ≤ n, so guarding n
+    // covers every cross-multiply in the walk)
+    val lim = Long.MaxValue / den
+    val n = when(total(sk) > lim, raise_error(format_string(
+        s"quantileLower: sketch total %s × den $den overflows Int64 " +
+          s"(limit $lim) — rescale weights or lower den",
+        total(sk).cast("string"))))
+      .otherwise(total(sk))
     val walk = aggregate(sk,
       struct(lit(0L).as("cum"), lit(0).as("pos"), lit(-1).as("ans")),
       (acc, c) => {

@@ -140,16 +140,74 @@ class LogQuantileSketchSpec extends SparkSpec {
       df.withColumn("d", lit(1.0)), Seq.empty, "v", 2, weightCol = Some("d")))
   }
 
-  test("negative values RAISE; NULLs are ignored") {
-    val bad = Seq(5L, -3L).toDF("v")
-    val e = intercept[Exception](
-      LogQuantileSketch.sketch(bad, Seq.empty, "v").collect())
+  test("signed line: negatives exact below 10^digits; Long.MinValue RAISES; NULLs ignored") {
+    // |v| < 10^digits → identity binning on BOTH sides of zero
+    val vs: Seq[Long] = Seq(-99L, -42L, -7L, -1L, 0L, 3L, 88L)
+    val sk = LogQuantileSketch.sketch(vs.toDF("v"), Seq.empty, "v", 2)
+    assert(sk.orderBy("edge").as[(Long, Long)].collect().toSeq ==
+      vs.map(v => (v, 1L)))
+    val q = LogQuantileSketch.quantiles(sk, Seq.empty, Seq((1, 2)))
+      .select("q_1_2").as[Long].head()
+    assert(q == exactLower(vs, 1, 2))
     def m(t: Throwable): String =
       Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
-    assert(m(e).contains("non-negative"), m(e))
-    val withNulls = Seq(Some(10L), None, Some(20L)).toDF("v")
+    val e = intercept[Exception](LogQuantileSketch.sketch(
+      Seq(Long.MinValue).toDF("v"), Seq.empty, "v").collect())
+    assert(m(e).contains("no Long magnitude"), m(e))
+    val withNulls = Seq(Some(10L), None, Some(-20L)).toDF("v")
     assert(LogQuantileSketch.sketch(withNulls, Seq.empty, "v")
       .agg(sum("cnt")).as[Long].head() == 2L)
+  }
+
+  test("signed error bound: answer == bucketEdge(exact), <= exact, within 10^(1-digits) of |exact|") {
+    val rnd = new scala.util.Random(29L)
+    val vs = corpus(31L, 1500).map(v => if (rnd.nextBoolean()) v else -v)
+    val sk = LogQuantileSketch.sketch(vs.toDF("v"), Seq.empty, "v", 2)
+    val qspec = Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10))
+    val got = LogQuantileSketch.quantiles(sk, Seq.empty, qspec)
+      .select("q_1_10", "q_1_4", "q_1_2", "q_3_4", "q_9_10")
+      .as[(Long, Long, Long, Long, Long)].head()
+    for (((num, den), ans) <- qspec.zip(
+        Seq(got._1, got._2, got._3, got._4, got._5))) {
+      val exact = exactLower(vs, num, den)
+      assert(ans == LogQuantileSketch.edgeOf(exact, 2),
+        s"q=$num/$den: $ans vs exact $exact")
+      assert(ans <= exact, s"q=$num/$den")
+      assert(exact - ans <= math.abs(exact) / 10,
+        s"q=$num/$den: $ans vs $exact")
+    }
+    // column expression agrees with the driver twin on every signed value,
+    // including the clamped deepest-negative bucket
+    val extremes = Seq(-Long.MaxValue, -9200000000000000005L,
+      -9123372036854775807L, Long.MaxValue)
+    val all = vs ++ extremes
+    val viaCol = LogQuantileSketch.sketch(all.toDF("v"), Seq.empty, "v", 2)
+      .orderBy("edge").as[(Long, Long)].collect().toSeq
+    val viaRef = all.groupBy(LogQuantileSketch.edgeOf(_, 2)).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(viaCol == viaRef)
+    assert(LogQuantileSketch.edgeOf(-9200000000000000005L, 2) == Long.MinValue)
+    // signed-line state bound: 2·maxBuckets + 1
+    assert(viaCol.size <= 2 * LogQuantileSketch.maxBuckets(2) + 1)
+  }
+
+  test("all-zero-weight group reads NULL quantiles (empty-sketch semantics)") {
+    val df = Seq(("a", 5L, 0L), ("a", 7L, 0L), ("b", 5L, 2L)).toDF("g", "v", "w")
+    val sk = LogQuantileSketch.sketch(df, Seq("g"), "v", 2, weightCol = Some("w"))
+    val got = LogQuantileSketch.quantiles(sk, Seq("g"), Seq((1, 2)))
+      .orderBy("g").select("g", "n", "q_1_2")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("a", 0L, None), ("b", 2L, Some(5L))))
+  }
+
+  test("group total × den past Int64 raises eagerly, not as a generic overflow") {
+    val df = Seq((1L, Long.MaxValue / 2), (2L, Long.MaxValue / 2)).toDF("v", "w")
+    val sk = LogQuantileSketch.sketch(df, Seq.empty, "v", 2, weightCol = Some("w"))
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+    val e = intercept[Exception](
+      LogQuantileSketch.quantiles(sk, Seq.empty, Seq((1, 4))).collect())
+    assert(m(e).contains("overflows Int64"), m(e))
   }
 
   test("validation: digits range, columns, den bound") {

@@ -193,4 +193,23 @@ class QuantileSketchSpec extends SparkSpec {
       .select(QuantileSketch.total(col("sketch"))).as[Long].head()
     assert(ok == 40L)
   }
+
+  test("sketch total × den past Int64 raises eagerly in quantileLower") {
+    // two huge weights sum inside Int64, but total·4 does not: the read
+    // must fail with the eager guard message, not a generic ANSI overflow
+    val df = Seq((5L, Long.MaxValue / 2), (6L, Long.MaxValue / 2)).toDF("v", "w")
+    val sk = QuantileSketch.sketch(df, Seq.empty, "v", 0L, 10L, 10,
+      weightCol = Some("w"))
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+    val e = intercept[Exception](sk.select(
+      QuantileSketch.quantileLower(col("sketch"), 1, 4, 0L, 10L, 10)).collect())
+    assert(m(e).contains("overflows Int64"), m(e))
+    // an in-bounds total still reads fine through the guard
+    val ok = QuantileSketch.sketch(Seq((5L, 3L)).toDF("v", "w"), Seq.empty,
+        "v", 0L, 10L, 10, weightCol = Some("w"))
+      .select(QuantileSketch.quantileLower(col("sketch"), 1, 2, 0L, 10L, 10))
+      .as[Long].head()
+    assert(ok == 5L)
+  }
 }
