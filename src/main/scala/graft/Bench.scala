@@ -132,9 +132,10 @@ object Bench {
     var bestSpinPar = spinProbeParSec()
     val spinParAtStart = bestSpinPar
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // engine defaults measured by the knee probe (Sessions: zstd codec,
+    // 2×-cores shuffle partitions), env-overridable for A/B
+    val spark = Sessions.tuned(SparkSession.builder()
+      .master(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts has shipped as TIMESTAMP(NANOS) and as timestamp[us];
       // nanosAsLong covers the ns variant, EventOps.tsMicros adapts to both
@@ -291,6 +292,8 @@ object Bench {
       "\"" + name + "\":[" + cells.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+      s""""io_codec":"${spark.conf.get("spark.io.compression.codec")}",""" +
       s""""load_avg":${load()},"load_at_start":$loadAtStart,""" +
       s""""load_gate":$gate,"gate_waited_sec":$gateWaited,""" +
       s""""load_after_gate":$loadAfterGate,""" +
@@ -320,9 +323,31 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
+    // CERTIFICATION (r14, verdict #4): an artifact is certified iff the
+    // warm-run spread is inside the repo's ≤8% bar AND the defining
+    // (best) run's boundary parallel probes sit within the spin
+    // tolerance of the session best — i.e. the headline number was
+    // measured on a quiet host. An uncertified artifact still carries
+    // every number, but says so, so round notes can never cite a
+    // contended run as official.
+    val bestRunIdx = if (totals.nonEmpty) totals.indexOf(total) else -1
+    val bestRunProbesOk = bestRunIdx >= 0 && {
+      val (_, _, _, _, p0, p1, _) = runs(bestRunIdx)
+      math.max(p0, p1) <= bestSpinPar * spinTol
+    }
+    val certified = errors.isEmpty && warmSpread <= 0.08 && bestRunProbesOk
+    val certifyReason =
+      if (certified) "warm_spread<=8% and best-run probes within spin_tol"
+      else Seq(
+        if (errors.nonEmpty) Some("query errors") else None,
+        if (warmSpread > 0.08) Some(f"warm_spread ${warmSpread * 100}%.1f%% > 8%%")
+        else None,
+        if (!bestRunProbesOk) Some("best-run probes above spin_tol") else None
+      ).flatten.mkString("; ")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""per_query_stat":"min_of_${runs.length}","total_min_composite":$minComposite,""" +
       s""""sf":"$sfDir","runs":${runs.length},"n_errors":${errors.size},""" +
+      s""""certified":$certified,"certify_reason":${jq(certifyReason)},""" +
       s""""errors":$errJson,"env":$env}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

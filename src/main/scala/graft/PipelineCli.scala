@@ -400,13 +400,12 @@ object PipelineCli {
     val Args(input, outDir, minQuality, maxDupFrac, maxPerShard,
       blocklistPath, orderTrain, spanDedupN, weightsPath, weightsDim,
       keepQuantile, quantileGroup, bestKeep) = a
-    val spark = SparkSession.builder()
-      .appName("graft-pipeline")
-      // same convention as SlidingCli: spark-submit overrides via
-      // SPARK_MASTER / --master; bare runMain gets a local session
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = Sessions.tuned(SparkSession.builder()
+        .appName("graft-pipeline")
+        // same convention as SlidingCli: spark-submit overrides via
+        // SPARK_MASTER / --master; bare runMain gets a local session
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]")),
+        cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (bySplit, counts) = run(spark.read.parquet(input), minQuality, maxDupFrac,

@@ -7,8 +7,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.QBench q38_dedup_clusters [more...] */
 object QBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = Sessions.tuned(SparkSession.builder().master("local[32]"), 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -50,16 +50,16 @@ object SlidingCli {
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
-    // numParts <= 0 means "derive from parallelism" downstream (scalable,
-    // writeRanked) — but the shuffle-partitions CONF must be positive or
-    // getOrCreate throws before any work runs; derive it the same way here
-    val shuffleParts =
-      if (cfg.numParts >= 1) cfg.numParts
-      else math.max(2, Runtime.getRuntime.availableProcessors)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-sliding")
-      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
+    // an explicit numParts pins the shuffle-partition conf (the CLI's
+    // output-partition contract); otherwise the measured engine defaults
+    // apply (Sessions: zstd, 2× cores)
+    val spark = Sessions.tuned(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        .appName("graft-sliding"),
+        cpus = Runtime.getRuntime.availableProcessors)
+      .config("spark.sql.shuffle.partitions",
+        (if (cfg.numParts >= 1) cfg.numParts else
+          Sessions.shuffleParts(Runtime.getRuntime.availableProcessors)).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

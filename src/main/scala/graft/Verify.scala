@@ -56,9 +56,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // engine defaults measured by the knee probe (Sessions: zstd codec,
+    // 2×-cores shuffle partitions) — checksum-neutral by the probe's
+    // evidence, so the correctness gate runs on the same knobs as Bench
+    val spark = Sessions.tuned(SparkSession.builder()
+      .master(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts has shipped as TIMESTAMP(NANOS) and as timestamp[us];
       // nanosAsLong covers the ns variant, EventOps.tsMicros adapts to both
