@@ -2503,6 +2503,25 @@ object SparkEntry {
       graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
         digits = 2, qs = Seq((1, 10), (1, 2), (9, 10)))
     }),
+
+    // ── HITS warm start on a REAL edge delta (r14, the q214 contract
+    // ported to the second fixed-point loop): score the part→supplier
+    // graph cold, extend it with supplier→new-hub edges, re-score the
+    // delta'd graph seeded with the cold scores. Each round is a pure
+    // function of the score table, so the warm rounds replay as cold
+    // rounds k+1..k+j — which the chained-CTE oracle proves
+    // cell-for-cell ──────────────────────────────────────────────────────
+    "q221_hits_delta" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val nat = s.read.parquet(t(dir, "nation"))
+      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
+        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
+      val cold = graft.graph.Hits.hits(e0, "s", "d", iterations = 1)
+      val d0 = nat.select((col("n_nationkey") * 2 + 1).cast(LongType).as("s"),
+        (col("n_regionkey") + 9000000L).cast(LongType).as("d")).distinct()
+      graft.graph.Hits.hits(e0.union(d0), "s", "d", iterations = 2,
+        prior = Some(cold))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6081,6 +6100,55 @@ object SparkEntry {
         |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
         |FROM c GROUP BY g ORDER BY g""".stripMargin,
+
+    // HITS cold round on e0, then TWO warm rounds on the delta'd edge set
+    // seeded from the cold (h1, a1) — absent nodes seed cold (h=10000,
+    // a=0); warm rounds replay as cold continuation CTEs
+    "q221_hits_delta" ->
+      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
+        |            FROM lineitem),
+        |n AS (SELECT s AS node FROM e0 UNION SELECT d AS node FROM e0),
+        |s0 AS (SELECT node, CAST(10000 AS BIGINT) AS h FROM n),
+        |ca1 AS (SELECT e0.d AS node, CAST(SUM(s0.h) AS BIGINT) AS raw
+        |        FROM e0 JOIN s0 ON e0.s = s0.node GROUP BY e0.d),
+        |a1 AS (SELECT n.node, CAST(COALESCE(
+        |         (ca1.raw * 10000) // (SELECT MAX(raw) FROM ca1), 0) AS BIGINT) AS a
+        |       FROM n LEFT JOIN ca1 ON n.node = ca1.node),
+        |ch1 AS (SELECT e0.s AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
+        |        FROM e0 JOIN a1 ON e0.d = a1.node GROUP BY e0.s),
+        |h1 AS (SELECT n.node, CAST(COALESCE(
+        |         (ch1.raw * 10000) // (SELECT MAX(raw) FROM ch1), 0) AS BIGINT) AS h
+        |       FROM n LEFT JOIN ch1 ON n.node = ch1.node),
+        |d0 AS (SELECT DISTINCT 2*n_nationkey+1 AS s, 9000000 + n_regionkey AS d
+        |       FROM nation),
+        |de AS (SELECT s, d FROM e0 UNION ALL SELECT s, d FROM d0),
+        |dn AS (SELECT s AS node FROM de UNION SELECT d AS node FROM de),
+        |w0 AS (SELECT dn.node, CAST(COALESCE(h1.h, 10000) AS BIGINT) AS h,
+        |              CAST(COALESCE(a1.a, 0) AS BIGINT) AS a
+        |       FROM dn LEFT JOIN h1 ON dn.node = h1.node
+        |                LEFT JOIN a1 ON dn.node = a1.node),
+        |xca1 AS (SELECT de.d AS node, CAST(SUM(w0.h) AS BIGINT) AS raw
+        |         FROM de JOIN w0 ON de.s = w0.node GROUP BY de.d),
+        |wa1 AS (SELECT dn.node, CAST(COALESCE(
+        |          (xca1.raw * 10000) // (SELECT MAX(raw) FROM xca1), 0) AS BIGINT) AS a
+        |        FROM dn LEFT JOIN xca1 ON dn.node = xca1.node),
+        |xch1 AS (SELECT de.s AS node, CAST(SUM(wa1.a) AS BIGINT) AS raw
+        |         FROM de JOIN wa1 ON de.d = wa1.node GROUP BY de.s),
+        |wh1 AS (SELECT dn.node, CAST(COALESCE(
+        |          (xch1.raw * 10000) // (SELECT MAX(raw) FROM xch1), 0) AS BIGINT) AS h
+        |        FROM dn LEFT JOIN xch1 ON dn.node = xch1.node),
+        |xca2 AS (SELECT de.d AS node, CAST(SUM(wh1.h) AS BIGINT) AS raw
+        |         FROM de JOIN wh1 ON de.s = wh1.node GROUP BY de.d),
+        |wa2 AS (SELECT dn.node, CAST(COALESCE(
+        |          (xca2.raw * 10000) // (SELECT MAX(raw) FROM xca2), 0) AS BIGINT) AS a
+        |        FROM dn LEFT JOIN xca2 ON dn.node = xca2.node),
+        |xch2 AS (SELECT de.s AS node, CAST(SUM(wa2.a) AS BIGINT) AS raw
+        |         FROM de JOIN wa2 ON de.d = wa2.node GROUP BY de.s),
+        |wh2 AS (SELECT dn.node, CAST(COALESCE(
+        |          (xch2.raw * 10000) // (SELECT MAX(raw) FROM xch2), 0) AS BIGINT) AS h
+        |        FROM dn LEFT JOIN xch2 ON dn.node = xch2.node)
+        |SELECT wh2.node, wh2.h AS hub, wa2.a AS auth
+        |FROM wh2 JOIN wa2 ON wh2.node = wa2.node ORDER BY wh2.node""".stripMargin,
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

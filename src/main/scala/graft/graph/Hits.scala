@@ -62,10 +62,25 @@ object Hits {
     *
     * Degenerate graphs where a round's gathered scores are ALL zero
     * (e.g. every edge out of a zero-hub node) raise rather than divide
-    * by zero — such a graph has no hub/authority structure to rank. */
+    * by zero — such a graph has no hub/authority structure to rank.
+    *
+    * WARM START (r14, the [[PageRank.pageRank]] `prior` contract ported):
+    * `prior` (a (node, hub, auth) frame — the exact output shape of a
+    * previous [[hits]] run) seeds the initial score table instead of the
+    * uniform hub = `scale`. Each round is a pure function of the score
+    * table (the max normalizers included), so continuing j rounds from a
+    * round-k table is EXACTLY rounds k+1..k+j of the cold run — after a
+    * small edge delta, scores are near the old fixed point and the exact
+    * early stop exits in one-or-few rounds instead of re-walking the
+    * cold trajectory. Nodes absent from `prior` (new in the delta'd edge
+    * set) start cold (hub = `scale`, auth = 0); prior rows for vanished
+    * nodes are ignored (the node set always derives from the edges);
+    * duplicate prior nodes RAISE (two scores for one node has no right
+    * answer). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int, scale: Long = 10000L,
-           roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+           roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+           prior: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 100 && scale <= 100000000L,
       "scale must be in [100, 1e8] (Int64 rescale headroom)")
@@ -83,8 +98,32 @@ object Hits {
     val eDst = Checkpoints.checkpoint(e.repartition(col("dst")))
     Checkpoints.release(e)
 
-    var state = Checkpoints.checkpoint(
-      nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a")))
+    var state = Checkpoints.checkpoint(prior match {
+      case Some(p) =>
+        require(p.columns.contains("node") && p.columns.contains("hub") &&
+          p.columns.contains("auth"),
+          "prior must carry (node, hub, auth) — the hits output shape")
+        // de-fan BEFORE the seed join (the PageRank.prior discipline): a
+        // duplicate node row would row-multiply the score frame through
+        // the left join; duplicates RAISE instead of being averaged away
+        val p1 = p.select(col("node"), col("hub").cast(LongType).as("__ph"),
+            col("auth").cast(LongType).as("__pa"))
+          .groupBy("node")
+          .agg(max("__ph").as("__ph"), max("__pa").as("__pa"),
+            count(lit(1)).as("__pn"))
+          .select(col("node"),
+            when(col("__pn") === 1L, col("__ph"))
+              .otherwise(raise_error(format_string(
+                "hits: prior has %s rows for node %s — (node, hub, auth) " +
+                  "must be unique", col("__pn").cast("string"),
+                col("node").cast("string")))).as("__ph"),
+            col("__pa"))
+        nodes.join(p1, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__ph"), lit(scale)).as("h"),
+            coalesce(col("__pa"), lit(0L)).as("a"))
+      case None =>
+        nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a"))
+    })
     Checkpoints.release(nodes)
     var rounds = 0
     var converged = false

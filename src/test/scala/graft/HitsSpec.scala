@@ -104,4 +104,51 @@ class HitsSpec extends SparkSpec {
       Hits.hits(Seq((1L, 2L)).toDF("s", "d"), "s", "d", 1, scale = 10L)
     }
   }
+
+  test("warm start: continuing j rounds from round-k scores == cold k+j rounds") {
+    val rng = new scala.util.Random(17L)
+    val edges = Seq.fill(150)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    val cold2 = Hits.hits(edges.toDF("s", "d"), "s", "d", 2)
+    val warm = Hits.hits(edges.toDF("s", "d"), "s", "d", 3, prior = Some(cold2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(warm == ref(edges, 5))
+  }
+
+  test("warm start from a converged prior exits after ONE round, bit-identical") {
+    // two disjoint edges reach their exact fixed point in two rounds
+    val edges = Seq((1L, 2L), (3L, 4L))
+    val cold = Hits.hits(edges.toDF("s", "d"), "s", "d", 6)
+    val rounds = new AtomicInteger(-1)
+    val warm = Hits.hits(edges.toDF("s", "d"), "s", "d", 50,
+      prior = Some(cold), roundsOut = Some(rounds))
+    assert(rounds.get == 1, s"expected 1 verification round, ran ${rounds.get}")
+    assert(warm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == cold.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("warm start: new nodes start cold, vanished prior rows ignored, bad shape raises") {
+    // prior hubs 100 vs 300 flow through one round; node 99 vanished
+    val prior = Seq((1L, 100L, 0L), (2L, 300L, 0L), (99L, 5L, 5L))
+      .toDF("node", "hub", "auth")
+    val edges = Seq((1L, 3L), (2L, 4L)).toDF("s", "d")
+    val got = Hits.hits(edges, "s", "d", iterations = 1, prior = Some(prior))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // araw = {3→100, 4→300}, amax 300 → a(3)=3333, a(4)=SCALE;
+    // hraw = {1→3333, 2→SCALE}, hmax SCALE → h(1)=3333, h(2)=SCALE
+    assert(got == Map(1L -> (3333L, 0L), 2L -> (SCALE, 0L),
+      3L -> (0L, 3333L), 4L -> (0L, SCALE)))
+    assert(!got.contains(99L))
+    intercept[IllegalArgumentException](Hits.hits(edges, "s", "d", 1,
+      prior = Some(Seq((1L, 1L)).toDF("node", "oops"))))
+  }
+
+  test("warm start: a prior with duplicate node rows RAISES, never fans out") {
+    val dup = Seq((1L, 10L, 0L), (1L, 20L, 0L)).toDF("node", "hub", "auth")
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + m(x.getCause)).getOrElse("")
+    val e = intercept[Exception](
+      Hits.hits(edges, "s", "d", 1, prior = Some(dup)).collect())
+    assert(m(e).contains("must be unique"), m(e))
+  }
 }
