@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.RangePartitioner
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** 2-D Pareto frontier (skyline): the rows no other row STRICTLY
   * dominates — x' > x AND y' > y — the multi-criteria "best trade-offs"
@@ -95,20 +97,27 @@ object Skyline {
     * output-sensitive — O(|2-D maxima of the prefix|) per partition, the
     * skyline analogue of [[OrderStats]]' splitter tables; real trade-off
     * data keeps it tiny. The anti-correlated worst case degrades the
-    * DRIVER merge first, not the executors, so the collected total is
-    * ENFORCED against `maxFrontierPoints` (default 2^20) — exceeding it
-    * raises with the observed size rather than silently becoming a
-    * driver-bound job.
+    * DRIVER merge first, not the executors, so `maxFrontierPoints`
+    * (default 2^20) budgets the driver path BEFORE anything large is
+    * collected: each partition ships its frontier pairs only when they
+    * fit its per-partition quota (`cap / parts` — so the collect itself
+    * is bounded by the cap, not just the merge after it), and an input
+    * that exceeds the budget switches to [[paretoSweepDistributed]] —
+    * a SECOND y-descending staircase sweep that answers every
+    * cross-partition dominance probe with a per-x-partition prefix-max
+    * Fenwick tree, O(parts²) driver state, never O(n). The answer SET is
+    * identical on both paths; the budget only picks the execution shape.
     *
     * NULL in any criterion drops the row (dominance over NULL is
     * undefined); ties survive on every axis (equal is not strict
     * dominance). `numParts <= 0` derives the partition count from
     * default parallelism; the surviving SET is partition-count
-    * independent. */
+    * independent. `usedDistributedOut` observes which path ran. */
   def pareto3d(df: DataFrame, x: String, y: String, z: String,
                numParts: Int = 0,
                maxFrontierPoints: Long = 1L << 20,
-               frontierPointsOut: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+               frontierPointsOut: Option[java.util.concurrent.atomic.AtomicLong] = None,
+               usedDistributedOut: Option[java.util.concurrent.atomic.AtomicBoolean] = None): DataFrame = {
     val crit = Seq(x, y, z)
     require(crit.distinct.size == 3,
       s"skyline needs three distinct criteria, got ${crit.mkString(", ")}")
@@ -132,41 +141,122 @@ object Skyline {
     // one RDD object: the frontier job writes the shuffle files the sweep
     // job re-reads (skipped map stage) — data moves once
     val rdd = sorted.rdd
-    val partFrontiers = rdd.mapPartitions({ it =>
-      val f = new Frontier
-      it.foreach(r => f.insert(r.getLong(yi), r.getLong(zi)))
-      Iterator.single(f.toPairs)
-    }, preservesPartitioning = true).collect()
+    // BUDGETED frontier collect (the joinProfile discipline, tightened
+    // r14): each partition ships its (y, z) frontier pairs only when they
+    // fit the per-partition quota, so the collect itself — not just the
+    // merge after it — is bounded by the cap. Sizes always come back
+    // (O(parts) longs), so the budget decision is made from measurements,
+    // never by an OOM.
+    val quota = math.max(1L, maxFrontierPoints / parts)
+    val partStats: Array[(Long, Array[(Long, Long)])] =
+      rdd.mapPartitions({ it =>
+        val f = new Frontier
+        it.foreach(r => f.insert(r.getLong(yi), r.getLong(zi)))
+        Iterator.single(
+          (f.size.toLong, if (f.size <= quota) f.toPairs else null))
+      }, preservesPartitioning = true).collect()
     release() // the shuffle files hold the sorted data now
-    // ENFORCED budget on the output-sensitive cross-partition state (the
-    // joinProfile discipline): the per-partition (y, z) frontiers just
-    // collected bound both the driver merge (O(total·log)) and the prefix
-    // broadcast (≤ parts·total pairs). Real trade-off data keeps totals
-    // tiny; ANTI-CORRELATED (y, z) within x-runs makes every point a 2-D
-    // maximum and the total O(n) — raise instead of silently becoming a
-    // driver-bound job. Callers with driver memory to match may raise the
-    // cap explicitly.
-    val frontierPoints = partFrontiers.iterator.map(_.length.toLong).sum
+    val frontierPoints = partStats.iterator.map(_._1).sum
     frontierPointsOut.foreach(_.set(frontierPoints)) // observability (probes)
-    require(frontierPoints <= maxFrontierPoints,
-      s"pareto3d: cross-partition frontier carries $frontierPoints points " +
-        s"(cap $maxFrontierPoints) — the (y, z) prefix state is output-" +
-        "sensitive and this input (anti-correlated y/z?) exceeds the " +
-        "driver-merge budget; raise maxFrontierPoints only with driver " +
-        "memory to match")
-    // exclusive prefix merge: prefix(p) = frontier of partitions 0..p-1,
-    // all of whose x strictly exceed partition p's
-    val acc = new Frontier
-    val prefixes = partFrontiers.map { pairs =>
-      val snap = acc.toPairs
-      pairs.foreach { case (py, pz) => acc.insert(py, pz) }
-      snap
-    }
-    val bPrefix = spark.sparkContext.broadcast(prefixes)
+    val driverPath = frontierPoints <= maxFrontierPoints &&
+      partStats.forall(_._2 != null)
+    usedDistributedOut.foreach(_.set(!driverPath))
     val outSchema = sorted.schema
-    val survivors = rdd.mapPartitionsWithIndex { (pi, it) =>
+    val survivors = if (!driverPath) {
+      // ANTI-CORRELATED regime (the r13 probe's O(n)-frontier planes):
+      // refuse the driver merge, run the distributed second sweep instead
+      paretoSweepDistributed(rdd, parts, xi, yi, zi)
+    } else {
+      // exclusive prefix merge: prefix(p) = frontier of partitions 0..p-1,
+      // all of whose x strictly exceed partition p's
+      val acc = new Frontier
+      val prefixes = partStats.map { case (_, pairs) =>
+        val snap = acc.toPairs
+        pairs.foreach { case (py, pz) => acc.insert(py, pz) }
+        snap
+      }
+      val bPrefix = spark.sparkContext.broadcast(prefixes)
+      rdd.mapPartitionsWithIndex { (pi, it) =>
+        val f = new Frontier
+        bPrefix.value(pi).foreach { case (py, pz) => f.insert(py, pz) }
+        val run = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var curX = 0L
+        var open = false
+        def foldRun(): Unit = {
+          run.foreach(r => f.insert(r.getLong(yi), r.getLong(zi)))
+          run.clear()
+        }
+        it.flatMap { r =>
+          val rx = r.getLong(xi)
+          if (!open || rx != curX) { foldRun(); curX = rx; open = true }
+          run += r
+          if (f.dominated(r.getLong(yi), r.getLong(zi))) None else Some(r)
+        }
+      }
+    }
+    spark.createDataFrame(survivors, outSchema)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Fenwick (binary indexed) tree for PREFIX MAX over a fixed index
+    * domain [0, n) — point updates only ever grow values, which is
+    * exactly the monotone case the classic max-BIT supports. */
+  private[graft] final class MaxBit(n: Int) extends Serializable {
+    private val t = Array.fill(n + 1)(Long.MinValue)
+    def update(i: Int, v: Long): Unit = {
+      var j = i + 1
+      while (j <= n) { if (v > t(j)) t(j) = v; j += j & -j }
+    }
+    /** max over indices [0, i]; Long.MinValue when empty. */
+    def prefixMax(i: Int): Long = {
+      var j = math.min(i + 1, n)
+      var m = Long.MinValue
+      while (j > 0) { if (t(j) > m) m = t(j); j -= j & -j }
+      m
+    }
+  }
+
+  /** The distributed cross-partition dominance test — the fallback the
+    * anti-correlated regime takes when the per-partition (y, z)
+    * frontiers exceed the driver-merge budget.
+    *
+    * Point r in x-partition p (x sorted DESCENDING, so partitions q < p
+    * hold strictly greater x after the equal-x-run handling below) is
+    * dominated across partitions iff some frontier point f of a
+    * partition q < p has f.y > r.y ∧ f.z > r.z — i.e. iff
+    * `max{ f.z : f.pi < p, f.y > r.y } > r.z`. That is a 2-D
+    * dominance-max query answered by ONE MORE staircase sweep, this time
+    * over y DESCENDING:
+    *
+    *  1. per x-partition, the local sweep (empty prefix) drops
+    *     locally-dominated points and emits the survivors as QUERIES
+    *     `(y, pi, z, row)` plus the partition's full (y, z) frontier as
+    *     INSERTS `(y, pi, z)` — O(n + frontier) rows, all distributed;
+    *  2. range-partition + sort the union by (y DESC, queries-first) —
+    *     queries at a tied y must not see tied inserts (strict >);
+    *  3. per y-partition, a [[MaxBit]] over the x-partition index
+    *     answers each query's `max z over pi' < pi` in O(log parts);
+    *     the Fenwick state a y-partition needs from its predecessors is
+    *     one (pi → max z) array — O(parts) longs — so the cross-partition
+    *     carry is an O(parts²) driver scan-merge (the [[PrefixSum]]
+    *     count-sentinel discipline), INDEPENDENT of frontier size.
+    *
+    * Wall shape: one extra O(n) shuffle + two bounded jobs; driver and
+    * broadcast state O(parts²) longs — at 1000 executors ~8 MB, where
+    * the driver merge this replaces would carry O(n) points. */
+  private[graft] def paretoSweepDistributed(
+      rdd: org.apache.spark.rdd.RDD[Row], parts: Int,
+      xi: Int, yi: Int, zi: Int): org.apache.spark.rdd.RDD[Row] = {
+    // key: (y, kind) — kind 0 = query, 1 = frontier insert; y DESC with
+    // queries before inserts at tied y (strict-dominance tie rule)
+    implicit val kOrd: Ordering[(Long, Int)] = new Ordering[(Long, Int)] {
+      def compare(a: (Long, Int), b: (Long, Int)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else Integer.compare(a._2, b._2)
+      }
+    }
+    val kv = rdd.mapPartitionsWithIndex { (pi, it) =>
       val f = new Frontier
-      bPrefix.value(pi).foreach { case (py, pz) => f.insert(py, pz) }
       val run = scala.collection.mutable.ArrayBuffer.empty[Row]
       var curX = 0L
       var open = false
@@ -174,14 +264,61 @@ object Skyline {
         run.foreach(r => f.insert(r.getLong(yi), r.getLong(zi)))
         run.clear()
       }
-      it.flatMap { r =>
+      val queries = it.flatMap { r =>
         val rx = r.getLong(xi)
         if (!open || rx != curX) { foldRun(); curX = rx; open = true }
         run += r
-        if (f.dominated(r.getLong(yi), r.getLong(zi))) None else Some(r)
+        if (f.dominated(r.getLong(yi), r.getLong(zi))) None
+        else Some(((r.getLong(yi), 0), (pi, r.getLong(zi), r)))
+      }
+      // Iterator.++ is by-name: the block runs only after `queries` is
+      // exhausted, when f holds the partition's complete (y, z) frontier
+      queries ++ {
+        foldRun()
+        f.toPairs.iterator.map { case (fy, fz) =>
+          ((fy, 1), (pi, fz, null: Row))
+        }
       }
     }
-    spark.createDataFrame(survivors, outSchema)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    // the RangePartitioner sampling job and the shuffle map stage both
+    // consume kv — cache so the local sweep runs once (the
+    // RangeInputCache discipline, RDD-level)
+    kv.persist(StorageLevel.MEMORY_AND_DISK)
+    val partitioned = kv.repartitionAndSortWithinPartitions(
+      new RangePartitioner(parts, kv))
+    // per y-partition summary of its INSERTS: (x-partition → max z) —
+    // O(parts) longs each, O(parts²) total on the driver
+    val summaries = partitioned.mapPartitions({ it =>
+      val arr = Array.fill(parts)(Long.MinValue)
+      it.foreach { case ((_, kind), (pi, zz, _)) =>
+        if (kind == 1 && zz > arr(pi)) arr(pi) = zz
+      }
+      Iterator.single(arr)
+    }, preservesPartitioning = true).collect()
+    kv.unpersist(blocking = false) // the y-shuffle files hold the data now
+    // exclusive prefix: what partitions ABOVE this y-partition inserted
+    val prefix = Array.ofDim[Array[Long]](summaries.length)
+    val acc = Array.fill(parts)(Long.MinValue)
+    for (q <- summaries.indices) {
+      prefix(q) = acc.clone()
+      val s = summaries(q)
+      var i = 0
+      while (i < parts) { if (s(i) > acc(i)) acc(i) = s(i); i += 1 }
+    }
+    val bPrefix = rdd.sparkContext.broadcast(prefix)
+    partitioned.mapPartitionsWithIndex { (qi, it) =>
+      val bit = new MaxBit(parts)
+      val seed = bPrefix.value(qi)
+      var i = 0
+      while (i < parts) {
+        if (seed(i) != Long.MinValue) bit.update(i, seed(i))
+        i += 1
+      }
+      it.flatMap { case ((_, kind), (pi, zz, row)) =>
+        if (kind == 1) { bit.update(pi, zz); None }
+        else if (pi > 0 && bit.prefixMax(pi - 1) > zz) None
+        else Some(row)
+      }
+    }
   }
 }

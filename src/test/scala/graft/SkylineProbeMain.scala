@@ -46,10 +46,9 @@ object SkylineProbeMain {
         col("id").as("y"), (lit(n) - col("id")).as("z"))
       for ((label, df) <- Seq("benign" -> benign, "anti" -> anti)) {
         val obs = new java.util.concurrent.atomic.AtomicLong(-1L)
-        // lift the cap to OBSERVE the frontier only while the lifted run
-        // is itself tractable (the anti merge materializes O(parts·n)
-        // prefix snapshots — at 15M that IS the blowup the guard stops,
-        // so there the probe records only that the default guard trips)
+        // lift the cap to OBSERVE the driver-merge path only while it is
+        // itself tractable (the anti merge materializes O(parts·n) prefix
+        // snapshots — at 15M that IS the blowup the budget routes around)
         val lifted = label == "benign" || n <= 2000000L
         val (sec, cnt) = if (!lifted) (-1.0, -1L) else {
           val t0 = System.nanoTime()
@@ -59,13 +58,21 @@ object SkylineProbeMain {
             .count()
           ((System.nanoTime() - t0) / 1e9, c)
         }
-        // does the DEFAULT cap hold / trip for this regime at this size?
-        val default = try {
-          graft.operators.Skyline.pareto3d(df, "x", "y", "z",
-            frontierPointsOut = Some(obs)).count(); "pass"
-        } catch { case _: IllegalArgumentException => "TRIP" }
-        println(f"SKYLINE n=$n%-9d $label%-7s sec=$sec%7.2f " +
-          s"frontierPts=${obs.get} survivors=$cnt defaultGuard=$default")
+        // DEFAULT budget: benign stays on the driver path; anti past the
+        // cap must switch to the distributed second sweep and COMPLETE —
+        // for the anti construction every point survives by construction,
+        // so survivors == n is the at-scale oracle
+        val usedDist = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val t1 = System.nanoTime()
+        val dCnt = graft.operators.Skyline.pareto3d(df, "x", "y", "z",
+          frontierPointsOut = Some(obs),
+          usedDistributedOut = Some(usedDist)).count()
+        val dSec = (System.nanoTime() - t1) / 1e9
+        val okAnti = label != "anti" || dCnt == n
+        println(f"SKYLINE n=$n%-9d $label%-7s liftedSec=$sec%7.2f " +
+          f"defaultSec=$dSec%7.2f frontierPts=${obs.get}%-9d " +
+          s"survivors=$dCnt path=${if (usedDist.get) "DISTRIBUTED" else "driver"} " +
+          s"antiOracle=${if (okAnti) "ok" else "MISMATCH"}")
         graft.operators.Checkpoints.releaseAll()
         spark.catalog.clearCache()
       }

@@ -103,29 +103,74 @@ class SkylineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Skyline.pareto3d(df, "x", "y", "tag"))
   }
 
-  test("3-D frontier budget: trips on anti-correlated (y,z), never on benign") {
+  test("3-D frontier budget: anti-correlated (y,z) takes the distributed sweep, benign stays on the driver path") {
     // pathological shape: y strictly increases while z strictly decreases
     // — EVERY point is a 2-D (y,z) maximum, so the per-partition frontiers
-    // collected to the driver total O(n). The enforced cap must raise
-    // (with the observed size in the message) instead of silently running
-    // a driver-bound merge…
+    // total O(n). A cap below that must NOT raise and must NOT collect:
+    // the operator switches to the distributed second sweep and still
+    // returns the exact answer
     val anti = (0L until 5000L).map(i => (i, i % 7, i, 5000L - i))
     val antiDf = anti.toDF("id", "x", "y", "z")
-    val err = intercept[IllegalArgumentException](
-      Skyline.pareto3d(antiDf, "x", "y", "z", maxFrontierPoints = 1000L))
-    assert(err.getMessage.contains("cap 1000") &&
-      err.getMessage.contains("anti-correlated"))
-    // …while a cap that fits still computes the exact frontier
-    assert(Skyline.pareto3d(antiDf, "x", "y", "z").count() ==
-      naive3(anti).size)
+    val usedDist = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val gotAnti = Skyline.pareto3d(antiDf, "x", "y", "z",
+        maxFrontierPoints = 1000L, usedDistributedOut = Some(usedDist))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(usedDist.get, "expected the distributed fallback path")
+    assert(gotAnti == naive3(anti))
+    // a cap that fits keeps the driver path and the same answer
+    val usedDist2 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    assert(Skyline.pareto3d(antiDf, "x", "y", "z",
+        usedDistributedOut = Some(usedDist2)).count() == naive3(anti).size)
+    assert(!usedDist2.get, "default cap must keep the driver path here")
     // benign (correlated) data stays far inside the default budget: the
     // q212 gate shape — a strict chain collapses every prefix frontier
-    // to one point, so even a TINY cap passes
+    // to one point, so even a TINY cap passes on the driver path
     val chain = (1L to 4000L).map(i => (i, i, i, i))
+    val usedDist3 = new java.util.concurrent.atomic.AtomicBoolean(true)
     val got = Skyline.pareto3d(chain.toDF("id", "x", "y", "z"),
-      "x", "y", "z", maxFrontierPoints = 64L)
+      "x", "y", "z", maxFrontierPoints = 64L,
+      usedDistributedOut = Some(usedDist3))
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((4000L, 4000L, 4000L, 4000L)))
+    assert(!usedDist3.get)
+  }
+
+  test("3-D distributed sweep == all-pairs oracle on random points (forced fallback)") {
+    // cap 0 forces the fallback for ANY nonempty input; heavy ties in all three
+    // coordinates exercise the equal-x runs, the queries-before-inserts
+    // tie rule at equal y, and the cross-y-partition Fenwick carry
+    val rnd = new scala.util.Random(43)
+    val pts = (1 to 900).map(i => (i.toLong, rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    for (parts <- Seq(1, 7)) {
+      val usedDist = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val got = Skyline.pareto3d(pts.toDF("id", "x", "y", "z"),
+        "x", "y", "z", numParts = parts, maxFrontierPoints = 0L,
+        usedDistributedOut = Some(usedDist))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(usedDist.get)
+      assert(got == naive3(pts), s"numParts=$parts")
+    }
+  }
+
+  test("3-D both paths agree on a mixed anti-correlated + dominated input") {
+    // an anti-correlated plane (all survive) unioned with a strictly
+    // dominated shadow copy (each shadow point sits below a plane point
+    // on every axis) — the fallback must keep exactly the plane
+    val n = 3000L
+    val plane = (0L until n).map(i => (i, 50L + i % 13, i + 100L, n - i + 100L))
+    val shadow = plane.map { case (id, x, y, z) => (id + n, x - 1, y - 1, z - 1) }
+    val all = plane ++ shadow
+    val df = all.toDF("id", "x", "y", "z")
+    val usedDist = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val viaFallback = Skyline.pareto3d(df, "x", "y", "z",
+        maxFrontierPoints = 100L, usedDistributedOut = Some(usedDist))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(usedDist.get)
+    val viaDriver = Skyline.pareto3d(df, "x", "y", "z")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaFallback == viaDriver)
+    assert(viaFallback == plane.toSet)
   }
 
   test("Frontier: staircase invariant, weak-dominance rejection, probe") {
