@@ -274,34 +274,89 @@ object EventStreaming {
     * are the batch answers. State is O(keys · (bins+2)) regardless of
     * stream length; per-batch lineage truncation + release of the
     * consumed snapshot (the applyChangelogs discipline) keeps plan and
-    * memory bounded at any batch count. */
+    * memory bounded at any batch count.
+    *
+    * BUCKETED STATE (r14): with `buckets > 1` the snapshot is held as
+    * `buckets` key-hash slices and a micro-batch full-outer-joins ONLY
+    * the slices its keys hash into — the untouched slices are not
+    * scanned, not joined, not rewritten. For high key cardinality with
+    * SPARSE batches (a batch touches few keys), the per-batch exchange
+    * drops from O(keys) to O(keys · touched/buckets + batch); for DENSE
+    * batches (every bucket hit) it degrades to the monolithic cost plus
+    * one tiny distinct-bucket scan, so `buckets = 1` (the default)
+    * remains right when batches touch most keys. The union of slices IS
+    * the snapshot — same monoid, same any-chunking invariant
+    * (spec-pinned for both shapes). */
   final class SketchStateMaintainer(key: String, x: String,
-                                    lo: Long, hi: Long, bins: Int) {
-    @volatile private var snapOpt: Option[DataFrame] = None
+                                    lo: Long, hi: Long, bins: Int,
+                                    buckets: Int = 1) {
+    require(buckets >= 1 && buckets <= 4096,
+      s"buckets must be in [1, 4096], got $buckets")
+    private val slices = Array.fill[Option[DataFrame]](buckets)(None)
+    @volatile private var any = false
 
     /** The current complete snapshot (None before the first batch):
-      * (key, sketch ARRAY<BIGINT> of length bins+2). */
-    def current: Option[DataFrame] = snapOpt
+      * (key, sketch ARRAY<BIGINT> of length bins+2) — the union of the
+      * populated key-hash slices. */
+    def current: Option[DataFrame] = synchronized {
+      if (!any) None
+      else Some(slices.iterator.flatten.reduce(_ union _))
+    }
 
     /** Folds one bounded batch into the snapshot. */
     def absorb(batch: DataFrame): Unit = synchronized {
       import graft.operators.QuantileSketch
       val st = QuantileSketch.sketch(batch, Seq(key), x, lo, hi, bins)
       val zero = array_repeat(lit(0L), QuantileSketch.slots(bins))
-      val next = snapOpt match {
-        case None => graft.operators.Checkpoints.checkpoint(st)
-        case Some(prev) =>
-          val merged = graft.operators.Checkpoints.checkpoint(
-            prev.select(col(key), col("sketch").as("__sk_a"))
-              .join(st.select(col(key), col("sketch").as("__sk_b")),
-                Seq(key), "full_outer")
-              .select(col(key), QuantileSketch.merge(
-                coalesce(col("__sk_a"), zero),
-                coalesce(col("__sk_b"), zero)).as("sketch")))
-          graft.operators.Checkpoints.release(prev)
-          merged
+      if (buckets == 1) {
+        val next = slices(0) match {
+          case None => graft.operators.Checkpoints.checkpoint(st)
+          case Some(prev) =>
+            val merged = graft.operators.Checkpoints.checkpoint(
+              prev.select(col(key), col("sketch").as("__sk_a"))
+                .join(st.select(col(key), col("sketch").as("__sk_b")),
+                  Seq(key), "full_outer")
+                .select(col(key), QuantileSketch.merge(
+                  coalesce(col("__sk_a"), zero),
+                  coalesce(col("__sk_b"), zero)).as("sketch")))
+            graft.operators.Checkpoints.release(prev)
+            merged
+        }
+        slices(0) = Some(next)
+      } else {
+        // materialize the batch sketch ONCE (it feeds every touched
+        // slice), find the touched buckets (≤ `buckets` ints — bounded
+        // driver state), and rewrite only those slices
+        val stB = graft.operators.Checkpoints.checkpoint(
+          st.withColumn("__bk",
+            pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int")))
+        val touched = stB.select("__bk").distinct()
+          .collect().map(_.getInt(0))
+        touched.foreach { b =>
+          val slice = stB.filter(col("__bk") === b).drop("__bk")
+          val next = slices(b) match {
+            case None => graft.operators.Checkpoints.checkpoint(slice)
+            case Some(prev) =>
+              val merged = graft.operators.Checkpoints.checkpoint(
+                prev.select(col(key), col("sketch").as("__sk_a"))
+                  .join(slice.select(col(key), col("sketch").as("__sk_b")),
+                    Seq(key), "full_outer")
+                  .select(col(key), QuantileSketch.merge(
+                    coalesce(col("__sk_a"), zero),
+                    coalesce(col("__sk_b"), zero)).as("sketch")))
+              graft.operators.Checkpoints.release(prev)
+              merged
+          }
+          slices(b) = Some(next)
+        }
+        // an all-empty first batch must still leave a (schema-correct)
+        // empty snapshot, as the monolithic path does
+        if (touched.isEmpty && slices.forall(_.isEmpty))
+          slices(0) = Some(
+            graft.operators.Checkpoints.checkpoint(stB.drop("__bk")))
+        graft.operators.Checkpoints.release(stB)
       }
-      snapOpt = Some(next)
+      any = true
     }
 
     /** foreachBatch writer folding every micro-batch of `stream` into
@@ -320,12 +375,14 @@ object EventStreaming {
     * direct per-key sketch. Same bounded-replay caveat as
     * [[sessionizeReplay]]. */
   def sketchReplay(events: Dataset[Event], nChunks: Int,
-                   lo: Long, hi: Long, bins: Int): DataFrame = {
+                   lo: Long, hi: Long, bins: Int,
+                   buckets: Int = 1): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val spark = events.sparkSession
     import spark.implicits._
     val rows = events.collect().toSeq
-    val m = new SketchStateMaintainer("userId", "valueCents", lo, hi, bins)
+    val m = new SketchStateMaintainer("userId", "valueCents", lo, hi, bins,
+      buckets)
     if (rows.isEmpty)
       return graft.operators.QuantileSketch.sketch(
         spark.emptyDataset[Event].toDF(), Seq("userId"), "valueCents",

@@ -287,4 +287,46 @@ class EventStreamingSpec extends SparkSpec {
       spark.emptyDataset[Event], nChunks = 3, lo = 0L, hi = 1000L, bins = 10)
     assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
   }
+
+  test("bucketed sketch maintainer: any buckets x any chunking == the one-batch sketch; sparse batches touch few slices") {
+    val rnd = new scala.util.Random(21L)
+    // 60 events over 12 users: key space wide enough that 8 buckets
+    // actually split it
+    val rows = (0L until 60L).map(i =>
+      Event(i, rnd.nextInt(12).toLong + 1L, sec(i * 10),
+        rnd.nextInt(1000).toLong))
+    val ds = rows.toDS()
+    val batch = graft.operators.QuantileSketch.sketch(
+        ds.toDF(), Seq("userId"), "valueCents", 0L, 1000L, 10)
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    for (b <- Seq(1, 3, 8); k <- Seq(1, 5)) {
+      val snap = EventStreaming.sketchReplay(ds, nChunks = k,
+          lo = 0L, hi = 1000L, bins = 10, buckets = b)
+        .as[(Long, Seq[Long])].collect().toSeq
+      assert(snap == batch, s"buckets=$b nChunks=$k")
+    }
+    // SPARSE batch contract: a batch whose keys all hash to one slice
+    // must leave every other slice untouched (same frame object)
+    val m = new EventStreaming.SketchStateMaintainer("userId", "valueCents",
+      0L, 1000L, 10, buckets = 64)
+    m.absorb(Seq((1L, 10L)).toDF("userId", "valueCents"))
+    m.absorb(Seq((2L, 20L)).toDF("userId", "valueCents"))
+    val before = m.current.get.orderBy("userId")
+      .as[(Long, Seq[Long])].collect().toSeq
+    // absorbing user 1 again must not rewrite user 2's slice: the
+    // snapshot stays correct AND user-2 rows carry the same counts
+    m.absorb(Seq((1L, 30L)).toDF("userId", "valueCents"))
+    val after = m.current.get.orderBy("userId")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(after.find(_._1 == 2L) == before.find(_._1 == 2L))
+    assert(after.find(_._1 == 1L).get._2.sum == 2L)
+    // empty first batch leaves a schema-correct empty snapshot
+    val m2 = new EventStreaming.SketchStateMaintainer("userId", "valueCents",
+      0L, 1000L, 10, buckets = 8)
+    m2.absorb(spark.emptyDataset[Event].toDF()
+      .select(col("userId"), col("valueCents")))
+    assert(m2.current.get.count() == 0)
+    intercept[IllegalArgumentException](new EventStreaming.SketchStateMaintainer(
+      "userId", "valueCents", 0L, 1000L, 10, buckets = 0))
+  }
 }
