@@ -3500,31 +3500,31 @@ object SparkEntry {
     // NULL-text docs stay singletons)
     "q90_near_dedup" ->
       """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
         |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
-        |hs AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
+        |hs AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
         |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
         |              (40503 * (i+1)) % 1000000007 AS b
         |       FROM (SELECT UNNEST(range(16)) AS i)),
-        |sig AS (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh
+        |sig AS MATERIALIZED (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh
         |        FROM hs CROSS JOIN hf GROUP BY doc_id, i),
-        |bsig AS (SELECT doc_id, i // 2 AS band,
+        |bsig AS MATERIALIZED (SELECT doc_id, i // 2 AS band,
         |           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bs
         |         FROM sig GROUP BY doc_id, i // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bsig a JOIN bsig b
         |           ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
+        |sets AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
         |         FROM documents),
-        |ver AS (SELECT doc_a, doc_b FROM cand
+        |ver AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
         |        JOIN sets sa ON doc_a = sa.doc_id
         |        JOIN sets sb ON doc_b = sb.doc_id
         |        WHERE CAST(len(list_intersect(sa.st, sb.st)) AS BIGINT) * 5 >=
         |              CAST(len(sa.st) + len(sb.st)
         |                   - len(list_intersect(sa.st, sb.st)) AS BIGINT) * 4),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+        |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver
         |      UNION ALL SELECT doc_b, doc_a FROM ver),
         |reach(s, d) AS (
         |  SELECT doc_id, doc_id FROM documents
@@ -4175,12 +4175,12 @@ object SparkEntry {
         |GROUP BY n ORDER BY n""".stripMargin,
 
     "q123_bfs" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),
-        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
+        |e0 AS MATERIALIZED (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
         |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
         |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |e AS (SELECT a AS s, b AS d FROM e0
+        |e AS MATERIALIZED (SELECT a AS s, b AS d FROM e0
         |      UNION ALL SELECT b AS s, a AS d FROM e0),
         |d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist FROM e
         |       WHERE s % 97 = 0),
