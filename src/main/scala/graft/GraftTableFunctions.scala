@@ -78,6 +78,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_logsketch_weighted('li_view', 'g', 'x', 'w', 2, '1/2,9/10')
   *   SELECT * FROM graft_skyline3d('pts_view', 'x', 'y', 'z')
   *   SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')
+  *   SELECT * FROM graft_hits_warm('edges_view', 's', 'd', 2, 'prior_view')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -465,6 +466,13 @@ object GraftTableFunctions {
     "graft_pagerank_warm" -> { exprs =>
       val a = args("graft_pagerank_warm", exprs, 5)
       plan(graph.PageRank.pageRank(table(a(0)), srcCol = str(a(1)),
+        dstCol = str(a(2)), iterations = int(a(3)),
+        prior = Some(table(a(4)))))
+    },
+    // the iterations run EAGERLY at planning (the graft_pagerank note)
+    "graft_hits_warm" -> { exprs =>
+      val a = args("graft_hits_warm", exprs, 5)
+      plan(graph.Hits.hits(table(a(0)), srcCol = str(a(1)),
         dstCol = str(a(2)), iterations = int(a(3)),
         prior = Some(table(a(4)))))
     },

@@ -303,6 +303,11 @@ class GraftExtensionsSpec extends SparkSpec {
         == rows(graft.graph.Triangles.triangles(edges, "s", "d")))
       assert(rows(s2.sql("SELECT * FROM graft_hits('edges_view', 's', 'd', 2)"))
         == rows(graft.graph.Hits.hits(edges, "s", "d", 2)))
+      val hitsPrior = graft.graph.Hits.hits(edges, "s", "d", 1)
+      hitsPrior.createOrReplaceTempView("hits_prior_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_hits_warm('edges_view', 's', 'd', 2, 'hits_prior_view')"))
+        == rows(graft.graph.Hits.hits(edges, "s", "d", 3)))
       val seedsDf = Seq(1L).toDF("node")
       seedsDf.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))
