@@ -79,6 +79,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_skyline3d('pts_view', 'x', 'y', 'z')
   *   SELECT * FROM graft_pagerank_warm('edges_view', 's', 'd', 2, 'prior_view')
   *   SELECT * FROM graft_hits_warm('edges_view', 's', 'd', 2, 'prior_view')
+  *   SELECT * FROM graft_label_prop_warm('edges_view', 'a', 'b', 2, 'prior_view')
+  *   SELECT * FROM graft_distinct_sketch('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_distinct_registers('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_zvalue('pts_view', 'x,y', 21)
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -490,6 +494,26 @@ object GraftTableFunctions {
         valueCol = str(a(2)), lo = long(a(3)), hi = long(a(4)),
         bins = int(a(5)), qs = qs))
     },
+    "graft_zvalue" -> { exprs =>
+      val a = args("graft_zvalue", exprs, 3)
+      val zc = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val df = table(a(0))
+      plan(df.withColumn("zval",
+        operators.Layout.zValue(
+          zc.map(org.apache.spark.sql.functions.col), int(a(2)))))
+    },
+    "graft_distinct_sketch" -> { exprs =>
+      val a = args("graft_distinct_sketch", exprs, 4)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.DistinctSketch.summary(table(a(0)), grps,
+        valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_distinct_registers" -> { exprs =>
+      val a = args("graft_distinct_registers", exprs, 4)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.DistinctSketch.registers(table(a(0)), grps,
+        valueCol = str(a(2)), hexChars = int(a(3))))
+    },
     "graft_qsketch_weighted" -> { exprs =>
       val a = args("graft_qsketch_weighted", exprs, 8)
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -745,6 +769,13 @@ object GraftTableFunctions {
       val a = args("graft_label_prop", exprs, 4)
       plan(graph.LabelProp.labelPropagation(table(a(0)), aCol = str(a(1)),
         bCol = str(a(2)), rounds = int(a(3))))
+    },
+    // the rounds run EAGERLY at planning (the graft_pagerank note)
+    "graft_label_prop_warm" -> { exprs =>
+      val a = args("graft_label_prop_warm", exprs, 5)
+      plan(graph.LabelProp.labelPropagation(table(a(0)), aCol = str(a(1)),
+        bCol = str(a(2)), rounds = int(a(3)),
+        prior = Some(table(a(4)))))
     },
     "graft_sssp" -> { exprs =>
       val a = args("graft_sssp", exprs, 7)

@@ -2522,6 +2522,90 @@ object SparkEntry {
       graft.graph.Hits.hits(e0.union(d0), "s", "d", iterations = 2,
         prior = Some(cold))
     }),
+
+    // ── LPA warm start on a REAL edge delta (r14, the q214/q221 contract
+    // ported to the third fixed-point loop): label the part↔supplier
+    // bipartite graph cold, attach region hubs to the supplier side,
+    // re-label the delta'd graph seeded with the cold labels. Each
+    // synchronous round is a pure function of the label table, so the
+    // warm rounds replay as cold rounds k+1..k+j — which the chained-CTE
+    // oracle proves cell-for-cell ────────────────────────────────────────
+    "q222_lpa_delta" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val nat = s.read.parquet(t(dir, "nation"))
+      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("a"),
+        (col("l_suppkey") * 2 + 1).cast(LongType).as("b")).distinct()
+      val cold = graft.graph.LabelProp.labelPropagation(e0, "a", "b",
+        rounds = 1)
+      val d0 = nat.select((col("n_nationkey") * 2 + 1).cast(LongType).as("a"),
+        (col("n_regionkey") + 9000000L).cast(LongType).as("b")).distinct()
+      graft.graph.LabelProp.labelPropagation(e0.union(d0), "a", "b",
+        rounds = 2, prior = Some(cold))
+    }),
+
+    // ── portable distinct sketch (r14): HLL registers from md5 hex
+    // arithmetic, stored as a plain BIGINT array ANY engine can read and
+    // merge with element-wise MAX — unlike the opaque-bytes built-in
+    // (`hll_sketch_agg`, SketchRollupSpec), the STATE itself is
+    // oracle-checkable: DuckDB replays every register cell-for-cell.
+    // One map-side-combined agg of 256 conditional MAXes; the exchange
+    // per group is one fixed-width vector, never user ids ───────────────
+    "q223_distinct_sketch" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      graft.operators.DistinctSketch.registers(ev, Seq("event_type"), "user_id")
+    }),
+
+    // ── the distinct-sketch cube contract: per-type register vectors
+    // ROLL UP (element-wise max, never the raw rows) to the same global
+    // registers a direct sketch computes — the oracle takes the direct
+    // path, the gate the stored-cube path, and they must agree exactly ──
+    "q224_distinct_rollup" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val fine = graft.operators.DistinctSketch.sketch(
+        ev, Seq("event_type"), "user_id")
+      graft.operators.DistinctSketch.rollup(fine, "sketch", 2, Nil)
+        .select(posexplode(col("sketch")))
+        .filter(col("col") > 0L)
+        .select(col("pos").cast(LongType).as("bucket"), col("col").as("r"))
+        .orderBy("bucket")
+    }),
+
+    // ── streaming distinct maintainer (r14): per-user DISTINCT ACTIVE
+    // DAYS as a register-max fold over micro-batches — idempotent, so
+    // at-least-once re-delivery needs no pre-dedup; the final snapshot
+    // must equal the batch registers the DuckDB oracle computes directly
+    // (a slice for the q97 reason: the replay harness is driver-fed) ─────
+    "q225_stream_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      val snap = graft.streaming.EventStreaming.distinctReplay(evts, nChunks = 3)
+      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
+        .filter(col("col") > 0L)
+        .select(col("user_id"), col("pos").cast(LongType).as("bucket"),
+          col("col").as("r"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    // ── Z-order layout (r14): bit-interleave (customer, order day) so
+    // contiguous z-slices are tight rectangles in value space — the
+    // write-layout that lets multi-column box predicates prune files.
+    // The gate pins the interleave arithmetic; the oracle replays the
+    // identical shift/mask sum (Layout.zValueSql) ────────────────────────
+    "q226_zorder" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey").as("x"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("y"))
+      c.select(col("o_orderkey"),
+          graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 21)
+            .as("zval"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6149,6 +6233,132 @@ object SparkEntry {
         |        FROM dn LEFT JOIN xch2 ON dn.node = xch2.node)
         |SELECT wh2.node, wh2.h AS hub, wa2.a AS auth
         |FROM wh2 JOIN wa2 ON wh2.node = wa2.node ORDER BY wh2.node""".stripMargin,
+
+    // LPA cold round on e0, then TWO warm rounds on the delta'd edge set
+    // seeded from the cold labels — absent nodes seed cold (label = own
+    // id); plurality vote with smallest-label tiebreak replays as
+    // ROW_NUMBER over (c DESC, lbl)
+    "q222_lpa_delta" ->
+      """WITH e0 AS (SELECT DISTINCT CAST(2*l_partkey AS BIGINT) AS a,
+        |                            CAST(2*l_suppkey+1 AS BIGINT) AS b
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT s, d FROM (
+        |        SELECT a AS s, b AS d FROM e0
+        |        UNION ALL SELECT b AS s, a AS d FROM e0) t WHERE s <> d),
+        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
+        |v1 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
+        |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
+        |l1 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
+        |       WHERE rn = 1),
+        |d0 AS (SELECT DISTINCT CAST(2*n_nationkey+1 AS BIGINT) AS a,
+        |                       CAST(9000000+n_regionkey AS BIGINT) AS b
+        |       FROM nation),
+        |de AS (SELECT DISTINCT s, d FROM (
+        |        SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+        |        UNION ALL SELECT a, b FROM d0 UNION ALL SELECT b, a FROM d0) t
+        |       WHERE s <> d),
+        |dn AS (SELECT DISTINCT s AS node FROM de),
+        |w0 AS (SELECT dn.node, COALESCE(l1.lbl, dn.node) AS lbl
+        |       FROM dn LEFT JOIN l1 ON dn.node = l1.node),
+        |wv1 AS (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
+        |        FROM de JOIN w0 w ON de.s = w.node GROUP BY de.d, w.lbl),
+        |wl1 AS (SELECT node, lbl FROM (
+        |          SELECT node, lbl, ROW_NUMBER() OVER (
+        |            PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM wv1)
+        |        WHERE rn = 1),
+        |wv2 AS (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
+        |        FROM de JOIN wl1 w ON de.s = w.node GROUP BY de.d, w.lbl),
+        |wl2 AS (SELECT node, lbl FROM (
+        |          SELECT node, lbl, ROW_NUMBER() OVER (
+        |            PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM wv2)
+        |        WHERE rn = 1)
+        |SELECT node, lbl AS label FROM wl2 ORDER BY node""".stripMargin,
+
+    // md5-HLL register replay: bucket = first 2 hex chars (base-16 via
+    // strpos arithmetic), rho = 1 + leading zero bits of the next 16
+    // chars (ltrim zero-count + lexicographic nibble compare)
+    "q223_distinct_sketch" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
+        |br AS (SELECT event_type,
+        |         CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+        |           AS BIGINT) AS bucket,
+        |         ltrim(substr(hx, 3, 16), '0') AS tr
+        |       FROM h),
+        |rr AS (SELECT event_type, bucket,
+        |         CASE WHEN length(tr) = 0 THEN CAST(65 AS BIGINT)
+        |              ELSE CAST(4 * (16 - length(tr))
+        |                + CASE WHEN substr(tr, 1, 1) >= '8' THEN 0
+        |                       WHEN substr(tr, 1, 1) >= '4' THEN 1
+        |                       WHEN substr(tr, 1, 1) >= '2' THEN 2
+        |                       ELSE 3 END + 1 AS BIGINT) END AS r
+        |       FROM br)
+        |SELECT event_type, bucket, MAX(r) AS r
+        |FROM rr GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // the DIRECT global registers — the gate reaches the same cells via
+    // the per-type stored vectors, which is exactly the cube contract
+    "q224_distinct_rollup" ->
+      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
+        |br AS (SELECT
+        |         CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+        |           AS BIGINT) AS bucket,
+        |         ltrim(substr(hx, 3, 16), '0') AS tr
+        |       FROM h),
+        |rr AS (SELECT bucket,
+        |         CASE WHEN length(tr) = 0 THEN CAST(65 AS BIGINT)
+        |              ELSE CAST(4 * (16 - length(tr))
+        |                + CASE WHEN substr(tr, 1, 1) >= '8' THEN 0
+        |                       WHEN substr(tr, 1, 1) >= '4' THEN 1
+        |                       WHEN substr(tr, 1, 1) >= '2' THEN 2
+        |                       ELSE 3 END + 1 AS BIGINT) END AS r
+        |       FROM br)
+        |SELECT bucket, MAX(r) AS r FROM rr GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    // the BATCH registers of per-user distinct click days — the gate
+    // reaches the same cells by folding 3 micro-batches through the
+    // streaming maintainer (register max is idempotent, so any chunking
+    // — and any duplicate delivery — lands here)
+    "q225_stream_distinct" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'click'),
+        |h AS (SELECT user_id, md5(CAST(day AS VARCHAR)) AS hx
+        |      FROM d WHERE day IS NOT NULL),
+        |br AS (SELECT user_id,
+        |         CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+        |           AS BIGINT) AS bucket,
+        |         ltrim(substr(hx, 3, 16), '0') AS tr
+        |       FROM h),
+        |rr AS (SELECT user_id, bucket,
+        |         CASE WHEN length(tr) = 0 THEN CAST(65 AS BIGINT)
+        |              ELSE CAST(4 * (16 - length(tr))
+        |                + CASE WHEN substr(tr, 1, 1) >= '8' THEN 0
+        |                       WHEN substr(tr, 1, 1) >= '4' THEN 1
+        |                       WHEN substr(tr, 1, 1) >= '2' THEN 2
+        |                       ELSE 3 END + 1 AS BIGINT) END AS r
+        |       FROM br)
+        |SELECT user_id, bucket, MAX(r) AS r
+        |FROM rr GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin,
+
+    // the identical shift/mask interleave, generated by Layout.zValueSql
+    // from the same (bits, dims) spec the Spark side uses
+    "q226_zorder" -> {
+      val z = graft.operators.Layout.zValueSql(Seq("x", "y"), 21)
+      s"""WITH c AS (SELECT o_orderkey, o_custkey AS x,
+         |             epoch_us(o_orderdate) // 86400000000 AS y
+         |           FROM orders)
+         |SELECT o_orderkey, CAST($z AS BIGINT) AS zval FROM c
+         |ORDER BY o_orderkey""".stripMargin
+    },
 
     "q212_skyline3d" -> {
       val v = CENTS.format("o_totalprice")

@@ -37,10 +37,25 @@ object LabelProp {
     * orientations are generated internally, self-loops dropped,
     * parallel edges deduplicated so multiplicity does not vote twice).
     * Output: (node, label), ordered by node. `roundsOut`, when
-    * supplied, receives the executed round count. */
+    * supplied, receives the executed round count.
+    *
+    * WARM START (r14, the [[PageRank.pageRank]]/[[Hits.hits]] `prior`
+    * contract ported to the third fixed-point loop): `prior` (a
+    * (node, label) frame — the exact output shape of a previous run)
+    * seeds the initial label table instead of the identity labeling.
+    * Each synchronous round is a pure function of the label table, so
+    * continuing j rounds from a round-k table is EXACTLY rounds
+    * k+1..k+j of the cold run — after a small edge delta, labels are
+    * near the old communities and the exact early stop exits in
+    * one-or-few rounds instead of re-walking the cold trajectory.
+    * Nodes absent from `prior` (new in the delta'd edge set) start
+    * cold (label = own id); prior rows for vanished nodes are ignored
+    * (the node set always derives from the edges); duplicate prior
+    * nodes RAISE (two labels for one node has no right answer). */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        rounds: Int,
-                       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+                       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+                       prior: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val e0 = edges.select(col(aCol).cast(LongType).as("s"),
       col(bCol).cast(LongType).as("d"))
@@ -49,9 +64,28 @@ object LabelProp {
         .filter(col("s") =!= col("d"))
         .distinct()
         .repartition(col("s")))
-    var labels = Checkpoints.checkpoint(
-      e.select(col("s").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")))
+    val nodes = e.select(col("s").as("node")).distinct()
+    var labels = Checkpoints.checkpoint(prior match {
+      case Some(p) =>
+        require(p.columns.contains("node") && p.columns.contains("label"),
+          "prior must carry (node, label) — the labelPropagation output shape")
+        // de-fan BEFORE the seed join (the PageRank.prior discipline): a
+        // duplicate node row would row-multiply the label frame through
+        // the left join; duplicates RAISE instead of being min'd away
+        val p1 = p.select(col("node"), col("label").cast(LongType).as("__pl"))
+          .groupBy("node")
+          .agg(max("__pl").as("__pl"), count(lit(1)).as("__pn"))
+          .select(col("node"),
+            when(col("__pn") === 1L, col("__pl"))
+              .otherwise(raise_error(format_string(
+                "labelPropagation: prior has %s rows for node %s — " +
+                  "(node, label) must be unique", col("__pn").cast("string"),
+                col("node").cast("string")))).as("__pl"))
+        nodes.join(p1, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__pl"), col("node")).as("lbl"))
+      case None =>
+        nodes.select(col("node"), col("node").as("lbl"))
+    })
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {

@@ -214,6 +214,71 @@ object EventStreaming {
     out.toDS()
   }
 
+  /** Shared bucketed-slice state fold for the snapshot maintainers:
+    * holds a per-key state snapshot as `buckets` key-hash slices and
+    * folds each micro-batch's state frame in with `merge2` (the
+    * maintainer's full-outer monoid merge), touching ONLY the slices the
+    * batch's keys hash into — untouched slices are not scanned, not
+    * joined, not rewritten. `buckets = 1` is the monolithic fold. Every
+    * slice rewrite is lineage-truncated and the consumed slice released
+    * (the applyChangelogs/PageRank loop discipline), so plan size and
+    * pinned blocks stay bounded at any batch count. The one-box measured
+    * crossover (PLANS r14 addendum: per-slice job overhead dominates
+    * through ≥2M keys) is the SketchStateProbeMain record; the bucketed
+    * form is the 100 TB shape (batchKeys ≪ buckets ≪ keys). */
+  private final class SlicedState(key: String, buckets: Int,
+                                  merge2: (DataFrame, DataFrame) => DataFrame) {
+    require(buckets >= 1 && buckets <= 4096,
+      s"buckets must be in [1, 4096], got $buckets")
+    private val slices = Array.fill[Option[DataFrame]](buckets)(None)
+    @volatile private var any = false
+
+    /** The union of the populated slices (None before the first batch). */
+    def current: Option[DataFrame] =
+      if (!any) None else Some(slices.iterator.flatten.reduce(_ union _))
+
+    /** Folds one batch-state frame (keyed on `key`) into the slices. */
+    def absorb(st: DataFrame): Unit = {
+      if (buckets == 1) {
+        val next = slices(0) match {
+          case None => graft.operators.Checkpoints.checkpoint(st)
+          case Some(prev) =>
+            val merged = graft.operators.Checkpoints.checkpoint(merge2(prev, st))
+            graft.operators.Checkpoints.release(prev)
+            merged
+        }
+        slices(0) = Some(next)
+      } else {
+        // materialize the batch state ONCE (it feeds every touched
+        // slice), find the touched buckets (≤ `buckets` ints — bounded
+        // driver state), and rewrite only those slices
+        val stB = graft.operators.Checkpoints.checkpoint(
+          st.withColumn("__bk",
+            pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int")))
+        val touched = stB.select("__bk").distinct()
+          .collect().map(_.getInt(0))
+        touched.foreach { b =>
+          val slice = stB.filter(col("__bk") === b).drop("__bk")
+          val next = slices(b) match {
+            case None => graft.operators.Checkpoints.checkpoint(slice)
+            case Some(prev) =>
+              val merged = graft.operators.Checkpoints.checkpoint(merge2(prev, slice))
+              graft.operators.Checkpoints.release(prev)
+              merged
+          }
+          slices(b) = Some(next)
+        }
+        // an all-empty first batch must still leave a (schema-correct)
+        // empty snapshot, as the monolithic path does
+        if (touched.isEmpty && slices.forall(_.isEmpty))
+          slices(0) = Some(
+            graft.operators.Checkpoints.checkpoint(stB.drop("__bk")))
+        graft.operators.Checkpoints.release(stB)
+      }
+      any = true
+    }
+  }
+
   /** Incremental materialized-AGGREGATE maintenance — the streaming →
     * warehouse pattern: every micro-batch folds into a running per-key
     * (n, sum_x, min_x, max_x) snapshot via
@@ -229,26 +294,24 @@ object EventStreaming {
     * This is the aggregate complement of Spark's own streaming
     * aggregation: the state store holds per-key state INSIDE one query,
     * while this maintains a snapshot any OTHER query/reader can join
-    * against between batches — the materialized-view shape. */
-  final class AggStateMaintainer(key: String, x: String) {
-    @volatile private var snapOpt: Option[DataFrame] = None
+    * against between batches — the materialized-view shape.
+    *
+    * BUCKETED STATE (r14): `buckets > 1` holds the snapshot as key-hash
+    * slices and a micro-batch merges only the slices it touches — the
+    * [[SketchStateMaintainer]] contract, same measured one-box
+    * crossover caveat (monolithic wins through ≥2M keys on one machine;
+    * bucketing is the trickle-batch 100 TB shape). */
+  final class AggStateMaintainer(key: String, x: String, buckets: Int = 1) {
+    private val state = new SlicedState(key, buckets,
+      (prev, st) => graft.operators.TableOps.mergeAggStates(prev, st, key))
 
     /** The current complete snapshot (None before the first batch). */
-    def current: Option[DataFrame] = snapOpt
+    def current: Option[DataFrame] = synchronized(state.current)
 
     /** Folds one bounded batch into the snapshot. foreachBatch invokes
       * sequentially per query; synchronized anyway for direct callers. */
     def absorb(batch: DataFrame): Unit = synchronized {
-      val st = graft.operators.TableOps.aggState(batch, key, x)
-      val next = snapOpt match {
-        case None => graft.operators.Checkpoints.checkpoint(st)
-        case Some(prev) =>
-          val merged = graft.operators.Checkpoints.checkpoint(
-            graft.operators.TableOps.mergeAggStates(prev, st, key))
-          graft.operators.Checkpoints.release(prev)
-          merged
-      }
-      snapOpt = Some(next)
+      state.absorb(graft.operators.TableOps.aggState(batch, key, x))
     }
 
     /** foreachBatch writer folding every micro-batch of `stream` into
@@ -290,73 +353,69 @@ object EventStreaming {
   final class SketchStateMaintainer(key: String, x: String,
                                     lo: Long, hi: Long, bins: Int,
                                     buckets: Int = 1) {
-    require(buckets >= 1 && buckets <= 4096,
-      s"buckets must be in [1, 4096], got $buckets")
-    private val slices = Array.fill[Option[DataFrame]](buckets)(None)
-    @volatile private var any = false
+    private val zero = array_repeat(lit(0L),
+      graft.operators.QuantileSketch.slots(bins))
+    private val state = new SlicedState(key, buckets, (prev, st) =>
+      prev.select(col(key), col("sketch").as("__sk_a"))
+        .join(st.select(col(key), col("sketch").as("__sk_b")),
+          Seq(key), "full_outer")
+        .select(col(key), graft.operators.QuantileSketch.merge(
+          coalesce(col("__sk_a"), zero),
+          coalesce(col("__sk_b"), zero)).as("sketch")))
 
     /** The current complete snapshot (None before the first batch):
       * (key, sketch ARRAY<BIGINT> of length bins+2) — the union of the
       * populated key-hash slices. */
-    def current: Option[DataFrame] = synchronized {
-      if (!any) None
-      else Some(slices.iterator.flatten.reduce(_ union _))
-    }
+    def current: Option[DataFrame] = synchronized(state.current)
 
     /** Folds one bounded batch into the snapshot. */
     def absorb(batch: DataFrame): Unit = synchronized {
-      import graft.operators.QuantileSketch
-      val st = QuantileSketch.sketch(batch, Seq(key), x, lo, hi, bins)
-      val zero = array_repeat(lit(0L), QuantileSketch.slots(bins))
-      if (buckets == 1) {
-        val next = slices(0) match {
-          case None => graft.operators.Checkpoints.checkpoint(st)
-          case Some(prev) =>
-            val merged = graft.operators.Checkpoints.checkpoint(
-              prev.select(col(key), col("sketch").as("__sk_a"))
-                .join(st.select(col(key), col("sketch").as("__sk_b")),
-                  Seq(key), "full_outer")
-                .select(col(key), QuantileSketch.merge(
-                  coalesce(col("__sk_a"), zero),
-                  coalesce(col("__sk_b"), zero)).as("sketch")))
-            graft.operators.Checkpoints.release(prev)
-            merged
-        }
-        slices(0) = Some(next)
-      } else {
-        // materialize the batch sketch ONCE (it feeds every touched
-        // slice), find the touched buckets (≤ `buckets` ints — bounded
-        // driver state), and rewrite only those slices
-        val stB = graft.operators.Checkpoints.checkpoint(
-          st.withColumn("__bk",
-            pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int")))
-        val touched = stB.select("__bk").distinct()
-          .collect().map(_.getInt(0))
-        touched.foreach { b =>
-          val slice = stB.filter(col("__bk") === b).drop("__bk")
-          val next = slices(b) match {
-            case None => graft.operators.Checkpoints.checkpoint(slice)
-            case Some(prev) =>
-              val merged = graft.operators.Checkpoints.checkpoint(
-                prev.select(col(key), col("sketch").as("__sk_a"))
-                  .join(slice.select(col(key), col("sketch").as("__sk_b")),
-                    Seq(key), "full_outer")
-                  .select(col(key), QuantileSketch.merge(
-                    coalesce(col("__sk_a"), zero),
-                    coalesce(col("__sk_b"), zero)).as("sketch")))
-              graft.operators.Checkpoints.release(prev)
-              merged
-          }
-          slices(b) = Some(next)
-        }
-        // an all-empty first batch must still leave a (schema-correct)
-        // empty snapshot, as the monolithic path does
-        if (touched.isEmpty && slices.forall(_.isEmpty))
-          slices(0) = Some(
-            graft.operators.Checkpoints.checkpoint(stB.drop("__bk")))
-        graft.operators.Checkpoints.release(stB)
-      }
-      any = true
+      state.absorb(graft.operators.QuantileSketch.sketch(
+        batch, Seq(key), x, lo, hi, bins))
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Streaming DISTINCT-COUNT maintainer — the cardinality complement of
+    * [[SketchStateMaintainer]]: foreachBatch computes each micro-batch's
+    * per-key portable HLL register vector
+    * ([[graft.operators.DistinctSketch.sketch]] — ONE map-side-combined
+    * aggregation; the exchange per batch is one fixed-width vector per
+    * observed key, never the values) and folds it into the running
+    * snapshot with the exact element-wise-MAX merge. Register max is a
+    * commutative IDEMPOTENT monoid, so the snapshot between batches is
+    * EXACTLY the batch-mode sketch of everything absorbed, in any
+    * chunking AND under re-delivery of duplicate values (at-least-once
+    * streams need no dedup before a distinct sketch — the r14 addition's
+    * operational point). State is O(keys · m); same bucketed-slice
+    * option, same bounded plan/memory discipline. */
+  final class DistinctStateMaintainer(key: String, v: String,
+                                      hexChars: Int = 2, buckets: Int = 1) {
+    private val zero = array_repeat(lit(0L),
+      graft.operators.DistinctSketch.m(hexChars))
+    private val state = new SlicedState(key, buckets, (prev, st) =>
+      prev.select(col(key), col("sketch").as("__sk_a"))
+        .join(st.select(col(key), col("sketch").as("__sk_b")),
+          Seq(key), "full_outer")
+        .select(col(key), graft.operators.DistinctSketch.merge(
+          coalesce(col("__sk_a"), zero),
+          coalesce(col("__sk_b"), zero)).as("sketch")))
+
+    /** The current complete snapshot (None before the first batch):
+      * (key, sketch ARRAY<BIGINT> of length 16^hexChars). */
+    def current: Option[DataFrame] = synchronized(state.current)
+
+    /** Folds one bounded batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      state.absorb(graft.operators.DistinctSketch.sketch(
+        batch, Seq(key), v, hexChars))
     }
 
     /** foreachBatch writer folding every micro-batch of `stream` into
@@ -390,6 +449,39 @@ object EventStreaming {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val q = m.sink(stream.toDS().toDF()).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current.get.orderBy("userId")
+  }
+
+  /** Replays a bounded event slice through a [[DistinctStateMaintainer]]
+    * in `nChunks` micro-batches and returns the final snapshot of
+    * per-user DISTINCT ACTIVE DAYS registers (day = tsUs div 86400e6) —
+    * the harness that oracle-gates the streaming distinct path (q225)
+    * against the batch registers: the max-fold across ANY batch split
+    * must equal the direct per-key sketch. Same bounded-replay caveat as
+    * [[sessionizeReplay]]. */
+  def distinctReplay(events: Dataset[Event], nChunks: Int,
+                     hexChars: Int = 2, buckets: Int = 1): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def withDay(df: DataFrame): DataFrame =
+      df.withColumn("day", expr("tsUs div 86400000000"))
+    val rows = events.collect().toSeq
+    val m = new DistinctStateMaintainer("userId", "day", hexChars, buckets)
+    if (rows.isEmpty)
+      return graft.operators.DistinctSketch.sketch(
+        withDay(spark.emptyDataset[Event].toDF()), Seq("userId"), "day",
+        hexChars)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(withDay(stream.toDS().toDF())).start()
     try {
       val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
       rows.grouped(per).foreach { chunk =>

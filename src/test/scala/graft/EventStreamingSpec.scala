@@ -329,4 +329,56 @@ class EventStreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](new EventStreaming.SketchStateMaintainer(
       "userId", "valueCents", 0L, 1000L, 10, buckets = 0))
   }
+
+  test("distinctReplay: any chunking == the batch registers; duplicate re-delivery is absorbed") {
+    // 50 events over 4 users across 9 distinct days
+    val rows = (0L until 50L).map(i =>
+      Event(i, i % 4 + 1, (i % 9) * 86400000000L + sec(i), i))
+    val ds = rows.toDS()
+    val batch = graft.operators.DistinctSketch.sketch(
+        ds.toDF().withColumn("day", expr("tsUs div 86400000000")),
+        Seq("userId"), "day")
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    for (k <- Seq(1, 3, 7); b <- Seq(1, 8)) {
+      val snap = EventStreaming.distinctReplay(ds, nChunks = k, buckets = b)
+        .as[(Long, Seq[Long])].collect().toSeq
+      assert(snap == batch, s"nChunks=$k buckets=$b")
+    }
+    // at-least-once: replaying the whole slice TWICE (every value
+    // re-delivered) leaves the registers unchanged — max is idempotent
+    val dup = EventStreaming.distinctReplay((rows ++ rows).toDS(), nChunks = 4)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(dup == batch)
+    // empty slice: empty snapshot with the sketch schema
+    val empty = EventStreaming.distinctReplay(
+      spark.emptyDataset[Event], nChunks = 2)
+    assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
+  }
+
+  test("bucketed agg-state maintainer: any buckets x any chunking == the direct aggState; sparse batches touch few slices") {
+    val rows = (0L until 48L).map(i =>
+      Event(i, i % 6 + 1, sec(i), i * 3 % 101))
+    def snapOf(m: EventStreaming.AggStateMaintainer): Seq[org.apache.spark.sql.Row] =
+      m.current.get.orderBy("userId").collect().toSeq
+    val direct = {
+      val m = new EventStreaming.AggStateMaintainer("userId", "valueCents")
+      m.absorb(rows.toDF())
+      snapOf(m)
+    }
+    for (b <- Seq(1, 4, 16); k <- Seq(2, 5)) {
+      val m = new EventStreaming.AggStateMaintainer("userId", "valueCents", b)
+      rows.grouped(math.max(1, rows.size / k)).foreach(c => m.absorb(c.toDF()))
+      assert(snapOf(m) == direct, s"buckets=$b chunks=$k")
+    }
+    // sparse contract: re-absorbing user 1 must not rewrite user 2's slice
+    val m = new EventStreaming.AggStateMaintainer("userId", "valueCents", 64)
+    m.absorb(Seq((1L, 10L)).toDF("userId", "valueCents"))
+    m.absorb(Seq((2L, 20L)).toDF("userId", "valueCents"))
+    val before = snapOf(m)
+    m.absorb(Seq((1L, 30L)).toDF("userId", "valueCents"))
+    val after = snapOf(m)
+    assert(after.find(_.getLong(0) == 2L) == before.find(_.getLong(0) == 2L))
+    intercept[IllegalArgumentException](
+      new EventStreaming.AggStateMaintainer("userId", "valueCents", 0))
+  }
 }

@@ -308,6 +308,22 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(rows(s2.sql(
           "SELECT * FROM graft_hits_warm('edges_view', 's', 'd', 2, 'hits_prior_view')"))
         == rows(graft.graph.Hits.hits(edges, "s", "d", 3)))
+      val lpaPrior = graft.graph.LabelProp.labelPropagation(edges, "s", "d", 1)
+      lpaPrior.createOrReplaceTempView("lpa_prior_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_label_prop_warm('edges_view', 's', 'd', 2, 'lpa_prior_view')"))
+        == rows(graft.graph.LabelProp.labelPropagation(edges, "s", "d", 3)))
+      val dsDf = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("a", 2L)).toDF("g", "u")
+      dsDf.createOrReplaceTempView("ds_view")
+      assert(rows(s2.sql("SELECT * FROM graft_distinct_sketch('ds_view', 'g', 'u', 2)"))
+        == rows(graft.operators.DistinctSketch.summary(dsDf, Seq("g"), "u")))
+      assert(rows(s2.sql("SELECT * FROM graft_distinct_registers('ds_view', 'g', 'u', 2)"))
+        == rows(graft.operators.DistinctSketch.registers(dsDf, Seq("g"), "u")))
+      val zDf = Seq((3L, 5L), (7L, 0L)).toDF("x", "y")
+      zDf.createOrReplaceTempView("z_view")
+      assert(rows(s2.sql("SELECT * FROM graft_zvalue('z_view', 'x,y', 21)"))
+        == rows(zDf.withColumn("zval",
+          graft.operators.Layout.zValue(Seq(zDf("x"), zDf("y")), 21))))
       val seedsDf = Seq(1L).toDF("node")
       seedsDf.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))

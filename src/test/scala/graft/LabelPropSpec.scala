@@ -71,4 +71,53 @@ class LabelPropSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LabelProp.labelPropagation(Seq((1L, 2L)).toDF("a", "b"), "a", "b", 0))
   }
+
+  // ── warm start (r14): the PageRank/HITS `prior` contract ──────────────
+
+  private def runWarm(edges: Seq[(Long, Long)], rounds: Int,
+                      prior: Seq[(Long, Long)],
+                      out: Option[java.util.concurrent.atomic.AtomicInteger] = None) =
+    LabelProp.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds, out,
+        prior = Some(prior.toDF("node", "label")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("warm start: continuing j rounds from round-k labels == cold k+j rounds") {
+    val rng = new scala.util.Random(71L)
+    val edges = Seq.fill(150)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val cold2 = run(edges, 2).toSeq
+    assert(runWarm(edges, 1, cold2) == ref(edges, 3))
+    assert(runWarm(edges, 2, cold2) == ref(edges, 4))
+  }
+
+  test("warm start from a converged prior exits after ONE round, identical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val cold = run(edges, 10)
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val warm = runWarm(edges, 50, cold.toSeq, Some(rounds))
+    assert(warm == cold)
+    assert(rounds.get == 1, s"converged prior re-walked: ran ${rounds.get}")
+  }
+
+  test("warm start: new nodes start cold, vanished prior rows ignored") {
+    // prior covers a triangle already settled on label 1; the delta adds
+    // node 4 hanging off 3, and a stale row for vanished node 99
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 1L), (99L, 7L))
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = runWarm(edges, 1, prior)
+    assert(!got.contains(99L), s"vanished node survived: $got")
+    // node 4 (cold label 4) adopts its only neighbor's prior label 1;
+    // node 3 now hears {1, 1, 4} -> plurality 1
+    assert(got(4L) == 1L && got(3L) == 1L, s"$got")
+  }
+
+  test("warm start: a prior with duplicate node rows RAISES, never fans out") {
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val dup = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("node", "label")
+    intercept[Exception](
+      LabelProp.labelPropagation(edges, "a", "b", 1, prior = Some(dup)).collect())
+    intercept[IllegalArgumentException](
+      LabelProp.labelPropagation(edges, "a", "b", 1,
+        prior = Some(Seq((1L, 1L)).toDF("node", "oops"))))
+  }
 }

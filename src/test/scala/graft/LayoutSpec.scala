@@ -2,178 +2,110 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.Layout
+import graft.operators.Layout
 
-/** Proves the storage-layout claims on real plans: bucketed joins carry no
-  * shuffle, partitioned reads prune directories. */
+/** Z-order layout contracts: the interleave is a bijection on the
+  * declared domain with [[Layout.unzValue]] as its inverse, matches an
+  * independent driver-side bit-interleave, groups aligned quadrants
+  * contiguously (the locality property file pruning rides on), the
+  * generated SQL form is the same function (executed by Spark SQL here;
+  * DuckDB executes it in the q226 oracle), and [[Layout.cluster]]
+  * produces non-overlapping per-partition z-ranges without changing the
+  * row set. Domain violations RAISE — a silently wrapped coordinate
+  * would land rows in far-away files and destroy the pruning. */
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  test("bucketed-by-key join plans with NO shuffle exchange") {
-    spark.sql("DROP TABLE IF EXISTS bucketed_a")
-    spark.sql("DROP TABLE IF EXISTS bucketed_b")
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // small fixtures would be auto-broadcast (which also disables the
-      // bucketed scan); force the SMJ path the layout exists for
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
-      val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
-      Layout.saveBucketed(a, "bucketed_a", "k", 8)
-      Layout.saveBucketed(b, "bucketed_b", "k", 8)
-      val joined = Layout.joinBucketed(spark, "bucketed_a", "bucketed_b", "k")
-      assert(joined.collect().length == 1000)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)" —
-      // match that form (a literal "ShuffleExchange" never appears)
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed join still shuffles:\n$plan")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS bucketed_a")
-      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+  private def refZ(coords: Seq[Long], bits: Int): Long =
+    (for {
+      (v, i) <- coords.zipWithIndex
+      b <- 0 until bits
+    } yield ((v >> b) & 1L) << (b * coords.size + i)).sum
+
+  test("zValue matches the driver-side interleave and unzValue inverts it") {
+    val rng = new scala.util.Random(5L)
+    val pts = Seq.fill(300)((rng.nextInt(1 << 21).toLong,
+      rng.nextInt(1 << 21).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), 21).as("z"))
+      .withColumn("dx", Layout.unzValue(col("z"), 0, 2, 21))
+      .withColumn("dy", Layout.unzValue(col("z"), 1, 2, 21))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == refZ(Seq(r.getLong(0), r.getLong(1)), 21))
+      assert(r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(1))
+    }
+    // 3-D too (bits*dims still <= 62)
+    val p3 = Seq((3L, 5L, 7L), (0L, 0L, 1023L)).toDF("x", "y", "w")
+      .select(Layout.zValue(Seq(col("x"), col("y"), col("w")), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(p3(0) == refZ(Seq(3L, 5L, 7L), 10).toLong)
+    assert(p3(1) == refZ(Seq(0L, 0L, 1023L), 10).toLong)
+  }
+
+  test("z order groups every aligned quadrant contiguously (locality)") {
+    // full 8x8 grid at bits=3: sorting by z must place each aligned
+    // 4x4 quadrant in one contiguous run of 16, each 2x2 sub-quadrant
+    // in a contiguous run of 4 — the structural fact that makes a
+    // contiguous file slice a tight rectangle
+    val grid = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val sorted = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (run <- Seq(4, 16); chunk <- sorted.grouped(run)) {
+      val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+      val side = math.sqrt(run.toDouble).toLong
+      assert(xs.max - xs.min == side - 1 && ys.max - ys.min == side - 1 &&
+        xs.min % side == 0 && ys.min % side == 0,
+        s"run=$run chunk not an aligned ${side}x$side square: ${chunk.toSeq}")
     }
   }
 
-  test("saveShards: files capped at maxRecordsPerShard, key ranges disjoint across shards") {
-    val path = java.nio.file.Files.createTempDirectory("shards").toString
-    val df = (1L to 997L).map(i => (i, s"doc $i")).toDF("k", "text")
-    Layout.saveShards(df, path, "k", maxRecordsPerShard = 100)
-    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
-    assert(files.nonEmpty)
-    val perFile = files.map { f =>
-      val rows = spark.read.parquet(f.getAbsolutePath).select("k")
-        .collect().map(_.getLong(0))
-      assert(rows.length <= 100, s"${f.getName}: ${rows.length} rows > cap")
-      (rows.min, rows.max)
-    }
-    // all 997 rows land exactly once
-    assert(perFile.length >= 10)
-    val total = spark.read.parquet(path).count()
-    assert(total == 997)
-    // range discipline: shards' [min, max] key ranges don't interleave.
-    // (the strict aMax < bMin below relies on this fixture's UNIQUE keys —
-    // a run of equal keys may legitimately straddle a cap split)
-    val sorted = perFile.sortBy(_._1)
-    sorted.sliding(2).foreach {
-      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $aMax >= $bMin")
-      case _ =>
-    }
+  test("zValueSql generates the same function (Spark SQL executes it here)") {
+    val pts = Seq((17L, 33L), (0L, 0L), (1048575L, 524287L)).toDF("x", "y")
+    pts.createOrReplaceTempView("zpts_view")
+    val viaSql = spark.sql(
+      s"SELECT CAST(${Layout.zValueSql(Seq("x", "y"), 21)} AS BIGINT) AS z " +
+        "FROM zpts_view").collect().map(_.getLong(0))
+    val viaCol = pts.select(Layout.zValue(Seq(col("x"), col("y")), 21))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == viaCol.toSeq)
   }
 
-  test("zorderValue interleaves bits exactly; out-of-range raises") {
-    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), ((1L << 21) - 1, 0L))
-      .toDF("x", "y")
-    val got = df.select(Layout.zorderValue(col("x"), col("y"), 21).as("z"))
-      .collect().map(_.getLong(0)).toSeq
-    def refZ(x: Long, y: Long) =
-      (0 until 21).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
-    assert(got == Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), ((1L << 21) - 1, 0L))
-      .map { case (x, y) => refZ(x, y) })
-    val bad = Seq((1L << 21, 0L)).toDF("x", "y")
-    intercept[Exception](
-      bad.select(Layout.zorderValue(col("x"), col("y"), 21)).collect())
-    intercept[IllegalArgumentException](Layout.zorderValue(col("x"), col("y"), 0))
-  }
-
-  test("zorderValueN: 3-dim interleave matches the reference; bit budget guarded") {
-    def refZ3(a: Long, b: Long, c: Long, bits: Int) =
-      (0 until bits).map(i => (((a >> i) & 1L) << (3 * i)) |
-        (((b >> i) & 1L) << (3 * i + 1)) | (((c >> i) & 1L) << (3 * i + 2))).sum
-    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
-      (5L, 3L, 7L), (255L, 1L, 128L))
-    val got = rows.toDF("a", "b", "c")
-      .select(Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 9).as("z"))
-      .collect().map(_.getLong(0)).toSeq
-    assert(got == rows.map { case (a, b, c) => refZ3(a, b, c, 9) })
-    // 2-dim wrapper is the N=2 case
-    val two = Seq((3L, 5L)).toDF("x", "y")
-    assert(two.select(Layout.zorderValue(col("x"), col("y"), 21)).head.getLong(0)
-      == two.select(Layout.zorderValueN(Seq(col("x"), col("y")), 21)).head.getLong(0))
-    intercept[IllegalArgumentException](
-      Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 21)) // 63 > 62
-    intercept[IllegalArgumentException](Layout.zorderValueN(Seq(col("a")), 4))
-  }
-
-  test("saveZOrdered: per-file z ranges are disjoint, both dims clustered") {
-    val path = java.nio.file.Files.createTempDirectory("zorder").toString
+  test("cluster: row set unchanged; per-partition z-ranges do not overlap") {
     val rng = new scala.util.Random(11L)
-    val df = Seq.fill(4000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
-      .toDF("x", "y")
-    Layout.saveZOrdered(df, path, "x", "y", bits = 10, numFiles = 8)
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    assert(files.length >= 4)
-    assert(spark.read.parquet(path).count() == 4000)
-    def refZ(x: Long, y: Long) =
-      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
-    val perFile = files.map { f =>
-      val rows = spark.read.parquet(f.getAbsolutePath)
-        .collect().map(r => refZ(r.getLong(0), r.getLong(1)))
-      (rows.min, rows.max)
-    }
-    // z ranges never interleave → each file is a compact (x, y) tile and
-    // parquet min/max skipping works on both columns
-    val sorted = perFile.sortBy(_._1)
-    sorted.sliding(2).foreach {
-      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin, s"overlap: $aMax > $bMin")
+    val pts = Seq.fill(2000)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    val df = pts.toDF("x", "y")
+    val clustered = Layout.cluster(df, Seq("x", "y"), 10, numFiles = 8)
+    assert(clustered.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == pts.sorted)
+    val ranges = clustered
+      .select(Layout.zValue(Seq(col("x"), col("y")), 10).as("z"),
+        spark_partition_id().as("p"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("p").collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping partition z-ranges: $hi1 > $lo2")
       case _ =>
     }
   }
 
-  test("saveZOrderedN: 3-dim per-file z ranges disjoint, min/max skips on every dim") {
-    val path = java.nio.file.Files.createTempDirectory("zorder3").toString
-    val rng = new scala.util.Random(13L)
-    val df = Seq.fill(6000)((rng.nextInt(256).toLong, rng.nextInt(256).toLong,
-      rng.nextInt(256).toLong)).toDF("x", "y", "w")
-    Layout.saveZOrderedN(df, path, Seq("x", "y", "w"), bits = 8, numFiles = 8)
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    assert(files.length >= 4)
-    assert(spark.read.parquet(path).count() == 6000)
-    def refZ(x: Long, y: Long, w: Long) =
-      (0 until 8).map(i => (((x >> i) & 1L) << (3 * i)) |
-        (((y >> i) & 1L) << (3 * i + 1)) | (((w >> i) & 1L) << (3 * i + 2))).sum
-    val perFile = files.map { f =>
-      val rows = spark.read.parquet(f.getAbsolutePath)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      (rows.map(t => refZ(t._1, t._2, t._3)).min,
-        rows.map(t => refZ(t._1, t._2, t._3)).max, rows)
-    }
-    // 1) z ranges never interleave across files
-    val sorted = perFile.sortBy(_._1)
-    sorted.sliding(2).foreach {
-      case Array((_, aMax, _), (bMin, _, _)) =>
-        assert(aMax <= bMin, s"overlap: $aMax > $bMin")
-      case _ =>
-    }
-    // 2) per-dimension min/max footers actually skip: for a point
-    // predicate on EACH dim, some files' [min,max] excludes the point —
-    // the compact-tile property the z layout exists to buy. A random
-    // (non-z) layout of uniform values would leave every file's range
-    // covering every point.
-    for (d <- 0 until 3) {
-      val v = 7L
-      val containing = perFile.count { case (_, _, rows) =>
-        val dim = rows.map(t => d match {
-          case 0 => t._1; case 1 => t._2; case _ => t._3
-        })
-        dim.min <= v && v <= dim.max
-      }
-      assert(containing < files.length,
-        s"dim $d: every file's min/max covers $v — no skipping possible")
-    }
-  }
-
-  test("partitioned parquet read prunes partitions under a filter") {
-    val path = java.nio.file.Files.createTempDirectory("parted").toString
-    val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
-    Layout.savePartitioned(df, path, "part")
-    val read = spark.read.parquet(path).filter(col("part") === "p1")
-    assert(read.count() == 100)
-    val scan = read.queryExecution.executedPlan.toString
-    // pruning shows up as a PartitionFilters entry carrying the predicate
-    assert(scan.contains("PartitionFilters") && scan.contains("p1"), scan)
+  test("domain violations RAISE; bad shapes rejected eagerly") {
+    val df = Seq((5L, -1L)).toDF("x", "y")
+    intercept[Exception](
+      df.select(Layout.zValue(Seq(col("x"), col("y")), 4)).collect())
+    val big = Seq((16L, 3L)).toDF("x", "y") // 16 >= 2^4
+    intercept[Exception](
+      big.select(Layout.zValue(Seq(col("x"), col("y")), 4)).collect())
+    val nul = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+    intercept[Exception](
+      nul.select(Layout.zValue(Seq(col("x"), col("y")), 4)).collect())
+    intercept[IllegalArgumentException](Layout.zValue(Seq(col("x")), 4))
+    intercept[IllegalArgumentException](
+      Layout.zValue(Seq(col("x"), col("y")), 32)) // 64 > 62
+    intercept[IllegalArgumentException](Layout.unzValue(col("z"), 2, 2, 4))
   }
 }
