@@ -6189,46 +6189,46 @@ object SparkEntry {
     // seeded from the cold (h1, a1) — absent nodes seed cold (h=10000,
     // a=0); warm rounds replay as cold continuation CTEs
     "q221_hits_delta" ->
-      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
         |            FROM lineitem),
-        |n AS (SELECT s AS node FROM e0 UNION SELECT d AS node FROM e0),
-        |s0 AS (SELECT node, CAST(10000 AS BIGINT) AS h FROM n),
-        |ca1 AS (SELECT e0.d AS node, CAST(SUM(s0.h) AS BIGINT) AS raw
+        |n AS MATERIALIZED (SELECT s AS node FROM e0 UNION SELECT d AS node FROM e0),
+        |s0 AS MATERIALIZED (SELECT node, CAST(10000 AS BIGINT) AS h FROM n),
+        |ca1 AS MATERIALIZED (SELECT e0.d AS node, CAST(SUM(s0.h) AS BIGINT) AS raw
         |        FROM e0 JOIN s0 ON e0.s = s0.node GROUP BY e0.d),
-        |a1 AS (SELECT n.node, CAST(COALESCE(
+        |a1 AS MATERIALIZED (SELECT n.node, CAST(COALESCE(
         |         (ca1.raw * 10000) // (SELECT MAX(raw) FROM ca1), 0) AS BIGINT) AS a
         |       FROM n LEFT JOIN ca1 ON n.node = ca1.node),
-        |ch1 AS (SELECT e0.s AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
+        |ch1 AS MATERIALIZED (SELECT e0.s AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
         |        FROM e0 JOIN a1 ON e0.d = a1.node GROUP BY e0.s),
-        |h1 AS (SELECT n.node, CAST(COALESCE(
+        |h1 AS MATERIALIZED (SELECT n.node, CAST(COALESCE(
         |         (ch1.raw * 10000) // (SELECT MAX(raw) FROM ch1), 0) AS BIGINT) AS h
         |       FROM n LEFT JOIN ch1 ON n.node = ch1.node),
-        |d0 AS (SELECT DISTINCT 2*n_nationkey+1 AS s, 9000000 + n_regionkey AS d
+        |d0 AS MATERIALIZED (SELECT DISTINCT 2*n_nationkey+1 AS s, 9000000 + n_regionkey AS d
         |       FROM nation),
-        |de AS (SELECT s, d FROM e0 UNION ALL SELECT s, d FROM d0),
-        |dn AS (SELECT s AS node FROM de UNION SELECT d AS node FROM de),
-        |w0 AS (SELECT dn.node, CAST(COALESCE(h1.h, 10000) AS BIGINT) AS h,
+        |de AS MATERIALIZED (SELECT s, d FROM e0 UNION ALL SELECT s, d FROM d0),
+        |dn AS MATERIALIZED (SELECT s AS node FROM de UNION SELECT d AS node FROM de),
+        |w0 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(h1.h, 10000) AS BIGINT) AS h,
         |              CAST(COALESCE(a1.a, 0) AS BIGINT) AS a
         |       FROM dn LEFT JOIN h1 ON dn.node = h1.node
         |                LEFT JOIN a1 ON dn.node = a1.node),
-        |xca1 AS (SELECT de.d AS node, CAST(SUM(w0.h) AS BIGINT) AS raw
+        |xca1 AS MATERIALIZED (SELECT de.d AS node, CAST(SUM(w0.h) AS BIGINT) AS raw
         |         FROM de JOIN w0 ON de.s = w0.node GROUP BY de.d),
-        |wa1 AS (SELECT dn.node, CAST(COALESCE(
+        |wa1 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
         |          (xca1.raw * 10000) // (SELECT MAX(raw) FROM xca1), 0) AS BIGINT) AS a
         |        FROM dn LEFT JOIN xca1 ON dn.node = xca1.node),
-        |xch1 AS (SELECT de.s AS node, CAST(SUM(wa1.a) AS BIGINT) AS raw
+        |xch1 AS MATERIALIZED (SELECT de.s AS node, CAST(SUM(wa1.a) AS BIGINT) AS raw
         |         FROM de JOIN wa1 ON de.d = wa1.node GROUP BY de.s),
-        |wh1 AS (SELECT dn.node, CAST(COALESCE(
+        |wh1 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
         |          (xch1.raw * 10000) // (SELECT MAX(raw) FROM xch1), 0) AS BIGINT) AS h
         |        FROM dn LEFT JOIN xch1 ON dn.node = xch1.node),
-        |xca2 AS (SELECT de.d AS node, CAST(SUM(wh1.h) AS BIGINT) AS raw
+        |xca2 AS MATERIALIZED (SELECT de.d AS node, CAST(SUM(wh1.h) AS BIGINT) AS raw
         |         FROM de JOIN wh1 ON de.s = wh1.node GROUP BY de.d),
-        |wa2 AS (SELECT dn.node, CAST(COALESCE(
+        |wa2 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
         |          (xca2.raw * 10000) // (SELECT MAX(raw) FROM xca2), 0) AS BIGINT) AS a
         |        FROM dn LEFT JOIN xca2 ON dn.node = xca2.node),
-        |xch2 AS (SELECT de.s AS node, CAST(SUM(wa2.a) AS BIGINT) AS raw
+        |xch2 AS MATERIALIZED (SELECT de.s AS node, CAST(SUM(wa2.a) AS BIGINT) AS raw
         |         FROM de JOIN wa2 ON de.d = wa2.node GROUP BY de.s),
-        |wh2 AS (SELECT dn.node, CAST(COALESCE(
+        |wh2 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
         |          (xch2.raw * 10000) // (SELECT MAX(raw) FROM xch2), 0) AS BIGINT) AS h
         |        FROM dn LEFT JOIN xch2 ON dn.node = xch2.node)
         |SELECT wh2.node, wh2.h AS hub, wa2.a AS auth
@@ -6239,38 +6239,38 @@ object SparkEntry {
     // id); plurality vote with smallest-label tiebreak replays as
     // ROW_NUMBER over (c DESC, lbl)
     "q222_lpa_delta" ->
-      """WITH e0 AS (SELECT DISTINCT CAST(2*l_partkey AS BIGINT) AS a,
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(2*l_partkey AS BIGINT) AS a,
         |                            CAST(2*l_suppkey+1 AS BIGINT) AS b
         |            FROM lineitem),
-        |e AS (SELECT DISTINCT s, d FROM (
+        |e AS MATERIALIZED (SELECT DISTINCT s, d FROM (
         |        SELECT a AS s, b AS d FROM e0
         |        UNION ALL SELECT b AS s, a AS d FROM e0) t WHERE s <> d),
-        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
-        |v1 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e),
+        |v1 AS MATERIALIZED (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
         |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
-        |l1 AS (SELECT node, lbl FROM (
+        |l1 AS MATERIALIZED (SELECT node, lbl FROM (
         |         SELECT node, lbl, ROW_NUMBER() OVER (
         |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
         |       WHERE rn = 1),
-        |d0 AS (SELECT DISTINCT CAST(2*n_nationkey+1 AS BIGINT) AS a,
+        |d0 AS MATERIALIZED (SELECT DISTINCT CAST(2*n_nationkey+1 AS BIGINT) AS a,
         |                       CAST(9000000+n_regionkey AS BIGINT) AS b
         |       FROM nation),
-        |de AS (SELECT DISTINCT s, d FROM (
+        |de AS MATERIALIZED (SELECT DISTINCT s, d FROM (
         |        SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
         |        UNION ALL SELECT a, b FROM d0 UNION ALL SELECT b, a FROM d0) t
         |       WHERE s <> d),
-        |dn AS (SELECT DISTINCT s AS node FROM de),
-        |w0 AS (SELECT dn.node, COALESCE(l1.lbl, dn.node) AS lbl
+        |dn AS MATERIALIZED (SELECT DISTINCT s AS node FROM de),
+        |w0 AS MATERIALIZED (SELECT dn.node, COALESCE(l1.lbl, dn.node) AS lbl
         |       FROM dn LEFT JOIN l1 ON dn.node = l1.node),
-        |wv1 AS (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
+        |wv1 AS MATERIALIZED (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
         |        FROM de JOIN w0 w ON de.s = w.node GROUP BY de.d, w.lbl),
-        |wl1 AS (SELECT node, lbl FROM (
+        |wl1 AS MATERIALIZED (SELECT node, lbl FROM (
         |          SELECT node, lbl, ROW_NUMBER() OVER (
         |            PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM wv1)
         |        WHERE rn = 1),
-        |wv2 AS (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
+        |wv2 AS MATERIALIZED (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
         |        FROM de JOIN wl1 w ON de.s = w.node GROUP BY de.d, w.lbl),
-        |wl2 AS (SELECT node, lbl FROM (
+        |wl2 AS MATERIALIZED (SELECT node, lbl FROM (
         |          SELECT node, lbl, ROW_NUMBER() OVER (
         |            PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM wv2)
         |        WHERE rn = 1)
