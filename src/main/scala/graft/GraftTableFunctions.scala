@@ -83,6 +83,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_distinct_sketch('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_distinct_registers('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_zvalue('pts_view', 'x,y', 21)
+  *   SELECT * FROM graft_dedup_delta('corpus_sigs_view', 'delta_sigs_view', 16, 8, 2, 3, 4)
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -493,6 +494,12 @@ object GraftTableFunctions {
       plan(operators.QuantileSketch.summary(table(a(0)), grps,
         valueCol = str(a(2)), lo = long(a(3)), hi = long(a(4)),
         bins = int(a(5)), qs = qs))
+    },
+    "graft_dedup_delta" -> { exprs =>
+      val a = args("graft_dedup_delta", exprs, 7)
+      plan(text.Dedup.dedupDelta(table(a(0)), table(a(1)),
+        numHashes = int(a(2)), bands = int(a(3)), rowsPerBand = int(a(4)),
+        num = int(a(5)), den = int(a(6))))
     },
     "graft_zvalue" -> { exprs =>
       val a = args("graft_zvalue", exprs, 3)

@@ -2606,6 +2606,22 @@ object SparkEntry {
             .as("zval"))
         .orderBy("o_orderkey")
     }),
+
+    // ── incremental near-dedup (r14): dedup a NEW document batch against
+    // the STORED MinHash signatures of the existing corpus — corpus text
+    // never re-read, corpus×corpus pairs never re-examined; a delta doc
+    // is flagged iff it shares an LSH band AND its signature agrees on
+    // ≥ 3/4 of positions with a corpus doc or an earlier delta doc
+    // (earliest id wins). The oracle replays bands + agreement directly ──
+    "q227_dedup_delta" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 =!= 0), 16)
+      val deltaSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0), 16)
+      Dedup.dedupDelta(corpusSigs, deltaSigs, numHashes = 16,
+        bands = 8, rowsPerBand = 2, num = 3, den = 4)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6348,6 +6364,44 @@ object SparkEntry {
         |SELECT user_id, bucket, MAX(r) AS r
         |FROM rr GROUP BY user_id, bucket
         |ORDER BY user_id, bucket""".stripMargin,
+
+    // q90's signature recipe, then the incremental contract replayed
+    // directly: delta docs (doc_id % 3 = 0) vs corpus bands + earlier
+    // delta bands, agreement >= 3/4 of 16 positions, MIN match id
+    "q227_dedup_delta" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+        |hs AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
+        |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
+        |              (40503 * (i+1)) % 1000000007 AS b
+        |       FROM (SELECT UNNEST(range(16)) AS i)),
+        |sig AS MATERIALIZED (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh
+        |        FROM hs CROSS JOIN hf GROUP BY doc_id, i),
+        |bsig AS MATERIALIZED (SELECT doc_id, i // 2 AS band,
+        |           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bs
+        |         FROM sig GROUP BY doc_id, i // 2),
+        |bd AS MATERIALIZED (SELECT * FROM bsig WHERE doc_id % 3 = 0),
+        |bc AS MATERIALIZED (SELECT * FROM bsig WHERE doc_id % 3 <> 0),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc, b.doc_id AS other
+        |  FROM bd a JOIN bc b ON a.band = b.band AND a.bs = b.bs
+        |  UNION
+        |  SELECT DISTINCT a.doc_id AS doc, b.doc_id AS other
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.bs = b.bs
+        |                     AND b.doc_id < a.doc_id),
+        |ag AS MATERIALIZED (
+        |  SELECT c.doc, c.other, COUNT(*) AS agree
+        |  FROM cand c JOIN sig sa ON c.doc = sa.doc_id
+        |              JOIN sig sb ON c.other = sb.doc_id AND sa.i = sb.i
+        |  WHERE sa.mh = sb.mh GROUP BY c.doc, c.other),
+        |hits AS MATERIALIZED (SELECT doc, MIN(other) AS dup_of FROM ag
+        |        WHERE agree * 4 >= 3 * 16 GROUP BY doc),
+        |u AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 3 = 0)
+        |SELECT u.doc_id, hits.dup_of FROM u
+        |LEFT JOIN hits ON u.doc_id = hits.doc
+        |ORDER BY u.doc_id""".stripMargin,
 
     // the identical shift/mask interleave, generated by Layout.zValueSql
     // from the same (bits, dims) spec the Spark side uses

@@ -212,19 +212,108 @@ object Dedup {
     * silently re-derive banding from the signature width). */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1, "need bands >= 1 and rowsPerBand >= 1")
-    // collect_list order is nondeterministic — sort the (i, minhash) structs
-    // before concatenating so the band signature is deterministic
-    val bsig = signatures
-      .withColumn("band", (col("i") / rowsPerBand).cast(IntegerType))
-      .filter(col("band") < bands)
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minhash")))),
-        s => s.getField("minhash")), ",").as("bsig"))
+    val bsig = bandSignatures(signatures, bands, rowsPerBand)
     bsig.as("a").join(bsig.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Shared band-signature build for [[lshCandidatePairs]] and
+    * [[dedupDelta]]: (doc_id, band, bsig) with bsig the comma-joined
+    * minhashes of the band in i order. collect_list order is
+    * nondeterministic — the (i, minhash) structs are sorted before
+    * concatenating so the band signature is deterministic. */
+  private def bandSignatures(signatures: DataFrame, bands: Int,
+                             rowsPerBand: Int): DataFrame = signatures
+    .withColumn("band", (col("i") / rowsPerBand).cast(IntegerType))
+    .filter(col("band") < bands)
+    .groupBy("doc_id", "band")
+    .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minhash")))),
+      s => s.getField("minhash")), ",").as("bsig"))
+
+  /** INCREMENTAL near-dedup — the warm-start contract for the dedup
+    * family: flag which docs of a NEW batch near-duplicate an EXISTING
+    * corpus, touching only the corpus's STORED MinHash signatures
+    * ([[minhashSignatures]] long form, the artifact a daily-ingest
+    * pipeline persists) — the corpus text is never re-read, corpus ×
+    * corpus pairs are never re-examined, and the work is bounded by the
+    * delta's LSH bucket collisions, not the corpus size.
+    *
+    * Contract (fully deterministic, oracle-replayable): a delta doc `d`
+    * matches doc `m` iff (a) they share at least one LSH band (`bands` ×
+    * `rowsPerBand` over the first hashes) and (b) their signatures agree
+    * on ≥ num/den of all `numHashes` positions (cross-multiplied —
+    * `agree·den ≥ num·numHashes` — the unbiased MinHash Jaccard
+    * estimator, computable from signatures alone). `m` ranges over the
+    * corpus AND over delta docs with a smaller doc_id (the new batch is
+    * deduped against itself too, earliest-id-wins). Output: one row per
+    * delta doc carrying a signature — (doc_id, dup_of) with dup_of =
+    * the SMALLEST matching doc id, NULL for survivors. dup_of is a
+    * MATCH, not a transitive cluster representative — feed the flagged
+    * pairs to [[clusters]] when families must be closed.
+    *
+    * `checkDisjoint` runs one distinct-id semi-join and RAISES if the
+    * two sides share a doc id (one id on both sides has no right
+    * answer). It costs a corpus-wide distinct scan — disable it when
+    * ids are disjoint by construction (time-ordered ingest ids).
+    *
+    * Scale shape: band build is one map-side-combined agg per side; the
+    * candidate joins are keyed on (band, bsig) with the DELTA side
+    * always the small probe; the agreement verify joins candidates to
+    * the signature tables on (doc, i) — O(candidates · numHashes) rows,
+    * LSH-bounded. No shuffle touches corpus text. */
+  def dedupDelta(corpusSigs: DataFrame, deltaSigs: DataFrame,
+                 numHashes: Int, bands: Int, rowsPerBand: Int,
+                 num: Int, den: Int,
+                 checkDisjoint: Boolean = true): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"banding ($bands x $rowsPerBand) needs more hashes than numHashes=$numHashes")
+    require(num >= 1 && den >= num,
+      s"agreement threshold num/den must satisfy 1 <= num <= den, got $num/$den")
+    Seq(corpusSigs, deltaSigs).foreach { s =>
+      Seq("doc_id", "i", "minhash").foreach(c => require(s.columns.contains(c),
+        s"signatures must carry (doc_id, i, minhash) — missing '$c'"))
+    }
+    if (checkDisjoint) {
+      val overlap = corpusSigs.select("doc_id").distinct()
+        .join(deltaSigs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(overlap.isEmpty,
+        s"dedupDelta: doc_id ${overlap.head.get(0)} appears in BOTH corpus " +
+          "and delta signatures — the sides must be disjoint")
+    }
+    // the delta band table feeds both candidate joins; the delta sig
+    // table feeds the verify and the output spine — materialize each once
+    val dSig = graft.operators.Checkpoints.checkpoint(
+      deltaSigs.select("doc_id", "i", "minhash"))
+    val bd = graft.operators.Checkpoints.checkpoint(
+      bandSignatures(dSig, bands, rowsPerBand))
+    val bc = bandSignatures(corpusSigs, bands, rowsPerBand)
+    val candCorpus = bd.as("a").join(bc.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.doc_id").as("doc"), col("b.doc_id").as("other"))
+    val candDelta = bd.as("a").join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc"), col("b.doc_id").as("other"))
+    val cand = candCorpus.union(candDelta).distinct()
+    val sigsAll = corpusSigs.select("doc_id", "i", "minhash").union(dSig)
+    val matches = cand
+      .join(dSig.as("sa"), col("doc") === col("sa.doc_id"))
+      .join(sigsAll.as("sb"),
+        col("other") === col("sb.doc_id") && col("sa.i") === col("sb.i"))
+      .filter(col("sa.minhash") === col("sb.minhash"))
+      .groupBy("doc", "other").agg(count(lit(1)).as("agree"))
+      .filter(col("agree") * den >= num.toLong * numHashes)
+      .groupBy("doc").agg(min("other").as("dup_of"))
+    // bd/dSig stay pinned until the caller's gate-level release (the
+    // verifiedPairs convention) — the returned frame still reads them
+    dSig.select("doc_id").distinct()
+      .join(matches, col("doc_id") === col("doc"), "left")
+      .select(col("doc_id"), col("dup_of"))
+      .orderBy("doc_id")
   }
 
   /** Exact set-similarity join on distinct word sets: pairs with Jaccard

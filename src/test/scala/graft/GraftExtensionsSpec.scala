@@ -324,6 +324,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(rows(s2.sql("SELECT * FROM graft_zvalue('z_view', 'x,y', 21)"))
         == rows(zDf.withColumn("zval",
           graft.operators.Layout.zValue(Seq(zDf("x"), zDf("y")), 21))))
+      val corpusDocs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val deltaDocs = Seq((2L, (1 to 20).map(i => s"w$i").mkString(" ")),
+        (5L, (1 to 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+      val cSig = graft.text.Dedup.minhashSignatures(corpusDocs, 16)
+      val dSig = graft.text.Dedup.minhashSignatures(deltaDocs, 16)
+      cSig.createOrReplaceTempView("csig_view")
+      dSig.createOrReplaceTempView("dsig_view")
+      assert(rows(s2.sql(
+          "SELECT * FROM graft_dedup_delta('csig_view', 'dsig_view', 16, 8, 2, 3, 4)"))
+        == rows(graft.text.Dedup.dedupDelta(cSig, dSig, 16, 8, 2, 3, 4)))
       val seedsDf = Seq(1L).toDF("node")
       seedsDf.createOrReplaceTempView("seeds_view")
       assert(rows(s2.sql("SELECT * FROM graft_ppr('edges_view', 's', 'd', 'seeds_view', 'node', 2)"))
