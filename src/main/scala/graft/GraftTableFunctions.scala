@@ -82,8 +82,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_label_prop_warm('edges_view', 'a', 'b', 2, 'prior_view')
   *   SELECT * FROM graft_distinct_sketch('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_distinct_registers('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_cms_registers('events_view', 'event_type', 'user_id', 4, 128)
+  *   SELECT * FROM graft_cms_estimate('events_view', 'event_type', 'user_id', 'probes_view', 4, 128)
   *   SELECT * FROM graft_zvalue('pts_view', 'x,y', 21)
   *   SELECT * FROM graft_dedup_delta('corpus_sigs_view', 'delta_sigs_view', 16, 8, 2, 3, 4)
+  *   SELECT * FROM graft_cc_delta('labels_view', 'new_edges_view')
+  *   SELECT * FROM graft_kmeans('emb_view', 'vec_id', 'embedding', 8, 3)
+  *   SELECT * FROM graft_semdedup('emb_view', 'vec_id', 'embedding', 8, 3, 800000)
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -501,6 +506,23 @@ object GraftTableFunctions {
         numHashes = int(a(2)), bands = int(a(3)), rowsPerBand = int(a(4)),
         num = int(a(5)), den = int(a(6))))
     },
+    // the quotient CC rounds run EAGERLY at planning (the graft_pagerank note)
+    "graft_cc_delta" -> { exprs =>
+      val a = args("graft_cc_delta", exprs, 2)
+      plan(text.Dedup.ccDelta(table(a(0)), table(a(1))))
+    },
+    // the Lloyd rounds run EAGERLY at planning (the graft_pagerank note)
+    "graft_kmeans" -> { exprs =>
+      val a = args("graft_kmeans", exprs, 5)
+      plan(embed.Clustering.kmeans(table(a(0)), idCol = str(a(1)),
+        vecCol = str(a(2)), k = int(a(3)), rounds = int(a(4))))
+    },
+    "graft_semdedup" -> { exprs =>
+      val a = args("graft_semdedup", exprs, 6)
+      plan(embed.Clustering.semDedup(table(a(0)), idCol = str(a(1)),
+        vecCol = str(a(2)), k = int(a(3)), rounds = int(a(4)),
+        minScore1e6 = long(a(5))))
+    },
     "graft_zvalue" -> { exprs =>
       val a = args("graft_zvalue", exprs, 3)
       val zc = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -520,6 +542,21 @@ object GraftTableFunctions {
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       plan(operators.DistinctSketch.registers(table(a(0)), grps,
         valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_cms_registers" -> { exprs =>
+      val a = args("graft_cms_registers", exprs, 5)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.CountMinSketch.registers(table(a(0)), grps,
+        valueCol = str(a(2)), depth = int(a(3)), width = int(a(4))))
+    },
+    "graft_cms_estimate" -> { exprs =>
+      val a = args("graft_cms_estimate", exprs, 6)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val d = int(a(4)); val w = int(a(5))
+      val sk = operators.CountMinSketch.sketch(table(a(0)), grps,
+        valueCol = str(a(2)), depth = d, width = w)
+      plan(operators.CountMinSketch.estimates(sk, "sketch",
+        table(a(3)), depth = d, width = w))
     },
     "graft_qsketch_weighted" -> { exprs =>
       val a = args("graft_qsketch_weighted", exprs, 8)

@@ -27,6 +27,63 @@ object SparkEntry {
   private def cents(c: Column): Column = floor(c * 100).cast(LongType)
   private val CENTS = "CAST(FLOOR(%s * 100) AS BIGINT)"
 
+  /** The shared k-means replay chain (q232/q233): 3 Lloyd rounds with
+    * 1/1024-grid centroids on the shifted-positive q-grid — every step
+    * Int64-exact, mirroring [[graft.embed.Clustering.kmeans]] (seeds by
+    * md5 order; argmin ties on cluster id; empty clusters keep their
+    * centroid; `//` == Spark's `div` because the domain is positive).
+    * Ends with `a3` = (vec_id, cluster, d2). */
+  private val KMEANS_CTES =
+    """pts AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
+      |           AS BIGINT) AS x
+      |  FROM embeddings),
+      |seeds AS MATERIALIZED (
+      |  SELECT vec_id AS cluster FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |c0 AS MATERIALIZED (
+      |  SELECT s.cluster, p.dim, p.x * 1024 AS r
+      |  FROM seeds s JOIN pts p ON p.vec_id = s.cluster),
+      |a1p AS MATERIALIZED (
+      |  SELECT p.vec_id, c.cluster,
+      |         CAST(SUM((p.x*1024 - c.r)*(p.x*1024 - c.r)) AS BIGINT) AS d2
+      |  FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY p.vec_id, c.cluster),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY d2, cluster) AS rn FROM a1p) WHERE rn = 1),
+      |u1 AS MATERIALIZED (
+      |  SELECT a.cluster, p.dim,
+      |         CAST((SUM(p.x) * 1024) // COUNT(*) AS BIGINT) AS r
+      |  FROM a1 a JOIN pts p ON a.vec_id = p.vec_id GROUP BY a.cluster, p.dim),
+      |c1 AS MATERIALIZED (
+      |  SELECT * FROM u1 UNION ALL
+      |  SELECT * FROM c0 WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u1)),
+      |a2p AS MATERIALIZED (
+      |  SELECT p.vec_id, c.cluster,
+      |         CAST(SUM((p.x*1024 - c.r)*(p.x*1024 - c.r)) AS BIGINT) AS d2
+      |  FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY p.vec_id, c.cluster),
+      |a2 AS MATERIALIZED (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY d2, cluster) AS rn FROM a2p) WHERE rn = 1),
+      |u2 AS MATERIALIZED (
+      |  SELECT a.cluster, p.dim,
+      |         CAST((SUM(p.x) * 1024) // COUNT(*) AS BIGINT) AS r
+      |  FROM a2 a JOIN pts p ON a.vec_id = p.vec_id GROUP BY a.cluster, p.dim),
+      |c2 AS MATERIALIZED (
+      |  SELECT * FROM u2 UNION ALL
+      |  SELECT * FROM c1 WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u2)),
+      |a3p AS MATERIALIZED (
+      |  SELECT p.vec_id, c.cluster,
+      |         CAST(SUM((p.x*1024 - c.r)*(p.x*1024 - c.r)) AS BIGINT) AS d2
+      |  FROM pts p JOIN c2 c ON p.dim = c.dim GROUP BY p.vec_id, c.cluster),
+      |a3 AS MATERIALIZED (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY d2, cluster) AS rn FROM a3p) WHERE rn = 1)""".stripMargin
+
   /** Flagship query on sf=0.001: the reference's headline operator — a
     * distributed sliding-window SUM over globally sorted orders. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2621,6 +2678,106 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), 16)
       Dedup.dedupDelta(corpusSigs, deltaSigs, numHashes = 16,
         bands = 8, rowsPerBand = 2, num = 3, den = 4)
+    }),
+
+    // ── portable count-min sketch (r14): per-value FREQUENCY counters
+    // from md5 hex slices, stored as a plain BIGINT array ANY engine can
+    // read and merge with element-wise ADD — the frequency complement of
+    // q223's distinct sketch. Unlike `count_min_sketch_agg`'s opaque
+    // bytes, the counter STATE is oracle-checkable: DuckDB replays every
+    // cell. One map-side-combined agg of 512 conditional sums; the
+    // exchange per group is one fixed-width vector, never user ids ──────
+    "q228_cms_registers" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      graft.operators.CountMinSketch.registers(ev, Seq("event_type"), "user_id")
+    }),
+
+    // ── the count-min cube contract, WEIGHTED: per-flag sketches of part
+    // keys weighted by quantity ROLL UP (element-wise add, never the raw
+    // rows) to the same global counters a direct weighted sketch
+    // computes — the oracle takes the direct path, the gate the
+    // stored-cube path, and they must agree cell-for-cell ────────────────
+    "q229_cms_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .withColumn("qty", floor(col("l_quantity")).cast(LongType))
+      val fine = graft.operators.CountMinSketch.sketch(
+        li, Seq("l_returnflag"), "l_partkey", weightCol = Some("qty"))
+      graft.operators.CountMinSketch.rollup(fine, "sketch", 4, 128, Nil)
+        .select(posexplode(col("sketch")))
+        .filter(col("col") > 0L)
+        .select(col("pos").cast(LongType).as("slot"), col("col").as("c"))
+        .orderBy("slot")
+    }),
+
+    // ── streaming count-min maintainer (r14): per-user value-frequency
+    // counters as an add-fold over micro-batches — NOT idempotent (the
+    // line between this and q225's distinct max-fold: re-delivery counts
+    // twice, so at-least-once sources dedup upstream); the final
+    // snapshot must equal the batch counters the DuckDB oracle computes
+    // directly (a slice for the q97 reason: driver-fed replay) ──────────
+    "q230_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      val snap = graft.streaming.EventStreaming.cmsReplay(evts, nChunks = 3)
+      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
+        .filter(col("col") > 0L)
+        .select(col("user_id"), col("pos").cast(LongType).as("slot"),
+          col("col").as("c"))
+        .orderBy("user_id", "slot")
+    }),
+
+    // ── incremental connected components (r14): fold a batch of NEW
+    // edges into STORED component labels without re-reading the old
+    // edges — the clustering family's warm start (q227's sibling). The
+    // quotient graph (delta endpoints lifted to their old
+    // representatives) is the only iterative work; the corpus label
+    // table is touched once, map-side, by a broadcast relabel map. The
+    // fixture is a star-of-stars (leaves→32-hubs cold; hub→1024-superhub
+    // + fresh-id edges as the delta) so the oracle's fixed-round min
+    // propagation is provably converged (diameter ≤ 3, 5 rounds run) ────
+    "q231_cc_delta" -> ((s, dir) => {
+      val keys = s.read.parquet(t(dir, "orders")).select(col("o_orderkey").as("k"))
+      val e = keys.filter(col("k") % 32 =!= 0)
+        .select(col("k").as("doc_a"), (col("k") - col("k") % 32).as("doc_b"))
+      val nodes = e.select(col("doc_a").as("doc_id"))
+        .union(e.select(col("doc_b").as("doc_id"))).distinct()
+      val cold = Dedup.clustersStars(nodes, e)
+      val hubs = e.select(col("doc_b").as("h")).distinct()
+      val bridge = hubs.filter(col("h") % 1024 =!= 0)
+        .select(col("h").as("doc_a"), (col("h") - col("h") % 1024).as("doc_b"))
+      val fresh = keys.filter(col("k") % 97 === 0 && col("k") % 32 =!= 0)
+        .select((col("k") + 1000000000L).as("doc_a"), col("k").as("doc_b"))
+      Dedup.ccDelta(cold, bridge.union(fresh))
+    }),
+
+    // ── integer-exact k-means (r14): Lloyd rounds with centroids
+    // quantized to a fixed 1/1024 grid and seeds picked by md5 order —
+    // every arithmetic step is Int64 math both engines replay
+    // bit-for-bit (the q92 integer-exact stance applied to clustering),
+    // so the ASSIGNMENT ITSELF is hash-gated, not spot-checked.
+    // Centroids are O(k·d) driver state (the MLlib layout / splitter-
+    // collect class); per-round exchange is O(N·k) argmin rows ──────────
+    "q232_kmeans" -> ((s, dir) => {
+      graft.embed.Clustering.kmeans(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        k = 8, rounds = 3)
+    }),
+
+    // ── SemDeDup-style semantic dedup (r14): cluster first (q232's
+    // k-means), then exact integer-cosine pairs WITHIN clusters only —
+    // pair work bounded by cluster sizes, never N²; a vector that
+    // near-duplicates (cos ≥ 0.8) a smaller-id clustermate is marked
+    // with its earliest duplicate. The oracle replays the full chain:
+    // kmeans rounds, then q54's score grid within the final clusters ────
+    "q233_semdedup" -> ((s, dir) => {
+      graft.embed.Clustering.semDedup(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        k = 8, rounds = 3, minScore1e6 = 800000L)
     }),
   )
 
@@ -6473,5 +6630,118 @@ object SparkEntry {
         |FROM p JOIN f fa ON p.item_a = fa.i
         |       JOIN f fbb ON p.item_b = fbb.i, nb
         |ORDER BY item_a, item_b""".stripMargin,
+
+    // md5-CMS counter replay: depth row i takes hex chars [4i+1, 4i+4]
+    // as a 16-bit slice, bucket = slice mod 128 (exact — 128 divides
+    // 2^16), counter slot = i*128 + bucket, count per (type, slot)
+    "q228_cms_registers" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT event_type,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t(i))
+        |SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM s GROUP BY event_type, slot
+        |ORDER BY event_type, slot""".stripMargin,
+
+    // the DIRECT weighted global counters — the gate reaches the same
+    // cells via the per-flag stored vectors, which is the cube contract
+    "q229_cms_rollup" ->
+      """WITH h AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS w,
+        |             md5(CAST(l_partkey AS VARCHAR)) AS hx
+        |           FROM lineitem WHERE l_partkey IS NOT NULL),
+        |s AS (SELECT w,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t(i))
+        |SELECT slot, CAST(SUM(w) AS BIGINT) AS c
+        |FROM s GROUP BY slot ORDER BY slot""".stripMargin,
+
+    // the BATCH counters of per-user click-value frequencies — the gate
+    // reaches the same cells by folding 3 micro-batches through the
+    // streaming maintainer (counter add is a monoid: any chunking with
+    // exactly-once delivery lands here)
+    "q230_stream_cms" -> {
+      val v = CENTS.format("value")
+      s"""WITH t AS (SELECT user_id, $v AS v FROM events
+        |           WHERE event_type = 'click'),
+        |h AS (SELECT user_id, md5(CAST(v AS VARCHAR)) AS hx
+        |      FROM t WHERE v IS NOT NULL),
+        |s AS (SELECT user_id,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t2(i))
+        |SELECT user_id, slot, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM s GROUP BY user_id, slot
+        |ORDER BY user_id, slot""".stripMargin
+    },
+
+    // one-shot CC of the union graph by fixed-round min-label
+    // propagation over the closed neighborhood — exact here because the
+    // fixture's diameter is ≤ 3 by construction (star-of-stars), so 5
+    // rounds are provably past the fixpoint
+    "q231_cc_delta" ->
+      """WITH keys AS (SELECT o_orderkey AS k FROM orders),
+        |e AS MATERIALIZED (
+        |  SELECT k AS a, k - k % 32 AS b FROM keys WHERE k % 32 <> 0),
+        |hubs AS (SELECT DISTINCT b AS h FROM e),
+        |delta AS MATERIALIZED (
+        |  SELECT h AS a, h - h % 1024 AS b FROM hubs WHERE h % 1024 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000 AS a, k AS b FROM keys
+        |  WHERE k % 97 = 0 AND k % 32 <> 0),
+        |ae AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION SELECT a, b FROM delta),
+        |nodes AS MATERIALIZED (
+        |  SELECT a AS node FROM ae UNION SELECT b FROM ae),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM ae UNION SELECT b, a FROM ae
+        |  UNION SELECT node, node FROM nodes),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        |l1 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u),
+        |l2 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u),
+        |l3 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l2 l ON s.v = l.node GROUP BY s.u),
+        |l4 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l3 l ON s.v = l.node GROUP BY s.u),
+        |l5 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l4 l ON s.v = l.node GROUP BY s.u)
+        |SELECT node AS doc_id, lbl AS cluster FROM l5 ORDER BY doc_id""".stripMargin,
+
+    // the full 3-round integer-exact Lloyd replay (KMEANS_CTES): the
+    // final assignment AND its exact squared distance, cell-for-cell
+    "q232_kmeans" ->
+      s"""WITH $KMEANS_CTES
+        |SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // kmeans chain + q54's integer-cosine score grid WITHIN the final
+    // clusters: dup_of = min smaller-id clustermate at score >= 0.8e6
+    "q233_semdedup" ->
+      s"""WITH $KMEANS_CTES,
+        |ev AS MATERIALIZED (
+        |  SELECT e.vec_id, g.cluster,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings e JOIN a3 g ON e.vec_id = g.vec_id),
+        |pr AS MATERIALIZED (
+        |  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
+        |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |sc AS (SELECT vid_a, vid_b,
+        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |           / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
+        |           AS score
+        |       FROM pr WHERE qn != 0 AND cn != 0),
+        |d AS (SELECT vid_b AS vec_id, MIN(vid_a) AS dup_of FROM sc
+        |      WHERE score >= 800000 GROUP BY vid_b)
+        |SELECT g.vec_id, g.cluster, d.dup_of
+        |FROM a3 g LEFT JOIN d ON g.vec_id = d.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,180 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Embedding clustering — deterministic, integer-exact Lloyd (k-means)
+  * iterations over quantized vectors, the curation primitive the
+  * similarity family builds on (IVF cell training, SemDeDup-style
+  * semantic dedup, domain balancing). The design goal is the family's
+  * usual one: EVERY arithmetic step is exact integer math both engines
+  * reproduce bit-for-bit, so cluster assignments are hash-gateable —
+  * no float-summation-order knife edges anywhere.
+  *
+  * The determinism recipe:
+  *  - values quantize on the q54 grid, SHIFTED positive:
+  *    `q = FLOOR((x + 2) · quantScale)` — translation leaves every
+  *    pairwise distance unchanged, and an all-positive domain makes
+  *    truncating and flooring integer division agree across engines;
+  *  - seeds are the k ids with the smallest `md5(CAST(id AS STRING))`
+  *    (hex order, id tiebreak) — deterministic "random" the oracle
+  *    replays, cluster labels are the SEED ids (stable, engine-free);
+  *  - centroids are QUANTIZED to a fixed 1/centScale grid:
+  *    `r_d = (Σ q_d) · centScale div n` — exact integers, so the
+  *    assignment compare `Σ (q_d·centScale − r_d)²` is exact Int64
+  *    (bounds: |q·centScale| ≤ ~3.1e6 at the defaults, squared-diff
+  *    sums ≤ ~2.4e15 per 64-dim vector — far inside Int64 even at
+  *    millions of rows per cluster);
+  *  - argmin ties break on cluster id (smallest wins) — total order,
+  *    no unspecified behavior;
+  *  - a cluster that loses all members KEEPS its previous centroid
+  *    (stable ids, deterministic; it can re-acquire points later).
+  *
+  * This is "k-means with centroids on a 1/centScale grid" — the
+  * quantization error per coordinate is below the DATA's own
+  * quantization step, so it converges like textbook Lloyd while being
+  * exactly replayable (the q92 integer-exact-replay stance applied to
+  * clustering).
+  *
+  * Scale shape (the MLlib layout): per round, ONE map-side pass scores
+  * every point against the k·d centroid literals (no join — centroids
+  * are O(k·d) driver state, the splitter-collect exemption class), one
+  * window per id picks the argmin, and ONE map-side-combined agg
+  * (cluster, dim) rebuilds centroids. The per-round exchange is
+  * O(N·k) argmin rows + O(k·d) centroid cells — never a pairwise
+  * blowup; rounds are driver-chained with a k·d collect each (the
+  * O(R) collect class, like splitters). */
+object Clustering {
+
+  /** Quantize + shift an embedding column to the all-positive integer
+    * grid; values outside (−shift+0.1, shift−0.1) RAISE — a silent
+    * clamp would warp distances (the Layout domain-guard stance). */
+  private def quantize(vec: Column, quantScale: Long, shift: Double): Column =
+    transform(vec, x => {
+      val xd = x.cast("double")
+      when(xd.isNull || abs(xd) >= shift - 0.1, raise_error(format_string(
+          s"kmeans: embedding value %s outside the quantization domain " +
+            s"(|x| < ${shift - 0.1}) — rescale embeddings first",
+          xd.cast("string"))))
+        .otherwise(floor((xd + shift) * quantScale).cast(LongType))
+    })
+
+  /** Lloyd rounds over `df(idCol, vecCol)`: `rounds` assignment passes
+    * with centroids refreshed between them (so centroids update
+    * rounds−1 times). Returns (idCol, cluster, d2): the final
+    * assignment, cluster = seed id, d2 = exact squared distance to the
+    * winning quantized centroid in (quantScale·centScale)⁻² units. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             rounds: Int, quantScale: Long = 1000L,
+             centScale: Long = 1024L,
+             seedIds: Option[Seq[Long]] = None): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    seedIds.foreach(s => require(s.nonEmpty && s.size == s.distinct.size &&
+      s.size <= k, s"seedIds must be <= k distinct ids, got ${s.size}"))
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    require(quantScale >= 1 && centScale >= 1 &&
+      quantScale * centScale <= (1L << 32),
+      "quantScale*centScale must stay <= 2^32 (Int64 headroom for d2 sums)")
+    Seq(idCol, vecCol).foreach(c =>
+      require(df.columns.contains(c), s"no such column: $c"))
+    val spark = df.sparkSession
+
+    val points = graft.operators.Checkpoints.checkpoint(
+      df.select(col(idCol).as("__km_id"),
+        quantize(col(vecCol), quantScale, 2.0).as("__km_q")))
+
+    // deterministic seeds: k smallest (md5(id), id) — or the caller's
+    // explicit ids (custom init / planted-truth specs); labels = seed ids
+    val seedRows = seedIds match {
+      case Some(ids) =>
+        val got = points.filter(col("__km_id").isin(ids: _*)).collect()
+        require(got.length == ids.size,
+          s"seedIds: ${ids.size - got.length} ids not present in the input")
+        got
+      case None => points
+        .orderBy(md5(col("__km_id").cast("string").cast("binary")), col("__km_id"))
+        .limit(k).collect()
+    }
+    require(seedRows.nonEmpty, "kmeans: empty input")
+    // centroid state lives on the driver (O(k·d), the MLlib layout)
+    var cents: Seq[(Long, Seq[Long])] = seedRows.map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).map(_ * centScale)).toSeq
+
+    def centLit: Column = array(cents.map { case (cid, r) =>
+      struct(lit(cid).as("cluster"), array(r.map(lit): _*).as("r"))
+    }: _*)
+
+    def assign: DataFrame = {
+      val scored = points
+        .select(col("__km_id"), col("__km_q"), explode(centLit).as("__km_c"))
+        .select(col("__km_id"), col("__km_q"),
+          col("__km_c.cluster").as("cluster"),
+          aggregate(
+            zip_with(col("__km_q"), col("__km_c.r"),
+              (x, r) => (x * centScale - r) * (x * centScale - r)),
+            lit(0L), (a, b) => a + b).as("d2"))
+      scored.withColumn("__km_rn", row_number().over(
+          Window.partitionBy("__km_id").orderBy(col("d2"), col("cluster"))))
+        .filter(col("__km_rn") === 1).drop("__km_rn")
+    }
+
+    var round = 1
+    var assigned = assign
+    while (round < rounds) {
+      // rebuild centroids: one map-side-combined (cluster, dim) agg,
+      // then a k·d collect back to the driver literal
+      val upd = assigned.select(col("cluster"), posexplode(col("__km_q")))
+        .groupBy("cluster", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          expr(s"(s * ${centScale}L) div n").as("rd"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("rd")))),
+          x => x.getField("rd")).as("r"))
+        .collect()
+      val fresh = upd.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // empty clusters keep their previous centroid (stable ids)
+      cents = cents.map { case (cid, old) => cid -> fresh.getOrElse(cid, old) }
+      assigned = assign
+      round += 1
+    }
+    val out = assigned
+      .select(col("__km_id").as(idCol), col("cluster"), col("d2"))
+      .orderBy(idCol)
+    out
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    * embeddings ([[kmeans]]), then drop every vector whose cosine
+    * similarity to a SMALLER-id vector in the SAME cluster reaches
+    * `minScore1e6` (the q54 score grid: `floor(1e6·cos)`), keeping the
+    * earliest id — exact near-duplicate semantics with the pair work
+    * bounded by cluster sizes instead of N², which is the entire point
+    * of clustering first. Output: (idCol, cluster, dup_of NULLABLE) —
+    * dup_of = the smallest same-cluster id it duplicates, NULL for
+    * kept vectors.
+    *
+    * The clustering step bounds RECALL: a true near-duplicate pair
+    * split across clusters is not examined (the documented SemDeDup
+    * trade; raise k for tighter clusters and less pair work, lower it
+    * for higher recall). Scale shape: pairs form per cluster via the
+    * [[Similarity.cosinePairsBlocked]] equi-keyed self-join — never a
+    * global cartesian. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               rounds: Int, minScore1e6: Long): DataFrame = {
+    val assignments = kmeans(df, idCol, vecCol, k, rounds)
+      .select(col(idCol), col("cluster"))
+    val blocked = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .join(assignments.select(col(idCol).as("vec_id"), col("cluster")), "vec_id")
+    val pairs = Similarity.cosinePairsBlocked(blocked, "cluster", minScore1e6)
+    val dupOf = pairs.groupBy(col("vid_b").as("vec_id"))
+      .agg(min("vid_a").as("dup_of"))
+    assignments.select(col(idCol).as("vec_id"), col("cluster"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cluster"), col("dup_of"))
+      .orderBy(idCol)
+  }
+}

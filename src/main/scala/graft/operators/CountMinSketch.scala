@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Re-aggregatable PORTABLE frequency sketches — the fourth member of
+  * the sketch family ([[QuantileSketch]] declared-domain quantiles,
+  * [[LogQuantileSketch]] unknown-domain quantiles, [[DistinctSketch]]
+  * distinct counts, this one per-value FREQUENCIES). The exact
+  * heavy-hitter operators ([[HeavyHitters]]) answer "which values are
+  * frequent" for one ad-hoc query; a cube wants per-cell state it can
+  * store, ROLL UP, and probe for ANY value's approximate count later —
+  * without revisiting (or even retaining) the raw rows. That is the
+  * classic count-min sketch (Cormode & Muthukrishnan 2005).
+  *
+  * Like [[DistinctSketch]], the state is PORTABLE: a plain ARRAY<BIGINT>
+  * of depth×width counters whose hash is derived from md5 (every SQL
+  * engine's md5 agrees), so any engine can build, merge, and verify a
+  * stored sketch — the DuckDB gates pin the counter state cell-for-cell,
+  * which no opaque-bytes sketch (`count_min_sketch_agg`'s binary blobs)
+  * can offer.
+  *
+  * Counter construction: md5 of the value's canonical STRING form yields
+  * 32 hex chars; depth row i ∈ [0, d) takes the 4-hex-char (16-bit)
+  * slice at offset 4·i as its hash and buckets it `mod width` (width a
+  * power of two dividing 2^16, so the modulo is bias-free and replays as
+  * plain integer arithmetic in any SQL engine). Counter (i, j) lives at
+  * array index i·width + j and accumulates SUM(weight) (COUNT when
+  * unweighted) over the values whose row-i slice lands in bucket j — a
+  * commutative monoid under element-wise ADDITION, so the cube contract
+  * is EXACT on the state:
+  *
+  *   counters(A ⊎ B) == merge(counters(A), counters(B))   (cell-for-cell)
+  *
+  * in any grouping/order. Multiset semantics: unlike the distinct
+  * sketch's idempotent MAX, duplicates ADD — which is the point (it
+  * counts), and also why at-least-once delivery DOES need dedup before
+  * this sketch (the [[graft.streaming.EventStreaming.CmsStateMaintainer]]
+  * doc carries the warning). The approximation lives only in the
+  * [[estimate]] read: min over the d counters a value hashes to — never
+  * an UNDER-count (every counter ≥ the true count), over by at most
+  * ε·W with probability 1−δ where ε = e/width and δ = e^−depth (W =
+  * total weight in the sketch; defaults d=4, w=128 give ε ≈ 2.1%,
+  * δ ≈ 1.8%).
+  *
+  * Scale shape: [[sketch]] is ONE map-side-combined hash aggregation of
+  * depth×width conditional sums (whole-stage codegen, no UDAF; the
+  * exchange per group is one fixed-width Long vector, never values);
+  * [[rollup]] re-aggregates stored sketches the same way; [[merge]] is a
+  * `zip_with` add; [[estimate]] reads d array cells. depth×width is
+  * capped at 1024 (the [[QuantileSketch]] bins cap) so the widest
+  * aggregate stays inside what codegen splits comfortably.
+  *
+  * Int64 bound: counters are ANSI Long sums — a weight column whose
+  * per-counter sum exceeds Long.Max fails loudly in the aggregation
+  * (Spark ANSI overflow), not silently; rescale heavier weights.
+  */
+object CountMinSketch {
+
+  /** Total counter slots for a (depth, width) sketch, validating the
+    * shape: depth ∈ [1, 8] (md5 has 32 hex chars = 8 disjoint 16-bit
+    * slices), width a power of two in [2, 65536] (so `slice mod width`
+    * is exactly the low bits — bias-free and SQL-portable), and
+    * depth×width ≤ 1024 (the family's codegen-width cap). */
+  def slots(depth: Int, width: Int): Int = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 2 && width <= 65536 && (width & (width - 1)) == 0,
+      s"width must be a power of two in [2, 65536], got $width")
+    require(depth * width <= 1024,
+      s"depth*width must be <= 1024 (codegen cap), got ${depth * width}")
+    depth * width
+  }
+
+  /** The depth-row-i bucket of a value column: hex chars [4i+1, 4i+4] of
+    * md5(CAST(v AS STRING)) as a 16-bit integer, mod width. The same
+    * arithmetic replays in plain SQL on any engine (DuckDB:
+    * `('0x' || substr(md5(v), 4*i+1, 4))::BIGINT % width`). */
+  private def bucket(v: Column, i: Int, width: Int): Column =
+    conv(substring(md5(v.cast("string").cast("binary")), 4 * i + 1, 4), 16, 10)
+      .cast(LongType) % width
+
+  /** One sketch per `groupCols` cell (global when empty) over `valueCol`
+    * (any type with a canonical string form; NULL values are ignored —
+    * they name no countable member). Output: groupCols..., `out`
+    * ARRAY<BIGINT> of length depth·width (counter (i,j) at element
+    * i·width+j+1).
+    *
+    * With `weightCol` (non-negative BIGINT; NULL or negative RAISES —
+    * silently defaulting a weight would shift every estimate, the
+    * [[QuantileSketch]] contract) each counter accumulates SUM(weight):
+    * the sketch answers WEIGHTED frequencies (token-weighted doc counts,
+    * revenue-weighted sku counts). A count sketch IS the all-weights-1
+    * case. */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             depth: Int = 4, width: Int = 128, out: String = "sketch",
+             weightCol: Option[String] = None): DataFrame = {
+    val total = slots(depth, width)
+    (groupCols ++ weightCol :+ valueCol).foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(!c.startsWith("__"),
+        s"column name '$c' collides with internal __* names")
+    }
+    require(!groupCols.contains(valueCol), s"$valueCol is also a group column")
+    weightCol.foreach(c => require(df.schema(c).dataType == LongType,
+      s"$c must be BIGINT"))
+    val wexpr = weightCol match {
+      case None => lit(1L)
+      case Some(c) => when(col(c).isNull || col(c) < 0L, raise_error(
+          format_string(s"sketch: weight '$c' must be a non-negative " +
+            "BIGINT, got %s", coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(col(c))
+    }
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__cm_w", wexpr)
+      .withColumns((0 until depth).map(i =>
+        s"__cm_b$i" -> bucket(col(valueCol), i, width)).toMap)
+    // coalesce: a global (no-group) sketch of an empty input is the
+    // all-zero vector, not NULLs (SUM over zero rows is NULL in SQL)
+    val aggs = (0 until total).map { s =>
+      val i = s / width; val j = s % width
+      coalesce(sum(when(col(s"__cm_b$i") === j, col("__cm_w")).otherwise(0L)),
+        lit(0L)).as(s"__cm_c$s")
+    }
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+
+        array((0 until total).map(s => col(s"__cm_c$s")): _*).as(out): _*)
+  }
+
+  /** Element-wise sum of two counter arrays (same depth/width by
+    * contract) — the ⊕ of the cube contract. NOT idempotent: merging a
+    * sketch with itself doubles every count (multiset semantics). */
+  def merge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Re-aggregates a stored sketch column to coarser `groupCols` cells
+    * (global when empty): the cube rollup, touching only the counter
+    * vectors — never the raw rows. */
+  def rollup(df: DataFrame, sketchCol: String, depth: Int, width: Int,
+             groupCols: Seq[String]): DataFrame = {
+    val total = slots(depth, width)
+    require(df.columns.contains(sketchCol), s"no such column: $sketchCol")
+    // the family's shape guard: a mismatched depth/width would silently
+    // misalign every counter — wrong sketches, not an error
+    val sk = when(size(col(sketchCol)) === total, col(sketchCol))
+      .otherwise(raise_error(format_string(
+        s"rollup: sketch array length %s != $total (depth $depth × width " +
+          s"$width) — shape must match the stored sketch",
+        size(col(sketchCol)).cast("string"))))
+    val aggs = (0 until total).map(s =>
+      coalesce(sum(element_at(sk, s + 1)), lit(0L)).as(s"__cm_c$s"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+
+        array((0 until total).map(s => col(s"__cm_c$s")): _*).as(sketchCol): _*)
+  }
+
+  /** Total weight held by a sketch (BIGINT): each row adds its weight to
+    * exactly one counter of depth row 0 (the first `width` slots), so
+    * summing just that row recovers W exactly — integer arithmetic, no
+    * division. */
+  def total(sk: Column, width: Int): Column =
+    aggregate(slice(sk, 1, width), lit(0L), (a, x) => a + x)
+
+  /** The approximate count of `v` read from a sketch: min over the d
+    * counters v hashes to. Never under the true count; over by ≤ ε·W
+    * with probability 1−δ (ε = e/width, δ = e^−depth). An empty sketch
+    * reads 0; a value never inserted usually reads 0 but may read a
+    * small positive count (hash collisions) — the one-sided error. */
+  def estimate(sk: Column, v: Column, depth: Int, width: Int): Column = {
+    slots(depth, width)
+    (0 until depth).map(i =>
+      element_at(sk, (lit(i.toLong * width) + bucket(v, i, width) + 1L)
+        .cast("int")))
+      .reduce(least(_, _))
+  }
+
+  /** Probe a stored sketch table with a value set: for each (sketch row
+    * × probe value), the estimated count. `sketchDf` is (groupCols...,
+    * sketchCol); `probes` is a single-column frame of values. The probe
+    * side is broadcast when small — the read never touches raw rows. */
+  def estimates(sketchDf: DataFrame, sketchCol: String,
+                probes: DataFrame, depth: Int, width: Int): DataFrame = {
+    val pc = probes.columns match {
+      case Array(c) => c
+      case cs => throw new IllegalArgumentException(
+        s"probes must have exactly one column, got ${cs.mkString(",")}")
+    }
+    sketchDf.crossJoin(broadcast(probes))
+      .withColumn("est",
+        estimate(col(sketchCol), col(pc), depth, width))
+      .drop(sketchCol)
+  }
+
+  /** The oracle-facing exact form: non-zero counters as (groupCols...,
+    * slot, c) rows, ordered — what a cross-engine SQL replay pins
+    * cell-for-cell (the estimate is approximate by nature and
+    * spec-gated; the STATE is exact and oracle-gated). */
+  def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                depth: Int = 4, width: Int = 128,
+                weightCol: Option[String] = None): DataFrame = {
+    val sk = sketch(df, groupCols, valueCol, depth, width,
+      weightCol = weightCol)
+    sk.select(groupCols.map(col) :+ posexplode(col("sketch")): _*)
+      .filter(col("col") > 0L)
+      .select(groupCols.map(col) ++ Seq(col("pos").cast(LongType).as("slot"),
+        col("col").as("c")): _*)
+      .orderBy((groupCols :+ "slot").map(col): _*)
+  }
+}

@@ -427,6 +427,53 @@ object EventStreaming {
           absorb(batch.toDF()))
   }
 
+  /** Streaming FREQUENCY-sketch maintainer — the per-value-count
+    * complement of [[DistinctStateMaintainer]]: foreachBatch computes
+    * each micro-batch's per-key portable count-min counter vector
+    * ([[graft.operators.CountMinSketch.sketch]] — ONE map-side-combined
+    * aggregation; the exchange per batch is one fixed-width vector per
+    * observed key, never the values) and folds it into the running
+    * snapshot with the exact element-wise-ADD merge. Counter addition is
+    * a commutative monoid, so the snapshot between batches is EXACTLY
+    * the batch-mode sketch of everything absorbed, in any chunking — but
+    * unlike the distinct sketch's idempotent MAX it is NOT idempotent:
+    * re-delivered rows COUNT TWICE, so an at-least-once source needs
+    * upstream dedup (e.g. [[dedupStream]]) before this maintainer — the
+    * operational line between the two sketch maintainers. State is
+    * O(keys · depth·width); same bucketed-slice option, same bounded
+    * plan/memory discipline. */
+  final class CmsStateMaintainer(key: String, v: String,
+                                 depth: Int = 4, width: Int = 128,
+                                 buckets: Int = 1) {
+    private val zero = array_repeat(lit(0L),
+      graft.operators.CountMinSketch.slots(depth, width))
+    private val state = new SlicedState(key, buckets, (prev, st) =>
+      prev.select(col(key), col("sketch").as("__sk_a"))
+        .join(st.select(col(key), col("sketch").as("__sk_b")),
+          Seq(key), "full_outer")
+        .select(col(key), graft.operators.CountMinSketch.merge(
+          coalesce(col("__sk_a"), zero),
+          coalesce(col("__sk_b"), zero)).as("sketch")))
+
+    /** The current complete snapshot (None before the first batch):
+      * (key, sketch ARRAY<BIGINT> of length depth·width). */
+    def current: Option[DataFrame] = synchronized(state.current)
+
+    /** Folds one bounded batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      state.absorb(graft.operators.CountMinSketch.sketch(
+        batch, Seq(key), v, depth, width))
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
   /** Replays a bounded event slice through a [[SketchStateMaintainer]]
     * in `nChunks` micro-batches and returns the final snapshot — the
     * harness that oracle-gates the streaming sketch path (q219) against
@@ -490,6 +537,40 @@ object EventStreaming {
       }
     } finally q.stop()
     m.current.get.orderBy("userId")
+  }
+
+  /** Replays a bounded event slice through a [[CmsStateMaintainer]] in
+    * `nChunks` micro-batches and returns the final snapshot of per-USER
+    * value-frequency counters (the q219 keying) — the harness that
+    * oracle-gates the streaming count-min path against the batch
+    * counters: the add-fold across ANY batch split must equal the
+    * direct per-key sketch, with each event delivered exactly once —
+    * the non-idempotent monoid's requirement, unlike [[distinctReplay]].
+    * Same bounded-replay caveat as [[sessionizeReplay]]. */
+  def cmsReplay(events: Dataset[Event], nChunks: Int,
+                depth: Int = 4, width: Int = 128,
+                buckets: Int = 1): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyCol = "userId"
+    val rows = events.collect().toSeq
+    val m = new CmsStateMaintainer(keyCol, "valueCents", depth, width, buckets)
+    if (rows.isEmpty)
+      return graft.operators.CountMinSketch.sketch(
+        spark.emptyDataset[Event].toDF(), Seq(keyCol), "valueCents",
+        depth, width)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(stream.toDS().toDF()).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current.get.orderBy(keyCol)
   }
 
   /** Streaming upsert (CDC) maintainer — foreachBatch folding each

@@ -1032,6 +1032,86 @@ object Dedup {
     out
   }
 
+  /** INCREMENTAL connected components — the warm-start contract for the
+    * clustering family ([[dedupDelta]]'s sibling: q213/q221/q222 ported
+    * the prior-seeding contract to the fixed-point loops; this ports it
+    * to [[clustersStars]]). Given the STORED labels of an existing graph
+    * (`(doc_id, cluster)`, cluster = component min — the
+    * [[clustersStars]] output shape) and a batch of NEW edges, computes
+    * the labels of the UNION graph without re-reading the old edges:
+    *
+    *   ccDelta(clustersStars(V, E), ΔE) == clustersStars(V ∪ ends(ΔE), E ∪ ΔE)
+    *
+    * (spec-pinned). The mechanism is the QUOTIENT graph: each ΔE
+    * endpoint lifts to its old component representative (itself when
+    * new), star-CC runs on the lifted edges only — O(|ΔE|) work
+    * regardless of corpus size — and the resulting relabel map
+    * (old representative → new component min, ≤ 2·|ΔE| rows) is
+    * BROADCAST onto the stored labels: the one full-table touch is a
+    * map-side join, no shuffle of the corpus. New nodes (endpoints with
+    * no stored label) enter labeled by their quotient component.
+    *
+    * Validity guards (the q213 prior contract, loud not silent): a
+    * duplicate doc_id in `labels` RAISES (two labels for one doc has no
+    * right answer — and would row-multiply through the join), and a
+    * label ABOVE its node RAISES (the min-convention the quotient lift
+    * relies on; a violating input is not a [[clustersStars]] output).
+    * Old labels are otherwise TRUSTED as the stored artifact — exactly
+    * [[dedupDelta]]'s corpus-signature stance: garbage stored components
+    * give garbage merged components, by contract.
+    *
+    * 100 TB shape: the corpus label table is touched once, map-side; the
+    * iterative work is delta-bounded (LSH/band-bucketed dedup emits
+    * delta edges, this folds them in — the standing-corpus maintenance
+    * loop's missing half). */
+  def ccDelta(labels: DataFrame, newEdges: DataFrame,
+              maxIter: Int = 50): DataFrame = {
+    Seq("doc_id", "cluster").foreach(c => require(labels.columns.contains(c),
+      s"labels must carry (doc_id, cluster) — missing $c"))
+    Seq("doc_a", "doc_b").foreach(c => require(newEdges.columns.contains(c),
+      s"newEdges must carry (doc_a, doc_b) — missing $c"))
+    // de-fan + validity in one map-side-combined agg BEFORE any join
+    val labs = labels
+      .groupBy("doc_id")
+      .agg(max("cluster").as("__c"), count(lit(1)).as("__n"))
+      .select(col("doc_id"),
+        when(col("__n") =!= 1L, raise_error(format_string(
+            "ccDelta: labels has %s rows for doc %s — (doc_id, cluster) " +
+              "must be unique", col("__n").cast("string"),
+            col("doc_id").cast("string"))))
+          .when(col("__c") > col("doc_id"), raise_error(format_string(
+            "ccDelta: label %s exceeds doc %s — cluster must be the " +
+              "component MIN (the clustersStars convention)",
+            col("__c").cast("string"), col("doc_id").cast("string"))))
+          .otherwise(col("__c")).as("cluster"))
+    // lift each delta endpoint to its component representative (itself
+    // when the corpus has never seen it)
+    val ends = newEdges.select(col("doc_a").as("n"))
+      .union(newEdges.select(col("doc_b").as("n"))).distinct()
+    val lifted = ends
+      .join(labs.select(col("doc_id").as("n"), col("cluster")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("cluster"), col("n")).as("lbl"))
+    val q = newEdges
+      .join(lifted.select(col("n").as("doc_a"), col("lbl").as("la")), Seq("doc_a"))
+      .join(lifted.select(col("n").as("doc_b"), col("lbl").as("lb")), Seq("doc_b"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val qnodes = lifted.select(col("lbl").as("doc_id")).distinct()
+    // star-CC on the quotient: delta-bounded, the only iterative work
+    val qcc = clustersStars(qnodes, q, maxIter)
+    val relabel = qcc.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("__from"), col("cluster").as("__to"))
+    val newNodes = lifted
+      .join(labs.select(col("doc_id").as("n")), Seq("n"), "left_anti")
+      .select(col("n").as("doc_id"), col("lbl").as("cluster"))
+    val all = labs.select("doc_id", "cluster").union(newNodes)
+    // the single corpus-wide touch: map-side against the broadcast
+    // relabel map (≤ 2·|ΔE| rows by construction)
+    all.join(broadcast(relabel), all("cluster") === col("__from"), "left")
+      .select(col("doc_id"), coalesce(col("__to"), col("cluster")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** EXACT-SUBSTRING dedup as a REWRITE (the Lee et al. 2021
     * "Deduplicating Training Data Makes Language Models Better" operation;
     * cf. reference dedup scope `/root/reference/src` — the reference stops

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.embed.Clustering
+
+/** Integer-exact k-means and SemDeDup contracts: planted well-separated
+  * clusters are recovered exactly, assignments are deterministic across
+  * partitionings (the hash-gate precondition), empty-cluster and
+  * domain-guard behavior, and semDedup's within-cluster near-dup
+  * marking (earliest id wins; cross-cluster pairs out of scope by
+  * design). The exact replay itself is oracle-gated (q232/q233). */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted fixture: `k` well-separated centers on coordinate axes,
+    * tight noise — every Lloyd variant must recover the planting. */
+  private def planted(k: Int, per: Int, dim: Int = 8): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until k).flatMap { c =>
+      (0 until per).map { i =>
+        val id = (c * per + i).toLong
+        val v = (0 until dim).map(d =>
+          (if (d == c) 0.8f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
+        id -> v
+      }
+    }
+  }
+
+  test("planted clusters recovered exactly; assignment agrees with planting") {
+    val rows = planted(k = 4, per = 25)
+    val df = rows.toDF("vec_id", "embedding")
+    // one explicit seed per planted blob: with well-separated blobs this
+    // must recover the planting exactly (Lloyd from a good init)
+    val got = Clustering.kmeans(df, "vec_id", "embedding", k = 4, rounds = 3,
+        seedIds = Some(Seq(0L, 25L, 50L, 75L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same planted center => same cluster label; different => different
+    val byPlant = rows.groupBy(_._1 / 25).map { case (p, xs) =>
+      p -> xs.map(x => got(x._1)).distinct
+    }
+    byPlant.foreach { case (p, labels) =>
+      assert(labels.size == 1, s"planted center $p split: $labels")
+    }
+    assert(byPlant.values.flatten.toSeq.distinct.size == 4)
+  }
+
+  test("deterministic across partitionings (the hash-gate precondition)") {
+    val df = planted(3, 20).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Clustering.kmeans(d, "vec_id", "embedding", k = 3, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(df) == run(df.repartition(17)))
+  }
+
+  test("labels are seed ids; d2 is the exact integer distance to the winning centroid") {
+    val rows = Seq(
+      1L -> Seq(0.5f, 0.5f), 2L -> Seq(0.5f, 0.5f), 3L -> Seq(-0.5f, -0.5f))
+    val out = Clustering.kmeans(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, rounds = 2).collect()
+    val labels = out.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(Set(1L, 2L, 3L)))
+    // ids 1,2 coincide: one of them must be distance 0 from its centroid
+    assert(out.filter(r => Set(1L, 2L)(r.getLong(0))).forall(_.getLong(2) == 0L))
+  }
+
+  test("rounds=1 is pure seed assignment; k > n degrades to n seeds") {
+    val rows = Seq(10L -> Seq(0.1f, 0.0f), 20L -> Seq(-0.1f, 0.0f))
+    val out = Clustering.kmeans(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, rounds = 1).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    // each point is its own seed => distance 0
+    assert(out.forall(_.getLong(2) == 0L))
+  }
+
+  test("out-of-domain embedding values RAISE") {
+    val rows = Seq(1L -> Seq(2.5f, 0.0f))
+    val e = intercept[Exception] {
+      Clustering.kmeans(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("quantization domain"))
+  }
+
+  test("semDedup: exact dups within a cluster marked with the earliest id; kept rows NULL") {
+    // two identical triples + a singleton, far apart
+    val rows = Seq(
+      1L -> Seq(0.5f, 0.0f, 0.0f), 2L -> Seq(0.5f, 0.0f, 0.0f),
+      3L -> Seq(0.5f, 0.0f, 0.0f), 9L -> Seq(0.0f, 0.5f, 0.0f))
+    val out = Clustering.semDedup(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, rounds = 3, minScore1e6 = 999000L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(1L) && out(3L).contains(1L))
+    assert(out(9L).isEmpty)
+  }
+}

@@ -355,6 +355,30 @@ class EventStreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
   }
 
+  test("cmsReplay: any chunking x bucketing == the batch counters; re-delivery COUNTS (non-idempotent)") {
+    val rows = (0L until 60L).map(i =>
+      Event(i, i % 4 + 1, sec(i), i % 13 * 100L))
+    val ds = rows.toDS()
+    val batch = graft.operators.CountMinSketch.sketch(
+        ds.toDF(), Seq("userId"), "valueCents")
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    for (k <- Seq(1, 3, 7); b <- Seq(1, 8)) {
+      val snap = EventStreaming.cmsReplay(ds, nChunks = k, buckets = b)
+        .as[(Long, Seq[Long])].collect().toSeq
+      assert(snap == batch, s"nChunks=$k buckets=$b")
+    }
+    // the line vs the distinct maintainer: replaying the slice twice
+    // DOUBLES every counter — frequency sketches need exactly-once (or
+    // upstream dedup); the spec pins the failure mode, not just the
+    // happy path
+    val dup = EventStreaming.cmsReplay((rows ++ rows).toDS(), nChunks = 4)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(dup == batch.map { case (u, sk) => (u, sk.map(_ * 2L)) })
+    // empty slice: empty snapshot with the sketch schema
+    val empty = EventStreaming.cmsReplay(spark.emptyDataset[Event], nChunks = 2)
+    assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
+  }
+
   test("bucketed agg-state maintainer: any buckets x any chunking == the direct aggState; sparse batches touch few slices") {
     val rows = (0L until 48L).map(i =>
       Event(i, i % 6 + 1, sec(i), i * 3 % 101))
