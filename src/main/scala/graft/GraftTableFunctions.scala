@@ -89,6 +89,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cc_delta('labels_view', 'new_edges_view')
   *   SELECT * FROM graft_kmeans('emb_view', 'vec_id', 'embedding', 8, 3)
   *   SELECT * FROM graft_semdedup('emb_view', 'vec_id', 'embedding', 8, 3, 800000)
+  *   SELECT * FROM graft_kmeans_centroids('emb_view', 'vec_id', 'embedding', 8, 3)
+  *   SELECT * FROM graft_kmeans_assign('cents_view', 'emb_view', 'vec_id', 'embedding')
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -522,6 +524,16 @@ object GraftTableFunctions {
       plan(embed.Clustering.semDedup(table(a(0)), idCol = str(a(1)),
         vecCol = str(a(2)), k = int(a(3)), rounds = int(a(4)),
         minScore1e6 = long(a(5))))
+    },
+    "graft_kmeans_centroids" -> { exprs =>
+      val a = args("graft_kmeans_centroids", exprs, 5)
+      plan(embed.Clustering.kmeansCentroids(table(a(0)), idCol = str(a(1)),
+        vecCol = str(a(2)), k = int(a(3)), rounds = int(a(4))))
+    },
+    "graft_kmeans_assign" -> { exprs =>
+      val a = args("graft_kmeans_assign", exprs, 4)
+      plan(embed.Clustering.kmeansAssign(table(a(0)), table(a(1)),
+        idCol = str(a(2)), vecCol = str(a(3))))
     },
     "graft_zvalue" -> { exprs =>
       val a = args("graft_zvalue", exprs, 3)

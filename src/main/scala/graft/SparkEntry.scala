@@ -27,20 +27,21 @@ object SparkEntry {
   private def cents(c: Column): Column = floor(c * 100).cast(LongType)
   private val CENTS = "CAST(FLOOR(%s * 100) AS BIGINT)"
 
-  /** The shared k-means replay chain (q232/q233): 3 Lloyd rounds with
-    * 1/1024-grid centroids on the shifted-positive q-grid — every step
-    * Int64-exact, mirroring [[graft.embed.Clustering.kmeans]] (seeds by
-    * md5 order; argmin ties on cluster id; empty clusters keep their
-    * centroid; `//` == Spark's `div` because the domain is positive).
-    * Ends with `a3` = (vec_id, cluster, d2). */
-  private val KMEANS_CTES =
-    """pts AS MATERIALIZED (
+  /** The shared k-means replay chain (q232/q233/q235): 3 Lloyd rounds
+    * with 1/1024-grid centroids on the shifted-positive q-grid — every
+    * step Int64-exact, mirroring [[graft.embed.Clustering.kmeans]]
+    * (seeds by md5 order; argmin ties on cluster id; empty clusters
+    * keep their centroid; `//` == Spark's `div` because the domain is
+    * positive). `pred` restricts the TRAINING set. Ends with `a3` =
+    * (vec_id, cluster, d2) and `c2` = the final centroid model. */
+  private def kmeansCtes(pred: String): String =
+    s"""pts AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
       |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
       |           AS BIGINT) AS x
-      |  FROM embeddings),
+      |  FROM embeddings WHERE $pred),
       |seeds AS MATERIALIZED (
-      |  SELECT vec_id AS cluster FROM embeddings
+      |  SELECT vec_id AS cluster FROM embeddings WHERE $pred
       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
       |c0 AS MATERIALIZED (
       |  SELECT s.cluster, p.dim, p.x * 1024 AS r
@@ -2778,6 +2779,42 @@ object SparkEntry {
       graft.embed.Clustering.semDedup(
         s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
         k = 8, rounds = 3, minScore1e6 = 800000L)
+    }),
+
+    // ── streaming connected-components maintainer (r14): q231's edge
+    // set folded in as 3 micro-batches of NEW edges — each batch pays
+    // only its delta-bounded quotient CC + one map-side relabel of the
+    // snapshot; ccDelta's incremental == one-shot law means ANY
+    // chunking must land on the one-shot CC the oracle computes ─────────
+    "q234_stream_cc" -> ((s, dir) => {
+      import s.implicits._
+      val keys = s.read.parquet(t(dir, "orders")).select(col("o_orderkey").as("k"))
+      val e = keys.filter(col("k") % 32 =!= 0)
+        .select(col("k").as("doc_a"), (col("k") - col("k") % 32).as("doc_b"))
+      val hubs = e.select(col("doc_b").as("h")).distinct()
+      val bridge = hubs.filter(col("h") % 1024 =!= 0)
+        .select(col("h").as("doc_a"), (col("h") - col("h") % 1024).as("doc_b"))
+      val fresh = keys.filter(col("k") % 97 === 0 && col("k") % 32 =!= 0)
+        .select((col("k") + 1000000000L).as("doc_a"), col("k").as("doc_b"))
+      val all = e.union(bridge).union(fresh)
+        .select(col("doc_a").as("docA"), col("doc_b").as("docB"))
+        .as[graft.streaming.EventStreaming.GraphEdge]
+      graft.streaming.EventStreaming.ccReplay(all, nChunks = 3)
+    }),
+
+    // ── k-means SERVE path (r14): the clustering family's warm start —
+    // train centroids on two thirds of the vectors, store the O(k·d)
+    // model table, assign the HELD-OUT third against it with no
+    // re-training (plan-literal scoring, no join). The oracle replays
+    // the training rounds on the same subset, then scores the held-out
+    // vectors against the final centroid model c2 ───────────────────────
+    "q235_kmeans_assign" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val cents = graft.embed.Clustering.kmeansCentroids(
+        emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+        k = 8, rounds = 3)
+      graft.embed.Clustering.kmeansAssign(cents,
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
     }),
   )
 
@@ -6714,13 +6751,13 @@ object SparkEntry {
     // the full 3-round integer-exact Lloyd replay (KMEANS_CTES): the
     // final assignment AND its exact squared distance, cell-for-cell
     "q232_kmeans" ->
-      s"""WITH $KMEANS_CTES
+      s"""WITH ${kmeansCtes("TRUE")}
         |SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin,
 
     // kmeans chain + q54's integer-cosine score grid WITHIN the final
     // clusters: dup_of = min smaller-id clustermate at score >= 0.8e6
     "q233_semdedup" ->
-      s"""WITH $KMEANS_CTES,
+      s"""WITH ${kmeansCtes("TRUE")},
         |ev AS MATERIALIZED (
         |  SELECT e.vec_id, g.cluster,
         |    list_transform(list_transform(embedding,
@@ -6743,5 +6780,56 @@ object SparkEntry {
         |SELECT g.vec_id, g.cluster, d.dup_of
         |FROM a3 g LEFT JOIN d ON g.vec_id = d.vec_id
         |ORDER BY g.vec_id""".stripMargin,
+
+    // the one-shot CC of the streamed union graph — identical cells to
+    // q231 (the q224/q225 convention: the gate takes the incremental
+    // fold, the oracle the direct path)
+    "q234_stream_cc" ->
+      """WITH keys AS (SELECT o_orderkey AS k FROM orders),
+        |e AS MATERIALIZED (
+        |  SELECT k AS a, k - k % 32 AS b FROM keys WHERE k % 32 <> 0),
+        |hubs AS (SELECT DISTINCT b AS h FROM e),
+        |delta AS MATERIALIZED (
+        |  SELECT h AS a, h - h % 1024 AS b FROM hubs WHERE h % 1024 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000 AS a, k AS b FROM keys
+        |  WHERE k % 97 = 0 AND k % 32 <> 0),
+        |ae AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION SELECT a, b FROM delta),
+        |nodes AS MATERIALIZED (
+        |  SELECT a AS node FROM ae UNION SELECT b FROM ae),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM ae UNION SELECT b, a FROM ae
+        |  UNION SELECT node, node FROM nodes),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        |l1 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u),
+        |l2 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u),
+        |l3 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l2 l ON s.v = l.node GROUP BY s.u),
+        |l4 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l3 l ON s.v = l.node GROUP BY s.u),
+        |l5 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l4 l ON s.v = l.node GROUP BY s.u)
+        |SELECT node AS doc_id, lbl AS cluster FROM l5 ORDER BY doc_id""".stripMargin,
+
+    // training rounds replayed on the train subset (pred), then the
+    // held-out vectors scored against the final centroid model c2
+    "q235_kmeans_assign" ->
+      s"""WITH ${kmeansCtes("vec_id % 3 <> 0")},
+        |hp AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
+        |           AS BIGINT) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |ap AS MATERIALIZED (
+        |  SELECT h.vec_id, c.cluster,
+        |         CAST(SUM((h.x*1024 - c.r)*(h.x*1024 - c.r)) AS BIGINT) AS d2
+        |  FROM hp h JOIN c2 c ON h.dim = c.dim GROUP BY h.vec_id, c.cluster)
+        |SELECT vec_id, cluster, d2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cluster) AS rn FROM ap) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
   )
 }

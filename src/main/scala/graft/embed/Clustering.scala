@@ -61,15 +61,34 @@ object Clustering {
         .otherwise(floor((xd + shift) * quantScale).cast(LongType))
     })
 
-  /** Lloyd rounds over `df(idCol, vecCol)`: `rounds` assignment passes
-    * with centroids refreshed between them (so centroids update
-    * rounds−1 times). Returns (idCol, cluster, d2): the final
-    * assignment, cluster = seed id, d2 = exact squared distance to the
-    * winning quantized centroid in (quantScale·centScale)⁻² units. */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             rounds: Int, quantScale: Long = 1000L,
-             centScale: Long = 1024L,
-             seedIds: Option[Seq[Long]] = None): DataFrame = {
+  /** Scores quantized points against driver-held centroids and keeps
+    * each point's argmin (ties on cluster id): (__km_id, __km_q,
+    * cluster, d2). The centroid literals are O(k·d) plan constants — no
+    * join, the MLlib serving shape. */
+  private def scoreAssign(points: DataFrame, cents: Seq[(Long, Seq[Long])],
+                          centScale: Long): DataFrame = {
+    val centLit = array(cents.map { case (cid, r) =>
+      struct(lit(cid).as("cluster"), array(r.map(lit): _*).as("r"))
+    }: _*)
+    points
+      .select(col("__km_id"), col("__km_q"), explode(centLit).as("__km_c"))
+      .select(col("__km_id"), col("__km_q"),
+        col("__km_c.cluster").as("cluster"),
+        aggregate(
+          zip_with(col("__km_q"), col("__km_c.r"),
+            (x, r) => (x * centScale - r) * (x * centScale - r)),
+          lit(0L), (a, b) => a + b).as("d2"))
+      .withColumn("__km_rn", row_number().over(
+        Window.partitionBy("__km_id").orderBy(col("d2"), col("cluster"))))
+      .filter(col("__km_rn") === 1).drop("__km_rn")
+  }
+
+  /** The shared Lloyd loop: returns the final assignment (internal
+    * column names) and the centroid model that produced it. */
+  private def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    rounds: Int, quantScale: Long, centScale: Long,
+                    seedIds: Option[Seq[Long]])
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
     seedIds.foreach(s => require(s.nonEmpty && s.size == s.distinct.size &&
       s.size <= k, s"seedIds must be <= k distinct ids, got ${s.size}"))
@@ -79,7 +98,6 @@ object Clustering {
       "quantScale*centScale must stay <= 2^32 (Int64 headroom for d2 sums)")
     Seq(idCol, vecCol).foreach(c =>
       require(df.columns.contains(c), s"no such column: $c"))
-    val spark = df.sparkSession
 
     val points = graft.operators.Checkpoints.checkpoint(
       df.select(col(idCol).as("__km_id"),
@@ -102,26 +120,8 @@ object Clustering {
     var cents: Seq[(Long, Seq[Long])] = seedRows.map(r =>
       r.getLong(0) -> r.getSeq[Long](1).map(_ * centScale)).toSeq
 
-    def centLit: Column = array(cents.map { case (cid, r) =>
-      struct(lit(cid).as("cluster"), array(r.map(lit): _*).as("r"))
-    }: _*)
-
-    def assign: DataFrame = {
-      val scored = points
-        .select(col("__km_id"), col("__km_q"), explode(centLit).as("__km_c"))
-        .select(col("__km_id"), col("__km_q"),
-          col("__km_c.cluster").as("cluster"),
-          aggregate(
-            zip_with(col("__km_q"), col("__km_c.r"),
-              (x, r) => (x * centScale - r) * (x * centScale - r)),
-            lit(0L), (a, b) => a + b).as("d2"))
-      scored.withColumn("__km_rn", row_number().over(
-          Window.partitionBy("__km_id").orderBy(col("d2"), col("cluster"))))
-        .filter(col("__km_rn") === 1).drop("__km_rn")
-    }
-
     var round = 1
-    var assigned = assign
+    var assigned = scoreAssign(points, cents, centScale)
     while (round < rounds) {
       // rebuild centroids: one map-side-combined (cluster, dim) agg,
       // then a k·d collect back to the driver literal
@@ -138,13 +138,68 @@ object Clustering {
       val fresh = upd.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       // empty clusters keep their previous centroid (stable ids)
       cents = cents.map { case (cid, old) => cid -> fresh.getOrElse(cid, old) }
-      assigned = assign
+      assigned = scoreAssign(points, cents, centScale)
       round += 1
     }
-    val out = assigned
+    (assigned, cents)
+  }
+
+  /** Lloyd rounds over `df(idCol, vecCol)`: `rounds` assignment passes
+    * with centroids refreshed between them (so centroids update
+    * rounds−1 times). Returns (idCol, cluster, d2): the final
+    * assignment, cluster = seed id, d2 = exact squared distance to the
+    * winning quantized centroid in (quantScale·centScale)⁻² units. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             rounds: Int, quantScale: Long = 1000L,
+             centScale: Long = 1024L,
+             seedIds: Option[Seq[Long]] = None): DataFrame = {
+    val (assigned, _) = lloyd(df, idCol, vecCol, k, rounds, quantScale,
+      centScale, seedIds)
+    assigned.select(col("__km_id").as(idCol), col("cluster"), col("d2"))
+      .orderBy(idCol)
+  }
+
+  /** The trained MODEL as a storable table: (cluster, r ARRAY<BIGINT>) —
+    * the centroids (in 1/(quantScale·centScale) grid units) that
+    * produced [[kmeans]]'s final assignment for the same parameters.
+    * Store it; serve with [[kmeansAssign]]. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      rounds: Int, quantScale: Long = 1000L,
+                      centScale: Long = 1024L,
+                      seedIds: Option[Seq[Long]] = None): DataFrame = {
+    val (_, cents) = lloyd(df, idCol, vecCol, k, rounds, quantScale,
+      centScale, seedIds)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toDF("cluster", "r").orderBy("cluster")
+  }
+
+  /** SERVE path — the clustering family's warm-start contract (the
+    * q213/q221/q222/q227 stance): assign vectors to STORED centroids
+    * without re-training. `centroids` is [[kmeansCentroids]]'s shape
+    * (cluster, r); a duplicate cluster id RAISES (two centroids for one
+    * label has no right answer), and by the exactness of the whole
+    * chain, `kmeansAssign(kmeansCentroids(df, …), df) == kmeans(df, …)`
+    * (spec-pinned). Output: (idCol, cluster, d2). The centroid table is
+    * O(k·d) — collected to the driver and served as plan literals, the
+    * same no-join scoring shape training uses. */
+  def kmeansAssign(centroids: DataFrame, df: DataFrame, idCol: String,
+                   vecCol: String, quantScale: Long = 1000L,
+                   centScale: Long = 1024L): DataFrame = {
+    Seq("cluster", "r").foreach(c => require(centroids.columns.contains(c),
+      s"centroids must carry (cluster, r) — missing $c"))
+    val rows = centroids.select(col("cluster").cast(LongType), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+    require(rows.nonEmpty, "kmeansAssign: empty centroid table")
+    require(rows.map(_._1).distinct.size == rows.size,
+      s"kmeansAssign: duplicate cluster ids in the centroid table")
+    require(rows.map(_._2.size).distinct.size == 1,
+      "kmeansAssign: centroid vectors must share one dimensionality")
+    val points = df.select(col(idCol).as("__km_id"),
+      quantize(col(vecCol), quantScale, 2.0).as("__km_q"))
+    scoreAssign(points, rows, centScale)
       .select(col("__km_id").as(idCol), col("cluster"), col("d2"))
       .orderBy(idCol)
-    out
   }
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the

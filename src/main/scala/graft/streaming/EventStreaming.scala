@@ -573,6 +573,86 @@ object EventStreaming {
     m.current.get.orderBy(keyCol)
   }
 
+  /** An undirected edge for graph-stream replays. */
+  case class GraphEdge(docA: Long, docB: Long)
+
+  /** Streaming CONNECTED-COMPONENTS maintainer — the graph complement
+    * of the sketch maintainers: foreachBatch folds each micro-batch of
+    * NEW EDGES into a running (doc_id, cluster) label snapshot via
+    * [[graft.text.Dedup.ccDelta]] — per batch, the iterative work is
+    * bounded by the batch's quotient graph (old edges never re-read),
+    * and the full label table is touched once, map-side, by the
+    * broadcast relabel map. ccDelta's incremental == one-shot law makes
+    * the snapshot after any chunking EXACTLY the one-shot CC of every
+    * edge absorbed (spec-pinned); duplicate and self-loop edges are
+    * absorbed (CC is idempotent in its edge multiset, unlike the CMS
+    * maintainer's counters). State is O(nodes); per-batch lineage
+    * truncation + release of the consumed snapshot (the applyChangelogs
+    * discipline) keeps plan and memory bounded at any batch count. The
+    * standing-corpus use: near-dup candidate edges stream in from
+    * [[graft.text.Dedup.dedupDelta]]-style delta dedup, and the cluster
+    * assignment every downstream query joins against stays current. */
+  final class CcStateMaintainer {
+    @volatile private var snapOpt: Option[DataFrame] = None
+
+    /** The current complete label snapshot (None before the first
+      * batch): (doc_id, cluster), cluster = component min. */
+    def current: Option[DataFrame] = snapOpt
+
+    /** Folds one bounded edge batch (doc_a, doc_b) into the snapshot. */
+    def absorb(edges: DataFrame): Unit = synchronized {
+      val next = snapOpt match {
+        case None =>
+          val nodes = edges.select(col("doc_a").as("doc_id"))
+            .union(edges.select(col("doc_b").as("doc_id"))).distinct()
+          graft.operators.Checkpoints.checkpoint(
+            graft.text.Dedup.clustersStars(nodes, edges))
+        case Some(prev) =>
+          val merged = graft.operators.Checkpoints.checkpoint(
+            graft.text.Dedup.ccDelta(prev, edges))
+          graft.operators.Checkpoints.release(prev)
+          merged
+      }
+      snapOpt = Some(next)
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded edge slice through a [[CcStateMaintainer]] in
+    * `nChunks` micro-batches and returns the final label snapshot — the
+    * harness that oracle-gates the streaming CC path against the
+    * one-shot clustering: the delta-fold across ANY batch split must
+    * equal the batch CC. Same bounded-replay caveat as
+    * [[sessionizeReplay]]. */
+  def ccReplay(edges: Dataset[GraphEdge], nChunks: Int): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.collect().toSeq
+    val m = new CcStateMaintainer
+    if (rows.isEmpty)
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GraphEdge]
+    val q = m.sink(stream.toDS()
+      .select(col("docA").as("doc_a"), col("docB").as("doc_b"))).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    m.current.get.orderBy("doc_id")
+  }
+
   /** Streaming upsert (CDC) maintainer — foreachBatch folding each
     * micro-batch CHANGELOG (key, value columns, op ∈ {U, D}, seq) into a
     * running row-state snapshot via the

@@ -82,6 +82,31 @@ class ClusteringSpec extends SparkSpec {
     assert(e.getMessage.contains("quantization domain"))
   }
 
+  test("serve: kmeansAssign(kmeansCentroids(df), df) == kmeans(df); guards raise") {
+    val df = planted(3, 20).toDF("vec_id", "embedding")
+    val trained = Clustering.kmeans(df, "vec_id", "embedding", k = 3, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cents = Clustering.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, rounds = 3)
+    val served = Clustering.kmeansAssign(cents, df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == trained)
+    // duplicate cluster id in the stored model RAISES
+    val dup = cents.union(cents)
+    val e1 = intercept[Exception] {
+      Clustering.kmeansAssign(dup, df, "vec_id", "embedding").collect()
+    }
+    assert(e1.getMessage.contains("duplicate cluster"))
+    // mixed dimensionality RAISES
+    import org.apache.spark.sql.functions.{col, slice}
+    val ragged = cents.limit(1).select(col("cluster"), slice(col("r"), 1, 3).as("r"))
+      .union(cents.orderBy(col("cluster").desc).limit(1))
+    val e2 = intercept[Exception] {
+      Clustering.kmeansAssign(ragged, df, "vec_id", "embedding").collect()
+    }
+    assert(e2.getMessage.contains("dimensionality"))
+  }
+
   test("semDedup: exact dups within a cluster marked with the earliest id; kept rows NULL") {
     // two identical triples + a singleton, far apart
     val rows = Seq(

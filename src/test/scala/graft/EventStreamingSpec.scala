@@ -379,6 +379,30 @@ class EventStreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
   }
 
+  test("ccReplay: any chunking == one-shot CC; re-delivered edges absorbed") {
+    import EventStreaming.GraphEdge
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)(
+      GraphEdge(rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e.docA != e.docB)
+    val nodes = edges.flatMap(e => Seq(e.docA, e.docB)).distinct
+    val oneShot = graft.text.Dedup.clustersStars(
+        nodes.toDF("doc_id"), edges.map(e => (e.docA, e.docB)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(1, 3, 7)) {
+      val snap = EventStreaming.ccReplay(edges.toDS(), nChunks = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(snap == oneShot, s"nChunks=$k")
+    }
+    // CC is idempotent in its edge multiset: full re-delivery is a no-op
+    val dup = EventStreaming.ccReplay((edges ++ edges).toDS(), nChunks = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == oneShot)
+    // empty stream: schema-correct empty snapshot
+    val empty = EventStreaming.ccReplay(spark.emptyDataset[GraphEdge], nChunks = 2)
+    assert(empty.columns.toSeq == Seq("doc_id", "cluster") && empty.count() == 0)
+  }
+
   test("bucketed agg-state maintainer: any buckets x any chunking == the direct aggState; sparse batches touch few slices") {
     val rows = (0L until 48L).map(i =>
       Event(i, i % 6 + 1, sec(i), i * 3 % 101))
