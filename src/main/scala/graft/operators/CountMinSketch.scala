@@ -44,13 +44,19 @@ import org.apache.spark.sql.types.LongType
   * total weight in the sketch; defaults d=4, w=128 give ε ≈ 2.1%,
   * δ ≈ 1.8%).
   *
-  * Scale shape: [[sketch]] is ONE map-side-combined hash aggregation of
-  * depth×width conditional sums (whole-stage codegen, no UDAF; the
-  * exchange per group is one fixed-width Long vector, never values);
-  * [[rollup]] re-aggregates stored sketches the same way; [[merge]] is a
-  * `zip_with` add; [[estimate]] reads d array cells. depth×width is
-  * capped at 1024 (the [[QuantileSketch]] bins cap) so the widest
-  * aggregate stays inside what codegen splits comfortably.
+  * Scale shape: [[sketch]] is a SPARSE two-step aggregation — explode
+  * each row to its d (slot, weight) hits, ONE map-side-combined
+  * (group, slot) sum (so the exchange per group is ≤ depth·width narrow
+  * rows, never values), then a bounded collect_list per group assembles
+  * the dense vector. Unlike the [[QuantileSketch]]/[[DistinctSketch]]
+  * dense form (bins conditional aggregates in one pass), a CMS row hits
+  * d buckets, and measured at d·w = 512 the 512-expression dense
+  * aggregate falls out of practical codegen (13.5 s vs ~2 s on the same
+  * input) — the sparse shape keeps every stage narrow and
+  * codegen-friendly at any (depth, width). [[rollup]] re-aggregates
+  * stored sketches via posexplode + the same sparse path; [[merge]] is
+  * a `zip_with` add; [[estimate]] reads d array cells. depth×width is
+  * capped at 1024 (the family's state-width cap).
   *
   * Int64 bound: counters are ANSI Long sums — a weight column whose
   * per-counter sum exceeds Long.Max fails loudly in the aggregation
@@ -111,21 +117,34 @@ object CountMinSketch {
             "BIGINT, got %s", coalesce(col(c).cast("string"), lit("NULL")))))
         .otherwise(col(c))
     }
-    val base = df.filter(col(valueCol).isNotNull)
+    val hitSlots = array((0 until depth).map(i =>
+      lit(i.toLong * width) + bucket(col(valueCol), i, width)): _*)
+    val sparse = df.filter(col(valueCol).isNotNull)
       .withColumn("__cm_w", wexpr)
-      .withColumns((0 until depth).map(i =>
-        s"__cm_b$i" -> bucket(col(valueCol), i, width)).toMap)
-    // coalesce: a global (no-group) sketch of an empty input is the
-    // all-zero vector, not NULLs (SUM over zero rows is NULL in SQL)
-    val aggs = (0 until total).map { s =>
-      val i = s / width; val j = s % width
-      coalesce(sum(when(col(s"__cm_b$i") === j, col("__cm_w")).otherwise(0L)),
-        lit(0L)).as(s"__cm_c$s")
-    }
-    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .select(groupCols.map(col) :+
-        array((0 until total).map(s => col(s"__cm_c$s")): _*).as(out): _*)
+      .select(groupCols.map(col) :+ col("__cm_w") :+
+        explode(hitSlots).as("__cm_s"): _*)
+      .groupBy((groupCols :+ "__cm_s").map(col): _*)
+      .agg(sum("__cm_w").as("__cm_c"))
+    assemble(sparse, groupCols, "__cm_s", "__cm_c", total, out)
   }
+
+  /** Dense-vector assembly from sparse (groupCols..., slotCol, cntCol)
+    * rows: one bounded collect_list (≤ depth·width entries per group)
+    * into a lookup map, read out in slot order. A GLOBAL sketch of an
+    * empty input still yields one all-zero row (the family's contract):
+    * a no-key groupBy always returns its single row, collect_list of
+    * zero rows is the empty array, and every map lookup coalesces
+    * to 0. */
+  private def assemble(sparse: DataFrame, groupCols: Seq[String],
+                       slotCol: String, cntCol: String, total: Int,
+                       out: String): DataFrame =
+    sparse
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col(slotCol), col(cntCol))))
+        .as("__cm_m"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0L), lit(total.toLong - 1L)),
+          i => coalesce(element_at(col("__cm_m"), i), lit(0L))).as(out): _*)
 
   /** Element-wise sum of two counter arrays (same depth/width by
     * contract) — the ⊕ of the cube contract. NOT idempotent: merging a
@@ -146,11 +165,14 @@ object CountMinSketch {
         s"rollup: sketch array length %s != $total (depth $depth × width " +
           s"$width) — shape must match the stored sketch",
         size(col(sketchCol)).cast("string"))))
-    val aggs = (0 until total).map(s =>
-      coalesce(sum(element_at(sk, s + 1)), lit(0L)).as(s"__cm_c$s"))
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .select(groupCols.map(col) :+
-        array((0 until total).map(s => col(s"__cm_c$s")): _*).as(sketchCol): _*)
+    val sparse = df
+      .select(groupCols.map(col) :+ posexplode(sk): _*)
+      .filter(col("col") =!= 0L) // zero cells add nothing; keep rows narrow
+      .select(groupCols.map(col) ++ Seq(
+        col("pos").cast(LongType).as("__cm_s"), col("col").as("__cm_c")): _*)
+      .groupBy((groupCols :+ "__cm_s").map(col): _*)
+      .agg(sum("__cm_c").as("__cm_c"))
+    assemble(sparse, groupCols, "__cm_s", "__cm_c", total, sketchCol)
   }
 
   /** Total weight held by a sketch (BIGINT): each row adds its weight to

@@ -81,9 +81,22 @@ object Sf1FullSynthMain {
     }.reduce(_ union _).repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // orders expanded with DISJOINT key spaces (r14 continuation): the
+    // q231/q234 incremental-CC fixture derives its star-of-stars graph
+    // from o_orderkey, so disjoint +k·10M copies grow the component
+    // structure organically (10× components, per-copy shape intact) —
+    // max key 96M stays far below the q231 fresh-node offset (1e9).
+    // Nothing in the earlier sf1 verdicts (q111 family) reads orders.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until nCopies).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 10000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k.toLong * 10000000L))
+    }.reduce(_ union _).repartition(16)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     // the remaining catalog tables are read by SOME gates' verify runs
     // only for schema/lookups — pass them through so any gate can run
-    for (t <- Seq("region", "nation", "customer", "part", "orders", "events"))
+    for (t <- Seq("region", "nation", "customer", "part", "events"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
