@@ -84,6 +84,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_distinct_registers('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_cms_registers('events_view', 'event_type', 'user_id', 4, 128)
   *   SELECT * FROM graft_cms_estimate('events_view', 'event_type', 'user_id', 'probes_view', 4, 128)
+  *   SELECT * FROM graft_cms_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 4, 128)
   *   SELECT * FROM graft_zvalue('pts_view', 'x,y', 21)
   *   SELECT * FROM graft_dedup_delta('corpus_sigs_view', 'delta_sigs_view', 16, 8, 2, 3, 4)
   *   SELECT * FROM graft_cc_delta('labels_view', 'new_edges_view')
@@ -91,6 +92,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_semdedup('emb_view', 'vec_id', 'embedding', 8, 3, 800000)
   *   SELECT * FROM graft_kmeans_centroids('emb_view', 'vec_id', 'embedding', 8, 3)
   *   SELECT * FROM graft_kmeans_assign('cents_view', 'emb_view', 'vec_id', 'embedding')
+  *   SELECT * FROM graft_semdedup_delta('corpus_view', 'delta_view', 'cents_view', 'vec_id', 'embedding', 800000)
   *   SELECT * FROM graft_assortativity('edges_view', 'a', 'b')
   *   SELECT * FROM graft_rolling_anomaly('events_view', 86400, 7, 30)
   *   SELECT * FROM graft_collocations('docs_view', 5)
@@ -535,6 +537,12 @@ object GraftTableFunctions {
       plan(embed.Clustering.kmeansAssign(table(a(0)), table(a(1)),
         idCol = str(a(2)), vecCol = str(a(3))))
     },
+    "graft_semdedup_delta" -> { exprs =>
+      val a = args("graft_semdedup_delta", exprs, 6)
+      plan(embed.Clustering.semDedupDelta(table(a(0)), table(a(1)),
+        table(a(2)), idCol = str(a(3)), vecCol = str(a(4)),
+        minScore1e6 = long(a(5))))
+    },
     "graft_zvalue" -> { exprs =>
       val a = args("graft_zvalue", exprs, 3)
       val zc = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -560,6 +568,19 @@ object GraftTableFunctions {
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       plan(operators.CountMinSketch.registers(table(a(0)), grps,
         valueCol = str(a(2)), depth = int(a(3)), width = int(a(4))))
+    },
+    "graft_cms_join_size" -> { exprs =>
+      val a = args("graft_cms_join_size", exprs, 6)
+      val d = int(a(4)); val w = int(a(5))
+      val skA = operators.CountMinSketch.sketch(table(a(0)), Nil, str(a(1)),
+        d, w, out = "__a")
+      val skB = operators.CountMinSketch.sketch(table(a(2)), Nil, str(a(3)),
+        d, w, out = "__b")
+      // 1-row × 1-row: the two global sketches meet in a trivial cross
+      plan(skA.crossJoin(skB).select(operators.CountMinSketch
+        .estimateJoinSize(org.apache.spark.sql.functions.col("__a"),
+          org.apache.spark.sql.functions.col("__b"), d, w)
+        .as("join_size_est")))
     },
     "graft_cms_estimate" -> { exprs =>
       val a = args("graft_cms_estimate", exprs, 6)

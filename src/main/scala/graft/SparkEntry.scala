@@ -2823,6 +2823,40 @@ object SparkEntry {
       graft.embed.Clustering.kmeansAssign(cents,
         emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
     }),
+
+    // ── incremental SEMANTIC dedup (r14): q227's stored-corpus contract
+    // for embeddings — flag delta vectors that duplicate the corpus (or
+    // an earlier delta vector) using only the stored (vec, cluster)
+    // table and the centroid model; corpus×corpus never re-examined,
+    // pair work bounded by |delta| × cluster sizes. The oracle replays
+    // training, both assignments, and the q54 cosine grid ───────────────
+    "q236_semdedup_delta" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val train = emb.filter(col("vec_id") % 3 =!= 0)
+      val cents = graft.embed.Clustering.kmeansCentroids(
+        train, "vec_id", "embedding", k = 8, rounds = 3)
+      val corpus = train.join(
+        graft.embed.Clustering.kmeansAssign(cents, train, "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster")), "vec_id")
+      graft.embed.Clustering.semDedupDelta(corpus,
+        emb.filter(col("vec_id") % 3 === 0), cents,
+        "vec_id", "embedding", minScore1e6 = 800000L)
+    }),
+
+    // ── the CMS ESTIMATE read, oracle-gated (r14): min over the d
+    // counters a probe value hashes to is pure integer arithmetic, so
+    // unlike the HLL estimate (float harmonic means, spec-only) the
+    // count-min READ path is exactly replayable — per-type estimates
+    // for a probe set of user ids, never touching the raw rows ──────────
+    "q237_cms_estimate" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val sk = graft.operators.CountMinSketch.sketch(
+        ev, Seq("event_type"), "user_id")
+      val probes = ev.filter(col("user_id") % 50 === 0)
+        .select(col("user_id").as("p")).distinct()
+      graft.operators.CountMinSketch.estimates(sk, "sketch", probes, 4, 128)
+        .orderBy("event_type", "p")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6839,5 +6873,84 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
         |    ORDER BY d2, cluster) AS rn FROM ap) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // training replay (train subset) -> both assignments (a3 = corpus,
+    // ad = delta vs c2) -> q54 cosine grid: delta×corpus + delta×earlier-
+    // delta within clusters, MIN matching id
+    "q236_semdedup_delta" ->
+      s"""WITH ${kmeansCtes("vec_id % 3 <> 0")},
+        |hp AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
+        |           AS BIGINT) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |adp AS MATERIALIZED (
+        |  SELECT h.vec_id, c.cluster,
+        |         CAST(SUM((h.x*1024 - c.r)*(h.x*1024 - c.r)) AS BIGINT) AS d2
+        |  FROM hp h JOIN c2 c ON h.dim = c.dim GROUP BY h.vec_id, c.cluster),
+        |ad AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cluster) AS rn FROM adp) WHERE rn = 1),
+        |dv AS MATERIALIZED (
+        |  SELECT e.vec_id, g.cluster,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings e JOIN ad g ON e.vec_id = g.vec_id),
+        |cv AS MATERIALIZED (
+        |  SELECT e.vec_id, g.cluster,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings e JOIN a3 g ON e.vec_id = g.vec_id),
+        |pr AS MATERIALIZED (
+        |  SELECT a.vec_id AS id, b.vec_id AS other,
+        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
+        |  FROM dv a JOIN cv b ON a.cluster = b.cluster
+        |  UNION ALL
+        |  SELECT a.vec_id, b.vec_id,
+        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT),
+        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT),
+        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT)
+        |  FROM dv a JOIN dv b ON a.cluster = b.cluster
+        |                     AND b.vec_id < a.vec_id),
+        |sc AS (SELECT id, other,
+        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |           / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
+        |           AS score
+        |       FROM pr WHERE qn != 0 AND cn != 0),
+        |d AS (SELECT id, MIN(other) AS dup_of FROM sc
+        |      WHERE score >= 800000 GROUP BY id)
+        |SELECT g.vec_id, g.cluster, d.dup_of
+        |FROM ad g LEFT JOIN d ON g.vec_id = d.id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // q228's register replay + the estimate READ: min over the 4 cells
+    // each probe hashes to (absent cells read 0) per event type
+    "q237_cms_estimate" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT event_type,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t(i)),
+        |reg AS MATERIALIZED (
+        |  SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s GROUP BY event_type, slot),
+        |pr AS (SELECT DISTINCT user_id AS p FROM events
+        |       WHERE user_id % 50 = 0),
+        |ps AS MATERIALIZED (
+        |  SELECT p, i * 128 + (('0x' || substr(md5(CAST(p AS VARCHAR)),
+        |           4*i + 1, 4))::BIGINT % 128) AS slot
+        |  FROM pr, UNNEST(range(4)) AS t(i)),
+        |tt AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, ps.p, MIN(COALESCE(r.c, 0)) AS est
+        |FROM tt t CROSS JOIN ps
+        |LEFT JOIN reg r ON r.event_type = t.event_type AND r.slot = ps.slot
+        |GROUP BY t.event_type, ps.p
+        |ORDER BY t.event_type, ps.p""".stripMargin,
   )
 }

@@ -218,6 +218,70 @@ object Clustering {
     * for higher recall). Scale shape: pairs form per cluster via the
     * [[Similarity.cosinePairsBlocked]] equi-keyed self-join — never a
     * global cartesian. */
+  /** INCREMENTAL semantic dedup — [[graft.text.Dedup.dedupDelta]]'s
+    * contract for embeddings, completing the family's warm-start set
+    * (q227 text / q231 components / q235 centroids / this): flag which
+    * vectors of a NEW batch semantically duplicate an EXISTING corpus
+    * using only the STORED artifacts — the corpus's (id, vec, cluster)
+    * table and the centroid model — with corpus×corpus pairs never
+    * re-examined and work bounded by |delta| × cluster sizes. A delta
+    * vector is flagged iff its exact integer cosine (the q54 grid)
+    * against a CORPUS clustermate or an EARLIER-id delta clustermate
+    * reaches `minScore1e6`; dup_of = the smallest matching id.
+    * Overlapping ids RAISE (the dedupDelta disjoint-sides contract).
+    * Output: delta-only (idCol, cluster, dup_of NULLABLE), ordered.
+    *
+    * Same recall bound as [[semDedup]], sharpened: a near-duplicate
+    * whose delta vector lands in a DIFFERENT cluster than its corpus
+    * twin is not examined — at serving time that means the centroid
+    * model must be the one the corpus was assigned under (stale models
+    * degrade recall, never precision). */
+  def semDedupDelta(corpus: DataFrame, delta: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    minScore1e6: Long): DataFrame = {
+    (Seq(idCol, vecCol, "cluster")).foreach(c =>
+      require(corpus.columns.contains(c), s"corpus must carry $c"))
+    Seq(idCol, vecCol).foreach(c =>
+      require(delta.columns.contains(c), s"delta must carry $c"))
+    val overlap = corpus.select(col(idCol)).distinct()
+      .join(delta.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"semDedupDelta: id ${overlap.headOption.map(_.get(0)).orNull} appears " +
+        "in BOTH corpus and delta — the sides must be disjoint")
+    graft.functions.DotProductLong.register(corpus.sparkSession)
+    val score =
+      """CASE WHEN qn = 0 OR cn = 0 THEN NULL
+        |ELSE CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |     / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) END"""
+        .stripMargin
+    val assigned = kmeansAssign(centroids, delta, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+    val dq = graft.operators.Checkpoints.checkpoint(
+      delta.join(assigned, idCol)
+        .select(col(idCol).as("id"), col("cluster"),
+          Similarity.quantize(col(vecCol)).as("v"))
+        .withColumn("nrm", expr("dot_long(v, v)")))
+    val cq = corpus.select(col(idCol).as("id"), col("cluster"),
+        Similarity.quantize(col(vecCol)).as("v"))
+      .withColumn("nrm", expr("dot_long(v, v)"))
+    def hits(other: DataFrame, extraPred: Column): DataFrame =
+      dq.as("a").join(other.as("b"),
+          col("a.cluster") === col("b.cluster") && extraPred)
+        .select(col("a.id").as("id"), col("b.id").as("other"),
+          expr("dot_long(a.v, b.v)").as("dot"),
+          col("a.nrm").as("qn"), col("b.nrm").as("cn"))
+        .filter(expr(score) >= minScore1e6)
+        .select("id", "other")
+    val dupOf = hits(cq, lit(true))
+      .union(hits(dq, col("b.id") < col("a.id")))
+      .groupBy("id").agg(min("other").as("dup_of"))
+    assigned.select(col(idCol).as("id"), col("cluster"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("dup_of"))
+      .orderBy(idCol)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
                rounds: Int, minScore1e6: Long): DataFrame = {
     val assignments = kmeans(df, idCol, vecCol, k, rounds)

@@ -195,10 +195,32 @@ object CountMinSketch {
       .reduce(least(_, _))
   }
 
+  /** Inner-product (equi-JOIN SIZE) estimate from two sketches over the
+    * same key domain (Cormode & Muthukrishnan §4.2): for each depth row
+    * the counter dot-product Σ_j a[i·w+j]·b[i·w+j] over-counts
+    * Σ_v fA(v)·fB(v) — the exact row count of A ⋈ B on that key — only
+    * by hash collisions, so the MIN over depth rows is one-sided:
+    * never under the true join size, over by ≤ ε·|A|·|B| with
+    * probability 1−δ. The planner use: size a join from two stored
+    * O(d·w) vectors without touching either table. */
+  def estimateJoinSize(a: Column, b: Column, depth: Int, width: Int): Column = {
+    slots(depth, width)
+    (0 until depth).map { i =>
+      aggregate(
+        zip_with(slice(a, i * width + 1, width), slice(b, i * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }.reduce(least(_, _))
+  }
+
   /** Probe a stored sketch table with a value set: for each (sketch row
     * × probe value), the estimated count. `sketchDf` is (groupCols...,
-    * sketchCol); `probes` is a single-column frame of values. The probe
-    * side is broadcast when small — the read never touches raw rows. */
+    * sketchCol); `probes` is a single-column frame of values. The
+    * deliberate shape is a BROADCAST product of two SMALL sides — one
+    * O(groups) row of fixed-width state per sketch, one broadcast probe
+    * list — O(groups·probes) work that never touches the raw rows (the
+    * q22 exemption class: a product of smalls is not a corpus×corpus
+    * nested loop). */
   def estimates(sketchDf: DataFrame, sketchCol: String,
                 probes: DataFrame, depth: Int, width: Int): DataFrame = {
     val pc = probes.columns match {

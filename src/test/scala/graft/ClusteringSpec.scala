@@ -107,6 +107,39 @@ class ClusteringSpec extends SparkSpec {
     assert(e2.getMessage.contains("dimensionality"))
   }
 
+  test("semDedupDelta: corpus hits and earlier-delta hits, min id wins; delta-only universe; overlap raises") {
+    import org.apache.spark.sql.functions.col
+    // two far-apart corpus vectors; delta has two dups of corpus id 1,
+    // one unique vector near corpus id 2's blob, one fully novel
+    val corpusRows = Seq(1L -> Seq(0.5f, 0.0f, 0.0f), 2L -> Seq(0.0f, 0.5f, 0.0f))
+    val corpusDf = corpusRows.toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(corpusDf, "vec_id", "embedding",
+      k = 2, rounds = 2)
+    val corpus = corpusDf.join(
+      Clustering.kmeansAssign(cents, corpusDf, "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster")), "vec_id")
+    val delta = Seq(
+      10L -> Seq(0.5f, 0.0f, 0.0f),  // dup of corpus 1
+      11L -> Seq(0.5f, 0.0f, 0.0f),  // dup of 1 AND 10 — min wins: 1
+      12L -> Seq(0.0f, 0.0f, 0.5f)   // novel direction, no dup
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semDedupDelta(corpus, delta, cents,
+        "vec_id", "embedding", minScore1e6 = 999000L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // delta-only universe
+    assert(out(10L).contains(1L))
+    assert(out(11L).contains(1L))
+    assert(out(12L).isEmpty)
+    // overlapping ids RAISE
+    val e = intercept[IllegalArgumentException] {
+      Clustering.semDedupDelta(corpus,
+        Seq(1L -> Seq(0.5f, 0.0f, 0.0f)).toDF("vec_id", "embedding"),
+        cents, "vec_id", "embedding", 999000L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("semDedup: exact dups within a cluster marked with the earliest id; kept rows NULL") {
     // two identical triples + a singleton, far apart
     val rows = Seq(

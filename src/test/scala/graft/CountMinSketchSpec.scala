@@ -105,6 +105,33 @@ class CountMinSketchSpec extends SparkSpec {
     }
   }
 
+  test("join-size estimate is one-sided: never under |A JOIN B|; bounded over on the fixture") {
+    // A: key k appears k times (k in 1..40); B: keys 20..60 three times
+    val a = (1 to 40).flatMap(k => Seq.fill(k)(s"k$k"))
+    val b = (20 to 60).flatMap(k => Seq.fill(3)(s"k$k"))
+    val truth = (20 to 40).map(k => k.toLong * 3L).sum // Σ fA·fB
+    val skA = CountMinSketch.sketch(a.toDF("v"), Nil, "v", D, W)
+      .collect()(0).getSeq[Long](0)
+    val skB = CountMinSketch.sketch(b.toDF("v"), Nil, "v", D, W)
+      .collect()(0).getSeq[Long](0)
+    val est = Seq((skA, skB)).toDF("a", "b")
+      .select(CountMinSketch.estimateJoinSize(col("a"), col("b"), D, W))
+      .collect()(0).getLong(0)
+    assert(est >= truth, s"join size under-estimated: $est < $truth")
+    // one-sided bound: over by <= e/W * |A|*|B| w.h.p.; deterministic
+    // fixture, pin the observed bound
+    val cap = math.ceil(math.E / W * a.size.toLong * b.size.toLong).toLong
+    assert(est - truth <= cap, s"overshoot ${est - truth} > $cap")
+    // disjoint domains estimate ~0 (collisions only)
+    val c = (1 to 30).map(k => s"other$k")
+    val skC = CountMinSketch.sketch(c.toDF("v"), Nil, "v", D, W)
+      .collect()(0).getSeq[Long](0)
+    val estAC = Seq((skA, skC)).toDF("a", "b")
+      .select(CountMinSketch.estimateJoinSize(col("a"), col("b"), D, W))
+      .collect()(0).getLong(0)
+    assert(estAC <= cap, s"disjoint estimate $estAC above collision bound $cap")
+  }
+
   test("total recovers the exact weight sum; empty input is the zero vector") {
     val rows = (1 to 99).map(i => (s"v${i % 9}", i.toLong))
     val sk = CountMinSketch.sketch(rows.toDF("v", "w"), Nil, "v", D, W,
