@@ -582,6 +582,28 @@ object GraftTableFunctions {
           org.apache.spark.sql.functions.col("__b"), d, w)
         .as("join_size_est")))
     },
+    "graft_cms_join_strategy" -> { exprs =>
+      val a = args("graft_cms_join_strategy", exprs, 7)
+      val left = table(a(0)); val lkey = str(a(1))
+      // one key name per side; the right side aligns to the left's name
+      val right = table(a(2)).select(org.apache.spark.sql.functions
+        .col(str(a(3))).as(lkey))
+      val (s, ra, rb) = operators.Salted.plan(left, right, lkey,
+        broadcastRows = long(a(4)), skewShare1e6 = long(a(5)),
+        skewMinRows = long(a(6)))
+      val sp = left.sparkSession
+      import sp.implicits._
+      plan(Seq((s, ra, rb)).toDF("strategy", "left_rows", "right_rows"))
+    },
+    "graft_ivf_assign_delta" -> { exprs =>
+      val a = args("graft_ivf_assign_delta", exprs, 3)
+      plan(embed.Similarity.ivfAssignDelta(table(a(0)), table(a(1)),
+        table(a(2))))
+    },
+    "graft_pq_encode_delta" -> { exprs =>
+      val a = args("graft_pq_encode_delta", exprs, 3)
+      plan(embed.Pq.encodeDelta(table(a(0)), table(a(1)), table(a(2))))
+    },
     "graft_cms_estimate" -> { exprs =>
       val a = args("graft_cms_estimate", exprs, 6)
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq

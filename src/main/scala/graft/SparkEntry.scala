@@ -2782,7 +2782,7 @@ object SparkEntry {
     }),
 
     // ── streaming connected-components maintainer (r14): q231's edge
-    // set folded in as 3 micro-batches of NEW edges — each batch pays
+    // set folded in as 2 micro-batches of NEW edges — each batch pays
     // only its delta-bounded quotient CC + one map-side relabel of the
     // snapshot; ccDelta's incremental == one-shot law means ANY
     // chunking must land on the one-shot CC the oracle computes ─────────
@@ -2849,13 +2849,56 @@ object SparkEntry {
     // count-min READ path is exactly replayable — per-type estimates
     // for a probe set of user ids, never touching the raw rows ──────────
     "q237_cms_estimate" -> ((s, dir) => {
+      // both sides share ONE group universe by construction: rows with a
+      // NULL event_type or NULL user_id are excluded BEFORE the sketch,
+      // so the gate's sketch groups and the oracle's tt CTE are the same
+      // set even if the fixture ever gains such rows
       val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       val sk = graft.operators.CountMinSketch.sketch(
         ev, Seq("event_type"), "user_id")
       val probes = ev.filter(col("user_id") % 50 === 0)
         .select(col("user_id").as("p")).distinct()
       graft.operators.CountMinSketch.estimates(sk, "sketch", probes, 4, 128)
         .orderBy("event_type", "p")
+    }),
+
+    // ── incremental IVF index maintenance (r15): the similarity
+    // family's warm start — train md5-seeded centroids on the corpus
+    // two-thirds (q89's oracle-replayable convention), store the
+    // inverted file, then fold the held-out third in against the STORED
+    // model with no re-training; fold-in ≡ one-shot is the operator's
+    // law, and the oracle replays exactly the one-shot side (all
+    // vectors assigned to corpus-trained centroids). NULL-embedding
+    // rows are excluded up front on both sides (the q84 stance) ─────────
+    "q238_ivf_delta" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("embedding").isNotNull && col("vec_id") >= 5)
+      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+      val delta = emb.filter(col("vec_id") % 3 === 0)
+      val cents = Similarity.ivfCentroids(corpus, nCells = 8,
+        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
+      val inverted = Similarity.ivfAssign(corpus, cents)
+      Similarity.ivfAssignDelta(cents, inverted, delta).orderBy("vec_id")
+    }),
+
+    // ── incremental PQ code maintenance (r15): q84's SQL-replayable
+    // seed codebooks trained on the corpus two-thirds, corpus encoded
+    // and stored, then the held-out third encoded against the STORED
+    // codebooks and folded in — fold-in ≡ one-shot; output exploded to
+    // (vec_id, sub, code) rows (the oracle's native shape) ──────────────
+    "q239_pq_delta" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("embedding").isNotNull && col("vec_id") >= 5)
+      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+      val delta = emb.filter(col("vec_id") % 3 === 0)
+      val cb = graft.embed.Pq.seedCodebooks(
+        corpus.orderBy("vec_id").limit(16), m = 8)
+      val codes = graft.embed.Pq.encode(corpus, cb)
+      graft.embed.Pq.encodeDelta(cb, codes, delta)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
+        .orderBy("vec_id", "sub")
     }),
   )
 
@@ -6931,8 +6974,9 @@ object SparkEntry {
     // q228's register replay + the estimate READ: min over the 4 cells
     // each probe hashes to (absent cells read 0) per event type
     "q237_cms_estimate" ->
-      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
-        |           FROM events WHERE user_id IS NOT NULL),
+      """WITH ev AS (SELECT event_type, user_id FROM events
+        |            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
         |s AS (SELECT event_type,
         |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
         |          AS slot
@@ -6940,17 +6984,71 @@ object SparkEntry {
         |reg AS MATERIALIZED (
         |  SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM s GROUP BY event_type, slot),
-        |pr AS (SELECT DISTINCT user_id AS p FROM events
+        |pr AS (SELECT DISTINCT user_id AS p FROM ev
         |       WHERE user_id % 50 = 0),
         |ps AS MATERIALIZED (
         |  SELECT p, i * 128 + (('0x' || substr(md5(CAST(p AS VARCHAR)),
         |           4*i + 1, 4))::BIGINT % 128) AS slot
         |  FROM pr, UNNEST(range(4)) AS t(i)),
-        |tt AS (SELECT DISTINCT event_type FROM events)
+        |tt AS (SELECT DISTINCT event_type FROM ev)
         |SELECT t.event_type, ps.p, MIN(COALESCE(r.c, 0)) AS est
         |FROM tt t CROSS JOIN ps
         |LEFT JOIN reg r ON r.event_type = t.event_type AND r.slot = ps.slot
         |GROUP BY t.event_type, ps.p
         |ORDER BY t.event_type, ps.p""".stripMargin,
+
+    // fold-in == one-shot is the operator's law, so the oracle replays
+    // the ONE-SHOT side: q89's md5-seeded centroid sample restricted to
+    // the corpus two-thirds, then every vector (corpus + delta) assigned
+    // to those fixed centroids by max integer cosine (ties to the
+    // smallest cell)
+    "q238_ivf_delta" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5),
+        |cand AS (SELECT vec_id, vd,
+        |           CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e),
+        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        |          FROM (SELECT vec_id, vd FROM cand WHERE vec_id % 3 != 0
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+        |cents AS (SELECT cell, vd AS cv,
+        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed)
+        |SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ct.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      CASE WHEN c.n2 = 0 OR ct.cn = 0 THEN NULL
+        |      ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(c.vd, ct.cv) AS BIGINT) AS DOUBLE)
+        |           / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
+        |      DESC NULLS LAST, ct.cell) AS rn
+        |  FROM cand c, cents ct) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // q84's seed-codebook replay restricted to the corpus two-thirds,
+    // then EVERY vector's per-subspace argmin (2·sv·cv − cn maximized,
+    // ties to the smallest code) — the one-shot encode the delta fold
+    // must land on
+    "q239_pq_delta" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5),
+        |seeds AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        |          FROM e WHERE vec_id % 3 != 0 ORDER BY vec_id LIMIT 16),
+        |cbn AS (SELECT t.sub, code, vd[(t.sub*8+1):(t.sub*8+8)] AS cv,
+        |          CAST(list_dot_product(vd[(t.sub*8+1):(t.sub*8+8)],
+        |                                vd[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
+        |        FROM seeds, UNNEST(range(0, 8)) AS t(sub)),
+        |cs AS (SELECT vec_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
+        |       FROM e, UNNEST(range(0, 8)) AS t(sub))
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT cs.vec_id, cs.sub, cbn.code,
+        |    row_number() OVER (PARTITION BY cs.vec_id, cs.sub
+        |      ORDER BY CAST(2 * list_dot_product(cs.sv, cbn.cv) AS BIGINT) - cbn.cn DESC,
+        |               cbn.code) AS arn
+        |  FROM cs JOIN cbn USING (sub)) WHERE arn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
   )
 }

@@ -183,6 +183,36 @@ object Pq {
         expr("transform(sc, p -> p.code)").as("codes"): _*)
   }
 
+  /** INCREMENTAL PQ code maintenance — [[Similarity.ivfAssignDelta]]'s
+    * sibling for the compressed leg: encode a NEW vector batch against
+    * STORED codebooks and fold it into the STORED code table without
+    * re-training. An id in both the stored codes and the delta RAISES
+    * (disjoint-sides contract); delta rows with NULL embeddings drop at
+    * the subvector split like every [[encode]] path. Encoding is
+    * per-vector against fixed codebooks, so fold-in ≡ one-shot exactly:
+    *
+    *   encodeDelta(cb, encode(A, cb), B) == encode(A ∪ B, cb)
+    *
+    * (spec-pinned) — ADC scores over the updated table equal the
+    * from-scratch encode on the same codebooks; codebook age bounds
+    * reconstruction error, never the table's shape. The stored table is
+    * touched once, narrowly (the id guard) and streams through unchanged;
+    * new work is O(|delta| · m · k). Output: the updated (vec_id, codes)
+    * table. */
+  def encodeDelta(cb: DataFrame, codes: DataFrame, delta: DataFrame): DataFrame = {
+    Seq("vec_id", "codes").foreach(c => require(codes.columns.contains(c),
+      s"codes must carry (vec_id, codes) — missing $c"))
+    Seq("vec_id", "embedding").foreach(c => require(delta.columns.contains(c),
+      s"delta must carry (vec_id, embedding) — missing $c"))
+    val overlap = codes.select(col("vec_id")).distinct()
+      .join(delta.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"encodeDelta: id ${overlap.headOption.map(_.get(0)).orNull} is " +
+        "already in the stored code table — the sides must be disjoint")
+    codes.select(col("vec_id"), col("codes")).unionByName(encode(delta, cb))
+  }
+
   /** ADC top-k: per query, squared-L2 lookup table against every codebook
     * entry (pd = |qsub|² + |cv|² − 2·qsub·cv, exact BIGINT), then each
     * coded candidate costs m lookups. Output: (q_id, rn, cand_id, adist) —

@@ -376,22 +376,98 @@ object Similarity {
   }
 
   /** Assigns every vector to its max-cosine centroid cell. Centroids are
-    * broadcast (nCells · dim ints — tiny); the argmax is a map-side
-    * partial-aggregated groupBy, so the only shuffle is O(|vectors|) rows.
-    * Ties break toward the smallest cell id (deterministic). */
+    * MODEL state (nCells · dim ints) — collected to the driver and served
+    * as plan literals, so the argmax is a PER-ROW fold (`array_max` over
+    * (score, −cell) structs — max score, tie toward the smallest cell id,
+    * the same total order the old `max_by` computed): one narrow
+    * projection, NO join, NO exchange — the
+    * [[graft.embed.Clustering]] scoreAssign shape applied to the IVF leg
+    * (at nCells=1024+ on 100 TB the assign stage stays a scan). Exact
+    * integer dot products and the q22 score arithmetic, value-identical
+    * to the former broadcast-join form (oracle-gated via q88/q89/q238).
+    * Zero-norm vectors score NULL against every cell and deterministically
+    * land in cell 0 (score coalesced to Long.MinValue). */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.DotProductLong.register(vectors.sparkSession)
+    import vectors.sparkSession.implicits._
+    val cents = centroids.select(col("cell").cast(LongType), col("cv"), col("cn"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    val centLit = array(cents.map { case (cell, cv, cn) =>
+      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"),
+        lit(cn).as("cn"))
+    }.toIndexedSeq: _*)
     val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", expr(dotExpr("qv", "qv")))
-    v.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        expr(dotExpr("qv", "cv")).as("dot"), col("qn"), col("cn"))
-      // zero-norm vectors score NULL against every cell; coalesce so they
-      // deterministically land in cell 0 instead of a NULL assignment
-      .select(col("vec_id"), col("cell"),
-        coalesce(expr(scoreExpr), lit(Long.MinValue)).as("score"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+    def score(c: Column): Column = {
+      val dot = aggregate(zip_with(col("qv"), c.getField("cv"),
+        (x, y) => x * y), lit(0L), (a, b) => a + b)
+      // EXACTLY the q22 scoreExpr arithmetic: floor(1e6·dot/√(qn·cn)),
+      // NULL when either norm is 0 (or the vector is NULL) — coalesced
+      // to Long.MinValue so degenerate rows lose to any scored cell
+      coalesce(
+        when(col("qn") === 0L || c.getField("cn") === 0L,
+          lit(null).cast(LongType))
+          .otherwise(floor(lit(1000000.0) * dot.cast(DoubleType)
+            / sqrt(col("qn").cast(DoubleType)
+              * c.getField("cn").cast(DoubleType))).cast(LongType)),
+        lit(Long.MinValue))
+    }
+    val best = array_max(transform(centLit, c =>
+      struct(score(c).as("s"), (-c.getField("cell")).as("nc"))))
+    v.select(col("vec_id"), (-best.getField("nc")).as("cell"))
+  }
+
+  /** INCREMENTAL IVF index maintenance — the similarity family's
+    * warm-start contract (completing the set: q227 text dedup, q231
+    * components, q235 centroids, q236 semantic dedup): assign a NEW
+    * vector batch into a STORED inverted file WITHOUT re-training.
+    * `centroids` is the stored (cell, cv, cn) model ([[ivfCentroids]] /
+    * [[ivfRefine]] output), `inverted` the stored (vec_id, cell) file
+    * ([[ivfAssign]] shape). Guards, loud not silent: an id in BOTH the
+    * stored file and the delta RAISES (the dedupDelta disjoint-sides
+    * contract — re-assigning an indexed vector has no right answer
+    * without a delete protocol), and a duplicate cell id in the model
+    * RAISES (two centroids for one cell, the kmeansAssign stance).
+    * Delta rows with NULL embeddings are dropped (per-row degradation,
+    * the [[Pq]] convention — they name nothing searchable).
+    *
+    * Because assignment is per-vector against FIXED centroids, fold-in
+    * is EXACTLY one-shot:
+    *
+    *   ivfAssignDelta(c, ivfAssign(A, c), B) == ivfAssign(A ∪ B, c)
+    *
+    * (spec-pinned), so search recall over the updated file equals the
+    * from-scratch index built on the same model — recall depends only
+    * on the MODEL's age (a stale model degrades recall, never the
+    * file's correctness), which is the same serving caveat
+    * [[graft.embed.Clustering.semDedupDelta]] documents.
+    *
+    * Scale shape: the stored file contributes one narrow pass (the id
+    * overlap guard) and streams through unchanged — corpus vectors are
+    * never re-scored, never even read; the new work is O(|delta| ·
+    * nCells) map-side scoring against the broadcast model. Output: the
+    * UPDATED inverted file (vec_id, cell). */
+  def ivfAssignDelta(centroids: DataFrame, inverted: DataFrame,
+                     delta: DataFrame): DataFrame = {
+    Seq("cell", "cv", "cn").foreach(c => require(centroids.columns.contains(c),
+      s"centroids must carry (cell, cv, cn) — missing $c"))
+    Seq("vec_id", "cell").foreach(c => require(inverted.columns.contains(c),
+      s"inverted must carry (vec_id, cell) — missing $c"))
+    Seq("vec_id", "embedding").foreach(c => require(delta.columns.contains(c),
+      s"delta must carry (vec_id, embedding) — missing $c"))
+    val shape = centroids.agg(count(lit(1)), countDistinct(col("cell"))).head()
+    require(shape.getLong(0) == shape.getLong(1),
+      "ivfAssignDelta: duplicate cell ids in the centroid model")
+    val overlap = inverted.select(col("vec_id")).distinct()
+      .join(delta.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"ivfAssignDelta: id ${overlap.headOption.map(_.get(0)).orNull} is " +
+        "already in the stored inverted file — the sides must be disjoint")
+    inverted.select(col("vec_id"), col("cell"))
+      .unionByName(ivfAssign(delta.filter(col("embedding").isNotNull),
+        centroids))
   }
 
   /** End-to-end IVF ANN top-k: build centroids from the candidate corpus,

@@ -202,7 +202,16 @@ object CountMinSketch {
     * by hash collisions, so the MIN over depth rows is one-sided:
     * never under the true join size, over by ≤ ε·|A|·|B| with
     * probability 1−δ. The planner use: size a join from two stored
-    * O(d·w) vectors without touching either table. */
+    * O(d·w) vectors without touching either table.
+    *
+    * Int64 bound (exact-integer read, so it can abort rather than
+    * round): a depth row's dot product is ≤ W_A·W_B (all weight
+    * concentrated in one cell), so two sketches whose TOTAL weights
+    * multiply past Long.Max (W_A·W_B > ~9.2e18, e.g. two 2^32-weight
+    * sketches) fail loudly under ANSI instead of estimating — downscale
+    * weights, or use the planner-hint path ([[joinStrategy]] /
+    * [[estimateJoinSizeD]]), which computes in DOUBLE and is safe at
+    * any counter magnitude. */
   def estimateJoinSize(a: Column, b: Column, depth: Int, width: Int): Column = {
     slots(depth, width)
     (0 until depth).map { i =>
@@ -211,6 +220,74 @@ object CountMinSketch {
           (x, y) => x * y),
         lit(0L), (acc, v) => acc + v)
     }.reduce(least(_, _))
+  }
+
+  /** [[estimateJoinSize]] computed in DOUBLE — the planner-hint form:
+    * an approximate read feeding a 3-way strategy decision does not need
+    * the last integer digit, but it MUST NOT abort on big-corpus
+    * sketches (counters near 2^32 overflow the exact form's per-cell
+    * products). Same one-sided estimator, rounding error ~1 ulp per
+    * add — irrelevant against the ε·|A|·|B| sketch error. */
+  def estimateJoinSizeD(a: Column, b: Column, depth: Int, width: Int): Column = {
+    slots(depth, width)
+    (0 until depth).map { i =>
+      aggregate(
+        zip_with(slice(a, i * width + 1, width), slice(b, i * width + 1, width),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    }.reduce(least(_, _))
+  }
+
+  /** One-sided upper bound on the HOTTEST key's join contribution
+    * max_v fA(v)·fB(v), read from the same two stored vectors: key v
+    * lands in cell (i, h_i(v)) of every depth row, so fA(v)·fB(v) ≤
+    * a[i,h_i(v)]·b[i,h_i(v)] ≤ max_j a[i,j]·b[i,j] for every i — the
+    * MIN over depth rows of the per-row MAX cell product bounds every
+    * key's contribution from above (never under the true hottest key;
+    * over when unrelated keys share the max cell). This is the skew
+    * signal [[joinStrategy]] reads: a join whose hottest key may own a
+    * large share of the output wants salting, not a plain shuffle.
+    * DOUBLE arithmetic (planner-hint path, overflow-safe). */
+  def estimateHotJoinKeyD(a: Column, b: Column, depth: Int, width: Int): Column = {
+    slots(depth, width)
+    (0 until depth).map { i =>
+      array_max(
+        zip_with(slice(a, i * width + 1, width), slice(b, i * width + 1, width),
+          (x, y) => x.cast("double") * y.cast("double")))
+    }.reduce(least(_, _))
+  }
+
+  /** JOIN-STRATEGY hint from two stored COUNT sketches (weights = 1, so
+    * [[total]] reads exact row counts) — the [[estimateJoinSize]]
+    * consumer: pick how A ⋈ B should execute WITHOUT touching either
+    * table, from two O(depth·width) vectors.
+    *
+    *   - 'broadcast' — the smaller side holds ≤ `broadcastRows` rows:
+    *     ship it to every executor, no shuffle at all;
+    *   - 'salted'    — the hottest key may own ≥ `skewShare1e6` ppm of
+    *     an at-least-`skewMinRows`-row output
+    *     ([[estimateHotJoinKeyD]] / [[estimateJoinSizeD]], both
+    *     one-sided): a plain shuffle would hotspot one partition, salt
+    *     the hot keys instead;
+    *   - 'shuffle'   — everything else: the plain co-partitioned join.
+    *
+    * Both reads are never-under bounds, so the decision errs toward the
+    * defensive strategy (a salt that wasn't needed costs a ×factor on
+    * the hot slice; a hotspot that wasn't salted costs the job) — the
+    * right direction for a hint. [[graft.operators.Salted.autoJoin]] is
+    * the operator wiring; `graft_cms_join_strategy` the TVF. */
+  def joinStrategy(a: Column, b: Column, depth: Int, width: Int,
+                   broadcastRows: Long, skewShare1e6: Long = 200000L,
+                   skewMinRows: Long = 1000000L): Column = {
+    require(broadcastRows >= 0, s"broadcastRows must be >= 0, got $broadcastRows")
+    require(skewShare1e6 >= 1 && skewShare1e6 <= 1000000,
+      s"skewShare1e6 must be in [1, 1e6], got $skewShare1e6")
+    val est = estimateJoinSizeD(a, b, depth, width)
+    val hot = estimateHotJoinKeyD(a, b, depth, width)
+    when(least(total(a, width), total(b, width)) <= broadcastRows, lit("broadcast"))
+      .when(est >= skewMinRows.toDouble &&
+        hot * lit(1000000d) >= est * skewShare1e6.toDouble, lit("salted"))
+      .otherwise(lit("shuffle"))
   }
 
   /** Probe a stored sketch table with a value set: for each (sketch row

@@ -1084,14 +1084,23 @@ object Dedup {
               "component MIN (the clustersStars convention)",
             col("__c").cast("string"), col("doc_id").cast("string"))))
           .otherwise(col("__c")).as("cluster"))
+    // NULL endpoints RAISE (the same loud-guard stance as the duplicate-
+    // id and min-convention checks above): a NULL join key would never
+    // match the lift below, silently VANISHING the edge instead of
+    // connecting anything
+    def endpoint(c: String) = when(col(c).isNull, raise_error(lit(
+        s"ccDelta: NULL $c endpoint in newEdges — edges must name two " +
+          "non-NULL nodes"))).otherwise(col(c))
+    val edges = newEdges.select(endpoint("doc_a").as("doc_a"),
+      endpoint("doc_b").as("doc_b"))
     // lift each delta endpoint to its component representative (itself
     // when the corpus has never seen it)
-    val ends = newEdges.select(col("doc_a").as("n"))
-      .union(newEdges.select(col("doc_b").as("n"))).distinct()
+    val ends = edges.select(col("doc_a").as("n"))
+      .union(edges.select(col("doc_b").as("n"))).distinct()
     val lifted = ends
       .join(labs.select(col("doc_id").as("n"), col("cluster")), Seq("n"), "left")
       .select(col("n"), coalesce(col("cluster"), col("n")).as("lbl"))
-    val q = newEdges
+    val q = edges
       .join(lifted.select(col("n").as("doc_a"), col("lbl").as("la")), Seq("doc_a"))
       .join(lifted.select(col("n").as("doc_b"), col("lbl").as("lb")), Seq("doc_b"))
       .select(col("la").as("doc_a"), col("lb").as("doc_b"))

@@ -140,6 +140,24 @@ class ClusteringSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("the assign stage is NARROW: no Window, no join, no exchange beyond the output sort (r15 verdict)") {
+    val df = planted(3, 20).toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansCentroids(df, "vec_id", "embedding",
+      k = 3, rounds = 2)
+    val plan = Clustering.kmeansAssign(cents, df, "vec_id", "embedding")
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, s"assign stage planned a Window:\n$plan")
+    assert(!plan.toString.contains("Join"), s"assign stage planned a join:\n$plan")
+    // the ONLY exchange is the presentation orderBy's range partitioning —
+    // scoring itself is one map pass over the scan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.forall(_.outputPartitioning.toString.contains("range")),
+      s"assign stage shuffled beyond the output sort:\n$plan")
+  }
+
   test("semDedup: exact dups within a cluster marked with the earliest id; kept rows NULL") {
     // two identical triples + a singleton, far apart
     val rows = Seq(

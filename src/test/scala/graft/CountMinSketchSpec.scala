@@ -132,6 +132,44 @@ class CountMinSketchSpec extends SparkSpec {
     assert(estAC <= cap, s"disjoint estimate $estAC above collision bound $cap")
   }
 
+  test("planner reads: DOUBLE join-size/hot-key bounds are one-sided; strategy matches the planted regime") {
+    // the q237-family bound property carried over to the planner path:
+    // never under the truth, on BOTH reads
+    val a = (1 to 40).flatMap(k => Seq.fill(k)(s"k$k"))
+    val b = (20 to 60).flatMap(k => Seq.fill(3)(s"k$k"))
+    val truthJoin = (20 to 40).map(k => k.toLong * 3L).sum
+    val truthHot = 40L * 3L // hottest key's fA·fB
+    def sk(xs: Seq[String]) = CountMinSketch.sketch(xs.toDF("v"), Nil, "v", D, W)
+      .collect()(0).getSeq[Long](0)
+    val df = Seq((sk(a), sk(b))).toDF("a", "b")
+    val r = df.select(
+      CountMinSketch.estimateJoinSizeD(col("a"), col("b"), D, W),
+      CountMinSketch.estimateHotJoinKeyD(col("a"), col("b"), D, W),
+      CountMinSketch.estimateJoinSize(col("a"), col("b"), D, W)).head()
+    assert(r.getDouble(0) >= truthJoin.toDouble, "join size under-estimated")
+    assert(r.getDouble(1) >= truthHot.toDouble, "hot-key bound under the true hottest key")
+    // the DOUBLE read agrees with the exact read on in-range counters
+    assert(math.abs(r.getDouble(0) - r.getLong(2).toDouble) < 1e-6)
+
+    // strategy decisions on planted regimes (thresholds scaled to the fixture)
+    def strat(av: Seq[Long], bv: Seq[Long], bcast: Long, minRows: Long = 100L) =
+      Seq((av, bv)).toDF("a", "b").select(CountMinSketch.joinStrategy(
+        col("a"), col("b"), D, W, bcast, skewShare1e6 = 200000L,
+        skewMinRows = minRows)).head().getString(0)
+    // tiny right side → broadcast regardless of skew
+    assert(strat(sk(a), sk(Seq("k1", "k2")), bcast = 10L) == "broadcast")
+    // one key owns most of the output → salted
+    val hotL = Seq.fill(300)("hot") ++ (1 to 100).map(i => s"c$i")
+    val hotR = Seq.fill(300)("hot") ++ (1 to 100).map(i => s"c$i")
+    assert(strat(sk(hotL), sk(hotR), bcast = 10L) == "salted")
+    // uniform × uniform, both above broadcast size → shuffle
+    val u1 = (1 to 400).map(i => s"u${i % 200}")
+    val u2 = (1 to 400).map(i => s"u${i % 200}")
+    assert(strat(sk(u1), sk(u2), bcast = 10L) == "shuffle")
+    // the skewMinRows floor: the same skewed shape below the floor stays shuffle
+    assert(strat(sk(hotL), sk(hotR), bcast = 10L, minRows = 10000000L) == "shuffle")
+  }
+
   test("total recovers the exact weight sum; empty input is the zero vector") {
     val rows = (1 to 99).map(i => (s"v${i % 9}", i.toLong))
     val sk = CountMinSketch.sketch(rows.toDF("v", "w"), Nil, "v", D, W,

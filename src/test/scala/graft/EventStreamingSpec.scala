@@ -299,7 +299,9 @@ class EventStreamingSpec extends SparkSpec {
     val batch = graft.operators.QuantileSketch.sketch(
         ds.toDF(), Seq("userId"), "valueCents", 0L, 1000L, 10)
       .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
-    for (b <- Seq(1, 3, 8); k <- Seq(1, 5)) {
+    for (b <- Seq(0, 1, 3, 8); k <- Seq(1, 5, 12)) {
+      // k = 12 > the store's default maxPending, so compaction boundaries
+      // (pending fold + touched-slice merge) are crossed mid-replay
       val snap = EventStreaming.sketchReplay(ds, nChunks = k,
           lo = 0L, hi = 1000L, bins = 10, buckets = b)
         .as[(Long, Seq[Long])].collect().toSeq
@@ -327,7 +329,7 @@ class EventStreamingSpec extends SparkSpec {
       .select(col("userId"), col("valueCents")))
     assert(m2.current.get.count() == 0)
     intercept[IllegalArgumentException](new EventStreaming.SketchStateMaintainer(
-      "userId", "valueCents", 0L, 1000L, 10, buckets = 0))
+      "userId", "valueCents", 0L, 1000L, 10, buckets = -1))
   }
 
   test("distinctReplay: any chunking == the batch registers; duplicate re-delivery is absorbed") {
@@ -413,7 +415,7 @@ class EventStreamingSpec extends SparkSpec {
       m.absorb(rows.toDF())
       snapOf(m)
     }
-    for (b <- Seq(1, 4, 16); k <- Seq(2, 5)) {
+    for (b <- Seq(0, 1, 4, 16); k <- Seq(2, 5, 11)) {
       val m = new EventStreaming.AggStateMaintainer("userId", "valueCents", b)
       rows.grouped(math.max(1, rows.size / k)).foreach(c => m.absorb(c.toDF()))
       assert(snapOf(m) == direct, s"buckets=$b chunks=$k")
@@ -427,6 +429,60 @@ class EventStreamingSpec extends SparkSpec {
     val after = snapOf(m)
     assert(after.find(_.getLong(0) == 2L) == before.find(_.getLong(0) == 2L))
     intercept[IllegalArgumentException](
-      new EventStreaming.AggStateMaintainer("userId", "valueCents", 0))
+      new EventStreaming.AggStateMaintainer("userId", "valueCents", -1))
+  }
+
+  test("segmented store: absorb is O(batch) — no snapshot read per batch; compaction folds exactly") {
+    // count the jobs each absorb runs: with the segmented store an
+    // absorb below the compaction threshold must not scan the snapshot
+    // (one checkpoint job for the batch's own state, nothing keyed on
+    // the accumulated key count)
+    val m = new EventStreaming.SketchStateMaintainer("userId", "valueCents",
+      0L, 1000L, 10, buckets = 0)
+    val sc = spark.sparkContext
+    def jobsRun[A](body: => A): Int = {
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      body
+      sc.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    m.absorb(Seq((1L, 10L)).toDF("userId", "valueCents"))
+    val costSmall = jobsRun(
+      m.absorb(Seq((2L, 20L)).toDF("userId", "valueCents")))
+    // grow the key space; a per-batch snapshot join would add jobs/scans
+    m.absorb((1L to 500L).map(i => (i, i)).toDF("userId", "valueCents"))
+    val costAfterGrowth = jobsRun(
+      m.absorb(Seq((3L, 30L)).toDF("userId", "valueCents")))
+    assert(costAfterGrowth <= costSmall,
+      s"absorb cost grew with key count: $costSmall -> $costAfterGrowth jobs")
+    // the snapshot is still exact across pending segments
+    val snap = m.current.get.orderBy("userId").as[(Long, Seq[Long])]
+      .collect().toSeq
+    val direct = graft.operators.QuantileSketch.sketch(
+        ((1L to 500L).map(i => (i, i)) ++ Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+          .toDF("userId", "valueCents"),
+        Seq("userId"), "valueCents", 0L, 1000L, 10)
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    assert(snap == direct)
+
+    // compaction (maxPending crossings) preserves exactness at every
+    // read point, including reads BETWEEN compactions — drive 20 batches
+    // through an auto store and check the snapshot after each
+    val m2 = new EventStreaming.SketchStateMaintainer("userId", "valueCents",
+      0L, 1000L, 10, buckets = 0)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (1 to 20).foreach { i =>
+      val batch = Seq(((i % 7 + 1).toLong, (i * 13 % 1000).toLong))
+      seen ++= batch
+      m2.absorb(batch.toDF("userId", "valueCents"))
+      if (i % 5 == 0) {
+        val got = m2.current.get.orderBy("userId").as[(Long, Seq[Long])]
+          .collect().toSeq
+        val want = graft.operators.QuantileSketch.sketch(
+            seen.toSeq.toDF("userId", "valueCents"),
+            Seq("userId"), "valueCents", 0L, 1000L, 10)
+          .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+        assert(got == want, s"snapshot diverged at batch $i")
+      }
+    }
   }
 }

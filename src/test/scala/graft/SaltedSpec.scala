@@ -67,6 +67,42 @@ class SaltedSpec extends SparkSpec {
     assert(out.count() == 1000)
   }
 
+  test("autoJoin: the CMS plan picks the planted regime's strategy and every strategy returns the plain join's rows") {
+    // planted SKEW: one key owns 80% of both sides' matches
+    val skewL = ((1 to 800).map(i => (7L, i.toLong)) ++
+      (1 to 200).map(i => (i.toLong + 100L, i.toLong))).toDF("k", "lv")
+    val skewR = ((1 to 50).map(i => (7L, s"h$i")) ++
+      (1 to 200).map(i => (i.toLong + 100L, s"r$i"))).toDF("k", "rv")
+    val (s1, ra, rb) = Salted.plan(skewL, skewR, "k", broadcastRows = 10L,
+      skewMinRows = 100L)
+    assert(s1 == "salted", s"expected salted, got $s1")
+    assert(ra == 1000L && rb == 250L, "sketch totals must be the exact row counts")
+    val plainSkew = skewL.join(skewR, Seq("k")).collect().map(_.toSeq).toSet
+    val autoSkew = Salted.autoJoin(skewL, skewR, "k", "lv", factor = 8,
+        broadcastRows = 10L, skewMinRows = 100L)
+      .collect().map(_.toSeq).toSet
+    assert(autoSkew == plainSkew, "salted dispatch changed the result")
+
+    // planted SMALL side → broadcast, and the plan really broadcasts
+    val smallR = Seq((7L, "x"), (101L, "y")).toDF("k", "rv")
+    assert(Salted.plan(skewL, smallR, "k", broadcastRows = 10L)._1 == "broadcast")
+    val bj = Salted.autoJoin(skewL, smallR, "k", "lv", factor = 8,
+      broadcastRows = 10L)
+    assert(bj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "broadcast strategy must plan a BroadcastHashJoin")
+    assert(bj.collect().map(_.toSeq).toSet ==
+      skewL.join(smallR, Seq("k")).collect().map(_.toSeq).toSet)
+
+    // uniform × uniform above broadcast size → shuffle, same rows
+    val u1 = (1 to 400).map(i => ((i % 100).toLong, i.toLong)).toDF("k", "lv")
+    val u2 = (1 to 400).map(i => ((i % 100).toLong, s"r$i")).toDF("k", "rv")
+    assert(Salted.plan(u1, u2, "k", broadcastRows = 10L,
+      skewMinRows = 100L)._1 == "shuffle")
+    assert(Salted.autoJoin(u1, u2, "k", "lv", factor = 8, broadcastRows = 10L,
+        skewMinRows = 100L).collect().map(_.toSeq).toSet ==
+      u1.join(u2, Seq("k")).collect().map(_.toSeq).toSet)
+  }
+
   test("hotKeys frame without the key column is rejected") {
     val l = Seq((1L, 2L)).toDF("k", "lv"); val r = Seq((1L, "x")).toDF("k", "rv")
     intercept[IllegalArgumentException] {

@@ -34,21 +34,29 @@ object SketchStateProbeMain {
     def denseBatch(i: Int) = spark.range(k).select(col("id").as("userId"),
       pmod(xxhash64(col("id"), lit(i)), lit(1000L)).as("valueCents"))
 
-    for (buckets <- Seq(1, 16, 64); dense <- Seq(false, true)) {
+    // buckets = 0 is the r15 AUTO segmented default; 1/16/64 pin the base
+    // slice count. absorbSec is the write path (per-batch cost the LSM
+    // store pays at arrival, incl. compactions); readSec is one full
+    // snapshot read afterwards (the deferred monoid fold) — the honest
+    // total is both, since the old design paid the fold at every write.
+    for (buckets <- Seq(0, 1, 16, 64); dense <- Seq(false, true)) {
       val m = new graft.streaming.EventStreaming.SketchStateMaintainer(
         "userId", "valueCents", 0L, 1000L, 20, buckets)
-      m.absorb(seedDf) // the big snapshot every sparse batch joins against
+      m.absorb(seedDf) // the big seed snapshot
       val t0 = System.nanoTime()
       (1 to nb).foreach(i => m.absorb(if (dense) denseBatch(i) else sparseBatch(i)))
-      val sec = (System.nanoTime() - t0) / 1e9
-      // integrity: total mass == seed + absorbed batches
+      val absorbSec = (System.nanoTime() - t0) / 1e9
+      // integrity: total mass == seed + absorbed batches (one full read)
+      val t1 = System.nanoTime()
       val total = m.current.get
         .select(sum(aggregate(col("sketch"), lit(0L), (a, x) => a + x)))
         .head().getLong(0)
+      val readSec = (System.nanoTime() - t1) / 1e9
       val expect = k + nb * (if (dense) k else per)
       println(f"SKETCHSTATE keys=$k buckets=$buckets%-3d " +
         s"${if (dense) "dense " else "sparse"} batches=$nb " +
-        f"absorbSec=$sec%7.2f perBatch=${sec / nb}%6.3f " +
+        f"absorbSec=$absorbSec%7.2f perBatch=${absorbSec / nb}%6.3f " +
+        f"readSec=$readSec%6.2f " +
         s"mass=${if (total == expect) "ok" else s"MISMATCH $total != $expect"}")
       graft.operators.Checkpoints.releaseAll()
       spark.catalog.clearCache()

@@ -27,16 +27,26 @@ class StreamingAggStateSpec extends SparkSpec {
   }
 
   test("snapshot plan stays bounded across many absorbed batches") {
+    // the segmented store defers up to maxPending merges to the read, so
+    // the snapshot plan is NOT one leaf deep — the invariant is that its
+    // size is a CONSTANT of (maxPending, shard count), independent of how
+    // many batches were ever absorbed: without compaction's lineage
+    // truncation the plan would grow by a join per batch
+    def planNodes(nBatches: Int, seed: Int): Int = {
+      val m = new EventStreaming.AggStateMaintainer("userId", "valueCents")
+      evts(20 * nBatches, seed).grouped(20)
+        .foreach(chunk => m.absorb(chunk.toDS().toDF()))
+      m.current.get.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val at20 = planNodes(20, 2)
+    val at60 = planNodes(60, 3)
+    assert(at60 <= at20 + 8, // one extra base shard at most, never per-batch
+      s"snapshot plan grew with batch count: $at20 nodes at 20 batches, " +
+        s"$at60 at 60 — lineage is not being truncated")
     val m = new EventStreaming.AggStateMaintainer("userId", "valueCents")
     val rows = evts(400, 2)
     rows.grouped(20).foreach(chunk => m.absorb(chunk.toDS().toDF()))
-    val snap = m.current.get
-    // 20 merges would nest 20 full-outer joins without the per-batch
-    // lineage truncation; with it, the current snapshot is one leaf deep
-    val planNodes = snap.queryExecution.optimizedPlan.collect { case p => p }.size
-    assert(planNodes <= 10,
-      s"snapshot plan has $planNodes nodes — lineage is not being truncated")
-    assert(canon(snap) ==
+    assert(canon(m.current.get) ==
       canon(TableOps.aggState(rows.toDS().toDF(), "userId", "valueCents")))
   }
 
