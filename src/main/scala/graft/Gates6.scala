@@ -1,0 +1,519 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.embed.Similarity
+import graft.events.{AsOf, EventOps}
+import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
+import graft.sources.TextKV
+import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
+
+/** Gate-registry shard 6 (q229–q239): each gate's Spark lambda and
+  * its DuckDB oracle SQL side by side — pure relocation of the
+  * [[SparkEntry]] registry (r15 verdict #6), no behavior change.
+  * [[SparkEntry.queries]] / [[SparkEntry.oracleSql]] assemble the shards.
+  */
+private[graft] object Gates6 {
+  import GateSupport._
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ── the count-min cube contract, WEIGHTED: per-flag sketches of part
+    // keys weighted by quantity ROLL UP (element-wise add, never the raw
+    // rows) to the same global counters a direct weighted sketch
+    // computes — the oracle takes the direct path, the gate the
+    // stored-cube path, and they must agree cell-for-cell ────────────────
+    "q229_cms_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+        .withColumn("qty", floor(col("l_quantity")).cast(LongType))
+      val fine = graft.operators.CountMinSketch.sketch(
+        li, Seq("l_returnflag"), "l_partkey", weightCol = Some("qty"))
+      graft.operators.CountMinSketch.rollup(fine, "sketch", 4, 128, Nil)
+        .select(posexplode(col("sketch")))
+        .filter(col("col") > 0L)
+        .select(col("pos").cast(LongType).as("slot"), col("col").as("c"))
+        .orderBy("slot")
+    }),
+
+    // ── streaming count-min maintainer (r14): per-user value-frequency
+    // counters as an add-fold over micro-batches — NOT idempotent (the
+    // line between this and q225's distinct max-fold: re-delivery counts
+    // twice, so at-least-once sources dedup upstream); the final
+    // snapshot must equal the batch counters the DuckDB oracle computes
+    // directly (a slice for the q97 reason: driver-fed replay) ──────────
+    "q230_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      val snap = graft.streaming.EventStreaming.cmsReplay(evts, nChunks = 3)
+      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
+        .filter(col("col") > 0L)
+        .select(col("user_id"), col("pos").cast(LongType).as("slot"),
+          col("col").as("c"))
+        .orderBy("user_id", "slot")
+    }),
+
+    // ── incremental connected components (r14): fold a batch of NEW
+    // edges into STORED component labels without re-reading the old
+    // edges — the clustering family's warm start (q227's sibling). The
+    // quotient graph (delta endpoints lifted to their old
+    // representatives) is the only iterative work; the corpus label
+    // table is touched once, map-side, by a broadcast relabel map. The
+    // fixture is a star-of-stars (leaves→32-hubs cold; hub→1024-superhub
+    // + fresh-id edges as the delta) so the oracle's fixed-round min
+    // propagation is provably converged (diameter ≤ 3, 5 rounds run) ────
+    "q231_cc_delta" -> ((s, dir) => {
+      val keys = s.read.parquet(t(dir, "orders")).select(col("o_orderkey").as("k"))
+      val e = keys.filter(col("k") % 32 =!= 0)
+        .select(col("k").as("doc_a"), (col("k") - col("k") % 32).as("doc_b"))
+      val nodes = e.select(col("doc_a").as("doc_id"))
+        .union(e.select(col("doc_b").as("doc_id"))).distinct()
+      val cold = Dedup.clustersStars(nodes, e)
+      val hubs = e.select(col("doc_b").as("h")).distinct()
+      val bridge = hubs.filter(col("h") % 1024 =!= 0)
+        .select(col("h").as("doc_a"), (col("h") - col("h") % 1024).as("doc_b"))
+      val fresh = keys.filter(col("k") % 97 === 0 && col("k") % 32 =!= 0)
+        .select((col("k") + 1000000000L).as("doc_a"), col("k").as("doc_b"))
+      Dedup.ccDelta(cold, bridge.union(fresh))
+    }),
+
+    // ── integer-exact k-means (r14): Lloyd rounds with centroids
+    // quantized to a fixed 1/1024 grid and seeds picked by md5 order —
+    // every arithmetic step is Int64 math both engines replay
+    // bit-for-bit (the q92 integer-exact stance applied to clustering),
+    // so the ASSIGNMENT ITSELF is hash-gated, not spot-checked.
+    // Centroids are O(k·d) driver state (the MLlib layout / splitter-
+    // collect class); per-round exchange is O(N·k) argmin rows ──────────
+    "q232_kmeans" -> ((s, dir) => {
+      graft.embed.Clustering.kmeans(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        k = 8, rounds = 3)
+    }),
+
+    // ── SemDeDup-style semantic dedup (r14): cluster first (q232's
+    // k-means), then exact integer-cosine pairs WITHIN clusters only —
+    // pair work bounded by cluster sizes, never N²; a vector that
+    // near-duplicates (cos ≥ 0.8) a smaller-id clustermate is marked
+    // with its earliest duplicate. The oracle replays the full chain:
+    // kmeans rounds, then q54's score grid within the final clusters ────
+    "q233_semdedup" -> ((s, dir) => {
+      graft.embed.Clustering.semDedup(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        k = 8, rounds = 3, minScore1e6 = 800000L)
+    }),
+
+    // ── streaming connected-components maintainer (r14): q231's edge
+    // set folded in as 2 micro-batches of NEW edges — each batch pays
+    // only its delta-bounded quotient CC + one map-side relabel of the
+    // snapshot; ccDelta's incremental == one-shot law means ANY
+    // chunking must land on the one-shot CC the oracle computes ─────────
+    "q234_stream_cc" -> ((s, dir) => {
+      import s.implicits._
+      // half the key universe (k even): the contract is chunked-ingest
+      // == one-shot, which a half-size graph exercises identically —
+      // the full graph is q231's (one-shot) fixture
+      val keys = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey").as("k")).filter(col("k") % 2 === 0)
+      val e = keys.filter(col("k") % 32 =!= 0)
+        .select(col("k").as("doc_a"), (col("k") - col("k") % 32).as("doc_b"))
+      val hubs = e.select(col("doc_b").as("h")).distinct()
+      val bridge = hubs.filter(col("h") % 1024 =!= 0)
+        .select(col("h").as("doc_a"), (col("h") - col("h") % 1024).as("doc_b"))
+      val fresh = keys.filter(col("k") % 97 === 0 && col("k") % 32 =!= 0)
+        .select((col("k") + 1000000000L).as("doc_a"), col("k").as("doc_b"))
+      val all = e.union(bridge).union(fresh)
+        .select(col("doc_a").as("docA"), col("doc_b").as("docB"))
+        .as[graft.streaming.EventStreaming.GraphEdge]
+      // 2 chunks: the replay cost is CC-fixpoint count × stage latency,
+      // not edge volume — 2 batches exercise cold-start + delta-fold,
+      // which IS the contract (EventStreamingSpec pins 1/3/7 chunks)
+      graft.streaming.EventStreaming.ccReplay(all, nChunks = 2)
+    }),
+
+    // ── k-means SERVE path (r14): the clustering family's warm start —
+    // train centroids on two thirds of the vectors, store the O(k·d)
+    // model table, assign the HELD-OUT third against it with no
+    // re-training (plan-literal scoring, no join). The oracle replays
+    // the training rounds on the same subset, then scores the held-out
+    // vectors against the final centroid model c2 ───────────────────────
+    "q235_kmeans_assign" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val cents = graft.embed.Clustering.kmeansCentroids(
+        emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+        k = 8, rounds = 3)
+      graft.embed.Clustering.kmeansAssign(cents,
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    }),
+
+    // ── incremental SEMANTIC dedup (r14): q227's stored-corpus contract
+    // for embeddings — flag delta vectors that duplicate the corpus (or
+    // an earlier delta vector) using only the stored (vec, cluster)
+    // table and the centroid model; corpus×corpus never re-examined,
+    // pair work bounded by |delta| × cluster sizes. The oracle replays
+    // training, both assignments, and the q54 cosine grid ───────────────
+    "q236_semdedup_delta" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val train = emb.filter(col("vec_id") % 3 =!= 0)
+      val cents = graft.embed.Clustering.kmeansCentroids(
+        train, "vec_id", "embedding", k = 8, rounds = 3)
+      val corpus = train.join(
+        graft.embed.Clustering.kmeansAssign(cents, train, "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster")), "vec_id")
+      graft.embed.Clustering.semDedupDelta(corpus,
+        emb.filter(col("vec_id") % 3 === 0), cents,
+        "vec_id", "embedding", minScore1e6 = 800000L)
+    }),
+
+    // ── the CMS ESTIMATE read, oracle-gated (r14): min over the d
+    // counters a probe value hashes to is pure integer arithmetic, so
+    // unlike the HLL estimate (float harmonic means, spec-only) the
+    // count-min READ path is exactly replayable — per-type estimates
+    // for a probe set of user ids, never touching the raw rows ──────────
+    "q237_cms_estimate" -> ((s, dir) => {
+      // both sides share ONE group universe by construction: rows with a
+      // NULL event_type or NULL user_id are excluded BEFORE the sketch,
+      // so the gate's sketch groups and the oracle's tt CTE are the same
+      // set even if the fixture ever gains such rows
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      val sk = graft.operators.CountMinSketch.sketch(
+        ev, Seq("event_type"), "user_id")
+      val probes = ev.filter(col("user_id") % 50 === 0)
+        .select(col("user_id").as("p")).distinct()
+      graft.operators.CountMinSketch.estimates(sk, "sketch", probes, 4, 128)
+        .orderBy("event_type", "p")
+    }),
+
+    // ── incremental IVF index maintenance (r15): the similarity
+    // family's warm start — train md5-seeded centroids on the corpus
+    // two-thirds (q89's oracle-replayable convention), store the
+    // inverted file, then fold the held-out third in against the STORED
+    // model with no re-training; fold-in ≡ one-shot is the operator's
+    // law, and the oracle replays exactly the one-shot side (all
+    // vectors assigned to corpus-trained centroids). NULL-embedding
+    // rows are excluded up front on both sides (the q84 stance) ─────────
+    "q238_ivf_delta" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("embedding").isNotNull && col("vec_id") >= 5)
+      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+      val delta = emb.filter(col("vec_id") % 3 === 0)
+      val cents = Similarity.ivfCentroids(corpus, nCells = 8,
+        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
+      val inverted = Similarity.ivfAssign(corpus, cents)
+      Similarity.ivfAssignDelta(cents, inverted, delta).orderBy("vec_id")
+    }),
+
+    // ── incremental PQ code maintenance (r15): q84's SQL-replayable
+    // seed codebooks trained on the corpus two-thirds, corpus encoded
+    // and stored, then the held-out third encoded against the STORED
+    // codebooks and folded in — fold-in ≡ one-shot; output exploded to
+    // (vec_id, sub, code) rows (the oracle's native shape) ──────────────
+    "q239_pq_delta" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .filter(col("embedding").isNotNull && col("vec_id") >= 5)
+      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+      val delta = emb.filter(col("vec_id") % 3 === 0)
+      val cb = graft.embed.Pq.seedCodebooks(
+        corpus.orderBy("vec_id").limit(16), m = 8)
+      val codes = graft.embed.Pq.encode(corpus, cb)
+      graft.embed.Pq.encodeDelta(cb, codes, delta)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
+        .orderBy("vec_id", "sub")
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    // the DIRECT weighted global counters — the gate reaches the same
+    // cells via the per-flag stored vectors, which is the cube contract
+    "q229_cms_rollup" ->
+      """WITH h AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS w,
+        |             md5(CAST(l_partkey AS VARCHAR)) AS hx
+        |           FROM lineitem WHERE l_partkey IS NOT NULL),
+        |s AS (SELECT w,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t(i))
+        |SELECT slot, CAST(SUM(w) AS BIGINT) AS c
+        |FROM s GROUP BY slot ORDER BY slot""".stripMargin,
+
+    // the BATCH counters of per-user click-value frequencies — the gate
+    // reaches the same cells by folding 3 micro-batches through the
+    // streaming maintainer (counter add is a monoid: any chunking with
+    // exactly-once delivery lands here)
+    "q230_stream_cms" -> {
+      val v = CENTS.format("value")
+      s"""WITH t AS (SELECT user_id, $v AS v FROM events
+        |           WHERE event_type = 'click'),
+        |h AS (SELECT user_id, md5(CAST(v AS VARCHAR)) AS hx
+        |      FROM t WHERE v IS NOT NULL),
+        |s AS (SELECT user_id,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t2(i))
+        |SELECT user_id, slot, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM s GROUP BY user_id, slot
+        |ORDER BY user_id, slot""".stripMargin
+    },
+
+    // one-shot CC of the union graph by fixed-round min-label
+    // propagation over the closed neighborhood — exact here because the
+    // fixture's diameter is ≤ 3 by construction (star-of-stars), so 5
+    // rounds are provably past the fixpoint
+    "q231_cc_delta" ->
+      """WITH keys AS (SELECT o_orderkey AS k FROM orders),
+        |e AS MATERIALIZED (
+        |  SELECT k AS a, k - k % 32 AS b FROM keys WHERE k % 32 <> 0),
+        |hubs AS (SELECT DISTINCT b AS h FROM e),
+        |delta AS MATERIALIZED (
+        |  SELECT h AS a, h - h % 1024 AS b FROM hubs WHERE h % 1024 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000 AS a, k AS b FROM keys
+        |  WHERE k % 97 = 0 AND k % 32 <> 0),
+        |ae AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION SELECT a, b FROM delta),
+        |nodes AS MATERIALIZED (
+        |  SELECT a AS node FROM ae UNION SELECT b FROM ae),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM ae UNION SELECT b, a FROM ae
+        |  UNION SELECT node, node FROM nodes),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        |l1 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u),
+        |l2 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u),
+        |l3 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l2 l ON s.v = l.node GROUP BY s.u),
+        |l4 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l3 l ON s.v = l.node GROUP BY s.u),
+        |l5 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l4 l ON s.v = l.node GROUP BY s.u)
+        |SELECT node AS doc_id, lbl AS cluster FROM l5 ORDER BY doc_id""".stripMargin,
+
+    // the full 3-round integer-exact Lloyd replay (KMEANS_CTES): the
+    // final assignment AND its exact squared distance, cell-for-cell
+    "q232_kmeans" ->
+      s"""WITH ${kmeansCtes("TRUE")}
+        |SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // kmeans chain + q54's integer-cosine score grid WITHIN the final
+    // clusters: dup_of = min smaller-id clustermate at score >= 0.8e6
+    "q233_semdedup" ->
+      s"""WITH ${kmeansCtes("TRUE")},
+        |ev AS MATERIALIZED (
+        |  SELECT e.vec_id, g.cluster,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings e JOIN a3 g ON e.vec_id = g.vec_id),
+        |pr AS MATERIALIZED (
+        |  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
+        |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |sc AS (SELECT vid_a, vid_b,
+        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |           / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
+        |           AS score
+        |       FROM pr WHERE qn != 0 AND cn != 0),
+        |d AS (SELECT vid_b AS vec_id, MIN(vid_a) AS dup_of FROM sc
+        |      WHERE score >= 800000 GROUP BY vid_b)
+        |SELECT g.vec_id, g.cluster, d.dup_of
+        |FROM a3 g LEFT JOIN d ON g.vec_id = d.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // the one-shot CC of the streamed union graph — identical cells to
+    // q231 (the q224/q225 convention: the gate takes the incremental
+    // fold, the oracle the direct path)
+    "q234_stream_cc" ->
+      """WITH keys AS (SELECT o_orderkey AS k FROM orders
+        |              WHERE o_orderkey % 2 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT k AS a, k - k % 32 AS b FROM keys WHERE k % 32 <> 0),
+        |hubs AS (SELECT DISTINCT b AS h FROM e),
+        |delta AS MATERIALIZED (
+        |  SELECT h AS a, h - h % 1024 AS b FROM hubs WHERE h % 1024 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000 AS a, k AS b FROM keys
+        |  WHERE k % 97 = 0 AND k % 32 <> 0),
+        |ae AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION SELECT a, b FROM delta),
+        |nodes AS MATERIALIZED (
+        |  SELECT a AS node FROM ae UNION SELECT b FROM ae),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM ae UNION SELECT b, a FROM ae
+        |  UNION SELECT node, node FROM nodes),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        |l1 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u),
+        |l2 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u),
+        |l3 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l2 l ON s.v = l.node GROUP BY s.u),
+        |l4 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l3 l ON s.v = l.node GROUP BY s.u),
+        |l5 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
+        |  FROM sym s JOIN l4 l ON s.v = l.node GROUP BY s.u)
+        |SELECT node AS doc_id, lbl AS cluster FROM l5 ORDER BY doc_id""".stripMargin,
+
+    // training rounds replayed on the train subset (pred), then the
+    // held-out vectors scored against the final centroid model c2
+    "q235_kmeans_assign" ->
+      s"""WITH ${kmeansCtes("vec_id % 3 <> 0")},
+        |hp AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
+        |           AS BIGINT) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |ap AS MATERIALIZED (
+        |  SELECT h.vec_id, c.cluster,
+        |         CAST(SUM((h.x*1024 - c.r)*(h.x*1024 - c.r)) AS BIGINT) AS d2
+        |  FROM hp h JOIN c2 c ON h.dim = c.dim GROUP BY h.vec_id, c.cluster)
+        |SELECT vec_id, cluster, d2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cluster) AS rn FROM ap) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // training replay (train subset) -> both assignments (a3 = corpus,
+    // ad = delta vs c2) -> q54 cosine grid: delta×corpus + delta×earlier-
+    // delta within clusters, MIN matching id
+    "q236_semdedup_delta" ->
+      s"""WITH ${kmeansCtes("vec_id % 3 <> 0")},
+        |hp AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
+        |           AS BIGINT) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |adp AS MATERIALIZED (
+        |  SELECT h.vec_id, c.cluster,
+        |         CAST(SUM((h.x*1024 - c.r)*(h.x*1024 - c.r)) AS BIGINT) AS d2
+        |  FROM hp h JOIN c2 c ON h.dim = c.dim GROUP BY h.vec_id, c.cluster),
+        |ad AS MATERIALIZED (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cluster) AS rn FROM adp) WHERE rn = 1),
+        |dv AS MATERIALIZED (
+        |  SELECT e.vec_id, g.cluster,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings e JOIN ad g ON e.vec_id = g.vec_id),
+        |cv AS MATERIALIZED (
+        |  SELECT e.vec_id, g.cluster,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings e JOIN a3 g ON e.vec_id = g.vec_id),
+        |pr AS MATERIALIZED (
+        |  SELECT a.vec_id AS id, b.vec_id AS other,
+        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
+        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
+        |  FROM dv a JOIN cv b ON a.cluster = b.cluster
+        |  UNION ALL
+        |  SELECT a.vec_id, b.vec_id,
+        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT),
+        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT),
+        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT)
+        |  FROM dv a JOIN dv b ON a.cluster = b.cluster
+        |                     AND b.vec_id < a.vec_id),
+        |sc AS (SELECT id, other,
+        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+        |           / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
+        |           AS score
+        |       FROM pr WHERE qn != 0 AND cn != 0),
+        |d AS (SELECT id, MIN(other) AS dup_of FROM sc
+        |      WHERE score >= 800000 GROUP BY id)
+        |SELECT g.vec_id, g.cluster, d.dup_of
+        |FROM ad g LEFT JOIN d ON g.vec_id = d.id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // q228's register replay + the estimate READ: min over the 4 cells
+    // each probe hashes to (absent cells read 0) per event type
+    "q237_cms_estimate" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events
+        |            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+        |s AS (SELECT event_type,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot
+        |      FROM h, UNNEST(range(4)) AS t(i)),
+        |reg AS MATERIALIZED (
+        |  SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s GROUP BY event_type, slot),
+        |pr AS (SELECT DISTINCT user_id AS p FROM ev
+        |       WHERE user_id % 50 = 0),
+        |ps AS MATERIALIZED (
+        |  SELECT p, i * 128 + (('0x' || substr(md5(CAST(p AS VARCHAR)),
+        |           4*i + 1, 4))::BIGINT % 128) AS slot
+        |  FROM pr, UNNEST(range(4)) AS t(i)),
+        |tt AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, ps.p, MIN(COALESCE(r.c, 0)) AS est
+        |FROM tt t CROSS JOIN ps
+        |LEFT JOIN reg r ON r.event_type = t.event_type AND r.slot = ps.slot
+        |GROUP BY t.event_type, ps.p
+        |ORDER BY t.event_type, ps.p""".stripMargin,
+
+    // fold-in == one-shot is the operator's law, so the oracle replays
+    // the ONE-SHOT side: q89's md5-seeded centroid sample restricted to
+    // the corpus two-thirds, then every vector (corpus + delta) assigned
+    // to those fixed centroids by max integer cosine (ties to the
+    // smallest cell)
+    "q238_ivf_delta" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5),
+        |cand AS (SELECT vec_id, vd,
+        |           CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e),
+        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+        |          FROM (SELECT vec_id, vd FROM cand WHERE vec_id % 3 != 0
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+        |cents AS (SELECT cell, vd AS cv,
+        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed)
+        |SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ct.cell,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      CASE WHEN c.n2 = 0 OR ct.cn = 0 THEN NULL
+        |      ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(c.vd, ct.cv) AS BIGINT) AS DOUBLE)
+        |           / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
+        |      DESC NULLS LAST, ct.cell) AS rn
+        |  FROM cand c, cents ct) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // q84's seed-codebook replay restricted to the corpus two-thirds,
+    // then EVERY vector's per-subspace argmin (2·sv·cv − cn maximized,
+    // ties to the smallest code) — the one-shot encode the delta fold
+    // must land on
+    "q239_pq_delta" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5),
+        |seeds AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        |          FROM e WHERE vec_id % 3 != 0 ORDER BY vec_id LIMIT 16),
+        |cbn AS (SELECT t.sub, code, vd[(t.sub*8+1):(t.sub*8+8)] AS cv,
+        |          CAST(list_dot_product(vd[(t.sub*8+1):(t.sub*8+8)],
+        |                                vd[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
+        |        FROM seeds, UNNEST(range(0, 8)) AS t(sub)),
+        |cs AS (SELECT vec_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
+        |       FROM e, UNNEST(range(0, 8)) AS t(sub))
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT cs.vec_id, cs.sub, cbn.code,
+        |    row_number() OVER (PARTITION BY cs.vec_id, cs.sub
+        |      ORDER BY CAST(2 * list_dot_product(cs.sv, cbn.cv) AS BIGINT) - cbn.cn DESC,
+        |               cbn.code) AS arn
+        |  FROM cs JOIN cbn USING (sub)) WHERE arn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+  )
+}

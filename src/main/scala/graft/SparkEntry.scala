@@ -22,68 +22,7 @@ import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
   *  - every computed column is aliased identically in both.
   */
 object SparkEntry {
-
-  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
-  private def cents(c: Column): Column = floor(c * 100).cast(LongType)
-  private val CENTS = "CAST(FLOOR(%s * 100) AS BIGINT)"
-
-  /** The shared k-means replay chain (q232/q233/q235): 3 Lloyd rounds
-    * with 1/1024-grid centroids on the shifted-positive q-grid — every
-    * step Int64-exact, mirroring [[graft.embed.Clustering.kmeans]]
-    * (seeds by md5 order; argmin ties on cluster id; empty clusters
-    * keep their centroid; `//` == Spark's `div` because the domain is
-    * positive). `pred` restricts the TRAINING set. Ends with `a3` =
-    * (vec_id, cluster, d2) and `c2` = the final centroid model. */
-  private def kmeansCtes(pred: String): String =
-    s"""pts AS MATERIALIZED (
-      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-      |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
-      |           AS BIGINT) AS x
-      |  FROM embeddings WHERE $pred),
-      |seeds AS MATERIALIZED (
-      |  SELECT vec_id AS cluster FROM embeddings WHERE $pred
-      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-      |c0 AS MATERIALIZED (
-      |  SELECT s.cluster, p.dim, p.x * 1024 AS r
-      |  FROM seeds s JOIN pts p ON p.vec_id = s.cluster),
-      |a1p AS MATERIALIZED (
-      |  SELECT p.vec_id, c.cluster,
-      |         CAST(SUM((p.x*1024 - c.r)*(p.x*1024 - c.r)) AS BIGINT) AS d2
-      |  FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY p.vec_id, c.cluster),
-      |a1 AS MATERIALIZED (
-      |  SELECT vec_id, cluster, d2 FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY d2, cluster) AS rn FROM a1p) WHERE rn = 1),
-      |u1 AS MATERIALIZED (
-      |  SELECT a.cluster, p.dim,
-      |         CAST((SUM(p.x) * 1024) // COUNT(*) AS BIGINT) AS r
-      |  FROM a1 a JOIN pts p ON a.vec_id = p.vec_id GROUP BY a.cluster, p.dim),
-      |c1 AS MATERIALIZED (
-      |  SELECT * FROM u1 UNION ALL
-      |  SELECT * FROM c0 WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u1)),
-      |a2p AS MATERIALIZED (
-      |  SELECT p.vec_id, c.cluster,
-      |         CAST(SUM((p.x*1024 - c.r)*(p.x*1024 - c.r)) AS BIGINT) AS d2
-      |  FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY p.vec_id, c.cluster),
-      |a2 AS MATERIALIZED (
-      |  SELECT vec_id, cluster, d2 FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY d2, cluster) AS rn FROM a2p) WHERE rn = 1),
-      |u2 AS MATERIALIZED (
-      |  SELECT a.cluster, p.dim,
-      |         CAST((SUM(p.x) * 1024) // COUNT(*) AS BIGINT) AS r
-      |  FROM a2 a JOIN pts p ON a.vec_id = p.vec_id GROUP BY a.cluster, p.dim),
-      |c2 AS MATERIALIZED (
-      |  SELECT * FROM u2 UNION ALL
-      |  SELECT * FROM c1 WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u2)),
-      |a3p AS MATERIALIZED (
-      |  SELECT p.vec_id, c.cluster,
-      |         CAST(SUM((p.x*1024 - c.r)*(p.x*1024 - c.r)) AS BIGINT) AS d2
-      |  FROM pts p JOIN c2 c ON p.dim = c.dim GROUP BY p.vec_id, c.cluster),
-      |a3 AS MATERIALIZED (
-      |  SELECT vec_id, cluster, d2 FROM (
-      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |      ORDER BY d2, cluster) AS rn FROM a3p) WHERE rn = 1)""".stripMargin
+  import GateSupport._
 
   /** Flagship query on sf=0.001: the reference's headline operator — a
     * distributed sliding-window SUM over globally sorted orders. */
@@ -93,6962 +32,26 @@ object SparkEntry {
     SlidingAggregate.scalable(orders, "o_orderkey", "v", window = 50, numParts = 8)
   }
 
-  /** Sliding aggregate of order totalprice cents over orderkey rank.
-    * numParts = 0 → auto-derived from parallelism; the result is
-    * partition-count independent (property-tested), so the oracle holds
-    * at any scale-out. */
-  private def slidingOrders(s: SparkSession, dir: String, w: Int, mon: LongMonoid): DataFrame = {
-    val orders = s.read.parquet(t(dir, "orders"))
-      .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
-    SlidingAggregate.scalable(orders, "o_orderkey", "v", w, numParts = 0, mon)
-      .orderBy("rank")
-  }
-
-  private def slidingOrdersSql(w: Int, fn: String): String = {
-    val v = CENTS.format("o_totalprice")
-    val agg = fn match {
-      case "count" => "COUNT(*)"
-      case f       => s"$f($v)"
-    }
-    s"""SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
-       |       CAST(o_orderkey AS BIGINT) AS key,
-       |       CAST($agg OVER (ORDER BY o_orderkey
-       |                       ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS agg
-       |FROM orders ORDER BY rank""".stripMargin
-  }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ── reference op #1: text KV scan (SURVEY §2a #1) ────────────────────
-    // Fixed-size smoke query by design: reads the reference's own 103-line
-    // fixture (the format has no per-SF testdata), so it does NOT scale with
-    // sfDir — it checks format parity, not throughput.
-    "q01_text_scan" -> ((s, _) =>
-      TextKV.read(s, "/root/reference/input/simple103.txt")
-        .orderBy("key", "value")),
-
-    // ── ops #3–#6: sampled range partition + total-order sort ────────────
-    // partition count from spark.sql.shuffle.partitions (no hard-coded 8);
-    // output is globally ordered for any count — range partitions concatenate
-    "q02_total_sort" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_c"))
-        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber")),
-
-    // ── ops #7–#9: global dense ranking (zipWithIndex) ────────────────────
-    "q03_global_rank" -> ((s, dir) =>
-      GlobalRank.withRank(
-        s.read.parquet(t(dir, "orders")).select("o_orderkey"),
-        numParts = 0, "rank", col("o_orderkey"))
-        .select(col("rank"), col("o_orderkey")).orderBy("rank")),
-
-    // ── op #13: the headline sliding aggregate, all four monoids ─────────
-    "q04_sliding_sum"   -> ((s, dir) => slidingOrders(s, dir, 100, LongMonoid.Sum)),
-    "q05_sliding_min"   -> ((s, dir) => slidingOrders(s, dir, 100, LongMonoid.Min)),
-    "q06_sliding_max"   -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Max)),
-    "q07_sliding_count" -> ((s, dir) => slidingOrders(s, dir, 500, LongMonoid.Count)),
-    // avg = windowed sum ÷ window count, no second pass (dense ranks make
-    // the count min(l, rank+1)); truncating integer division in both engines
-    "q51_sliding_avg"   -> ((s, dir) =>
-      SlidingAggregate.withAvg(slidingOrders(s, dir, 100, LongMonoid.Sum), 100)),
-
-    // ── op #4: quantile splitter computation (exact order statistics) ────
-    // One range shuffle; count + extraction passes reuse its map output
-    // (round 1 ran the whole rank pipeline twice — see OrderStats scaladoc).
-    "q08_quantile_splitters" -> ((s, dir) =>
-      OrderStats.exactSplitters(
-        s.read.parquet(t(dir, "lineitem")).select(cents(col("l_extendedprice")).as("key_c")),
-        "key_c", k = 8, numParts = 0)),
-
-    // ── op #3: Bernoulli sample (nondeterministic — rows-only check) ─────
-    "q09_bernoulli_sample" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem")).select("l_orderkey").sample(0.5, 42L)),
-
-    // ── op #3, deterministic form: hash-Bernoulli sample — membership is a
-    // pure function of the row key, so THIS sample variant hash-matches a
-    // DuckDB oracle exactly (the seeded .sample() above can only ever get a
-    // rows-order-of-magnitude check)
-    "q55_hash_sample" -> ((s, dir) =>
-      graft.operators.Sampling.byKeyHash(
-          s.read.parquet(t(dir, "lineitem")).select("l_orderkey", "l_linenumber"),
-          Seq("l_orderkey", "l_linenumber"), num = 1, den = 2)
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ── deterministic stratified sample: per-stratum hash fractions ──────
-    // (training-mix rebalancing: A keeps 1/4, N keeps 1/2, R keeps 3/4)
-    "q58_stratified_sample" -> ((s, dir) =>
-      graft.operators.Sampling.stratifiedByKeyHash(
-          s.read.parquet(t(dir, "lineitem"))
-            .select("l_orderkey", "l_linenumber", "l_returnflag"),
-          Seq("l_orderkey", "l_linenumber"), "l_returnflag",
-          Map("A" -> (1, 4), "N" -> (1, 2), "R" -> (3, 4)))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ── ops #10–#12: balanced rank blocks + per-block aggregates ─────────
-    // Same single-shuffle pattern: no rank materialization, no second job.
-    "q10_block_stats" -> ((s, dir) =>
-      OrderStats.blockStats(
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_orderkey"), cents(col("o_totalprice")).as("v")),
-        "o_orderkey", "v", numBlocks = 8)),
-
-    // ── breadth: standard analytics the engine gets Spark-natively ───────
-    "q11_groupby_agg" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .filter(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(cents(col("l_quantity"))).as("sum_qty_c"),
-          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
-          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_c"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag", "l_linestatus")),
-
-    "q12_join_revenue" -> ((s, dir) => {
-      val orders = s.read.parquet(t(dir, "orders"))
-      val customer = s.read.parquet(t(dir, "customer"))
-      val nation = s.read.parquet(t(dir, "nation"))
-      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
-        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_c"))
-        .orderBy("n_name")
-    }),
-
-    "q13_topk" -> ((s, dir) =>
-      s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
-        .orderBy(col("price_c").desc, col("o_orderkey"))
-        .limit(20)),
-
-    "q14_distinct" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select("l_returnflag", "l_linestatus").distinct()
-        .orderBy("l_returnflag", "l_linestatus")),
-
-    // Non-vacuous anti-join: customers with no order above 400k (202 rows at
-    // sf0.01). Round 1's form anti-joined against ALL orders and matched the
-    // oracle on 0 = 0 rows, proving nothing.
-    "q15_anti_join" -> ((s, dir) => {
-      val customer = s.read.parquet(t(dir, "customer"))
-      val bigOrders = s.read.parquet(t(dir, "orders"))
-        .filter(col("o_totalprice") > 400000)
-      customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
-        .select("c_custkey").orderBy("c_custkey")
-    }),
-
-    "q16_rollup" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
-
-    "q17_window_partitioned" -> ((s, dir) =>
-      s.read.parquet(t(dir, "orders"))
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          cents(col("o_totalprice")).as("price_c"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
-          .cast(LongType))
-        .withColumn("prev_price_c", lag("price_c", 1).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
-        .select("o_custkey", "o_orderkey", "rn", "price_c", "prev_price_c")
-        .orderBy("o_custkey", "rn")),
-
-    // ═════ LLM-data-pipeline operators (BASELINE.json north_star) ═════════
-
-    // ── exact dedup: hash-groupBy on normalized bag-of-words fingerprint ─
-    // exactHashed = the explicit scale path (16-byte shuffle key); the
-    // byte-exact Dedup.exact default produces identical groups (spec-tested)
-    "q18_dedup_exact" -> ((s, dir) =>
-      Dedup.exactHashed(s.read.parquet(t(dir, "documents")))),
-
-    // ── MinHash signatures (shingle → minhash), the LSH building block ───
-    "q19_minhash_sig" -> ((s, dir) =>
-      Dedup.minhashSignatures(s.read.parquet(t(dir, "documents")), numHashes = 16)),
-
-    // ── text corpus statistics per language ──────────────────────────────
-    "q20_text_stats" -> ((s, dir) =>
-      s.read.parquet(t(dir, "documents"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chars").as("sum_chars"),
-          min("n_chars").as("min_chars"),
-          max("n_chars").as("max_chars"),
-          sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("n_tokens"),
-          countDistinct("source").as("n_sources"))
-        .orderBy("lang")),
-
-    // ── event-time trailing window (reference rank-window → RANGE frame) ─
-    "q21_event_window" -> ((s, dir) =>
-      EventOps.trailingWindow(s.read.parquet(t(dir, "events")), windowSec = 600)),
-
-    // ── exact top-k cosine over embeddings (ANN baseline) ────────────────
-    "q22_topk_cosine" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      Similarity.topkCosine(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 10)
-    }),
-
-    // ── n-gram Jaccard near-dup pairs via inverted-index join ────────────
-    // ── n-gram Jaccard dedup: char-3-gram sets. The universe is tiny
-    // (≤ charset³), which is exactly the regime where PPJoin prefixes
-    // stop filtering — so this gate runs the bitmap small-universe path
-    // (native AND+POPCNT kernel); parity with jaccardPairs is spec-tested
-    "q56_chargram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsBitmapBlocked(s.read.parquet(t(dir, "documents")), num = 4, den = 5,
-        tokensOf = graft.text.TextOps.charGrams3Native)),
-
-    "q23_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(s.read.parquet(t(dir, "documents")), num = 19, den = 20)),
-
-    // ── SimHash 32-bit document fingerprints ─────────────────────────────
-    "q24_simhash" -> ((s, dir) =>
-      SimHash.fingerprints(s.read.parquet(t(dir, "documents")), bits = 32)),
-
-    // ── language-ID scoring (marker-dictionary heuristic) ────────────────
-    "q25_lang_id" -> ((s, dir) =>
-      TextAnalysis.langIdEnglish(s.read.parquet(t(dir, "documents")),
-        markers = Seq("the", "a"), threshold1000 = 50)),
-
-    // ── quality scoring: TTR / word length / stopword ratios ─────────────
-    "q26_quality" -> ((s, dir) =>
-      TextAnalysis.quality(s.read.parquet(t(dir, "documents")), stopwords = Seq("the", "a"))),
-
-    // ── token counting: whitespace + BPE-ish regex ───────────────────────
-    "q27_token_count" -> ((s, dir) =>
-      TextAnalysis.tokenCounts(s.read.parquet(t(dir, "documents")))),
-
-    // ── order-sensitive rolling-hash document fingerprint ────────────────
-    "q28_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(s.read.parquet(t(dir, "documents")))),
-
-    // ── event sessionization (gap > 30 min ⇒ new session) ────────────────
-    "q29_sessions" -> ((s, dir) =>
-      EventOps.sessionize(s.read.parquet(t(dir, "events")), gapSec = 1800)),
-
-    // ── embedding near-dup: top-20 closest pairs, label-blocked join ─────
-    "q30_closest_pairs" -> ((s, dir) =>
-      Similarity.closestPairsBlocked(s.read.parquet(t(dir, "embeddings")), "label", k = 20)),
-
-    // ── embedding near-dup: cosine-threshold pairs (exact verify kernel; ─
-    // the LSH-candidate composition embedNearDup is recall-spec-tested)
-    "q54_embed_pairs" -> ((s, dir) =>
-      Similarity.cosinePairsBlocked(s.read.parquet(t(dir, "embeddings")), "label",
-        minScore1e6 = 250000L)),
-
-    // ═════ breadth: remaining standard-analytics surface ═════════════════
-
-    "q31_cube" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
-
-    "q32_setops" -> ((s, dir) => {
-      val hi = s.read.parquet(t(dir, "orders"))
-        .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("key")).distinct()
-      val lowNat = s.read.parquet(t(dir, "customer"))
-        .filter(col("c_nationkey") < 5).select(col("c_custkey").as("key")).distinct()
-      lowNat.intersect(hi).withColumn("src", lit("both"))
-        .unionByName(lowNat.except(hi).withColumn("src", lit("only_nation")))
-        .orderBy("src", "key")
-    }),
-
-    "q33_scalar_date" -> ((s, dir) =>
-      s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"),
-          year(col("o_orderdate")).cast(LongType).as("yr"),
-          month(col("o_orderdate")).cast(LongType).as("mo"),
-          quarter(col("o_orderdate")).cast(LongType).as("qtr"),
-          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
-          upper(substring(col("o_orderpriority"), 1, 1)).as("pr1"),
-          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
-          length(col("o_orderpriority")).cast(LongType).as("plen"))
-        .orderBy("o_orderkey")),
-
-    // from_json with an explicit schema, not get_json_object: the latter
-    // re-runs a JsonPath engine per row (~4x slower on this shape)
-    "q34_json" -> ((s, dir) =>
-      s.read.parquet(t(dir, "events"))
-        .select(col("event_id"),
-          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
-            .getField("k").as("k"))
-        .orderBy("event_id")),
-
-    "q35_pivot" -> ((s, dir) =>
-      s.read.parquet(t(dir, "events"))
-        .groupBy("user_id")
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("user_id")),
-
-    "q36_window_funcs" -> ((s, dir) => {
-      val raw = s.read.parquet(t(dir, "events"))
-      val ev = raw.select(col("event_id"), col("user_id"),
-          EventOps.tsMicros(raw).as("tus"),
-          cents(col("value")).as("v"))
-      val byVal = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("v")
-      val byTime = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("tus", "event_id")
-      ev.select(col("event_id"),
-          rank().over(byVal).cast(LongType).as("rnk"),
-          dense_rank().over(byVal).cast(LongType).as("drnk"),
-          ntile(4).over(byTime).cast(LongType).as("nt"),
-          lead("event_id", 1).over(byTime).as("next_id"))
-        .orderBy("event_id")
-    }),
-
-    // ── dedup end-to-end: similarity join edges → connected components ───
-    // (non-vacuous at sf0.01: a 137-doc cluster, 18 pairs, 1 triple).
-    // Edges come from the small-universe bitmap form: this corpus' ~31-word
-    // vocabulary gives PPJoin prefix filtering nothing rare to index on
-    // (same regime call as q56/q74; the two edge paths are spec-proved
-    // identical, and the oracle hash-checks the clusters either way) ─────
-    "q38_dedup_clusters" -> ((s, dir) => {
-      val docs = s.read.parquet(t(dir, "documents"))
-      // big-star/small-star CC (round-8 A/B, PLANS.md): measured faster
-      // than the jump rounds at sf0.1 (3.1 vs 4.2 s) and 1.8x at 10x
-      // (1.9M edges), identical labels (signature + parity suite)
-      Dedup.clustersStars(docs.select("doc_id"),
-        Dedup.jaccardPairsBitmapBlocked(docs, num = 19, den = 20)
-          .select("doc_a", "doc_b"),
-        maxIter = 50)
-    }),
-
-    // ── exact distribution statistics: interpolated median per group ─────
-    "q39_median" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .groupBy("l_returnflag")
-        .agg(median(cents(col("l_quantity"))).as("med_qty_c"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag")),
-
-    // ── multimodal plumbing over real testdata (text bytes as blobs).
-    // Hash-gated on n_bytes (octet_length in DuckDB); the FNV-1a checksum
-    // and decode features run in the same pass but are sbt-gated — neither
-    // is DuckDB-expressible ───────────────────────────────────────────────
-    "q40_multimodal" -> ((s, dir) =>
-      graft.multimodal.Multimodal.extractFeatures(
-          graft.multimodal.Multimodal.fromDocuments(s, t(dir, "documents")))
-        .select(col("media_id"), col("n_bytes"))
-        .orderBy("media_id")),
-
-    // ── the STREAMING windowed-agg operator, applied in batch mode (Spark
-    // unifies the APIs) — 10-min windows sliding by 5, per user ──────────
-    "q41_sliding_time_window" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"),
-          cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming.windowedAgg(evts,
-          windowSec = 600, slideSec = 300, watermarkSec = 0)
-        .orderBy("userId", "win_start")
-    }),
-
-    // ── training-data pipeline staples: reproducible split / normalize /
-    // chunk / pack, all deterministic + integer-exact ─────────────────────
-    "q44_dataset_split" -> ((s, dir) =>
-      graft.text.Pipeline.datasetSplit(s.read.parquet(t(dir, "documents")))),
-
-    "q45_normalize" -> ((s, dir) =>
-      graft.text.Pipeline.normalize(s.read.parquet(t(dir, "documents")))),
-
-    "q46_chunking" -> ((s, dir) =>
-      graft.text.Pipeline.chunk(s.read.parquet(t(dir, "documents")),
-        chunkTokens = 32, overlap = 8)),
-
-    "q47_packing" -> ((s, dir) =>
-      graft.text.Pipeline.pack(s.read.parquet(t(dir, "documents")),
-        capacityTokens = 512)),
-
-    // ── repetition quality filters: duplicate/top n-gram mass ────────────
-    "q60_repetition" -> ((s, dir) =>
-      TextAnalysis.repetition(s.read.parquet(t(dir, "documents")))),
-
-    // ── PII scrubbing with redaction counts ──────────────────────────────
-    "q61_redact_pii" -> ((s, dir) =>
-      Pipeline.redactPii(s.read.parquet(t(dir, "documents")))),
-
-    // ── eval-set decontamination: anti-join on content fingerprints ──────
-    // (blocklist = the deterministic doc_id % 17 subset standing in for a
-    // benchmark's eval texts; dups of blocklisted docs are dropped too)
-    "q57_decontaminate" -> ((s, dir) => {
-      val docs = s.read.parquet(t(dir, "documents"))
-      Pipeline.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0))
-        .select("doc_id")
-    }),
-
-    // ── corpus-LM fluency score: integer-exact perplexity-filter analogue
-    "q59_bigram_score" -> ((s, dir) =>
-      graft.text.Ngrams.bigramScore(s.read.parquet(t(dir, "documents")))),
-
-    // ── tokenizer-prep vocabulary: counts + distributed frequency rank ───
-    "q62_vocab" -> ((s, dir) =>
-      graft.text.Ngrams.vocab(s.read.parquet(t(dir, "documents")), minCount = 2)),
-
-    // deterministic epoch upsampling: src0 at 2.5 epochs, src1 at 0.5,
-    // everything else passes through once (Pipeline.upsample)
-    "q64_upsample" -> ((s, dir) =>
-      graft.text.Pipeline.upsample(s.read.parquet(t(dir, "documents")),
-          epochs = Map("src0" -> (5, 2), "src1" -> (1, 2)))
-        .select(col("doc_id"), col("source"), col("epoch"))
-        .orderBy("doc_id", "epoch")),
-
-    // deterministic training-mixture sampler: 3:1:1 source weights under
-    // a 2000-token budget; unweighted sources drop (Pipeline.mixture)
-    "q63_mixture" -> ((s, dir) =>
-      graft.text.Pipeline.mixture(s.read.parquet(t(dir, "documents")),
-          weights = Map("src0" -> 3L, "src1" -> 1L, "src2" -> 1L),
-          budgetTokens = 2000L)
-        .select(col("doc_id"), col("source")).orderBy("doc_id")),
-
-    // ── 3-table TPC-H-shaped join (Q10 analogue): returned-item revenue
-    // per customer over one quarter, top 20. Exercises multi-join ordering
-    // at gate level: lineitem⋈orders shuffles on the orderkey (both sides
-    // large at scale), customer arrives by broadcast (Catalyst picks it —
-    // dimension under the auto-broadcast threshold; at 100 TB AQE would
-    // make the same call from runtime stats or degrade to SMJ). Filters
-    // (quarter + returnflag) sit under the joins → pushed to the scans.
-    "q65_return_revenue" -> ((s, dir) => {
-      val lineitem = s.read.parquet(t(dir, "lineitem"))
-        .filter(col("l_returnflag") === "R")
-      val orders = s.read.parquet(t(dir, "orders"))
-        .filter(col("o_orderdate") >= lit("1996-04-01").cast(TimestampType) &&
-                col("o_orderdate") <  lit("1996-07-01").cast(TimestampType))
-      val customer = s.read.parquet(t(dir, "customer"))
-      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .join(customer, orders("o_custkey") === customer("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(
-          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("revenue_c").desc, col("c_custkey"))
-        .limit(20)
-    }),
-
-    // ── deterministic subword (BPE-style) tokenization: greedy longest-
-    // match over the checked-in vocab, as one native codegen'd pass
-    // (functions.BpeTokens); n_bpe is what chunk/pack/mixture size by
-    // when budgeting subword tokens instead of whitespace words
-    "q66_bpe_tokens" -> ((s, dir) =>
-      graft.text.Bpe.tokenize(s.read.parquet(t(dir, "documents")))),
-
-    // ── 6-table TPC-H-shaped join (Q5 analogue): nation revenue where the
-    // customer and the line's supplier share a nation, over a 2-year
-    // window. The co-location predicate (c_nationkey = s_nationkey) rides
-    // the supplier join — the planner's multi-join ordering problem in
-    // miniature: lineitem⋈orders carries the date pushdown, supplier/
-    // nation/region broadcast, the extra equality prunes 96% of pairs
-    // before the aggregate.
-    "q68_local_supplier_revenue" -> ((s, dir) => {
-      val customer = s.read.parquet(t(dir, "customer"))
-      val orders = s.read.parquet(t(dir, "orders"))
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
-                col("o_orderdate") <  lit("1998-01-01").cast(TimestampType))
-      val lineitem = s.read.parquet(t(dir, "lineitem"))
-      val supplier = s.read.parquet(t(dir, "supplier"))
-      val nation = s.read.parquet(t(dir, "nation"))
-      val region = s.read.parquet(t(dir, "region"))
-      lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .join(customer, orders("o_custkey") === customer("c_custkey"))
-        .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey") &&
-          customer("c_nationkey") === supplier("s_nationkey"))
-        .join(nation, supplier("s_nationkey") === nation("n_nationkey"))
-        .join(region, nation("n_regionkey") === region("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(
-          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("revenue_c").desc, col("n_name"))
-    }),
-
-    // ── BPE merge learning's round-1 core: adjacent character-pair
-    // counts over the corpus DICTIONARY (word-frequency-weighted) — the
-    // distributed computation every Bpe.learn round repeats on merged
-    // symbols; top 20 under a total order (count desc, pair asc)
-    "q67_bpe_pair_counts" -> ((s, dir) =>
-      s.read.parquet(t(dir, "documents"))
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), expr(
-          """CASE WHEN length(w) >= 2 THEN
-            |  transform(sequence(1, length(w) - 1),
-            |    i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))
-            |ELSE array() END""".stripMargin).as("ps"))
-        .select(explode(col("ps")).as("p"), col("cnt"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(20)),
-
-    // ── n-gram-overlap decontamination (GPT-3-style span collision):
-    // drops every doc sharing ANY word 4-gram with the doc_id % 17
-    // blocklist — catches eval text EMBEDDED in novel wrappers, which
-    // q57's whole-doc fingerprint misses ─────────────────────────────────
-    "q69_ngram_decontaminate" -> ((s, dir) => {
-      val docs = s.read.parquet(t(dir, "documents"))
-      graft.text.Pipeline.decontaminateNgrams(
-        docs, docs.filter(col("doc_id") % 17 === 0), n = 4)
-    }),
-
-    // ── duplicated-n-gram fraction (cross-corpus span duplication — the
-    // web-pipeline quality signal; q60 is the intra-doc cousin) ──────────
-    "q70_dup_ngram_stats" -> ((s, dir) =>
-      TextAnalysis.duplicatedNgramStats(
-        s.read.parquet(t(dir, "documents")), n = 4)),
-
-    // ── per-vector symmetric int8 embedding quantization (the ANN
-    // storage/bandwidth scale path; exploded to scalar rows so the gate
-    // hash-checks every component) ───────────────────────────────────────
-    "q71_quantize_int8" -> ((s, dir) =>
-      graft.embed.Similarity.quantizeInt8(s.read.parquet(t(dir, "embeddings")))
-        .select(col("vec_id"), col("scale"), posexplode(col("q8")).as(Seq("i", "qv")))
-        .orderBy("vec_id", "i")),
-
-    // ── exact heavy hitters via mergeable Misra-Gries + candidate
-    // recount: terms holding ≥ 1/64 of corpus mass, WITHOUT a
-    // full-vocabulary shuffle (the scale path beside q62's exact vocab) ──
-    "q72_heavy_hitters" -> ((s, dir) =>
-      graft.operators.HeavyHitters.frequentTerms(
-        s.read.parquet(t(dir, "documents")), den = 64)),
-
-    // ── deterministic global training-order shuffle: reproducible
-    // hash-permutation rank (epoch salt "order"), computed with the
-    // distributed GlobalRank machinery — no single-task window, no
-    // seeded rand() ──────────────────────────────────────────────────────
-    "q73_training_order" -> ((s, dir) =>
-      graft.text.Pipeline.trainingOrder(
-          s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
-        .orderBy("rank")),
-
-    // ── asymmetric set-CONTAINMENT join (quote/subset detection): ordered
-    // pairs where ≥ 98% of A's token set lies inside B's — the dedup
-    // relation Jaccard misses (a short doc pasted into a long one). The
-    // gate runs the small-universe bitmap form BLOCKED BY LANGUAGE (the
-    // documented composition: this corpus' ~31-word vocab gives prefix
-    // filtering nothing rare to bite on, and its subset relation is so
-    // dense that the unblocked output itself is ~9% of n² — blocking is
-    // how the operator is actually deployed; the PPJoin form
-    // containmentPairs is the big-vocabulary path, spec-proved identical
-    // on unblocked corpora) ──────────────────────────────────────────────
-    "q74_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairsBitmap(s.read.parquet(t(dir, "documents")),
-        num = 49, den = 50, blockCol = Some("lang"))),
-
-    // ── source-balanced deterministic interleave: every prefix of the
-    // training order holds each source in proportion (±1) — the
-    // low-discrepancy epoch schedule (q73 is the plain hash shuffle) ─────
-    "q75_interleave_by_source" -> ((s, dir) =>
-      graft.text.Pipeline.interleaveBySource(
-          s.read.parquet(t(dir, "documents")).select("doc_id", "source"))
-        .orderBy("pos")),
-
-    // ── skew-salted join: the hot-key mitigation must be RESULT-invisible
-    // — the oracle is the plain join it replaces (orders⋈lineitem revenue
-    // per order, o_orderkey the salted key) ──────────────────────────────
-    // ── grouped EXACT order statistics (per-language median + p90 doc
-    // length): the small-group exact path — per-group collect is O(group)
-    // memory, the right call at thousands-per-group; a group outgrowing
-    // memory graduates to the OrderStats range-shuffle machinery (q08/
-    // q39's global forms). Integer indexing, no interpolation — engines
-    // disagree on interpolated quantile FP order, not on order statistics ─
-    "q77_grouped_quantiles" -> ((s, dir) =>
-      s.read.parquet(t(dir, "documents"))
-        // NULL n_chars dropped identically in both engines BEFORE the
-        // group: Spark's collect_list skips NULLs while DuckDB's list()
-        // keeps them, and count(*) vs the list length would index
-        // different elements — the symmetric WHERE removes the divergence
-        .filter(col("n_chars").isNotNull)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sort_array(collect_list(col("n_chars"))).as("xs"))
-        .select(col("lang"), col("n_docs"),
-          element_at(col("xs"), expr("CAST((n_docs + 1) div 2 AS INT)")).as("median_chars"),
-          element_at(col("xs"), expr("CAST((9 * n_docs + 9) div 10 AS INT)")).as("p90_chars"))
-        .orderBy("lang")),
-
-    "q76_salted_join" -> ((s, dir) => {
-      val orders = s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_custkey")
-      // integral quantities summed as BIGINT — double summation is
-      // order-dependent and would not hash-match across engines
-      val line = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(org.apache.spark.sql.types.LongType).as("qty"))
-      graft.operators.Salted.join(line, orders, key = "o_orderkey",
-          saltCol = "l_linenumber", factor = 4)
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_lines"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ── hot-keys-only salted join: the partial-salt variant must ALSO be
-    // result-invisible — same oracle family as q76, but only the keys the
-    // frequency probe flags pay the replication; the rest plain-joins and
-    // the branches union ─────────────────────────────────────────────────
-    "q78_salted_hot_join" -> ((s, dir) => {
-      val orders = s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_custkey")
-      val line = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(org.apache.spark.sql.types.LongType).as("qty"))
-      val hot = graft.operators.Salted.hotKeys(line, "o_orderkey", minCount = 5L)
-      graft.operators.Salted.join(line, orders, key = "o_orderkey",
-          saltCol = "l_linenumber", factor = 4, hotKeys = Some(hot))
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_lines"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ── heavy hitters at a DISCRIMINATING threshold (den=32 sits inside
-    // the word-frequency distribution: a couple of words fall below n/32,
-    // where q72's den=64 admits nearly the whole vocabulary) — the exact
-    // boundary placement is what the recount must reproduce. The operator's
-    // certificate/fallback regime itself is adversarially spec-gated
-    // (HeavyHittersSpec), since no corpus this small can decrement ────────
-    "q79_heavy_hitters_low" -> ((s, dir) =>
-      graft.operators.HeavyHitters.frequentTerms(
-        s.read.parquet(t(dir, "documents")), den = 32)),
-
-    // ── deterministic k-per-group cap (domain capping): each lang keeps
-    // its 70 smallest-hash docs (zh overridden to 20) — en (218 docs)
-    // truncates, fr (64) passes whole; NO per-group window (global
-    // range-rank + O(#groups) broadcast offsets) ─────────────────────────
-    "q80_cap_per_group" -> ((s, dir) =>
-      graft.operators.Sampling.takePerGroup(
-          s.read.parquet(t(dir, "documents")).select("doc_id", "lang"),
-          groupCol = "lang", k = 70, caps = Map("zh" -> 20))
-        .orderBy("doc_id")),
-
-    // ── exact-substring dedup REWRITE (Lee et al. keep-first): duplicated
-    // 8-gram spans lose every non-first occurrence, docs rebuilt from the
-    // surviving tokens — q70 measures the duplication, this edits it out ──
-    "q81_dedup_spans" -> ((s, dir) =>
-      graft.text.Dedup.removeDuplicatedSpans(
-        s.read.parquet(t(dir, "documents")), n = 8)),
-
-    // ── hashed-linear classifier inference (fastText/CCNet quality-filter
-    // shape): tokens hash into 4096 buckets, the "model" is a weights
-    // table the gate derives arithmetically (w = bucket % 2001 − 1000) so
-    // the oracle can inline it — the operator only sees a weights DF, as
-    // it would a trained model import ───────────────────────────────────
-    "q82_quality_linear" -> ((s, dir) => {
-      val dim = 4096
-      val weights = s.range(dim).select(col("id").as("bucket"),
-        ((col("id") % 2001) - 1000).cast("long").as("w_permille"))
-      graft.text.TextAnalysis.scoreHashedLinear(
-        s.read.parquet(t(dir, "documents")), weights, dim)
-    }),
-
-    // ── product-quantization ADC top-k (Jégou et al. 2011): 8 subspaces ×
-    // 16-entry codebooks over the integer grid. This gate pins the
-    // ENCODE + ADC scoring path with the SQL-replayable seed construction
-    // (codebook entry c of subspace s = seed-rank-c's s-th subvector);
-    // the learned-codebook path (hash-seeded Lloyd) is spec-gated like
-    // the IVF family. Queries/candidates follow q22's split ─────────────
-    "q84_pq_adc" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      val cand = emb.filter(col("vec_id") >= 5)
-      // NULL filter BEFORE the limit: the oracle's e CTE drops NULL
-      // embeddings first, so the 16 seed slots must too — without it a
-      // NULL row among the 16 lowest vec_ids would diverge the codebooks
-      val cb = graft.embed.Pq.seedCodebooks(
-        cand.filter(col("embedding").isNotNull).orderBy("vec_id").limit(16), m = 8)
-      graft.embed.Pq.topkAdc(emb.filter(col("vec_id") < 5),
-        graft.embed.Pq.encode(cand, cb), cb, k = 10)
-    }),
-
-    // ── survivor-policy exact dedup: keep the BEST-scored member of each
-    // duplicate group (argmax n_chars, tie → min doc_id) — the keep-one
-    // choice a pipeline makes once a quality signal exists; hashed
-    // 16-byte-key scale path ────────────────────────────────────────────
-    "q85_dedup_best" -> ((s, dir) =>
-      graft.text.Dedup.exactBest(s.read.parquet(t(dir, "documents")),
-        "n_chars", verifyExact = false)),
-
-    // ── exact-quantile corpus filter: keep docs at/above the 7/10
-    // empirical quantile of n_chars — fraction-budgeted quality filtering
-    // with a deterministic threshold (exact order statistics, TeraSort
-    // path), never approx_percentile's partition-dependent cut ──────────
-    "q86_quantile_filter" -> ((s, dir) =>
-      graft.text.Pipeline.filterByQuantile(
-          s.read.parquet(t(dir, "documents")), "n_chars", num = 7, den = 10)
-        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-        .orderBy("doc_id")),
-
-    // ── per-group exact-quantile filter: keep each LANGUAGE's docs
-    // at/above its own 7/10 n_chars quantile — the per-domain quality
-    // cut (one global threshold would let verbose languages crowd out
-    // terse ones); windows partitioned by lang, thresholds joined back ──
-    "q87_quantile_per_group" -> ((s, dir) =>
-      graft.text.Pipeline.filterByQuantilePerGroup(
-          s.read.parquet(t(dir, "documents")), "n_chars", "lang", num = 7, den = 10)
-        .select(col("doc_id"), col("lang"),
-          col("n_chars").cast("long").as("n_chars"))
-        .orderBy("doc_id")),
-
-    // ── IVFADC + exact rerank (Jégou et al. ICASSP 2011): the composed
-    // billion-vector search path, fully oracle-replayed — coarse L2
-    // centroids (md5-ordered seed sample both engines compute), residual
-    // PQ codebooks, per-cell ADC over the probed cells only, then exact
-    // integer rerank of the 4k shortlist. Every distance is an exact
-    // BIGINT; the md5 seedOrder is the one construction knob a foreign
-    // engine needs to replay seed CHOICE (everything downstream is
-    // deterministic integer arithmetic). Queries/candidates follow q22 ───
-    "q88_ivfadc_rerank" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      graft.embed.Pq.ivfTopkAdcRerank(
-        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
-        k = 10, nCells = 8, nProbe = 3, m = 8, kCodes = 16,
-        rerankFactor = 4,
-        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
-    }),
-
-    // ── IVF cosine top-k, fully oracle-replayed: md5-ordered centroid
-    // sample (q88's seed convention), max-cosine cell assignment, top-3
-    // cell probes, exact cosine rerank of the probed cells only — the
-    // q22 integer-cosine score (floor(1e6·dot/√(qn·cn)), proven
-    // engine-identical there) at every step. Completes the IVF family's
-    // oracle coverage: q88 gates the residual-ADC composition, this
-    // gates the plain inverted-file cosine path ─────────────────────────
-    "q89_ivf_cosine" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      Similarity.ivfTopkCosine(
-        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
-        k = 10, nCells = 8, nProbe = 3,
-        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
-    }),
-
-    // ── end-to-end MinHash/LSH near-dedup, fully oracle-replayed: the
-    // composition a pipeline user actually calls (shingle MinHash →
-    // banded LSH candidates → exact-Jaccard verify of candidates only →
-    // connected components). Every stage reuses an already-proven oracle
-    // recipe: q19's affine minhash, q38's recursive-CTE components; the
-    // banding/verify steps are plain SQL. The oracle's candidate volume
-    // is LSH-bounded like the operator's — this is NOT a quadratic
-    // replay ─────────────────────────────────────────────────────────────
-    "q90_near_dedup" -> ((s, dir) =>
-      graft.text.Dedup.nearDedup(
-        s.read.parquet(t(dir, "documents")).select("doc_id", "text"))),
-
-    // ── embedding-cosine near-dup clusters, fully oracle-replayed: the
-    // vector analogue of q90 — deterministic hyperplane-LSH buckets
-    // (fixed integer pseudo-random planes), 1-bit multiprobe candidate
-    // pairs, exact integer-cosine verification (q22's score), connected
-    // components. Threshold matches q54's 0.25; every stage is exact
-    // integer/double arithmetic both engines reproduce, so even the
-    // LSH's approximate RECALL is replayed bit-for-bit ───────────────────
-    "q91_embed_near_dedup" -> ((s, dir) =>
-      Similarity.embedNearDup(s.read.parquet(t(dir, "embeddings")),
-        minScore1e6 = 250000L)),
-
-    // ── multiprobe ANN top-k, fully oracle-replayed: q91's hyperplane
-    // buckets, query-side 1-bit multiprobe, exact integer-cosine re-rank
-    // of bucket candidates only, q22's score, bounded-heap top-k. With
-    // q89/q91 this closes the last spec-only similarity surface — the
-    // whole ANN family is now hash-gated ────────────────────────────────
-    "q92_ann_topk" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      Similarity.annTopkCosine(
-        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 10)
-    }),
-
-    // ── BM25-shaped lexical retrieval: top-10 docs per query, integer
-    // BM25 (log-free Robertson idf surrogate, permille saturation —
-    // Retrieval scaladoc). Queries are fixed literals over the corpus
-    // vocabulary; the oracle replays the identical integer arithmetic ────
-    "q83_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val queries = Seq(
-        ("q1", "table scan filter"),
-        ("q2", "stream window agg group"),
-        ("q3", "customer query vector the")).toDF("q_id", "qtext")
-      graft.text.Retrieval.bm25TopK(
-        s.read.parquet(t(dir, "documents")), queries, k = 10)
-    }),
-
-    // ── corpus n-gram statistics: LM counts, tf/df terms, skip-grams ─────
-    "q48_bigrams" -> ((s, dir) =>
-      graft.text.Ngrams.topBigrams(s.read.parquet(t(dir, "documents")), k = 3)),
-
-    "q49_tfdf_terms" -> ((s, dir) =>
-      graft.text.Ngrams.topTermByTfDf(s.read.parquet(t(dir, "documents")))),
-
-    "q50_skipgrams" -> ((s, dir) =>
-      graft.text.Ngrams.skipgramPairs(s.read.parquet(t(dir, "documents")), radius = 2, k = 50)),
-
-    // ── bucketed point-in-interval range join: events × overlapping
-    // ±30-min windows around each active hour mark. The naive theta join
-    // plans as BroadcastNestedLoopJoin; the operator turns it into an
-    // equi-join on an hour bucket (one bucket per point, ≤2 per interval) ─
-    "q52_range_join" -> ((s, dir) => {
-      val HOUR = 3600L * 1000000
-      val raw = s.read.parquet(t(dir, "events"))
-      val ev = raw.select(col("event_id"), EventOps.tsMicros(raw).as("tus"))
-      val wins = ev.select(expr(s"CAST(tus div $HOUR AS BIGINT)").as("hr")).distinct()
-        .select(col("hr"), (col("hr") * HOUR - HOUR / 2).as("w_start"),
-          (col("hr") * HOUR + HOUR / 2).as("w_end"))
-      graft.events.RangeJoin.pointInInterval(ev, "tus", wins, "w_start", "w_end", HOUR)
-        .select("event_id", "tus", "hr")
-        .orderBy("event_id", "hr")
-    }),
-
-    // ── inverted-index postings: term → df + sorted posting list (elided
-    // above df 50 — a stopword's posting list is the corpus itself) ──────
-    "q53_postings" -> ((s, dir) =>
-      graft.text.Ngrams.postings(s.read.parquet(t(dir, "documents")), maxDf = 50)),
-
-    // ── n_chars histogram: exact integer bucketing ───────────────────────
-    "q43_histogram" -> ((s, dir) =>
-      s.read.parquet(t(dir, "documents"))
-        .groupBy(expr("CAST(n_chars div 100 AS BIGINT)").as("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
-        .orderBy("bucket")),
-
-    // ── arbitrary GROUPING SETS (beyond rollup q16 / cube q31) ───────────
-    "q42_grouping_sets" -> ((s, dir) => {
-      s.read.parquet(t(dir, "orders")).createOrReplaceTempView("orders_v")
-      s.sql(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-               |  CAST(SUM(${CENTS.format("o_totalprice")}) AS BIGINT) AS rev_c
-               |FROM orders_v
-               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-               |                        (o_orderstatus, o_orderpriority))
-               |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
-    }),
-
-    // ── as-of join: each purchase ← most recent prior click, per user ────
-    "q37_asof" -> ((s, dir) => {
-      val raw = s.read.parquet(t(dir, "events"))
-      val ev = raw.select(col("event_id"), col("user_id"),
-          EventOps.tsMicros(raw).as("tus"), col("event_type"))
-      AsOf.backward(
-          ev.filter(col("event_type") === "purchase").drop("event_type"),
-          ev.filter(col("event_type") === "click").drop("event_type"),
-          partitionCols = Seq("user_id"), timeCol = "tus",
-          leftTie = "event_id", rightTie = "event_id",
-          payloadCols = Seq("event_id", "tus"))
-        .select(col("event_id"), col("user_id"), col("tus"),
-          col("asof.event_id").as("click_id"), col("asof.tus").as("click_tus"))
-        .orderBy("event_id")
-    }),
-
-    // ── stream-STREAM interval join, batch mode: each click attributed to
-    // every same-user purchase within 1 day after it. Exercises the exact
-    // code path the streaming attribution query runs (Spark unifies the
-    // APIs; the watermark is a no-op on bounded input) — the equi-key +
-    // bounded-time condition is what lets the streaming form evict state,
-    // and in batch it plans as a plain shuffled equi-join on user ─────────
-    "q93_interval_join" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-      def side(typ: String) = {
-        val f = raw.filter(col("event_type") === typ)
-        f.select(col("event_id").as("eventId"), col("user_id").as("userId"),
-            EventOps.tsMicros(f).as("tsUs"), cents(col("value")).as("valueCents"))
-          .as[graft.streaming.EventStreaming.Event]
-      }
-      graft.streaming.EventStreaming.intervalJoin(
-          side("click"), side("purchase"), horizonSec = 86400, watermarkSec = 0)
-        .select(col("l_id"), col("l_user").as("user_id"),
-          unix_micros(col("l_ts")).as("l_tus"), col("l_cents"),
-          col("r_id"), unix_micros(col("r_ts")).as("r_tus"), col("r_cents"))
-        .orderBy("l_id", "r_id")
-    }),
-
-    // ── the left-outer form of q93: clicks with NO purchase in the horizon
-    // survive with null right columns (the "unattributed impression" row
-    // the streaming form emits once the watermark passes). Row order needs
-    // NULLS FIRST on r_id in BOTH engines (Spark's ASC default; DuckDB
-    // defaults NULLS LAST) ───────────────────────────────────────────────
-    "q95_interval_join_outer" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-      def side(typ: String) = {
-        val f = raw.filter(col("event_type") === typ)
-        f.select(col("event_id").as("eventId"), col("user_id").as("userId"),
-            EventOps.tsMicros(f).as("tsUs"), cents(col("value")).as("valueCents"))
-          .as[graft.streaming.EventStreaming.Event]
-      }
-      graft.streaming.EventStreaming.intervalJoin(
-          side("click"), side("purchase"), horizonSec = 86400, watermarkSec = 0,
-          leftOuter = true)
-        .select(col("l_id"), col("l_user").as("user_id"),
-          unix_micros(col("l_ts")).as("l_tus"), col("l_cents"),
-          col("r_id"), unix_micros(col("r_ts")).as("r_tus"), col("r_cents"))
-        .orderBy(col("l_id"), col("r_id").asc_nulls_first)
-    }),
-
-    // ── grouped COUNT(DISTINCT): the two-phase shape (partial distinct on
-    // (group, key), then count per group — Spark plans Expand + two
-    // HashAggregates, map-side combined both times). The exact form is the
-    // oracle gate; the 100 TB path for ultra-high-cardinality keys is
-    // approx_count_distinct (HLL++, one pass, fixed memory), error-bounded
-    // against this exact result in ApproxDistinctSpec ────────────────────
-    "q96_distinct_users" -> ((s, dir) =>
-      s.read.parquet(t(dir, "events"))
-        .groupBy("event_type")
-        .agg(countDistinct("user_id").as("n_users"),
-          count(lit(1)).as("n_events"))
-        .orderBy("event_type")),
-
-    // ── stream-static enrichment, batch mode: the event stream joined to a
-    // bounded dimension snapshot (customer attributes keyed by user id).
-    // The dim is broadcast — per micro-batch in streaming, once here; left
-    // join keeps unmatched events with null attributes ───────────────────
-    "q94_enrich" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      val dim = s.read.parquet(t(dir, "customer"))
-        .select(col("c_custkey").as("userId"), col("c_mktsegment"),
-          col("c_nationkey").cast(LongType).as("nation_key"))
-      graft.streaming.EventStreaming.enrich(evts, dim, "userId", left = true)
-        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
-          col("c_mktsegment"), col("nation_key"))
-        .orderBy("event_id")
-    }),
-
-    // ── the STATEFUL streaming sessionization path itself (q29 gates only
-    // the batch twin): the bounded events slice replays through
-    // flatMapGroupsWithState via MemoryStream, a sentinel-advanced
-    // watermark seals every session, and the sealed sessions must match
-    // the oracle's gap-sessionization SQL cell-exactly. A deterministic
-    // user slice (every 8th user): the gate proves the STATE PATH, and a
-    // replay harness re-persists the whole state per micro-batch — full
-    // sf0.1 there is bench weight without extra evidence (the operator's
-    // scale story is the state store + watermark eviction, not the replay)
-    "q97_stream_sessions" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("user_id") % 8 === 0)
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming.sessionizeReplay(evts, gapSec = 1800)
-        .toDF()
-        .select(col("userId").as("user_id"),
-          col("sessionStartUs").as("session_start_us"),
-          col("sessionEndUs").as("session_end_us"),
-          col("nEvents").as("n_events"), col("sumCents").as("sum_cents"))
-        .orderBy("user_id", "session_start_us")
-    }),
-
-    // ── the NATIVE session-window aggregate (Spark's session_window —
-    // codegen'd groupBy, state-store-backed in streaming): the scale path
-    // for per-session aggregates, vs q97's explicit-state form. Batch
-    // mode over the full events table; boundary: adjacent session ranges
-    // MERGE, so splits are `diff > gap` — same as q29/q97 (spec-pinned) ──
-    "q99_session_window" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming
-        .sessionWindowAgg(evts, gapSec = 1800, watermarkSec = 0)
-        .orderBy("user_id", "session_start_us")
-    }),
-
-    // ── character-level near-dup: Levenshtein-scored pairs under
-    // (first-token, token-count) blocking — the Jaccard blind-spot
-    // complement (typo/OCR dups whose word sets diverge). Equi-join on
-    // the block key, codegen'd levenshtein on blocked candidates only ────
-    "q100_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(s.read.parquet(t(dir, "documents")))),
-
-    // ── ordered conversion funnel (view → click → purchase): earliest
-    // stage-k event strictly after the user's stage-(k-1) time; one
-    // filtered agg per stage + one co-partitioned user join per
-    // transition ─────────────────────────────────────────────────────────
-    "q101_funnel" -> ((s, dir) =>
-      EventOps.funnel(s.read.parquet(t(dir, "events")),
-        Seq("view", "click", "purchase"))),
-
-    // ── cohort retention triangle: users bucketed by first-activity week,
-    // distinct-active counts per (cohort, week offset) ───────────────────
-    "q102_retention" -> ((s, dir) =>
-      EventOps.retention(s.read.parquet(t(dir, "events")))),
-
-    // ── behavioral transition matrix: consecutive event-type pairs per
-    // user (one partitioned lead window, O(#types²) output) ──────────────
-    "q103_transitions" -> ((s, dir) =>
-      EventOps.transitions(s.read.parquet(t(dir, "events")))),
-
-    // ── snapshot diff via full-outer join: two deterministic "extracts"
-    // of orders (old drops key%5=0; new drops key%7=0 and bumps
-    // o_totalprice on key%3=0) — added/removed/changed against an oracle
-    // that derives the statuses independently from the key arithmetic ────
-    "q104_snapshot_diff" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
-      val old = o.filter(col("o_orderkey") % 5 =!= 0)
-      val nw = o.filter(col("o_orderkey") % 7 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
-            .otherwise(col("o_totalprice")))
-      graft.operators.TableOps.snapshotDiff(old, nw, "o_orderkey")
-    }),
-
-    // ── hourly trending: top-3 event types per hour bucket (rank window
-    // over the tiny count table, never over raw events) ──────────────────
-    "q105_trending" -> ((s, dir) =>
-      EventOps.trending(s.read.parquet(t(dir, "events")))),
-
-    // ── SCD Type-2 intervals from the event log: collapse consecutive
-    // same-state events per user, emit (state, valid_from, valid_to)
-    // validity intervals — the CDC→dimension warehouse primitive ─────────
-    "q106_scd2" -> ((s, dir) =>
-      EventOps.scd2(s.read.parquet(t(dir, "events")))),
-
-    // ── bloom-prefiltered semi join: lineitem rows of high-value orders;
-    // the key side is sketched (BloomFilterAggregate), the sketch filters
-    // fact rows BEFORE the exchange, an exact semi join removes false
-    // positives — result ≡ the plain semi join the oracle runs ───────────
-    "q107_bloom_semijoin" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val hot = s.read.parquet(t(dir, "orders"))
-        .filter(col("o_totalprice") > 400000.0)
-      // sketch sized to the key side (~tens of thousands of hot orders):
-      // 2^20 bits = 128 KiB, FP ≲ 1% — the corrective join stays cheap
-      graft.operators.BloomJoin.semiJoin(li, "l_orderkey", hot, "o_orderkey",
-        expectedItems = 1L << 16, numBits = 1L << 20)
-        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
-          cents(col("l_extendedprice")).as("price_c"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ── per-user ordered behavior path (first 20 events) + total count:
-    // rank/total in one user window, collect bounded at 20/user ──────────
-    "q108_user_paths" -> ((s, dir) =>
-      EventOps.userPaths(s.read.parquet(t(dir, "events")))),
-
-    // ── half-life-decayed engagement score: integer permille weights
-    // (1000 >> age_days, exact cross-engine), one keyed aggregation ──────
-    "q109_decayed_score" -> ((s, dir) =>
-      EventOps.decayedScore(s.read.parquet(t(dir, "events")))),
-
-    // ── mode event type per user: window-free two-phase argmin on the
-    // composite (-n, value) struct, deterministic tie-break ──────────────
-    "q110_mode" -> ((s, dir) =>
-      graft.operators.TableOps.modePerGroup(
-        s.read.parquet(t(dir, "events")), "user_id", "event_type")),
-
-    // ── PageRank (3 synchronous rounds) over the bidirectional
-    // part↔supplier co-occurrence graph; exact fixed-point ppm arithmetic
-    // so DuckDB replays every iteration cell-for-cell ────────────────────
-    "q111_pagerank" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
-        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-      graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 3)
-        .select(col("node"), col("rank").as("pr"))
-    }),
-
-    // ── hourly resample with gap-fill + forward fill: densify each event
-    // type onto the full bucket grid, carry the last observed sum across
-    // the gaps — raw events meet only one map-side-combined agg ──────────
-    "q112_resample" -> ((s, dir) =>
-      EventOps.resample(s.read.parquet(t(dir, "events")))),
-
-    // ── fixed-width price histogram ($5000 bins over price cents): one
-    // map-side-combined aggregation, O(#bins) exchange ───────────────────
-    "q113_histogram" -> ((s, dir) => {
-      val v = s.read.parquet(t(dir, "lineitem"))
-        .select(cents(col("l_extendedprice")).as("price_c"))
-      graft.operators.TableOps.histogram(v, "price_c", binWidth = 500000L)
-    }),
-
-    // ── interval × interval overlap join: user sessions (30-min gap
-    // intervals) vs a synthesized 90-min incident-window schedule; both
-    // sides bucket-exploded to an hour-cell equi join, each pair kept
-    // exactly once in its first shared cell (no distinct pass) ───────────
-    "q114_interval_overlap" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      val sess = EventOps.sessionIntervals(ev, gapSec = 1800)
-        .select("user_id", "session_id", "s_start", "s_end")
-      val wins = ev.select(EventOps.tsMicros(ev).as("tus"))
-        .agg(min("tus").as("tmin"))
-        .select(explode(sequence(lit(0L), lit(47L))).as("w_id"), col("tmin"))
-        .select(col("w_id"),
-          (col("tmin") + col("w_id") * 21600000000L).as("w_start"),
-          (col("tmin") + col("w_id") * 21600000000L + 5400000000L).as("w_end"))
-      graft.events.RangeJoin.intervalOverlap(
-        sess, "s_start", "s_end", wins, "w_start", "w_end",
-        bucketWidth = 3600000000L)
-        .select(col("user_id"), col("session_id"), col("w_id"),
-          (least(col("s_end"), col("w_end")) -
-            greatest(col("s_start"), col("w_start")) + 1).as("overlap_us"))
-        .orderBy("user_id", "session_id", "w_id")
-    }),
-
-    // ── column profile of orders: per column, rows / nulls / EXACT
-    // distinct in one explode + single hash agg (two-phase partial
-    // distinct — no per-statistic pass over the table) ───────────────────
-    "q115_profile" -> ((s, dir) =>
-      graft.operators.TableOps.profile(s.read.parquet(t(dir, "orders")),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-          "o_orderdate", "o_orderpriority"))),
-
-    // ── triangle enumeration over the part co-purchase graph (pairs in
-    // ≥2 distinct orders): degree-ordered orientation bounds every
-    // outdegree at O(√m), so wedge generation survives hub skew ──────────
-    "q116_triangles" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // per-order pair explosion is O(k²) with k = lines per order (≤ 7
-      // in this schema) — bounded per group, not per corpus
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      graft.graph.Triangles.triangles(pairs, "pa", "pb")
-    }),
-
-    // ── exact OLS sufficient statistics per event type: y = value cents
-    // vs x = hour offset from the corpus origin (driver scalar — keeps
-    // n·Σx² inside Int64); slope as an exact integer fraction ────────────
-    "q117_linreg_stats" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      val e = ev.select(col("event_type"),
-        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("y"),
-        EventOps.tsMicros(ev).as("tus"))
-      val hminRow = e.agg(min(expr("tus div 3600000000"))).head
-      val hmin = if (hminRow.isNullAt(0)) 0L else hminRow.getLong(0)
-      val xy = e.select(col("event_type"),
-        (expr("tus div 3600000000") - hmin).as("x"), col("y"))
-      graft.operators.TableOps.linregStats(xy, "event_type", "x", "y")
-    }),
-
-    // ── Morton (Z-order) codes for (l_partkey, l_suppkey): the
-    // two-dimensional clustering key saveZOrdered range-partitions on;
-    // pure shift/mask codegen, oracle replays the interleave bit-exact.
-    // SF CEILING: bits=21 covers l_partkey/l_suppkey < 2^21 ≈ 2.1M, i.e.
-    // TPC-H SF ≲ 10.5 (partkey max = 200000·SF); beyond that the gate's
-    // raise_error fires — a production caller derives bits from a max()
-    // scan of the key columns (the z values change with bits, so the
-    // gate pins a constant to keep the oracle bit-exact) ─────────────────
-    "q118_zorder" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey"),
-          col("l_linenumber").cast(LongType).as("l_linenumber"),
-          graft.sources.Layout.zorderValue(
-            col("l_partkey"), col("l_suppkey"), bits = 21).as("z"))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ── latest-wins changelog merge (CDC / MERGE): two update waves, a
-    // delete wave, and shifted-key inserts applied to the orders
-    // snapshot; the changelog collapses map-side before ONE
-    // co-partitioned full-outer join — the 100 TB daily-merge shape ─────
-    "q119_cdc_merge" -> ((s, dir) => {
-      val base = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey").as("k"),
-          cents(col("o_totalprice")).as("price_c"),
-          col("o_orderstatus").as("status"))
-      val upd1 = base.filter(col("k") % 5 === 0)
-        .select(col("k"), (col("price_c") + 10000L).as("price_c"),
-          col("status"), lit("U").as("op"), lit(1L).as("seq"))
-      val upd2 = base.filter(col("k") % 15 === 0)
-        .select(col("k"), (col("price_c") + 20000L).as("price_c"),
-          col("status"), lit("U").as("op"), lit(2L).as("seq"))
-      val dels = base.filter(col("k") % 7 === 0)
-        .select(col("k"), lit(null).cast(LongType).as("price_c"),
-          lit(null).cast(StringType).as("status"),
-          lit("D").as("op"), lit(3L).as("seq"))
-      val ins = base.filter(col("k") % 11 === 0)
-        .select((col("k") + 100000000L).as("k"),
-          (col("price_c") + 5000L).as("price_c"),
-          col("status"), lit("U").as("op"), lit(1L).as("seq"))
-      graft.operators.TableOps.applyChangelog(
-        base, upd1.union(upd2).union(dels).union(ins), "k")
-    }),
-
-    // ── contiguous event-type trigram counts per user stream: all leads
-    // in ONE user window pass, then a map-side-combined count ────────────
-    "q120_type_trigrams" -> ((s, dir) =>
-      EventOps.typeNgrams(s.read.parquet(t(dir, "events")), n = 3)),
-
-    // ── 3-core of the part co-purchase graph after 3 bounded peel
-    // rounds (deterministic round count → exact SQL replay; convergence
-    // inside the bound is a no-op for the replay) ────────────────────────
-    "q121_kcore" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      graft.graph.KCore.kCore(pairs, "pa", "pb", k = 3, maxPeels = 3)
-    }),
-
-    // ── multi-source BFS hop distance from the %97 seed parts over the
-    // co-purchase graph, 4 bounded relaxation rounds (chained-CTE
-    // replayable; per-round exchange is the label table only) ────────────
-    "q123_bfs" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      val seeds = pairs.select(col("pa").as("n"))
-        .union(pairs.select(col("pb").as("n")))
-        .filter(col("n") % 97 === 0).distinct()
-      graft.graph.Bfs.hopDistance(pairs, "pa", "pb", seeds, "n", maxHops = 4)
-    }),
-
-    // ── 3-dimensional Morton code (part, supplier, linenumber): the
-    // N-dim clustering generalization; bit i of dim j at position 3i+j.
-    // SF CEILING: bits=18 covers keys < 2^18 ≈ 262k, i.e. TPC-H SF ≲ 1.31
-    // (partkey max = 200000·SF) — past that the raise_error fires; derive
-    // bits from a key max() in production (constant here keeps the
-    // oracle's interleave expression bit-exact) ──────────────────────────
-    "q127_zorder3" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey"),
-          col("l_linenumber").cast(LongType).as("l_linenumber"),
-          graft.sources.Layout.zorderValueN(
-            Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
-            bits = 18).as("z3"))
-        .orderBy("l_orderkey", "l_linenumber")),
-
-    // ── WEIGHTED PageRank over the co-purchase graph: edge weight = the
-    // pair's co-occurrence count, contribution = rank·w div Σw — same
-    // exact fixed-point arithmetic as q111 (w ≡ 1 is that gate) ──────────
-    "q126_weighted_pagerank" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").cast(LongType).as("pa"),
-          col("y.p").cast(LongType).as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2)
-      val edges = e0.union(
-        e0.select(col("pb").as("pa"), col("pa").as("pb"), col("m")))
-      graft.graph.PageRank.pageRank(edges, "pa", "pb", iterations = 3,
-          weightCol = Some("m"))
-        .select(col("node"), col("rank").as("pr"))
-    }),
-
-    // ── debounce: drop events whose same-(user,type) predecessor is
-    // within 60 s — telemetry double-fire suppression; one lag window ────
-    "q124_debounce" -> ((s, dir) =>
-      EventOps.debounce(s.read.parquet(t(dir, "events")), windowSec = 60)),
-
-    // ── per-user inter-arrival gap stats with an exact lower-median in
-    // ms via the frequency-compressed rank scan (never a per-user raw
-    // sort beyond the one lag window) ────────────────────────────────────
-    "q125_gap_stats" -> ((s, dir) =>
-      EventOps.gapStats(s.read.parquet(t(dir, "events")))),
-
-    // ── median absolute deviation of value cents per event type: both
-    // medians are LOWER order statistics (rank ceil(n/2)) — exact,
-    // interpolation-free, engine-replayable robust spread ────────────────
-    "q122_mad" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      graft.operators.TableOps.madPerGroup(
-        ev.select(col("event_type"), cents(col("value")).as("c")),
-        "event_type", "c")
-    }),
-
-    // ── WIDE-TABLE column profile (batched path): one pruned single-
-    // column job per column, groupBy(value) frequency compression — no
-    // ×#cols explode, no Expand; peak per-stage shuffle is O(rows) not
-    // O(#cols·rows) (ProfileBatchedSpec pins the bound) ──────────────────
-    "q128_profile_batched" -> ((s, dir) =>
-      graft.operators.TableOps.profileBatched(s.read.parquet(t(dir, "lineitem")),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))),
-
-    // ── CDC COMPACTION LOOP: three changelog batches applied in order
-    // (per-batch seqs restart at 1 — ordering comes from batch position),
-    // with delete-then-revive ACROSS batches: %7 keys die in batch 1,
-    // revive in batch 2; %3 keys die in batch 2, the %9 subset revives in
-    // batch 3. Each merged snapshot is lineage-truncated and the consumed
-    // round released (the PageRank loop discipline); ONE global sort at
-    // the end, one collapse + one full-outer join per batch ──────────────
-    "q129_cdc_compaction" -> ((s, dir) => {
-      val base = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey").as("k"),
-          cents(col("o_totalprice")).as("price_c"),
-          col("o_orderstatus").as("status"))
-      def u(cond: Column, delta: Long, seq: Long) =
-        base.filter(cond).select(col("k"),
-          (col("price_c") + delta).as("price_c"), col("status"),
-          lit("U").as("op"), lit(seq).as("seq"))
-      def d(cond: Column, seq: Long) =
-        base.filter(cond).select(col("k"),
-          lit(null).cast(LongType).as("price_c"),
-          lit(null).cast(StringType).as("status"),
-          lit("D").as("op"), lit(seq).as("seq"))
-      val b1 = u(col("k") % 5 === 0, 10000L, 1L).union(d(col("k") % 7 === 0, 2L))
-      val b2 = u(col("k") % 7 === 0, 777L, 1L).union(d(col("k") % 3 === 0, 2L))
-      val b3 = u(col("k") % 9 === 0, 99L, 1L)
-      graft.operators.TableOps.applyChangelogs(base, Seq(b1, b2, b3), "k")
-    }),
-
-    // ── label-propagation communities (2 synchronous rounds) over the
-    // part co-purchase graph: plurality neighbor vote, smallest-label
-    // tiebreak — deterministic, chained-CTE-replayable; per-round
-    // exchange is label FREQUENCIES (map-side-combined), not edges ───────
-    "q130_label_prop" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      graft.graph.LabelProp.labelPropagation(pairs, "pa", "pb", rounds = 2)
-    }),
-
-    // ── gaps-and-islands: per-user maximal runs of consecutive active
-    // days via the constant-minus-rank trick — distinct user-days first
-    // (O(active days) exchange), one per-user window, one agg ────────────
-    "q131_streaks" -> ((s, dir) =>
-      EventOps.activityStreaks(s.read.parquet(t(dir, "events")))),
-
-    // ── multi-source WEIGHTED shortest paths (Bellman-Ford, 3 bounded
-    // relaxation rounds) over the co-purchase graph; edge weight derived
-    // deterministically from the endpoints so the chained-CTE oracle
-    // replays cost-for-cost; non-negative weights enforced ───────────────
-    "q132_sssp" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").cast(LongType).as("pa"),
-          col("y.p").cast(LongType).as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2)
-        .select(col("pa"), col("pb"),
-          (lit(1L) + (col("pa") + col("pb")) % 5).as("w"))
-      val seeds = pairs.select(col("pa").as("n"))
-        .union(pairs.select(col("pb").as("n")))
-        .filter(col("n") % 97 === 0).distinct()
-      graft.graph.Bfs.shortestPaths(pairs, "pa", "pb", Some("w"),
-        seeds, "n", maxRounds = 3)
-    }),
-
-    // ── local clustering coefficient over the co-purchase graph as an
-    // exact integer fraction 2·tri(n) / (deg·(deg−1)); one canonical-
-    // edge checkpoint feeds the degree agg and the hub-proof triangle
-    // pass — community DENSITY beside q130's community LABELS ───────────
-    "q133_clustering_coeff" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      graft.graph.Triangles.clusteringCoefficient(pairs, "pa", "pb")
-    }),
-
-    // ── exact percent-rank table per event type over value cents:
-    // frequency-compressed (counts first, window over distinct values
-    // only) — rank-based feature scaling as integer fractions ────────────
-    "q134_percent_ranks" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      graft.operators.TableOps.percentRanks(
-        ev.select(col("event_type"), cents(col("value")).as("c")),
-        "event_type", "c")
-    }),
-
-    // ── exact 7-day-actives curve: distinct users per trailing 7-day
-    // window at each observed day, via the first-in-window ±1 delta trick
-    // — O(distinct user-days) exchange, a PrefixSum over O(days), never a
-    // ×7 replication or a distinct-over-window ───────────────────────────
-    "q135_sliding_distinct" -> ((s, dir) =>
-      EventOps.slidingDistinctUsers(
-        s.read.parquet(t(dir, "events")), windowDays = 7)),
-
-    // ── warehouse ROLLUP: subtotal + grand-total rows in one pass (the
-    // Expand operator), grouping flags folded to 'ALL' labels so both
-    // engines sort and hash identical cells ──────────────────────────────
-    "q136_rollup" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          cents(col("l_extendedprice")).as("p"))
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum("p").as("sum_price_c"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
-        .select(
-          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
-          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
-          col("n"), col("sum_price_c"))
-        .orderBy("rf", "ls")),
-
-    // ── pivot (crosstab): per-linestatus price sums spread across the
-    // pinned returnflag domain — one hash aggregate, no joins; absent
-    // cells coalesce to 0 in both engines ────────────────────────────────
-    "q137_pivot" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_linestatus"), col("l_returnflag"),
-          cents(col("l_extendedprice")).as("p"))
-        .groupBy("l_linestatus").pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum("p"))
-        .select(col("l_linestatus"),
-          coalesce(col("A"), lit(0L)).as("sum_a"),
-          coalesce(col("N"), lit(0L)).as("sum_n"),
-          coalesce(col("R"), lit(0L)).as("sum_r"))
-        .orderBy("l_linestatus")),
-
-    // ── market-basket pair mining with exact lift fractions: orders are
-    // baskets, parts are items; A-Priori prune before the quadratic pair
-    // self-join ──────────────────────────────────────────────────────────
-    "q138_frequent_pairs" -> ((s, dir) =>
-      graft.operators.Association.frequentPairs(
-        s.read.parquet(t(dir, "lineitem")),
-        basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2L)),
-
-    // ── winsorize event value cents to the [5%, 95%] exact per-type
-    // quantile band — frequency-compressed thresholds, one clamp join ───
-    "q139_winsorize" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-        .select(col("event_id"), col("event_type"), cents(col("value")).as("c"))
-      graft.operators.TableOps.winsorize(ev, "event_type", "c",
-          loNum = 1, hiNum = 19, den = 20)
-        .select(col("event_id"), col("event_type"), col("c"), col("c_w"))
-        .orderBy("event_id")
-    }),
-
-    // ── declarative data-quality expectations over orders: one shared
-    // conditional-agg pass for the row-local rules + a column-pruned
-    // cardinality pass for uniqueness; range pinned to force a nonzero
-    // violation count ────────────────────────────────────────────────────
-    "q140_expectations" -> ((s, dir) => {
-      import graft.operators.Quality._
-      expectations(s.read.parquet(t(dir, "orders")), Seq(
-        ExpectNotNull("o_custkey"),
-        ExpectUnique("o_orderkey"),
-        ExpectAccepted("o_orderstatus", Seq("F", "O", "P")),
-        ExpectRange("o_custkey", 1L, 1000L)))
-        .withColumn("pass", col("pass").cast(LongType))
-    }),
-
-    // ── incremental aggregate maintenance: per-customer order-total
-    // state built over two disjoint halves, merged — must equal the
-    // direct aggregate over everything (the algebraic-merge contract) ────
-    "q141_agg_state_merge" -> ((s, dir) => {
-      val ord = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("v"))
-      val sA = graft.operators.TableOps.aggState(
-        ord.filter(col("o_orderkey") % 2 === 0), "o_custkey", "v")
-      val sB = graft.operators.TableOps.aggState(
-        ord.filter(col("o_orderkey") % 2 === 1), "o_custkey", "v")
-      graft.operators.TableOps.mergeAggStates(sA, sB, "o_custkey")
-        .orderBy("o_custkey")
-    }),
-
-    // ── ORC round-trip: orders written as zstd ORC and read back must be
-    // value-identical to the parquet original (the Hive-era interchange
-    // format; oracle reads the parquet — DuckDB has no ORC reader, so
-    // equality to it IS the round-trip proof) ────────────────────────────
-    "q143_orc_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
-      graft.sources.Orc.save(
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            cents(col("o_totalprice")).as("price_c")),
-        out, numFiles = 4)
-      graft.sources.Orc.read(s, out).orderBy("o_orderkey")
-    }),
-
-    // ── exact per-user time-weighted average of event value: one lead
-    // window + one aggregation; the holding average a plain mean gets
-    // wrong under bursts ─────────────────────────────────────────────────
-    "q147_twap" -> ((s, dir) =>
-      EventOps.timeWeightedAvg(s.read.parquet(t(dir, "events")))),
-
-    // ── HITS hubs & authorities (2 rounds) over the directed
-    // part→supplier interaction graph: exact max-rescaled fixed-point
-    // integer arithmetic so DuckDB replays every round cell-for-cell; the
-    // bipartite sides naturally carry hub (parts) / authority (suppliers)
-    "q148_hits" -> ((s, dir) => {
-      val e = s.read.parquet(t(dir, "lineitem"))
-        .select((col("l_partkey") * 2).cast(LongType).as("s"),
-          (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      graft.graph.Hits.hits(e, "s", "d", iterations = 2)
-    }),
-
-    // ── reciprocal-rank fusion of two per-type user rankings (count vs
-    // spend): integer-division RRF points so the fused score is exact;
-    // map-side-combined point sum, candidate-set window only ─────────────
-    "q150_rrf_fusion" -> ((s, dir) => {
-      // the per-(type,user) aggregate feeds BOTH ranking windows — no
-      // cross-branch CSE in Spark, so materialize it once
-      val agg = graft.operators.Checkpoints.checkpoint(
-        s.read.parquet(t(dir, "events"))
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("spend")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-      val byN = agg.select(col("event_type"), col("user_id"),
-        row_number().over(w.orderBy(col("n").desc, col("user_id"))).as("rank"))
-      val bySpend = agg.select(col("event_type"), col("user_id"),
-        row_number().over(w.orderBy(col("spend").desc, col("user_id"))).as("rank"))
-      graft.text.Retrieval.rrfFuse(byN.union(bySpend),
-        "event_type", "user_id", "rank", k = 10)
-    }),
-
-    // ── per-user Gini impurity of the event-type distribution: exact
-    // integer fractions, frequency-compressed — behavioral diversity
-    // (0 = single-type user, →1 = uniform over many types) ───────────────
-    "q151_gini" -> ((s, dir) =>
-      graft.operators.TableOps.giniImpurity(
-        s.read.parquet(t(dir, "events")), "user_id", "event_type")),
-
-    // ── per-user EWMA (α = 3/10) over the trailing 32 events: exact
-    // Int64 fixed-point fold via a codegen aggregate() lambda — the
-    // lastN cap bounds per-user state and the oracle's replay depth ──────
-    "q152_ewma" -> ((s, dir) =>
-      EventOps.ewma(s.read.parquet(t(dir, "events")),
-        alphaNum = 3L, alphaDen = 10L, lastN = 32)),
-
-    // ── streaming frequent-keys maintainer: event types replayed in 3
-    // micro-batches through the Misra-Gries fold; k = 64 exceeds the
-    // distinct-type count so dec = 0 and the bounds COLLAPSE — the
-    // snapshot must equal the exact GROUP BY (the decrement path is
-    // property-specced where no SQL oracle can follow) ───────────────────
-    "q154_stream_topk" -> ((s, dir) => {
-      import s.implicits._
-      val keys = s.read.parquet(t(dir, "events"))
-        .select(col("event_type").cast(StringType)).as[String]
-      graft.streaming.EventStreaming.topkReplay(keys, k = 64, nChunks = 3)
-    }),
-
-    // ── zero-floor running balance per customer: max(0, y+Δ) via the
-    // closed form S − min(prefix-min S, 0) — two partitioned windows
-    // replace the sequential clamp fold ──────────────────────────────────
-    "q163_zero_floor" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "orders"))
-        .select(col("o_custkey"), col("o_orderkey"),
-          when(col("o_orderstatus") === "O", cents(col("o_totalprice")))
-            .otherwise(-cents(col("o_totalprice"))).as("delta"))
-      graft.operators.TableOps.zeroFloorBalance(
-        d, "o_custkey", "o_orderkey", "delta")
-    }),
-
-    // ── linear multi-touch attribution: purchases split their cents
-    // equally (as exact fractions) over the hour's click/view touches;
-    // (user, bucket) equi-join — never a cross-user bucket join ──────────
-    "q164_attribution" -> ((s, dir) =>
-      EventOps.linearAttribution(s.read.parquet(t(dir, "events")),
-        "purchase", Seq("click", "view"), windowUs = 3600000000L)),
-
-    // ── cohort LTV curve: cumulative purchase cents by days-since-first
-    // activity per signup cohort; raw events never meet a window ─────────
-    "q165_cohort_ltv" -> ((s, dir) =>
-      EventOps.cohortLtv(s.read.parquet(t(dir, "events")), "purchase")),
-
-    // ── U-shaped attribution: 400/200/400 permille position weights as
-    // exact fractions over the same (user, bucket) pair machinery ────────
-    "q166_position_attribution" -> ((s, dir) =>
-      EventOps.positionAttribution(s.read.parquet(t(dir, "events")),
-        "purchase", Seq("click", "view"), windowUs = 3600000000L)),
-
-    // ── min-max feature scaling: order totals normalized to 0..10^6
-    // within their priority class — exact integer scaling, one O(#groups)
-    // stats join, overflow-guarded per group ─────────────────────────────
-    "q167_minmax_scale" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          cents(col("o_totalprice")).as("c"))
-      graft.operators.TableOps.minmaxScale(d, "o_orderpriority", "c")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("c"),
-          col("c_mm"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ── equi-depth histogram: event values cut into 8 equal-frequency
-    // buckets — frequency-compressed counts + a PrefixSum range scan,
-    // never a partitionless window over the domain ───────────────────────
-    "q168_equidepth" -> ((s, dir) =>
-      graft.operators.TableOps.equiDepthBuckets(
-        s.read.parquet(t(dir, "events"))
-          .select(cents(col("value")).as("c")),
-        "c", nBuckets = 8)),
-
-    // ── exact correlation matrix: all 6 pairs of the lineitem measures
-    // in ONE shared scan (6·C(4,2) conditional aggregates into one row,
-    // stack-reshaped). The gate compares the BIGINT power sums (the
-    // mergeable state); the DECIMAL(38,0) moment forms are spec-pinned
-    // (DuckDB's pandas bridge degrades DECIMAL to float64 — not hashable
-    // cell-exact across engines) ─────────────────────────────────────────
-    "q169_corr_matrix" -> ((s, dir) =>
-      // price in WHOLE DOLLARS: Σ(price²) in cents passes 9.2e18 at
-      // ~600k rows — the operator's documented rescale-units contract
-      graft.operators.TableOps.corrPairs(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(cents(col("l_quantity")).as("qty_c"),
-            floor(col("l_extendedprice")).cast(LongType).as("price_d"),
-            cents(col("l_discount")).as("disc_c"),
-            cents(col("l_tax")).as("tax_c")),
-        Seq("qty_c", "price_d", "disc_c", "tax_c"))
-        .select("x_col", "y_col", "n", "sum_x", "sum_y", "sum_xx",
-          "sum_yy", "sum_xy")
-        .orderBy("x_col", "y_col")),
-
-    // ── collocation mining: adjacent word pairs scored by exact
-    // PMI-lift fractions — bound pairs, not merely frequent ones ─────────
-    "q171_collocations" -> ((s, dir) =>
-      graft.text.Ngrams.collocations(
-        s.read.parquet(t(dir, "documents")), minCount = 5L)),
-
-    // ── CUSUM changepoint: per event type, the day where the cumulative
-    // value sum deviates most from the constant-rate line — exact
-    // integer dev = n·C_t − t·T over the tiny (type, day) table ──────────
-    "q172_cusum" -> ((s, dir) =>
-      EventOps.cusumChangepoint(s.read.parquet(t(dir, "events")))),
-
-    // ── degree assortativity: Pearson moment sums of endpoint degrees
-    // over both orientations of the part↔supplier graph — corrPairs
-    // composed over graph structure; BIGINT sums compared, symmetric
-    // by construction (sum_x = sum_y, var_x = var_y) ─────────────────────
-    "q173_assortativity" -> ((s, dir) =>
-      graft.graph.Assortativity.degreeAssortativity(
-        s.read.parquet(t(dir, "lineitem"))
-          .select((col("l_partkey") * 2).cast(LongType).as("p"),
-            (col("l_suppkey") * 2 + 1).cast(LongType).as("q")),
-        "p", "q")
-        .select("x_col", "y_col", "n", "sum_x", "sum_y", "sum_xx",
-          "sum_yy", "sum_xy")),
-
-    // ── rolling z-score anomaly: event-type daily sums flagged when the
-    // value leaves 3σ of the 7 PRECEDING buckets (current excluded —
-    // included, a lone spike masks itself) — exact moment forms,
-    // decimal-exact flag, windows over the tiny (type, day) table only ───
-    "q174_rolling_anomaly" -> ((s, dir) =>
-      EventOps.rollingAnomaly(s.read.parquet(t(dir, "events")))),
-
-    // ── CUBE subtotals: all four grouping sets of (returnflag,
-    // linestatus) in one Expand pass — the ROLLUP (q136) sibling with
-    // the cross-margins included ─────────────────────────────────────────
-    "q175_cube" -> ((s, dir) =>
-      s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          cents(col("l_extendedprice")).as("p"))
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum("p").as("sum_price_c"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
-        .select(
-          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
-          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
-          col("n"), col("sum_price_c"))
-        .orderBy("rf", "ls")),
-
-    // ── deterministic weight-proportional systematic sample: ~1000 order
-    // draws proportional to price, zero randomness — PrefixSum layout +
-    // one stride test, exactly k copies total ────────────────────────────
-    "q176_weighted_sample" -> ((s, dir) =>
-      graft.operators.Sampling.systematicWeighted(
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_orderkey"), cents(col("o_totalprice")).as("c")),
-        "c", k = 1000, col("o_orderkey"))
-        .orderBy("o_orderkey")),
-
-    // ── A/B experiment readout: per-user conversion under a hash-variant
-    // split, effect sizes vs control as exact count fractions — one
-    // map-side collapse to O(#variants) rows + a broadcast control join ──
-    "q177_ab_report" -> ((s, dir) => {
-      val units = s.read.parquet(t(dir, "events"))
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase", 1L)
-          .otherwise(0L)).as("cv"))
-        .select(concat(lit("v"), pmod(col("user_id"), lit(3L))
-          .cast(StringType)).as("variant"), col("cv"))
-      graft.operators.Experiment.abReport(units, "variant", "cv", "v0")
-    }),
-
-    // ── exact quantile summary: per returnflag, the p10/p25/p50/p75/p90
-    // price values off ONE cumulative window over distinct values — all
-    // quantiles in a single conditional aggregation ──────────────────────
-    "q178_quantile_summary" -> ((s, dir) =>
-      graft.operators.TableOps.quantileSummary(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c")),
-        "l_returnflag", "price_c",
-        Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10)))),
-
-    // ── funnel time-to-convert: exact min/median/max latency per stage
-    // pair — one (user, stage) first-event agg, tail events equi-join it,
-    // stats frequency-compressed over distinct latencies ─────────────────
-    "q179_funnel_latency" -> ((s, dir) =>
-      EventOps.funnelLatency(s.read.parquet(t(dir, "events")),
-        Seq("view", "click", "purchase"))),
-
-    // ── column-level diff blame: which column moved, from what, to what
-    // — ONE struct compare filters to changed keys BEFORE the ×#cols
-    // explode ────────────────────────────────────────────────────────────
-    "q180_diff_columns" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderpriority"))
-      val old = o.filter(col("o_orderkey") % 5 =!= 0)
-      val nw = o.filter(col("o_orderkey") % 7 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderpriority",
-          when(col("o_orderkey") % 11 === 0,
-            concat(lit("X-"), col("o_orderpriority")))
-            .otherwise(col("o_orderpriority")))
-      graft.operators.TableOps.snapshotDiffColumns(old, nw, "o_orderkey")
-    }),
-
-    // ── streaming rolling-anomaly maintenance: micro-batches fold into
-    // the per-(user, day) sum table (lineage-truncated, released), flags
-    // read off the LITERALLY shared batch window math — fold across any
-    // split ≡ batch operator (click slice per the q97 volume note) ───────
-    "q181_stream_anomaly" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming.anomalyReplay(evts, nChunks = 3,
-          window = 3, zTimes10 = 20)
-        .select(col("userId").as("user_id"), col("bucket"), col("x_c"),
-          col("n_w"), col("sum_w"), col("sumsq_w"), col("dev_num"),
-          col("var_num"), col("is_anomaly"))
-        .orderBy("user_id", "bucket")
-    }),
-
-    // ── graph profile: node/edge counts, exact degree min/median/max,
-    // density fraction — the pre-algorithm skew probe; median over the
-    // frequency-compressed degree table via a PrefixSum rank hit ─────────
-    "q182_graph_profile" -> ((s, dir) =>
-      graft.graph.GraphProfile.profile(
-        s.read.parquet(t(dir, "lineitem"))
-          .select((col("l_partkey") * 2).cast(LongType).as("p"),
-            (col("l_suppkey") * 2 + 1).cast(LongType).as("q")),
-        "p", "q")),
-
-    // ── join-key profile: lineitem ↔ F-status orders — match fractions,
-    // multiplicities, and the exact inner-join cardinality, off two
-    // O(distinct keys) count tables (the data rows never join) ───────────
-    "q183_join_profile" -> ((s, dir) =>
-      graft.operators.TableOps.joinProfile(
-        s.read.parquet(t(dir, "lineitem")), "l_orderkey",
-        s.read.parquet(t(dir, "orders"))
-          .filter(col("o_orderstatus") === "F"), "o_orderkey")),
-
-    // ── 2-D histogram: event value × hour-of-day heatmap — one map-side
-    // agg, exchange O(#cells) ────────────────────────────────────────────
-    "q184_histogram2d" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      graft.operators.TableOps.histogram2d(
-        ev.select(EventOps.tsMicros(ev).as("tus"),
-            cents(col("value")).as("c"))
-          .select(expr("(tus div 3600000000L) % 24").as("hour"), col("c")),
-        "hour", "c", binX = 1L, binY = 500L)
-    }),
-
-    // ── seasonal phase profile: day-of-week baseline + exact residual
-    // moment per (type, day) — "it's Sunday" separated from "something
-    // broke"; two aggs over the tiny daily table, no window ──────────────
-    "q185_seasonality" -> ((s, dir) =>
-      EventOps.seasonalProfile(s.read.parquet(t(dir, "events")))),
-
-    // ── ABC / Pareto analysis: customers ranked by order-value share,
-    // A/B/C classes via exact integer boundary comparisons — distributed
-    // rank + PrefixSum over the O(#groups) sum table ─────────────────────
-    "q186_abc_analysis" -> ((s, dir) =>
-      graft.operators.TableOps.abcAnalysis(
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_custkey"), cents(col("o_totalprice")).as("c")),
-        "o_custkey", "c")),
-
-    // ── embedding-column profile: per-dimension exact stats over
-    // fixed-point quantized values — dead/off-center dimension detector;
-    // one narrow posexplode into an O(dim)-keyed agg ──────────────────────
-    "q187_vec_stats" -> ((s, dir) =>
-      graft.embed.VecStats.perDimStats(
-        s.read.parquet(t(dir, "embeddings")), "embedding", dim = 64)),
-
-    // ── top-k per group with OTHERS rollup: top-3 suppliers per return
-    // flag + the residual row, totals reconciling by construction ────────
-    "q188_topk_others" -> ((s, dir) =>
-      graft.operators.TableOps.topKWithOthers(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_returnflag"), col("l_suppkey"),
-            cents(col("l_extendedprice")).as("c")),
-        "l_returnflag", "l_suppkey", "c", k = 3)),
-
-    // ── period-over-period deltas: day-over-day and same-phase
-    // week-over-week growth off shifted self-joins of the tiny daily
-    // table — gap-proof where positional lag lies ────────────────────────
-    "q189_period_deltas" -> ((s, dir) =>
-      EventOps.periodDeltas(s.read.parquet(t(dir, "events")))),
-
-    // ── RFM segmentation: per-customer recency/frequency/monetary
-    // metrics scored into exact equi-depth quintiles (ties share a
-    // bucket — no NTILE arbitrariness) ───────────────────────────────────
-    "q190_rfm" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
-        .select(col("o_custkey"),
-          unix_micros(col("o_orderdate").cast(TimestampType)).as("otus"),
-          cents(col("o_totalprice")).as("c"))
-      // O(1) driver scalar: the corpus "now" reference instant
-      val mxRow = o.agg(max("otus")).head
-      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
-      val m = o.groupBy("o_custkey").agg(
-        expr(s"(${mx}L - max(otus)) div 86400000000L").as("recency_d"),
-        count(lit(1)).as("freq"),
-        sum("c").as("mon_c"))
-      graft.operators.TableOps.equiDepthScores(m,
-          Seq("recency_d", "freq", "mon_c"), nBuckets = 5)
-        .select(col("o_custkey"), col("recency_d"), col("freq"),
-          col("mon_c"), col("recency_d_score"), col("freq_score"),
-          col("mon_c_score"))
-        .orderBy("o_custkey")
-    }),
-
-    // ── autocorrelation lag statistics: exact Pearson sufficient stats
-    // at lags 1..7 over each type's daily series — the lag dimension
-    // explodes the tiny daily table, never raw events ────────────────────
-    "q191_lag_stats" -> ((s, dir) =>
-      EventOps.lagStats(s.read.parquet(t(dir, "events")))),
-
-    // ── grid-bucketed spatial radius self-join: all point pairs within
-    // r = 250 on a synthetic integer plane keyed off p_partkey — 3×3
-    // cell-neighborhood equi-join, never an all-pairs cross ──────────────
-    "q192_radius_join" -> ((s, dir) =>
-      graft.operators.Spatial.radiusJoin(
-        s.read.parquet(t(dir, "part"))
-          .select(col("p_partkey").as("id"),
-            pmod(col("p_partkey") * 7919L, lit(9973L)).as("x"),
-            pmod(col("p_partkey") * 4241L, lit(9941L)).as("y")),
-        "id", "x", "y", radius = 250L)),
-
-    // ── item-to-item similarity top-5: "also bought" neighbors by exact
-    // scaled cosine² over supplier co-occurrence in order baskets —
-    // A-Priori-pruned pairs, one window over the pair table ──────────────
-    "q193_item_sim" -> ((s, dir) =>
-      graft.operators.Association.itemSimilarity(
-        s.read.parquet(t(dir, "lineitem")),
-        basketCol = "l_orderkey", itemCol = "l_suppkey",
-        minSupport = 2L, k = 5)),
-
-    // ── subtree rollup: lineitem quantity cents rolled up the q162 part
-    // hierarchy (p → p div 10) — facts pre-aggregated per key, closure
-    // join fans out aggregates only ──────────────────────────────────────
-    "q194_rollup_tree" -> ((s, dir) => {
-      val pc = s.read.parquet(t(dir, "part"))
-        .filter(col("p_partkey") >= 10)
-        .select(col("p_partkey").as("c"), expr("p_partkey div 10").as("p"))
-      graft.graph.Hierarchy.rollupSum(pc, "c", "p", maxDepth = 4,
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c")),
-        "l_partkey", "qty_c")
-    }),
-
-    // ── largest-remainder proration: each order's total price split
-    // across its lineitems by quantity, shares summing back EXACTLY —
-    // the Hamilton rule, two group-partitioned windows ───────────────────
-    "q195_prorate" -> ((s, dir) =>
-      graft.operators.TableOps.prorate(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_orderkey"), col("l_linenumber"),
-            cents(col("l_quantity")).as("qty_c")),
-        "l_orderkey", "l_linenumber", "qty_c",
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_orderkey").as("l_orderkey"),
-            cents(col("o_totalprice")).as("price_c")),
-        "price_c")),
-
-    // ── streaming upsert maintainer: the click slice replayed as a CDC
-    // changelog (id mod 10 deletes) through 3 foreachBatch merges — the
-    // sequential fold must equal global last-writer-wins by id ───────────
-    "q196_stream_upsert" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming.upsertReplay(evts, nChunks = 3)
-        .select(col("userId").as("user_id"), col("valueCents").as("value_c"))
-        .orderBy("user_id")
-    }),
-
-    // ── trailing 7-day exact rolling median per type: robust center of
-    // the daily series — bounded explode of the tiny daily table, lower-
-    // median convention, gaps shrink the window honestly ─────────────────
-    "q197_rolling_median" -> ((s, dir) =>
-      EventOps.rollingMedian(s.read.parquet(t(dir, "events")))),
-
-    // ── Holt level+trend smoothing, α=3/10 β=1/10: exact fixed-point
-    // forecaster over the capped daily series — explicit floor division
-    // so the negative-trend path replays identically in any engine ───────
-    "q198_holt" -> ((s, dir) =>
-      EventOps.holtSmooth(s.read.parquet(t(dir, "events")),
-        alphaNum = 3L, alphaDen = 10L, betaNum = 1L, betaDen = 10L)),
-
-    // ── bounded nearest neighbor: each point's closest other point
-    // within r = 250 on the q192 plane — grid candidates, one
-    // min(struct) argmin, smaller-id tiebreak ────────────────────────────
-    "q199_nearest_within" -> ((s, dir) =>
-      graft.operators.Spatial.nearestNeighbor(
-        s.read.parquet(t(dir, "part"))
-          .select(col("p_partkey").as("id"),
-            pmod(col("p_partkey") * 7919L, lit(9973L)).as("x"),
-            pmod(col("p_partkey") * 4241L, lit(9941L)).as("y")),
-        "id", "x", "y", radius = 250L)),
-
-    // ── Zipf profile: token frequencies collapsed into log₂-rank
-    // buckets — the natural-language shape check over the corpus ─────────
-    "q200_zipf" -> ((s, dir) =>
-      graft.text.Ngrams.zipfProfile(s.read.parquet(t(dir, "documents")),
-        minCount = 2L)),
-
-    // ── FIFO lot matching: returns ('R') consume earlier non-return
-    // lots per part, oldest first — the sequential loop as a closed
-    // form: two prefix sums + a quantity-bucketed interval equi-join ─────
-    "q201_fifo_match" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_partkey"), col("l_returnflag"),
-          (col("l_orderkey") * 10L + col("l_linenumber")).as("lid"),
-          col("l_quantity").cast(LongType).as("q"),
-          unix_micros(col("l_shipdate").cast(TimestampType)).as("sq"))
-      graft.operators.Inventory.fifoMatch(
-        li.filter(col("l_returnflag") =!= "R"),
-        li.filter(col("l_returnflag") === "R"),
-        "l_partkey", "lid", "q", "sq", qtyBucket = 64L)
-    }),
-
-    // ── forward as-of with tolerance: each view's next purchase by the
-    // same user within the hour; NULL rows ARE the abandonment report —
-    // one union-merge shuffle, no range cross join ───────────────────────
-    "q202_asof_forward" -> ((s, dir) => {
-      val raw = s.read.parquet(t(dir, "events"))
-      val ev = raw.select(col("user_id"), col("event_id"), col("event_type"),
-        EventOps.tsMicros(raw).as("tus"), cents(col("value")).as("v_c"))
-      val views = ev.filter(col("event_type") === "view")
-        .select("user_id", "event_id", "tus")
-      val buys = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("p_event_id"),
-          col("tus"), col("v_c").as("p_value_c"))
-      graft.events.AsOf.forward(views, buys, Seq("user_id"), "tus",
-          "event_id", "p_event_id", Seq("p_event_id", "p_value_c"),
-          toleranceUs = Some(3600000000L))
-        .select(col("user_id"), col("event_id"), col("tus"),
-          col("asof._t").as("p_tus"),
-          col("asof.p_event_id").as("p_event_id"),
-          col("asof.p_value_c").as("p_value_c"))
-        .orderBy("user_id", "event_id")
-    }),
-
-    // ── CSV round-trip: gzip'd header CSV out, FAILFAST explicit-schema
-    // read back — equality to the parquet oracle IS the proof ────────────
-    "q203_csv_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
-      graft.sources.Text.saveCsv(
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            cents(col("o_totalprice")).as("price_c")),
-        out, numFiles = 4)
-      graft.sources.Text.readCsv(s, out, StructType(Seq(
-          StructField("o_orderkey", LongType),
-          StructField("o_orderstatus", StringType),
-          StructField("price_c", LongType))))
-        .orderBy("o_orderkey")
-    }),
-
-    // ── JSON-lines round-trip: the API-dump ingest path, gzip'd,
-    // FAILFAST, explicit schema ──────────────────────────────────────────
-    "q204_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt"
-      graft.sources.Text.saveJsonl(
-        s.read.parquet(t(dir, "customer"))
-          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
-        out, numFiles = 4)
-      graft.sources.Text.readJsonl(s, out, StructType(Seq(
-          StructField("c_custkey", LongType),
-          StructField("c_name", StringType),
-          StructField("c_nationkey", LongType))))
-        .orderBy("c_custkey")
-    }),
-
-    // ── hive-partitioned write + pruned read: only the o_orderstatus=F
-    // directory is opened (PartitionFilters — spec-pinned) ───────────────
-    "q205_partition_prune" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_rt"
-      graft.sources.Partitioned.save(
-        s.read.parquet(t(dir, "orders"))
-          .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
-            col("o_orderstatus")),
-        out, "o_orderstatus")
-      graft.sources.Partitioned.read(s, out)
-        .filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"), col("price_c"), col("o_orderstatus"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ── SCD2 point-in-time lookup: each user's state (q106's version
-    // table) at noon of each active day — backward as-of on valid_from,
-    // never an interval cross join ───────────────────────────────────────
-    "q206_scd2_lookup" -> ((s, dir) => {
-      val raw = s.read.parquet(t(dir, "events"))
-      val dim = EventOps.scd2(raw)
-      val probes = raw
-        .select(col("user_id"), EventOps.tsMicros(raw).as("tus"))
-        .withColumn("tus",
-          expr("(tus - pmod(tus, 86400000000L)) + 43200000000L"))
-        .distinct()
-      EventOps.scd2Lookup(dim, probes, "user_id", "tus")
-    }),
-
-    // ── dense spine with zero-fill: every bucket between each type's
-    // first and last day present, absent ones as 0 — the report where a
-    // missing week must SHOW as zero ─────────────────────────────────────
-    "q207_dense_series" -> ((s, dir) =>
-      EventOps.denseSeries(s.read.parquet(t(dir, "events")))),
-
-    // ── sliding velocity check: users with ≥ 2 events inside any
-    // trailing 6 hours — one RANGE-frame window, no self-join ────────────
-    "q208_velocity" -> ((s, dir) =>
-      EventOps.velocity(s.read.parquet(t(dir, "events")),
-        windowUs = 21600000000L, minBurst = 2L)),
-
-    // ── audience growth: per day, first-time users and the cumulative
-    // distinct-user count — first-touch compression + PrefixSum, never a
-    // distinct-over-window ───────────────────────────────────────────────
-    "q209_cumulative_users" -> ((s, dir) =>
-      EventOps.cumulativeUsers(s.read.parquet(t(dir, "events")),
-        bucketUs = 3600000000L)),
-
-    // ── re-aggregatable quantile sketch (the cube's quantile column):
-    // one map-side-combined hash agg of bins+2 conditional counts per
-    // flag, quantiles read back by a HOF walk; l_quantity's integer
-    // domain at bin width 1 makes the lower-quantile read EXACT ──────────
-    "q210_qsketch_quantiles" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"))
-      graft.operators.QuantileSketch.sketch(li, Seq("l_returnflag"), "v",
-          lo = 1L, hi = 51L, bins = 50)
-        .select(col("l_returnflag"),
-          graft.operators.QuantileSketch.total(col("sketch")).as("n"),
-          graft.operators.QuantileSketch.quantileLower(col("sketch"),
-            1, 2, 1L, 51L, 50).as("p50"),
-          graft.operators.QuantileSketch.quantileLower(col("sketch"),
-            9, 10, 1L, 51L, 50).as("p90"),
-          graft.operators.QuantileSketch.quantileLower(col("sketch"),
-            99, 100, 1L, 51L, 50).as("p99"))
-        .orderBy("l_returnflag")
-    }),
-
-    // ── sketch ROLLUP: fine (flag, status) sketches re-aggregated to per-
-    // flag cells by element-wise vector sum — the pre-aggregated-cube
-    // path; the oracle computes per-flag quantiles directly, so the gate
-    // hash-pins merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) on real data ─
-    "q211_qsketch_rollup" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          col("l_quantity").cast(LongType).as("v"))
-      val fine = graft.operators.QuantileSketch.sketch(li,
-        Seq("l_returnflag", "l_linestatus"), "v", lo = 1L, hi = 51L, bins = 50)
-      graft.operators.QuantileSketch.rollup(fine, "sketch", bins = 50,
-          Seq("l_returnflag"))
-        .select(col("l_returnflag"),
-          graft.operators.QuantileSketch.total(col("sketch")).as("n"),
-          graft.operators.QuantileSketch.quantileLower(col("sketch"),
-            1, 2, 1L, 51L, 50).as("p50"),
-          graft.operators.QuantileSketch.quantileLower(col("sketch"),
-            3, 4, 1L, 51L, 50).as("p75"))
-        .orderBy("l_returnflag")
-    }),
-
-    // ── melt / unpivot: the wide lineitem measures to long
-    // (id, var, val) rows — native Expand, no shuffle, NULLs kept ────────
-    "q170_melt" -> ((s, dir) =>
-      graft.operators.TableOps.melt(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_orderkey"), col("l_linenumber"),
-            cents(col("l_quantity")).as("qty_c"),
-            cents(col("l_extendedprice")).as("price_c"),
-            cents(col("l_discount")).as("disc_c"),
-            cents(col("l_tax")).as("tax_c")),
-        idCols = Seq("l_orderkey", "l_linenumber"),
-        valueCols = Seq("qty_c", "price_c", "disc_c", "tax_c"))
-        .orderBy("l_orderkey", "l_linenumber", "var")),
-
-    // ── MAD-rule robust outliers: event values beyond 3·MAD of their
-    // type's exact median — the flag a single wild value can't corrupt ───
-    "q159_robust_outliers" -> ((s, dir) =>
-      graft.operators.TableOps.robustOutliers(
-        s.read.parquet(t(dir, "events"))
-          .select(col("event_type"), cents(col("value")).as("c")),
-        "event_type", "c", mult = 3L)),
-
-    // ── referential integrity both ways: lineitem→orders holds by
-    // construction; events users→customers is the orphan-heavy case ──────
-    "q160_ref_integrity" -> ((s, dir) =>
-      graft.operators.Quality.referential(
-          s.read.parquet(t(dir, "lineitem")), "l_orderkey",
-          s.read.parquet(t(dir, "orders")), "o_orderkey")
-        .unionByName(graft.operators.Quality.referential(
-          s.read.parquet(t(dir, "events")), "user_id",
-          s.read.parquet(t(dir, "customer")), "c_custkey"))
-        .orderBy("col_name")),
-
-    // ── missing o_orderkey ranges: the neighbor pair via the TeraSort
-    // sliding machinery (window-2 Min), never a partitionless window ─────
-    "q161_missing_ranges" -> ((s, dir) =>
-      graft.operators.TableOps.missingRanges(
-        s.read.parquet(t(dir, "orders"))
-          .filter(col("o_orderstatus") === "F"), "o_orderkey")),
-
-    // ── ancestor closure of the decimal part hierarchy (parent = key
-    // div 10), 4 levels: the dimension-flattening closure table ──────────
-    "q162_ancestors" -> ((s, dir) => {
-      val pc = s.read.parquet(t(dir, "part"))
-        .filter(col("p_partkey") >= 10)
-        .select(col("p_partkey").as("c"), expr("p_partkey div 10").as("p"))
-      graft.graph.Hierarchy.ancestors(pc, "c", "p", maxDepth = 4)
-    }),
-
-    // ── 3-truss of the co-purchase graph (2 peel rounds): every
-    // surviving edge sits in ≥ 1 triangle — edge cohesion one notch
-    // stronger than q121's k-core; support recounted per peel ───────────
-    "q157_ktruss" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      graft.graph.Truss.kTruss(pairs, "pa", "pb", k = 3, maxPeels = 2)
-    }),
-
-    // ── functional-dependency check over orders: key discovery with the
-    // violation DEGREE (max fan-out), one pruned two-level agg per pair ──
-    "q158_fd_check" -> ((s, dir) =>
-      graft.operators.TableOps.functionalDeps(
-        s.read.parquet(t(dir, "orders")),
-        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
-          ("o_orderkey", "o_orderstatus")))),
-
-    // ── per-seed harmonic centrality (every 100th supplier, 3 hops) over
-    // the part↔supplier graph: Σ L/d as an exact fraction with
-    // L = lcm(1..3) = 6 divisible by every hop count — no truncation ─────
-    "q155_harmonic" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
-        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      val seeds = s.read.parquet(t(dir, "supplier"))
-        .filter(pmod(col("s_suppkey"), lit(100)) === 1)
-        .select((col("s_suppkey") * 2 + 1).cast(LongType).as("node"))
-      graft.graph.Centrality.harmonicCentrality(
-        e0, "s", "d", seeds, "node", maxHops = 3)
-    }),
-
-    // ── snapshot diff → APPLYABLE changelog: the minimal U/D batch that
-    // transforms the base orders snapshot into a simulated next-day
-    // snapshot (deletes, reprices, inserts); round-trip law spec-pinned ──
-    "q156_make_changelog" -> ((s, dir) => {
-      val base = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"), col("o_custkey"),
-          cents(col("o_totalprice")).as("price_c"))
-      val target = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
-        .withColumn("price_c", when(pmod(col("o_orderkey"), lit(5)) === 0,
-          col("price_c") + 100L).otherwise(col("price_c")))
-        .unionByName(base.filter(pmod(col("o_orderkey"), lit(11)) === 0)
-          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
-            col("o_custkey"), col("price_c")))
-      graft.operators.TableOps.makeChangelog(base, target, "o_orderkey", seq = 1L)
-    }),
-
-    // ── personalized PageRank from the nation-1 suppliers over the
-    // bidirectional part↔supplier graph: restart mass on seeds only, so
-    // ranks measure relevance NEAR the seed set; exact ppm arithmetic ────
-    "q153_ppr" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
-        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-      val seeds = s.read.parquet(t(dir, "supplier"))
-        .filter(col("s_nationkey") === 1)
-        .select((col("s_suppkey") * 2 + 1).cast(LongType).as("node"))
-      graft.graph.PageRank.personalizedPageRank(
-          edges, "s", "d", seeds, "node", iterations = 3)
-        .select(col("node"), col("rank").as("ppr"))
-    }),
-
-    // ── link prediction over the co-purchase graph: common-neighbor
-    // count + neighborhood Jaccard for NON-adjacent pairs, defined over
-    // the capped-connector neighborhoods (maxDegree hub guard — per-
-    // center wedge work is bounded at maxDegree² regardless of skew) ─────
-    "q149_link_predict" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") >= 2).select(col("pa"), col("pb"))
-      graft.graph.LinkPredict.commonNeighbors(pairs, "pa", "pb",
-        maxDegree = 20, minCommon = 2L)
-    }),
-
-    // ── modularity of the LPA communities over the co-purchase graph:
-    // exact per-community fractions (4·m·e_c − d_c²) / 4m² — the quality
-    // score beside q130's labels and q133's density ──────────────────────
-    "q146_modularity" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // the pair-graph build feeds both LPA and the modularity joins —
-      // no cross-branch CSE in Spark, so materialize it once
-      val pairs = graft.operators.Checkpoints.checkpoint(
-        op.as("x").join(op.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-          .agg(count(lit(1)).as("m"))
-          .filter(col("m") >= 2).select(col("pa"), col("pb")))
-      val labels = graft.graph.LabelProp.labelPropagation(pairs, "pa", "pb", rounds = 2)
-      graft.graph.Modularity.perCommunity(pairs, "pa", "pb", labels)
-    }),
-
-    // ── Pareto frontier over per-customer (order count, spend): the
-    // staircase prefix-MAX scan replaces the oracle's O(n²) dominance
-    // anti-join — O(distinct x) exchange, TeraSort two-pass machinery ────
-    "q145_skyline" -> ((s, dir) => {
-      val c = s.read.parquet(t(dir, "orders"))
-        .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend_c"))
-      graft.operators.Skyline.pareto2d(c, "n_orders", "spend_c")
-        .orderBy("o_custkey")
-    }),
-
-    // ── incremental PageRank warm start: 2 warm rounds seeded by a
-    // 2-round cold run ≡ the oracle's 4-round CTE replay — the update is
-    // a pure function of the rank table, so continuing from round-k
-    // state IS rounds k+1..k+j; with the exact early stop this makes
-    // re-ranking after a small edge delta one-or-few rounds, not a full
-    // cold trajectory ─────────────────────────────────────────────────────
-    "q213_pagerank_warm" -> ((s, dir) => {
-      val cust = s.read.parquet(t(dir, "customer"))
-      val e0 = cust.select((col("c_custkey") * 2).cast(LongType).as("s"),
-        (col("c_nationkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-      val cold = graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 2)
-      graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 2,
-          prior = Some(cold))
-        .select(col("node"), col("rank").as("pr"))
-    }),
-
-    // ── 3-D Pareto frontier over per-customer (order count, spend,
-    // recency): x-desc TeraSort + carried 2-D (y,z) frontier — two jobs
-    // over one shuffle, never the oracle's O(n²) dominance anti-join ─────
-    "q212_skyline3d" -> ((s, dir) => {
-      val c = s.read.parquet(t(dir, "orders"))
-        .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(cents(col("o_totalprice"))).as("spend_c"),
-          // NTZ → TimestampType under the session's UTC zone, the
-          // EventOps.tsMicros parity convention with DuckDB epoch_us
-          max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
-            ).as("recency_d"))
-      graft.operators.Skyline.pareto3d(c, "n_orders", "spend_c", "recency_d")
-        .orderBy("o_custkey")
-    }),
-
-    // ── co-located bucketed join: both sides written hash-bucketed on the
-    // order key (8 buckets), then joined + aggregated — the write-once-
-    // join-often layout; zero join exchanges spec-pinned in BucketedSpec ─
-    "q144_bucketed_join" -> ((s, dir) => {
-      graft.sources.Bucketed.saveBucketed(
-        s.read.parquet(t(dir, "orders")).select("o_orderkey", "o_orderstatus"),
-        "graft_gate_bord", "o_orderkey", nBuckets = 8)
-      graft.sources.Bucketed.saveBucketed(
-        s.read.parquet(t(dir, "lineitem"))
-          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("p")),
-        "graft_gate_bli", "l_orderkey", nBuckets = 8)
-      graft.sources.Bucketed.table(s, "graft_gate_bli")
-        .join(graft.sources.Bucketed.table(s, "graft_gate_bord"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), sum("p").as("sum_p"))
-        .orderBy("o_orderstatus")
-    }),
-
-    // ── incremental materialized aggregate: the click slice replayed in
-    // 3 micro-batches through the foreachBatch merge-state maintainer —
-    // the fold across batch boundaries must equal the direct GROUP BY
-    // (a slice for the q97 reason: the replay harness is driver-fed) ─────
-    "q142_stream_agg_state" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming.aggStateReplay(evts, nChunks = 3)
-        .select(col("userId").as("user_id"), col("n"), col("sum_x"),
-          col("min_x"), col("max_x"))
-        .orderBy("user_id")
-    }),
-
-    // ── the streaming dedup state path (dropDuplicatesWithinWatermark):
-    // the click slice unioned with itself — every id a duplicate — must
-    // come back exactly once with its original row (a slice for the same
-    // reason as q97: the replay harness is driver-fed, so corpus volume
-    // is bench weight, not extra state-path evidence) ────────────────────
-    "q98_stream_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      graft.streaming.EventStreaming
-        .dedupReplay(evts.union(evts), watermarkSec = 3600)
-        .toDF()
-        .select(col("eventId").as("event_id"), col("userId").as("user_id"),
-          col("tsUs").as("tus"), col("valueCents").as("cents"))
-        .orderBy("event_id")
-    }),
-
-    // ── incremental PageRank over an EDGE DELTA — the scenario the warm
-    // start exists for (q213 pins the k+j contract on identical edges):
-    // cold-rank E (customer↔nation bipartite), then re-rank E ∪ ΔE (ΔE
-    // links the 25 nation nodes to 5 new region hubs) seeded with the
-    // cold output. Nodes new in ΔE start at scale, touched ranks shift,
-    // and the exact early stop makes post-delta maintenance one-or-few
-    // rounds at a real fixed point (spec-pinned in PageRankSpec); the
-    // oracle replays cold(2 rounds on E) + warm(3 rounds on E ∪ ΔE)
-    // cell-for-cell ───────────────────────────────────────────────────────
-    "q214_pagerank_delta" -> ((s, dir) => {
-      val cust = s.read.parquet(t(dir, "customer"))
-      val nat = s.read.parquet(t(dir, "nation"))
-      val e0 = cust.select((col("c_custkey") * 2).cast(LongType).as("s"),
-        (col("c_nationkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-      val cold = graft.graph.PageRank.pageRank(edges, "s", "d", iterations = 2)
-      val d0 = nat.select((col("n_nationkey") * 2 + 1).cast(LongType).as("s"),
-        (col("n_regionkey") + 9000000L).cast(LongType).as("d")).distinct()
-      val delta = edges.union(d0)
-        .union(d0.select(col("d").as("s"), col("s").as("d")))
-      graft.graph.PageRank.pageRank(delta, "s", "d", iterations = 3,
-          prior = Some(cold))
-        .select(col("node"), col("rank").as("pr"))
-    }),
-
-    // ── unknown-domain quantile sketch (decimal-log binning): the
-    // [lo,hi)-free counterpart of q210 — per-flag sketches over an
-    // UNBOUNDED cents column, one map-side-combined count per (group,
-    // bucket), ≤ ~1.7k buckets per group over the whole Long range;
-    // quantile read = lower edge of the rank bucket (exact integer
-    // binning, never a floating log) ─────────────────────────────────────
-    "q215_logsketch_quantiles" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag").as("g"),
-          cents(col("l_extendedprice")).as("v"))
-      graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
-        digits = 2, qs = Seq((1, 2), (9, 10)))
-    }),
-
-    // ── the log sketch's cube contract on real data: fine sketches per
-    // (returnflag, linestatus) rolled up to returnflag must equal the
-    // direct coarse sketch — the oracle computes the DIRECT side, so the
-    // hash match IS the merge-contract proof at data scale ───────────────
-    "q216_logsketch_rollup" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag").as("g"), col("l_linestatus").as("sub"),
-          cents(col("l_extendedprice")).as("v"))
-      val fine = graft.operators.LogQuantileSketch.sketch(li, Seq("g", "sub"), "v")
-      val coarse = graft.operators.LogQuantileSketch.rollup(fine, Seq("g"))
-      graft.operators.LogQuantileSketch.quantiles(coarse, Seq("g"),
-        Seq((1, 4), (3, 4)))
-    }),
-
-    // ── WEIGHTED quantile sketch: revenue-weighted order-size quantiles
-    // per flag ("at what quantity does half the revenue sit") — slots
-    // accumulate SUM(weight) instead of COUNT in the same exact
-    // vector-add monoid; width-1 integer domain → exact, so the oracle
-    // replays it as a weight-cumulative window over the raw values ──────
-    "q217_qsketch_weighted" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"),
-          cents(col("l_extendedprice")).as("w"))
-      graft.operators.QuantileSketch.summary(li, Seq("l_returnflag"), "v",
-        lo = 1L, hi = 51L, bins = 50, qs = Seq((1, 2), (9, 10)),
-        weightCol = Some("w"))
-    }),
-
-    // ── weighted UNKNOWN-domain sketch: quantity-weighted price
-    // quantiles per flag over an undeclared cents column — the log
-    // sketch's bucket rows accumulate SUM(weight); the string-arithmetic
-    // oracle replays binning AND weighting ──────────────────────────────
-    "q218_logsketch_weighted" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag").as("g"),
-          cents(col("l_extendedprice")).as("v"),
-          col("l_quantity").cast(LongType).as("w"))
-      graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
-        digits = 2, qs = Seq((1, 2), (9, 10)), weightCol = Some("w"))
-    }),
-
-    // ── streaming quantile-sketch maintainer: the click slice replayed
-    // in 3 micro-batches through the per-user sketch fold — exact
-    // vector-add merge means the final snapshot IS the batch sketch
-    // (any chunking), so the oracle is the plain per-user binned
-    // cumulative window. The maintainer state is O(users · bins+2)
-    // regardless of stream length ───────────────────────────────────────
-    "q219_stream_qsketch" -> ((s, dir) => {
-      import s.implicits._
-      import graft.operators.QuantileSketch
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      val snap = graft.streaming.EventStreaming.sketchReplay(evts,
-        nChunks = 3, lo = 0L, hi = 50000L, bins = 100)
-      snap.select(col("userId").as("user_id"),
-          QuantileSketch.total(col("sketch")).as("n"),
-          QuantileSketch.quantileLower(col("sketch"), 1, 2, 0L, 50000L, 100)
-            .as("p50"),
-          QuantileSketch.quantileLower(col("sketch"), 9, 10, 0L, 50000L, 100)
-            .as("p90"))
-        .orderBy("user_id")
-    }),
-
-    // ── SIGNED unknown-domain sketch (r14): price-delta quantiles per
-    // flag over a column that crosses zero — negatives key the negated
-    // magnitude-bucket CEILING (still the bucket's numeric lower edge),
-    // so binning stays monotone across the signed line and the same
-    // bounded-bucket quantile read works unchanged; the oracle replays
-    // the signed binning with string arithmetic ─────────────────────────
-    "q220_logsketch_signed" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_returnflag").as("g"),
-          (cents(col("l_extendedprice")) - lit(5000000L)).as("v"))
-      graft.operators.LogQuantileSketch.summary(li, Seq("g"), "v",
-        digits = 2, qs = Seq((1, 10), (1, 2), (9, 10)))
-    }),
-
-    // ── HITS warm start on a REAL edge delta (r14, the q214 contract
-    // ported to the second fixed-point loop): score the part→supplier
-    // graph cold, extend it with supplier→new-hub edges, re-score the
-    // delta'd graph seeded with the cold scores. Each round is a pure
-    // function of the score table, so the warm rounds replay as cold
-    // rounds k+1..k+j — which the chained-CTE oracle proves
-    // cell-for-cell ──────────────────────────────────────────────────────
-    "q221_hits_delta" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val nat = s.read.parquet(t(dir, "nation"))
-      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
-        (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
-      val cold = graft.graph.Hits.hits(e0, "s", "d", iterations = 1)
-      val d0 = nat.select((col("n_nationkey") * 2 + 1).cast(LongType).as("s"),
-        (col("n_regionkey") + 9000000L).cast(LongType).as("d")).distinct()
-      graft.graph.Hits.hits(e0.union(d0), "s", "d", iterations = 2,
-        prior = Some(cold))
-    }),
-
-    // ── LPA warm start on a REAL edge delta (r14, the q214/q221 contract
-    // ported to the third fixed-point loop): label the part↔supplier
-    // bipartite graph cold, attach region hubs to the supplier side,
-    // re-label the delta'd graph seeded with the cold labels. Each
-    // synchronous round is a pure function of the label table, so the
-    // warm rounds replay as cold rounds k+1..k+j — which the chained-CTE
-    // oracle proves cell-for-cell ────────────────────────────────────────
-    "q222_lpa_delta" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val nat = s.read.parquet(t(dir, "nation"))
-      val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("a"),
-        (col("l_suppkey") * 2 + 1).cast(LongType).as("b")).distinct()
-      val cold = graft.graph.LabelProp.labelPropagation(e0, "a", "b",
-        rounds = 1)
-      val d0 = nat.select((col("n_nationkey") * 2 + 1).cast(LongType).as("a"),
-        (col("n_regionkey") + 9000000L).cast(LongType).as("b")).distinct()
-      graft.graph.LabelProp.labelPropagation(e0.union(d0), "a", "b",
-        rounds = 2, prior = Some(cold))
-    }),
-
-    // ── portable distinct sketch (r14): HLL registers from md5 hex
-    // arithmetic, stored as a plain BIGINT array ANY engine can read and
-    // merge with element-wise MAX — unlike the opaque-bytes built-in
-    // (`hll_sketch_agg`, SketchRollupSpec), the STATE itself is
-    // oracle-checkable: DuckDB replays every register cell-for-cell.
-    // One map-side-combined agg of 256 conditional MAXes; the exchange
-    // per group is one fixed-width vector, never user ids ───────────────
-    "q223_distinct_sketch" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      graft.operators.DistinctSketch.registers(ev, Seq("event_type"), "user_id")
-    }),
-
-    // ── the distinct-sketch cube contract: per-type register vectors
-    // ROLL UP (element-wise max, never the raw rows) to the same global
-    // registers a direct sketch computes — the oracle takes the direct
-    // path, the gate the stored-cube path, and they must agree exactly ──
-    "q224_distinct_rollup" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      val fine = graft.operators.DistinctSketch.sketch(
-        ev, Seq("event_type"), "user_id")
-      graft.operators.DistinctSketch.rollup(fine, "sketch", 2, Nil)
-        .select(posexplode(col("sketch")))
-        .filter(col("col") > 0L)
-        .select(col("pos").cast(LongType).as("bucket"), col("col").as("r"))
-        .orderBy("bucket")
-    }),
-
-    // ── streaming distinct maintainer (r14): per-user DISTINCT ACTIVE
-    // DAYS as a register-max fold over micro-batches — idempotent, so
-    // at-least-once re-delivery needs no pre-dedup; the final snapshot
-    // must equal the batch registers the DuckDB oracle computes directly
-    // (a slice for the q97 reason: the replay harness is driver-fed) ─────
-    "q225_stream_distinct" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      val snap = graft.streaming.EventStreaming.distinctReplay(evts, nChunks = 3)
-      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
-        .filter(col("col") > 0L)
-        .select(col("user_id"), col("pos").cast(LongType).as("bucket"),
-          col("col").as("r"))
-        .orderBy("user_id", "bucket")
-    }),
-
-    // ── Z-order layout (r14): bit-interleave (customer, order day) so
-    // contiguous z-slices are tight rectangles in value space — the
-    // write-layout that lets multi-column box predicates prune files.
-    // The gate pins the interleave arithmetic; the oracle replays the
-    // identical shift/mask sum (Layout.zValueSql) ────────────────────────
-    "q226_zorder" -> ((s, dir) => {
-      val c = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey"), col("o_custkey").as("x"),
-          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
-            .as("y"))
-      c.select(col("o_orderkey"),
-          graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 21)
-            .as("zval"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ── incremental near-dedup (r14): dedup a NEW document batch against
-    // the STORED MinHash signatures of the existing corpus — corpus text
-    // never re-read, corpus×corpus pairs never re-examined; a delta doc
-    // is flagged iff it shares an LSH band AND its signature agrees on
-    // ≥ 3/4 of positions with a corpus doc or an earlier delta doc
-    // (earliest id wins). The oracle replays bands + agreement directly ──
-    "q227_dedup_delta" -> ((s, dir) => {
-      val docs = s.read.parquet(t(dir, "documents"))
-      val corpusSigs = Dedup.minhashSignatures(
-        docs.filter(col("doc_id") % 3 =!= 0), 16)
-      val deltaSigs = Dedup.minhashSignatures(
-        docs.filter(col("doc_id") % 3 === 0), 16)
-      Dedup.dedupDelta(corpusSigs, deltaSigs, numHashes = 16,
-        bands = 8, rowsPerBand = 2, num = 3, den = 4)
-    }),
-
-    // ── portable count-min sketch (r14): per-value FREQUENCY counters
-    // from md5 hex slices, stored as a plain BIGINT array ANY engine can
-    // read and merge with element-wise ADD — the frequency complement of
-    // q223's distinct sketch. Unlike `count_min_sketch_agg`'s opaque
-    // bytes, the counter STATE is oracle-checkable: DuckDB replays every
-    // cell. One map-side-combined agg of 512 conditional sums; the
-    // exchange per group is one fixed-width vector, never user ids ──────
-    "q228_cms_registers" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      graft.operators.CountMinSketch.registers(ev, Seq("event_type"), "user_id")
-    }),
-
-    // ── the count-min cube contract, WEIGHTED: per-flag sketches of part
-    // keys weighted by quantity ROLL UP (element-wise add, never the raw
-    // rows) to the same global counters a direct weighted sketch
-    // computes — the oracle takes the direct path, the gate the
-    // stored-cube path, and they must agree cell-for-cell ────────────────
-    "q229_cms_rollup" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-        .withColumn("qty", floor(col("l_quantity")).cast(LongType))
-      val fine = graft.operators.CountMinSketch.sketch(
-        li, Seq("l_returnflag"), "l_partkey", weightCol = Some("qty"))
-      graft.operators.CountMinSketch.rollup(fine, "sketch", 4, 128, Nil)
-        .select(posexplode(col("sketch")))
-        .filter(col("col") > 0L)
-        .select(col("pos").cast(LongType).as("slot"), col("col").as("c"))
-        .orderBy("slot")
-    }),
-
-    // ── streaming count-min maintainer (r14): per-user value-frequency
-    // counters as an add-fold over micro-batches — NOT idempotent (the
-    // line between this and q225's distinct max-fold: re-delivery counts
-    // twice, so at-least-once sources dedup upstream); the final
-    // snapshot must equal the batch counters the DuckDB oracle computes
-    // directly (a slice for the q97 reason: driver-fed replay) ──────────
-    "q230_stream_cms" -> ((s, dir) => {
-      import s.implicits._
-      val raw = s.read.parquet(t(dir, "events"))
-        .filter(col("event_type") === "click")
-      val evts = raw
-        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
-          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
-        .as[graft.streaming.EventStreaming.Event]
-      val snap = graft.streaming.EventStreaming.cmsReplay(evts, nChunks = 3)
-      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
-        .filter(col("col") > 0L)
-        .select(col("user_id"), col("pos").cast(LongType).as("slot"),
-          col("col").as("c"))
-        .orderBy("user_id", "slot")
-    }),
-
-    // ── incremental connected components (r14): fold a batch of NEW
-    // edges into STORED component labels without re-reading the old
-    // edges — the clustering family's warm start (q227's sibling). The
-    // quotient graph (delta endpoints lifted to their old
-    // representatives) is the only iterative work; the corpus label
-    // table is touched once, map-side, by a broadcast relabel map. The
-    // fixture is a star-of-stars (leaves→32-hubs cold; hub→1024-superhub
-    // + fresh-id edges as the delta) so the oracle's fixed-round min
-    // propagation is provably converged (diameter ≤ 3, 5 rounds run) ────
-    "q231_cc_delta" -> ((s, dir) => {
-      val keys = s.read.parquet(t(dir, "orders")).select(col("o_orderkey").as("k"))
-      val e = keys.filter(col("k") % 32 =!= 0)
-        .select(col("k").as("doc_a"), (col("k") - col("k") % 32).as("doc_b"))
-      val nodes = e.select(col("doc_a").as("doc_id"))
-        .union(e.select(col("doc_b").as("doc_id"))).distinct()
-      val cold = Dedup.clustersStars(nodes, e)
-      val hubs = e.select(col("doc_b").as("h")).distinct()
-      val bridge = hubs.filter(col("h") % 1024 =!= 0)
-        .select(col("h").as("doc_a"), (col("h") - col("h") % 1024).as("doc_b"))
-      val fresh = keys.filter(col("k") % 97 === 0 && col("k") % 32 =!= 0)
-        .select((col("k") + 1000000000L).as("doc_a"), col("k").as("doc_b"))
-      Dedup.ccDelta(cold, bridge.union(fresh))
-    }),
-
-    // ── integer-exact k-means (r14): Lloyd rounds with centroids
-    // quantized to a fixed 1/1024 grid and seeds picked by md5 order —
-    // every arithmetic step is Int64 math both engines replay
-    // bit-for-bit (the q92 integer-exact stance applied to clustering),
-    // so the ASSIGNMENT ITSELF is hash-gated, not spot-checked.
-    // Centroids are O(k·d) driver state (the MLlib layout / splitter-
-    // collect class); per-round exchange is O(N·k) argmin rows ──────────
-    "q232_kmeans" -> ((s, dir) => {
-      graft.embed.Clustering.kmeans(
-        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-        k = 8, rounds = 3)
-    }),
-
-    // ── SemDeDup-style semantic dedup (r14): cluster first (q232's
-    // k-means), then exact integer-cosine pairs WITHIN clusters only —
-    // pair work bounded by cluster sizes, never N²; a vector that
-    // near-duplicates (cos ≥ 0.8) a smaller-id clustermate is marked
-    // with its earliest duplicate. The oracle replays the full chain:
-    // kmeans rounds, then q54's score grid within the final clusters ────
-    "q233_semdedup" -> ((s, dir) => {
-      graft.embed.Clustering.semDedup(
-        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-        k = 8, rounds = 3, minScore1e6 = 800000L)
-    }),
-
-    // ── streaming connected-components maintainer (r14): q231's edge
-    // set folded in as 2 micro-batches of NEW edges — each batch pays
-    // only its delta-bounded quotient CC + one map-side relabel of the
-    // snapshot; ccDelta's incremental == one-shot law means ANY
-    // chunking must land on the one-shot CC the oracle computes ─────────
-    "q234_stream_cc" -> ((s, dir) => {
-      import s.implicits._
-      // half the key universe (k even): the contract is chunked-ingest
-      // == one-shot, which a half-size graph exercises identically —
-      // the full graph is q231's (one-shot) fixture
-      val keys = s.read.parquet(t(dir, "orders"))
-        .select(col("o_orderkey").as("k")).filter(col("k") % 2 === 0)
-      val e = keys.filter(col("k") % 32 =!= 0)
-        .select(col("k").as("doc_a"), (col("k") - col("k") % 32).as("doc_b"))
-      val hubs = e.select(col("doc_b").as("h")).distinct()
-      val bridge = hubs.filter(col("h") % 1024 =!= 0)
-        .select(col("h").as("doc_a"), (col("h") - col("h") % 1024).as("doc_b"))
-      val fresh = keys.filter(col("k") % 97 === 0 && col("k") % 32 =!= 0)
-        .select((col("k") + 1000000000L).as("doc_a"), col("k").as("doc_b"))
-      val all = e.union(bridge).union(fresh)
-        .select(col("doc_a").as("docA"), col("doc_b").as("docB"))
-        .as[graft.streaming.EventStreaming.GraphEdge]
-      // 2 chunks: the replay cost is CC-fixpoint count × stage latency,
-      // not edge volume — 2 batches exercise cold-start + delta-fold,
-      // which IS the contract (EventStreamingSpec pins 1/3/7 chunks)
-      graft.streaming.EventStreaming.ccReplay(all, nChunks = 2)
-    }),
-
-    // ── k-means SERVE path (r14): the clustering family's warm start —
-    // train centroids on two thirds of the vectors, store the O(k·d)
-    // model table, assign the HELD-OUT third against it with no
-    // re-training (plan-literal scoring, no join). The oracle replays
-    // the training rounds on the same subset, then scores the held-out
-    // vectors against the final centroid model c2 ───────────────────────
-    "q235_kmeans_assign" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      val cents = graft.embed.Clustering.kmeansCentroids(
-        emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
-        k = 8, rounds = 3)
-      graft.embed.Clustering.kmeansAssign(cents,
-        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
-    }),
-
-    // ── incremental SEMANTIC dedup (r14): q227's stored-corpus contract
-    // for embeddings — flag delta vectors that duplicate the corpus (or
-    // an earlier delta vector) using only the stored (vec, cluster)
-    // table and the centroid model; corpus×corpus never re-examined,
-    // pair work bounded by |delta| × cluster sizes. The oracle replays
-    // training, both assignments, and the q54 cosine grid ───────────────
-    "q236_semdedup_delta" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-      val train = emb.filter(col("vec_id") % 3 =!= 0)
-      val cents = graft.embed.Clustering.kmeansCentroids(
-        train, "vec_id", "embedding", k = 8, rounds = 3)
-      val corpus = train.join(
-        graft.embed.Clustering.kmeansAssign(cents, train, "vec_id", "embedding")
-          .select(col("vec_id"), col("cluster")), "vec_id")
-      graft.embed.Clustering.semDedupDelta(corpus,
-        emb.filter(col("vec_id") % 3 === 0), cents,
-        "vec_id", "embedding", minScore1e6 = 800000L)
-    }),
-
-    // ── the CMS ESTIMATE read, oracle-gated (r14): min over the d
-    // counters a probe value hashes to is pure integer arithmetic, so
-    // unlike the HLL estimate (float harmonic means, spec-only) the
-    // count-min READ path is exactly replayable — per-type estimates
-    // for a probe set of user ids, never touching the raw rows ──────────
-    "q237_cms_estimate" -> ((s, dir) => {
-      // both sides share ONE group universe by construction: rows with a
-      // NULL event_type or NULL user_id are excluded BEFORE the sketch,
-      // so the gate's sketch groups and the oracle's tt CTE are the same
-      // set even if the fixture ever gains such rows
-      val ev = s.read.parquet(t(dir, "events"))
-        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
-      val sk = graft.operators.CountMinSketch.sketch(
-        ev, Seq("event_type"), "user_id")
-      val probes = ev.filter(col("user_id") % 50 === 0)
-        .select(col("user_id").as("p")).distinct()
-      graft.operators.CountMinSketch.estimates(sk, "sketch", probes, 4, 128)
-        .orderBy("event_type", "p")
-    }),
-
-    // ── incremental IVF index maintenance (r15): the similarity
-    // family's warm start — train md5-seeded centroids on the corpus
-    // two-thirds (q89's oracle-replayable convention), store the
-    // inverted file, then fold the held-out third in against the STORED
-    // model with no re-training; fold-in ≡ one-shot is the operator's
-    // law, and the oracle replays exactly the one-shot side (all
-    // vectors assigned to corpus-trained centroids). NULL-embedding
-    // rows are excluded up front on both sides (the q84 stance) ─────────
-    "q238_ivf_delta" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-        .filter(col("embedding").isNotNull && col("vec_id") >= 5)
-      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
-      val delta = emb.filter(col("vec_id") % 3 === 0)
-      val cents = Similarity.ivfCentroids(corpus, nCells = 8,
-        seedOrder = md5(col("vec_id").cast(StringType).cast(BinaryType)))
-      val inverted = Similarity.ivfAssign(corpus, cents)
-      Similarity.ivfAssignDelta(cents, inverted, delta).orderBy("vec_id")
-    }),
-
-    // ── incremental PQ code maintenance (r15): q84's SQL-replayable
-    // seed codebooks trained on the corpus two-thirds, corpus encoded
-    // and stored, then the held-out third encoded against the STORED
-    // codebooks and folded in — fold-in ≡ one-shot; output exploded to
-    // (vec_id, sub, code) rows (the oracle's native shape) ──────────────
-    "q239_pq_delta" -> ((s, dir) => {
-      val emb = s.read.parquet(t(dir, "embeddings"))
-        .filter(col("embedding").isNotNull && col("vec_id") >= 5)
-      val corpus = emb.filter(col("vec_id") % 3 =!= 0)
-      val delta = emb.filter(col("vec_id") % 3 === 0)
-      val cb = graft.embed.Pq.seedCodebooks(
-        corpus.orderBy("vec_id").limit(16), m = 8)
-      val codes = graft.embed.Pq.encode(corpus, cb)
-      graft.embed.Pq.encodeDelta(cb, codes, delta)
-        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-        .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
-        .orderBy("vec_id", "sub")
-    }),
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "q01_text_scan" ->
-      """SELECT * FROM read_csv('/root/reference/input/simple103.txt',
-        |  delim=chr(9), header=false, columns={'key':'INTEGER','value':'INTEGER'})
-        |ORDER BY key, value""".stripMargin,
-
-    "q02_total_sort" ->
-      s"""SELECT l_orderkey, l_linenumber, ${CENTS.format("l_extendedprice")} AS price_c
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q03_global_rank" ->
-      """SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank, o_orderkey
-        |FROM orders ORDER BY rank""".stripMargin,
-
-    "q04_sliding_sum"   -> slidingOrdersSql(100, "SUM"),
-    "q05_sliding_min"   -> slidingOrdersSql(100, "MIN"),
-    "q06_sliding_max"   -> slidingOrdersSql(500, "MAX"),
-    "q07_sliding_count" -> slidingOrdersSql(500, "count"),
-
-    // avg: windowed SUM ÷ min(l, rank+1); // is floor division — identical
-    // to Spark's truncating `div` here because the summands are positive
-    "q51_sliding_avg" ->
-      s"""SELECT rank, key, CAST(s // LEAST(100, rank + 1) AS BIGINT) AS agg
-         |FROM (SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
-         |             CAST(o_orderkey AS BIGINT) AS key,
-         |             CAST(SUM(${CENTS.format("o_totalprice")}) OVER
-         |               (ORDER BY o_orderkey ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
-         |               AS BIGINT) AS s
-         |      FROM orders) ORDER BY rank""".stripMargin,
-
-    "q08_quantile_splitters" ->
-      s"""WITH ranked AS (
-         |  SELECT ${CENTS.format("l_extendedprice")} AS key_c,
-         |         (ROW_NUMBER() OVER (ORDER BY ${CENTS.format("l_extendedprice")})) - 1 AS rn
-         |  FROM lineitem),
-         |n AS (SELECT COUNT(*) AS n FROM lineitem),
-         |ids AS (SELECT UNNEST(range(1, 8)) AS splitter_id)
-         |SELECT ids.splitter_id, ranked.key_c AS splitter
-         |FROM ids CROSS JOIN n
-         |JOIN ranked ON ranked.rn = (ids.splitter_id * n.n) // 8
-         |ORDER BY ids.splitter_id""".stripMargin,
-
-    // All DuckDB SUMs below are CAST to BIGINT: DuckDB's SUM(BIGINT) returns
-    // HUGEINT (int128), which hash-mismatches Spark's BIGINT even when the
-    // values are identical (round-1 q10/q11/q12/q16 failure mode).
-    "q10_block_stats" ->
-      s"""WITH ranked AS (
-         |  SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey)) - 1 AS rank,
-         |         ${CENTS.format("o_totalprice")} AS v
-         |  FROM orders),
-         |n AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS m FROM orders)
-         |SELECT rank // m AS block, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_c
-         |FROM ranked, n GROUP BY 1 ORDER BY block""".stripMargin,
-
-    "q11_groupby_agg" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(${CENTS.format("l_quantity")}) AS BIGINT) AS sum_qty_c,
-         |  CAST(SUM(${CENTS.format("l_extendedprice")}) AS BIGINT) AS sum_price_c,
-         |  CAST(SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
-         |  COUNT(*) AS cnt
-         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
-         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q12_join_revenue" ->
-      s"""SELECT n_name, COUNT(*) AS n_orders, CAST(SUM(${CENTS.format("o_totalprice")}) AS BIGINT) AS revenue_c
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
-    "q13_topk" ->
-      s"""SELECT o_orderkey, ${CENTS.format("o_totalprice")} AS price_c
-         |FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 20""".stripMargin,
-
-    "q14_distinct" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    // NOT EXISTS (not NOT IN): left_anti keeps rows when the probe side has a
-    // NULL key; NOT IN returns zero rows then — semantics diverge.
-    "q15_anti_join" ->
-      """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q16_rollup" ->
-      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-         |  CAST(SUM(${CENTS.format("l_quantity")}) AS BIGINT) AS sum_qty_c
-         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q17_window_partitioned" ->
-      s"""SELECT o_custkey, o_orderkey,
-         |  ROW_NUMBER() OVER w AS rn,
-         |  ${CENTS.format("o_totalprice")} AS price_c,
-         |  LAG(${CENTS.format("o_totalprice")}, 1) OVER w AS prev_price_c
-         |FROM orders
-         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         |ORDER BY o_custkey, rn""".stripMargin,
-
-    // ═════ LLM-pipeline oracles. Shared determinism devices: the
-    // cross-engine hash  ('0x'||substr(md5(s),1,15))::BIGINT  ≡ Spark's
-    // conv(substring(md5(s),1,15),16,10); integer-quantized embeddings
-    // (exact dot products in any summation order); µs-floored timestamps
-    // (DuckDB's parquet reader truncates ns to µs). ═════════════════════
-
-    "q18_dedup_exact" ->
-      """SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS dup_cnt
-        |FROM (SELECT doc_id,
-        |        array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
-        |      FROM documents)
-        |GROUP BY fp ORDER BY rep_doc""".stripMargin,
-
-    "q19_minhash_sig" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
-        |hs AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
-        |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
-        |              (40503 * (i+1)) % 1000000007 AS b
-        |       FROM (SELECT UNNEST(range(16)) AS i))
-        |SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS minhash
-        |FROM hs CROSS JOIN hf GROUP BY doc_id, i ORDER BY doc_id, i""".stripMargin,
-
-    "q20_text_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-        |  COUNT(DISTINCT source) AS n_sources
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q21_event_window" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events)
-        |SELECT event_id, user_id,
-        |  CAST(SUM(v) OVER w AS BIGINT) AS win_sum_c,
-        |  COUNT(*) OVER w AS win_cnt
-        |FROM ev
-        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
-        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "q22_topk_cosine" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, vd AS qv FROM e WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS cand_id, vd AS cv FROM e WHERE vec_id >= 5),
-        |s AS (SELECT q_id, cand_id,
-        |        CAST(list_dot_product(qv, cv) AS BIGINT) AS dot,
-        |        CAST(list_dot_product(qv, qv) AS BIGINT) AS qn,
-        |        CAST(list_dot_product(cv, cv) AS BIGINT) AS cn
-        |      FROM q CROSS JOIN c),
-        |sc AS (SELECT q_id, cand_id,
-        |         CASE WHEN qn = 0 OR cn = 0 THEN NULL
-        |         ELSE CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
-        |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) END AS score
-        |       FROM s WHERE qn != 0 AND cn != 0)
-        |SELECT q_id,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
-        |  cand_id, score
-        |FROM sc
-        |QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
-
-    // Sampling.compositeKey joins with the U+0001 separator (invisible in
-    // this comment) ≡ DuckDB's || chr(1) ||; both engines render integer
-    // keys as plain decimal strings before hashing. The operator's NULL
-    // sentinel (U+0002) never fires here — lineitem keys are non-null —
-    // while the oracle's || would NULL-propagate, so the forms agree.
-    "q55_hash_sample" ->
-      """SELECT l_orderkey, l_linenumber FROM lineitem
-        |WHERE ('0x' || substr(md5(
-        |         CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)
-        |       ), 1, 15))::BIGINT % 2 < 1
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q58_stratified_sample" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-        |WHERE ('0x' || substr(md5(
-        |         CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)
-        |       ), 1, 15))::BIGINT
-        |      % (CASE l_returnflag WHEN 'A' THEN 4 WHEN 'N' THEN 2
-        |                           WHEN 'R' THEN 4 ELSE 1 END)
-        |      < (CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 1
-        |                           WHEN 'R' THEN 3 ELSE 0 END)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    // len(s) > 0 guard: docs under 3 chars have EMPTY char-gram sets and
-    // never enter the Spark-side inverted index; without the guard two
-    // empty-set docs would satisfy 0*5 >= 0*4 in the oracle only
-    "q56_chargram_jaccard" ->
-      """WITH g AS (SELECT doc_id,
-        |    CASE WHEN length(text) >= 3 THEN
-        |      list_distinct(list_transform(range(1, length(text) - 1),
-        |        i -> substr(text, CAST(i AS INT), 3)))
-        |    ELSE [] END AS s
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
-        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_cnt
-        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |        AND len(a.s) > 0 AND len(b.s) > 0)
-        |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM p
-        |WHERE inter_cnt * 5 >= union_cnt * 4 ORDER BY doc_a, doc_b""".stripMargin,
-
-    "q23_jaccard_pairs" ->
-      """WITH ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
-        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_cnt
-        |      FROM ws a JOIN ws b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM p
-        |WHERE inter_cnt * 20 >= union_cnt * 19 ORDER BY doc_a, doc_b""".stripMargin,
-
-    "q24_simhash" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
-        |bb AS (SELECT UNNEST(range(32)) AS b),
-        |v AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS c
-        |      FROM h CROSS JOIN bb),
-        |s AS (SELECT doc_id, b, SUM(c) AS sb FROM v GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN sb > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q25_lang_id" ->
-      """SELECT doc_id, en_cnt, n_tokens,
-        |  CAST(en_cnt * 1000 // n_tokens AS BIGINT) AS score1000,
-        |  CASE WHEN en_cnt * 1000 // n_tokens >= 50 THEN 'en' ELSE 'unk' END AS pred
-        |FROM (SELECT doc_id,
-        |        CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS en_cnt,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q26_quality" ->
-      """SELECT doc_id, n_tokens, n_distinct, n_chars, stop_cnt,
-        |  ttr1000, awl1000, stop1000,
-        |  CAST((2 * ttr1000 + (1000 - stop1000)) // 3 AS BIGINT) AS quality
-        |FROM (SELECT doc_id, n_tokens, n_distinct, n_chars, stop_cnt,
-        |        CAST(n_distinct * 1000 // n_tokens AS BIGINT) AS ttr1000,
-        |        CAST((n_chars - n_tokens + 1) * 1000 // n_tokens AS BIGINT) AS awl1000,
-        |        CAST(stop_cnt * 1000 // n_tokens AS BIGINT) AS stop1000
-        |      FROM (SELECT doc_id,
-        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        |              CAST(length(text) AS BIGINT) AS n_chars,
-        |              CAST(len(list_filter(string_split(text, ' '),
-        |                w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_cnt
-        |            FROM documents))
-        |ORDER BY doc_id""".stripMargin,
-
-    "q27_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q28_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ' '),
-        |        w -> ('0x' || substr(md5(w),1,15))::BIGINT % 1000000007)),
-        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q29_sessions" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
-        |g AS (SELECT event_id, user_id, tus,
-        |        CASE WHEN LAG(tus) OVER w IS NULL
-        |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
-        |SELECT event_id, user_id,
-        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |FROM g ORDER BY event_id""".stripMargin,
-
-    "q30_closest_pairs" ->
-      """WITH e AS (SELECT vec_id, label,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.label AS label,
-        |        CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
-        |        CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
-        |        CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
-        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT vid_a, vid_b, label,
-        |  CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
-        |       / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
-        |FROM p WHERE qn != 0 AND cn != 0
-        |ORDER BY score DESC, vid_a, vid_b LIMIT 20""".stripMargin,
-
-    "q54_embed_pairs" ->
-      """WITH e AS (SELECT vec_id, label,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, a.label AS label,
-        |        CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
-        |        CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
-        |        CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
-        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |sc AS (SELECT vid_a, vid_b, label,
-        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
-        |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT) AS score
-        |       FROM p WHERE qn != 0 AND cn != 0)
-        |SELECT vid_a, vid_b, label, score FROM sc
-        |WHERE score >= 250000 ORDER BY vid_a, vid_b""".stripMargin,
-
-    "q31_cube" ->
-      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-         |  CAST(SUM(${CENTS.format("l_quantity")}) AS BIGINT) AS sum_qty_c
-         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q32_setops" ->
-      """SELECT key, 'both' AS src FROM (
-        |  SELECT c_custkey AS key FROM customer WHERE c_nationkey < 5
-        |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-        |UNION ALL
-        |SELECT key, 'only_nation' AS src FROM (
-        |  SELECT c_custkey AS key FROM customer WHERE c_nationkey < 5
-        |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-        |ORDER BY src, key""".stripMargin,
-
-    "q33_scalar_date" ->
-      """SELECT o_orderkey,
-        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
-        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
-        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
-        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-        |  upper(substr(o_orderpriority, 1, 1)) AS pr1,
-        |  o_orderstatus || '-' || o_orderpriority AS tag,
-        |  CAST(length(o_orderpriority) AS BIGINT) AS plen
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q34_json" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q35_pivot" ->
-      """SELECT user_id,
-        |  COUNT(*) FILTER (event_type = 'click') AS click,
-        |  COUNT(*) FILTER (event_type = 'error') AS error,
-        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
-        |  COUNT(*) FILTER (event_type = 'view') AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q36_window_funcs" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events)
-        |SELECT event_id,
-        |  CAST(RANK() OVER wv AS BIGINT) AS rnk,
-        |  CAST(DENSE_RANK() OVER wv AS BIGINT) AS drnk,
-        |  CAST(NTILE(4) OVER wt AS BIGINT) AS nt,
-        |  LEAD(event_id, 1) OVER wt AS next_id
-        |FROM ev
-        |WINDOW wv AS (PARTITION BY user_id ORDER BY v),
-        |       wt AS (PARTITION BY user_id ORDER BY tus, event_id)
-        |ORDER BY event_id""".stripMargin,
-
-    "q37_asof" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
-        |u AS (
-        |  SELECT user_id, tus, event_id, 0 AS tag,
-        |         event_id AS p_id, tus AS p_tus FROM ev WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id, tus, event_id, 1 AS tag,
-        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM ev WHERE event_type = 'purchase'),
-        |m AS (SELECT user_id, tus, event_id, tag,
-        |        last_value(p_id IGNORE NULLS) OVER w AS click_id,
-        |        last_value(p_tus IGNORE NULLS) OVER w AS click_tus
-        |      FROM u
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY tus, tag, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, tus, click_id, click_tus
-        |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin,
-
-    // CC oracle: transitive closure as a recursive CTE (UNION dedups, so it
-    // terminates), then min reachable doc per source
-    "q38_dedup_clusters" ->
-      """WITH RECURSIVE
-        |ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |      FROM ws a JOIN ws b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 20 >=
-        |            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) * 19),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(s, d) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
-        |SELECT s AS doc_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
-
-    "q39_median" ->
-      s"""SELECT l_returnflag, median(${CENTS.format("l_quantity")}) AS med_qty_c,
-         |  COUNT(*) AS cnt
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q52_range_join" ->
-      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
-        |w AS (SELECT DISTINCT tus // 3600000000 AS hr FROM ev),
-        |wi AS (SELECT hr, hr * 3600000000 - 1800000000 AS ws,
-        |              hr * 3600000000 + 1800000000 AS we FROM w)
-        |SELECT event_id, tus, hr FROM ev JOIN wi ON tus >= ws AND tus <= we
-        |ORDER BY event_id, hr""".stripMargin,
-
-    "q53_postings" ->
-      """SELECT w AS term, COUNT(*) AS df,
-        |  CASE WHEN COUNT(*) <= 50
-        |       THEN string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) END AS postings
-        |FROM (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
-        |GROUP BY w ORDER BY term""".stripMargin,
-
-    // coalesce: extractFeatures degrades a NULL blob to empty bytes
-    // (n_bytes 0), while octet_length would NULL-propagate — keep the
-    // engines aligned on the degrade contract even for NULL-text rows
-    "q40_multimodal" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    "q43_histogram" ->
-      """SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
-        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    "q60_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
-        |       FROM toks, UNNEST(range(1, len(ws))) AS t(i)
-        |       WHERE len(ws) >= 2),
-        |per AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
-        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
-        |  CAST(1000 * (SUM(c) - COUNT(*)) // SUM(c) AS BIGINT) AS dup_frac1000,
-        |  CAST(1000 * MAX(c) // SUM(c) AS BIGINT) AS top_frac1000
-        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // DuckDB regexp_replace is first-match by default — the 'g' flag makes
-    // it global like Spark's; both dialects (Java regex / RE2) agree on
-    // these conservative character-class patterns
-    "q61_redact_pii" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(
-        |    regexp_replace(text,
-        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(text,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS red_text
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q57_decontaminate" ->
-      """WITH f AS (SELECT doc_id,
-        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
-        |  FROM documents),
-        |b AS (SELECT fp FROM f WHERE doc_id % 17 = 0)
-        |SELECT doc_id FROM f WHERE fp NOT IN (SELECT fp FROM b)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q59_bigram_score" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
-        |      WHERE len(ws) >= 2),
-        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
-        |head AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(c12 * 1000 // c1) // COUNT(*) AS BIGINT) AS lm_score1000
-        |FROM p JOIN big USING (w1, w2) JOIN head USING (w1)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q62_vocab" ->
-      """WITH c AS (SELECT t AS token, COUNT(*) AS cnt
-        |           FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
-        |           GROUP BY t HAVING COUNT(*) >= 2)
-        |SELECT token, cnt,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
-        |FROM c ORDER BY rank""".stripMargin,
-
-    "q65_return_revenue" ->
-      s"""SELECT c_custkey, c_name,
-         |  CAST(SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
-         |  COUNT(*) AS n_items
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |WHERE l_returnflag = 'R'
-         |  AND o_orderdate >= TIMESTAMP '1996-04-01'
-         |  AND o_orderdate <  TIMESTAMP '1996-07-01'
-         |GROUP BY c_custkey, c_name
-         |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
-
-    // mirrors Bpe.tokenize: the recursive CTE walks each word left to
-    // right, at every cursor taking the LONGEST vocab entry matching
-    // there (unique — equal-length matches of one prefix are the same
-    // string) with the single character as the OOV fallback — exactly
-    // functions.BpeTokens' greedy loop. Words come from single-space
-    // splits (the corpus has no other whitespace; the engine's contract
-    // covers all ASCII whitespace and is spec-gated beyond the oracle).
-    "q66_bpe_tokens" ->
-      s"""WITH RECURSIVE vocab(tok) AS (
-         |  SELECT unnest(${graft.text.Bpe.vocabSql.replace("array(", "[").replace(")", "]")})
-         |),
-         |words AS (
-         |  SELECT doc_id, i AS word_id, ws[i] AS word
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |       unnest(generate_series(1, len(ws))) AS t(i)
-         |  WHERE length(ws[i]) > 0
-         |),
-         |steps(doc_id, word_id, word, pos, tok) AS (
-         |  SELECT doc_id, word_id, word, 1, CAST(NULL AS VARCHAR) FROM words
-         |  UNION ALL
-         |  SELECT doc_id, word_id, word, pos + length(tok2), tok2 FROM (
-         |    SELECT doc_id, word_id, word, pos,
-         |      coalesce(
-         |        (SELECT v.tok FROM vocab v
-         |         WHERE length(v.tok) >= 2
-         |           AND substr(word, pos, length(v.tok)) = v.tok
-         |         ORDER BY length(v.tok) DESC LIMIT 1),
-         |        substr(word, pos, 1)) AS tok2
-         |    FROM steps WHERE pos <= length(word))
-         |)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bpe,
-         |       string_agg(tok, ' ' ORDER BY word_id, pos) AS bpe_text
-         |FROM steps WHERE tok IS NOT NULL
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q68_local_supplier_revenue" ->
-      s"""SELECT r_name, n_name,
-         |  CAST(SUM(${CENTS.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
-         |  COUNT(*) AS n_items
-         |FROM customer JOIN orders ON c_custkey = o_custkey
-         |JOIN lineitem ON l_orderkey = o_orderkey
-         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
-         |GROUP BY r_name, n_name
-         |ORDER BY revenue_c DESC, n_name""".stripMargin,
-
-    "q67_bpe_pair_counts" ->
-      """WITH w AS (
-        |  SELECT ws[i] AS w, COUNT(*) AS cnt
-        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
-        |       unnest(generate_series(1, len(ws))) AS t(i)
-        |  WHERE length(ws[i]) > 0
-        |  GROUP BY 1
-        |), p AS (
-        |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, SUM(cnt) AS c
-        |  FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
-        |  GROUP BY 1, 2
-        |)
-        |SELECT a, b, CAST(c AS BIGINT) AS c FROM p
-        |ORDER BY c DESC, a, b LIMIT 20""".stripMargin,
-
-    // mirrors Pipeline.decontaminateNgrams at n=4: ws[i:i+3] is DuckDB's
-    // 1-based INCLUSIVE list slice (4 elements); range(1, len-2) is
-    // empty for docs under 4 tokens, matching the guarded sequence
-    "q69_ngram_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g
-        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
-        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
-        |cont AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM b))
-        |SELECT doc_id, text FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors TextAnalysis.duplicatedNgramStats at n=4: per-(gram, doc)
-    // occurrence counts, global totals, per-doc roll-up; gramless docs
-    // report zeros via the LEFT JOIN
-    "q70_dup_ngram_stats" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g
-        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
-        |pd AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
-        |gl AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS tot FROM pd GROUP BY 1),
-        |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-        |              CAST(sum(CASE WHEN tot > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_grams
-        |       FROM pd JOIN gl USING (g) GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
-        |       coalesce(n_dup_grams, 0) AS n_dup_grams,
-        |       CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
-        |            ELSE (1000 * n_dup_grams) // n_grams END AS dup_permille
-        |FROM documents d LEFT JOIN st USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors Similarity.quantizeInt8: the SAME three IEEE double ops
-    // (mul, div, add-half, floor) — round() would diverge across engines.
-    // DuckDB double→INT CAST rounds, but floor() already made it integral.
-    "q71_quantize_int8" ->
-      """WITH s AS (SELECT vec_id, embedding,
-        |    CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) AS scale
-        |  FROM embeddings)
-        |SELECT vec_id, scale, ii - 1 AS i,
-        |  CASE WHEN scale = 0 THEN 0
-        |       ELSE CAST(floor(CAST(embedding[ii] AS DOUBLE) * 127.0 / scale + 0.5) AS INT) END AS qv
-        |FROM s, UNNEST(generate_series(1, len(embedding))) AS t(ii)
-        |ORDER BY vec_id, i""".stripMargin,
-
-    // mirrors HeavyHitters.frequentTerms(den=64): terms with count ≥
-    // max(1, totalTokens // 64) — the oracle is the EXACT full group-by
-    // the operator's MG-candidates + recount must reproduce
-    "q72_heavy_hitters" ->
-      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
-        |n AS (SELECT count(*) AS n FROM t)
-        |SELECT term, count(*) AS cnt FROM t GROUP BY term
-        |HAVING count(*) >= GREATEST(1, (SELECT n // 64 FROM n))
-        |ORDER BY term""".stripMargin,
-
-    // mirrors Pipeline.trainingOrder: q55's md5 key-hash rule under the
-    // 'order' salt (salt || chr(1) || key), rank 0-based, hash ties
-    // break on doc_id
-    "q73_training_order" ->
-      """WITH h AS (SELECT doc_id,
-        |    ('0x' || substr(md5('order' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
-        |  FROM documents)
-        |SELECT CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS rank, doc_id
-        |FROM h ORDER BY rank""".stripMargin,
-
-    // mirrors Dedup.containmentPairsBitmap(49/50, block = lang): ORDERED
-    // pairs (a ≠ b) WITHIN a language block, threshold on |A∩B|/|A| only
-    // — the quadratic oracle the banded equi-keyed join must reproduce
-    "q74_containment_pairs" ->
-      """WITH ws AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
-        |            FROM documents),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
-        |        CAST(len(a.s) AS BIGINT) AS na_cnt
-        |      FROM ws a JOIN ws b ON a.doc_id <> b.doc_id AND a.lang = b.lang)
-        |SELECT doc_a, doc_b, inter_cnt, na_cnt FROM p
-        |WHERE inter_cnt * 50 >= na_cnt * 49 ORDER BY doc_a, doc_b""".stripMargin,
-
-    // mirrors Pipeline.interleaveBySource: within-source rank r by the
-    // salted md5 key-hash rule, fraction (2r+1)/(2·n_s) as ONE exact
-    // integer-to-double divide, ties (equal-size sources) on (source, r)
-    "q75_interleave_by_source" ->
-      """WITH h AS (SELECT doc_id, source,
-        |    ('0x' || substr(md5('interleave' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
-        |  FROM documents),
-        |r AS (SELECT doc_id, source,
-        |        row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 1 AS r,
-        |        count(*) OVER (PARTITION BY source) AS ns
-        |      FROM h)
-        |SELECT CAST(row_number() OVER (
-        |         ORDER BY CAST(2*r+1 AS DOUBLE) / CAST(2*ns AS DOUBLE), source, r) - 1
-        |       AS BIGINT) AS pos,
-        |       doc_id, source
-        |FROM r ORDER BY pos""".stripMargin,
-
-    // mirrors the salted join's plain-join equivalence: the oracle IS the
-    // unsalted join it must be result-identical to
-    // mirrors q77: lower median = element (n+1)//2, p90 = element
-    // ceil(0.9n) = (9n+9)//10 of the sorted per-group list (1-based both
-    // engines); pure order statistics, no interpolation. NULL n_chars is
-    // WHERE-dropped on both sides (Spark collect_list skips NULLs,
-    // DuckDB list() keeps them — the filter makes the engines agree)
-    "q77_grouped_quantiles" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  (list_sort(list(n_chars)))[CAST((count(*) + 1) // 2 AS BIGINT)] AS median_chars,
-        |  (list_sort(list(n_chars)))[CAST((9 * count(*) + 9) // 10 AS BIGINT)] AS p90_chars
-        |FROM documents WHERE n_chars IS NOT NULL
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q76_salted_join" ->
-      """SELECT o.o_orderkey, o.o_custkey,
-        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |  COUNT(*) AS n_lines
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
-
-    // the hot-keys variant is result-identical to the SAME plain join
-    "q78_salted_hot_join" ->
-      """SELECT o.o_orderkey, o.o_custkey,
-        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |  COUNT(*) AS n_lines
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
-
-    // mirrors takePerGroup: k smallest salted hashes per group, the same
-    // 'cap' || chr(1) || key md5 recipe as the q55/q64/q75 family; the
-    // window here is the ORACLE's formulation — the operator itself never
-    // plans a per-group window
-    "q80_cap_per_group" ->
-      """WITH h AS (SELECT doc_id, lang,
-        |    ('0x' || substr(md5('cap' || chr(1) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
-        |  FROM documents),
-        |r AS (SELECT doc_id, lang,
-        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
-        |      FROM h)
-        |SELECT doc_id, lang FROM r
-        |WHERE rn <= CASE WHEN lang = 'zh' THEN 20 ELSE 70 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors Dedup.removeDuplicatedSpans: keep-first on global
-    // (doc_id, position) order, later occurrences cover [p, p+7], a doc's
-    // text is its surviving tokens in position order. ANTI JOIN mirrors the
-    // Spark left_anti (covered-side overlap duplicates are harmless in
-    // both engines, so neither side needs a DISTINCT).
-    "q81_dedup_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
-        |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
-        |        FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)),
-        |r AS (SELECT doc_id, i,
-        |        count(*) OVER (PARTITION BY g) AS tot,
-        |        row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
-        |      FROM occ),
-        |cov AS (SELECT doc_id, c.pos FROM r, UNNEST(range(i, i + 8)) AS c(pos)
-        |        WHERE tot > 1 AND rn > 1),
-        |tok AS (SELECT doc_id, UNNEST(ws) AS tok,
-        |          UNNEST(range(1, len(ws) + 1)) AS pos
-        |        FROM toks),
-        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
-        |         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
-        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-        |          CAST(count(*) AS BIGINT) AS n_kept
-        |        FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
-        |       CAST(len(string_split(coalesce(d.text, ''), ' ')) AS BIGINT) AS n_tokens,
-        |       CAST(len(string_split(coalesce(d.text, ''), ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors TextAnalysis.scoreHashedLinear with the gate's arithmetic
-    // weights table inlined: bucket = xhash(token) % 4096,
-    // w = bucket % 2001 - 1000, logit = sum over tokens (bias 0),
-    // keep = logit >= 0
-    "q82_quality_linear" ->
-      """WITH tok AS (SELECT doc_id, UNNEST(string_split(coalesce(text, ''), ' ')) AS w
-        |            FROM documents),
-        |b AS (SELECT doc_id,
-        |        (('0x' || substr(md5(w), 1, 15))::BIGINT % 4096) AS bucket
-        |      FROM tok),
-        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |        CAST(sum((bucket % 2001) - 1000) AS BIGINT) AS logit_permille
-        |      FROM b GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, logit_permille,
-        |       CAST(CASE WHEN logit_permille >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM s ORDER BY doc_id""".stripMargin,
-
-    // mirrors Pq.seedCodebooks + encode + topkAdc: quantized grid
-    // (floor(x*1000), q22's recipe — integer values, exact in doubles),
-    // codebook = the 16 lowest-vec_id candidates' subvectors, encode =
-    // argmin squared L2 via 2·dot − |c|² (ties to the smallest code),
-    // adist = Σ_sub (|q_sub|² + |c|² − 2·q_sub·c), rank by (adist, cand_id)
-    "q84_pq_adc" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |seeds AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-        |          FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
-        |cbn AS (SELECT t.sub, code, vd[(t.sub*8+1):(t.sub*8+8)] AS cv,
-        |          CAST(list_dot_product(vd[(t.sub*8+1):(t.sub*8+8)],
-        |                                vd[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
-        |        FROM seeds, UNNEST(range(0, 8)) AS t(sub)),
-        |cs AS (SELECT vec_id AS cand_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
-        |       FROM e, UNNEST(range(0, 8)) AS t(sub) WHERE vec_id >= 5),
-        |enc AS (SELECT cand_id, sub, code FROM (
-        |          SELECT cs.cand_id, cs.sub, cbn.code,
-        |            row_number() OVER (PARTITION BY cs.cand_id, cs.sub
-        |              ORDER BY CAST(2 * list_dot_product(cs.sv, cbn.cv) AS BIGINT) - cbn.cn DESC,
-        |                       cbn.code) AS arn
-        |          FROM cs JOIN cbn USING (sub)) WHERE arn = 1),
-        |qs AS (SELECT vec_id AS q_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
-        |       FROM e, UNNEST(range(0, 8)) AS t(sub) WHERE vec_id < 5),
-        |lut AS (SELECT q_id, sub, code,
-        |          CAST(list_dot_product(qs.sv, qs.sv) AS BIGINT) + cbn.cn
-        |          - CAST(2 * list_dot_product(qs.sv, cbn.cv) AS BIGINT) AS pd
-        |        FROM qs JOIN cbn USING (sub)),
-        |sc AS (SELECT q_id, cand_id, CAST(sum(pd) AS BIGINT) AS adist
-        |       FROM enc JOIN lut USING (sub, code) GROUP BY q_id, cand_id)
-        |SELECT q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS BIGINT) AS rn,
-        |  cand_id, adist
-        |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
-
-    // mirrors Dedup.exactBest: q18's fingerprint, survivor = argmax
-    // (n_chars, then smallest doc_id) per group — DESC NULLS LAST matches
-    // Spark's struct-ordering max_by (NULL score loses to any scored row)
-    "q85_dedup_best" ->
-      """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS s,
-        |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
-        |  FROM documents),
-        |r AS (SELECT doc_id, fp,
-        |    row_number() OVER (PARTITION BY fp
-        |      ORDER BY s DESC NULLS LAST, doc_id) AS rn
-        |  FROM f),
-        |g AS (SELECT fp, MAX(s) AS best_score, COUNT(*) AS dup_cnt
-        |      FROM f GROUP BY fp)
-        |SELECT r.doc_id AS rep_doc, g.best_score, g.dup_cnt
-        |FROM r JOIN g USING (fp) WHERE rn = 1 ORDER BY rep_doc""".stripMargin,
-
-    // mirrors Pipeline.filterByQuantile: threshold = element at 0-indexed
-    // rank floor(7·n/10) of non-NULL n_chars ascending (exactSplitters'
-    // rank convention), then score >= threshold
-    "q86_quantile_filter" ->
-      """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
-        |           WHERE n_chars IS NOT NULL),
-        |r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM s),
-        |n AS (SELECT COUNT(*) AS n FROM s),
-        |thr AS (SELECT v FROM r, n WHERE r.rk = (7 * n.n) // 10)
-        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
-        |FROM documents WHERE n_chars >= (SELECT v FROM thr)
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors Pipeline.filterByQuantilePerGroup: per-lang threshold =
-    // element at 0-indexed rank floor(7·n_g/10) of the group's non-NULL
-    // n_chars ascending; null-safe group join like Spark's <=>
-    "q87_quantile_per_group" ->
-      """WITH s AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
-        |           WHERE n_chars IS NOT NULL),
-        |r AS (SELECT lang, v,
-        |        row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rk,
-        |        count(*) OVER (PARTITION BY lang) AS n
-        |      FROM s),
-        |thr AS (SELECT lang, v AS t FROM r WHERE rk = (7 * n) // 10)
-        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
-        |FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
-        |WHERE d.n_chars >= thr.t
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors Pq.ivfTopkAdcRerank end-to-end: quantized grid (q84's
-    // recipe), coarse centroids = the 8 candidates ranked first by
-    // (md5(vec_id::VARCHAR), vec_id) with cell ids assigned in vec_id
-    // order (seedCodebooks' convention), cell assignment = argmax
-    // (2·dot − |c|²) ties-to-smallest, residual = v − centroid[cell],
-    // residual PQ codebook = 16 md5-ranked residuals sliced into 8
-    // subspaces, encode = per-(vec,sub) argmin, query probes = top-3
-    // cells, LUT pd = |q_sub|² + |c|² − 2·q_sub·c per probed cell, ADC
-    // shortlist = top-40 by (Σpd, cand_id), exact rerank dist =
-    // |q|² + |c|² − 2·q·c, final rank by (dist, cand_id). All values on
-    // the integer grid — every comparison is over exact BIGINTs
-    "q88_ivfadc_rerank" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |cand AS (SELECT vec_id, vd FROM e WHERE vec_id >= 5),
-        |qv AS (SELECT vec_id, vd FROM e WHERE vec_id < 5),
-        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-        |          FROM (SELECT vec_id, vd FROM cand
-        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
-        |cents AS (SELECT cell, vd AS cv,
-        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed),
-        |asg AS (SELECT vec_id, cell FROM (
-        |          SELECT c.vec_id, ct.cell,
-        |            row_number() OVER (PARTITION BY c.vec_id
-        |              ORDER BY CAST(2 * list_dot_product(c.vd, ct.cv) AS BIGINT) - ct.cn DESC,
-        |                       ct.cell) AS rn
-        |          FROM cand c, cents ct) WHERE rn = 1),
-        |res AS (SELECT a.vec_id, a.cell,
-        |          list_transform(range(1, 65), i -> c.vd[i] - ct.cv[i]) AS rv
-        |        FROM asg a JOIN cand c USING (vec_id) JOIN cents ct USING (cell)),
-        |pseed AS (SELECT rv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-        |          FROM (SELECT vec_id, rv FROM res
-        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
-        |pcb AS (SELECT t.sub, code, rv[(t.sub*8+1):(t.sub*8+8)] AS cv,
-        |          CAST(list_dot_product(rv[(t.sub*8+1):(t.sub*8+8)],
-        |                                rv[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
-        |        FROM pseed, UNNEST(range(0, 8)) AS t(sub)),
-        |rs AS (SELECT vec_id AS cand_id, cell, t.sub,
-        |         rv[(t.sub*8+1):(t.sub*8+8)] AS sv
-        |       FROM res, UNNEST(range(0, 8)) AS t(sub)),
-        |enc AS (SELECT cand_id, cell, sub, code FROM (
-        |          SELECT rs.cand_id, rs.cell, rs.sub, pcb.code,
-        |            row_number() OVER (PARTITION BY rs.cand_id, rs.sub
-        |              ORDER BY CAST(2 * list_dot_product(rs.sv, pcb.cv) AS BIGINT) - pcb.cn DESC,
-        |                       pcb.code) AS arn
-        |          FROM rs JOIN pcb USING (sub)) WHERE arn = 1),
-        |probes AS (SELECT q_id, cell, qrv FROM (
-        |            SELECT q.vec_id AS q_id, ct.cell,
-        |              list_transform(range(1, 65), i -> q.vd[i] - ct.cv[i]) AS qrv,
-        |              row_number() OVER (PARTITION BY q.vec_id
-        |                ORDER BY CAST(2 * list_dot_product(q.vd, ct.cv) AS BIGINT) - ct.cn DESC,
-        |                         ct.cell) AS pr
-        |            FROM qv q, cents ct) WHERE pr <= 3),
-        |ql AS (SELECT q_id, cell, t.sub, qrv[(t.sub*8+1):(t.sub*8+8)] AS sv
-        |       FROM probes, UNNEST(range(0, 8)) AS t(sub)),
-        |lut AS (SELECT q_id, cell, sub, code,
-        |          CAST(list_dot_product(ql.sv, ql.sv) AS BIGINT) + pcb.cn
-        |          - CAST(2 * list_dot_product(ql.sv, pcb.cv) AS BIGINT) AS pd
-        |        FROM ql JOIN pcb USING (sub)),
-        |sc AS (SELECT q_id, cand_id, CAST(sum(pd) AS BIGINT) AS adist
-        |       FROM enc JOIN lut USING (cell, sub, code) GROUP BY q_id, cand_id),
-        |short AS (SELECT q_id, cand_id FROM (
-        |           SELECT q_id, cand_id,
-        |             row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS srn
-        |           FROM sc) WHERE srn <= 40),
-        |ex AS (SELECT s.q_id, s.cand_id,
-        |         CAST(list_dot_product(q.vd, q.vd) AS BIGINT)
-        |         + CAST(list_dot_product(c.vd, c.vd) AS BIGINT)
-        |         - CAST(2 * list_dot_product(q.vd, c.vd) AS BIGINT) AS dist
-        |       FROM short s JOIN qv q ON s.q_id = q.vec_id
-        |            JOIN cand c ON s.cand_id = c.vec_id)
-        |SELECT q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, cand_id) AS BIGINT) AS rn,
-        |  cand_id, dist
-        |FROM ex QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
-
-    // mirrors Similarity.ivfTopkCosine: q88's md5 seed convention for
-    // the 8 centroids (cell ids by vec_id order among the sample), cell
-    // assignment and probes by the q22 cosine score (NULLS LAST desc
-    // ties-to-smallest — identical to Spark's coalesce-to-MinValue
-    // max_by), exact rerank over probed cells, final rank by
-    // (score desc, cand_id)
-    "q89_ivf_cosine" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |cand AS (SELECT vec_id, vd,
-        |           CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e
-        |         WHERE vec_id >= 5),
-        |qv AS (SELECT vec_id, vd,
-        |         CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e
-        |       WHERE vec_id < 5),
-        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-        |          FROM (SELECT vec_id, vd FROM cand
-        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
-        |cents AS (SELECT cell, vd AS cv,
-        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed),
-        |asg AS (SELECT cand_id, cell FROM (
-        |          SELECT c.vec_id AS cand_id, ct.cell,
-        |            row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |              CASE WHEN c.n2 = 0 OR ct.cn = 0 THEN NULL
-        |              ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(c.vd, ct.cv) AS BIGINT) AS DOUBLE)
-        |                   / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
-        |              DESC NULLS LAST, ct.cell) AS rn
-        |          FROM cand c, cents ct) WHERE rn = 1),
-        |probes AS (SELECT q_id, cell FROM (
-        |            SELECT q.vec_id AS q_id, ct.cell,
-        |              row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |                CASE WHEN q.n2 = 0 OR ct.cn = 0 THEN NULL
-        |                ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(q.vd, ct.cv) AS BIGINT) AS DOUBLE)
-        |                     / sqrt(CAST(q.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
-        |                DESC NULLS LAST, ct.cell) AS pr
-        |            FROM qv q, cents ct) WHERE pr <= 3),
-        |sc AS (SELECT p.q_id, a.cand_id,
-        |         CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(q.vd, c.vd) AS BIGINT) AS DOUBLE)
-        |              / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))) AS BIGINT) AS score
-        |       FROM probes p JOIN asg a USING (cell)
-        |            JOIN qv q ON p.q_id = q.vec_id
-        |            JOIN cand c ON a.cand_id = c.vec_id
-        |       WHERE q.n2 != 0 AND c.n2 != 0)
-        |SELECT q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
-        |  cand_id, score
-        |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
-
-    // mirrors Dedup.nearDedup end-to-end with defaults (16 hashes, 8
-    // bands x 2 rows, verify at 4/5): q19's minhash recipe, band sig =
-    // comma-joined minhashes in i order, bucket self-join (doc_a <
-    // doc_b, distinct), exact word-set Jaccard verify, then q38's
-    // recursive-CTE components seeded from ALL docs (sub-3-token and
-    // NULL-text docs stay singletons)
-    "q90_near_dedup" ->
-      """WITH RECURSIVE
-        |toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
-        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
-        |hs AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
-        |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
-        |              (40503 * (i+1)) % 1000000007 AS b
-        |       FROM (SELECT UNNEST(range(16)) AS i)),
-        |sig AS MATERIALIZED (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh
-        |        FROM hs CROSS JOIN hf GROUP BY doc_id, i),
-        |bsig AS MATERIALIZED (SELECT doc_id, i // 2 AS band,
-        |           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bs
-        |         FROM sig GROUP BY doc_id, i // 2),
-        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bsig a JOIN bsig b
-        |           ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
-        |sets AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(text, ' ')) AS st
-        |         FROM documents),
-        |ver AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
-        |        JOIN sets sa ON doc_a = sa.doc_id
-        |        JOIN sets sb ON doc_b = sb.doc_id
-        |        WHERE CAST(len(list_intersect(sa.st, sb.st)) AS BIGINT) * 5 >=
-        |              CAST(len(sa.st) + len(sb.st)
-        |                   - len(list_intersect(sa.st, sb.st)) AS BIGINT) * 4),
-        |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver
-        |      UNION ALL SELECT doc_b, doc_a FROM ver),
-        |reach(s, d) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
-        |SELECT s AS doc_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
-
-    // mirrors Similarity.embedNearDup with defaults (12 planes, 1-bit
-    // multiprobe, verify >= 0.25): plane j's component for dim d is
-    // ((2654435761·(j+1) mod P)·d mod P) − P DIV 2 over the quantized
-    // grid (exact in doubles: |term| <= 5e11, 64-dim sum <= 3.2e13 <
-    // 2^53), bucket bit j = [projection > 0], candidates from
-    // probe-XOR bucket equality, q22's cosine score, q38's
-    // recursive-CTE components seeded from ALL vectors
-    "q91_embed_near_dedup" ->
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |planes AS (SELECT j, (2654435761 * (j+1)) % 1000000007 AS aj
-        |           FROM (SELECT UNNEST(range(12)) AS j)),
-        |proj AS (SELECT e.vec_id, p.j,
-        |           SUM(e.vd[t.d] *
-        |               CAST((p.aj * t.d) % 1000000007 - 500000003 AS DOUBLE)) AS pr
-        |         FROM e, planes p, UNNEST(range(1, 65)) AS t(d)
-        |         GROUP BY e.vec_id, p.j),
-        |bk AS (SELECT vec_id,
-        |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j)
-        |                  ELSE 0 END) AS BIGINT) AS bucket
-        |       FROM proj GROUP BY vec_id),
-        |flips AS (SELECT UNNEST(list_append(
-        |            list_transform(range(12), j -> (CAST(1 AS BIGINT) << j)),
-        |            CAST(0 AS BIGINT))) AS f),
-        |cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
-        |         FROM bk a, flips, bk b
-        |         WHERE xor(a.bucket, flips.f) = b.bucket AND a.vec_id < b.vec_id),
-        |ver AS (SELECT vid_a, vid_b FROM cand
-        |        JOIN e a ON vid_a = a.vec_id JOIN e b ON vid_b = b.vec_id,
-        |        LATERAL (SELECT CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
-        |                   CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
-        |                   CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn) s
-        |        WHERE s.qn != 0 AND s.cn != 0
-        |          AND CAST(FLOOR(1000000.0 * CAST(s.dot AS DOUBLE)
-        |              / sqrt(CAST(s.qn AS DOUBLE) * CAST(s.cn AS DOUBLE))) AS BIGINT)
-        |              >= 250000),
-        |ed AS (SELECT vid_a AS a, vid_b AS b FROM ver
-        |       UNION ALL SELECT vid_b, vid_a FROM ver),
-        |reach(s, d) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT r.s, ed.b FROM reach r JOIN ed ON r.d = ed.a)
-        |SELECT s AS vec_id, MIN(d) AS cluster FROM reach GROUP BY s ORDER BY vec_id""".stripMargin,
-
-    // mirrors Similarity.annTopkCosine (12 planes, query-side 1-bit
-    // multiprobe): q91's plane/bucket recipe over the whole table,
-    // candidates = query probes meeting candidate buckets, q22's cosine
-    // score, rank by (score desc, cand_id) capped at 10
-    "q92_ann_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |planes AS (SELECT j, (2654435761 * (j+1)) % 1000000007 AS aj
-        |           FROM (SELECT UNNEST(range(12)) AS j)),
-        |proj AS (SELECT e.vec_id, p.j,
-        |           SUM(e.vd[t.d] *
-        |               CAST((p.aj * t.d) % 1000000007 - 500000003 AS DOUBLE)) AS pr
-        |         FROM e, planes p, UNNEST(range(1, 65)) AS t(d)
-        |         GROUP BY e.vec_id, p.j),
-        |bk AS (SELECT vec_id,
-        |         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << j)
-        |                  ELSE 0 END) AS BIGINT) AS bucket
-        |       FROM proj GROUP BY vec_id),
-        |flips AS (SELECT UNNEST(list_append(
-        |            list_transform(range(12), j -> (CAST(1 AS BIGINT) << j)),
-        |            CAST(0 AS BIGINT))) AS f),
-        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
-        |         FROM bk q, flips, bk c
-        |         WHERE q.vec_id < 5 AND c.vec_id >= 5
-        |           AND xor(q.bucket, flips.f) = c.bucket),
-        |sc AS (SELECT cand.q_id, cand.cand_id,
-        |         CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS DOUBLE)
-        |              / sqrt(CAST(CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS DOUBLE)
-        |                     * CAST(CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS DOUBLE))) AS BIGINT) AS score
-        |       FROM cand JOIN e a ON cand.q_id = a.vec_id
-        |            JOIN e b ON cand.cand_id = b.vec_id
-        |       WHERE CAST(list_dot_product(a.vd, a.vd) AS BIGINT) != 0
-        |         AND CAST(list_dot_product(b.vd, b.vd) AS BIGINT) != 0)
-        |SELECT q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
-        |  cand_id, score
-        |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin,
-
-    // mirrors Retrieval.bm25TopK: integer BM25 (log-free idf surrogate),
-    // every floor division in the same order as the Spark plan; ties
-    // break (score desc, doc_id)
-    "q83_bm25_topk" ->
-      """WITH q(q_id, qtext) AS (VALUES
-        |  ('q1', 'table scan filter'),
-        |  ('q2', 'stream window agg group'),
-        |  ('q3', 'customer query vector the')),
-        |qt AS (SELECT q_id, UNNEST(list_distinct(string_split(qtext, ' '))) AS term FROM q),
-        |dict AS (SELECT DISTINCT term FROM qt),
-        |lens AS (SELECT doc_id,
-        |           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS len
-        |         FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST((1000 * sum(len)) // count(*) AS BIGINT) AS avg1000
-        |       FROM lens),
-        |tok AS (SELECT doc_id, UNNEST(string_split(coalesce(text, ''), ' ')) AS term
-        |        FROM documents),
-        |m AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
-        |      FROM tok t JOIN dict USING (term) GROUP BY t.doc_id, t.term),
-        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY term),
-        |sc AS (SELECT qt.q_id, m.doc_id,
-        |         CAST(sum(
-        |           (((1000 * (st.n - dft.df)) // (dft.df + 1)) * m.tf * (1200 + 1000))
-        |           // (m.tf * 1000 + ((1200 * (1000 - 750 + ((750 * l.len * 1000) // st.avg1000))) // 1000))
-        |         ) AS BIGINT) AS score1000
-        |       FROM m JOIN dft USING (term) JOIN qt USING (term)
-        |            JOIN lens l USING (doc_id), st
-        |       GROUP BY qt.q_id, m.doc_id),
-        |r AS (SELECT q_id, doc_id, score1000,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY score1000 DESC, doc_id) AS rank
-        |      FROM sc)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score1000
-        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-
-    // same exact-group-by family as q72, with the threshold inside the
-    // frequency distribution so the qualify/reject boundary discriminates
-    "q79_heavy_hitters_low" ->
-      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
-        |n AS (SELECT count(*) AS n FROM t)
-        |SELECT term, count(*) AS cnt FROM t GROUP BY term
-        |HAVING count(*) >= GREATEST(1, (SELECT n // 32 FROM n))
-        |ORDER BY term""".stripMargin,
-
-    // mirrors Pipeline.upsample: ⌊num/den⌋ full epochs + one fractional
-    // epoch decided by q55's md5 key-hash rule under the 'epoch' salt
-    // (salt || chr(1) || key — the salted composite-key encoding);
-    // range(n) is empty for n <= 0, matching the guarded sequence
-    "q64_upsample" ->
-      """WITH c AS (SELECT doc_id, source,
-        |         CASE source
-        |           WHEN 'src0' THEN 2 + CASE WHEN ('0x'||substr(md5('epoch' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
-        |           WHEN 'src1' THEN 0 + CASE WHEN ('0x'||substr(md5('epoch' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 2 < 1 THEN 1 ELSE 0 END
-        |           ELSE 1 END AS copies
-        |       FROM documents)
-        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
-        |FROM c, UNNEST(range(copies)) AS t(e)
-        |ORDER BY doc_id, epoch""".stripMargin,
-
-    // mirrors Pipeline.mixture exactly: per-source available tokens →
-    // integer keep-numerator min(den, den·budget·w / (Σw·avail)) (HUGEINT
-    // // ≡ BigInt floor-div on positives) → q55's md5 key-hash rule.
-    // Sources outside the weight table (and NULL sources) drop.
-    "q63_mixture" ->
-      """WITH av AS (SELECT source, SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS a
-        |            FROM documents GROUP BY source),
-        |w(source, wt) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)),
-        |nm AS (SELECT av.source,
-        |         LEAST(1000000, (1000000::HUGEINT * 2000 * wt) // (5::HUGEINT * av.a)) AS num
-        |       FROM av JOIN w USING (source))
-        |SELECT d.doc_id, d.source FROM documents d JOIN nm ON d.source = nm.source
-        |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 1000000 < nm.num
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q48_bigrams" ->
-      """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
-        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
-        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
-        |      WHERE len(ws) >= 2),
-        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM p GROUP BY w1, w2)
-        |SELECT w1, w2, cnt,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS BIGINT) AS rn
-        |FROM c QUALIFY rn <= 3 ORDER BY w1, rn""".stripMargin,
-
-    "q49_tfdf_terms" ->
-      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
-        |df AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
-        |s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
-        |        CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score,
-        |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * 1000000 // df.df DESC, tf.w) AS rn
-        |      FROM tf JOIN df USING (w))
-        |SELECT doc_id, w AS term, tf, df, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "q50_skipgrams" ->
-      """WITH pos AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
-        |             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |                  UNNEST(range(1, len(ws) + 1)) AS t(i))
-        |SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cnt
-        |FROM pos a JOIN pos b
-        |  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
-        | AND a.pos <> b.pos
-        |GROUP BY a.w, b.w ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
-
-    // coalesce mirrors the Spark side: NULL text hashes as '' (content
-    // rule), not CASE-fallthrough into 'test'
-    "q44_dataset_split" ->
-      """SELECT doc_id,
-        |  (('0x' || substr(md5(coalesce(text, '')),1,15))::BIGINT % 1000000007) % 10 AS bucket,
-        |  CASE WHEN (('0x' || substr(md5(coalesce(text, '')),1,15))::BIGINT % 1000000007) % 10 < 8 THEN 'train'
-        |       WHEN (('0x' || substr(md5(coalesce(text, '')),1,15))::BIGINT % 1000000007) % 10 < 9 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q45_normalize" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |       ' +', ' ', 'g')) AS norm_text,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |       ' +', ' ', 'g')) <> text AS changed
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // the i = 0 OR i < len - overlap guard mirrors the Spark side's
-    // redundant-trailing-chunk cut (a start past len - overlap re-emits
-    // text its predecessor already covered)
-    "q46_chunking" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |st AS (SELECT doc_id, ws, i AS start,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS chunk_idx
-        |       FROM toks, UNNEST(range(0, len(ws), 24)) AS t(i)
-        |       WHERE i = 0 OR i < len(ws) - 8)
-        |SELECT doc_id, chunk_idx,
-        |  CAST(len(ws[start+1 : start+32]) AS BIGINT) AS n_tokens,
-        |  array_to_string(ws[start+1 : start+32], ' ') AS chunk_text
-        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    "q47_packing" ->
-      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |        SUM(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM d)
-        |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    "q42_grouping_sets" ->
-      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-         |  CAST(SUM(${CENTS.format("o_totalprice")}) AS BIGINT) AS rev_c
-         |FROM orders
-         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-         |                        (o_orderstatus, o_orderpriority))
-         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    // sliding event-time windows: event t belongs to the 2 windows with
-    // start = (t div slide - i)*slide, i in {0,1}, start <= t < start+window
-    "q41_sliding_time_window" ->
-      """WITH ev AS (SELECT user_id AS userId, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
-        |w AS (SELECT userId, v,
-        |        ((tus // 300000000) - i) * 300000000 AS start_us
-        |      FROM ev, UNNEST(range(2)) AS t(i)
-        |      WHERE ((tus // 300000000) - i) * 300000000 <= tus
-        |        AND tus < ((tus // 300000000) - i) * 300000000 + 600000000)
-        |SELECT userId, make_timestamp(start_us) AS win_start,
-        |  make_timestamp(start_us + 600000000) AS win_end,
-        |  CAST(SUM(v) AS BIGINT) AS sum_c, COUNT(*) AS cnt
-        |FROM w GROUP BY userId, start_us ORDER BY userId, win_start""".stripMargin,
-
-    "q93_interval_join" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v, event_type
-        |            FROM events),
-        |l AS (SELECT * FROM ev WHERE event_type = 'click'),
-        |r AS (SELECT * FROM ev WHERE event_type = 'purchase')
-        |SELECT l.event_id AS l_id, l.user_id AS user_id, l.tus AS l_tus,
-        |       l.v AS l_cents, r.event_id AS r_id, r.tus AS r_tus,
-        |       r.v AS r_cents
-        |FROM l JOIN r ON l.user_id = r.user_id
-        |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
-        |ORDER BY l_id, r_id""".stripMargin,
-
-    "q94_enrich" ->
-      """SELECT e.event_id, e.user_id, c.c_mktsegment,
-        |       CAST(c.c_nationkey AS BIGINT) AS nation_key
-        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin,
-
-    "q95_interval_join_outer" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v, event_type
-        |            FROM events),
-        |l AS (SELECT * FROM ev WHERE event_type = 'click'),
-        |r AS (SELECT * FROM ev WHERE event_type = 'purchase')
-        |SELECT l.event_id AS l_id, l.user_id AS user_id, l.tus AS l_tus,
-        |       l.v AS l_cents, r.event_id AS r_id, r.tus AS r_tus,
-        |       r.v AS r_cents
-        |FROM l LEFT JOIN r ON l.user_id = r.user_id
-        |  AND r.tus >= l.tus AND r.tus <= l.tus + 86400000000
-        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
-
-    "q97_stream_sessions" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events
-        |            WHERE user_id % 8 = 0),
-        |g AS (SELECT user_id, tus, v,
-        |        CASE WHEN LAG(tus) OVER w IS NULL
-        |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-        |s AS (SELECT user_id, tus, v,
-        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM g)
-        |SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
-        |  COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_cents
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
-
-    "q99_session_window" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
-        |g AS (SELECT user_id, tus, v,
-        |        CASE WHEN LAG(tus) OVER w IS NULL
-        |               OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-        |s AS (SELECT user_id, tus, v,
-        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM g)
-        |SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
-        |  COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_cents
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
-
-    "q100_edit_distance" ->
-      """WITH d AS (SELECT doc_id, text, split_part(text, ' ', 1) AS w0,
-        |             len(string_split(text, ' ')) AS nw FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-        |  CAST(CASE WHEN levenshtein(a.text, b.text) <= 64 THEN 1 ELSE 0 END
-        |       AS BIGINT) AS is_dup
-        |FROM d a JOIN d b
-        |  ON a.w0 = b.w0 AND a.nw = b.nw AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "q101_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
-        |v AS (SELECT user_id, MIN(tus) AS t_view FROM e
-        |      WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, MIN(e.tus) AS t_click FROM e
-        |      JOIN v USING (user_id)
-        |      WHERE e.event_type = 'click' AND e.tus > v.t_view
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, MIN(e.tus) AS t_purchase FROM e
-        |      JOIN c USING (user_id)
-        |      WHERE e.event_type = 'purchase' AND e.tus > c.t_click
-        |      GROUP BY e.user_id)
-        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
-
-    "q102_retention" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
-        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id),
-        |a AS (SELECT DISTINCT e.user_id, c.cohort_week,
-        |        e.wk - c.cohort_week AS week_offset
-        |      FROM e JOIN c USING (user_id))
-        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
-        |FROM a GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin,
-
-    "q103_transitions" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |g AS (SELECT event_type AS from_type,
-        |        LEAD(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS to_type
-        |      FROM e)
-        |SELECT from_type, to_type, COUNT(*) AS n FROM g
-        |WHERE to_type IS NOT NULL
-        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
-
-    // independent ground truth: the gate constructs both snapshots from
-    // key arithmetic, so the oracle derives every status WITHOUT running
-    // a diff — it checks the full-outer-join machinery against closed form
-    "q104_snapshot_diff" ->
-      """SELECT o_orderkey, CASE
-        |  WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 != 0 THEN 'added'
-        |  WHEN o_orderkey % 7 = 0 AND o_orderkey % 5 != 0 THEN 'removed'
-        |  ELSE 'changed' END AS status
-        |FROM orders
-        |WHERE (o_orderkey % 5 = 0 AND o_orderkey % 7 != 0)
-        |   OR (o_orderkey % 7 = 0 AND o_orderkey % 5 != 0)
-        |   OR (o_orderkey % 5 != 0 AND o_orderkey % 7 != 0
-        |       AND o_orderkey % 3 = 0)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q105_trending" ->
-      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type
-        |           FROM events),
-        |c AS (SELECT hour, event_type, COUNT(*) AS n FROM e
-        |      GROUP BY hour, event_type),
-        |r AS (SELECT hour, event_type, n,
-        |        ROW_NUMBER() OVER (PARTITION BY hour
-        |          ORDER BY n DESC, event_type) AS rnk
-        |      FROM c)
-        |SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3
-        |ORDER BY hour, rnk""".stripMargin,
-
-    "q106_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |c AS (SELECT user_id, event_id, tus, event_type,
-        |        LAG(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS prev_type
-        |      FROM e),
-        |f AS (SELECT * FROM c
-        |      WHERE prev_type IS NULL OR prev_type != event_type)
-        |SELECT user_id, event_type AS state, tus AS valid_from_us,
-        |       LEAD(tus) OVER (PARTITION BY user_id
-        |         ORDER BY tus, event_id) AS valid_to_us
-        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
-
-    // the bloom prefilter is invisible to semantics (false positives are
-    // removed by the exact semi join), so the oracle IS the plain semi join
-    "q107_bloom_semijoin" ->
-      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-         |       ${CENTS.format("l_extendedprice")} AS price_c
-         |FROM lineitem
-         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-         |                     WHERE o_totalprice > 400000.0)
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q108_user_paths" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |r AS (SELECT user_id, event_type,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS rn,
-        |        COUNT(*) OVER (PARTITION BY user_id) AS n_events
-        |      FROM e)
-        |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
-        |       MAX(n_events) AS n_events
-        |FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // integer permille half-life weights: 1000 >> age_buckets, saturating
-    // at bucket 20 (weight already 0) — exact 64-bit in both engines
-    "q109_decayed_score" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
-        |m AS (SELECT MAX(tus) AS tmax FROM e),
-        |w AS (SELECT user_id, cents,
-        |        1000 // (CAST(1 AS BIGINT) << LEAST(
-        |          CAST((tmax - tus) // 86400000000 AS INT), 20)) AS w_permille
-        |      FROM e, m)
-        |SELECT user_id, CAST(SUM(cents * w_permille) AS BIGINT) AS score_permille,
-        |       COUNT(*) AS n_events
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q110_mode" ->
-      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
-        |           GROUP BY user_id, event_type),
-        |r AS (SELECT user_id, event_type, n,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id
-        |          ORDER BY n DESC, event_type) AS rnk
-        |      FROM c)
-        |SELECT user_id, event_type AS mode_value, n FROM r WHERE rnk = 1
-        |ORDER BY user_id""".stripMargin,
-
-    // exact fixed-point PageRank: every iteration is pure 64-bit integer
-    // arithmetic (ppm ranks, truncating division — `//` ≡ Spark `div` on
-    // the non-negative values here), replayed as chained CTEs
-    "q111_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
-        |            FROM lineitem),
-        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
-        |n AS (SELECT DISTINCT s AS node FROM e),
-        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
-        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
-        |c3 AS (SELECT e.d AS node, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r3 AS (SELECT n.node, 150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
-        |SELECT node, r AS pr FROM r3 ORDER BY node""".stripMargin,
-
-    "q112_resample" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
-        |b AS (SELECT event_type, tus // 3600000000 AS bucket, cents FROM e),
-        |a AS (SELECT event_type, bucket, COUNT(*) AS n_obs,
-        |        CAST(SUM(cents) AS BIGINT) AS sum_c
-        |      FROM b GROUP BY event_type, bucket),
-        |bounds AS (SELECT MIN(bucket) AS bmin, MAX(bucket) AS bmax FROM b),
-        |grid AS (SELECT t.event_type, g.bucket
-        |         FROM (SELECT DISTINCT event_type FROM events) t,
-        |              (SELECT UNNEST(generate_series(bmin, bmax)) AS bucket
-        |               FROM bounds) g)
-        |SELECT grid.event_type, grid.bucket,
-        |       COALESCE(a.n_obs, 0) AS n_events, a.sum_c,
-        |       LAST_VALUE(a.sum_c IGNORE NULLS) OVER (
-        |         PARTITION BY grid.event_type ORDER BY grid.bucket
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_sum_c
-        |FROM grid LEFT JOIN a
-        |  ON grid.event_type = a.event_type AND grid.bucket = a.bucket
-        |ORDER BY grid.event_type, grid.bucket""".stripMargin,
-
-    "q113_histogram" ->
-      """WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
-        |           FROM lineitem)
-        |SELECT v // 500000 AS bin, (v // 500000) * 500000 AS lo,
-        |       COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v,
-        |       CAST(SUM(v) AS BIGINT) AS sum_v
-        |FROM v GROUP BY bin, lo ORDER BY bin""".stripMargin,
-
-    // the bucketing is invisible to semantics: the oracle is the plain
-    // inequality overlap join over the same session/window intervals
-    "q114_interval_overlap" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
-        |s0 AS (SELECT user_id, event_id, tus,
-        |         LAG(tus) OVER (PARTITION BY user_id
-        |           ORDER BY tus, event_id) AS prev FROM e),
-        |s1 AS (SELECT user_id, tus,
-        |         CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
-        |                       THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS BIGINT) AS session_id
-        |       FROM s0),
-        |sess AS (SELECT user_id, session_id, MIN(tus) AS s_start,
-        |                MAX(tus) AS s_end
-        |         FROM s1 GROUP BY user_id, session_id),
-        |b AS (SELECT MIN(tus) AS tmin FROM e),
-        |w AS (SELECT CAST(g.w_id AS BIGINT) AS w_id,
-        |             b.tmin + g.w_id*21600000000 AS w_start,
-        |             b.tmin + g.w_id*21600000000 + 5400000000 AS w_end
-        |      FROM b, (SELECT UNNEST(generate_series(0, 47)) AS w_id) g)
-        |SELECT sess.user_id, sess.session_id, w.w_id,
-        |       (LEAST(sess.s_end, w.w_end) -
-        |        GREATEST(sess.s_start, w.w_start) + 1) AS overlap_us
-        |FROM sess JOIN w
-        |  ON sess.s_start <= w.w_end AND w.w_start <= sess.s_end
-        |ORDER BY sess.user_id, sess.session_id, w.w_id""".stripMargin,
-
-    // id-ordered triangle join: a different (simpler) enumeration of the
-    // same triangle set the degree-ordered Spark plan produces
-    "q116_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |pr AS (SELECT x.p AS a, y.p AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2)
-        |SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
-        |       CAST(e2.b AS BIGINT) AS c
-        |FROM pr e1 JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
-        |JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b
-        |ORDER BY a, b, c""".stripMargin,
-
-    "q117_linreg_stats" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
-        |m AS (SELECT MIN(h) AS hmin FROM e),
-        |xy AS (SELECT event_type, h - m.hmin AS x, y FROM e, m),
-        |a AS (SELECT event_type, COUNT(*) AS n,
-        |        CAST(SUM(x) AS BIGINT) AS sum_x,
-        |        CAST(SUM(y) AS BIGINT) AS sum_y,
-        |        CAST(SUM(x*x) AS BIGINT) AS sum_xx,
-        |        CAST(SUM(x*y) AS BIGINT) AS sum_xy
-        |      FROM xy GROUP BY event_type)
-        |SELECT event_type, n, sum_x, sum_y, sum_xx, sum_xy,
-        |       n*sum_xy - sum_x*sum_y AS slope_num,
-        |       n*sum_xx - sum_x*sum_x AS slope_den
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    "q118_zorder" -> {
-      val terms = (0 until 21).map(i =>
-        s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
-          s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
-        .mkString(" + ")
-      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-         |       CAST($terms AS BIGINT) AS z
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-    },
-
-    // the changelog is synthesized by key arithmetic, so the oracle
-    // derives the merged state in closed form — checking the merge
-    // machinery against independent ground truth (the q104 pattern)
-    "q119_cdc_merge" ->
-      """WITH base AS (SELECT o_orderkey AS k,
-        |                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
-        |                o_orderstatus AS status FROM orders)
-        |SELECT k,
-        |       CASE WHEN k % 15 = 0 THEN price_c + 20000
-        |            WHEN k % 5 = 0 THEN price_c + 10000
-        |            ELSE price_c END AS price_c,
-        |       status
-        |FROM base WHERE k % 7 != 0
-        |UNION ALL
-        |SELECT k + 100000000 AS k, price_c + 5000 AS price_c, status
-        |FROM base WHERE k % 11 = 0
-        |ORDER BY k""".stripMargin,
-
-    "q120_type_trigrams" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |l AS (SELECT user_id, event_type AS t0,
-        |        LEAD(event_type, 1) OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS t1,
-        |        LEAD(event_type, 2) OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS t2
-        |      FROM e)
-        |SELECT t0, t1, t2, COUNT(*) AS cnt FROM l
-        |WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-        |GROUP BY t0, t1, t2 ORDER BY t0, t1, t2""".stripMargin,
-
-    // three bounded peel rounds replayed as chained CTEs (the q111
-    // pattern); convergence before round 3 would make later peels no-ops
-    // in both engines
-    "q121_kcore" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |d1 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e0
-        |         UNION ALL SELECT b AS n FROM e0) t GROUP BY n),
-        |k1 AS (SELECT n FROM d1 WHERE d >= 3),
-        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k1)
-        |                             AND b IN (SELECT n FROM k1)),
-        |d2 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e1
-        |         UNION ALL SELECT b AS n FROM e1) t GROUP BY n),
-        |k2 AS (SELECT n FROM d2 WHERE d >= 3),
-        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k2)
-        |                             AND b IN (SELECT n FROM k2)),
-        |d3 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e2
-        |         UNION ALL SELECT b AS n FROM e2) t GROUP BY n),
-        |k3 AS (SELECT n FROM d3 WHERE d >= 3),
-        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k3)
-        |                             AND b IN (SELECT n FROM k3))
-        |SELECT n, COUNT(*) AS degree FROM (SELECT a AS n FROM e3
-        |  UNION ALL SELECT b AS n FROM e3) t
-        |GROUP BY n ORDER BY n""".stripMargin,
-
-    "q123_bfs" ->
-      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS MATERIALIZED (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |e AS MATERIALIZED (SELECT a AS s, b AS d FROM e0
-        |      UNION ALL SELECT b AS s, a AS d FROM e0),
-        |d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist FROM e
-        |       WHERE s % 97 = 0),
-        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d0
-        |         UNION ALL SELECT e.d AS node, d0.dist + 1 AS dist
-        |         FROM e JOIN d0 ON e.s = d0.node) t GROUP BY node),
-        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d1
-        |         UNION ALL SELECT e.d AS node, d1.dist + 1 AS dist
-        |         FROM e JOIN d1 ON e.s = d1.node) t GROUP BY node),
-        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d2
-        |         UNION ALL SELECT e.d AS node, d2.dist + 1 AS dist
-        |         FROM e JOIN d2 ON e.s = d2.node) t GROUP BY node),
-        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d3
-        |         UNION ALL SELECT e.d AS node, d3.dist + 1 AS dist
-        |         FROM e JOIN d3 ON e.s = d3.node) t GROUP BY node)
-        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
-
-    "q127_zorder3" -> {
-      val cols = Seq("l_partkey", "l_suppkey", "l_linenumber")
-      val terms = (for (i <- 0 until 18; j <- 0 until 3) yield
-        s"(((CAST(${cols(j)} AS BIGINT) >> $i) & 1) << ${i * 3 + j})")
-        .mkString(" + ")
-      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-         |       CAST($terms AS BIGINT) AS z3
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-    },
-
-    "q126_weighted_pagerank" ->
-      """WITH e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b,
-        |              COUNT(*) AS m
-        |            FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |                  FROM lineitem) x
-        |            JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |                  FROM lineitem) y
-        |              ON x.o = y.o AND x.p < y.p
-        |            GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |e AS (SELECT a AS s, b AS d, m AS w FROM e0
-        |      UNION ALL SELECT b AS s, a AS d, m AS w FROM e0),
-        |n AS (SELECT DISTINCT s AS node FROM e),
-        |ww AS (SELECT s, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY s),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT e.d AS node,
-        |         CAST(SUM((r0.r * e.w) // ww.outw) AS BIGINT) AS sc
-        |       FROM e JOIN r0 ON e.s = r0.node JOIN ww ON ww.s = e.s
-        |       GROUP BY e.d),
-        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
-        |c2 AS (SELECT e.d AS node,
-        |         CAST(SUM((r1.r * e.w) // ww.outw) AS BIGINT) AS sc
-        |       FROM e JOIN r1 ON e.s = r1.node JOIN ww ON ww.s = e.s
-        |       GROUP BY e.d),
-        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
-        |c3 AS (SELECT e.d AS node,
-        |         CAST(SUM((r2.r * e.w) // ww.outw) AS BIGINT) AS sc
-        |       FROM e JOIN r2 ON e.s = r2.node JOIN ww ON ww.s = e.s
-        |       GROUP BY e.d),
-        |r3 AS (SELECT n.node, 150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
-        |SELECT node, r AS pr FROM r3 ORDER BY node""".stripMargin,
-
-    "q124_debounce" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-        |           FROM events),
-        |l AS (SELECT event_id, user_id, event_type, tus,
-        |        LAG(tus) OVER (PARTITION BY user_id, event_type
-        |          ORDER BY tus, event_id) AS prev
-        |      FROM e)
-        |SELECT event_id, user_id, event_type, tus FROM l
-        |WHERE prev IS NULL OR tus - prev > 60000000
-        |ORDER BY event_id""".stripMargin,
-
-    "q125_gap_stats" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
-        |g AS (SELECT user_id,
-        |        (tus - LAG(tus) OVER (PARTITION BY user_id
-        |           ORDER BY tus, event_id)) // 1000 AS gap_ms
-        |      FROM e),
-        |gg AS (SELECT user_id, gap_ms FROM g WHERE gap_ms IS NOT NULL),
-        |r AS (SELECT user_id, gap_ms,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_ms) AS rn,
-        |        COUNT(*) OVER (PARTITION BY user_id) AS n,
-        |        MIN(gap_ms) OVER (PARTITION BY user_id) AS mn,
-        |        MAX(gap_ms) OVER (PARTITION BY user_id) AS mx
-        |      FROM gg)
-        |SELECT user_id, n AS n_gaps, mn AS min_gap_ms,
-        |       gap_ms AS med_gap_ms, mx AS max_gap_ms
-        |FROM r WHERE rn = (n+1)//2
-        |ORDER BY user_id""".stripMargin,
-
-    "q122_mad" ->
-      """WITH e AS (SELECT event_type,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
-        |r AS (SELECT event_type, c,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
-        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
-        |med AS (SELECT event_type, c AS med, n FROM r WHERE rn = (n+1)//2),
-        |dev AS (SELECT e.event_type, ABS(e.c - med.med) AS dv
-        |        FROM e JOIN med ON e.event_type = med.event_type),
-        |r2 AS (SELECT event_type, dv,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
-        |        COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM dev)
-        |SELECT r2.event_type, med.n AS n, med.med AS med, r2.dv AS mad
-        |FROM r2 JOIN med ON r2.event_type = med.event_type
-        |WHERE r2.rn = (r2.n2+1)//2
-        |ORDER BY r2.event_type""".stripMargin,
-
-    "q115_profile" ->
-      """SELECT * FROM (
-        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
-        |         COUNT(*) - COUNT(o_orderkey) AS n_nulls,
-        |         COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
-        |  UNION ALL
-        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
-        |         COUNT(DISTINCT o_custkey) FROM orders
-        |  UNION ALL
-        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
-        |         COUNT(DISTINCT o_orderstatus) FROM orders
-        |  UNION ALL
-        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
-        |         COUNT(DISTINCT o_totalprice) FROM orders
-        |  UNION ALL
-        |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
-        |         COUNT(DISTINCT o_orderdate) FROM orders
-        |  UNION ALL
-        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
-        |         COUNT(DISTINCT o_orderpriority) FROM orders
-        |) ORDER BY col_name""".stripMargin,
-
-    "q128_profile_batched" -> {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
-      cols.map(c =>
-        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
-           |       COUNT(*) - COUNT($c) AS n_nulls,
-           |       COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
-        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
-    },
-
-    // closed form of the three-batch fold: a key survives unless its
-    // LAST-effective op was a delete — %3 keys die in batch 2, only the
-    // %9 subset revives in batch 3; price reflects the latest surviving
-    // upsert (batch 3's %9 beats batch 2's %7 beats batch 1's %5)
-    "q129_cdc_compaction" ->
-      """WITH base AS (SELECT o_orderkey AS k,
-        |                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
-        |                o_orderstatus AS status FROM orders)
-        |SELECT k,
-        |       CASE WHEN k % 9 = 0 THEN price_c + 99
-        |            WHEN k % 7 = 0 THEN price_c + 777
-        |            WHEN k % 5 = 0 THEN price_c + 10000
-        |            ELSE price_c END AS price_c,
-        |       status
-        |FROM base
-        |WHERE k % 3 != 0 OR k % 9 = 0
-        |ORDER BY k""".stripMargin,
-
-    // two synchronous plurality-vote rounds as chained CTEs; the argmax
-    // is ROW_NUMBER ordered (count DESC, label ASC) — the same
-    // deterministic tiebreak the Spark min_by struct encodes
-    "q130_label_prop" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |e AS (SELECT a AS s, b AS d FROM e0
-        |      UNION ALL SELECT b AS s, a AS d FROM e0),
-        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
-        |v1 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
-        |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
-        |l1 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
-        |       WHERE rn = 1),
-        |v2 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
-        |       FROM e JOIN l1 l ON e.s = l.node GROUP BY e.d, l.lbl),
-        |l2 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2)
-        |       WHERE rn = 1)
-        |SELECT node, lbl AS label FROM l2 ORDER BY node""".stripMargin,
-
-    "q133_clustering_coeff" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |pr AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |deg AS (SELECT n, COUNT(*) AS degree FROM (SELECT a AS n FROM pr
-        |          UNION ALL SELECT b AS n FROM pr) t GROUP BY n),
-        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
-        |        FROM pr e1 JOIN pr e2 ON e2.a = e1.a AND e2.b > e1.b
-        |        JOIN pr e3 ON e3.a = e1.b AND e3.b = e2.b),
-        |tn AS (SELECT n, COUNT(*) AS n_triangles FROM (
-        |         SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
-        |         UNION ALL SELECT c AS n FROM tri) t GROUP BY n)
-        |SELECT deg.n, deg.degree,
-        |       COALESCE(tn.n_triangles, 0) AS n_triangles,
-        |       2 * COALESCE(tn.n_triangles, 0) AS coeff_num,
-        |       deg.degree * (deg.degree - 1) AS coeff_den
-        |FROM deg LEFT JOIN tn ON deg.n = tn.n
-        |WHERE deg.degree >= 2
-        |ORDER BY deg.n""".stripMargin,
-
-    "q134_percent_ranks" ->
-      """WITH c AS (SELECT event_type,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS c,
-        |             COUNT(*) AS cnt
-        |           FROM events GROUP BY 1, 2)
-        |SELECT event_type, c, cnt,
-        |       CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rank_m1,
-        |       CAST(SUM(cnt) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS n_m1
-        |FROM c ORDER BY event_type, c""".stripMargin,
-
-    "q132_sssp" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |ew AS (SELECT a, b, 1 + (a + b) % 5 AS w FROM e0),
-        |e AS (SELECT a AS s, b AS d, w FROM ew
-        |      UNION ALL SELECT b AS s, a AS d, w FROM ew),
-        |d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist FROM e
-        |       WHERE s % 97 = 0),
-        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d0
-        |         UNION ALL SELECT e.d AS node, d0.dist + e.w AS dist
-        |         FROM e JOIN d0 ON e.s = d0.node) t GROUP BY node),
-        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d1
-        |         UNION ALL SELECT e.d AS node, d1.dist + e.w AS dist
-        |         FROM e JOIN d1 ON e.s = d1.node) t GROUP BY node),
-        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
-        |         SELECT node, dist FROM d2
-        |         UNION ALL SELECT e.d AS node, d2.dist + e.w AS dist
-        |         FROM e JOIN d2 ON e.s = d2.node) t GROUP BY node)
-        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
-
-    "q131_streaks" ->
-      """WITH d AS (SELECT DISTINCT user_id,
-        |             epoch_us(ts) // 86400000000 AS day FROM events),
-        |g AS (SELECT user_id, day,
-        |        day - ROW_NUMBER() OVER (PARTITION BY user_id
-        |          ORDER BY day) AS grp FROM d)
-        |SELECT user_id, MIN(day) AS streak_start_day,
-        |       MAX(day) AS streak_end_day, COUNT(*) AS n_days
-        |FROM g GROUP BY user_id, grp
-        |ORDER BY user_id, streak_start_day""".stripMargin,
-
-    "q98_stream_dedup" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |  CAST(FLOOR(value * 100) AS BIGINT) AS cents
-        |FROM events WHERE event_type = 'click'
-        |ORDER BY event_id""".stripMargin,
-
-    "q96_distinct_users" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
-        |       COUNT(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q135_sliding_distinct" ->
-      """WITH d AS (SELECT DISTINCT user_id,
-        |             epoch_us(ts) // 86400000000 AS day FROM events),
-        |days AS (SELECT DISTINCT day FROM d)
-        |SELECT days.day, COUNT(DISTINCT d.user_id) AS n_users
-        |FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
-        |GROUP BY days.day ORDER BY days.day""".stripMargin,
-
-    "q136_rollup" ->
-      s"""SELECT
-        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
-        |       ELSE l_returnflag END AS rf,
-        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
-        |       ELSE l_linestatus END AS ls,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(${CENTS.format("l_extendedprice")}) AS BIGINT) AS sum_price_c
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin,
-
-    "q137_pivot" -> {
-      val p = CENTS.format("l_extendedprice")
-      s"""SELECT l_linestatus,
-        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN $p END), 0) AS BIGINT) AS sum_a,
-        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN $p END), 0) AS BIGINT) AS sum_n,
-        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN $p END), 0) AS BIGINT) AS sum_r
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
-    },
-
-    "q139_winsorize" -> {
-      val c = CENTS.format("value")
-      s"""WITH v AS (SELECT event_id, event_type, $c AS c FROM events),
-        |cn AS (SELECT event_type, c, COUNT(*) AS cnt FROM v
-        |       WHERE c IS NOT NULL GROUP BY 1, 2),
-        |r AS (SELECT event_type, c, cnt,
-        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |        SUM(cnt) OVER (PARTITION BY event_type) AS n
-        |      FROM cn),
-        |thr AS (SELECT event_type,
-        |          MIN(CASE WHEN cum - cnt <= (1 * n) // 20
-        |                    AND (1 * n) // 20 < cum THEN c END) AS lo,
-        |          MIN(CASE WHEN cum - cnt <= (19 * n) // 20
-        |                    AND (19 * n) // 20 < cum THEN c END) AS hi
-        |        FROM r GROUP BY event_type)
-        |SELECT v.event_id, v.event_type, v.c,
-        |       GREATEST(thr.lo, LEAST(thr.hi, v.c)) AS c_w
-        |FROM v JOIN thr USING (event_type)
-        |ORDER BY event_id""".stripMargin
-    },
-
-    "q140_expectations" ->
-      """WITH nn AS (SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
-        |              COUNT(*) AS n_rows,
-        |              SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
-        |            FROM orders),
-        |un AS (SELECT 'unique', 'o_orderkey', COUNT(*),
-        |         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders),
-        |av AS (SELECT 'accepted_values', 'o_orderstatus', COUNT(*),
-        |         SUM(CASE WHEN o_orderstatus IS NOT NULL
-        |               AND o_orderstatus NOT IN ('F', 'O', 'P')
-        |             THEN 1 ELSE 0 END) FROM orders),
-        |rg AS (SELECT 'range', 'o_custkey', COUNT(*),
-        |         SUM(CASE WHEN o_custkey IS NOT NULL
-        |               AND (o_custkey < 1 OR o_custkey > 1000)
-        |             THEN 1 ELSE 0 END) FROM orders)
-        |SELECT rule, col_name, CAST(n_rows AS BIGINT) AS n_rows,
-        |       CAST(n_violations AS BIGINT) AS n_violations,
-        |       CAST(n_violations = 0 AS BIGINT) AS pass
-        |FROM (SELECT * FROM nn UNION ALL SELECT * FROM un
-        |      UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rg)
-        |ORDER BY rule, col_name""".stripMargin,
-
-    "q147_twap" ->
-      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
-        |g AS (SELECT user_id, v,
-        |        (LEAD(tus) OVER (PARTITION BY user_id
-        |           ORDER BY tus, event_id) - tus) // 1000 AS dt_ms
-        |      FROM x)
-        |SELECT user_id, COUNT(*) AS n_intervals,
-        |       CAST(SUM(v * dt_ms) AS BIGINT) AS twa_num,
-        |       CAST(SUM(dt_ms) AS BIGINT) AS twa_den
-        |FROM g WHERE dt_ms IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // exact fixed-point HITS: each round is pure 64-bit integer
-    // arithmetic — gather-sum then max-rescale (`//` ≡ Spark `div` on the
-    // non-negative values here) — replayed as chained CTEs with scalar
-    // MAX subqueries standing in for the operator's O(1) driver scalars
-    "q148_hits" ->
-      """WITH e AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
-        |           FROM lineitem),
-        |n AS (SELECT s AS node FROM e UNION SELECT d AS node FROM e),
-        |s0 AS (SELECT node, CAST(10000 AS BIGINT) AS h FROM n),
-        |ca1 AS (SELECT e.d AS node, CAST(SUM(s0.h) AS BIGINT) AS raw
-        |        FROM e JOIN s0 ON e.s = s0.node GROUP BY e.d),
-        |a1 AS (SELECT n.node, CAST(COALESCE(
-        |         (ca1.raw * 10000) // (SELECT MAX(raw) FROM ca1), 0) AS BIGINT) AS a
-        |       FROM n LEFT JOIN ca1 ON n.node = ca1.node),
-        |ch1 AS (SELECT e.s AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
-        |        FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s),
-        |h1 AS (SELECT n.node, CAST(COALESCE(
-        |         (ch1.raw * 10000) // (SELECT MAX(raw) FROM ch1), 0) AS BIGINT) AS h
-        |       FROM n LEFT JOIN ch1 ON n.node = ch1.node),
-        |ca2 AS (SELECT e.d AS node, CAST(SUM(h1.h) AS BIGINT) AS raw
-        |        FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d),
-        |a2 AS (SELECT n.node, CAST(COALESCE(
-        |         (ca2.raw * 10000) // (SELECT MAX(raw) FROM ca2), 0) AS BIGINT) AS a
-        |       FROM n LEFT JOIN ca2 ON n.node = ca2.node),
-        |ch2 AS (SELECT e.s AS node, CAST(SUM(a2.a) AS BIGINT) AS raw
-        |        FROM e JOIN a2 ON e.d = a2.node GROUP BY e.s),
-        |h2 AS (SELECT n.node, CAST(COALESCE(
-        |         (ch2.raw * 10000) // (SELECT MAX(raw) FROM ch2), 0) AS BIGINT) AS h
-        |       FROM n LEFT JOIN ch2 ON n.node = ch2.node)
-        |SELECT h2.node, h2.h AS hub, a2.a AS auth
-        |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
-
-    // RRF with integer-division points (`//` ≡ Spark `div` on the
-    // positive ranks here) — the fused score replays exactly
-    "q150_rrf_fusion" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, user_id, $c AS c FROM events),
-        |agg AS (SELECT event_type, user_id, COUNT(*) AS n,
-        |          CAST(SUM(c) AS BIGINT) AS spend
-        |        FROM ev GROUP BY event_type, user_id),
-        |u AS (SELECT event_type, user_id, ROW_NUMBER() OVER (
-        |        PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
-        |      FROM agg
-        |      UNION ALL
-        |      SELECT event_type, user_id, ROW_NUMBER() OVER (
-        |        PARTITION BY event_type ORDER BY spend DESC, user_id) AS rank
-        |      FROM agg),
-        |sc AS (SELECT event_type, user_id,
-        |         CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
-        |       FROM u GROUP BY event_type, user_id),
-        |f AS (SELECT event_type, user_id, rrf_score, ROW_NUMBER() OVER (
-        |        PARTITION BY event_type
-        |        ORDER BY rrf_score DESC, user_id) AS fused_rank FROM sc)
-        |SELECT event_type, user_id, rrf_score, fused_rank FROM f
-        |WHERE fused_rank <= 10
-        |ORDER BY event_type, fused_rank""".stripMargin
-    },
-
-    // the EWMA fold is not associative (integer division per step), so
-    // the oracle replays the SAME time-sorted fold with list_reduce —
-    // `//` ≡ Spark `div` on the non-negative cents the operator enforces
-    "q152_ewma" ->
-      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY tus DESC, event_id DESC) AS rn FROM x),
-        |g AS (SELECT user_id, COUNT(*) AS n_obs,
-        |        list(v ORDER BY tus, event_id) AS vs
-        |      FROM r WHERE rn <= 32 GROUP BY user_id)
-        |SELECT user_id, n_obs,
-        |       CAST(list_reduce(vs, (acc, v) -> (3*v + 7*acc) // 10)
-        |            AS BIGINT) AS ewma_c
-        |FROM g ORDER BY user_id""".stripMargin,
-
-    "q151_gini" ->
-      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
-        |           GROUP BY user_id, event_type),
-        |g AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
-        |        CAST(SUM(c*c) AS BIGINT) AS ss FROM c GROUP BY user_id)
-        |SELECT user_id, n, n*n - ss AS gini_num, n*n AS gini_den
-        |FROM g ORDER BY user_id""".stripMargin,
-
-    "q165_cohort_ltv" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
-        |            FROM events),
-        |d AS (SELECT user_id, event_type, cents,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS day FROM ev),
-        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d
-        |      GROUP BY user_id),
-        |sz AS (SELECT cohort_day, COUNT(*) AS n_users FROM f
-        |       GROUP BY cohort_day),
-        |r AS (SELECT f.cohort_day, d.day - f.cohort_day AS age_days,
-        |        CAST(SUM(d.cents) AS BIGINT) AS rev_c
-        |      FROM d JOIN f ON d.user_id = f.user_id
-        |      WHERE d.event_type = 'purchase'
-        |      GROUP BY f.cohort_day, d.day - f.cohort_day)
-        |SELECT r.cohort_day, r.age_days, sz.n_users, r.rev_c,
-        |       CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_day
-        |         ORDER BY r.age_days
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS BIGINT) AS cum_rev_c
-        |FROM r JOIN sz ON r.cohort_day = sz.cohort_day
-        |ORDER BY r.cohort_day, r.age_days""".stripMargin,
-
-    "q166_position_attribution" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type,
-        |              epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
-        |            FROM events),
-        |tch AS (SELECT user_id, event_id AS touch_id,
-        |          event_type AS touch_type, tus AS tts
-        |        FROM ev WHERE event_type IN ('click', 'view')),
-        |cv AS (SELECT user_id, event_id AS conv_id, tus AS cts, cents
-        |       FROM ev WHERE event_type = 'purchase'),
-        |p AS (SELECT cv.user_id, cv.conv_id, tch.touch_id,
-        |        tch.touch_type, tch.tts, cv.cents
-        |      FROM cv JOIN tch ON cv.user_id = tch.user_id
-        |       AND cv.cts - 3600000000 <= tch.tts AND tch.tts < cv.cts),
-        |r AS (SELECT p.*,
-        |        ROW_NUMBER() OVER (PARTITION BY conv_id
-        |          ORDER BY tts, touch_id) AS ra,
-        |        ROW_NUMBER() OVER (PARTITION BY conv_id
-        |          ORDER BY tts DESC, touch_id DESC) AS rd,
-        |        COUNT(*) OVER (PARTITION BY conv_id) AS n
-        |      FROM p)
-        |SELECT user_id, conv_id, touch_id, touch_type,
-        |       CASE WHEN n = 1 THEN 'only' WHEN n = 2 THEN 'half'
-        |            WHEN ra = 1 THEN 'first' WHEN rd = 1 THEN 'last'
-        |            ELSE 'middle' END AS position,
-        |       CAST(CASE WHEN n = 1 THEN cents * 1000
-        |            WHEN n = 2 THEN cents * 500
-        |            WHEN ra = 1 OR rd = 1 THEN cents * 400
-        |            ELSE cents * 200 END AS BIGINT) AS credit_num,
-        |       CAST(CASE WHEN n <= 2 OR ra = 1 OR rd = 1 THEN 1000
-        |            ELSE 1000 * (n - 2) END AS BIGINT) AS credit_den
-        |FROM r ORDER BY conv_id, touch_id""".stripMargin,
-
-    "q167_minmax_scale" -> {
-      val c = CENTS.format("o_totalprice")
-      s"""WITH d AS (SELECT o_orderkey, o_orderpriority, $c AS c
-        |           FROM orders),
-        |s AS (SELECT o_orderpriority, MIN(c) AS mn, MAX(c) AS mx FROM d
-        |      GROUP BY o_orderpriority)
-        |SELECT d.o_orderkey, d.o_orderpriority, d.c,
-        |       CAST(CASE WHEN s.mx = s.mn THEN 0
-        |            ELSE (d.c - s.mn) * 1000000 // (s.mx - s.mn) END
-        |            AS BIGINT) AS c_mm
-        |FROM d JOIN s USING (o_orderpriority)
-        |ORDER BY o_orderkey""".stripMargin
-    },
-
-    "q168_equidepth" -> {
-      val c = CENTS.format("value")
-      s"""WITH d AS (SELECT $c AS v FROM events WHERE value IS NOT NULL),
-        |c AS (SELECT v, COUNT(*) AS cnt FROM d GROUP BY v),
-        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
-        |r AS (SELECT v, cnt,
-        |        COALESCE(SUM(cnt) OVER (ORDER BY v
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          AS below
-        |      FROM c)
-        |SELECT CAST(r.below * 8 // t.n AS BIGINT) AS bucket,
-        |       MIN(r.v) AS lo, MAX(r.v) AS hi,
-        |       CAST(SUM(r.cnt) AS BIGINT) AS n_rows,
-        |       CAST(COUNT(*) AS BIGINT) AS n_distinct
-        |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    "q169_corr_matrix" -> {
-      val cols = Seq("qty_c" -> CENTS.format("l_quantity"),
-        "price_d" -> "CAST(FLOOR(l_extendedprice) AS BIGINT)",
-        "disc_c" -> CENTS.format("l_discount"),
-        "tax_c" -> CENTS.format("l_tax"))
-      val defs = cols.map { case (a, e) => s"$e AS $a" }.mkString(", ")
-      val pairSqls = for {
-        i <- cols.indices; j <- (i + 1) until cols.size
-      } yield {
-        val (x, y) = (cols(i)._1, cols(j)._1)
-        s"""SELECT '$x' AS x_col, '$y' AS y_col,
-          |  CAST(COUNT(*) AS BIGINT) AS n,
-          |  CAST(COALESCE(SUM($x), 0) AS BIGINT) AS sum_x,
-          |  CAST(COALESCE(SUM($y), 0) AS BIGINT) AS sum_y,
-          |  CAST(COALESCE(SUM($x * $x), 0) AS BIGINT) AS sum_xx,
-          |  CAST(COALESCE(SUM($y * $y), 0) AS BIGINT) AS sum_yy,
-          |  CAST(COALESCE(SUM($x * $y), 0) AS BIGINT) AS sum_xy
-          |FROM d WHERE $x IS NOT NULL AND $y IS NOT NULL""".stripMargin
-      }
-      s"""WITH d AS (SELECT $defs FROM lineitem)
-        |SELECT * FROM (${pairSqls.mkString("\n UNION ALL\n")})
-        |ORDER BY x_col, y_col""".stripMargin
-    },
-
-    "q171_collocations" ->
-      """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
-        |uni AS (SELECT w, COUNT(*) AS cnt
-        |        FROM (SELECT UNNEST(ws) AS w FROM toks) GROUP BY w),
-        |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
-        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2
-        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
-        |      WHERE len(ws) >= 2),
-        |c AS (SELECT w1, w2, COUNT(*) AS cnt_pair FROM p GROUP BY w1, w2
-        |      HAVING COUNT(*) >= 5)
-        |SELECT c.w1, c.w2, c.cnt_pair,
-        |       u1.cnt AS cnt_w1, u2.cnt AS cnt_w2,
-        |       CAST(c.cnt_pair * nt.n AS BIGINT) AS lift_num,
-        |       CAST(u1.cnt * u2.cnt AS BIGINT) AS lift_den
-        |FROM c
-        |JOIN uni u1 ON c.w1 = u1.w
-        |JOIN uni u2 ON c.w2 = u2.w
-        |CROSS JOIN nt
-        |ORDER BY c.w1, c.w2""".stripMargin,
-
-    "q172_cusum" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS s
-        |      FROM ev GROUP BY 1, 2),
-        |r AS (SELECT event_type, bucket, s,
-        |        CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY bucket
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          AS BIGINT) AS c,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-        |          ORDER BY bucket) AS BIGINT) AS t,
-        |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
-        |          AS n,
-        |        CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT)
-        |          AS total
-        |      FROM a),
-        |d AS (SELECT event_type, n, total, bucket, t,
-        |        n * c - t * total AS dev,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type
-        |          ORDER BY ABS(n * c - t * total) DESC, bucket) AS rn
-        |      FROM r WHERE n >= 2)
-        |SELECT event_type, n AS n_buckets, total AS total_c,
-        |       bucket AS cp_bucket, t AS cp_idx, dev AS cp_dev
-        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin
-    },
-
-    "q173_assortativity" ->
-      """WITH e AS (SELECT DISTINCT 2*l_partkey AS a, 2*l_suppkey+1 AS b
-        |           FROM lineitem),
-        |deg AS (SELECT n, COUNT(*) AS d
-        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
-        |        GROUP BY n),
-        |p0 AS (SELECT da.d AS dx, db.d AS dy
-        |       FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
-        |p AS (SELECT dx, dy FROM p0 UNION ALL SELECT dy AS dx, dx AS dy
-        |      FROM p0)
-        |SELECT 'deg_x' AS x_col, 'deg_y' AS y_col,
-        |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(dx) AS BIGINT) AS sum_x,
-        |       CAST(SUM(dy) AS BIGINT) AS sum_y,
-        |       CAST(SUM(dx * dx) AS BIGINT) AS sum_xx,
-        |       CAST(SUM(dy * dy) AS BIGINT) AS sum_yy,
-        |       CAST(SUM(dx * dy) AS BIGINT) AS sum_xy
-        |FROM p""".stripMargin,
-
-    "q174_rolling_anomaly" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |r AS (SELECT event_type, bucket, x_c,
-        |        CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
-        |        CAST(SUM(x_c) OVER w AS BIGINT) AS sum_w,
-        |        CAST(SUM(x_c * x_c) OVER w AS BIGINT) AS sumsq_w
-        |      FROM a
-        |      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |m AS (SELECT *, n_w * x_c - sum_w AS dev_num,
-        |        n_w * sumsq_w - sum_w * sum_w AS var_num
-        |      FROM r)
-        |SELECT event_type, bucket, x_c, n_w, sum_w, sumsq_w,
-        |       dev_num, var_num,
-        |       CAST(CASE WHEN n_w >= 2 AND
-        |           CAST(dev_num AS HUGEINT) * dev_num * (n_w - 1) * 100 >
-        |           CAST(900 AS HUGEINT) * var_num * n_w
-        |         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-        |FROM m ORDER BY event_type, bucket""".stripMargin
-    },
-
-    "q175_cube" ->
-      s"""SELECT
-        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
-        |       ELSE l_returnflag END AS rf,
-        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
-        |       ELSE l_linestatus END AS ls,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(${CENTS.format("l_extendedprice")}) AS BIGINT) AS sum_price_c
-        |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin,
-
-    "q176_weighted_sample" -> {
-      val c = CENTS.format("o_totalprice")
-      s"""WITH d AS (SELECT o_orderkey, $c AS c FROM orders),
-        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS w FROM d),
-        |r AS (SELECT o_orderkey, c,
-        |        COALESCE(SUM(c) OVER (ORDER BY o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          AS cum
-        |      FROM d)
-        |SELECT o_orderkey, c,
-        |       CAST(((cum + c) * 1000) // t.w - (cum * 1000) // t.w
-        |            AS BIGINT) AS copies
-        |FROM r, t
-        |WHERE ((cum + c) * 1000) // t.w - (cum * 1000) // t.w >= 1
-        |ORDER BY o_orderkey""".stripMargin
-    },
-
-    "q177_ab_report" ->
-      """WITH u AS (SELECT user_id,
-        |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |          AS cv
-        |      FROM events GROUP BY user_id),
-        |v AS (SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant, cv
-        |      FROM u),
-        |a AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
-        |        CAST(SUM(cv) AS BIGINT) AS conv FROM v GROUP BY variant),
-        |c AS (SELECT n AS n_ctl, conv AS conv_ctl FROM a
-        |      WHERE variant = 'v0')
-        |SELECT a.variant, a.n, a.conv, c.n_ctl, c.conv_ctl,
-        |       CAST(a.conv * c.n_ctl AS BIGINT) AS rr_num,
-        |       CAST(c.conv_ctl * a.n AS BIGINT) AS rr_den,
-        |       CAST(a.conv * (c.n_ctl - c.conv_ctl) AS BIGINT) AS or_num,
-        |       CAST(c.conv_ctl * (a.n - a.conv) AS BIGINT) AS or_den
-        |FROM a, c WHERE a.variant <> 'v0' ORDER BY a.variant""".stripMargin,
-
-    "q178_quantile_summary" -> {
-      val p = CENTS.format("l_extendedprice")
-      s"""WITH v AS (SELECT l_returnflag AS g, $p AS x FROM lineitem),
-        |cn AS (SELECT g, x, COUNT(*) AS cnt FROM v WHERE x IS NOT NULL
-        |       GROUP BY g, x),
-        |r AS (SELECT g, x, cnt,
-        |        SUM(cnt) OVER (PARTITION BY g ORDER BY x
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
-        |      FROM cn),
-        |q AS (SELECT 1 AS q_num, 10 AS q_den UNION ALL SELECT 1, 4
-        |      UNION ALL SELECT 1, 2 UNION ALL SELECT 3, 4
-        |      UNION ALL SELECT 9, 10)
-        |SELECT r.g AS l_returnflag, CAST(q.q_num AS BIGINT) AS q_num,
-        |       CAST(q.q_den AS BIGINT) AS q_den, r.x AS v, r.n
-        |FROM r JOIN q
-        |  ON (q.q_num * r.n) // q.q_den >= r.cum - r.cnt
-        | AND (q.q_num * r.n) // q.q_den < r.cum
-        |ORDER BY l_returnflag, CAST(q_num AS DOUBLE) / q_den""".stripMargin
-    },
-
-    "q179_funnel_latency" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
-        |            FROM events
-        |            WHERE event_type IN ('view', 'click', 'purchase')),
-        |f AS (SELECT user_id, event_type, MIN(tus) AS ta FROM ev
-        |      GROUP BY user_id, event_type),
-        |pairs(hd, tl) AS (VALUES ('view', 'click'), ('click', 'purchase')),
-        |lat AS (SELECT p.hd AS stage_from, p.tl AS stage_to, e.user_id,
-        |          MIN((e.tus - f.ta) // 1000) AS lat_ms
-        |        FROM ev e
-        |        JOIN pairs p ON e.event_type = p.tl
-        |        JOIN f ON f.user_id = e.user_id AND f.event_type = p.hd
-        |        WHERE e.tus >= f.ta
-        |        GROUP BY 1, 2, 3),
-        |c AS (SELECT stage_from, stage_to, lat_ms, COUNT(*) AS cnt
-        |      FROM lat GROUP BY 1, 2, 3),
-        |r AS (SELECT *,
-        |        SUM(cnt) OVER (PARTITION BY stage_from, stage_to
-        |          ORDER BY lat_ms
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY stage_from, stage_to)
-        |          AS BIGINT) AS n,
-        |        MIN(lat_ms) OVER (PARTITION BY stage_from, stage_to) AS mn,
-        |        MAX(lat_ms) OVER (PARTITION BY stage_from, stage_to) AS mx
-        |      FROM c)
-        |SELECT stage_from, stage_to, n AS n_users, mn AS min_ms,
-        |       lat_ms AS med_ms, mx AS max_ms
-        |FROM r
-        |WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
-        |ORDER BY stage_from, stage_to""".stripMargin,
-
-    "q180_diff_columns" ->
-      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |             o_orderpriority
-        |           FROM orders WHERE o_orderkey % 5 <> 0),
-        |nw AS (SELECT o_orderkey, o_orderstatus,
-        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
-        |              ELSE o_totalprice END AS o_totalprice,
-        |         CASE WHEN o_orderkey % 11 = 0
-        |              THEN 'X-' || o_orderpriority
-        |              ELSE o_orderpriority END AS o_orderpriority
-        |       FROM orders WHERE o_orderkey % 7 <> 0),
-        |j AS (SELECT b.o_orderkey,
-        |        b.o_orderstatus AS os_o, nw.o_orderstatus AS os_n,
-        |        CAST(b.o_totalprice AS VARCHAR) AS tp_o,
-        |        CAST(nw.o_totalprice AS VARCHAR) AS tp_n,
-        |        b.o_orderpriority AS op_o, nw.o_orderpriority AS op_n
-        |      FROM b JOIN nw USING (o_orderkey))
-        |SELECT o_orderkey, col_name, old_val, new_val FROM (
-        |  SELECT o_orderkey, 'o_orderstatus' AS col_name,
-        |         os_o AS old_val, os_n AS new_val FROM j
-        |  WHERE os_o IS DISTINCT FROM os_n
-        |  UNION ALL
-        |  SELECT o_orderkey, 'o_totalprice', tp_o, tp_n FROM j
-        |  WHERE tp_o IS DISTINCT FROM tp_n
-        |  UNION ALL
-        |  SELECT o_orderkey, 'o_orderpriority', op_o, op_n FROM j
-        |  WHERE op_o IS DISTINCT FROM op_n)
-        |ORDER BY o_orderkey, col_name""".stripMargin,
-
-    "q181_stream_anomaly" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events WHERE event_type = 'click'),
-        |a AS (SELECT user_id,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |r AS (SELECT user_id, bucket, x_c,
-        |        CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
-        |        CAST(SUM(x_c) OVER w AS BIGINT) AS sum_w,
-        |        CAST(SUM(x_c * x_c) OVER w AS BIGINT) AS sumsq_w
-        |      FROM a
-        |      WINDOW w AS (PARTITION BY user_id ORDER BY bucket
-        |        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
-        |m AS (SELECT *, n_w * x_c - sum_w AS dev_num,
-        |        n_w * sumsq_w - sum_w * sum_w AS var_num
-        |      FROM r)
-        |SELECT user_id, bucket, x_c, n_w, sum_w, sumsq_w,
-        |       dev_num, var_num,
-        |       CAST(CASE WHEN n_w >= 2 AND
-        |           CAST(dev_num AS HUGEINT) * dev_num * (n_w - 1) * 100 >
-        |           CAST(400 AS HUGEINT) * var_num * n_w
-        |         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-        |FROM m ORDER BY user_id, bucket""".stripMargin
-    },
-
-    "q182_graph_profile" ->
-      """WITH e AS (SELECT DISTINCT 2*l_partkey AS a, 2*l_suppkey+1 AS b
-        |           FROM lineitem),
-        |deg AS (SELECT n, COUNT(*) AS d
-        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
-        |        GROUP BY n),
-        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
-        |        CAST(SUM(d) // 2 AS BIGINT) AS m,
-        |        MIN(d) AS mnd, MAX(d) AS mxd FROM deg),
-        |c AS (SELECT d, COUNT(*) AS cnt FROM deg GROUP BY d),
-        |r AS (SELECT d, cnt,
-        |        COALESCE(SUM(cnt) OVER (ORDER BY d
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          AS below
-        |      FROM c)
-        |SELECT s.nn AS n_nodes, s.m AS n_edges, s.mnd AS min_deg,
-        |       r.d AS med_deg, s.mxd AS max_deg,
-        |       CAST(2 * s.m AS BIGINT) AS density_num,
-        |       CAST(s.nn * (s.nn - 1) AS BIGINT) AS density_den
-        |FROM s, r
-        |WHERE r.below < (s.nn + 1) // 2 AND (s.nn + 1) // 2 <= r.below + r.cnt
-        |""".stripMargin,
-
-    "q183_join_profile" ->
-      """WITH ka AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem
-        |            WHERE l_orderkey IS NOT NULL GROUP BY 1),
-        |kb AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders
-        |       WHERE o_orderstatus = 'F' AND o_orderkey IS NOT NULL
-        |       GROUP BY 1),
-        |j AS (SELECT ka.ca, kb.cb FROM ka FULL OUTER JOIN kb USING (k))
-        |SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_rows_a,
-        |       CAST(0 AS BIGINT) AS n_null_a,
-        |       CAST(COUNT(ca) AS BIGINT) AS n_keys_a,
-        |       CAST(COALESCE(SUM(CASE WHEN cb IS NOT NULL THEN ca END), 0)
-        |            AS BIGINT) AS rows_a_matched,
-        |       CAST(COALESCE(MAX(ca), 0) AS BIGINT) AS max_mult_a,
-        |       CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_rows_b,
-        |       CAST(0 AS BIGINT) AS n_null_b,
-        |       CAST(COUNT(cb) AS BIGINT) AS n_keys_b,
-        |       CAST(COALESCE(SUM(CASE WHEN ca IS NOT NULL THEN cb END), 0)
-        |            AS BIGINT) AS rows_b_matched,
-        |       CAST(COALESCE(MAX(cb), 0) AS BIGINT) AS max_mult_b,
-        |       CAST(COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
-        |            THEN 1 END) AS BIGINT) AS n_keys_both,
-        |       CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows
-        |FROM j""".stripMargin,
-
-    "q184_histogram2d" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT epoch_us(ts) AS tus, $c AS c FROM events),
-        |d AS (SELECT (tus // 3600000000) % 24 AS h, c FROM ev
-        |      WHERE c IS NOT NULL)
-        |SELECT h AS bin_x, c // 500 AS bin_y,
-        |       h AS lo_x, CAST((c // 500) * 500 AS BIGINT) AS lo_y,
-        |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(h) AS BIGINT) AS sum_x,
-        |       CAST(SUM(c) AS BIGINT) AS sum_y
-        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
-
-    "q185_seasonality" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |d AS (SELECT event_type, bucket, bucket % 7 AS phase, x_c FROM a),
-        |b AS (SELECT event_type, phase, CAST(COUNT(*) AS BIGINT) AS n_p,
-        |        CAST(SUM(x_c) AS BIGINT) AS sum_p
-        |      FROM d GROUP BY 1, 2)
-        |SELECT d.event_type, d.bucket, d.phase, d.x_c, b.n_p, b.sum_p,
-        |       CAST(b.n_p * d.x_c - b.sum_p AS BIGINT) AS resid_num
-        |FROM d JOIN b ON d.event_type = b.event_type AND d.phase = b.phase
-        |ORDER BY d.event_type, d.bucket""".stripMargin
-    },
-
-    "q186_abc_analysis" -> {
-      val c = CENTS.format("o_totalprice")
-      s"""WITH s AS (SELECT o_custkey, CAST(SUM($c) AS BIGINT) AS sum_x
-        |           FROM orders GROUP BY o_custkey),
-        |t AS (SELECT CAST(SUM(sum_x) AS BIGINT) AS tot FROM s),
-        |r AS (SELECT o_custkey, sum_x,
-        |        CAST(ROW_NUMBER() OVER (ORDER BY sum_x DESC, o_custkey)
-        |          AS BIGINT) AS rank,
-        |        CAST(COALESCE(SUM(sum_x) OVER (ORDER BY sum_x DESC,
-        |            o_custkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          AS BIGINT) AS cum_before
-        |      FROM s)
-        |SELECT r.o_custkey, r.sum_x, r.rank, r.cum_before,
-        |       CASE WHEN r.cum_before * 100 < 80 * t.tot THEN 'A'
-        |            WHEN r.cum_before * 100 < 95 * t.tot THEN 'B'
-        |            ELSE 'C' END AS abc_class
-        |FROM r, t ORDER BY r.rank""".stripMargin
-    },
-
-    "q187_vec_stats" ->
-      """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
-        |        CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
-        |          AS BIGINT) AS q
-        |      FROM embeddings WHERE embedding IS NOT NULL)
-        |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(q) AS BIGINT) AS sum_q,
-        |       CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sumsq_q,
-        |       MIN(q) AS min_q, MAX(q) AS max_q
-        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
-
-    "q188_topk_others" -> {
-      val c = CENTS.format("l_extendedprice")
-      s"""WITH s AS (SELECT l_returnflag,
-        |        CAST(l_suppkey AS VARCHAR) AS item,
-        |        CAST(SUM($c) AS BIGINT) AS sum_x
-        |      FROM lineitem GROUP BY 1, 2),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
-        |        ORDER BY sum_x DESC, item) AS rk FROM s),
-        |m AS (SELECT l_returnflag,
-        |        CASE WHEN rk <= 3 THEN item ELSE '<OTHERS>' END AS item,
-        |        CAST(CASE WHEN rk <= 3 THEN rk ELSE 4 END AS BIGINT)
-        |          AS rank,
-        |        sum_x
-        |      FROM r)
-        |SELECT l_returnflag, item, CAST(SUM(sum_x) AS BIGINT) AS sum_x,
-        |       CAST(COUNT(*) AS BIGINT) AS n_items, rank
-        |FROM m GROUP BY l_returnflag, item, rank
-        |ORDER BY l_returnflag, rank""".stripMargin
-    },
-
-    "q189_period_deltas" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2)
-        |SELECT a.event_type, a.bucket, a.x_c,
-        |       p.x_c AS prev_c,
-        |       CAST(a.x_c - p.x_c AS BIGINT) AS dod_delta,
-        |       q.x_c AS prev_period_c,
-        |       CAST(a.x_c - q.x_c AS BIGINT) AS pop_delta
-        |FROM a
-        |LEFT JOIN a p ON p.event_type = a.event_type
-        |  AND p.bucket = a.bucket - 1
-        |LEFT JOIN a q ON q.event_type = a.event_type
-        |  AND q.bucket = a.bucket - 7
-        |ORDER BY a.event_type, a.bucket""".stripMargin
-    },
-
-    "q190_rfm" -> {
-      val c = CENTS.format("o_totalprice")
-      def metric(v: String) =
-        s"""${v}c AS (SELECT $v AS v, COUNT(*) AS cnt FROM m GROUP BY 1),
-          |${v}t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ${v}c),
-          |${v}b AS (SELECT v,
-          |    COALESCE(SUM(cnt) OVER (ORDER BY v
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS below
-          |  FROM ${v}c)""".stripMargin
-      s"""WITH mx AS (SELECT MAX(epoch_us(o_orderdate)) AS md FROM orders),
-        |m AS (SELECT o_custkey,
-        |        CAST((mx.md - MAX(epoch_us(o_orderdate)))
-        |          // 86400000000 AS BIGINT) AS recency_d,
-        |        CAST(COUNT(*) AS BIGINT) AS freq,
-        |        CAST(SUM($c) AS BIGINT) AS mon_c
-        |      FROM orders, mx GROUP BY o_custkey, mx.md),
-        |${metric("recency_d")},
-        |${metric("freq")},
-        |${metric("mon_c")}
-        |SELECT m.o_custkey, m.recency_d, m.freq, m.mon_c,
-        |       CAST((rb.below * 5) // rt.n AS BIGINT) AS recency_d_score,
-        |       CAST((fb.below * 5) // ft.n AS BIGINT) AS freq_score,
-        |       CAST((mb.below * 5) // mt.n AS BIGINT) AS mon_c_score
-        |FROM m
-        |JOIN recency_db rb ON m.recency_d = rb.v
-        |JOIN freqb fb ON m.freq = fb.v
-        |JOIN mon_cb mb ON m.mon_c = mb.v
-        |CROSS JOIN recency_dt rt CROSS JOIN freqt ft CROSS JOIN mon_ct mt
-        |ORDER BY m.o_custkey""".stripMargin
-    },
-
-    "q191_lag_stats" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |l AS (SELECT CAST(r AS BIGINT) AS lag FROM range(1, 8) t(r))
-        |SELECT a.event_type, l.lag,
-        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |       CAST(SUM(a.x_c) AS BIGINT) AS sum_x,
-        |       CAST(SUM(b.x_c) AS BIGINT) AS sum_y,
-        |       CAST(SUM(a.x_c * b.x_c) AS BIGINT) AS sum_xy,
-        |       CAST(SUM(a.x_c * a.x_c) AS BIGINT) AS sum_x2,
-        |       CAST(SUM(b.x_c * b.x_c) AS BIGINT) AS sum_y2
-        |FROM a CROSS JOIN l
-        |JOIN a b ON b.event_type = a.event_type
-        |  AND b.bucket = a.bucket - l.lag
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
-    },
-
-    "q192_radius_join" ->
-      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
-        |             CAST((p_partkey * 7919) % 9973 AS BIGINT) AS x,
-        |             CAST((p_partkey * 4241) % 9941 AS BIGINT) AS y
-        |           FROM part)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST((a.x - b.x) * (a.x - b.x)
-        |          + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
-        |FROM p a JOIN p b ON a.id < b.id
-        |  AND b.x BETWEEN a.x - 250 AND a.x + 250
-        |  AND b.y BETWEEN a.y - 250 AND a.y + 250
-        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-        |      <= 62500
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q193_item_sim" ->
-      """WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS bk,
-        |             CAST(l_suppkey AS BIGINT) AS i
-        |           FROM lineitem
-        |           WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
-        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
-        |f AS (SELECT * FROM ic WHERE cnt >= 2),
-        |fb AS (SELECT b.bk, b.i FROM b JOIN f ON f.i = b.i),
-        |p AS (SELECT x.i AS item_a, y.i AS item_b,
-        |        CAST(COUNT(*) AS BIGINT) AS pair_cnt
-        |      FROM fb x JOIN fb y ON x.bk = y.bk AND x.i < y.i
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |wc AS (SELECT p.*, fa.cnt AS cnt_a, fo.cnt AS cnt_b
-        |       FROM p JOIN f fa ON fa.i = p.item_a
-        |              JOIN f fo ON fo.i = p.item_b),
-        |sym AS (SELECT item_a AS item, item_b AS other, pair_cnt,
-        |          cnt_a AS cnt_i, cnt_b AS cnt_o FROM wc
-        |        UNION ALL
-        |        SELECT item_b, item_a, pair_cnt, cnt_b, cnt_a FROM wc),
-        |sc AS (SELECT *,
-        |         CAST((((pair_cnt * 1000000) // cnt_i) * pair_cnt) // cnt_o
-        |           AS BIGINT) AS sim_scaled
-        |       FROM sym),
-        |r AS (SELECT *, ROW_NUMBER() OVER
-        |        (PARTITION BY item ORDER BY sim_scaled DESC, other) AS rk
-        |      FROM sc)
-        |SELECT item, other, pair_cnt, cnt_i, cnt_o, sim_scaled,
-        |       CAST(rk AS BIGINT) AS rank
-        |FROM r WHERE rk <= 5
-        |ORDER BY item, rank""".stripMargin,
-
-    "q194_rollup_tree" -> {
-      val c = CENTS.format("l_quantity")
-      s"""WITH pc AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS c,
-        |              CAST(p_partkey // 10 AS BIGINT) AS p
-        |            FROM part WHERE p_partkey >= 10),
-        |l1 AS (SELECT c AS node, p AS anc FROM pc),
-        |l2 AS (SELECT l1.node AS node, pc.p AS anc
-        |       FROM l1 JOIN pc ON l1.anc = pc.c),
-        |l3 AS (SELECT l2.node AS node, pc.p AS anc
-        |       FROM l2 JOIN pc ON l2.anc = pc.c),
-        |l4 AS (SELECT l3.node AS node, pc.p AS anc
-        |       FROM l3 JOIN pc ON l3.anc = pc.c),
-        |cl AS (SELECT DISTINCT node, anc FROM
-        |        (SELECT * FROM l1 UNION ALL SELECT * FROM l2
-        |         UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4)),
-        |fct AS (SELECT CAST(l_partkey AS BIGINT) AS node,
-        |          CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |          CAST(SUM($c) AS BIGINT) AS total
-        |        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
-        |mem AS (SELECT node, anc FROM cl
-        |        UNION ALL SELECT node, node AS anc FROM fct)
-        |SELECT mem.anc AS node, CAST(SUM(fct.n_rows) AS BIGINT) AS n_rows,
-        |       CAST(SUM(fct.total) AS BIGINT) AS total
-        |FROM mem JOIN fct ON fct.node = mem.node
-        |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    "q195_prorate" -> {
-      val w = CENTS.format("l_quantity")
-      val tt = CENTS.format("o_totalprice")
-      s"""WITH r AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
-        |             l_linenumber, $w AS w
-        |           FROM lineitem),
-        |t AS (SELECT CAST(o_orderkey AS BIGINT) AS l_orderkey, $tt AS tt
-        |      FROM orders),
-        |j AS (SELECT r.l_orderkey, r.l_linenumber, r.w, t.tt,
-        |        CAST(SUM(r.w) OVER (PARTITION BY r.l_orderkey) AS BIGINT)
-        |          AS bw
-        |      FROM r JOIN t USING (l_orderkey)),
-        |b AS (SELECT *, CAST((tt * w) // bw AS BIGINT) AS base,
-        |        CAST((tt * w) % bw AS BIGINT) AS rem
-        |      FROM j),
-        |s AS (SELECT *,
-        |        tt - SUM(base) OVER (PARTITION BY l_orderkey) AS lft,
-        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey
-        |          ORDER BY rem DESC, l_linenumber) AS rk
-        |      FROM b)
-        |SELECT l_orderkey, l_linenumber, w AS qty_c,
-        |       CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
-        |         AS share
-        |FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin
-    },
-
-    "q196_stream_upsert" -> {
-      val v = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_id, user_id, $v AS v FROM events
-        |            WHERE event_type = 'click'),
-        |lst AS (SELECT user_id, MAX(event_id) AS me FROM ev GROUP BY 1)
-        |SELECT ev.user_id, CAST(ev.v AS BIGINT) AS value_c
-        |FROM ev JOIN lst ON ev.user_id = lst.user_id AND ev.event_id = lst.me
-        |WHERE lst.me % 10 <> 0
-        |ORDER BY ev.user_id""".stripMargin
-    },
-
-    "q197_rolling_median" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |c AS (SELECT a.event_type, a.bucket + r AS bucket, a.x_c
-        |      FROM a CROSS JOIN range(0, 7) t(r)),
-        |j AS (SELECT c.event_type, c.bucket, c.x_c
-        |      FROM c JOIN a e ON e.event_type = c.event_type
-        |                     AND e.bucket = c.bucket)
-        |SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_days,
-        |       CAST((list(x_c ORDER BY x_c))
-        |            [CAST((COUNT(*) - 1) // 2 + 1 AS BIGINT)]
-        |         AS BIGINT) AS med_c
-        |FROM j GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
-    },
-
-    "q198_holt" -> {
-      val c = CENTS.format("value")
-      // a recursive CTE, NOT list_reduce: DuckDB 1.0.0's list_reduce
-      // miscomputes struct-state folds whose fields repeat a common
-      // subexpression (verified: single step right, multi-step wrong)
-      def fd(e: String, d: Long) =
-        s"((($e) - (((($e) % $d) + $d) % $d)) // $d)"
-      val newL = fd("3*s.x_c + 7*(h.l + h.b)", 10L)
-      val newB = fd(s"1*(($newL) - h.l) + 9*h.b", 10L)
-      s"""WITH RECURSIVE ev AS (SELECT event_type, epoch_us(ts) AS tus,
-        |              $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-        |         ORDER BY bucket DESC) AS rnd FROM a),
-        |s AS (SELECT event_type, x_c,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type
-        |          ORDER BY bucket) AS rn,
-        |        COUNT(*) OVER (PARTITION BY event_type) AS n_obs
-        |      FROM rr WHERE rnd <= 64),
-        |h AS (
-        |  SELECT event_type, n_obs, rn, CAST(x_c AS BIGINT) AS l,
-        |         CAST(0 AS BIGINT) AS b
-        |  FROM s WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.event_type, s.n_obs, s.rn, CAST($newL AS BIGINT) AS l,
-        |         CAST($newB AS BIGINT) AS b
-        |  FROM h JOIN s ON s.event_type = h.event_type AND s.rn = h.rn + 1
-        |)
-        |SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
-        |       CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
-        |       CAST(l + b AS BIGINT) AS forecast_c
-        |FROM h WHERE rn = n_obs
-        |ORDER BY event_type""".stripMargin
-    },
-
-    "q199_nearest_within" ->
-      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
-        |             CAST((p_partkey * 7919) % 9973 AS BIGINT) AS x,
-        |             CAST((p_partkey * 4241) % 9941 AS BIGINT) AS y
-        |           FROM part),
-        |c AS (SELECT a.id, b.id AS nn_id,
-        |        (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-        |          AS dist2
-        |      FROM p a JOIN p b ON a.id <> b.id
-        |        AND b.x BETWEEN a.x - 250 AND a.x + 250
-        |        AND b.y BETWEEN a.y - 250 AND a.y + 250
-        |      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-        |            <= 62500),
-        |r AS (SELECT *, ROW_NUMBER() OVER
-        |        (PARTITION BY id ORDER BY dist2, nn_id) AS rk FROM c)
-        |SELECT id, nn_id, CAST(dist2 AS BIGINT) AS dist2
-        |FROM r WHERE rk = 1
-        |ORDER BY id""".stripMargin,
-
-    "q200_zipf" ->
-      """WITH c AS (SELECT t AS token, COUNT(*) AS cnt
-        |           FROM (SELECT UNNEST(string_split(text, ' ')) AS t
-        |                 FROM documents)
-        |           GROUP BY t HAVING COUNT(*) >= 2),
-        |v AS (SELECT cnt,
-        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
-        |      FROM c)
-        |SELECT CAST(FLOOR(LOG2(rank)) AS BIGINT) AS bucket,
-        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
-        |       CAST(MIN(cnt) AS BIGINT) AS min_cnt,
-        |       CAST(MAX(cnt) AS BIGINT) AS max_cnt
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q201_fifo_match" ->
-      """WITH li AS (SELECT l_partkey AS k, l_returnflag AS f,
-        |              CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS lid,
-        |              CAST(l_quantity AS BIGINT) AS q,
-        |              epoch_us(l_shipdate) AS sq
-        |            FROM lineitem),
-        |b AS (SELECT k, lid, q,
-        |        COALESCE(SUM(q) OVER (PARTITION BY k ORDER BY sq, lid
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
-        |      FROM li WHERE f <> 'R'),
-        |s AS (SELECT k, lid, q,
-        |        COALESCE(SUM(q) OVER (PARTITION BY k ORDER BY sq, lid
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t0
-        |      FROM li WHERE f = 'R')
-        |SELECT b.k AS l_partkey, b.lid AS buy_id, s.lid AS sell_id,
-        |       CAST(LEAST(b.s0 + b.q, s.t0 + s.q)
-        |            - GREATEST(b.s0, s.t0) AS BIGINT) AS qty
-        |FROM b JOIN s ON b.k = s.k
-        |  AND b.s0 < s.t0 + s.q AND s.t0 < b.s0 + b.q
-        |ORDER BY l_partkey, buy_id, sell_id""".stripMargin,
-
-    "q202_asof_forward" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT user_id, event_id, event_type,
-        |              epoch_us(ts) AS tus, $c AS v_c FROM events),
-        |v AS (SELECT user_id, event_id, tus FROM ev
-        |      WHERE event_type = 'view'),
-        |p AS (SELECT user_id, event_id AS p_event_id, tus AS p_tus,
-        |        v_c AS p_value_c
-        |      FROM ev WHERE event_type = 'purchase'),
-        |j AS (SELECT v.user_id, v.event_id, p.p_tus, p.p_event_id,
-        |        p.p_value_c,
-        |        ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
-        |          ORDER BY p.p_tus, p.p_event_id) AS rk
-        |      FROM v JOIN p ON p.user_id = v.user_id
-        |        AND p.p_tus >= v.tus AND p.p_tus <= v.tus + 3600000000)
-        |SELECT v.user_id, v.event_id, v.tus, j.p_tus, j.p_event_id,
-        |       j.p_value_c
-        |FROM v LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
-        |  ON j.user_id = v.user_id AND j.event_id = v.event_id
-        |ORDER BY v.user_id, v.event_id""".stripMargin
-    },
-
-    "q203_csv_roundtrip" ->
-      s"""SELECT o_orderkey, o_orderstatus,
-        |       ${CENTS.format("o_totalprice")} AS price_c
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q204_jsonl_roundtrip" ->
-      """SELECT c_custkey, c_name, c_nationkey
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q205_partition_prune" ->
-      s"""SELECT o_orderkey, ${CENTS.format("o_totalprice")} AS price_c,
-        |       o_orderstatus
-        |FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q206_scd2_lookup" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |c AS (SELECT user_id, event_id, tus, event_type,
-        |        LAG(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS prev_type
-        |      FROM e),
-        |f AS (SELECT * FROM c
-        |      WHERE prev_type IS NULL OR prev_type != event_type),
-        |d AS (SELECT user_id, event_type AS state, tus AS valid_from_us,
-        |        LEAD(tus) OVER (PARTITION BY user_id
-        |          ORDER BY tus, event_id) AS valid_to_us
-        |      FROM f),
-        |p AS (SELECT DISTINCT user_id,
-        |        (tus - (((tus % 86400000000) + 86400000000) % 86400000000))
-        |          + 43200000000 AS tus
-        |      FROM e)
-        |SELECT p.user_id, p.tus, d.state, d.valid_to_us
-        |FROM p LEFT JOIN d ON d.user_id = p.user_id
-        |  AND d.valid_from_us <= p.tus
-        |  AND (d.valid_to_us IS NULL OR p.tus < d.valid_to_us)
-        |ORDER BY p.user_id, p.tus""".stripMargin,
-
-    "q207_dense_series" -> {
-      val c = CENTS.format("value")
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, $c AS cents
-        |            FROM events),
-        |a AS (SELECT event_type,
-        |        (tus - (tus % 86400000000)) // 86400000000 AS bucket,
-        |        CAST(SUM(cents) AS BIGINT) AS x_c
-        |      FROM ev GROUP BY 1, 2),
-        |b AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
-        |      FROM a GROUP BY 1),
-        |sp AS (SELECT event_type,
-        |         CAST(UNNEST(generate_series(b0, b1)) AS BIGINT) AS bucket
-        |       FROM b)
-        |SELECT sp.event_type, sp.bucket,
-        |       CAST(COALESCE(a.x_c, 0) AS BIGINT) AS x_c
-        |FROM sp LEFT JOIN a ON a.event_type = sp.event_type
-        |                   AND a.bucket = sp.bucket
-        |ORDER BY sp.event_type, sp.bucket""".stripMargin
-    },
-
-    "q208_velocity" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-        |w AS (SELECT user_id,
-        |        CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tus
-        |          RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
-        |          AS BIGINT) AS burst
-        |      FROM e),
-        |g AS (SELECT user_id, MAX(burst) AS peak_burst,
-        |        CAST(SUM(CASE WHEN burst >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |          AS n_burst_events
-        |      FROM w GROUP BY 1)
-        |SELECT user_id, peak_burst, n_burst_events
-        |FROM g WHERE peak_burst >= 2
-        |ORDER BY user_id""".stripMargin,
-
-    "q209_cumulative_users" ->
-      """WITH e AS (SELECT user_id,
-        |             (epoch_us(ts) - (epoch_us(ts) % 3600000000))
-        |               // 3600000000 AS bucket
-        |           FROM events),
-        |f AS (SELECT user_id, MIN(bucket) AS bucket FROM e GROUP BY 1),
-        |d AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_users
-        |      FROM f GROUP BY 1)
-        |SELECT bucket, new_users,
-        |       CAST(SUM(new_users) OVER (ORDER BY bucket) AS BIGINT)
-        |         AS cum_users
-        |FROM d ORDER BY bucket""".stripMargin,
-
-    // lower quantile ⇔ smallest v whose cumulative count reaches rank
-    // ⌈(num·n)/den⌉; compared cross-multiplied (cum·den ≥ n·num) exactly
-    // as the sketch's HOF walk does
-    "q210_qsketch_quantiles" ->
-      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
-        |           FROM lineitem),
-        |c AS (SELECT l_returnflag, v, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
-        |w AS (SELECT l_returnflag, v,
-        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v)
-        |          AS BIGINT) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
-        |      FROM c)
-        |SELECT l_returnflag, MAX(n) AS n,
-        |       MIN(v) FILTER (WHERE cum * 2 >= n) AS p50,
-        |       MIN(v) FILTER (WHERE cum * 10 >= 9 * n) AS p90,
-        |       MIN(v) FILTER (WHERE cum * 100 >= 99 * n) AS p99
-        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q211_qsketch_rollup" ->
-      """WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v
-        |           FROM lineitem),
-        |c AS (SELECT l_returnflag, v, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
-        |w AS (SELECT l_returnflag, v,
-        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v)
-        |          AS BIGINT) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
-        |      FROM c)
-        |SELECT l_returnflag, MAX(n) AS n,
-        |       MIN(v) FILTER (WHERE cum * 2 >= n) AS p50,
-        |       MIN(v) FILTER (WHERE cum * 4 >= 3 * n) AS p75
-        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q170_melt" -> {
-      val cols = Seq("qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",
-        "disc_c" -> "l_discount", "tax_c" -> "l_tax")
-      val defs = cols.map { case (a, src) =>
-        s"${CENTS.format(src)} AS $a"
-      }.mkString(", ")
-      val arms = cols.map { case (a, _) =>
-        s"""SELECT l_orderkey, l_linenumber, '$a' AS var, $a AS val FROM d"""
-      }
-      s"""WITH d AS (SELECT l_orderkey, l_linenumber, $defs FROM lineitem)
-        |${arms.mkString("\n UNION ALL\n")}
-        |ORDER BY l_orderkey, l_linenumber, var""".stripMargin
-    },
-
-    "q163_zero_floor" -> {
-      val c = CENTS.format("o_totalprice")
-      s"""WITH d AS (SELECT o_custkey, o_orderkey,
-        |             CASE WHEN o_orderstatus = 'O' THEN $c
-        |                  ELSE -$c END AS delta
-        |           FROM orders),
-        |s AS (SELECT o_custkey, o_orderkey, delta,
-        |        CAST(SUM(delta) OVER (PARTITION BY o_custkey
-        |          ORDER BY o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |          AS BIGINT) AS rs
-        |      FROM d),
-        |m AS (SELECT *, MIN(rs) OVER (PARTITION BY o_custkey
-        |        ORDER BY o_orderkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
-        |      FROM s)
-        |SELECT o_custkey, o_orderkey, delta,
-        |       CAST(rs - LEAST(rm, 0) AS BIGINT) AS balance
-        |FROM m ORDER BY o_custkey, o_orderkey""".stripMargin
-    },
-
-    "q164_attribution" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type,
-        |              epoch_us(ts) AS tus,
-        |              CAST(FLOOR(value * 100) AS BIGINT) AS cents
-        |            FROM events),
-        |tch AS (SELECT user_id, event_id AS touch_id,
-        |          event_type AS touch_type, tus AS tts
-        |        FROM ev WHERE event_type IN ('click', 'view')),
-        |cv AS (SELECT user_id, event_id AS conv_id, tus AS cts, cents
-        |       FROM ev WHERE event_type = 'purchase'),
-        |p AS (SELECT cv.user_id, cv.conv_id, tch.touch_id,
-        |        tch.touch_type, cv.cents
-        |      FROM cv JOIN tch ON cv.user_id = tch.user_id
-        |       AND cv.cts - 3600000000 <= tch.tts AND tch.tts < cv.cts),
-        |n AS (SELECT conv_id, COUNT(*) AS credit_den FROM p
-        |      GROUP BY conv_id)
-        |SELECT p.user_id, p.conv_id, p.touch_id, p.touch_type,
-        |       p.cents AS credit_num, n.credit_den
-        |FROM p JOIN n ON p.conv_id = n.conv_id
-        |ORDER BY p.conv_id, p.touch_id""".stripMargin,
-
-    // q122's exact lower-median chain extended with the flag join
-    "q159_robust_outliers" ->
-      """WITH e AS (SELECT event_type,
-        |             CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
-        |r AS (SELECT event_type, c,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
-        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
-        |med AS (SELECT event_type, c AS med, n FROM r WHERE rn = (n+1)//2),
-        |dev AS (SELECT e.event_type, ABS(e.c - med.med) AS dv
-        |        FROM e JOIN med ON e.event_type = med.event_type),
-        |r2 AS (SELECT event_type, dv,
-        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
-        |        COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM dev),
-        |mad AS (SELECT event_type, dv AS mad FROM r2 WHERE rn = (n2+1)//2),
-        |st AS (SELECT med.event_type, med.med, mad.mad
-        |       FROM med JOIN mad ON med.event_type = mad.event_type)
-        |SELECT e.event_type, e.c, st.med, st.mad, ABS(e.c - st.med) AS dev
-        |FROM e JOIN st ON e.event_type = st.event_type
-        |WHERE ABS(e.c - st.med) > 3 * st.mad
-        |ORDER BY e.event_type, e.c""".stripMargin,
-
-    "q160_ref_integrity" ->
-      """SELECT * FROM (
-        |  SELECT 'relationship' AS rule, 'l_orderkey' AS col_name,
-        |         COUNT(*) AS n_rows,
-        |         CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL
-        |                        AND o.o_orderkey IS NULL
-        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |         SUM(CASE WHEN l.l_orderkey IS NOT NULL
-        |                        AND o.o_orderkey IS NULL
-        |                  THEN 1 ELSE 0 END) = 0 AS pass
-        |  FROM lineitem l LEFT JOIN
-        |    (SELECT DISTINCT o_orderkey FROM orders
-        |     WHERE o_orderkey IS NOT NULL) o
-        |    ON l.l_orderkey = o.o_orderkey
-        |  UNION ALL
-        |  SELECT 'relationship', 'user_id', COUNT(*),
-        |         CAST(SUM(CASE WHEN e.user_id IS NOT NULL
-        |                        AND c.c_custkey IS NULL
-        |                  THEN 1 ELSE 0 END) AS BIGINT),
-        |         SUM(CASE WHEN e.user_id IS NOT NULL
-        |                        AND c.c_custkey IS NULL
-        |                  THEN 1 ELSE 0 END) = 0
-        |  FROM events e LEFT JOIN
-        |    (SELECT DISTINCT c_custkey FROM customer
-        |     WHERE c_custkey IS NOT NULL) c
-        |    ON e.user_id = c.c_custkey) t
-        |ORDER BY col_name""".stripMargin,
-
-    "q161_missing_ranges" ->
-      """WITH ids AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS id
-        |             FROM orders WHERE o_orderkey IS NOT NULL
-        |               AND o_orderstatus = 'F'),
-        |l AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM ids)
-        |SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
-        |       id - prev - 1 AS gap_len
-        |FROM l WHERE prev IS NOT NULL AND id - prev > 1
-        |ORDER BY gap_start""".stripMargin,
-
-    // the decimal hierarchy is a tree (anc strictly shrinks), so plain
-    // chained joins replay the operator's min-depth closure exactly
-    "q162_ancestors" ->
-      """WITH pc AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS c,
-        |              CAST(p_partkey // 10 AS BIGINT) AS p
-        |            FROM part WHERE p_partkey >= 10),
-        |l1 AS (SELECT c AS node, p AS anc, CAST(1 AS BIGINT) AS depth FROM pc),
-        |l2 AS (SELECT l1.node, pc.p AS anc, CAST(2 AS BIGINT) AS depth
-        |       FROM l1 JOIN pc ON l1.anc = pc.c),
-        |l3 AS (SELECT l2.node, pc.p AS anc, CAST(3 AS BIGINT) AS depth
-        |       FROM l2 JOIN pc ON l2.anc = pc.c),
-        |l4 AS (SELECT l3.node, pc.p AS anc, CAST(4 AS BIGINT) AS depth
-        |       FROM l3 JOIN pc ON l3.anc = pc.c)
-        |SELECT node, anc, depth FROM (
-        |  SELECT * FROM l1 UNION ALL SELECT * FROM l2
-        |  UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4) u
-        |ORDER BY node, depth, anc""".stripMargin,
-
-    // two peel rounds, each a full triangle enumeration (x<y<z join
-    // chain) + per-edge support count + filter, chained
-    "q157_ktruss" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |       FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
-        |       JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
-        |s1 AS (SELECT a, b, COUNT(*) AS s FROM (
-        |         SELECT x AS a, y AS b FROM t1
-        |         UNION ALL SELECT x AS a, z AS b FROM t1
-        |         UNION ALL SELECT y AS a, z AS b FROM t1) u GROUP BY a, b),
-        |e1 AS (SELECT e0.a, e0.b FROM e0 LEFT JOIN s1
-        |         ON e0.a = s1.a AND e0.b = s1.b
-        |       WHERE COALESCE(s1.s, 0) >= 1),
-        |t2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |       FROM e1 JOIN e1 e2 ON e1.a = e2.a AND e1.b < e2.b
-        |       JOIN e1 e3 ON e3.a = e1.b AND e3.b = e2.b),
-        |s2 AS (SELECT a, b, COUNT(*) AS s FROM (
-        |         SELECT x AS a, y AS b FROM t2
-        |         UNION ALL SELECT x AS a, z AS b FROM t2
-        |         UNION ALL SELECT y AS a, z AS b FROM t2) u GROUP BY a, b),
-        |e2 AS (SELECT e1.a, e1.b FROM e1 LEFT JOIN s2
-        |         ON e1.a = s2.a AND e1.b = s2.b
-        |       WHERE COALESCE(s2.s, 0) >= 1)
-        |SELECT a, b FROM e2 ORDER BY a, b""".stripMargin,
-
-    "q158_fd_check" -> Seq(
-      ("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus"),
-      ("o_orderkey", "o_orderstatus"))
-      .map { case (a, b) =>
-        s"""SELECT '$a' AS det, '$b' AS dep, COUNT(*) AS n_det,
-          |       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_pairs,
-          |       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_deps,
-          |       CAST(CASE WHEN MAX(c) IS NULL OR MAX(c) = 1
-          |            THEN 1 ELSE 0 END AS BIGINT) AS holds
-          |FROM (SELECT x, COUNT(*) AS c FROM
-          |        (SELECT DISTINCT $a AS x, $b AS y FROM orders
-          |         WHERE $a IS NOT NULL AND $b IS NOT NULL) d
-          |      GROUP BY x) g""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY det, dep"),
-
-    // per-seed BFS replayed as chained CTEs (one per hop), then the
-    // harmonic aggregate — 6 // dist is exact for every dist ≤ 3
-    "q155_harmonic" ->
-      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
-        |            FROM lineitem),
-        |e AS (SELECT DISTINCT s, d FROM (SELECT s, d FROM e0
-        |        UNION ALL SELECT d AS s, s AS d FROM e0) t),
-        |sd AS (SELECT DISTINCT 2*s_suppkey+1 AS seed FROM supplier
-        |       WHERE s_suppkey % 100 = 1),
-        |d0 AS (SELECT seed, seed AS node, 0 AS dist FROM sd),
-        |d1 AS (SELECT seed, node, MIN(dist) AS dist FROM (
-        |         SELECT seed, node, dist FROM d0
-        |         UNION ALL SELECT d0.seed, e.d AS node, d0.dist + 1
-        |         FROM d0 JOIN e ON d0.node = e.s) t GROUP BY seed, node),
-        |d2 AS (SELECT seed, node, MIN(dist) AS dist FROM (
-        |         SELECT seed, node, dist FROM d1
-        |         UNION ALL SELECT d1.seed, e.d AS node, d1.dist + 1
-        |         FROM d1 JOIN e ON d1.node = e.s) t GROUP BY seed, node),
-        |d3 AS (SELECT seed, node, MIN(dist) AS dist FROM (
-        |         SELECT seed, node, dist FROM d2
-        |         UNION ALL SELECT d2.seed, e.d AS node, d2.dist + 1
-        |         FROM d2 JOIN e ON d2.node = e.s) t GROUP BY seed, node),
-        |sc AS (SELECT seed, COUNT(*) AS n_reached,
-        |         CAST(SUM(6 // dist) AS BIGINT) AS harm_num
-        |       FROM d3 WHERE dist > 0 GROUP BY seed)
-        |SELECT sd.seed, COALESCE(sc.n_reached, 0) AS n_reached,
-        |       COALESCE(sc.harm_num, 0) AS harm_num,
-        |       CAST(6 AS BIGINT) AS harm_den
-        |FROM sd LEFT JOIN sc ON sd.seed = sc.seed
-        |ORDER BY sd.seed""".stripMargin,
-
-    "q156_make_changelog" -> {
-      val c = CENTS.format("o_totalprice")
-      s"""WITH b AS (SELECT o_orderkey AS k, o_custkey, $c AS price_c
-        |           FROM orders),
-        |tg AS (SELECT k, o_custkey,
-        |         CASE WHEN k % 5 = 0 THEN price_c + 100 ELSE price_c END
-        |           AS price_c
-        |       FROM b WHERE k % 7 <> 0
-        |       UNION ALL
-        |       SELECT k + 1000000000, o_custkey, price_c FROM b
-        |       WHERE k % 11 = 0),
-        |j AS (SELECT COALESCE(b.k, tg.k) AS o_orderkey, b.k AS bk,
-        |        tg.k AS tk, b.o_custkey AS bc, b.price_c AS bp,
-        |        tg.o_custkey AS tc, tg.price_c AS tp
-        |      FROM b FULL OUTER JOIN tg ON b.k = tg.k)
-        |SELECT o_orderkey,
-        |       CASE WHEN tk IS NULL THEN 'D' ELSE 'U' END AS op,
-        |       CAST(1 AS BIGINT) AS seq,
-        |       tc AS o_custkey, tp AS price_c
-        |FROM j
-        |WHERE bk IS NULL OR tk IS NULL OR bc <> tc OR bp <> tp
-        |ORDER BY o_orderkey""".stripMargin
-    },
-
-    "q154_stream_topk" ->
-      """SELECT event_type AS key, COUNT(*) AS cnt_lo, COUNT(*) AS cnt_hi
-        |FROM events WHERE event_type IS NOT NULL
-        |GROUP BY event_type ORDER BY key""".stripMargin,
-
-    // personalized PageRank: q111's chained-CTE replay with the teleport
-    // term landing on seed nodes only
-    "q153_ppr" ->
-      """WITH e0 AS (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
-        |            FROM lineitem),
-        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
-        |sd AS (SELECT DISTINCT 2*s_suppkey+1 AS node FROM supplier
-        |       WHERE s_nationkey = 1),
-        |n AS (SELECT node, MAX(seed) AS seed FROM (
-        |        SELECT s AS node, 0 AS seed FROM e
-        |        UNION ALL SELECT d AS node, 0 AS seed FROM e
-        |        UNION ALL SELECT node, 1 AS seed FROM sd) t GROUP BY node),
-        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
-        |r0 AS (SELECT node, seed, CAST(seed * 1000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r1 AS (SELECT n.node, n.seed,
-        |         n.seed*150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
-        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r2 AS (SELECT n.node, n.seed,
-        |         n.seed*150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
-        |c3 AS (SELECT e.d AS node, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r3 AS (SELECT n.node, n.seed,
-        |         n.seed*150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
-        |SELECT node, CAST(r AS BIGINT) AS ppr FROM r3
-        |ORDER BY node""".stripMargin,
-
-    "q149_link_predict" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |      GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |deg AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e
-        |          UNION ALL SELECT b AS n FROM e) t GROUP BY n),
-        |nb AS (SELECT t.u, t.x FROM (SELECT a AS u, b AS x FROM e
-        |         UNION ALL SELECT b AS u, a AS x FROM e) t
-        |       JOIN deg ON deg.n = t.u WHERE deg.d <= 20),
-        |dc AS (SELECT x, COUNT(*) AS dc FROM nb GROUP BY x),
-        |w AS (SELECT n1.x AS pa, n2.x AS pb, COUNT(*) AS common
-        |      FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.x < n2.x
-        |      GROUP BY n1.x, n2.x HAVING COUNT(*) >= 2),
-        |na AS (SELECT w.* FROM w WHERE NOT EXISTS
-        |        (SELECT 1 FROM e WHERE e.a = w.pa AND e.b = w.pb))
-        |SELECT na.pa AS a, na.pb AS b, na.common,
-        |       d1.dc + d2.dc - na.common AS jaccard_den
-        |FROM na JOIN dc d1 ON d1.x = na.pa JOIN dc d2 ON d2.x = na.pb
-        |ORDER BY a, b""".stripMargin,
-
-    "q146_modularity" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |            FROM lineitem),
-        |e0 AS (SELECT CAST(x.p AS BIGINT) AS a, CAST(y.p AS BIGINT) AS b
-        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
-        |       GROUP BY x.p, y.p HAVING COUNT(*) >= 2),
-        |e AS (SELECT a AS s, b AS d FROM e0
-        |      UNION ALL SELECT b AS s, a AS d FROM e0),
-        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e),
-        |v1 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
-        |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
-        |l1 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
-        |       WHERE rn = 1),
-        |v2 AS (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
-        |       FROM e JOIN l1 l ON e.s = l.node GROUP BY e.d, l.lbl),
-        |l2 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2)
-        |       WHERE rn = 1),
-        |mm AS (SELECT COUNT(*) AS m FROM e0),
-        |deg AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n FROM e0
-        |          UNION ALL SELECT b AS n FROM e0) t GROUP BY n),
-        |comm AS (SELECT l.lbl AS label, COUNT(*) AS n_nodes,
-        |           CAST(SUM(deg.deg) AS BIGINT) AS deg_sum
-        |         FROM l2 l JOIN deg ON l.node = deg.n GROUP BY l.lbl),
-        |intra AS (SELECT la.lbl AS label, COUNT(*) AS intra_edges
-        |          FROM e0 JOIN l2 la ON e0.a = la.node
-        |                  JOIN l2 lb ON e0.b = lb.node
-        |          WHERE la.lbl = lb.lbl GROUP BY la.lbl)
-        |SELECT c.label, c.n_nodes, c.deg_sum,
-        |       COALESCE(i.intra_edges, 0) AS intra_edges,
-        |       CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
-        |            - c.deg_sum * c.deg_sum AS BIGINT) AS q_num,
-        |       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
-        |FROM comm c LEFT JOIN intra i ON c.label = i.label, mm
-        |ORDER BY c.label""".stripMargin,
-
-    "q145_skyline" -> {
-      val v = CENTS.format("o_totalprice")
-      s"""WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders,
-        |             CAST(SUM($v) AS BIGINT) AS spend_c
-        |           FROM orders GROUP BY o_custkey)
-        |SELECT o_custkey, n_orders, spend_c FROM c
-        |WHERE NOT EXISTS (SELECT 1 FROM c c2
-        |                  WHERE c2.n_orders > c.n_orders
-        |                    AND c2.spend_c > c.spend_c)
-        |ORDER BY o_custkey""".stripMargin
-    },
-
-    // warm(2) after cold(2) ≡ one 4-round replay: the oracle never sees
-    // the seam (purity of the per-round update)
-    "q213_pagerank_warm" ->
-      """WITH e0 AS (SELECT DISTINCT 2*c_custkey AS s, 2*c_nationkey+1 AS d
-        |            FROM customer),
-        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
-        |n AS (SELECT DISTINCT s AS node FROM e),
-        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
-        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
-        |c3 AS (SELECT e.d AS node, CAST(SUM(r2.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r3 AS (SELECT n.node, 150000 + ((85 * COALESCE(c3.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c3 ON n.node = c3.node),
-        |c4 AS (SELECT e.d AS node, CAST(SUM(r3.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r3 ON e.s = r3.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r4 AS (SELECT n.node, 150000 + ((85 * COALESCE(c4.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c4 ON n.node = c4.node)
-        |SELECT node, r AS pr FROM r4 ORDER BY node""".stripMargin,
-
-    "q214_pagerank_delta" ->
-      """WITH e0 AS (SELECT DISTINCT 2*c_custkey AS s, 2*c_nationkey+1 AS d
-        |            FROM customer),
-        |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
-        |n AS (SELECT DISTINCT s AS node FROM e),
-        |deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT e.d AS node, CAST(SUM(r0.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r1 AS (SELECT n.node, 150000 + ((85 * COALESCE(c1.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
-        |c2 AS (SELECT e.d AS node, CAST(SUM(r1.r // deg.outdeg) AS BIGINT) AS sc
-        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON deg.s = e.s
-        |       GROUP BY e.d),
-        |r2 AS (SELECT n.node, 150000 + ((85 * COALESCE(c2.sc, 0)) // 100) AS r
-        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
-        |d0 AS (SELECT DISTINCT 2*n_nationkey+1 AS s, 9000000 + n_regionkey AS d
-        |       FROM nation),
-        |de AS (SELECT s, d FROM e UNION ALL SELECT s, d FROM d0
-        |       UNION ALL SELECT d AS s, s AS d FROM d0),
-        |dn AS (SELECT DISTINCT s AS node FROM de),
-        |ddeg AS (SELECT s, COUNT(*) AS outdeg FROM de GROUP BY s),
-        |w0 AS (SELECT dn.node, CAST(COALESCE(r2.r, 1000000) AS BIGINT) AS r
-        |       FROM dn LEFT JOIN r2 ON dn.node = r2.node),
-        |x1 AS (SELECT de.d AS node, CAST(SUM(w0.r // ddeg.outdeg) AS BIGINT) AS sc
-        |       FROM de JOIN w0 ON de.s = w0.node JOIN ddeg ON ddeg.s = de.s
-        |       GROUP BY de.d),
-        |w1 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x1.sc, 0)) // 100) AS r
-        |       FROM dn LEFT JOIN x1 ON dn.node = x1.node),
-        |x2 AS (SELECT de.d AS node, CAST(SUM(w1.r // ddeg.outdeg) AS BIGINT) AS sc
-        |       FROM de JOIN w1 ON de.s = w1.node JOIN ddeg ON ddeg.s = de.s
-        |       GROUP BY de.d),
-        |w2 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x2.sc, 0)) // 100) AS r
-        |       FROM dn LEFT JOIN x2 ON dn.node = x2.node),
-        |x3 AS (SELECT de.d AS node, CAST(SUM(w2.r // ddeg.outdeg) AS BIGINT) AS sc
-        |       FROM de JOIN w2 ON de.s = w2.node JOIN ddeg ON ddeg.s = de.s
-        |       GROUP BY de.d),
-        |w3 AS (SELECT dn.node, 150000 + ((85 * COALESCE(x3.sc, 0)) // 100) AS r
-        |       FROM dn LEFT JOIN x3 ON dn.node = x3.node)
-        |SELECT node, r AS pr FROM w3 ORDER BY node""".stripMargin,
-
-    // decimal-log binning replayed with exact STRING arithmetic (first 2
-    // digits kept, rest zeroed) — a different exact formulation than the
-    // Spark side's integer div/multiply, so the hash match cross-checks
-    // the binning itself
-    "q215_logsketch_quantiles" ->
-      s"""WITH v AS (SELECT l_returnflag AS g,
-        |             ${CENTS.format("l_extendedprice")} AS v FROM lineitem),
-        |b AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1,
-        |                       LEAST(length(CAST(v AS VARCHAR)), 2))
-        |               || repeat('0',
-        |                    GREATEST(length(CAST(v AS VARCHAR)) - 2, 0))
-        |               AS BIGINT) AS edge
-        |      FROM v),
-        |sk AS (SELECT g, edge, COUNT(*) AS cnt FROM b GROUP BY g, edge),
-        |c AS (SELECT g, edge,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
-        |      FROM sk)
-        |SELECT g, MAX(n) AS n,
-        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
-        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
-        |FROM c GROUP BY g ORDER BY g""".stripMargin,
-
-    // the oracle sketches DIRECTLY at the coarse level — the gate rolls
-    // fine sketches up, so the hash match proves the merge contract on
-    // real data
-    "q216_logsketch_rollup" ->
-      s"""WITH v AS (SELECT l_returnflag AS g,
-        |             ${CENTS.format("l_extendedprice")} AS v FROM lineitem),
-        |b AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1,
-        |                       LEAST(length(CAST(v AS VARCHAR)), 2))
-        |               || repeat('0',
-        |                    GREATEST(length(CAST(v AS VARCHAR)) - 2, 0))
-        |               AS BIGINT) AS edge
-        |      FROM v),
-        |sk AS (SELECT g, edge, COUNT(*) AS cnt FROM b GROUP BY g, edge),
-        |c AS (SELECT g, edge,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
-        |      FROM sk)
-        |SELECT g, MAX(n) AS n,
-        |       MIN(CASE WHEN cum * 4 >= n * 1 THEN edge END) AS q_1_4,
-        |       MIN(CASE WHEN cum * 4 >= n * 3 THEN edge END) AS q_3_4
-        |FROM c GROUP BY g ORDER BY g""".stripMargin,
-
-    // weighted quantiles at bin width 1 are exact, so the oracle is the
-    // weight-cumulative window over the raw values (RANGE frame: tied
-    // values share the full tied cumulative, exactly the slot semantics)
-    "q217_qsketch_weighted" ->
-      s"""WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
-        |             ${CENTS.format("l_extendedprice")} AS w FROM lineitem),
-        |c AS (SELECT l_returnflag, v,
-        |        CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
-        |        CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
-        |      FROM v)
-        |SELECT l_returnflag, MAX(n) AS n,
-        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS q_1_2,
-        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS q_9_10
-        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q218_logsketch_weighted" ->
-      s"""WITH v AS (SELECT l_returnflag AS g,
-        |             ${CENTS.format("l_extendedprice")} AS v,
-        |             CAST(l_quantity AS BIGINT) AS w FROM lineitem),
-        |b AS (SELECT g, w, CAST(substr(CAST(v AS VARCHAR), 1,
-        |                       LEAST(length(CAST(v AS VARCHAR)), 2))
-        |               || repeat('0',
-        |                    GREATEST(length(CAST(v AS VARCHAR)) - 2, 0))
-        |               AS BIGINT) AS edge
-        |      FROM v),
-        |sk AS (SELECT g, edge, CAST(SUM(w) AS BIGINT) AS cnt
-        |       FROM b GROUP BY g, edge),
-        |c AS (SELECT g, edge,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
-        |      FROM sk)
-        |SELECT g, MAX(n) AS n,
-        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
-        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
-        |FROM c GROUP BY g ORDER BY g""".stripMargin,
-
-    // the streaming fold == the batch sketch (exact monoid), so the
-    // oracle is the direct per-user binned cumulative window (width-500
-    // slots over [0, 50000); values >= hi land on the overflow answer hi)
-    "q219_stream_qsketch" -> {
-      val v = CENTS.format("value")
-      s"""WITH t AS (SELECT user_id, $v AS v FROM events
-        |           WHERE event_type = 'click'),
-        |b AS (SELECT user_id,
-        |        CASE WHEN v >= 50000 THEN 50000 ELSE (v // 500) * 500 END AS edge
-        |      FROM t),
-        |c AS (SELECT user_id, edge,
-        |        COUNT(*) OVER (PARTITION BY user_id ORDER BY edge) AS cum,
-        |        COUNT(*) OVER (PARTITION BY user_id) AS n
-        |      FROM b)
-        |SELECT user_id, MAX(n) AS n,
-        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS p50,
-        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS p90
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
-    },
-
-    // signed decimal-log binning replayed with exact STRING arithmetic on
-    // the magnitude: positives keep the first-2-digits floor edge;
-    // negatives take the negated CEILING (floor + one bucket width unless
-    // already on an edge) — a different exact formulation than the Spark
-    // side's integer div/abs, so the hash match cross-checks the signed
-    // binning itself
-    "q220_logsketch_signed" ->
-      s"""WITH v AS (SELECT l_returnflag AS g,
-        |             ${CENTS.format("l_extendedprice")} - 5000000 AS v
-        |           FROM lineitem),
-        |a AS (SELECT g, v, ABS(v) AS m FROM v),
-        |b AS (SELECT g, v, m,
-        |        CAST(substr(CAST(m AS VARCHAR), 1,
-        |               LEAST(length(CAST(m AS VARCHAR)), 2))
-        |          || repeat('0', GREATEST(length(CAST(m AS VARCHAR)) - 2, 0))
-        |          AS BIGINT) AS fe,
-        |        CAST('1' || repeat('0',
-        |               GREATEST(length(CAST(m AS VARCHAR)) - 2, 0))
-        |          AS BIGINT) AS pw
-        |      FROM a),
-        |e AS (SELECT g, CASE WHEN v >= 0 THEN fe
-        |                     WHEN m = fe THEN -fe
-        |                     ELSE -(fe + pw) END AS edge FROM b),
-        |sk AS (SELECT g, edge, COUNT(*) AS cnt FROM e GROUP BY g, edge),
-        |c AS (SELECT g, edge,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY edge) AS BIGINT) AS cum,
-        |        CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
-        |      FROM sk)
-        |SELECT g, MAX(n) AS n,
-        |       MIN(CASE WHEN cum * 10 >= n * 1 THEN edge END) AS q_1_10,
-        |       MIN(CASE WHEN cum * 2 >= n * 1 THEN edge END) AS q_1_2,
-        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN edge END) AS q_9_10
-        |FROM c GROUP BY g ORDER BY g""".stripMargin,
-
-    // HITS cold round on e0, then TWO warm rounds on the delta'd edge set
-    // seeded from the cold (h1, a1) — absent nodes seed cold (h=10000,
-    // a=0); warm rounds replay as cold continuation CTEs
-    "q221_hits_delta" ->
-      """WITH e0 AS MATERIALIZED (SELECT DISTINCT 2*l_partkey AS s, 2*l_suppkey+1 AS d
-        |            FROM lineitem),
-        |n AS MATERIALIZED (SELECT s AS node FROM e0 UNION SELECT d AS node FROM e0),
-        |s0 AS MATERIALIZED (SELECT node, CAST(10000 AS BIGINT) AS h FROM n),
-        |ca1 AS MATERIALIZED (SELECT e0.d AS node, CAST(SUM(s0.h) AS BIGINT) AS raw
-        |        FROM e0 JOIN s0 ON e0.s = s0.node GROUP BY e0.d),
-        |a1 AS MATERIALIZED (SELECT n.node, CAST(COALESCE(
-        |         (ca1.raw * 10000) // (SELECT MAX(raw) FROM ca1), 0) AS BIGINT) AS a
-        |       FROM n LEFT JOIN ca1 ON n.node = ca1.node),
-        |ch1 AS MATERIALIZED (SELECT e0.s AS node, CAST(SUM(a1.a) AS BIGINT) AS raw
-        |        FROM e0 JOIN a1 ON e0.d = a1.node GROUP BY e0.s),
-        |h1 AS MATERIALIZED (SELECT n.node, CAST(COALESCE(
-        |         (ch1.raw * 10000) // (SELECT MAX(raw) FROM ch1), 0) AS BIGINT) AS h
-        |       FROM n LEFT JOIN ch1 ON n.node = ch1.node),
-        |d0 AS MATERIALIZED (SELECT DISTINCT 2*n_nationkey+1 AS s, 9000000 + n_regionkey AS d
-        |       FROM nation),
-        |de AS MATERIALIZED (SELECT s, d FROM e0 UNION ALL SELECT s, d FROM d0),
-        |dn AS MATERIALIZED (SELECT s AS node FROM de UNION SELECT d AS node FROM de),
-        |w0 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(h1.h, 10000) AS BIGINT) AS h,
-        |              CAST(COALESCE(a1.a, 0) AS BIGINT) AS a
-        |       FROM dn LEFT JOIN h1 ON dn.node = h1.node
-        |                LEFT JOIN a1 ON dn.node = a1.node),
-        |xca1 AS MATERIALIZED (SELECT de.d AS node, CAST(SUM(w0.h) AS BIGINT) AS raw
-        |         FROM de JOIN w0 ON de.s = w0.node GROUP BY de.d),
-        |wa1 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
-        |          (xca1.raw * 10000) // (SELECT MAX(raw) FROM xca1), 0) AS BIGINT) AS a
-        |        FROM dn LEFT JOIN xca1 ON dn.node = xca1.node),
-        |xch1 AS MATERIALIZED (SELECT de.s AS node, CAST(SUM(wa1.a) AS BIGINT) AS raw
-        |         FROM de JOIN wa1 ON de.d = wa1.node GROUP BY de.s),
-        |wh1 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
-        |          (xch1.raw * 10000) // (SELECT MAX(raw) FROM xch1), 0) AS BIGINT) AS h
-        |        FROM dn LEFT JOIN xch1 ON dn.node = xch1.node),
-        |xca2 AS MATERIALIZED (SELECT de.d AS node, CAST(SUM(wh1.h) AS BIGINT) AS raw
-        |         FROM de JOIN wh1 ON de.s = wh1.node GROUP BY de.d),
-        |wa2 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
-        |          (xca2.raw * 10000) // (SELECT MAX(raw) FROM xca2), 0) AS BIGINT) AS a
-        |        FROM dn LEFT JOIN xca2 ON dn.node = xca2.node),
-        |xch2 AS MATERIALIZED (SELECT de.s AS node, CAST(SUM(wa2.a) AS BIGINT) AS raw
-        |         FROM de JOIN wa2 ON de.d = wa2.node GROUP BY de.s),
-        |wh2 AS MATERIALIZED (SELECT dn.node, CAST(COALESCE(
-        |          (xch2.raw * 10000) // (SELECT MAX(raw) FROM xch2), 0) AS BIGINT) AS h
-        |        FROM dn LEFT JOIN xch2 ON dn.node = xch2.node)
-        |SELECT wh2.node, wh2.h AS hub, wa2.a AS auth
-        |FROM wh2 JOIN wa2 ON wh2.node = wa2.node ORDER BY wh2.node""".stripMargin,
-
-    // LPA cold round on e0, then TWO warm rounds on the delta'd edge set
-    // seeded from the cold labels — absent nodes seed cold (label = own
-    // id); plurality vote with smallest-label tiebreak replays as
-    // ROW_NUMBER over (c DESC, lbl)
-    "q222_lpa_delta" ->
-      """WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(2*l_partkey AS BIGINT) AS a,
-        |                            CAST(2*l_suppkey+1 AS BIGINT) AS b
-        |            FROM lineitem),
-        |e AS MATERIALIZED (SELECT DISTINCT s, d FROM (
-        |        SELECT a AS s, b AS d FROM e0
-        |        UNION ALL SELECT b AS s, a AS d FROM e0) t WHERE s <> d),
-        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e),
-        |v1 AS MATERIALIZED (SELECT e.d AS node, l.lbl AS lbl, COUNT(*) AS c
-        |       FROM e JOIN l0 l ON e.s = l.node GROUP BY e.d, l.lbl),
-        |l1 AS MATERIALIZED (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1)
-        |       WHERE rn = 1),
-        |d0 AS MATERIALIZED (SELECT DISTINCT CAST(2*n_nationkey+1 AS BIGINT) AS a,
-        |                       CAST(9000000+n_regionkey AS BIGINT) AS b
-        |       FROM nation),
-        |de AS MATERIALIZED (SELECT DISTINCT s, d FROM (
-        |        SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
-        |        UNION ALL SELECT a, b FROM d0 UNION ALL SELECT b, a FROM d0) t
-        |       WHERE s <> d),
-        |dn AS MATERIALIZED (SELECT DISTINCT s AS node FROM de),
-        |w0 AS MATERIALIZED (SELECT dn.node, COALESCE(l1.lbl, dn.node) AS lbl
-        |       FROM dn LEFT JOIN l1 ON dn.node = l1.node),
-        |wv1 AS MATERIALIZED (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
-        |        FROM de JOIN w0 w ON de.s = w.node GROUP BY de.d, w.lbl),
-        |wl1 AS MATERIALIZED (SELECT node, lbl FROM (
-        |          SELECT node, lbl, ROW_NUMBER() OVER (
-        |            PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM wv1)
-        |        WHERE rn = 1),
-        |wv2 AS MATERIALIZED (SELECT de.d AS node, w.lbl AS lbl, COUNT(*) AS c
-        |        FROM de JOIN wl1 w ON de.s = w.node GROUP BY de.d, w.lbl),
-        |wl2 AS MATERIALIZED (SELECT node, lbl FROM (
-        |          SELECT node, lbl, ROW_NUMBER() OVER (
-        |            PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM wv2)
-        |        WHERE rn = 1)
-        |SELECT node, lbl AS label FROM wl2 ORDER BY node""".stripMargin,
-
-    // md5-HLL register replay: bucket = first 2 hex chars (base-16 via
-    // strpos arithmetic), rho = 1 + leading zero bits of the next 16
-    // chars (ltrim zero-count + lexicographic nibble compare)
-    "q223_distinct_sketch" ->
-      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
-        |           FROM events WHERE user_id IS NOT NULL),
-        |br AS (SELECT event_type,
-        |         CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-        |              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
-        |           AS BIGINT) AS bucket,
-        |         ltrim(substr(hx, 3, 16), '0') AS tr
-        |       FROM h),
-        |rr AS (SELECT event_type, bucket,
-        |         CASE WHEN length(tr) = 0 THEN CAST(65 AS BIGINT)
-        |              ELSE CAST(4 * (16 - length(tr))
-        |                + CASE WHEN substr(tr, 1, 1) >= '8' THEN 0
-        |                       WHEN substr(tr, 1, 1) >= '4' THEN 1
-        |                       WHEN substr(tr, 1, 1) >= '2' THEN 2
-        |                       ELSE 3 END + 1 AS BIGINT) END AS r
-        |       FROM br)
-        |SELECT event_type, bucket, MAX(r) AS r
-        |FROM rr GROUP BY event_type, bucket
-        |ORDER BY event_type, bucket""".stripMargin,
-
-    // the DIRECT global registers — the gate reaches the same cells via
-    // the per-type stored vectors, which is exactly the cube contract
-    "q224_distinct_rollup" ->
-      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
-        |           FROM events WHERE user_id IS NOT NULL),
-        |br AS (SELECT
-        |         CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-        |              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
-        |           AS BIGINT) AS bucket,
-        |         ltrim(substr(hx, 3, 16), '0') AS tr
-        |       FROM h),
-        |rr AS (SELECT bucket,
-        |         CASE WHEN length(tr) = 0 THEN CAST(65 AS BIGINT)
-        |              ELSE CAST(4 * (16 - length(tr))
-        |                + CASE WHEN substr(tr, 1, 1) >= '8' THEN 0
-        |                       WHEN substr(tr, 1, 1) >= '4' THEN 1
-        |                       WHEN substr(tr, 1, 1) >= '2' THEN 2
-        |                       ELSE 3 END + 1 AS BIGINT) END AS r
-        |       FROM br)
-        |SELECT bucket, MAX(r) AS r FROM rr GROUP BY bucket
-        |ORDER BY bucket""".stripMargin,
-
-    // the BATCH registers of per-user distinct click days — the gate
-    // reaches the same cells by folding 3 micro-batches through the
-    // streaming maintainer (register max is idempotent, so any chunking
-    // — and any duplicate delivery — lands here)
-    "q225_stream_distinct" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
-        |           FROM events WHERE event_type = 'click'),
-        |h AS (SELECT user_id, md5(CAST(day AS VARCHAR)) AS hx
-        |      FROM d WHERE day IS NOT NULL),
-        |br AS (SELECT user_id,
-        |         CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-        |              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
-        |           AS BIGINT) AS bucket,
-        |         ltrim(substr(hx, 3, 16), '0') AS tr
-        |       FROM h),
-        |rr AS (SELECT user_id, bucket,
-        |         CASE WHEN length(tr) = 0 THEN CAST(65 AS BIGINT)
-        |              ELSE CAST(4 * (16 - length(tr))
-        |                + CASE WHEN substr(tr, 1, 1) >= '8' THEN 0
-        |                       WHEN substr(tr, 1, 1) >= '4' THEN 1
-        |                       WHEN substr(tr, 1, 1) >= '2' THEN 2
-        |                       ELSE 3 END + 1 AS BIGINT) END AS r
-        |       FROM br)
-        |SELECT user_id, bucket, MAX(r) AS r
-        |FROM rr GROUP BY user_id, bucket
-        |ORDER BY user_id, bucket""".stripMargin,
-
-    // q90's signature recipe, then the incremental contract replayed
-    // directly: delta docs (doc_id % 3 = 0) vs corpus bands + earlier
-    // delta bands, agreement >= 3/4 of 16 positions, MIN match id
-    "q227_dedup_delta" ->
-      """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
-        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
-        |hs AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT % 1000000007 AS h FROM sh),
-        |hf AS (SELECT i, (2654435761 * (i+1)) % 1000000007 AS a,
-        |              (40503 * (i+1)) % 1000000007 AS b
-        |       FROM (SELECT UNNEST(range(16)) AS i)),
-        |sig AS MATERIALIZED (SELECT doc_id, i, MIN((a*h + b) % 1000000007) AS mh
-        |        FROM hs CROSS JOIN hf GROUP BY doc_id, i),
-        |bsig AS MATERIALIZED (SELECT doc_id, i // 2 AS band,
-        |           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bs
-        |         FROM sig GROUP BY doc_id, i // 2),
-        |bd AS MATERIALIZED (SELECT * FROM bsig WHERE doc_id % 3 = 0),
-        |bc AS MATERIALIZED (SELECT * FROM bsig WHERE doc_id % 3 <> 0),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT a.doc_id AS doc, b.doc_id AS other
-        |  FROM bd a JOIN bc b ON a.band = b.band AND a.bs = b.bs
-        |  UNION
-        |  SELECT DISTINCT a.doc_id AS doc, b.doc_id AS other
-        |  FROM bd a JOIN bd b ON a.band = b.band AND a.bs = b.bs
-        |                     AND b.doc_id < a.doc_id),
-        |ag AS MATERIALIZED (
-        |  SELECT c.doc, c.other, COUNT(*) AS agree
-        |  FROM cand c JOIN sig sa ON c.doc = sa.doc_id
-        |              JOIN sig sb ON c.other = sb.doc_id AND sa.i = sb.i
-        |  WHERE sa.mh = sb.mh GROUP BY c.doc, c.other),
-        |hits AS MATERIALIZED (SELECT doc, MIN(other) AS dup_of FROM ag
-        |        WHERE agree * 4 >= 3 * 16 GROUP BY doc),
-        |u AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 3 = 0)
-        |SELECT u.doc_id, hits.dup_of FROM u
-        |LEFT JOIN hits ON u.doc_id = hits.doc
-        |ORDER BY u.doc_id""".stripMargin,
-
-    // the identical shift/mask interleave, generated by Layout.zValueSql
-    // from the same (bits, dims) spec the Spark side uses
-    "q226_zorder" -> {
-      val z = graft.operators.Layout.zValueSql(Seq("x", "y"), 21)
-      s"""WITH c AS (SELECT o_orderkey, o_custkey AS x,
-         |             epoch_us(o_orderdate) // 86400000000 AS y
-         |           FROM orders)
-         |SELECT o_orderkey, CAST($z AS BIGINT) AS zval FROM c
-         |ORDER BY o_orderkey""".stripMargin
-    },
-
-    "q212_skyline3d" -> {
-      val v = CENTS.format("o_totalprice")
-      s"""WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders,
-        |             CAST(SUM($v) AS BIGINT) AS spend_c,
-        |             MAX(epoch_us(o_orderdate) // 86400000000) AS recency_d
-        |           FROM orders GROUP BY o_custkey)
-        |SELECT o_custkey, n_orders, spend_c, recency_d FROM c
-        |WHERE NOT EXISTS (SELECT 1 FROM c c2
-        |                  WHERE c2.n_orders > c.n_orders
-        |                    AND c2.spend_c > c.spend_c
-        |                    AND c2.recency_d > c.recency_d)
-        |ORDER BY o_custkey""".stripMargin
-    },
-
-    "q144_bucketed_join" ->
-      s"""SELECT o.o_orderstatus, COUNT(*) AS n,
-        |       CAST(SUM(${CENTS.format("l.l_extendedprice")}) AS BIGINT) AS sum_p
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
-
-    "q143_orc_roundtrip" ->
-      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
-        |       ${CENTS.format("o_totalprice")} AS price_c
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q142_stream_agg_state" -> {
-      val v = CENTS.format("value")
-      s"""SELECT user_id, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_x,
-        |       MIN(v) AS min_x, MAX(v) AS max_x
-        |FROM (SELECT user_id, $v AS v FROM events
-        |      WHERE event_type = 'click') t
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
-    },
-
-    "q141_agg_state_merge" -> {
-      val v = CENTS.format("o_totalprice")
-      s"""SELECT o_custkey, COUNT(v) AS n, CAST(SUM(v) AS BIGINT) AS sum_x,
-        |       MIN(v) AS min_x, MAX(v) AS max_x
-        |FROM (SELECT o_custkey, $v AS v FROM orders) t
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
-    },
-
-    "q138_frequent_pairs" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
-        |           FROM lineitem),
-        |ic AS (SELECT i, COUNT(*) AS cnt FROM b GROUP BY i),
-        |f AS (SELECT i, cnt FROM ic WHERE cnt >= 2),
-        |fb AS (SELECT b.bk, b.i FROM b JOIN f ON b.i = f.i),
-        |p AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS pair_cnt
-        |      FROM fb x JOIN fb y ON x.bk = y.bk AND x.i < y.i
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b)
-        |SELECT p.item_a, p.item_b, p.pair_cnt,
-        |       fa.cnt AS cnt_a, fbb.cnt AS cnt_b, nb.n_baskets,
-        |       CAST(p.pair_cnt * nb.n_baskets AS BIGINT) AS lift_num,
-        |       CAST(fa.cnt * fbb.cnt AS BIGINT) AS lift_den
-        |FROM p JOIN f fa ON p.item_a = fa.i
-        |       JOIN f fbb ON p.item_b = fbb.i, nb
-        |ORDER BY item_a, item_b""".stripMargin,
-
-    // md5-CMS counter replay: depth row i takes hex chars [4i+1, 4i+4]
-    // as a 16-bit slice, bucket = slice mod 128 (exact — 128 divides
-    // 2^16), counter slot = i*128 + bucket, count per (type, slot)
-    "q228_cms_registers" ->
-      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
-        |           FROM events WHERE user_id IS NOT NULL),
-        |s AS (SELECT event_type,
-        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
-        |          AS slot
-        |      FROM h, UNNEST(range(4)) AS t(i))
-        |SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS c
-        |FROM s GROUP BY event_type, slot
-        |ORDER BY event_type, slot""".stripMargin,
-
-    // the DIRECT weighted global counters — the gate reaches the same
-    // cells via the per-flag stored vectors, which is the cube contract
-    "q229_cms_rollup" ->
-      """WITH h AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS w,
-        |             md5(CAST(l_partkey AS VARCHAR)) AS hx
-        |           FROM lineitem WHERE l_partkey IS NOT NULL),
-        |s AS (SELECT w,
-        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
-        |          AS slot
-        |      FROM h, UNNEST(range(4)) AS t(i))
-        |SELECT slot, CAST(SUM(w) AS BIGINT) AS c
-        |FROM s GROUP BY slot ORDER BY slot""".stripMargin,
-
-    // the BATCH counters of per-user click-value frequencies — the gate
-    // reaches the same cells by folding 3 micro-batches through the
-    // streaming maintainer (counter add is a monoid: any chunking with
-    // exactly-once delivery lands here)
-    "q230_stream_cms" -> {
-      val v = CENTS.format("value")
-      s"""WITH t AS (SELECT user_id, $v AS v FROM events
-        |           WHERE event_type = 'click'),
-        |h AS (SELECT user_id, md5(CAST(v AS VARCHAR)) AS hx
-        |      FROM t WHERE v IS NOT NULL),
-        |s AS (SELECT user_id,
-        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
-        |          AS slot
-        |      FROM h, UNNEST(range(4)) AS t2(i))
-        |SELECT user_id, slot, CAST(COUNT(*) AS BIGINT) AS c
-        |FROM s GROUP BY user_id, slot
-        |ORDER BY user_id, slot""".stripMargin
-    },
-
-    // one-shot CC of the union graph by fixed-round min-label
-    // propagation over the closed neighborhood — exact here because the
-    // fixture's diameter is ≤ 3 by construction (star-of-stars), so 5
-    // rounds are provably past the fixpoint
-    "q231_cc_delta" ->
-      """WITH keys AS (SELECT o_orderkey AS k FROM orders),
-        |e AS MATERIALIZED (
-        |  SELECT k AS a, k - k % 32 AS b FROM keys WHERE k % 32 <> 0),
-        |hubs AS (SELECT DISTINCT b AS h FROM e),
-        |delta AS MATERIALIZED (
-        |  SELECT h AS a, h - h % 1024 AS b FROM hubs WHERE h % 1024 <> 0
-        |  UNION ALL
-        |  SELECT k + 1000000000 AS a, k AS b FROM keys
-        |  WHERE k % 97 = 0 AND k % 32 <> 0),
-        |ae AS MATERIALIZED (
-        |  SELECT a, b FROM e UNION SELECT a, b FROM delta),
-        |nodes AS MATERIALIZED (
-        |  SELECT a AS node FROM ae UNION SELECT b FROM ae),
-        |sym AS MATERIALIZED (
-        |  SELECT a AS u, b AS v FROM ae UNION SELECT b, a FROM ae
-        |  UNION SELECT node, node FROM nodes),
-        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
-        |l1 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u),
-        |l2 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u),
-        |l3 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l2 l ON s.v = l.node GROUP BY s.u),
-        |l4 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l3 l ON s.v = l.node GROUP BY s.u),
-        |l5 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l4 l ON s.v = l.node GROUP BY s.u)
-        |SELECT node AS doc_id, lbl AS cluster FROM l5 ORDER BY doc_id""".stripMargin,
-
-    // the full 3-round integer-exact Lloyd replay (KMEANS_CTES): the
-    // final assignment AND its exact squared distance, cell-for-cell
-    "q232_kmeans" ->
-      s"""WITH ${kmeansCtes("TRUE")}
-        |SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin,
-
-    // kmeans chain + q54's integer-cosine score grid WITHIN the final
-    // clusters: dup_of = min smaller-id clustermate at score >= 0.8e6
-    "q233_semdedup" ->
-      s"""WITH ${kmeansCtes("TRUE")},
-        |ev AS MATERIALIZED (
-        |  SELECT e.vec_id, g.cluster,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings e JOIN a3 g ON e.vec_id = g.vec_id),
-        |pr AS MATERIALIZED (
-        |  SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
-        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
-        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
-        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
-        |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-        |sc AS (SELECT vid_a, vid_b,
-        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
-        |           / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
-        |           AS score
-        |       FROM pr WHERE qn != 0 AND cn != 0),
-        |d AS (SELECT vid_b AS vec_id, MIN(vid_a) AS dup_of FROM sc
-        |      WHERE score >= 800000 GROUP BY vid_b)
-        |SELECT g.vec_id, g.cluster, d.dup_of
-        |FROM a3 g LEFT JOIN d ON g.vec_id = d.vec_id
-        |ORDER BY g.vec_id""".stripMargin,
-
-    // the one-shot CC of the streamed union graph — identical cells to
-    // q231 (the q224/q225 convention: the gate takes the incremental
-    // fold, the oracle the direct path)
-    "q234_stream_cc" ->
-      """WITH keys AS (SELECT o_orderkey AS k FROM orders
-        |              WHERE o_orderkey % 2 = 0),
-        |e AS MATERIALIZED (
-        |  SELECT k AS a, k - k % 32 AS b FROM keys WHERE k % 32 <> 0),
-        |hubs AS (SELECT DISTINCT b AS h FROM e),
-        |delta AS MATERIALIZED (
-        |  SELECT h AS a, h - h % 1024 AS b FROM hubs WHERE h % 1024 <> 0
-        |  UNION ALL
-        |  SELECT k + 1000000000 AS a, k AS b FROM keys
-        |  WHERE k % 97 = 0 AND k % 32 <> 0),
-        |ae AS MATERIALIZED (
-        |  SELECT a, b FROM e UNION SELECT a, b FROM delta),
-        |nodes AS MATERIALIZED (
-        |  SELECT a AS node FROM ae UNION SELECT b FROM ae),
-        |sym AS MATERIALIZED (
-        |  SELECT a AS u, b AS v FROM ae UNION SELECT b, a FROM ae
-        |  UNION SELECT node, node FROM nodes),
-        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
-        |l1 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY s.u),
-        |l2 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY s.u),
-        |l3 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l2 l ON s.v = l.node GROUP BY s.u),
-        |l4 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l3 l ON s.v = l.node GROUP BY s.u),
-        |l5 AS MATERIALIZED (SELECT s.u AS node, MIN(l.lbl) AS lbl
-        |  FROM sym s JOIN l4 l ON s.v = l.node GROUP BY s.u)
-        |SELECT node AS doc_id, lbl AS cluster FROM l5 ORDER BY doc_id""".stripMargin,
-
-    // training rounds replayed on the train subset (pred), then the
-    // held-out vectors scored against the final centroid model c2
-    "q235_kmeans_assign" ->
-      s"""WITH ${kmeansCtes("vec_id % 3 <> 0")},
-        |hp AS MATERIALIZED (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-        |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
-        |           AS BIGINT) AS x
-        |  FROM embeddings WHERE vec_id % 3 = 0),
-        |ap AS MATERIALIZED (
-        |  SELECT h.vec_id, c.cluster,
-        |         CAST(SUM((h.x*1024 - c.r)*(h.x*1024 - c.r)) AS BIGINT) AS d2
-        |  FROM hp h JOIN c2 c ON h.dim = c.dim GROUP BY h.vec_id, c.cluster)
-        |SELECT vec_id, cluster, d2 FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY d2, cluster) AS rn FROM ap) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
-
-    // training replay (train subset) -> both assignments (a3 = corpus,
-    // ad = delta vs c2) -> q54 cosine grid: delta×corpus + delta×earlier-
-    // delta within clusters, MIN matching id
-    "q236_semdedup_delta" ->
-      s"""WITH ${kmeansCtes("vec_id % 3 <> 0")},
-        |hp AS MATERIALIZED (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-        |         CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000)
-        |           AS BIGINT) AS x
-        |  FROM embeddings WHERE vec_id % 3 = 0),
-        |adp AS MATERIALIZED (
-        |  SELECT h.vec_id, c.cluster,
-        |         CAST(SUM((h.x*1024 - c.r)*(h.x*1024 - c.r)) AS BIGINT) AS d2
-        |  FROM hp h JOIN c2 c ON h.dim = c.dim GROUP BY h.vec_id, c.cluster),
-        |ad AS MATERIALIZED (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY d2, cluster) AS rn FROM adp) WHERE rn = 1),
-        |dv AS MATERIALIZED (
-        |  SELECT e.vec_id, g.cluster,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings e JOIN ad g ON e.vec_id = g.vec_id),
-        |cv AS MATERIALIZED (
-        |  SELECT e.vec_id, g.cluster,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings e JOIN a3 g ON e.vec_id = g.vec_id),
-        |pr AS MATERIALIZED (
-        |  SELECT a.vec_id AS id, b.vec_id AS other,
-        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT) AS dot,
-        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT) AS qn,
-        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT) AS cn
-        |  FROM dv a JOIN cv b ON a.cluster = b.cluster
-        |  UNION ALL
-        |  SELECT a.vec_id, b.vec_id,
-        |    CAST(list_dot_product(a.vd, b.vd) AS BIGINT),
-        |    CAST(list_dot_product(a.vd, a.vd) AS BIGINT),
-        |    CAST(list_dot_product(b.vd, b.vd) AS BIGINT)
-        |  FROM dv a JOIN dv b ON a.cluster = b.cluster
-        |                     AND b.vec_id < a.vec_id),
-        |sc AS (SELECT id, other,
-        |         CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
-        |           / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
-        |           AS score
-        |       FROM pr WHERE qn != 0 AND cn != 0),
-        |d AS (SELECT id, MIN(other) AS dup_of FROM sc
-        |      WHERE score >= 800000 GROUP BY id)
-        |SELECT g.vec_id, g.cluster, d.dup_of
-        |FROM ad g LEFT JOIN d ON g.vec_id = d.id
-        |ORDER BY g.vec_id""".stripMargin,
-
-    // q228's register replay + the estimate READ: min over the 4 cells
-    // each probe hashes to (absent cells read 0) per event type
-    "q237_cms_estimate" ->
-      """WITH ev AS (SELECT event_type, user_id FROM events
-        |            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-        |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
-        |s AS (SELECT event_type,
-        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
-        |          AS slot
-        |      FROM h, UNNEST(range(4)) AS t(i)),
-        |reg AS MATERIALIZED (
-        |  SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM s GROUP BY event_type, slot),
-        |pr AS (SELECT DISTINCT user_id AS p FROM ev
-        |       WHERE user_id % 50 = 0),
-        |ps AS MATERIALIZED (
-        |  SELECT p, i * 128 + (('0x' || substr(md5(CAST(p AS VARCHAR)),
-        |           4*i + 1, 4))::BIGINT % 128) AS slot
-        |  FROM pr, UNNEST(range(4)) AS t(i)),
-        |tt AS (SELECT DISTINCT event_type FROM ev)
-        |SELECT t.event_type, ps.p, MIN(COALESCE(r.c, 0)) AS est
-        |FROM tt t CROSS JOIN ps
-        |LEFT JOIN reg r ON r.event_type = t.event_type AND r.slot = ps.slot
-        |GROUP BY t.event_type, ps.p
-        |ORDER BY t.event_type, ps.p""".stripMargin,
-
-    // fold-in == one-shot is the operator's law, so the oracle replays
-    // the ONE-SHOT side: q89's md5-seeded centroid sample restricted to
-    // the corpus two-thirds, then every vector (corpus + delta) assigned
-    // to those fixed centroids by max integer cosine (ties to the
-    // smallest cell)
-    "q238_ivf_delta" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5),
-        |cand AS (SELECT vec_id, vd,
-        |           CAST(list_dot_product(vd, vd) AS BIGINT) AS n2 FROM e),
-        |cseed AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
-        |          FROM (SELECT vec_id, vd FROM cand WHERE vec_id % 3 != 0
-        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
-        |cents AS (SELECT cell, vd AS cv,
-        |            CAST(list_dot_product(vd, vd) AS BIGINT) AS cn FROM cseed)
-        |SELECT vec_id, cell FROM (
-        |  SELECT c.vec_id, ct.cell,
-        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |      CASE WHEN c.n2 = 0 OR ct.cn = 0 THEN NULL
-        |      ELSE CAST(FLOOR(1000000.0 * CAST(CAST(list_dot_product(c.vd, ct.cv) AS BIGINT) AS DOUBLE)
-        |           / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ct.cn AS DOUBLE))) AS BIGINT) END
-        |      DESC NULLS LAST, ct.cell) AS rn
-        |  FROM cand c, cents ct) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
-
-    // q84's seed-codebook replay restricted to the corpus two-thirds,
-    // then EVERY vector's per-subspace argmin (2·sv·cv − cn maximized,
-    // ties to the smallest code) — the one-shot encode the delta fold
-    // must land on
-    "q239_pq_delta" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
-        |      x -> CAST(x AS DOUBLE)) AS vd
-        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5),
-        |seeds AS (SELECT vd, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-        |          FROM e WHERE vec_id % 3 != 0 ORDER BY vec_id LIMIT 16),
-        |cbn AS (SELECT t.sub, code, vd[(t.sub*8+1):(t.sub*8+8)] AS cv,
-        |          CAST(list_dot_product(vd[(t.sub*8+1):(t.sub*8+8)],
-        |                                vd[(t.sub*8+1):(t.sub*8+8)]) AS BIGINT) AS cn
-        |        FROM seeds, UNNEST(range(0, 8)) AS t(sub)),
-        |cs AS (SELECT vec_id, t.sub, vd[(t.sub*8+1):(t.sub*8+8)] AS sv
-        |       FROM e, UNNEST(range(0, 8)) AS t(sub))
-        |SELECT vec_id, sub, code FROM (
-        |  SELECT cs.vec_id, cs.sub, cbn.code,
-        |    row_number() OVER (PARTITION BY cs.vec_id, cs.sub
-        |      ORDER BY CAST(2 * list_dot_product(cs.sv, cbn.cv) AS BIGINT) - cbn.cn DESC,
-        |               cbn.code) AS arn
-        |  FROM cs JOIN cbn USING (sub)) WHERE arn = 1
-        |ORDER BY vec_id, sub""".stripMargin,
-  )
+  /** One entry per implemented operator — assembled from the by-family
+    * registry shards (Gates1..Gates6, split r15: the oracle SQL
+    * lives beside its gate, files stay reviewable). Keys are unique by
+    * the shards' construction (spec-gated). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = (
+    Gates1.queries ++
+    Gates2.queries ++
+    Gates3.queries ++
+    Gates4.queries ++
+    Gates5.queries ++
+    Gates6.queries
+  ).toMap
+
+  /** DuckDB-equivalent SQL per gate (same shards). */
+  def oracleSql: Map[String, String] = (
+    Gates1.oracles ++
+    Gates2.oracles ++
+    Gates3.oracles ++
+    Gates4.oracles ++
+    Gates5.oracles ++
+    Gates6.oracles
+  ).toMap
 }
