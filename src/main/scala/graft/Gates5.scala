@@ -475,11 +475,12 @@ private[graft] object Gates5 {
         .select(col("event_id").as("eventId"), col("user_id").as("userId"),
           EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
         .as[graft.streaming.EventStreaming.Event]
-      val snap = graft.streaming.EventStreaming.distinctReplay(evts, nChunks = 3)
-      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
-        .filter(col("col") > 0L)
-        .select(col("user_id"), col("pos").cast(LongType).as("bucket"),
-          col("col").as("r"))
+      // the registers read: the maintainer's sparse state IS the gate's
+      // output shape — no dense materialization only to re-sparsify (r15)
+      graft.streaming.EventStreaming.distinctReplay(evts, nChunks = 3,
+          registers = true)
+        .select(col("userId").as("user_id"),
+          col("slot").as("bucket"), col("r"))
         .orderBy("user_id", "bucket")
     }),
 

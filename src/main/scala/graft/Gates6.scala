@@ -51,11 +51,12 @@ private[graft] object Gates6 {
         .select(col("event_id").as("eventId"), col("user_id").as("userId"),
           EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
         .as[graft.streaming.EventStreaming.Event]
-      val snap = graft.streaming.EventStreaming.cmsReplay(evts, nChunks = 3)
-      snap.select(col("userId").as("user_id"), posexplode(col("sketch")))
-        .filter(col("col") > 0L)
-        .select(col("user_id"), col("pos").cast(LongType).as("slot"),
-          col("col").as("c"))
+      // the registers read: the maintainer's sparse state IS the gate's
+      // output shape — no O(keys · depth·width) dense materialization
+      // only to re-sparsify (r15)
+      graft.streaming.EventStreaming.cmsReplay(evts, nChunks = 3,
+          registers = true)
+        .select(col("userId").as("user_id"), col("slot"), col("c"))
         .orderBy("user_id", "slot")
     }),
 

@@ -128,6 +128,33 @@ object CountMinSketch {
     assemble(sparse, groupCols, "__cm_s", "__cm_c", total, out)
   }
 
+  /** The SPARSE stage of [[sketch]] exposed (groupCols..., slot, c —
+    * non-hit counters absent): the storage/transport form the streaming
+    * maintainer keeps its segments in, O(rows-with-hits) instead of
+    * O(keys · depth·width) dense arrays; [[assembleSparse]] densifies.
+    * Same counters, same monoid (slot-wise ADD on the sparse rows). */
+  private[graft] def sketchSparse(df: DataFrame, groupCols: Seq[String],
+                                  valueCol: String, depth: Int,
+                                  width: Int): DataFrame = {
+    slots(depth, width)
+    val hitSlots = array((0 until depth).map(i =>
+      lit(i.toLong * width) + bucket(col(valueCol), i, width)): _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ explode(hitSlots).as("slot"): _*)
+      .groupBy((groupCols :+ "slot").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Densifies a sparse (groupCols..., slot, c) frame back to the
+    * [[sketch]] output shape — shared across the sketch families (their
+    * dense layouts all coalesce absent slots to 0). */
+  private[graft] def assembleSparse(sparse: DataFrame, groupCols: Seq[String],
+                                    slotCol: String, cntCol: String,
+                                    total: Int, out: String): DataFrame =
+    assemble(sparse.select(groupCols.map(col) ++ Seq(
+        col(slotCol).cast(LongType).as(slotCol), col(cntCol)): _*),
+      groupCols, slotCol, cntCol, total, out)
+
   /** Dense-vector assembly from sparse (groupCols..., slotCol, cntCol)
     * rows: one bounded collect_list (≤ depth·width entries per group)
     * into a lookup map, read out in slot order. A GLOBAL sketch of an

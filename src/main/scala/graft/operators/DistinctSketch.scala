@@ -105,6 +105,24 @@ object DistinctSketch {
     * itself is a no-op (distinct semantics). */
   def merge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => greatest(x, y))
 
+  /** The SPARSE form of [[sketch]] (groupCols..., slot = register index,
+    * r = register value — never-hit registers absent): the streaming
+    * maintainer's segment form, O(hit registers) rows instead of
+    * O(keys · m) dense arrays. Same bucket/rho arithmetic; the monoid on
+    * sparse rows is slot-wise MAX (idempotent, like the dense merge);
+    * [[graft.operators.CountMinSketch.assembleSparse]] densifies
+    * (absent registers read 0). */
+  private[graft] def sketchSparse(df: DataFrame, groupCols: Seq[String],
+                                  valueCol: String,
+                                  hexChars: Int = 2): DataFrame = {
+    m(hexChars)
+    val (bucket, rho) = bucketRho(col(valueCol), hexChars)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(bucket.as("slot"), rho.as("r")): _*)
+      .groupBy((groupCols :+ "slot").map(col): _*)
+      .agg(max("r").as("r"))
+  }
+
   /** Re-aggregates a stored sketch column to coarser `groupCols` cells
     * (global when empty): the cube rollup, touching only the register
     * vectors — never the raw rows. */

@@ -106,6 +106,26 @@ object QuantileSketch {
     * the ⊕ of the cube contract. */
   def merge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
+  /** The SPARSE form of [[sketch]] (groupCols..., slot, c — zero-count
+    * bins absent): the storage/transport form the streaming maintainer
+    * keeps its segments in — O(occupied bins) rows instead of
+    * O(keys · (bins+2)) dense arrays. Identical slot arithmetic and
+    * counts; [[graft.operators.CountMinSketch.assembleSparse]]
+    * densifies back to the [[sketch]] shape (absent slots read 0). */
+  private[graft] def sketchSparse(df: DataFrame, groupCols: Seq[String],
+                                  valueCol: String, lo: Long, hi: Long,
+                                  bins: Int): DataFrame = {
+    val w = width(lo, hi, bins)
+    require(df.schema(valueCol).dataType == LongType, s"$valueCol must be BIGINT")
+    val slot = when(col(valueCol) < lo, 0)
+      .when(col(valueCol) >= hi, bins + 1)
+      .otherwise(expr(s"(`$valueCol` - ${lo}L) div ${w}L").cast(IntegerType) + 1)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ slot.as("slot"): _*)
+      .groupBy((groupCols :+ "slot").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Re-aggregates a stored sketch column to coarser `groupCols` cells
     * (global when empty): the cube rollup, touching only the sketch
     * vectors — never the raw rows. */

@@ -252,7 +252,7 @@ object EventStreaming {
     * released (the applyChangelogs/PageRank loop discipline), so plan
     * size and pinned blocks stay bounded at any batch count. */
   private final class SegmentedState(key: String, buckets: Int,
-                                     merge2: (DataFrame, DataFrame) => DataFrame,
+                                     foldN: Seq[DataFrame] => DataFrame,
                                      maxPending: Int = 8) {
     require(buckets >= 0 && buckets <= 4096,
       s"buckets must be 0 (auto) or in [1, 4096], got $buckets")
@@ -271,18 +271,21 @@ object EventStreaming {
     private var any = false
 
     private def bkCol = pmod(xxhash64(col(key)), lit(b.toLong)).cast("int")
-    private def baseView: Option[DataFrame] = shards.toSeq
+    private def baseViews: Seq[DataFrame] = shards.toSeq
       .filter(_.live.nonEmpty)
       .map(s => (if (s.live.size == b) s.frame
         else s.frame.filter(col("__bk").isin(s.live.toSeq: _*))).drop("__bk"))
-      .reduceOption(_ unionByName _)
 
-    /** The complete snapshot (None before the first batch): the base
-      * union (bucket sets are disjoint — no join) monoid-folded with the
-      * pending segments. */
+    /** The complete state (None before the first batch): the base union
+      * needs no fold (bucket sets are disjoint and each shard is already
+      * folded); pending segments fold in lazily via `foldN`. */
     def current: Option[DataFrame] =
       if (!any) None
-      else (baseView ++ pendings).reduceOption(merge2).orElse(schemaFrame)
+      else {
+        val base = baseViews
+        if (pendings.isEmpty) base.reduceOption(_ unionByName _).orElse(schemaFrame)
+        else Some(foldN(base ++ pendings))
+      }
 
     /** Folds one batch-state frame (keyed on `key`) in: checkpoint it as
       * a pending segment — O(batch), the snapshot is not touched. */
@@ -298,33 +301,27 @@ object EventStreaming {
       if (pendings.size >= maxPending) compact()
     }
 
-    /** Folds the pending segments into the base: one chained-merge job
-      * over the pendings, one merge against ONLY the touched slices. */
+    /** Folds the pending segments into the base: one narrow job finds
+      * the touched buckets, ONE foldN job merges the pendings with just
+      * those slices of the base. */
     private def compact(): Unit = {
       if (pendings.isEmpty) return
-      val foldedB = graft.operators.Checkpoints.checkpoint(
-        pendings.reduce(merge2).withColumn("__bk", bkCol))
-      pendings.foreach(graft.operators.Checkpoints.release)
-      pendings.clear()
-      val touched = foldedB.select("__bk").distinct().collect()
-        .map(_.getInt(0)).toSet
+      val touched = pendings.map(p => p.select(bkCol.as("__bk")))
+        .reduce(_ union _).distinct().collect().map(_.getInt(0)).toSet
       if (touched.isEmpty) { // all-empty pendings: nothing to fold
-        graft.operators.Checkpoints.release(foldedB)
+        pendings.foreach(graft.operators.Checkpoints.release)
+        pendings.clear()
         return
       }
       val prev = shards.toSeq.flatMap { s =>
         val hit = s.live.toSet.intersect(touched)
         if (hit.isEmpty) None
         else Some(s.frame.filter(col("__bk").isin(hit.toSeq: _*)).drop("__bk"))
-      }.reduceOption(_ unionByName _)
-      val merged = prev match {
-        case Some(p) =>
-          val m = graft.operators.Checkpoints.checkpoint(
-            merge2(p, foldedB.drop("__bk")).withColumn("__bk", bkCol))
-          graft.operators.Checkpoints.release(foldedB)
-          m
-        case None => foldedB
       }
+      val merged = graft.operators.Checkpoints.checkpoint(
+        foldN(prev ++ pendings).withColumn("__bk", bkCol))
+      pendings.foreach(graft.operators.Checkpoints.release)
+      pendings.clear()
       val rows = merged.count() // cheap: counts the just-materialized blocks
       shards.foreach(_.live --= touched)
       shards.filterInPlace { s =>
@@ -350,8 +347,10 @@ object EventStreaming {
           t
         }
       if (targetB > b || targetB * 4 <= b || shards.size > 12) {
+        // snapshot the base views BEFORE switching b: the views' bucket
+        // filters (and the live.size == b shortcut) are in OLD-b space
+        val all = baseViews.reduceOption(_ unionByName _)
         b = targetB
-        val all = baseView
         all.foreach { view =>
           val merged = graft.operators.Checkpoints.checkpoint(
             view.withColumn("__bk", bkCol))
@@ -388,8 +387,13 @@ object EventStreaming {
     * `buckets = 0` (default) auto-sizes the slice count from the
     * observed key count — the [[SegmentedState]] contract. */
   final class AggStateMaintainer(key: String, x: String, buckets: Int = 0) {
-    private val state = new SegmentedState(key, buckets,
-      (prev, st) => graft.operators.TableOps.mergeAggStates(prev, st, key))
+    // n-ary fold == chained mergeAggStates (sum skips NULLs and returns
+    // NULL only when every input is NULL — exactly the pairwise
+    // both-NULL rule; replay-spec-pinned against the direct aggState)
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _).groupBy(col(key))
+        .agg(sum("n").as("n"), sum("sum_x").as("sum_x"),
+          min("min_x").as("min_x"), max("max_x").as("max_x")))
 
     /** The current complete snapshot (None before the first batch). */
     def current: Option[DataFrame] = synchronized(state.current)
@@ -435,24 +439,23 @@ object EventStreaming {
   final class SketchStateMaintainer(key: String, x: String,
                                     lo: Long, hi: Long, bins: Int,
                                     buckets: Int = 0) {
-    private val zero = array_repeat(lit(0L),
-      graft.operators.QuantileSketch.slots(bins))
-    private val state = new SegmentedState(key, buckets, (prev, st) =>
-      prev.select(col(key), col("sketch").as("__sk_a"))
-        .join(st.select(col(key), col("sketch").as("__sk_b")),
-          Seq(key), "full_outer")
-        .select(col(key), graft.operators.QuantileSketch.merge(
-          coalesce(col("__sk_a"), zero),
-          coalesce(col("__sk_b"), zero)).as("sketch")))
+    // segments live in the SPARSE (key, slot, c) form — O(occupied bins)
+    // rows per batch, never O(keys · bins) dense arrays; the fold is the
+    // slot-wise SUM, densified only at reads
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _)
+        .groupBy(col(key), col("slot")).agg(sum("c").as("c")))
 
     /** The current complete snapshot (None before the first batch):
-      * (key, sketch ARRAY<BIGINT> of length bins+2) — the union of the
-      * populated key-hash slices. */
-    def current: Option[DataFrame] = synchronized(state.current)
+      * (key, sketch ARRAY<BIGINT> of length bins+2), densified from the
+      * sparse state (absent slots read 0). */
+    def current: Option[DataFrame] = synchronized(state.current.map(sp =>
+      graft.operators.CountMinSketch.assembleSparse(sp, Seq(key), "slot",
+        "c", graft.operators.QuantileSketch.slots(bins), "sketch")))
 
     /** Folds one bounded batch into the snapshot. */
     def absorb(batch: DataFrame): Unit = synchronized {
-      state.absorb(graft.operators.QuantileSketch.sketch(
+      state.absorb(graft.operators.QuantileSketch.sketchSparse(
         batch, Seq(key), x, lo, hi, bins))
     }
 
@@ -480,23 +483,28 @@ object EventStreaming {
     * option, same bounded plan/memory discipline. */
   final class DistinctStateMaintainer(key: String, v: String,
                                       hexChars: Int = 2, buckets: Int = 0) {
-    private val zero = array_repeat(lit(0L),
-      graft.operators.DistinctSketch.m(hexChars))
-    private val state = new SegmentedState(key, buckets, (prev, st) =>
-      prev.select(col(key), col("sketch").as("__sk_a"))
-        .join(st.select(col(key), col("sketch").as("__sk_b")),
-          Seq(key), "full_outer")
-        .select(col(key), graft.operators.DistinctSketch.merge(
-          coalesce(col("__sk_a"), zero),
-          coalesce(col("__sk_b"), zero)).as("sketch")))
+    // sparse (key, slot = register, r) segments; fold = slot-wise MAX
+    // (idempotent — re-delivery is absorbed in the sparse form too)
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _)
+        .groupBy(col(key), col("slot")).agg(max("r").as("r")))
 
     /** The current complete snapshot (None before the first batch):
-      * (key, sketch ARRAY<BIGINT> of length 16^hexChars). */
-    def current: Option[DataFrame] = synchronized(state.current)
+      * (key, sketch ARRAY<BIGINT> of length 16^hexChars), densified from
+      * the sparse registers (never-hit registers read 0). */
+    def current: Option[DataFrame] = synchronized(state.current.map(sp =>
+      graft.operators.CountMinSketch.assembleSparse(sp, Seq(key), "slot",
+        "r", graft.operators.DistinctSketch.m(hexChars), "sketch")))
+
+    /** The sparse-register read — [[current]]'s information WITHOUT the
+      * dense densify: (key, slot = register index, r), hit registers
+      * only. The cheap read at high key cardinality (the registers form
+      * is also what the oracle gates pin). */
+    def currentRegisters: Option[DataFrame] = synchronized(state.current)
 
     /** Folds one bounded batch into the snapshot. */
     def absorb(batch: DataFrame): Unit = synchronized {
-      state.absorb(graft.operators.DistinctSketch.sketch(
+      state.absorb(graft.operators.DistinctSketch.sketchSparse(
         batch, Seq(key), v, hexChars))
     }
 
@@ -527,23 +535,29 @@ object EventStreaming {
   final class CmsStateMaintainer(key: String, v: String,
                                  depth: Int = 4, width: Int = 128,
                                  buckets: Int = 0) {
-    private val zero = array_repeat(lit(0L),
-      graft.operators.CountMinSketch.slots(depth, width))
-    private val state = new SegmentedState(key, buckets, (prev, st) =>
-      prev.select(col(key), col("sketch").as("__sk_a"))
-        .join(st.select(col(key), col("sketch").as("__sk_b")),
-          Seq(key), "full_outer")
-        .select(col(key), graft.operators.CountMinSketch.merge(
-          coalesce(col("__sk_a"), zero),
-          coalesce(col("__sk_b"), zero)).as("sketch")))
+    // sparse (key, slot, c) segments — the r14 sparse-CMS lesson carried
+    // into the state store: a batch segment is O(hit counters) rows, not
+    // O(keys · depth·width) dense arrays; fold = slot-wise ADD
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _)
+        .groupBy(col(key), col("slot")).agg(sum("c").as("c")))
 
     /** The current complete snapshot (None before the first batch):
-      * (key, sketch ARRAY<BIGINT> of length depth·width). */
-    def current: Option[DataFrame] = synchronized(state.current)
+      * (key, sketch ARRAY<BIGINT> of length depth·width), densified from
+      * the sparse counters (absent counters read 0). */
+    def current: Option[DataFrame] = synchronized(state.current.map(sp =>
+      graft.operators.CountMinSketch.assembleSparse(sp, Seq(key), "slot",
+        "c", graft.operators.CountMinSketch.slots(depth, width), "sketch")))
+
+    /** The sparse-register read — [[current]]'s information WITHOUT the
+      * dense densify: (key, slot, c), hit counters only. The cheap read
+      * at high key cardinality (the registers form is also what the
+      * oracle gates pin). */
+    def currentRegisters: Option[DataFrame] = synchronized(state.current)
 
     /** Folds one bounded batch into the snapshot. */
     def absorb(batch: DataFrame): Unit = synchronized {
-      state.absorb(graft.operators.CountMinSketch.sketch(
+      state.absorb(graft.operators.CountMinSketch.sketchSparse(
         batch, Seq(key), v, depth, width))
     }
 
@@ -596,7 +610,8 @@ object EventStreaming {
     * must equal the direct per-key sketch. Same bounded-replay caveat as
     * [[sessionizeReplay]]. */
   def distinctReplay(events: Dataset[Event], nChunks: Int,
-                     hexChars: Int = 2, buckets: Int = 0): DataFrame = {
+                     hexChars: Int = 2, buckets: Int = 0,
+                     registers: Boolean = false): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val spark = events.sparkSession
     import spark.implicits._
@@ -604,10 +619,14 @@ object EventStreaming {
       df.withColumn("day", expr("tsUs div 86400000000"))
     val rows = events.collect().toSeq
     val m = new DistinctStateMaintainer("userId", "day", hexChars, buckets)
-    if (rows.isEmpty)
-      return graft.operators.DistinctSketch.sketch(
-        withDay(spark.emptyDataset[Event].toDF()), Seq("userId"), "day",
+    if (rows.isEmpty) {
+      val empty = withDay(spark.emptyDataset[Event].toDF())
+      return if (registers)
+        graft.operators.DistinctSketch.sketchSparse(empty, Seq("userId"),
+          "day", hexChars)
+      else graft.operators.DistinctSketch.sketch(empty, Seq("userId"), "day",
         hexChars)
+    }
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val q = m.sink(withDay(stream.toDS().toDF())).start()
@@ -618,7 +637,11 @@ object EventStreaming {
         q.processAllAvailable()
       }
     } finally q.stop()
-    m.current.get.orderBy("userId")
+    // registers = the sparse read: the same information as the dense
+    // snapshot without materializing O(keys · m) arrays the caller (and
+    // the oracle gate) would only re-sparsify
+    if (registers) m.currentRegisters.get.orderBy("userId", "slot")
+    else m.current.get.orderBy("userId")
   }
 
   /** Replays a bounded event slice through a [[CmsStateMaintainer]] in
@@ -631,17 +654,21 @@ object EventStreaming {
     * Same bounded-replay caveat as [[sessionizeReplay]]. */
   def cmsReplay(events: Dataset[Event], nChunks: Int,
                 depth: Int = 4, width: Int = 128,
-                buckets: Int = 0): DataFrame = {
+                buckets: Int = 0, registers: Boolean = false): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val spark = events.sparkSession
     import spark.implicits._
     val keyCol = "userId"
     val rows = events.collect().toSeq
     val m = new CmsStateMaintainer(keyCol, "valueCents", depth, width, buckets)
-    if (rows.isEmpty)
-      return graft.operators.CountMinSketch.sketch(
-        spark.emptyDataset[Event].toDF(), Seq(keyCol), "valueCents",
-        depth, width)
+    if (rows.isEmpty) {
+      val empty = spark.emptyDataset[Event].toDF()
+      return if (registers)
+        graft.operators.CountMinSketch.sketchSparse(empty, Seq(keyCol),
+          "valueCents", depth, width)
+      else graft.operators.CountMinSketch.sketch(empty, Seq(keyCol),
+        "valueCents", depth, width)
+    }
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val q = m.sink(stream.toDS().toDF()).start()
@@ -652,7 +679,9 @@ object EventStreaming {
         q.processAllAvailable()
       }
     } finally q.stop()
-    m.current.get.orderBy(keyCol)
+    // registers = the sparse read (see distinctReplay) — O(hit counters)
+    if (registers) m.currentRegisters.get.orderBy(keyCol, "slot")
+    else m.current.get.orderBy(keyCol)
   }
 
   /** An undirected edge for graph-stream replays. */
