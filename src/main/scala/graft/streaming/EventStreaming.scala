@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -703,28 +703,114 @@ object EventStreaming {
     * standing-corpus use: near-dup candidate edges stream in from
     * [[graft.text.Dedup.dedupDelta]]-style delta dedup, and the cluster
     * assignment every downstream query joins against stays current. */
-  final class CcStateMaintainer {
-    @volatile private var snapOpt: Option[DataFrame] = None
+  final class CcStateMaintainer(maxPending: Int = 8) {
+    require(maxPending >= 1 && maxPending <= 64,
+      s"maxPending must be in [1, 64], got $maxPending")
+    // DEFERRED RELABELS (r15, the segmented-store discipline applied to
+    // CC): the base label table is NOT rewritten per batch. A batch
+    // contributes (a) a quotient relabel map COMPOSED into the running
+    // map (old base cluster → current component min, ≤ 2·Σ|ΔE| rows —
+    // broadcast-sized) and (b) the batch's new nodes, labeled in current
+    // space. [[current]] is base ⟕ broadcast(map) ∪ newNodes — one
+    // map-side pass, constant plan depth; compaction every `maxPending`
+    // batches applies the map once and resets it. Per-batch cost: one
+    // READ-ONLY map-side scan of the label view to lift the batch's
+    // endpoints + O(|ΔE|) quotient CC — the O(nodes) rewrite the r14
+    // form paid per batch now happens once per maxPending batches.
+    private var base: Option[DataFrame] = None     // (doc_id, cluster)
+    private var relmap: Option[DataFrame] = None   // (__from, __to), composed
+    private var pendingNodes: Option[DataFrame] = None // (doc_id, cluster), current space
+    private var nPending = 0
 
     /** The current complete label snapshot (None before the first
       * batch): (doc_id, cluster), cluster = component min. */
-    def current: Option[DataFrame] = snapOpt
+    def current: Option[DataFrame] = synchronized(currentView)
+
+    private def currentView: Option[DataFrame] = base.map { b =>
+      val lifted = relmap match {
+        case Some(m) => b.join(broadcast(m), b("cluster") === col("__from"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("__to"), col("cluster")).as("cluster"))
+        case None => b
+      }
+      pendingNodes.fold(lifted)(pn => lifted.unionByName(pn))
+    }
 
     /** Folds one bounded edge batch (doc_a, doc_b) into the snapshot. */
     def absorb(edges: DataFrame): Unit = synchronized {
-      val next = snapOpt match {
+      val e = graft.text.Dedup.guardEdges(edges)
+      base match {
         case None =>
-          val nodes = edges.select(col("doc_a").as("doc_id"))
-            .union(edges.select(col("doc_b").as("doc_id"))).distinct()
-          graft.operators.Checkpoints.checkpoint(
-            graft.text.Dedup.clustersStars(nodes, edges))
-        case Some(prev) =>
-          val merged = graft.operators.Checkpoints.checkpoint(
-            graft.text.Dedup.ccDelta(prev, edges))
-          graft.operators.Checkpoints.release(prev)
-          merged
+          val nodes = e.select(col("doc_a").as("doc_id"))
+            .union(e.select(col("doc_b").as("doc_id"))).distinct()
+          base = Some(graft.operators.Checkpoints.checkpoint(
+            graft.text.Dedup.clustersStars(nodes, e)))
+        case Some(_) =>
+          val cur = currentView.get
+          val ends = e.select(col("doc_a").as("n"))
+            .union(e.select(col("doc_b").as("n"))).distinct()
+          // lift endpoints through the CURRENT view (read-only pass over
+          // the base; never-seen nodes lift to themselves) — checkpointed:
+          // it feeds the iterative quotient CC
+          val resolved = graft.operators.Checkpoints.checkpoint(
+            ends.join(cur, ends("n") === cur("doc_id"), "left")
+              .select(col("n"), coalesce(col("cluster"), col("n")).as("lbl"),
+                cur("doc_id").isNotNull.as("__known")))
+          val r = graft.operators.Checkpoints.checkpoint(
+            graft.text.Dedup.quotientRelabel(
+              resolved.select(col("n"), col("lbl")), e))
+          def thruR(c: Column): Column = coalesce(col("__to"), c)
+          // compose the running map through r: existing entries map their
+          // TO side; base clusters first touched by THIS batch (r entries
+          // whose from is not already a mapped-away base cluster) append
+          val m2 = relmap match {
+            case Some(m) =>
+              m.join(broadcast(r), m("__to") === r("__from"), "left")
+                .select(m("__from"),
+                  coalesce(r("__to"), m("__to")).as("__to"))
+                .unionByName(
+                  r.join(m.select(col("__from")), Seq("__from"), "left_anti"))
+            case None => r
+          }
+          val m2cp = graft.operators.Checkpoints.checkpoint(
+            m2.filter(col("__from") =!= col("__to")))
+          relmap.foreach(graft.operators.Checkpoints.release)
+          relmap = Some(m2cp)
+          // new nodes enter labeled in current space; existing pending
+          // nodes relabel through r (both broadcast-small)
+          val fresh = resolved.filter(!col("__known"))
+            .join(broadcast(r), resolved("n") === r("__from"), "left")
+            .select(col("n").as("doc_id"), thruR(col("n")).as("cluster"))
+          val pn2 = pendingNodes match {
+            case Some(pn) =>
+              pn.join(broadcast(r), pn("cluster") === r("__from"), "left")
+                .select(pn("doc_id"), thruR(pn("cluster")).as("cluster"))
+                .unionByName(fresh)
+            case None => fresh
+          }
+          val pn2cp = graft.operators.Checkpoints.checkpoint(pn2)
+          pendingNodes.foreach(graft.operators.Checkpoints.release)
+          pendingNodes = Some(pn2cp)
+          graft.operators.Checkpoints.release(resolved)
+          graft.operators.Checkpoints.release(r)
+          nPending += 1
+          if (nPending >= maxPending) compact()
       }
-      snapOpt = Some(next)
+    }
+
+    /** Applies the composed relabel map to the base once and resets the
+      * deferred state — the single O(nodes) rewrite per maxPending
+      * batches. */
+    private def compact(): Unit = {
+      val next = graft.operators.Checkpoints.checkpoint(currentView.get)
+      base.foreach(graft.operators.Checkpoints.release)
+      relmap.foreach(graft.operators.Checkpoints.release)
+      pendingNodes.foreach(graft.operators.Checkpoints.release)
+      base = Some(next)
+      relmap = None
+      pendingNodes = None
+      nPending = 0
     }
 
     /** foreachBatch writer folding every micro-batch of `stream` into

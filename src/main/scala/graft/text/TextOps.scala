@@ -1085,14 +1085,8 @@ object Dedup {
             col("__c").cast("string"), col("doc_id").cast("string"))))
           .otherwise(col("__c")).as("cluster"))
     // NULL endpoints RAISE (the same loud-guard stance as the duplicate-
-    // id and min-convention checks above): a NULL join key would never
-    // match the lift below, silently VANISHING the edge instead of
-    // connecting anything
-    def endpoint(c: String) = when(col(c).isNull, raise_error(lit(
-        s"ccDelta: NULL $c endpoint in newEdges — edges must name two " +
-          "non-NULL nodes"))).otherwise(col(c))
-    val edges = newEdges.select(endpoint("doc_a").as("doc_a"),
-      endpoint("doc_b").as("doc_b"))
+    // id and min-convention checks above)
+    val edges = guardEdges(newEdges)
     // lift each delta endpoint to its component representative (itself
     // when the corpus has never seen it)
     val ends = edges.select(col("doc_a").as("n"))
@@ -1100,16 +1094,7 @@ object Dedup {
     val lifted = ends
       .join(labs.select(col("doc_id").as("n"), col("cluster")), Seq("n"), "left")
       .select(col("n"), coalesce(col("cluster"), col("n")).as("lbl"))
-    val q = edges
-      .join(lifted.select(col("n").as("doc_a"), col("lbl").as("la")), Seq("doc_a"))
-      .join(lifted.select(col("n").as("doc_b"), col("lbl").as("lb")), Seq("doc_b"))
-      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
-    val qnodes = lifted.select(col("lbl").as("doc_id")).distinct()
-    // star-CC on the quotient: delta-bounded, the only iterative work
-    val qcc = clustersStars(qnodes, q, maxIter)
-    val relabel = qcc.filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as("__from"), col("cluster").as("__to"))
+    val relabel = quotientRelabel(lifted, edges, maxIter)
     val newNodes = lifted
       .join(labs.select(col("doc_id").as("n")), Seq("n"), "left_anti")
       .select(col("n").as("doc_id"), col("lbl").as("cluster"))
@@ -1119,6 +1104,41 @@ object Dedup {
     all.join(broadcast(relabel), all("cluster") === col("__from"), "left")
       .select(col("doc_id"), coalesce(col("__to"), col("cluster")).as("cluster"))
       .orderBy("doc_id")
+  }
+
+  /** The quotient-graph RELABEL MAP of folding `edges` into component
+    * labels resolved as `lifted` (n = node, lbl = its current component
+    * label; a never-seen node lifts to itself): star-CC runs on the
+    * lifted edges only — O(|edges|) iterative work regardless of corpus
+    * size — and the result is the (old label → new component min) map,
+    * ≤ 2·|edges| rows, identity entries omitted. Shared by [[ccDelta]]
+    * (which applies it corpus-wide immediately) and the DEFERRED-relabel
+    * CC maintainer ([[graft.streaming.EventStreaming.CcStateMaintainer]],
+    * which composes maps across batches and applies once at
+    * compaction). */
+  private[graft] def quotientRelabel(lifted: DataFrame, edges: DataFrame,
+                                     maxIter: Int = 50): DataFrame = {
+    val q = edges
+      .join(lifted.select(col("n").as("doc_a"), col("lbl").as("la")), Seq("doc_a"))
+      .join(lifted.select(col("n").as("doc_b"), col("lbl").as("lb")), Seq("doc_b"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val qnodes = lifted.select(col("lbl").as("doc_id")).distinct()
+    // star-CC on the quotient: delta-bounded, the only iterative work
+    val qcc = clustersStars(qnodes, q, maxIter)
+    qcc.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("__from"), col("cluster").as("__to"))
+  }
+
+  /** [[ccDelta]]'s NULL-endpoint guard, shared with the CC maintainer:
+    * a NULL join key would silently vanish the edge instead of
+    * connecting anything. */
+  private[graft] def guardEdges(newEdges: DataFrame): DataFrame = {
+    def endpoint(c: String) = when(col(c).isNull, raise_error(lit(
+        s"ccDelta: NULL $c endpoint in newEdges — edges must name two " +
+          "non-NULL nodes"))).otherwise(col(c))
+    newEdges.select(endpoint("doc_a").as("doc_a"),
+      endpoint("doc_b").as("doc_b"))
   }
 
   /** EXACT-SUBSTRING dedup as a REWRITE (the Lee et al. 2021

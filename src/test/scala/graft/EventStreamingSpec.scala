@@ -405,6 +405,30 @@ class EventStreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("doc_id", "cluster") && empty.count() == 0)
   }
 
+  test("cc maintainer: deferred relabels equal one-shot CC at EVERY read point, across compactions") {
+    import EventStreaming.GraphEdge
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(80)(
+      GraphEdge(rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e.docA != e.docB)
+    // maxPending = 2: reads land before, at, and after compaction
+    // boundaries, so the composed-map path AND the compacted path are
+    // both checked against the one-shot CC of the prefix
+    val m = new EventStreaming.CcStateMaintainer(maxPending = 2)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[GraphEdge]
+    edges.grouped(10).foreach { chunk =>
+      seen ++= chunk
+      m.absorb(chunk.map(e => (e.docA, e.docB)).toDF("doc_a", "doc_b"))
+      val got = m.current.get.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = seen.flatMap(e => Seq(e.docA, e.docB)).distinct
+      val want = graft.text.Dedup.clustersStars(nodes.toSeq.toDF("doc_id"),
+          seen.map(e => (e.docA, e.docB)).toSeq.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"diverged after ${seen.size} edges")
+    }
+  }
+
   test("bucketed agg-state maintainer: any buckets x any chunking == the direct aggState; sparse batches touch few slices") {
     val rows = (0L until 48L).map(i =>
       Event(i, i % 6 + 1, sec(i), i * 3 % 101))
