@@ -10,7 +10,7 @@ import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
 import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
 
-/** Gate-registry shard 6 (q229–q239): each gate's Spark lambda and
+/** Gate-registry shard 6 (q229–q244): each gate's Spark lambda and
   * its DuckDB oracle SQL side by side — pure relocation of the
   * [[SparkEntry]] registry (r15 verdict #6), no behavior change.
   * [[SparkEntry.queries]] / [[SparkEntry.oracleSql]] assemble the shards.
@@ -227,6 +227,82 @@ private[graft] object Gates6 {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
         .select(col("vec_id"), col("sub").cast(LongType).as("sub"), col("code"))
         .orderBy("vec_id", "sub")
+    }),
+
+    // ── portable KMV (bottom-1-per-bucket MinHash) SET sketch (r15):
+    // per-type register vectors whose element-wise-MIN merge supports
+    // DIRECT Jaccard / intersection / difference reads — the set-ops
+    // capability HLL's inclusion-exclusion fundamentally lacks. Same
+    // portability contract as the HLL/CMS siblings: md5-derived plain
+    // BIGINT arrays any engine replays cell-for-cell; ONE map-side-
+    // combined agg of 256 conditional MINs, the exchange per group one
+    // fixed-width vector, never user ids ─────────────────────────────────
+    "q240_kmv_registers" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      graft.operators.KmvSketch.registers(ev, Seq("event_type"), "user_id")
+    }),
+
+    // ── the KMV cube contract: per-type register vectors ROLL UP
+    // (element-wise min over hit registers, never the raw rows) to the
+    // same global registers a direct sketch computes — the oracle takes
+    // the direct path, the gate the stored-cube path, cell-for-cell ──────
+    "q241_kmv_rollup" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      val fine = graft.operators.KmvSketch.sketch(
+        ev, Seq("event_type"), "user_id")
+      graft.operators.KmvSketch.rollup(fine, "kmv", 2, Nil)
+        .select(posexplode(col("kmv")))
+        .filter(col("col") > 0L)
+        .select(col("pos").cast(LongType).as("bucket"), col("col").as("r"))
+        .orderBy("bucket")
+    }),
+
+    // ── KMV set-operation reads for every event-type pair: exact match/
+    // hit counts plus the RATIONAL estimates (union / intersection /
+    // both differences / Jaccard) — exact integer sums + IEEE division
+    // and floor, no transcendentals, so unlike the HLL estimate the
+    // READS themselves are oracle-gated, not just the state. The pair
+    // join is the q237 shape: two O(types) sketch tables in a broadcast
+    // product, the raw rows long since discarded ─────────────────────────
+    "q242_kmv_setops" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      graft.operators.KmvSketch.setops(ev, "event_type", "user_id")
+    }),
+
+    // ── streaming set-sketch maintainer: per-DAY user-set KMV registers
+    // as a register-min fold over micro-batches — idempotent, so
+    // at-least-once re-delivery needs no pre-dedup; the final snapshot
+    // must equal the batch registers the DuckDB oracle computes directly
+    // (and the snapshots feed setops: day-over-day overlap from stored
+    // state, never re-reading events). Driver-fed replay, the q97 caveat ─
+    "q243_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.kmvReplay(evts, nChunks = 3,
+          registers = true)
+        .select(col("day"), col("slot").as("bucket"), col("r"))
+        .orderBy("day", "bucket")
+    }),
+
+    // ── KMV contamination TRIAGE (r15): per-source benchmark-overlap
+    // estimates from word-4-gram set sketches — the sketch-first pass
+    // that decides WHICH sources get q69's exact n-gram
+    // decontamination join at all. Gram strings never reach an
+    // exchange (two scans collapsing into fixed-width sketches); all
+    // reads rational → oracle-gated, not just the state ─────────────────
+    "q244_contamination_est" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      graft.text.Pipeline.contaminationEstimate(
+        docs, docs.filter(col("doc_id") % 17 === 0), n = 4)
     }),
   )
 
@@ -516,5 +592,171 @@ private[graft] object Gates6 {
         |               cbn.code) AS arn
         |  FROM cs JOIN cbn USING (sub)) WHERE arn = 1
         |ORDER BY vec_id, sub""".stripMargin,
+
+    // the per-type KMV registers cell-for-cell: bucket = first 2 hex
+    // chars of md5, register = 1 + the next 12 chars as a 48-bit int,
+    // MIN per (type, bucket) — min absorbs duplicates, which is what
+    // makes it a sketch of the SET
+    "q240_kmv_registers" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT event_type,
+        |       ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+        |       MIN(('0x' || substr(hx, 3, 12))::BIGINT + 1) AS r
+        |FROM h GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // the DIRECT global registers — the gate reaches the same cells via
+    // the per-type stored vectors, which is exactly the cube contract
+    "q241_kmv_rollup" ->
+      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+        |       MIN(('0x' || substr(hx, 3, 12))::BIGINT + 1) AS r
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // replays the registers, then the EXACT read arithmetic: matches =
+    // registers where both sketches agree, hits = union's hit count,
+    // Σ = Σ_hit(r−1) + (256−hits)·2^48 (exact BIGINT), and the rational
+    // estimator 256·(256·2^48 − Σ)/Σ with the same GREATEST(Σ,1) guard,
+    // cast order, multiply-then-divide shape, and FLOOR the Spark reads
+    // use — IEEE arithmetic on exact integers is bit-deterministic, so
+    // the estimates hash-match, not just the state
+    "q242_kmv_setops" ->
+      """WITH h AS (SELECT event_type AS k, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |reg AS (SELECT k, ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+        |               MIN(('0x' || substr(hx, 3, 12))::BIGINT + 1) AS r
+        |        FROM h GROUP BY k, bucket),
+        |ks AS (SELECT DISTINCT k FROM reg),
+        |pairs AS (SELECT a.k AS key_a, b.k AS key_b
+        |          FROM ks a JOIN ks b ON a.k < b.k),
+        |side AS (SELECT p.key_a, p.key_b, r.bucket, r.r, r.k = p.key_a AS is_a
+        |         FROM pairs p JOIN reg r ON r.k = p.key_a OR r.k = p.key_b),
+        |cell AS (SELECT key_a, key_b, bucket,
+        |                MIN(CASE WHEN is_a THEN r END) AS ra,
+        |                MIN(CASE WHEN NOT is_a THEN r END) AS rb
+        |         FROM side GROUP BY key_a, key_b, bucket),
+        |st AS (SELECT key_a, key_b,
+        |         CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |                        AND ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS matches,
+        |         CAST(COUNT(*) AS BIGINT) AS hits,
+        |         CAST(COUNT(ra) AS BIGINT) AS hits_a,
+        |         CAST(COUNT(rb) AS BIGINT) AS hits_b,
+        |         CAST(SUM(LEAST(COALESCE(ra, 281474976710657),
+        |                        COALESCE(rb, 281474976710657)) - 1) AS BIGINT)
+        |           AS sh_u,
+        |         CAST(SUM(COALESCE(ra - 1, 0)) AS BIGINT) AS sh_a,
+        |         CAST(SUM(COALESCE(rb - 1, 0)) AS BIGINT) AS sh_b
+        |       FROM cell GROUP BY key_a, key_b),
+        |sg AS (SELECT key_a, key_b, matches, hits, hits_a, hits_b,
+        |         CAST(GREATEST(sh_u + (256 - hits) * 281474976710656, 1)
+        |           AS DOUBLE) AS su,
+        |         CAST(GREATEST(sh_a + (256 - hits_a) * 281474976710656, 1)
+        |           AS DOUBLE) AS sa,
+        |         CAST(GREATEST(sh_b + (256 - hits_b) * 281474976710656, 1)
+        |           AS DOUBLE) AS sb
+        |       FROM st),
+        |est AS (SELECT key_a, key_b, matches, hits,
+        |         CAST(hits AS DOUBLE) * 72057594037927936.0 / su AS raw_u,
+        |         CAST(hits_a AS DOUBLE) * 72057594037927936.0 / sa AS raw_a,
+        |         CAST(hits_b AS DOUBLE) * 72057594037927936.0 / sb AS raw_b,
+        |         CASE WHEN hits = 0 THEN 0.0
+        |              ELSE CAST(matches AS DOUBLE) / CAST(hits AS DOUBLE)
+        |         END AS jacc
+        |        FROM sg)
+        |SELECT key_a, key_b, matches, hits,
+        |       CAST(FLOOR(raw_u + 0.5) AS BIGINT) AS union_est,
+        |       CAST(FLOOR(jacc * raw_u + 0.5) AS BIGINT) AS inter_est,
+        |       GREATEST(0, CAST(FLOOR(raw_u - raw_b + 0.5) AS BIGINT))
+        |         AS diff_ab_est,
+        |       GREATEST(0, CAST(FLOOR(raw_u - raw_a + 0.5) AS BIGINT))
+        |         AS diff_ba_est,
+        |       jacc AS jaccard_est
+        |FROM est ORDER BY key_a, key_b""".stripMargin,
+
+    // the BATCH registers of per-day user sets — the gate reaches the
+    // same cells by folding 3 micro-batches through the streaming
+    // maintainer (register min is idempotent, so any chunking — and any
+    // duplicate delivery — lands here)
+    "q243_stream_kmv" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM d)
+        |SELECT day, ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+        |       MIN(('0x' || substr(hx, 3, 12))::BIGINT + 1) AS r
+        |FROM h GROUP BY day, bucket
+        |ORDER BY day, bucket""".stripMargin,
+
+    // q69's gram construction, then the q242 read arithmetic per
+    // (source, benchmark) pair: replays the per-source and benchmark
+    // registers, the exact match/hit counts, the exact Σ sums, and the
+    // same IEEE division/floor chain — the whole triage read
+    // hash-matches, not just the state
+    "q244_contamination_est" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |              FROM documents
+        |              WHERE text IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT source, doc_id, array_to_string(ws[i:i+3], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+        |sreg AS (SELECT source, ('0x' || substr(md5(g), 1, 2))::BIGINT AS bucket,
+        |                MIN(('0x' || substr(md5(g), 3, 12))::BIGINT + 1) AS r
+        |         FROM g GROUP BY source, bucket),
+        |breg AS (SELECT ('0x' || substr(md5(g), 1, 2))::BIGINT AS bucket,
+        |                MIN(('0x' || substr(md5(g), 3, 12))::BIGINT + 1) AS r
+        |         FROM g WHERE doc_id % 17 = 0 GROUP BY bucket),
+        |srcs AS (SELECT DISTINCT source FROM sreg),
+        |side AS (SELECT source, bucket, r, TRUE AS is_s FROM sreg
+        |         UNION ALL
+        |         SELECT s.source, b.bucket, b.r, FALSE
+        |         FROM srcs s CROSS JOIN breg b),
+        |cell AS (SELECT source, bucket,
+        |                MIN(CASE WHEN is_s THEN r END) AS rs,
+        |                MIN(CASE WHEN NOT is_s THEN r END) AS rb
+        |         FROM side GROUP BY source, bucket),
+        |st AS (SELECT source,
+        |         CAST(SUM(CASE WHEN rs IS NOT NULL AND rb IS NOT NULL
+        |                        AND rs = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS matches,
+        |         CAST(COUNT(*) AS BIGINT) AS hits,
+        |         CAST(COUNT(rs) AS BIGINT) AS hits_s,
+        |         CAST(COUNT(rb) AS BIGINT) AS hits_b,
+        |         CAST(SUM(LEAST(COALESCE(rs, 281474976710657),
+        |                        COALESCE(rb, 281474976710657)) - 1) AS BIGINT)
+        |           AS sh_u,
+        |         CAST(SUM(COALESCE(rs - 1, 0)) AS BIGINT) AS sh_s,
+        |         CAST(SUM(COALESCE(rb - 1, 0)) AS BIGINT) AS sh_b
+        |       FROM cell GROUP BY source),
+        |sg AS (SELECT source, matches, hits, hits_s, hits_b,
+        |         CAST(GREATEST(sh_u + (256 - hits) * 281474976710656, 1)
+        |           AS DOUBLE) AS su,
+        |         CAST(GREATEST(sh_s + (256 - hits_s) * 281474976710656, 1)
+        |           AS DOUBLE) AS ss,
+        |         CAST(GREATEST(sh_b + (256 - hits_b) * 281474976710656, 1)
+        |           AS DOUBLE) AS sb
+        |       FROM st),
+        |est AS (SELECT source, matches, hits,
+        |         CAST(hits_s AS DOUBLE) * 72057594037927936.0 / ss AS raw_s,
+        |         CAST(hits_b AS DOUBLE) * 72057594037927936.0 / sb AS raw_b,
+        |         CAST(hits AS DOUBLE) * 72057594037927936.0 / su AS raw_u,
+        |         CASE WHEN hits = 0 THEN 0.0
+        |              ELSE CAST(matches AS DOUBLE) / CAST(hits AS DOUBLE)
+        |         END AS jacc
+        |        FROM sg)
+        |SELECT source, matches, hits,
+        |       CAST(FLOOR(raw_s + 0.5) AS BIGINT) AS src_est,
+        |       CAST(FLOOR(raw_b + 0.5) AS BIGINT) AS bench_est,
+        |       CAST(FLOOR(raw_u + 0.5) AS BIGINT) AS union_est,
+        |       CAST(FLOOR(jacc * raw_u + 0.5) AS BIGINT) AS inter_est,
+        |       CASE WHEN raw_b > 0.0
+        |            THEN CAST(FLOOR(1000.0 * jacc * (raw_u / raw_b) + 0.5)
+        |                   AS BIGINT)
+        |            ELSE 0 END AS cont_permille
+        |FROM est ORDER BY source""".stripMargin,
   )
 }

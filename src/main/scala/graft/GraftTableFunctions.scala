@@ -82,6 +82,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_label_prop_warm('edges_view', 'a', 'b', 2, 'prior_view')
   *   SELECT * FROM graft_distinct_sketch('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_distinct_registers('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_kmv_sketch('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_kmv_registers('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_kmv_setops('events_view', 'event_type', 'user_id', 2)
+  *   SELECT * FROM graft_contamination_est('docs_view', 'bench_view', 4)
   *   SELECT * FROM graft_cms_registers('events_view', 'event_type', 'user_id', 4, 128)
   *   SELECT * FROM graft_cms_estimate('events_view', 'event_type', 'user_id', 'probes_view', 4, 128)
   *   SELECT * FROM graft_cms_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 4, 128)
@@ -562,6 +566,28 @@ object GraftTableFunctions {
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       plan(operators.DistinctSketch.registers(table(a(0)), grps,
         valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_kmv_sketch" -> { exprs =>
+      val a = args("graft_kmv_sketch", exprs, 4)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.KmvSketch.summary(table(a(0)), grps,
+        valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_kmv_registers" -> { exprs =>
+      val a = args("graft_kmv_registers", exprs, 4)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.KmvSketch.registers(table(a(0)), grps,
+        valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_kmv_setops" -> { exprs =>
+      val a = args("graft_kmv_setops", exprs, 4)
+      plan(operators.KmvSketch.setops(table(a(0)), keyCol = str(a(1)),
+        valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_contamination_est" -> { exprs =>
+      val a = args("graft_contamination_est", exprs, 3)
+      plan(text.Pipeline.contaminationEstimate(table(a(0)), table(a(1)),
+        n = int(a(2))))
     },
     "graft_cms_registers" -> { exprs =>
       val a = args("graft_cms_registers", exprs, 5)

@@ -684,6 +684,97 @@ object EventStreaming {
     else m.current.get.orderBy(keyCol)
   }
 
+  /** Streaming SET-SKETCH maintainer — the set-expression complement of
+    * [[DistinctStateMaintainer]]: foreachBatch computes each
+    * micro-batch's per-key portable KMV register vector
+    * ([[graft.operators.KmvSketch.sketch]] — ONE map-side-combined
+    * aggregation; the exchange per batch is one fixed-width vector per
+    * observed key, never the values) and folds it into the running
+    * snapshot with the exact element-wise-MIN merge. Register min is a
+    * commutative IDEMPOTENT monoid, so the snapshot between batches is
+    * EXACTLY the batch-mode sketch of everything absorbed, in any
+    * chunking AND under at-least-once re-delivery — and the snapshots
+    * feed [[graft.operators.KmvSketch.setops]] directly: day-over-day
+    * user overlap / churn / Jaccard from stored state, never re-reading
+    * events. State is O(keys · m); same segmented-store option, same
+    * bounded plan/memory discipline. */
+  final class KmvStateMaintainer(key: String, v: String,
+                                 hexChars: Int = 2, buckets: Int = 0) {
+    // sparse (key, slot = register, r) segments; fold = slot-wise MIN
+    // (absent IS the sentinel, so the sparse fold needs no 0 guard;
+    // idempotent — re-delivery is absorbed)
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _)
+        .groupBy(col(key), col("slot")).agg(min("r").as("r")))
+
+    /** The current complete snapshot (None before the first batch):
+      * (key, kmv ARRAY<BIGINT> of length 16^hexChars), densified from
+      * the sparse registers (never-hit registers read 0 — exactly the
+      * sketch's sentinel). */
+    def current: Option[DataFrame] = synchronized(state.current.map(sp =>
+      graft.operators.CountMinSketch.assembleSparse(sp, Seq(key), "slot",
+        "r", graft.operators.KmvSketch.m(hexChars), "kmv")))
+
+    /** The sparse-register read — [[current]]'s information WITHOUT the
+      * dense densify (the cheap read at high key cardinality; also what
+      * the oracle gates pin). */
+    def currentRegisters: Option[DataFrame] = synchronized(state.current)
+
+    /** Folds one bounded batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      state.absorb(graft.operators.KmvSketch.sketchSparse(
+        batch, Seq(key), v, hexChars))
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice through a [[KmvStateMaintainer]] in
+    * `nChunks` micro-batches and returns the final snapshot of per-DAY
+    * user-set KMV registers (day = tsUs div 86400e6) — the harness that
+    * oracle-gates the streaming set-sketch path against the batch
+    * registers: the min-fold across ANY batch split (and any duplicate
+    * delivery — idempotent) must equal the direct per-day sketch. Same
+    * bounded-replay caveat as [[sessionizeReplay]]. */
+  def kmvReplay(events: Dataset[Event], nChunks: Int,
+                hexChars: Int = 2, buckets: Int = 0,
+                registers: Boolean = false): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def withDay(df: DataFrame): DataFrame =
+      df.withColumn("day", expr("tsUs div 86400000000"))
+    val rows = events.collect().toSeq
+    val m = new KmvStateMaintainer("day", "userId", hexChars, buckets)
+    if (rows.isEmpty) {
+      val empty = withDay(spark.emptyDataset[Event].toDF())
+      return if (registers)
+        graft.operators.KmvSketch.sketchSparse(empty, Seq("day"), "userId",
+          hexChars)
+      else graft.operators.KmvSketch.sketch(empty, Seq("day"), "userId",
+        hexChars)
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(withDay(stream.toDS().toDF())).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // registers = the sparse read (see distinctReplay)
+    if (registers) m.currentRegisters.get.orderBy("day", "slot")
+    else m.current.get.orderBy("day")
+  }
+
   /** An undirected edge for graph-stream replays. */
   case class GraphEdge(docA: Long, docB: Long)
 

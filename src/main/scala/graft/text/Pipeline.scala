@@ -325,6 +325,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Contamination TRIAGE from KMV set sketches — the sketch-first
+    * complement of [[decontaminateNgrams]]: instead of joining every
+    * corpus gram against the blocklist, sketch each SOURCE's word
+    * n-gram set and the benchmark's gram set once
+    * ([[graft.operators.KmvSketch]] — one map pass, a fixed 256-Long
+    * vector per source on the exchange), then read per-source overlap
+    * ESTIMATES from the stored sketches: which sources are worth the
+    * exact decontamination pass at all. At 100 TB this is the triage
+    * that runs daily; the exact n-gram join runs only on the sources
+    * this flags. Output per source: exact register agreement counts
+    * (matches, hits) plus the rational estimates — source/benchmark/
+    * union/intersection cardinalities and ⌊1000·|S∩B|/|B|⌋ benchmark
+    * coverage — every read IEEE-deterministic and oracle-replayable.
+    *
+    * Scale shape: TWO gram scans (corpus keyed by source, blocklist
+    * global) each collapsing into a fixed-width sketch aggregate — the
+    * gram strings never reach an exchange; the benchmark sketch (ONE
+    * row) meets the O(sources) sketch table in a broadcast product. */
+  def contaminationEstimate(docs: DataFrame, blocklist: DataFrame,
+                            n: Int, hexChars: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    import graft.operators.KmvSketch
+    graft.functions.WordNgrams.register(docs.sparkSession)
+    def grams(d: DataFrame, keys: Seq[Column]) = d
+      .select(keys :+ explode(TextOps.wordNgramsNative(n)).as("g"): _*)
+    val srcSk = KmvSketch.sketch(
+      grams(docs, Seq(col("source"))), Seq("source"), "g", hexChars)
+    val benchSk = KmvSketch.sketch(grams(blocklist, Nil), Nil, "g", hexChars)
+      .select(col("kmv").as("__kv_b"))
+    val a = col("kmv"); val b = col("__kv_b")
+    val u = KmvSketch.merge(a, b)
+    srcSk.crossJoin(broadcast(benchSk))
+      .select(col("source"),
+        KmvSketch.matches(a, b).as("matches"),
+        KmvSketch.hits(u).as("hits"),
+        KmvSketch.estimateRational(a, hexChars).as("src_est"),
+        KmvSketch.estimateRational(b, hexChars).as("bench_est"),
+        KmvSketch.estimateRational(u, hexChars).as("union_est"),
+        KmvSketch.estimateIntersection(a, b, hexChars).as("inter_est"),
+        KmvSketch.containmentPermille(a, b, hexChars).as("cont_permille"))
+      .orderBy("source")
+  }
+
   /** Deterministic global TRAINING-ORDER shuffle: rank 0..n-1 in the
     * order sorted by (keyHash(salt, doc_id), doc_id). Training runs need
     * a random-looking example order that is reproducible across re-runs,

@@ -357,6 +357,31 @@ class EventStreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
   }
 
+  test("kmvReplay: any chunking == the batch registers; duplicate re-delivery is absorbed") {
+    // 50 events over 7 users across 5 distinct days
+    val rows = (0L until 50L).map(i =>
+      Event(i, i % 7 + 1, (i % 5) * 86400000000L + sec(i), i))
+    val ds = rows.toDS()
+    val batch = graft.operators.KmvSketch.sketch(
+        ds.toDF().withColumn("day", expr("tsUs div 86400000000")),
+        Seq("day"), "userId")
+      .orderBy("day").as[(Long, Seq[Long])].collect().toSeq
+    for (k <- Seq(1, 3, 7); b <- Seq(1, 8)) {
+      val snap = EventStreaming.kmvReplay(ds, nChunks = k, buckets = b)
+        .as[(Long, Seq[Long])].collect().toSeq
+      assert(snap == batch, s"nChunks=$k buckets=$b")
+    }
+    // at-least-once: replaying the whole slice TWICE (every value
+    // re-delivered) leaves the registers unchanged — min is idempotent
+    val dup = EventStreaming.kmvReplay((rows ++ rows).toDS(), nChunks = 4)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(dup == batch)
+    // empty slice: empty snapshot with the sketch schema
+    val empty = EventStreaming.kmvReplay(
+      spark.emptyDataset[Event], nChunks = 2)
+    assert(empty.columns.toSeq == Seq("day", "kmv") && empty.count() == 0)
+  }
+
   test("cmsReplay: any chunking x bucketing == the batch counters; re-delivery COUNTS (non-idempotent)") {
     val rows = (0L until 60L).map(i =>
       Event(i, i % 4 + 1, sec(i), i % 13 * 100L))

@@ -45,7 +45,16 @@ class GatePlanAuditSpec extends SparkSpec {
     // constant join key is constant-folded and the join re-planned as
     // this same BNLJ, so the exemption states the truth instead of
     // hiding it behind a synthetic key.)
-    "q237_cms_estimate")
+    "q237_cms_estimate",
+    // The KMV set-operation read: the q237 shape again — a broadcast
+    // product of two O(types) sketch tables on the pair inequality
+    // (key_a < key_b has no equi-key), fixed-width state, the raw rows
+    // long since discarded. O(types²·m) work by construction.
+    "q242_kmv_setops",
+    // The contamination-triage read: the ONE-row global benchmark
+    // sketch broadcast against the O(sources) sketch table — a 1×N
+    // product of fixed-width state, the gram rows long since collapsed.
+    "q244_contamination_est")
   private val allowGlobalWindow: Set[String] = Set.empty
 
   private def offenders(plan: SparkPlan): Seq[String] = {

@@ -171,6 +171,30 @@ class PipelineSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("contaminationEstimate: identical source reads 1000 permille EXACTLY, disjoint reads 0") {
+    // 'dirty' source == the blocklist verbatim (sketch equality makes
+    // jacc == 1 and union == bench, so cont_permille is EXACTLY 1000 —
+    // floor(1000·1·x/x)); 'clean' shares no 4-gram (disjoint vocab), so
+    // matches == 0 and every overlap read is exactly 0
+    val dirty = (0L until 30L).map(i =>
+      (i * 17L, s"eval question $i with secret answer token$i appended", "dirty"))
+    val clean = (1L to 30L).map(i =>
+      (i * 17L + 1L, s"unrelated corpus prose number$i about weather day$i", "clean"))
+    val corpus = (dirty ++ clean).toDF("doc_id", "text", "source")
+    val block = corpus.filter($"doc_id" % 17 === 0) // exactly the dirty docs
+    val got = Pipeline.contaminationEstimate(corpus, block, n = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(6), r.getLong(7))).toMap
+    val (cM, _, cInter, cCont) = got("clean")
+    assert((cM, cInter, cCont) == ((0L, 0L, 0L)), s"clean=$got")
+    val (dM, dH, dInter, dCont) = got("dirty")
+    assert(dM == dH, "identical sketches must agree on every hit register")
+    assert(dCont == 1000L, s"dirty cont=$dCont")
+    // the intersection estimate is the union estimate here; sanity-band
+    // it around the true distinct-gram count (30 docs x 5 grams = 150)
+    assert(math.abs(dInter - 150L) <= 60L, s"dirty inter=$dInter")
+  }
+
   test("upsample bounds the TRUE copy ratio, not its integer division") {
     val corpus = Seq((1L, "t", "hot")).toDF("doc_id", "text", "source")
     // 2001/2 = 1000 by integer division but up to 1001 realized copies
