@@ -10,7 +10,7 @@ import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
 import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
 
-/** Gate-registry shard 6 (q229–q244): each gate's Spark lambda and
+/** Gate-registry shard 6 (q229–q249): each gate's Spark lambda and
   * its DuckDB oracle SQL side by side — pure relocation of the
   * [[SparkEntry]] registry (r15 verdict #6), no behavior change.
   * [[SparkEntry.queries]] / [[SparkEntry.oracleSql]] assemble the shards.
@@ -303,6 +303,90 @@ private[graft] object Gates6 {
         .filter(col("text").isNotNull && col("source").isNotNull)
       graft.text.Pipeline.contaminationEstimate(
         docs, docs.filter(col("doc_id") % 17 === 0), n = 4)
+    }),
+
+    // ── portable AMS / count-sketch (r15): SIGNED counters whose reads
+    // are UNBIASED (point frequency, F2, join size) — the analysis
+    // complement of the CMS's never-under planner bound. Same md5
+    // portability contract; 0 is the true additive identity, so
+    // cancelled and never-hit counters correctly coincide ────────────────
+    "q245_countsketch_registers" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      graft.operators.CountSketch.registers(ev, Seq("event_type"), "user_id")
+    }),
+
+    // ── the count-sketch cube contract: per-type SIGNED counters ROLL
+    // UP (element-wise add — cancellation across cells is the signed
+    // monoid working, not loss) to the same global counters a direct
+    // sketch computes ────────────────────────────────────────────────────
+    "q246_countsketch_rollup" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      val fine = graft.operators.CountSketch.sketch(
+        ev, Seq("event_type"), "user_id")
+      graft.operators.CountSketch.rollup(fine, "sketch", 5, 128, Nil)
+        .select(posexplode(col("sketch")))
+        .filter(col("col") =!= 0L)
+        .select(col("pos").cast(LongType).as("slot"), col("col").as("c"))
+        .orderBy("slot")
+    }),
+
+    // ── UNBIASED join-size estimate from two stored count-sketches
+    // (events.user_id ⋈ orders.o_custkey — genuinely multi-per-key on
+    // both sides): median over the depth rows of the signed counter dot
+    // product, integer arithmetic end-to-end, so the ESTIMATE is
+    // oracle-gated. The q237 shape: two one-row sketch tables in a
+    // broadcast product, raw rows long since collapsed ──────────────────
+    "q247_ams_join_size" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val ord = s.read.parquet(t(dir, "orders"))
+      val a = graft.operators.CountSketch.sketch(ev, Nil, "user_id",
+        out = "a")
+      val b = graft.operators.CountSketch.sketch(ord, Nil, "o_custkey",
+        out = "b")
+      broadcast(a).crossJoin(b).select(
+        graft.operators.CountSketch.estimateJoinSize(col("a"), col("b"),
+          5, 128).cast(LongType).as("join_size_est"))
+    }),
+
+    // ── streaming count-sketch maintainer: per-user SIGNED value-
+    // frequency counters as an add-fold over micro-batches (exactly-
+    // once like the CMS — re-delivery counts twice); the final sparse
+    // snapshot (zero-sum slots filtered: they ARE the additive
+    // identity, so the read is chunking-invariant) must equal the batch
+    // counters the DuckDB oracle computes directly ───────────────────────
+    "q248_stream_countsketch" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.csReplay(evts, nChunks = 3,
+          registers = true)
+        .select(col("userId").as("user_id"), col("slot"), col("c"))
+        .orderBy("user_id", "slot")
+    }),
+
+    // ── exact-rational per-series AUTOCORRELATION (r15): ACF of each
+    // event type's daily-revenue series at lags 1..7 — numerator and
+    // denominator are exact scaled integers (DECIMAL accumulation), the
+    // emitted acf ONE IEEE division of them, so the DOUBLE itself
+    // oracle-gates (the KMV/AMS determinism recipe applied to a
+    // classical statistic). One partitioned window pass + one agg ────────
+    "q249_acf" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+      val daily = ev
+        .withColumn("tsUs", EventOps.tsMicros(ev))
+        .withColumn("day", expr("tsUs div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(cents(col("value"))).as("x"))
+      graft.operators.Autocorr.acf(daily, Seq("event_type"), "day", "x",
+        maxLag = 7)
     }),
   )
 
@@ -758,5 +842,125 @@ private[graft] object Gates6 {
         |                   AS BIGINT)
         |            ELSE 0 END AS cont_permille
         |FROM est ORDER BY source""".stripMargin,
+
+    // the per-type SIGNED counters cell-for-cell: slot = i·128 + the
+    // CMS bucket slice, sign = the parity of hex char 22+i (disjoint
+    // from every bucket slice); zero-sum counters are absent — the
+    // additive identity, same as never-hit
+    "q245_countsketch_registers" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |s AS (SELECT event_type,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot,
+        |        1 - 2 * (('0x' || substr(hx, 22 + i, 1))::BIGINT % 2) AS sgn
+        |      FROM h, UNNEST(range(5)) AS t(i))
+        |SELECT event_type, slot, CAST(SUM(sgn) AS BIGINT) AS c
+        |FROM s GROUP BY event_type, slot
+        |HAVING SUM(sgn) != 0
+        |ORDER BY event_type, slot""".stripMargin,
+
+    // the DIRECT global signed counters — the gate reaches the same
+    // cells via the per-type stored vectors (the cube contract; signed
+    // cancellation across cells included)
+    "q246_countsketch_rollup" ->
+      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |s AS (SELECT
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot,
+        |        1 - 2 * (('0x' || substr(hx, 22 + i, 1))::BIGINT % 2) AS sgn
+        |      FROM h, UNNEST(range(5)) AS t(i))
+        |SELECT slot, CAST(SUM(sgn) AS BIGINT) AS c
+        |FROM s GROUP BY slot HAVING SUM(sgn) != 0
+        |ORDER BY slot""".stripMargin,
+
+    // replays BOTH sketches, the per-depth-row signed dot products
+    // (exact integers — rows absent from one side contribute zero), and
+    // the exact odd-median (row 3 of 5 by value order), floored at 0 —
+    // the unbiased estimate itself hash-matches
+    "q247_ams_join_size" ->
+      """WITH ha AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+        |            FROM events WHERE user_id IS NOT NULL),
+        |sa AS (SELECT
+        |         i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |           AS slot,
+        |         SUM(1 - 2 * (('0x' || substr(hx, 22 + i, 1))::BIGINT % 2))
+        |           AS c
+        |       FROM ha, UNNEST(range(5)) AS t(i) GROUP BY slot),
+        |hb AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx
+        |            FROM orders WHERE o_custkey IS NOT NULL),
+        |sb AS (SELECT
+        |         i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |           AS slot,
+        |         SUM(1 - 2 * (('0x' || substr(hx, 22 + i, 1))::BIGINT % 2))
+        |           AS c
+        |       FROM hb, UNNEST(range(5)) AS t(i) GROUP BY slot),
+        |dots AS (SELECT a.slot // 128 AS i, SUM(a.c * b.c) AS d
+        |         FROM sa a JOIN sb b USING (slot) GROUP BY 1),
+        |alli AS (SELECT t.i, COALESCE(d.d, 0) AS d
+        |         FROM UNNEST(range(5)) AS t(i) LEFT JOIN dots d USING (i)),
+        |m AS (SELECT d FROM (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn
+        |                     FROM alli) WHERE rn = 3)
+        |SELECT CAST(GREATEST(0, d) AS BIGINT) AS join_size_est FROM m""".stripMargin,
+
+    // the BATCH signed counters of per-user click-value frequencies —
+    // the gate reaches the same cells by folding 3 micro-batches
+    // through the streaming maintainer (signed add is a monoid: any
+    // chunking with exactly-once delivery lands here; zero-sum slots
+    // absent on both sides — the additive identity)
+    "q248_stream_countsketch" -> {
+      val v = CENTS.format("value")
+      s"""WITH t AS (SELECT user_id, $v AS v FROM events
+        |           WHERE event_type = 'click'),
+        |h AS (SELECT user_id, md5(CAST(v AS VARCHAR)) AS hx
+        |      FROM t WHERE v IS NOT NULL),
+        |s AS (SELECT user_id,
+        |        i * 128 + (('0x' || substr(hx, 4*i + 1, 4))::BIGINT % 128)
+        |          AS slot,
+        |        1 - 2 * (('0x' || substr(hx, 22 + i, 1))::BIGINT % 2) AS sgn
+        |      FROM h, UNNEST(range(5)) AS t2(i))
+        |SELECT user_id, slot, CAST(SUM(sgn) AS BIGINT) AS c
+        |FROM s GROUP BY user_id, slot HAVING SUM(sgn) != 0
+        |ORDER BY user_id, slot""".stripMargin
+    },
+
+    // the same exact-integer ACF algebra (num/den scaled by n², HUGEINT
+    // accumulation — exact, so expression-tree order is irrelevant) and
+    // the ONE mirrored division; NULL when den = 0 or no pairs
+    "q249_acf" -> {
+      val v = CENTS.format("value")
+      val leadCols = (1 to 7).map(l =>
+        s"LEAD(x, $l) OVER (PARTITION BY event_type ORDER BY day) AS x$l")
+        .mkString(", ")
+      val aggCols = (1 to 7).map(l =>
+        s"COALESCE(SUM(CASE WHEN x$l IS NOT NULL THEN CAST(x AS HUGEINT) " +
+          s"* x$l END), 0) AS p$l, " +
+        s"COALESCE(SUM(CASE WHEN x$l IS NOT NULL THEN CAST(x AS HUGEINT) " +
+          s"END), 0) AS h$l, " +
+        s"COALESCE(SUM(CAST(x$l AS HUGEINT)), 0) AS t$l").mkString(", ")
+      val lagSelects = (1 to 7).map(l =>
+        s"SELECT event_type, CAST(n AS BIGINT) AS n, CAST($l AS BIGINT) " +
+        s"AS lag, CASE WHEN n*n*q - n*s*s = 0 OR n <= $l THEN NULL ELSE " +
+        s"CAST(n*n*p$l - n*s*(h$l + t$l) + (n - $l)*s*s AS DOUBLE) / " +
+        s"CAST(n*n*q - n*s*s AS DOUBLE) END AS acf FROM agg")
+        .mkString(" UNION ALL ")
+      s"""WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, SUM($v) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT event_type, x, $leadCols FROM daily),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |          COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS s,
+        |          COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS q,
+        |          $aggCols
+        |        FROM w GROUP BY event_type)
+        |$lagSelects
+        |ORDER BY event_type, lag""".stripMargin
+    },
   )
 }

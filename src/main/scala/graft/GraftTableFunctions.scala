@@ -89,6 +89,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cms_registers('events_view', 'event_type', 'user_id', 4, 128)
   *   SELECT * FROM graft_cms_estimate('events_view', 'event_type', 'user_id', 'probes_view', 4, 128)
   *   SELECT * FROM graft_cms_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 4, 128)
+  *   SELECT * FROM graft_countsketch_registers('events_view', 'event_type', 'user_id', 5, 128)
+  *   SELECT * FROM graft_acf('daily_view', 'event_type', 'day', 'x', 7)
+  *   SELECT * FROM graft_ams_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 5, 128)
   *   SELECT * FROM graft_zvalue('pts_view', 'x,y', 21)
   *   SELECT * FROM graft_dedup_delta('corpus_sigs_view', 'delta_sigs_view', 16, 8, 2, 3, 4)
   *   SELECT * FROM graft_cc_delta('labels_view', 'new_edges_view')
@@ -594,6 +597,31 @@ object GraftTableFunctions {
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       plan(operators.CountMinSketch.registers(table(a(0)), grps,
         valueCol = str(a(2)), depth = int(a(3)), width = int(a(4))))
+    },
+    "graft_acf" -> { exprs =>
+      val a = args("graft_acf", exprs, 5)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.Autocorr.acf(table(a(0)), grps, tCol = str(a(2)),
+        xCol = str(a(3)), maxLag = int(a(4))))
+    },
+    "graft_countsketch_registers" -> { exprs =>
+      val a = args("graft_countsketch_registers", exprs, 5)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.CountSketch.registers(table(a(0)), grps,
+        valueCol = str(a(2)), depth = int(a(3)), width = int(a(4))))
+    },
+    "graft_ams_join_size" -> { exprs =>
+      val a = args("graft_ams_join_size", exprs, 6)
+      val d = int(a(4)); val w = int(a(5))
+      val skA = operators.CountSketch.sketch(table(a(0)), Nil, str(a(1)),
+        d, w, out = "__a")
+      val skB = operators.CountSketch.sketch(table(a(2)), Nil, str(a(3)),
+        d, w, out = "__b")
+      // 1-row × 1-row: the two global sketches meet in a trivial cross
+      plan(skA.crossJoin(skB).select(operators.CountSketch
+        .estimateJoinSize(org.apache.spark.sql.functions.col("__a"),
+          org.apache.spark.sql.functions.col("__b"), d, w)
+        .as("join_size_est")))
     },
     "graft_cms_join_size" -> { exprs =>
       val a = args("graft_cms_join_size", exprs, 6)

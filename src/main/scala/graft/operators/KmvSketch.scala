@@ -4,10 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Re-aggregatable PORTABLE set-operation sketches — the fourth member
+/** Re-aggregatable PORTABLE set-operation sketches — the fifth member
   * of the sketch family ([[QuantileSketch]] declared-domain quantiles,
   * [[LogQuantileSketch]] unknown-domain quantiles, [[DistinctSketch]]
-  * distinct counts, this one SET EXPRESSIONS). The HLL sketch's
+  * distinct counts, [[CountMinSketch]] frequency upper bounds, this
+  * one SET EXPRESSIONS). The HLL sketch's
   * intersection read is inclusion-exclusion on three estimates
   * ([[DistinctSketch.estimateIntersection]]) — both operand errors add,
   * so a small intersection of two huge sets is noise. This sketch keeps

@@ -684,6 +684,91 @@ object EventStreaming {
     else m.current.get.orderBy(keyCol)
   }
 
+  /** Streaming SIGNED-frequency-sketch maintainer — the unbiased-read
+    * complement of [[CmsStateMaintainer]]: foreachBatch computes each
+    * micro-batch's per-key count-sketch
+    * ([[graft.operators.CountSketch.sketchSparse]]) and folds it into
+    * the running snapshot with the exact signed element-wise ADD.
+    * Same non-idempotent caveat as the CMS: re-delivered rows count
+    * twice (dedup upstream); a slot folding to ZERO may drop from the
+    * sparse state at any compaction — 0 is the additive identity, so
+    * the dense snapshot is unchanged (the signed monoid's one
+    * storage nicety). State is O(keys · depth·width); same
+    * segmented-store shape. */
+  final class CsStateMaintainer(key: String, v: String,
+                                depth: Int = 5, width: Int = 128,
+                                buckets: Int = 0) {
+    // sparse (key, slot, c) segments; fold = slot-wise signed ADD
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _)
+        .groupBy(col(key), col("slot")).agg(sum("c").as("c")))
+
+    /** The current complete snapshot (None before the first batch):
+      * (key, sketch ARRAY<BIGINT> of length depth·width), densified
+      * (absent slots read 0 — the additive identity). */
+    def current: Option[DataFrame] = synchronized(state.current.map(sp =>
+      graft.operators.CountMinSketch.assembleSparse(sp, Seq(key), "slot",
+        "c", graft.operators.CountSketch.slots(depth, width), "sketch")))
+
+    /** The sparse-counter read — [[current]] without the dense densify;
+      * zero-sum slots are filtered (they ARE the identity), so the
+      * read is chunking-invariant like the oracle gates need. */
+    def currentRegisters: Option[DataFrame] = synchronized(
+      state.current.map(_.filter(col("c") =!= 0L)))
+
+    /** Folds one bounded batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      state.absorb(graft.operators.CountSketch.sketchSparse(
+        batch, Seq(key), v, depth, width))
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice through a [[CsStateMaintainer]] in
+    * `nChunks` micro-batches and returns the final snapshot of per-USER
+    * signed value-frequency counters — the harness that oracle-gates
+    * the streaming count-sketch path against the batch counters: the
+    * signed add-fold across ANY batch split must equal the direct
+    * per-key sketch, with each event delivered exactly once (the
+    * non-idempotent monoid's requirement). */
+  def csReplay(events: Dataset[Event], nChunks: Int,
+               depth: Int = 5, width: Int = 128,
+               buckets: Int = 0, registers: Boolean = false): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyCol = "userId"
+    val rows = events.collect().toSeq
+    val m = new CsStateMaintainer(keyCol, "valueCents", depth, width, buckets)
+    if (rows.isEmpty) {
+      val empty = spark.emptyDataset[Event].toDF()
+      return if (registers)
+        graft.operators.CountSketch.sketchSparse(empty, Seq(keyCol),
+          "valueCents", depth, width)
+      else graft.operators.CountSketch.sketch(empty, Seq(keyCol),
+        "valueCents", depth, width)
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(stream.toDS().toDF()).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    if (registers) m.currentRegisters.get.orderBy(keyCol, "slot")
+    else m.current.get.orderBy(keyCol)
+  }
+
   /** Streaming SET-SKETCH maintainer — the set-expression complement of
     * [[DistinctStateMaintainer]]: foreachBatch computes each
     * micro-batch's per-key portable KMV register vector

@@ -357,6 +357,27 @@ class EventStreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
   }
 
+  test("csReplay: any chunking x bucketing == the batch counters; re-delivery COUNTS") {
+    val rows = (0L until 60L).map(i =>
+      Event(i, i % 4 + 1, sec(i), i % 13 * 100L))
+    val ds = rows.toDS()
+    val batch = graft.operators.CountSketch.sketch(
+        ds.toDF(), Seq("userId"), "valueCents")
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    for (k <- Seq(1, 3, 7); b <- Seq(1, 8)) {
+      val snap = EventStreaming.csReplay(ds, nChunks = k, buckets = b)
+        .as[(Long, Seq[Long])].collect().toSeq
+      assert(snap == batch, s"nChunks=$k buckets=$b")
+    }
+    // signed counters: replaying the slice twice doubles every counter
+    // (the non-idempotent line, same as the CMS maintainer)
+    val dup = EventStreaming.csReplay((rows ++ rows).toDS(), nChunks = 4)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(dup == batch.map { case (u, sk) => (u, sk.map(_ * 2L)) })
+    val empty = EventStreaming.csReplay(spark.emptyDataset[Event], nChunks = 2)
+    assert(empty.columns.toSeq == Seq("userId", "sketch") && empty.count() == 0)
+  }
+
   test("kmvReplay: any chunking == the batch registers; duplicate re-delivery is absorbed") {
     // 50 events over 7 users across 5 distinct days
     val rows = (0L until 50L).map(i =>

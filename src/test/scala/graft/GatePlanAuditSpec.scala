@@ -54,7 +54,10 @@ class GatePlanAuditSpec extends SparkSpec {
     // The contamination-triage read: the ONE-row global benchmark
     // sketch broadcast against the O(sources) sketch table — a 1×N
     // product of fixed-width state, the gram rows long since collapsed.
-    "q244_contamination_est")
+    "q244_contamination_est",
+    // The AMS join-size read: two ONE-row global count-sketches meeting
+    // in a broadcast product — fixed-width state, raw rows collapsed.
+    "q247_ams_join_size")
   private val allowGlobalWindow: Set[String] = Set.empty
 
   private def offenders(plan: SparkPlan): Seq[String] = {

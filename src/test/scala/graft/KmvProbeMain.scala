@@ -30,7 +30,13 @@ object KmvProbeMain {
         pmod(xxhash64(col("id")), lit(n / 2 + 1)).as("v"))
       val t0 = System.nanoTime()
       val sk = graft.operators.KmvSketch.sketch(df, Seq("g"), "v")
-      val rows = sk.count()
+      // full-register checksum, NOT count(): counting lets Catalyst
+      // prune every register expression (the Bench.scala lesson — a
+      // count-only plan under-measures by >10×)
+      val rows = sk.select(count(lit(1)).as("n"),
+          sum(aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+            .as("ck"))
+        .head().getLong(0)
       val sketchSec = (System.nanoTime() - t0) / 1e9
       println(f"KMV sketch  rows=1e$log groups=$groups%-5d out=$rows%5d " +
         f"wallSec=$sketchSec%8.2f rowsPerSec=${n / sketchSec / 1e6}%7.1fM")
