@@ -10,7 +10,7 @@ import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
 import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
 
-/** Gate-registry shard 6 (q229–q249): each gate's Spark lambda and
+/** Gate-registry shard 6 (q229–q250): each gate's Spark lambda and
   * its DuckDB oracle SQL side by side — pure relocation of the
   * [[SparkEntry]] registry (r15 verdict #6), no behavior change.
   * [[SparkEntry.queries]] / [[SparkEntry.oracleSql]] assemble the shards.
@@ -387,6 +387,17 @@ private[graft] object Gates6 {
         .agg(sum(cents(col("value"))).as("x"))
       graft.operators.Autocorr.acf(daily, Seq("event_type"), "day", "x",
         maxLag = 7)
+    }),
+
+    // ── three-way KMV set expression: |A∩B∩C| per event-type TRIPLE
+    // from the stored sketches — where inclusion-exclusion would
+    // compound SEVEN estimates' errors, the registers read the 3-way
+    // Jaccard directly (agreement samples the 3-way union's minimum).
+    // Same q237-shape broadcast product, raw rows long since collapsed ──
+    "q250_kmv_triples" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      graft.operators.KmvSketch.setops3(ev, "event_type", "user_id")
     }),
   )
 
@@ -962,5 +973,54 @@ private[graft] object Gates6 {
         |$lagSelects
         |ORDER BY event_type, lag""".stripMargin
     },
+
+    // replays the registers, then the 3-way read arithmetic per type
+    // triple: agreement = all three roles present and equal, union Σ
+    // over the 3-way minimum, the same GREATEST/cast/multiply-divide/
+    // half-up-floor chain as the pairwise reads
+    "q250_kmv_triples" ->
+      """WITH h AS (SELECT event_type AS k, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |reg AS (SELECT k, ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+        |               MIN(('0x' || substr(hx, 3, 12))::BIGINT + 1) AS r
+        |        FROM h GROUP BY k, bucket),
+        |ks AS (SELECT DISTINCT k FROM reg),
+        |tri AS (SELECT a.k AS key_a, b.k AS key_b, c.k AS key_c
+        |        FROM ks a JOIN ks b ON a.k < b.k JOIN ks c ON b.k < c.k),
+        |side AS (SELECT t.key_a, t.key_b, t.key_c, r.bucket, r.r,
+        |                CASE WHEN r.k = t.key_a THEN 0
+        |                     WHEN r.k = t.key_b THEN 1 ELSE 2 END AS role
+        |         FROM tri t JOIN reg r
+        |           ON r.k IN (t.key_a, t.key_b, t.key_c)),
+        |cell AS (SELECT key_a, key_b, key_c, bucket,
+        |                MIN(CASE WHEN role = 0 THEN r END) AS ra,
+        |                MIN(CASE WHEN role = 1 THEN r END) AS rb,
+        |                MIN(CASE WHEN role = 2 THEN r END) AS rc
+        |         FROM side GROUP BY 1, 2, 3, 4),
+        |st AS (SELECT key_a, key_b, key_c,
+        |         CAST(SUM(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |                        AND rc IS NOT NULL AND ra = rb AND rb = rc
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS matches3,
+        |         CAST(COUNT(*) AS BIGINT) AS hits,
+        |         CAST(SUM(LEAST(COALESCE(ra, 281474976710657),
+        |                        COALESCE(rb, 281474976710657),
+        |                        COALESCE(rc, 281474976710657)) - 1) AS BIGINT)
+        |           AS sh_u
+        |       FROM cell GROUP BY 1, 2, 3),
+        |sg AS (SELECT key_a, key_b, key_c, matches3, hits,
+        |         CAST(GREATEST(sh_u + (256 - hits) * 281474976710656, 1)
+        |           AS DOUBLE) AS su
+        |       FROM st),
+        |est AS (SELECT key_a, key_b, key_c, matches3, hits,
+        |         CAST(hits AS DOUBLE) * 72057594037927936.0 / su AS raw_u,
+        |         CASE WHEN hits = 0 THEN 0.0
+        |              ELSE CAST(matches3 AS DOUBLE) / CAST(hits AS DOUBLE)
+        |         END AS j3
+        |        FROM sg)
+        |SELECT key_a, key_b, key_c, matches3, hits,
+        |       CAST(FLOOR(raw_u + 0.5) AS BIGINT) AS union_est,
+        |       CAST(FLOOR(j3 * raw_u + 0.5) AS BIGINT) AS inter_est
+        |FROM est ORDER BY key_a, key_b, key_c""".stripMargin,
   )
 }

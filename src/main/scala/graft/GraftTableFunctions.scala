@@ -86,6 +86,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_kmv_registers('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_kmv_setops('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_contamination_est('docs_view', 'bench_view', 4)
+  *   SELECT * FROM graft_kmv_setops3('events_view', 'event_type', 'user_id', 2)
   *   SELECT * FROM graft_cms_registers('events_view', 'event_type', 'user_id', 4, 128)
   *   SELECT * FROM graft_cms_estimate('events_view', 'event_type', 'user_id', 'probes_view', 4, 128)
   *   SELECT * FROM graft_cms_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 4, 128)
@@ -585,6 +586,11 @@ object GraftTableFunctions {
     "graft_kmv_setops" -> { exprs =>
       val a = args("graft_kmv_setops", exprs, 4)
       plan(operators.KmvSketch.setops(table(a(0)), keyCol = str(a(1)),
+        valueCol = str(a(2)), hexChars = int(a(3))))
+    },
+    "graft_kmv_setops3" -> { exprs =>
+      val a = args("graft_kmv_setops3", exprs, 4)
+      plan(operators.KmvSketch.setops3(table(a(0)), keyCol = str(a(1)),
         valueCol = str(a(2)), hexChars = int(a(3))))
     },
     "graft_contamination_est" -> { exprs =>

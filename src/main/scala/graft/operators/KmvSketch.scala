@@ -233,6 +233,33 @@ object KmvSketch {
       floor(rational(merge(a, b), hexChars) - rational(b, hexChars)
         + lit(0.5)).cast(LongType))
 
+  /** Three-way register agreement #{j : A_j = B_j = C_j ≠ 0} — the
+    * register samples the 3-way union's minimum, so agreement means
+    * that member lies in ALL three sets; with [[hits]] of the 3-way
+    * merge it reads J₃ = |A∩B∩C|/|A∪B∪C| the same way the pairwise
+    * form does. Exact integer. */
+  def matches3(a: Column, b: Column, c: Column): Column =
+    aggregate(
+      zip_with(
+        zip_with(a, b, (x, y) =>
+          when(x > 0L && x === y, x).otherwise(lit(0L))),
+        c, (xy, z) => when(xy > 0L && xy === z, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Three-way intersection estimate |A∩B∩C| ≈ Ĵ₃·n̂(A∪B∪C) — the set
+    * expression inclusion-exclusion needs SEVEN estimates for (and
+    * where its errors add); here it is one ratio of exact integers
+    * times the union estimate, same error shape as the pairwise read.
+    * Half-up floored like the family's other reads. */
+  def estimateIntersection3(a: Column, b: Column, c: Column,
+                            hexChars: Int): Column = {
+    val u = merge(merge(a, b), c)
+    val h = hits(u)
+    val j3 = when(h === 0L, lit(0.0))
+      .otherwise(matches3(a, b, c).cast("double") / h.cast("double"))
+    floor(j3 * rational(u, hexChars) + lit(0.5)).cast(LongType)
+  }
+
   /** Containment read ⌊1000·|A∩B|/|B|⌋ — "what share of set B does A
     * cover", the decontamination-triage question (B = benchmark grams,
     * A = a source's grams). Same rational ingredients as
@@ -281,6 +308,32 @@ object KmvSketch {
     * vectors — one sketch pass over the rows, then a (tiny) sketch×
     * sketch self-join on the key inequality; never the raw rows
     * pairwise. */
+  /** Three-way set-operation reads for every unordered TRIPLE of
+    * `keyCol` cells (key_a < key_b < key_c): the exact 3-way register
+    * agreement and hit counts plus the union and triple-intersection
+    * estimates — one ratio of exact integers per read, where
+    * inclusion-exclusion would compound SEVEN estimates' errors. Same
+    * scale shape as [[setops]]: sketches once, then a broadcast
+    * product of O(keys) fixed-width vectors. */
+  def setops3(df: DataFrame, keyCol: String, valueCol: String,
+              hexChars: Int = 2): DataFrame = {
+    val sk = sketch(df, Seq(keyCol), valueCol, hexChars)
+    val a = sk.select(col(keyCol).as("key_a"), col("kmv").as("__kv_a"))
+    val b = sk.select(col(keyCol).as("key_b"), col("kmv").as("__kv_b"))
+    val c = sk.select(col(keyCol).as("key_c"), col("kmv").as("__kv_c"))
+    val u = merge(merge(col("__kv_a"), col("__kv_b")), col("__kv_c"))
+    broadcast(broadcast(a).join(b, col("key_a") < col("key_b")))
+      .join(c, col("key_b") < col("key_c"))
+      .select(col("key_a"), col("key_b"), col("key_c"),
+        matches3(col("__kv_a"), col("__kv_b"), col("__kv_c"))
+          .as("matches3"),
+        hits(u).as("hits"),
+        estimateRational(u, hexChars).as("union_est"),
+        estimateIntersection3(col("__kv_a"), col("__kv_b"), col("__kv_c"),
+          hexChars).as("inter_est"))
+      .orderBy("key_a", "key_b", "key_c")
+  }
+
   def setops(df: DataFrame, keyCol: String, valueCol: String,
              hexChars: Int = 2): DataFrame = {
     val sk = sketch(df, Seq(keyCol), valueCol, hexChars)

@@ -57,7 +57,10 @@ class GatePlanAuditSpec extends SparkSpec {
     "q244_contamination_est",
     // The AMS join-size read: two ONE-row global count-sketches meeting
     // in a broadcast product — fixed-width state, raw rows collapsed.
-    "q247_ams_join_size")
+    "q247_ams_join_size",
+    // The 3-way KMV read: the q242 shape chained once more — O(types³)
+    // broadcast products of fixed-width sketch vectors.
+    "q250_kmv_triples")
   private val allowGlobalWindow: Set[String] = Set.empty
 
   private def offenders(plan: SparkPlan): Seq[String] = {

@@ -143,6 +143,33 @@ class KmvSketchSpec extends SparkSpec {
     assert(dj.getDouble(1) <= 0.1, s"disjoint J ${dj.getDouble(1)}")
   }
 
+  test("3-way reads: planted triple overlap; identical sets read inter == union exactly") {
+    // |A∩B∩C| = |{751..1000}| = 250, |A∪B∪C| = 1750
+    val a = (1 to 1000).map(i => s"k$i")
+    val b = (501 to 1500).map(i => s"k$i")
+    val c = (751 to 1750).map(i => s"k$i")
+    def sk(xs: Seq[String], out: String) =
+      KmvSketch.sketch(xs.toDF("v"), Nil, "v").withColumnRenamed("kmv", out)
+    val row = sk(a, "ka").crossJoin(sk(b, "kb")).crossJoin(sk(c, "kc"))
+      .select(
+        KmvSketch.estimateIntersection3(col("ka"), col("kb"), col("kc"), 2)
+          .as("i3"),
+        KmvSketch.estimateRational(
+          KmvSketch.merge(KmvSketch.merge(col("ka"), col("kb")), col("kc")),
+          2).as("u3"),
+        KmvSketch.matches3(col("ka"), col("kb"), col("kc")).as("m3"))
+      .collect()(0)
+    assert(math.abs(row.getLong(0) - 250L) <= 120L, s"inter3 ${row.getLong(0)}")
+    assert(math.abs(row.getLong(1) - 1750L) <= 350L, s"union3 ${row.getLong(1)}")
+    // identical sets: every hit register agrees -> j3 = 1 exactly, so
+    // the intersection read IS the union read
+    val same = sk(a, "x").crossJoin(sk(a, "y")).crossJoin(sk(a, "z"))
+      .select(KmvSketch.estimateIntersection3(col("x"), col("y"), col("z"), 2),
+        KmvSketch.estimateRational(col("x"), 2))
+      .collect()(0)
+    assert(same.getLong(0) == same.getLong(1), s"identical: $same")
+  }
+
   test("setops: exact integer reads match the driver reference; pairs ordered key_a < key_b") {
     val rows = (1 to 900).flatMap { i =>
       val u = s"u${i % 450}"
