@@ -10,7 +10,7 @@ import graft.operators.{GlobalRank, LongMonoid, OrderStats, SlidingAggregate}
 import graft.sources.TextKV
 import graft.text.{Dedup, Pipeline, SimHash, TextAnalysis}
 
-/** Gate-registry shard 6 (q229–q250): each gate's Spark lambda and
+/** Gate-registry shard 6 (q229–q254): each gate's Spark lambda and
   * its DuckDB oracle SQL side by side — pure relocation of the
   * [[SparkEntry]] registry (r15 verdict #6), no behavior change.
   * [[SparkEntry.queries]] / [[SparkEntry.oracleSql]] assemble the shards.
@@ -398,6 +398,126 @@ private[graft] object Gates6 {
       val ev = s.read.parquet(t(dir, "events"))
         .filter(col("event_type").isNotNull)
       graft.operators.KmvSketch.setops3(ev, "event_type", "user_id")
+    }),
+
+    // ── portable BLOOM filter (r15): per-type membership words from the
+    // same md5 portability contract — 63 usable bits per BIGINT word
+    // (the sign bit is the documented portability bound: checked ANSI
+    // engines raise on 1<<63), k=4 double-hashed probes, merge =
+    // bitwise OR. The SPARSE (slot, w) form is the sketch's PRIMARY
+    // shape: a Bloom filter's size must scale with its set (unlike
+    // HLL's fixed 256), so the state is O(hit words) rows at any m —
+    // here m = 258048 bits, sized for the sf0.1 user population.
+    // Values never reach an exchange ────────────────────────────────────
+    "q251_bloom_registers" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull)
+      graft.operators.BloomSketch.registers(ev, Seq("event_type"),
+        "user_id", numWords = 4096, k = 4)
+    }),
+
+    // ── the Bloom cube contract: per-type DENSE word vectors (of the
+    // types' ACTIVE-DAY sets — a set the 4032-bit dense form holds at
+    // moderate fill) ROLL UP (element-wise bitwise OR, never the raw
+    // rows) to the same global words a direct sketch computes —
+    // idempotent like the HLL/KMV merges, so any grouping/duplication
+    // lands on the same cells ───────────────────────────────────────────
+    "q252_bloom_rollup" -> ((s, dir) => {
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      val ev = raw
+        .withColumn("tsUs", EventOps.tsMicros(raw))
+        .withColumn("day", expr("tsUs div 86400000000"))
+      val fine = graft.operators.BloomSketch.sketch(
+        ev, Seq("event_type"), "day", numWords = 64, k = 4)
+      graft.operators.BloomSketch.rollup(fine, "bloom", 64, Nil)
+        .select(posexplode(col("bloom")))
+        .filter(col("col") =!= 0L)
+        .select(col("pos").cast(LongType).as("slot"), col("col").as("w"))
+        .orderBy("slot")
+    }),
+
+    // ── SOUND decontamination pre-filter (r15): every doc's word
+    // 4-grams probed against a Bloom filter of the benchmark slice's
+    // grams — n_maybe = 0 is a THEOREM of no overlap (Bloom's one-sided
+    // error), so the certified-clean majority skips q69's exact join;
+    // false positives only cost, never leak. Gram strings never reach
+    // an exchange (probes travel as two 60-bit md5 slices); the state
+    // broadcasts. Everything integer → the VERDICTS oracle-gate ─────────
+    "q253_bloom_prefilter" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .filter(col("text").isNotNull)
+      graft.text.Pipeline.decontamPrefilter(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        n = 4, numWords = 16384, k = 3)
+    }),
+
+    // ── streaming Bloom maintainer: per-user active-day membership
+    // words as an OR-fold over micro-batches — idempotent (the
+    // HLL/KMV operational property: at-least-once re-delivery needs no
+    // dedup); the final sparse snapshot must equal the batch words the
+    // DuckDB oracle computes directly. Driver-fed replay, the q97
+    // caveat ────────────────────────────────────────────────────────────
+    "q254_stream_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val raw = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type") === "click")
+      val evts = raw
+        .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+          EventOps.tsMicros(raw).as("tsUs"), cents(col("value")).as("valueCents"))
+        .as[graft.streaming.EventStreaming.Event]
+      graft.streaming.EventStreaming.bloomReplay(evts, nChunks = 3,
+          numWords = 8, k = 4, registers = true)
+        .select(col("userId").as("user_id"), col("slot"), col("w"))
+        .orderBy("user_id", "slot")
+    }),
+
+    // ── JL ±1 random projection (r15): 64-dim embeddings → 16 exact-
+    // integer coordinates from an md5-derived sign matrix (Achlioptas
+    // 2003 — no RNG state, the matrix replays as SQL literals). ONE
+    // narrow map pass, stored beside the vector at ingest: the 100 TB
+    // shortlist space at 1/4 the scan bandwidth. Projections are
+    // Int64-exact, so the CELLS oracle-gate ───────────────────────────────
+    "q255_jl_project" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      graft.embed.Jl.projectRows(emb, "vec_id", "embedding")
+    }),
+
+    // ── the JL two-stage ANN read: shortlist 40 per query by projected
+    // squared distance (exact integers, ties on cand_id — deterministic
+    // and replayable), exact integer-cosine rerank of the shortlist
+    // only (the q22 arithmetic verbatim). Candidates scanned ONCE
+    // against broadcast projected queries; only |Q|·40 rows reach the
+    // rerank join. Recall is spec-measured; the ANSWER hash-matches ──────
+    "q256_jl_rerank" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      graft.embed.Jl.jlTopK(emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") >= 8), k = 10, shortK = 40)
+    }),
+
+    // ── exact-rational CROSS-correlation (r15): does click revenue
+    // LEAD purchase revenue, per user cohort? CCF of the two daily
+    // series at lags −5..5 — q249's recipe two-series: n²-scaled
+    // numerator and both denominator factors exact integers, the
+    // emitted DOUBLE one fixed IEEE cast/multiply/sqrt/divide chain, so
+    // the CCF values themselves hash-match. One PARTITIONED window pass
+    // (per-cohort series — the operator's many-series shape) + one agg ──
+    "q257_ccf" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull && col("user_id").isNotNull)
+      val withDay = ev
+        .withColumn("tsUs", EventOps.tsMicros(ev))
+        .withColumn("cohort", col("user_id") % 4)
+        .withColumn("day", expr("tsUs div 86400000000"))
+      def series(typ: String, out: String) = withDay
+        .filter(col("event_type") === typ)
+        .groupBy("cohort", "day").agg(sum(cents(col("value"))).as(out))
+      graft.operators.Autocorr.ccf(
+        series("click", "x").join(series("purchase", "y"),
+          Seq("cohort", "day")),
+        Seq("cohort"), "day", "x", "y", maxLag = 5)
     }),
   )
 
@@ -1022,5 +1142,244 @@ private[graft] object Gates6 {
         |       CAST(FLOOR(raw_u + 0.5) AS BIGINT) AS union_est,
         |       CAST(FLOOR(j3 * raw_u + 0.5) AS BIGINT) AS inter_est
         |FROM est ORDER BY key_a, key_b, key_c""".stripMargin,
+
+    // md5-Bloom word replay: h1/h2 = two 60-bit md5 slices, k=4
+    // double-hashed positions over m = 63·4096 bits, word = bit_or of
+    // 1 << (pos mod 63) — the 63-bit word layout is the portability
+    // bound (DuckDB raises on BIGINT 1<<63)
+    "q251_bloom_registers" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT event_type,
+        |        ('0x' || substr(hx, 1, 15))::BIGINT % 258048 AS h1m,
+        |        (('0x' || substr(hx, 16, 15))::BIGINT % 258048) * 2 + 1
+        |          AS stride
+        |      FROM h),
+        |p AS (SELECT event_type, (h1m + i * stride) % 258048 AS pos
+        |      FROM b, UNNEST(range(4)) AS t(i))
+        |SELECT event_type, pos // 63 AS slot,
+        |       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+        |         AS BIGINT) AS w
+        |FROM p GROUP BY event_type, slot
+        |ORDER BY event_type, slot""".stripMargin,
+
+    // the DIRECT global words (m = 63·64 bits over the active-day
+    // sets) — the gate reaches the same cells via the per-type stored
+    // vectors (the cube contract; bitwise OR is idempotent,
+    // duplication across cells is absorbed)
+    "q252_bloom_rollup" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT md5(CAST(day AS VARCHAR)) AS hx FROM d
+        |      WHERE day IS NOT NULL),
+        |b AS (SELECT ('0x' || substr(hx, 1, 15))::BIGINT % 4032 AS h1m,
+        |        (('0x' || substr(hx, 16, 15))::BIGINT % 4032) * 2 + 1
+        |          AS stride
+        |      FROM h),
+        |p AS (SELECT (h1m + i * stride) % 4032 AS pos
+        |      FROM b, UNNEST(range(4)) AS t(i))
+        |SELECT pos // 63 AS slot,
+        |       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+        |         AS BIGINT) AS w
+        |FROM p GROUP BY slot ORDER BY slot""".stripMargin,
+
+    // replays the blocklist filter (word 4-grams of the doc_id%17=0
+    // slice into m = 63·16384 bits, k=3), then every corpus doc's
+    // distinct gram hash pairs probed against it: a gram is a maybe-hit
+    // iff all 3 bits are set, and the per-doc counts and the 0/1
+    // needs_exact flag are exact integers — the sound-prefilter
+    // verdicts themselves hash-match
+    "q253_bloom_prefilter" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents WHERE text IS NOT NULL),
+        |g AS MATERIALIZED (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+        |blh AS (SELECT DISTINCT md5(g) AS hx FROM g WHERE doc_id % 17 = 0),
+        |blp AS (SELECT (('0x' || substr(hx, 1, 15))::BIGINT % 1032192
+        |          + i * ((('0x' || substr(hx, 16, 15))::BIGINT % 1032192)
+        |                 * 2 + 1)) % 1032192 AS pos
+        |        FROM blh, UNNEST(range(3)) AS t(i)),
+        |st AS (SELECT pos // 63 AS slot,
+        |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+        |           AS BIGINT) AS w
+        |       FROM blp GROUP BY slot),
+        |pr AS (SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(g), 16, 15))::BIGINT AS h2
+        |       FROM g WHERE doc_id % 17 <> 0),
+        |pp AS (SELECT doc_id, h1, h2,
+        |         (h1 % 1032192
+        |          + i * ((h2 % 1032192) * 2 + 1)) % 1032192 AS pos
+        |       FROM pr, UNNEST(range(3)) AS t(i)),
+        |hit AS (SELECT doc_id, h1, h2,
+        |          bool_and((COALESCE(w, 0)
+        |            & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))) <> 0)
+        |            AS hit
+        |        FROM pp LEFT JOIN st ON pp.pos // 63 = st.slot
+        |        GROUP BY doc_id, h1, h2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_maybe,
+        |       CAST(CASE WHEN SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS needs_exact
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the BATCH words of per-user active-day Bloom filters (m = 63·8
+    // bits) — the gate reaches the same cells by folding 3
+    // micro-batches through the streaming maintainer (bitwise OR is
+    // idempotent: any chunking — and any duplicate delivery — lands
+    // here)
+    "q254_stream_bloom" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'click'),
+        |h AS (SELECT user_id, md5(CAST(day AS VARCHAR)) AS hx
+        |      FROM d WHERE day IS NOT NULL),
+        |b AS (SELECT user_id,
+        |        ('0x' || substr(hx, 1, 15))::BIGINT % 504 AS h1m,
+        |        (('0x' || substr(hx, 16, 15))::BIGINT % 504) * 2 + 1
+        |          AS stride
+        |      FROM h),
+        |p AS (SELECT user_id, (h1m + i * stride) % 504 AS pos
+        |      FROM b, UNNEST(range(4)) AS t(i))
+        |SELECT user_id, pos // 63 AS slot,
+        |       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+        |         AS BIGINT) AS w
+        |FROM p GROUP BY user_id, slot
+        |ORDER BY user_id, slot""".stripMargin,
+
+    // the identical ±1 projection: the md5-parity sign matrix emitted
+    // as VALUES literals (Jl.signsSqlValues — the zValueSql precedent),
+    // joined against the unnested quantized components and summed per
+    // (vector, output row)
+    "q255_jl_project" -> {
+      val sv = graft.embed.Jl.signsSqlValues(16, 64)
+      s"""WITH s(j, i, sg) AS (VALUES $sv),
+         |q AS (SELECT vec_id, i,
+         |        CAST(FLOOR(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |          * 1000) AS BIGINT) AS qv
+         |      FROM embeddings, UNNEST(range(64)) AS t(i)
+         |      WHERE embedding IS NOT NULL)
+         |SELECT q.vec_id, CAST(s.j AS BIGINT) AS j,
+         |       CAST(SUM(s.sg * q.qv) AS BIGINT) AS y
+         |FROM q JOIN s ON s.i = q.i
+         |GROUP BY q.vec_id, s.j
+         |ORDER BY vec_id, j""".stripMargin
+    },
+
+    // the full two-stage replay: projection (as q255), per-query top-40
+    // shortlist by (d2, cand_id), then the q22 exact-cosine arithmetic
+    // on the shortlist only
+    "q256_jl_rerank" -> {
+      val sv = graft.embed.Jl.signsSqlValues(16, 64)
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |s(j, i, sg) AS (VALUES $sv),
+         |comp AS (SELECT vec_id, i, q[CAST(i AS INT) + 1] AS qv
+         |         FROM e, UNNEST(range(64)) AS t(i)),
+         |y AS (SELECT vec_id, j, SUM(sg * qv) AS y
+         |      FROM comp JOIN s ON s.i = comp.i GROUP BY vec_id, j),
+         |qy AS (SELECT vec_id AS q_id, j, y FROM y WHERE vec_id < 8),
+         |cy AS (SELECT vec_id AS cand_id, j, y FROM y WHERE vec_id >= 8),
+         |dd AS (SELECT q_id, cand_id,
+         |         SUM((qy.y - cy.y) * (qy.y - cy.y)) AS d2
+         |       FROM qy JOIN cy ON qy.j = cy.j GROUP BY q_id, cand_id),
+         |short AS (SELECT q_id, cand_id FROM (
+         |            SELECT q_id, cand_id, ROW_NUMBER() OVER (
+         |              PARTITION BY q_id ORDER BY d2, cand_id) AS srn
+         |            FROM dd)
+         |          WHERE srn <= 40),
+         |qq AS (SELECT vec_id AS q_id,
+         |         list_transform(q, x -> CAST(x AS DOUBLE)) AS qv
+         |       FROM e WHERE vec_id < 8),
+         |cc AS (SELECT vec_id AS cand_id,
+         |         list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
+         |       FROM e WHERE vec_id >= 8),
+         |sc0 AS (SELECT sh.q_id, sh.cand_id,
+         |          CAST(list_dot_product(qv, cv) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(qv, qv) AS BIGINT) AS qn,
+         |          CAST(list_dot_product(cv, cv) AS BIGINT) AS cn
+         |        FROM short sh
+         |        JOIN qq ON qq.q_id = sh.q_id
+         |        JOIN cc ON cc.cand_id = sh.cand_id),
+         |sc AS (SELECT q_id, cand_id,
+         |         CASE WHEN qn = 0 OR cn = 0 THEN NULL
+         |         ELSE CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE)
+         |              / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)))
+         |           AS BIGINT) END AS score
+         |       FROM sc0 WHERE qn != 0 AND cn != 0)
+         |SELECT q_id,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rn,
+         |  cand_id, score
+         |FROM sc QUALIFY rn <= 10 ORDER BY q_id, rn""".stripMargin
+    },
+
+    // the q249 replay pattern two-series: per-cohort row-leads of both
+    // x and y over the aligned day grid, HUGEINT-exact numerator/
+    // denominator factors, and the identical cast/multiply/sqrt/divide
+    // chain per lag (negative lags read the y-against-later-x pairing)
+    "q257_ccf" -> {
+      val v = CENTS.format("value")
+      val leadCols = (1 to 5).map(l =>
+        s"LEAD(x, $l) OVER (PARTITION BY cohort ORDER BY day) AS lx$l, " +
+          s"LEAD(y, $l) OVER (PARTITION BY cohort ORDER BY day) AS ly$l")
+        .mkString(", ")
+      val aggCols = (1 to 5).map(l =>
+        s"COALESCE(SUM(CASE WHEN ly$l IS NOT NULL THEN CAST(x AS HUGEINT) " +
+          s"* ly$l END), 0) AS pp$l, " +
+        s"COALESCE(SUM(CASE WHEN ly$l IS NOT NULL THEN CAST(x AS HUGEINT) " +
+          s"END), 0) AS hx$l, " +
+        s"COALESCE(SUM(CAST(ly$l AS HUGEINT)), 0) AS ty$l, " +
+        s"COALESCE(SUM(CASE WHEN lx$l IS NOT NULL THEN CAST(y AS HUGEINT) " +
+          s"* lx$l END), 0) AS pn$l, " +
+        s"COALESCE(SUM(CASE WHEN lx$l IS NOT NULL THEN CAST(y AS HUGEINT) " +
+          s"END), 0) AS hy$l, " +
+        s"COALESCE(SUM(CAST(lx$l AS HUGEINT)), 0) AS tx$l").mkString(", ")
+      val denom = "sqrt(CAST(n*n*qx - n*sx*sx AS DOUBLE) " +
+        "* CAST(n*n*qy - n*sy*sy AS DOUBLE))"
+      val degenerate = "n*n*qx - n*sx*sx = 0 OR n*n*qy - n*sy*sy = 0"
+      val negSelects = (1 to 5).reverse.map(l =>
+        s"SELECT cohort, CAST(n AS BIGINT) AS n, CAST(-$l AS BIGINT) AS lag, " +
+        s"CASE WHEN $degenerate OR n <= $l THEN NULL ELSE " +
+        s"CAST(n*n*pn$l - n*sy*tx$l - n*sx*hy$l + (n - $l)*sx*sy " +
+        s"AS DOUBLE) / $denom END AS ccf FROM agg")
+      val zeroSelect =
+        s"SELECT cohort, CAST(n AS BIGINT) AS n, CAST(0 AS BIGINT) AS lag, " +
+        s"CASE WHEN $degenerate THEN NULL ELSE " +
+        s"CAST(n*n*p0 - n*sx*sy AS DOUBLE) / $denom END AS ccf FROM agg"
+      val posSelects = (1 to 5).map(l =>
+        s"SELECT cohort, CAST(n AS BIGINT) AS n, CAST($l AS BIGINT) AS lag, " +
+        s"CASE WHEN $degenerate OR n <= $l THEN NULL ELSE " +
+        s"CAST(n*n*pp$l - n*sy*hx$l - n*sx*ty$l + (n - $l)*sx*sy " +
+        s"AS DOUBLE) / $denom END AS ccf FROM agg")
+      val lagSelects = (negSelects ++ Seq(zeroSelect) ++ posSelects)
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT event_type, user_id % 4 AS cohort,
+        |    epoch_us(ts) // 86400000000 AS day, $v AS vc
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND user_id IS NOT NULL),
+        |xs AS (SELECT cohort, day, CAST(SUM(vc) AS BIGINT) AS x FROM e
+        |       WHERE event_type = 'click' GROUP BY cohort, day),
+        |ys AS (SELECT cohort, day, CAST(SUM(vc) AS BIGINT) AS y FROM e
+        |       WHERE event_type = 'purchase' GROUP BY cohort, day),
+        |j AS (SELECT xs.cohort, xs.day, xs.x, ys.y
+        |      FROM xs JOIN ys USING (cohort, day)),
+        |w AS (SELECT cohort, x, y, $leadCols FROM j),
+        |agg AS (SELECT cohort, CAST(COUNT(*) AS HUGEINT) AS n,
+        |          COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+        |          COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+        |          COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS qx,
+        |          COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS qy,
+        |          COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS p0,
+        |          $aggCols
+        |        FROM w GROUP BY cohort)
+        |$lagSelects
+        |ORDER BY cohort, lag""".stripMargin
+    },
   )
 }

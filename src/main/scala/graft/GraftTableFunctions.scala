@@ -91,7 +91,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_cms_estimate('events_view', 'event_type', 'user_id', 'probes_view', 4, 128)
   *   SELECT * FROM graft_cms_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 4, 128)
   *   SELECT * FROM graft_countsketch_registers('events_view', 'event_type', 'user_id', 5, 128)
+  *   SELECT * FROM graft_bloom_registers('events_view', 'event_type', 'user_id', 256, 4)
+  *   SELECT * FROM graft_bloom_contains('members_view', 'user_id', 'probes_view', 'user_id', 256, 4)
+  *   SELECT * FROM graft_bloom_prefilter('docs_view', 'bench_view', 4, 16384, 3)
+  *   SELECT * FROM graft_jl_project('emb_view', 'vec_id', 'embedding', 64, 16)
+  *   SELECT * FROM graft_jl_topk('queries_view', 'cands_view', 10, 40)
   *   SELECT * FROM graft_acf('daily_view', 'event_type', 'day', 'x', 7)
+  *   SELECT * FROM graft_ccf('daily_view', '', 'day', 'x', 'y', 5)
   *   SELECT * FROM graft_ams_join_size('orders_view', 'o_custkey', 'cust_view', 'c_custkey', 5, 128)
   *   SELECT * FROM graft_zvalue('pts_view', 'x,y', 21)
   *   SELECT * FROM graft_dedup_delta('corpus_sigs_view', 'delta_sigs_view', 16, 8, 2, 3, 4)
@@ -610,6 +616,12 @@ object GraftTableFunctions {
       plan(operators.Autocorr.acf(table(a(0)), grps, tCol = str(a(2)),
         xCol = str(a(3)), maxLag = int(a(4))))
     },
+    "graft_ccf" -> { exprs =>
+      val a = args("graft_ccf", exprs, 6)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.Autocorr.ccf(table(a(0)), grps, tCol = str(a(2)),
+        xCol = str(a(3)), yCol = str(a(4)), maxLag = int(a(5))))
+    },
     "graft_countsketch_registers" -> { exprs =>
       val a = args("graft_countsketch_registers", exprs, 5)
       val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -663,6 +675,35 @@ object GraftTableFunctions {
     "graft_pq_encode_delta" -> { exprs =>
       val a = args("graft_pq_encode_delta", exprs, 3)
       plan(embed.Pq.encodeDelta(table(a(0)), table(a(1)), table(a(2))))
+    },
+    "graft_jl_project" -> { exprs =>
+      val a = args("graft_jl_project", exprs, 5)
+      plan(embed.Jl.projectRows(table(a(0)), idCol = str(a(1)),
+        embCol = str(a(2)), inDims = int(a(3)), outDims = int(a(4))))
+    },
+    "graft_jl_topk" -> { exprs =>
+      val a = args("graft_jl_topk", exprs, 4)
+      plan(embed.Jl.jlTopK(table(a(0)), table(a(1)), k = int(a(2)),
+        shortK = int(a(3))))
+    },
+    "graft_bloom_registers" -> { exprs =>
+      val a = args("graft_bloom_registers", exprs, 5)
+      val grps = str(a(1)).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      plan(operators.BloomSketch.registers(table(a(0)), grps,
+        valueCol = str(a(2)), numWords = int(a(3)), k = int(a(4))))
+    },
+    "graft_bloom_contains" -> { exprs =>
+      val a = args("graft_bloom_contains", exprs, 6)
+      val state = operators.BloomSketch.sketchSparse(table(a(0)), Nil,
+        valueCol = str(a(1)), numWords = int(a(4)), k = int(a(5)))
+      plan(operators.BloomSketch.containsSparse(state, table(a(2)),
+        idCols = Nil, valueCol = str(a(3)), numWords = int(a(4)),
+        k = int(a(5))))
+    },
+    "graft_bloom_prefilter" -> { exprs =>
+      val a = args("graft_bloom_prefilter", exprs, 5)
+      plan(text.Pipeline.decontamPrefilter(table(a(0)), table(a(1)),
+        n = int(a(2)), numWords = int(a(3)), k = int(a(4))))
     },
     "graft_cms_estimate" -> { exprs =>
       val a = args("graft_cms_estimate", exprs, 6)

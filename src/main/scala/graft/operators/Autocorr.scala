@@ -92,4 +92,111 @@ object Autocorr {
         col("__ac_r.lag").as("lag"), col("__ac_r.acf").as("acf")): _*)
       .orderBy((seriesCols :+ "lag").map(col): _*)
   }
+
+  /** Exact-rational CROSS-correlation (the sample CCF — [[acf]]'s
+    * two-series sibling; which lags of x LEAD y is the classic
+    * leading-indicator diagnostic). For aligned series (one row per
+    * distinct t carrying BOTH x_t and y_t; rows where either is NULL
+    * drop — the pairing grid is their common support) and ℓ ∈ [−L, L]:
+    *
+    *   r_ℓ = Σ_t (x_t − μx)(y_{t+ℓ} − μy)
+    *         / √( Σ(x−μx)² · Σ(y−μy)² )
+    *
+    * (negative ℓ pairs y_t with the LATER x_{t+|ℓ|} — x lagging).
+    * Same determinism recipe as [[acf]]: scaling by n² makes the
+    * numerator and both denominator factors exact DECIMAL(38,0)
+    * integers; the emitted DOUBLE is CAST(num)/√(CAST(dx)·CAST(dy)) —
+    * a fixed chain of correctly rounded IEEE ops (the
+    * [[graft.embed.Similarity]] score shape), identical on every
+    * engine, so the CCF values themselves oracle-gate. NULL when
+    * either series is constant (dx·dy = 0) or n ≤ |ℓ|. r_0 is the
+    * plain Pearson correlation of the aligned series.
+    *
+    * Scale shape: ONE partitioned window pass (maxLag leads of each of
+    * x and y — never a global window) and ONE map-side-combined
+    * aggregation per series; same magnitude bound and duplicate-t
+    * RAISE as [[acf]]. */
+  def ccf(df: DataFrame, seriesCols: Seq[String], tCol: String,
+          xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1, 64], got $maxLag")
+    (seriesCols ++ Seq(tCol, xCol, yCol)).foreach { c =>
+      require(df.columns.contains(c), s"no such column: $c")
+      require(!c.startsWith("__"),
+        s"column name '$c' collides with internal __* names")
+    }
+    require(xCol != yCol, "xCol and yCol must differ")
+    Seq(xCol, yCol).foreach(c =>
+      require(df.schema(c).dataType == LongType, s"$c must be BIGINT"))
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tCol))
+    val dupW = Window.partitionBy((seriesCols :+ tCol).map(col): _*)
+    val guarded = when(count(lit(1)).over(dupW) > 1, raise_error(lit(
+        s"ccf: duplicate $tCol within a series — lag pairing would be " +
+          "ordering-dependent; aggregate to one row per t first")))
+      .otherwise(col(xCol))
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))
+    val base = df
+      .filter(col(tCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .withColumn("__cc_x", guarded)
+      .withColumn("__cc_y", col(yCol))
+    val withLeads = (1 to maxLag).foldLeft(base)((d, l) => d
+      .withColumn(s"__cc_lx$l", lead(col("__cc_x"), l).over(w))
+      .withColumn(s"__cc_ly$l", lead(col("__cc_y"), l).over(w)))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast(DecimalType(19, 0)).as("__cc_n"),
+        coalesce(sum(dec(col("__cc_x"))), zero).as("__cc_sx"),
+        coalesce(sum(dec(col("__cc_y"))), zero).as("__cc_sy"),
+        coalesce(sum(dec(col("__cc_x")) * dec(col("__cc_x"))), zero)
+          .as("__cc_qx"),
+        coalesce(sum(dec(col("__cc_y")) * dec(col("__cc_y"))), zero)
+          .as("__cc_qy"),
+        coalesce(sum(dec(col("__cc_x")) * dec(col("__cc_y"))), zero)
+          .as("__cc_p0")) ++
+      (1 to maxLag).flatMap(l => Seq(
+        // lag +l: x_t against y_{t+l}
+        coalesce(sum(dec(col("__cc_x")) * dec(col(s"__cc_ly$l"))), zero)
+          .as(s"__cc_pp$l"),
+        coalesce(sum(when(col(s"__cc_ly$l").isNotNull, dec(col("__cc_x")))),
+          zero).as(s"__cc_hx$l"),
+        coalesce(sum(dec(col(s"__cc_ly$l"))), zero).as(s"__cc_ty$l"),
+        // lag −l: y_t against x_{t+l}
+        coalesce(sum(dec(col("__cc_y")) * dec(col(s"__cc_lx$l"))), zero)
+          .as(s"__cc_pn$l"),
+        coalesce(sum(when(col(s"__cc_lx$l").isNotNull, dec(col("__cc_y")))),
+          zero).as(s"__cc_hy$l"),
+        coalesce(sum(dec(col(s"__cc_lx$l"))), zero).as(s"__cc_tx$l")))
+    val ag = withLeads.groupBy(seriesCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n = col("__cc_n")
+    val sx = col("__cc_sx"); val sy = col("__cc_sy")
+    val dx = n * n * col("__cc_qx") - n * sx * sx
+    val dy = n * n * col("__cc_qy") - n * sy * sy
+    def read(num: Column, l: Int) =
+      when(dx === zero || dy === zero || n <= l, lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")))
+    val lagRows = array(
+      ((1 to maxLag).reverse.map { l =>
+        val num = n * n * col(s"__cc_pn$l") -
+          n * sy * col(s"__cc_tx$l") - n * sx * col(s"__cc_hy$l") +
+          (n - l) * sx * sy
+        struct(lit(-l.toLong).as("lag"), read(num, l).as("ccf"))
+      } :+ {
+        val num0 = n * n * col("__cc_p0") - n * sx * sy
+        struct(lit(0L).as("lag"), read(num0, 0).as("ccf"))
+      }) ++
+      (1 to maxLag).map { l =>
+        val num = n * n * col(s"__cc_pp$l") -
+          n * sy * col(s"__cc_hx$l") - n * sx * col(s"__cc_ty$l") +
+          (n - l) * sx * sy
+        struct(lit(l.toLong).as("lag"), read(num, l).as("ccf"))
+      }: _*)
+    ag.select(seriesCols.map(col) ++ Seq(n.cast(LongType).as("n"),
+        explode(lagRows).as("__cc_r")): _*)
+      .select(seriesCols.map(col) ++ Seq(col("n"),
+        col("__cc_r.lag").as("lag"), col("__cc_r.ccf").as("ccf")): _*)
+      .orderBy((seriesCols :+ "lag").map(col): _*)
+  }
 }

@@ -860,6 +860,101 @@ object EventStreaming {
     else m.current.get.orderBy("day")
   }
 
+  /** Streaming MEMBERSHIP-filter maintainer — the set-membership
+    * complement of [[KmvStateMaintainer]]: foreachBatch computes each
+    * micro-batch's per-key portable Bloom words
+    * ([[graft.operators.BloomSketch.sketchSparse]] — ONE map-side-
+    * combined aggregation; the exchange per batch is O(hit words) per
+    * observed key, never the values) and folds them into the running
+    * snapshot with the exact word-wise bitwise OR. Bitwise OR is a
+    * commutative IDEMPOTENT monoid, so the snapshot between batches is
+    * EXACTLY the batch-mode filter of everything absorbed, in any
+    * chunking AND under at-least-once re-delivery — and the snapshot
+    * answers membership DIRECTLY ([[graft.operators.BloomSketch
+    * .hitCounts]] / `containsSparse`) with the one-sided guarantee: a
+    * clear read against the maintained filter is certain absence from
+    * the whole absorbed history. The standing-corpus use: the
+    * decontamination pre-filter's blocklist filter stays current as
+    * eval sets grow, without re-sketching the history. State is
+    * O(keys · hit words); same segmented-store option, same bounded
+    * plan/memory discipline. */
+  final class BloomStateMaintainer(key: String, v: String,
+                                   numWords: Int, k: Int = 4,
+                                   buckets: Int = 0) {
+    // sparse (key, slot = word index, w) segments; fold = slot-wise OR
+    // (0 never stored: an all-zero word IS absence; idempotent — re-
+    // delivery is absorbed)
+    private val state = new SegmentedState(key, buckets, parts =>
+      parts.reduce(_ unionByName _)
+        .groupBy(col(key), col("slot")).agg(bit_or(col("w")).as("w")))
+
+    /** The current complete snapshot (None before the first batch):
+      * (key, bloom ARRAY<BIGINT> of length numWords), densified from
+      * the sparse words (never-hit words read 0 — no bit set). */
+    def current: Option[DataFrame] = synchronized(state.current.map(sp =>
+      graft.operators.CountMinSketch.assembleSparse(sp, Seq(key), "slot",
+        "w", numWords, "bloom")))
+
+    /** The sparse-word read — [[current]]'s information WITHOUT the
+      * dense densify (the cheap read at high key cardinality; also what
+      * the oracle gates pin). */
+    def currentRegisters: Option[DataFrame] = synchronized(state.current)
+
+    /** Folds one bounded batch into the snapshot. */
+    def absorb(batch: DataFrame): Unit = synchronized {
+      state.absorb(graft.operators.BloomSketch.sketchSparse(
+        batch, Seq(key), v, numWords, k))
+    }
+
+    /** foreachBatch writer folding every micro-batch of `stream` into
+      * the snapshot; the caller starts/stops the query. */
+    def sink(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          absorb(batch.toDF()))
+  }
+
+  /** Replays a bounded event slice through a [[BloomStateMaintainer]]
+    * in `nChunks` micro-batches and returns the final snapshot of
+    * per-USER active-day Bloom words (day = tsUs div 86400e6) — the
+    * harness that oracle-gates the streaming membership path against
+    * the batch filter: the OR-fold across ANY batch split (and any
+    * duplicate delivery — idempotent) must equal the direct per-user
+    * sketch. Same bounded-replay caveat as [[sessionizeReplay]]. */
+  def bloomReplay(events: Dataset[Event], nChunks: Int,
+                  numWords: Int = 8, k: Int = 4, buckets: Int = 0,
+                  registers: Boolean = false): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def withDay(df: DataFrame): DataFrame =
+      df.withColumn("day", expr("tsUs div 86400000000"))
+    val rows = events.collect().toSeq
+    val m = new BloomStateMaintainer("userId", "day", numWords, k, buckets)
+    if (rows.isEmpty) {
+      val empty = withDay(spark.emptyDataset[Event].toDF())
+      return if (registers)
+        graft.operators.BloomSketch.sketchSparse(empty, Seq("userId"),
+          "day", numWords, k)
+      else graft.operators.BloomSketch.sketch(empty, Seq("userId"), "day",
+        numWords, k)
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = m.sink(withDay(stream.toDS().toDF())).start()
+    try {
+      val per = math.max(1, (rows.size + nChunks - 1) / nChunks)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // registers = the sparse read (see distinctReplay)
+    if (registers) m.currentRegisters.get.orderBy("userId", "slot")
+    else m.current.get.orderBy("userId")
+  }
+
   /** An undirected edge for graph-stream replays. */
   case class GraphEdge(docA: Long, docB: Long)
 

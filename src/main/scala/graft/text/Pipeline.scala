@@ -368,6 +368,48 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Per-DOC decontamination PRE-FILTER from a Bloom filter of the
+    * benchmark's word n-grams — the SOUND sibling of the two passes
+    * above: [[contaminationEstimate]] triages per SOURCE by a sampling
+    * estimate (can under-read), [[decontaminateNgrams]] pays the exact
+    * per-gram join for every doc. This pass sketches the blocklist ONCE
+    * into a portable Bloom filter ([[graft.operators.BloomSketch]] —
+    * O(set words) state, typically ≪ 1 MiB for an eval set) and gives
+    * each doc a maybe-hit count against it. The Bloom one-sided-error
+    * theorem is the contract: `n_maybe = 0` proves the doc shares NO
+    * n-gram with the benchmark — those docs (the overwhelming majority
+    * of a clean corpus) skip the exact join entirely, and no
+    * contaminated doc can slip through (false positives only COST, they
+    * never LEAK). Output per doc: (doc_id, n_grams = distinct grams,
+    * n_maybe = grams the filter flags, needs_exact = 1 iff n_maybe > 0
+    * — BIGINT, the flag convention); docs
+    * with no n-gram (fewer than n words) are absent — they cannot be
+    * contaminated at this n.
+    *
+    * Scale shape: the blocklist collapses into O(hit words) sparse
+    * state rows that BROADCAST to the corpus scan; corpus grams reduce
+    * to fixed-width hash slices in the scan projection (the
+    * [[decontaminateNgrams]] discipline — gram strings never reach an
+    * exchange), probe the state map-side, and fold with two map-side-
+    * combined aggregations. The only wide work moves O(distinct grams
+    * per doc) rows of four longs. */
+  def decontamPrefilter(docs: DataFrame, blocklist: DataFrame, n: Int,
+                        numWords: Int = 16384, k: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    import graft.operators.BloomSketch
+    graft.functions.WordNgrams.register(docs.sparkSession)
+    def grams(d: DataFrame, keys: Seq[Column]) = d
+      .select(keys :+ explode(TextOps.wordNgramsNative(n)).as("g"): _*)
+    val state = BloomSketch.sketchSparse(grams(blocklist, Nil), Nil, "g",
+      numWords, k)
+    BloomSketch.hitCounts(state, grams(docs, Seq(col("doc_id"))),
+        Seq("doc_id"), "g", numWords, k)
+      .select(col("doc_id"), col("n_values").as("n_grams"),
+        col("n_maybe"),
+        (col("n_maybe") > 0L).cast("bigint").as("needs_exact"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global TRAINING-ORDER shuffle: rank 0..n-1 in the
     * order sorted by (keyHash(salt, doc_id), doc_id). Training runs need
     * a random-looking example order that is reproducible across re-runs,

@@ -77,6 +77,85 @@ class AutocorrSpec extends SparkSpec {
     intercept[IllegalArgumentException](Autocorr.acf(ok, Seq("g"), "t", "x", 0))
   }
 
+  /** Driver-side CCF reference (plain doubles). */
+  private def refCcf(xs: Seq[Long], ys: Seq[Long],
+                     maxLag: Int): Seq[Option[Double]] = {
+    val n = xs.size
+    val mx = xs.sum.toDouble / n; val my = ys.sum.toDouble / n
+    val dx = xs.map(x => (x - mx) * (x - mx)).sum
+    val dy = ys.map(y => (y - my) * (y - my)).sum
+    (-maxLag to maxLag).map { l =>
+      if (dx == 0.0 || dy == 0.0 || n <= math.abs(l)) None
+      else {
+        val num =
+          if (l >= 0) (0 until n - l).map(t =>
+            (xs(t) - mx) * (ys(t + l) - my)).sum
+          else (0 until n + l).map(t =>
+            (xs(t - l) - mx) * (ys(t) - my)).sum
+        Some(num / math.sqrt(dx * dy))
+      }
+    }
+  }
+
+  private def runCcf(xs: Seq[Long], ys: Seq[Long],
+                     maxLag: Int): Seq[Option[Double]] = {
+    val df = xs.zip(ys).zipWithIndex.map { case ((x, y), t) =>
+      ("s", t.toLong, x, y) }.toDF("g", "t", "x", "y")
+    Autocorr.ccf(df, Seq("g"), "t", "x", "y", maxLag)
+      .collect().map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      .toSeq
+  }
+
+  test("ccf matches the driver-side reference; lag 0 is Pearson; shifted copy peaks at its shift") {
+    val rng = new scala.util.Random(13)
+    val xs = (1 to 150).map(_ => rng.nextInt(1000).toLong)
+    val ys = (1 to 150).map(_ => rng.nextInt(1000).toLong)
+    runCcf(xs, ys, 4).zip(refCcf(xs, ys, 4)).zipWithIndex.foreach {
+      case ((g, r), i) =>
+        assert(g.isDefined == r.isDefined, s"idx $i")
+        for (gv <- g; rv <- r)
+          assert(math.abs(gv - rv) < 1e-9, s"idx $i: $gv vs $rv")
+    }
+    // y delayed: y_t = full(t), x_t = full(t+3) -> x_t == y_{t+3}, so
+    // the CCF peaks at lag +3 near 1 (x LEADS y by 3)
+    val full = (1 to 103).map(_ => rng.nextInt(1000).toLong)
+    val c = runCcf(full.drop(3), full.dropRight(3), 5)
+    val peak = c(5 + 3) // index maxLag + lag
+    assert(peak.get > 0.95, s"shifted-copy peak: $c")
+    assert(c.zipWithIndex.filter(_._2 != 8).forall(_._1.get < peak.get))
+  }
+
+  test("ccf symmetry: ccf(x,y)(+l) == ccf(y,x)(-l); sign flips under y -> c - y; constant series NULL") {
+    val rng = new scala.util.Random(17)
+    val xs = (1 to 80).map(_ => rng.nextInt(500).toLong)
+    val ys = (1 to 80).map(_ => rng.nextInt(500).toLong)
+    val ab = runCcf(xs, ys, 3)
+    val ba = runCcf(ys, xs, 3)
+    ab.zip(ba.reverse).foreach { case (p, q) =>
+      assert(math.abs(p.get - q.get) < 1e-12) }
+    val neg = runCcf(xs, ys.map(1000L - _), 3)
+    ab.zip(neg).foreach { case (p, q) =>
+      assert(math.abs(p.get + q.get) < 1e-12) }
+    assert(runCcf(xs, Seq.fill(80)(7L), 3).forall(_.isEmpty))
+  }
+
+  test("ccf guards: duplicate t RAISES; non-BIGINT y rejected; plan has no lag join") {
+    val dup = Seq(("g", 1L, 1L, 1L), ("g", 1L, 2L, 2L), ("g", 2L, 3L, 3L))
+      .toDF("g", "t", "x", "y")
+    val e = intercept[Exception](
+      Autocorr.ccf(dup, Seq("g"), "t", "x", "y", 2).collect())
+    assert(e.getMessage.contains("duplicate"))
+    val bad = Seq(("g", 1L, 1L, 1.5)).toDF("g", "t", "x", "y")
+    intercept[IllegalArgumentException](
+      Autocorr.ccf(bad, Seq("g"), "t", "x", "y", 2))
+    val ok = Seq(("g", 1L, 1L, 1L), ("g", 2L, 2L, 2L)).toDF("g", "t", "x", "y")
+    intercept[IllegalArgumentException](
+      Autocorr.ccf(ok, Seq("g"), "t", "x", "x", 2))
+    val plan = Autocorr.ccf(ok, Seq("g"), "t", "x", "y", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "ccf should not join")
+  }
+
   test("independent series stay independent; plan is a partitioned window, no join") {
     val df = ((1 to 50).map(i => ("a", i.toLong, i.toLong)) ++
       (1 to 50).map(i => ("b", i.toLong, (51 - i).toLong))).toDF("g", "t", "x")

@@ -403,6 +403,31 @@ class EventStreamingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("day", "kmv") && empty.count() == 0)
   }
 
+  test("bloomReplay: any chunking == the batch words; duplicate re-delivery is absorbed") {
+    // 50 events over 7 users across 5 distinct days
+    val rows = (0L until 50L).map(i =>
+      Event(i, i % 7 + 1, (i % 5) * 86400000000L + sec(i), i))
+    val ds = rows.toDS()
+    val batch = graft.operators.BloomSketch.sketch(
+        ds.toDF().withColumn("day", expr("tsUs div 86400000000")),
+        Seq("userId"), "day", numWords = 8, k = 4)
+      .orderBy("userId").as[(Long, Seq[Long])].collect().toSeq
+    for (k <- Seq(1, 3, 7); b <- Seq(1, 8)) {
+      val snap = EventStreaming.bloomReplay(ds, nChunks = k, buckets = b)
+        .as[(Long, Seq[Long])].collect().toSeq
+      assert(snap == batch, s"nChunks=$k buckets=$b")
+    }
+    // at-least-once: replaying the whole slice TWICE (every value
+    // re-delivered) leaves the words unchanged — OR is idempotent
+    val dup = EventStreaming.bloomReplay((rows ++ rows).toDS(), nChunks = 4)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(dup == batch)
+    // empty slice: empty snapshot with the sketch schema
+    val empty = EventStreaming.bloomReplay(
+      spark.emptyDataset[Event], nChunks = 2)
+    assert(empty.columns.toSeq == Seq("userId", "bloom") && empty.count() == 0)
+  }
+
   test("cmsReplay: any chunking x bucketing == the batch counters; re-delivery COUNTS (non-idempotent)") {
     val rows = (0L until 60L).map(i =>
       Event(i, i % 4 + 1, sec(i), i % 13 * 100L))

@@ -60,7 +60,12 @@ class GatePlanAuditSpec extends SparkSpec {
     "q247_ams_join_size",
     // The 3-way KMV read: the q242 shape chained once more — O(types³)
     // broadcast products of fixed-width sketch vectors.
-    "q250_kmv_triples")
+    "q250_kmv_triples",
+    // The JL shortlist: the q22 shape at 1/4 the bandwidth — a
+    // broadcast cross of the tiny PROJECTED query set against the
+    // streamed projected candidates (16 Longs per row, O(n·|Q|)); the
+    // exact rerank that follows is equi-keyed on the shortlist.
+    "q256_jl_rerank")
   private val allowGlobalWindow: Set[String] = Set.empty
 
   private def offenders(plan: SparkPlan): Seq[String] = {
@@ -116,8 +121,11 @@ class GatePlanAuditSpec extends SparkSpec {
           // shape: the BNLJ form (a CartesianProduct regression still
           // fails) scoring with the QUERY-vector kernel naming
           // "dot_long(qv" — a corpus×corpus BNLJ (embedNearDup-style
-          // kernels score dot_long(a.v, b.v)) would NOT match
-          f.startsWith("BroadcastNestedLoopJoin") && planStr.contains("dot_long(qv")
+          // kernels score dot_long(a.v, b.v)) would NOT match. The JL
+          // shortlist (q256) is the same shape on the PROJECTED query
+          // vectors — its kernel names "qjl", equally query-specific
+          f.startsWith("BroadcastNestedLoopJoin") &&
+            (planStr.contains("dot_long(qv") || planStr.contains("qjl"))
         }
         if (found.nonEmpty)
           failures += s"construction-time plan: ${found.mkString("; ")} in\n${planStr.take(800)}"
