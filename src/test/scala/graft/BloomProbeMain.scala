@@ -38,9 +38,10 @@ object BloomProbeMain {
         numWords, k = 4)
       // full-word checksum, NOT count(): counting lets Catalyst prune
       // the aggregate expressions (the Bench.scala lesson — a count-only
-      // plan under-measures by >10×)
+      // plan under-measures by >10×). XOR, not SUM: words run to 2^62
+      // and an ANSI Long sum of them overflows
       val words = sk.select(count(lit(1)).as("n"),
-          sum(col("w")).as("ck"))
+          expr("bit_xor(w)").as("ck"))
         .head().getLong(0)
       val sketchSec = (System.nanoTime() - t0) / 1e9
       println(f"BLOOM build rows=1e$log groups=$groups%-5d hitWords=$words%9d " +
@@ -49,16 +50,20 @@ object BloomProbeMain {
     }
 
     // the read path: 1e7 probes (half members, half strangers) against
-    // the STORED state of 1e7 members — member rows never re-read
+    // the STORED state of 1e7 members — member rows never re-read. The
+    // filter is SIZED for its set (2^21 words = 132M bits, ~30% fill,
+    // fpr ≈ 0.8%): the maybe count then demonstrates the one-sided
+    // error honestly instead of a saturated everything-flags filter
+    val readWords = 1 << 21
     val members = spark.range(10000000L).select(col("id").as("v"))
     val state = graft.operators.BloomSketch
-      .sketchSparse(members, Nil, "v", numWords, k = 4)
+      .sketchSparse(members, Nil, "v", readWords, k = 4)
       .localCheckpoint()
     val probes = spark.range(10000000L).select(
       col("id").as("doc"), (col("id") * 2).as("v")) // half in, half out
     val t1 = System.nanoTime()
     val flagged = graft.operators.BloomSketch.hitCounts(state, probes,
-        Seq("doc"), "v", numWords, k = 4)
+        Seq("doc"), "v", readWords, k = 4)
       .agg(sum("n_maybe")).head().getLong(0)
     val readSec = (System.nanoTime() - t1) / 1e9
     println(f"BLOOM read  probes=1e7 maybe=$flagged%9d wallSec=$readSec%8.2f " +
