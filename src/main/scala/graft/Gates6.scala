@@ -519,6 +519,18 @@ private[graft] object Gates6 {
           Seq("cohort", "day")),
         Seq("cohort"), "day", "x", "y", maxLag = 5)
     }),
+
+    // ── the SOUNDNESS EQUIVALENCE, end to end: decontamination via the
+    // Bloom pre-filter (certified-clean docs pass through, the exact
+    // gram join runs ONLY on the flagged sliver) must equal q69's plain
+    // exact pass row-for-row — contaminated ⊆ flagged is the one-sided-
+    // error THEOREM, and this gate's oracle IS q69's exact SQL, so the
+    // hash match proves the composition, not just the parts ─────────────
+    "q258_prefiltered_decontam" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      graft.text.Pipeline.decontaminateNgramsPrefiltered(
+        docs, docs.filter(col("doc_id") % 17 === 0), n = 4)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1381,5 +1393,17 @@ private[graft] object Gates6 {
         |$lagSelects
         |ORDER BY cohort, lag""".stripMargin
     },
+
+    // q69's plain-exact decontamination SQL VERBATIM — the gate takes
+    // the prefiltered path; the hash match is the soundness proof
+    "q258_prefiltered_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM b))
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -94,6 +94,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_bloom_registers('events_view', 'event_type', 'user_id', 256, 4)
   *   SELECT * FROM graft_bloom_contains('members_view', 'user_id', 'probes_view', 'user_id', 256, 4)
   *   SELECT * FROM graft_bloom_prefilter('docs_view', 'bench_view', 4, 16384, 3)
+  *   SELECT * FROM graft_prefiltered_decontam('docs_view', 'bench_view', 4, 16384, 3)
   *   SELECT * FROM graft_jl_project('emb_view', 'vec_id', 'embedding', 64, 16)
   *   SELECT * FROM graft_jl_topk('queries_view', 'cands_view', 10, 40)
   *   SELECT * FROM graft_acf('daily_view', 'event_type', 'day', 'x', 7)
@@ -675,6 +676,11 @@ object GraftTableFunctions {
     "graft_pq_encode_delta" -> { exprs =>
       val a = args("graft_pq_encode_delta", exprs, 3)
       plan(embed.Pq.encodeDelta(table(a(0)), table(a(1)), table(a(2))))
+    },
+    "graft_prefiltered_decontam" -> { exprs =>
+      val a = args("graft_prefiltered_decontam", exprs, 5)
+      plan(text.Pipeline.decontaminateNgramsPrefiltered(table(a(0)),
+        table(a(1)), n = int(a(2)), numWords = int(a(3)), k = int(a(4))))
     },
     "graft_jl_project" -> { exprs =>
       val a = args("graft_jl_project", exprs, 5)

@@ -410,6 +410,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Decontamination via the Bloom pre-filter, PROVABLY equal to
+    * [[decontaminateNgrams]]: probe every doc against the benchmark
+    * filter ([[decontamPrefilter]]), pass the certified-clean majority
+    * straight through (the one-sided-error theorem: n_maybe = 0 means
+    * NO shared n-gram, so those docs survive the exact pass by
+    * definition), and run the exact gram join ONLY on the flagged
+    * sliver. Because contaminated ⊆ flagged, the exact join removes
+    * exactly the docs the full pass would — the output is the full
+    * pass's, row for row (the gate proves it: q258 hash-checks against
+    * q69's plain-exact oracle). At 100 TB the exact join's input drops
+    * from the corpus to (true contamination + the filter's ~0.5% false
+    * positives); the pre-filter itself is a broadcast probe. Output:
+    * surviving (doc_id, text), ordered. */
+  def decontaminateNgramsPrefiltered(docs: DataFrame, blocklist: DataFrame,
+                                     n: Int, numWords: Int = 16384,
+                                     k: Int = 3): DataFrame = {
+    val flaggedIds = decontamPrefilter(docs, blocklist, n, numWords, k)
+      .filter(col("needs_exact") === 1L).select("doc_id")
+    val clean = docs.join(flaggedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val exactSurvivors = decontaminateNgrams(
+      docs.join(flaggedIds, Seq("doc_id"), "left_semi"), blocklist, n)
+    clean.unionByName(exactSurvivors).orderBy("doc_id")
+  }
+
   /** Deterministic global TRAINING-ORDER shuffle: rank 0..n-1 in the
     * order sorted by (keyHash(salt, doc_id), doc_id). Training runs need
     * a random-looking example order that is reproducible across re-runs,

@@ -222,6 +222,33 @@ class BloomSketchSpec extends SparkSpec {
     assert(byId(3L)._3 == 0L && byId(3L)._4 == 0L)
   }
 
+  test("decontaminateNgramsPrefiltered == decontaminateNgrams row-for-row (the soundness composition)") {
+    // seeded corpus with planted overlap, clean docs, short docs, and a
+    // NULL text — every survival class the equivalence must preserve
+    val rng = new scala.util.Random(41)
+    def sentence(words: Int) =
+      Seq.fill(words)(s"w${rng.nextInt(40)}").mkString(" ")
+    val bench = (100L to 104L).map(id => (id, sentence(12)))
+    val corpus = (0L until 60L).map { id =>
+      if (id % 7 == 0) {
+        // embed a benchmark span in a novel wrapper
+        val b = bench((id % 5).toInt)._2
+        (id, s"pre $b post")
+      } else if (id % 11 == 0) (id, "a b") // too short for a 4-gram
+      else (id, sentence(10))
+    } ++ Seq((99L, null.asInstanceOf[String]))
+    val docsDf = corpus.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    val plain = graft.text.Pipeline.decontaminateNgrams(docsDf, benchDf, 4)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val pre = graft.text.Pipeline.decontaminateNgramsPrefiltered(
+        docsDf, benchDf, 4, numWords = 512, k = 3)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(pre == plain)
+    // the planted contaminated docs really were dropped by both
+    assert(!plain.map(_._1).exists(id => id % 7 == 0 && id < 60))
+  }
+
   test("containsSparse plans the broadcast probe (no shuffle of the probe side)") {
     val state = BloomSketch.sketchSparse(
       (1 to 100).map(i => s"m$i").toDF("v"), Nil, "v", 64, 4)
