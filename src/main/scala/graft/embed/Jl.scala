@@ -13,11 +13,18 @@ import org.apache.spark.sql.types.LongType
   * showed ±1 entries achieve the JL distance guarantee — with
   * d' = outDims rows, E‖y_a − y_b‖² = d'·‖q_a − q_b‖², concentrated to
   * relative error ~O(1/√d') — so squared distances in the 16-dim
-  * projected space rank candidates for exact reranking at 1/4 the scan
-  * bandwidth of the 64-dim originals (and 1/16 the pair arithmetic).
-  * That is the 100 TB read path: PROJECT ONCE at ingest (a narrow map
-  * pass, stored beside the vector), shortlist in JL space, rerank the
-  * shortlist exactly ([[jlTopK]]).
+  * projected space rank candidates for exact reranking at half the
+  * scanned bytes (16 BIGINTs vs 64 floats) and a quarter of the pair
+  * arithmetic. That is the 100 TB read path: PROJECT ONCE at ingest (a
+  * narrow map pass, stored beside the vector), shortlist in JL space,
+  * rerank the shortlist exactly ([[jlTopK]]). Measured honestly
+  * (JlProbeMain, 1e6 memory-resident candidates × 64 queries,
+  * local[32]): the per-pair ROW machinery, not the dot arithmetic,
+  * dominates at this scale, so the in-memory two-stage read does NOT
+  * beat the exact broadcast scan — the win needs the serving shape
+  * (stored projections amortized across query batches, scan-bandwidth-
+  * bound candidates). The gates certify the EXACTNESS of the
+  * composition; q22 stays the in-memory baseline of choice.
   *
   * Determinism contract (the family's): the sign matrix derives from
   * md5("j:i") parity — no RNG state, reproducible on any engine, and
@@ -68,17 +75,20 @@ object Jl {
     require(quantScale >= 1, s"quantScale must be >= 1, got $quantScale")
     Seq(idCol, embCol).foreach(c =>
       require(embeddings.columns.contains(c), s"no such column: $c"))
-    val guarded = when(size(col(embCol)) === inDims, col(embCol))
-      .otherwise(raise_error(format_string(
-        s"jl: embedding length %s != inDims $inDims",
-        size(col(embCol)).cast("string"))))
-    val q = Similarity.quantize(guarded, quantScale)
-    val rows = ss.map(row =>
-      aggregate(
-        zip_with(q, array(row.map(lit): _*), (x, s) => x * s),
-        lit(0L), (a, t) => a + t))
+    // ONE native expression computes the whole projection — each
+    // component quantized once, all outDims accumulated in a tight
+    // codegen loop ([[graft.functions.JlProjectLong]]; the
+    // compositional quantize-HOF + 16 dot_long form gets the quantize
+    // alias inlined 16× by CollapseProject and runs interpreted
+    // lambdas — measured 20× slower at 1e6 rows). The length guard
+    // RAISES inside the expression. Same exact integers, same hashes.
+    val projected = org.apache.spark.sql.execution.GraftColumnBridge.column(
+      graft.functions.JlProjectLong(
+        org.apache.spark.sql.execution.GraftColumnBridge.expression(
+          col(embCol)),
+        ss.map(_.toArray).toArray, quantScale))
     embeddings.filter(col(embCol).isNotNull)
-      .select(col(idCol), array(rows: _*).as(out))
+      .select(col(idCol), projected.as(out))
   }
 
   /** The oracle-facing exploded form: (idCol, j, y) rows ordered — what
@@ -92,10 +102,9 @@ object Jl {
         col("col").as("y"))
       .orderBy(idCol, "j")
 
-  /** Exact squared distance between two projected vectors. */
-  private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
-      (acc, t) => acc + t)
+  // the shortlist score: 2·a·b − |a|² − |b|² == −‖a−b‖² exactly (same
+  // integer), with all three dots on the native kernel and the norms
+  // computed once per side — never per pair
 
   /** Top-k cosine via the JL two-stage read: shortlist `shortK`
     * candidates per query by projected squared distance (ties on
@@ -111,31 +120,56 @@ object Jl {
     * projected queries (a |C|·outDims map pass instead of q22's
     * |C|·inDims), the per-query shortlist moves ≤ shortK rows per
     * (query, partition) ([[Similarity.topkPerQuery]]'s bounded heap),
-    * and only |Q|·shortK rows reach the exact rerank join. */
+    * and only |Q|·shortK rows reach the exact rerank join (candidates
+    * are semi-join-reduced against the broadcast shortlist BEFORE
+    * their quantize projection runs). See the class note for the
+    * honest in-memory measurement. */
   def jlTopK(queries: DataFrame, candidates: DataFrame, k: Int,
              shortK: Int, inDims: Int = 64, outDims: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortK >= k, s"shortK ($shortK) must be >= k ($k)")
     graft.functions.DotProductLong.register(queries.sparkSession)
-    val qp = project(queries, "vec_id", "embedding", inDims, outDims)
-      .select(col("vec_id").as("q_id"), col("jl").as("qjl"))
-    val cp = project(candidates, "vec_id", "embedding", inDims, outDims)
-      .select(col("vec_id").as("cand_id"), col("jl").as("cjl"))
-    // shortlist: topkPerQuery keeps the LARGEST scores — negate d2
-    val short = Similarity.topkPerQuery(
-      cp.crossJoin(broadcast(qp))
-        .select(col("q_id"), col("cand_id"),
-          (-d2(col("qjl"), col("cjl"))).as("score")),
-      shortK)
-      .select(col("q_id"), col("cand_id"))
-    // exact rerank of the shortlist only — the q22 arithmetic verbatim
+    // the projections are CHECKPOINTED: at 100 TB they are computed at
+    // ingest and STORED beside the vectors — materializing here keeps
+    // that cost out of the per-pair loop (and out of Catalyst's reach:
+    // a collapsed plan would re-run the projection inside the join)
+    val qp = graft.operators.Checkpoints.checkpoint(
+      project(queries, "vec_id", "embedding", inDims, outDims)
+        .select(col("vec_id").as("q_id"), col("jl").as("qjl"))
+        .withColumn("qjn", expr("dot_long(qjl, qjl)")))
+    val cp = graft.operators.Checkpoints.checkpoint(
+      project(candidates, "vec_id", "embedding", inDims, outDims)
+        .select(col("vec_id").as("cand_id"), col("jl").as("cjl"))
+        .withColumn("cjn", expr("dot_long(cjl, cjl)")))
+    // shortlist: topkPerQuery keeps the LARGEST scores — the score IS
+    // −‖qjl−cjl‖² via the norm identity (see above). CHECKPOINTED:
+    // the rerank consumes it twice (semi-reduce + join), and an
+    // RDD-backed frame re-executes its whole upstream per consumer
+    val short = graft.operators.Checkpoints.checkpoint(
+      Similarity.topkPerQuery(
+        cp.crossJoin(broadcast(qp))
+          .select(col("q_id"), col("cand_id"),
+            (expr("2 * dot_long(qjl, cjl)") - col("qjn") - col("cjn"))
+              .as("score")),
+        shortK)
+        .select(col("q_id"), col("cand_id")))
+    // exact rerank of the shortlist only — the q22 arithmetic verbatim.
+    // The shortlist is RDD-backed (no stats), so every join around it
+    // is HINTED broadcast — unhinted, Spark sort-merge-joined the full
+    // candidate table and paid its quantization for every row (measured
+    // 7.4 s of a 10 s call at 1e6 candidates). The semi-join reduces
+    // candidates to shortlisted ids BEFORE the quantize projection runs.
     val q = queries.select(col("vec_id").as("q_id"),
         Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("qn", expr("dot_long(qv, qv)"))
-    val c = candidates.select(col("vec_id").as("cand_id"),
+    val c = candidates
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+      .join(broadcast(short.select("cand_id").distinct()),
+        Seq("cand_id"), "left_semi")
+      .select(col("cand_id"),
         Similarity.quantize(col("embedding")).as("cv"))
       .withColumn("cn", expr("dot_long(cv, cv)"))
-    val scored = short
+    val scored = broadcast(short)
       .join(c, Seq("cand_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("cand_id"), col("qn"), col("cn"),

@@ -85,6 +85,26 @@ object BloomSketch {
   /** Total bits m for a word count. */
   def mBits(numWords: Int): Long = wordBits.toLong * numWords
 
+  /** Sizing helper: the (numWords, k) for an expected set of
+    * `expectedN` distinct values at target false-positive rate
+    * `targetFpr` — the classic optima m = −n·ln p/(ln 2)², k = (m/n)·ln 2
+    * (k clamped to the engine's [1, 8]; past p ≈ 0.004 the clamp costs
+    * a little precision — size m up if that matters). The caller knows
+    * its corpus scale; this turns that knowledge into parameters
+    * instead of a guess. */
+  def sizeFor(expectedN: Long, targetFpr: Double): (Int, Int) = {
+    require(expectedN >= 1, s"expectedN must be >= 1, got $expectedN")
+    require(targetFpr > 0 && targetFpr < 1,
+      s"targetFpr must be in (0, 1), got $targetFpr")
+    val ln2 = math.log(2)
+    val m = math.ceil(-expectedN * math.log(targetFpr) / (ln2 * ln2))
+    val words = math.min(sparseMaxWords.toDouble,
+      math.max(1.0, math.ceil(m / wordBits))).toInt
+    val k = math.min(8, math.max(1,
+      math.round(mBits(words).toDouble / expectedN * ln2).toInt))
+    (words, k)
+  }
+
   private def checkWords(numWords: Int, dense: Boolean): Unit = {
     require(numWords >= 1, s"numWords must be >= 1, got $numWords")
     if (dense) require(numWords <= denseMaxWords,

@@ -259,6 +259,27 @@ class BloomSketchSpec extends SparkSpec {
       s"expected a broadcast probe join:\n$plan")
   }
 
+  test("sizeFor: the computed (numWords, k) delivers ~the target FPR on planted data") {
+    val (w1, k1) = BloomSketch.sizeFor(10000, 0.01)
+    assert(mBits(w1) >= 90000 && k1 >= 5 && k1 <= 8, s"($w1, $k1)")
+    val members = (1 to 10000).map(i => s"m$i")
+    val sk = graft.operators.BloomSketch.sketchSparse(
+      members.toDF("v"), Nil, "v", w1, k1)
+    val strangers = (1 to 20000).map(i => s"x$i").toDF("v")
+    val fp = BloomSketch.containsSparse(sk, strangers, Nil, "v", w1, k1)
+      .filter(col("might_contain")).count()
+    assert(fp <= 3 * 0.01 * 20000, s"$fp false positives")
+    // tiny and huge inputs stay in range
+    val (w2, k2) = BloomSketch.sizeFor(1, 0.5)
+    assert(w2 >= 1 && k2 >= 1)
+    assert(BloomSketch.sizeFor(Long.MaxValue / 4, 0.001)._1 ==
+      BloomSketch.sparseMaxWords)
+    intercept[IllegalArgumentException](BloomSketch.sizeFor(0, 0.1))
+    intercept[IllegalArgumentException](BloomSketch.sizeFor(10, 1.5))
+  }
+
+  private def mBits(w: Int): Long = BloomSketch.mBits(w)
+
   test("guards: k range, word caps, column hygiene, state shape") {
     val df = Seq("a").toDF("v")
     intercept[IllegalArgumentException](
