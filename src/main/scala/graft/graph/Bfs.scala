@@ -56,26 +56,51 @@ object Bfs {
       format_string("shortestPaths: negative edge weight %s", w0)))
     val e0 = edges.select(col(aCol).cast(LongType).as("s"),
       col(bCol).cast(LongType).as("d"), w.as("w"))
-    val e = Checkpoints.checkpoint(
+    val eRaw = Checkpoints.checkpoint(
       e0.union(e0.select(col("d").as("s"), col("s").as("d"), col("w")))
         .filter(col("s") =!= col("d"))
         .groupBy("s", "d").agg(min("w").as("w"))
         .repartition(col("s")))
-    var dist = Checkpoints.checkpoint(
-      sources.select(col(srcNode).cast(LongType).as("node"),
-        lit(0L).as("dist")).distinct())
+    // loop-shape selection — the [[PageRank.pageRank]] regime rule:
+    // broadcast shape while the smaller round-join side fits the
+    // planner's broadcast threshold, explicit co-partitioned pre-sorted
+    // merge shape above it (per round: zero broadcasts, zero edge
+    // exchanges/sorts — only the min-combine aggregation's exchange,
+    // the shuffle Bellman-Ford fundamentally needs)
+    val spark = edges.sparkSession
+    val pinned = !Checkpoints.broadcastRegime(spark,
+      Checkpoints.planStats(eRaw))
+    val parts = Checkpoints.sizedParts(spark,
+      Checkpoints.materializedBytes(eRaw).getOrElse(Long.MaxValue))
+    def mh(df: DataFrame): DataFrame = if (pinned) df.hint("merge") else df
+    val e =
+      if (!pinned) eRaw
+      else {
+        val ep = Checkpoints.checkpoint(eRaw
+          .repartition(parts, col("s")).sortWithinPartitions("s"),
+          declare = true)
+        Checkpoints.release(eRaw)
+        ep
+      }
+    var dist = Checkpoints.checkpoint(declare = pinned, df = {
+      val seed = sources.select(col(srcNode).cast(LongType).as("node"),
+        lit(0L).as("dist")).distinct()
+      if (pinned) seed.repartition(parts, col("node"))
+        .sortWithinPartitions("node")
+      else seed
+    })
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      val relaxed = e.join(dist, e("s") === dist("node"))
+      val relaxed = e.join(mh(dist), e("s") === dist("node"))
         .select(col("d").as("node"), (col("dist") + col("w")).as("dist"))
       val prev = dist
       val combined = prev.select("node", "dist").union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
       // carry the previous round's distance beside the new one so the
       // fixed-point test is one limit-1 scan of the materialized frame
-      dist = Checkpoints.checkpoint(
-        combined.join(prev.select(col("node"), col("dist").as("dp")),
+      dist = Checkpoints.checkpoint(declare = pinned, df =
+        combined.join(mh(prev.select(col("node"), col("dist").as("dp"))),
           Seq("node"), "left"))
       rounds += 1
       // exact fixed point: nothing new reached and nothing improved —

@@ -45,9 +45,29 @@ object Centrality {
     require(maxHops >= 1, "maxHops must be >= 1")
     val e0 = edges.select(col(aCol).cast(LongType).as("s"),
       col(bCol).cast(LongType).as("d"))
-    val e = Checkpoints.checkpoint(
+    val eRaw = Checkpoints.checkpoint(
       e0.union(e0.select(col("d").as("s"), col("s").as("d")))
         .distinct().repartition(col("s")))
+    // loop-shape selection — the [[PageRank.pageRank]] regime rule: the
+    // expansion join broadcasts the frontier while it fits; above the
+    // threshold the edge table is re-laid ONCE as an explicit-N
+    // hash-partitioned pre-sorted checkpoint so no round ever exchanges,
+    // sorts, or broadcasts the edges
+    val spark = edges.sparkSession
+    val pinned = !Checkpoints.broadcastRegime(spark,
+      Checkpoints.planStats(eRaw))
+    val parts = Checkpoints.sizedParts(spark,
+      Checkpoints.materializedBytes(eRaw).getOrElse(Long.MaxValue))
+    def mh(df: DataFrame): DataFrame = if (pinned) df.hint("merge") else df
+    val e =
+      if (!pinned) eRaw
+      else {
+        val ep = Checkpoints.checkpoint(eRaw
+          .repartition(parts, col("s")).sortWithinPartitions("s"),
+          declare = true)
+        Checkpoints.release(eRaw)
+        ep
+      }
     // FRONTIER propagation, not Bellman-Ford: with unit weights a node's
     // FIRST label is its final distance, so each round relaxes only the
     // nodes labeled last round — the expansion join is O(frontier·deg),
@@ -63,7 +83,7 @@ object Centrality {
     var exhausted = false
     while (rounds < maxHops && !exhausted) {
       val fresh = Checkpoints.checkpoint(
-        frontier.join(e, frontier("node") === e("s"))
+        mh(frontier).join(e, frontier("node") === e("s"))
           .select(col("seed"), col("d").as("node"),
             (col("dist") + 1L).as("dist"))
           .groupBy("seed", "node").agg(min("dist").as("dist"))

@@ -94,11 +94,40 @@ object Hits {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())
-    val eSrc = Checkpoints.checkpoint(e.repartition(col("src")))
-    val eDst = Checkpoints.checkpoint(e.repartition(col("dst")))
+    val eSrc0 = Checkpoints.checkpoint(e.repartition(col("src")))
+    val eDst0 = Checkpoints.checkpoint(e.repartition(col("dst")))
     Checkpoints.release(e)
+    // loop-shape selection — the [[PageRank.pageRank]] regime rule:
+    // broadcast shape while the smaller round-join side fits the
+    // planner's broadcast threshold, explicit co-partitioned pre-sorted
+    // merge shape above it (per round: zero broadcasts, zero edge
+    // exchanges/sorts — only the two gather aggregations' exchanges,
+    // the shuffles HITS fundamentally needs)
+    val spark = edges.sparkSession
+    val pinned = !Checkpoints.broadcastRegime(spark,
+      Checkpoints.planStats(nodes).min(Checkpoints.planStats(eSrc0)))
+    val parts = Checkpoints.sizedParts(spark,
+      Checkpoints.materializedBytes(eSrc0).getOrElse(Long.MaxValue))
+    def mh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (pinned) df.hint("merge") else df
+    val (eSrc, eDst) =
+      if (!pinned) (eSrc0, eDst0)
+      else {
+        val es = Checkpoints.checkpoint(eSrc0
+          .repartition(parts, col("src")).sortWithinPartitions("src"),
+          declare = true)
+        val ed = Checkpoints.checkpoint(eDst0
+          .repartition(parts, col("dst")).sortWithinPartitions("dst"),
+          declare = true)
+        Checkpoints.release(eSrc0)
+        Checkpoints.release(eDst0)
+        (es, ed)
+      }
 
-    var state = Checkpoints.checkpoint(prior match {
+    def pinN(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (pinned) df.repartition(parts, col("node")).sortWithinPartitions("node")
+      else df
+    var state = Checkpoints.checkpoint(declare = pinned, df = pinN(prior match {
       case Some(p) =>
         require(p.columns.contains("node") && p.columns.contains("hub") &&
           p.columns.contains("auth"),
@@ -123,7 +152,7 @@ object Hits {
             coalesce(col("__pa"), lit(0L)).as("a"))
       case None =>
         nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a"))
-    })
+    }))
     Checkpoints.release(nodes)
     var rounds = 0
     var converged = false
@@ -132,25 +161,25 @@ object Hits {
       // sum on dst; materialized because BOTH the max scalar and the
       // rescale join consume it (Spark does no cross-branch CSE)
       val ca = Checkpoints.checkpoint(
-        eSrc.join(state.select(col("node"), col("h")),
+        eSrc.join(mh(state.select(col("node"), col("h"))),
             eSrc("src") === col("node"))
           .groupBy("dst").agg(sum("h").as("raw")))
       val amax = maxRaw(ca, scale, "authority")
-      val aTbl = Checkpoints.checkpoint(
+      val aTbl = Checkpoints.checkpoint(declare = pinned, df =
         state.select(col("node"), col("h").as("hp"), col("a").as("ap"))
-          .join(ca, col("node") === ca("dst"), "left")
+          .join(mh(ca), col("node") === ca("dst"), "left")
           .select(col("node"), col("hp"), col("ap"),
             coalesce(expr(s"(raw * $scale) div $amax"), lit(0L)).as("a")))
       Checkpoints.release(ca)
       // hub gather: the mirror pass keyed on dst, using the NEW auth
       val ch = Checkpoints.checkpoint(
-        eDst.join(aTbl.select(col("node"), col("a")),
+        eDst.join(mh(aTbl.select(col("node"), col("a"))),
             eDst("dst") === col("node"))
           .groupBy("src").agg(sum("a").as("raw")))
       val hmax = maxRaw(ch, scale, "hub")
-      val next = Checkpoints.checkpoint(
+      val next = Checkpoints.checkpoint(declare = pinned, df =
         aTbl.select(col("node"), col("hp"), col("ap"), col("a"))
-          .join(ch, col("node") === ch("src"), "left")
+          .join(mh(ch), col("node") === ch("src"), "left")
           .select(col("node"), col("hp"), col("ap"), col("a"),
             coalesce(expr(s"(raw * $scale) div $hmax"), lit(0L)).as("h")))
       Checkpoints.release(aTbl)

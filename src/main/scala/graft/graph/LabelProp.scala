@@ -59,13 +59,37 @@ object LabelProp {
     require(rounds >= 1, "rounds must be >= 1")
     val e0 = edges.select(col(aCol).cast(LongType).as("s"),
       col(bCol).cast(LongType).as("d"))
-    val e = Checkpoints.checkpoint(
+    val eRaw = Checkpoints.checkpoint(
       e0.union(e0.select(col("d").as("s"), col("s").as("d")))
         .filter(col("s") =!= col("d"))
         .distinct()
         .repartition(col("s")))
+    // loop-shape selection — the [[PageRank.pageRank]] regime rule:
+    // broadcast shape while the label table fits the planner's broadcast
+    // threshold, explicit co-partitioned pre-sorted merge shape above it
+    // (per round: zero broadcasts, zero edge exchanges/sorts — only the
+    // vote-count aggregation's exchange, the shuffle LPA fundamentally
+    // needs; the exchange carries label frequencies, never edges)
+    val spark = edges.sparkSession
+    val pinned = !Checkpoints.broadcastRegime(spark,
+      Checkpoints.planStats(eRaw))
+    val parts = Checkpoints.sizedParts(spark,
+      Checkpoints.materializedBytes(eRaw).getOrElse(Long.MaxValue))
+    def mh(df: DataFrame): DataFrame = if (pinned) df.hint("merge") else df
+    val e =
+      if (!pinned) eRaw
+      else {
+        val ep = Checkpoints.checkpoint(eRaw
+          .repartition(parts, col("s")).sortWithinPartitions("s"),
+          declare = true)
+        Checkpoints.release(eRaw)
+        ep
+      }
     val nodes = e.select(col("s").as("node")).distinct()
-    var labels = Checkpoints.checkpoint(prior match {
+    def pinN(df: DataFrame): DataFrame =
+      if (pinned) df.repartition(parts, col("node")).sortWithinPartitions("node")
+      else df
+    var labels = Checkpoints.checkpoint(declare = pinned, df = pinN(prior match {
       case Some(p) =>
         require(p.columns.contains("node") && p.columns.contains("label"),
           "prior must carry (node, label) — the labelPropagation output shape")
@@ -85,17 +109,17 @@ object LabelProp {
           .select(col("node"), coalesce(col("__pl"), col("node")).as("lbl"))
       case None =>
         nodes.select(col("node"), col("node").as("lbl"))
-    })
+    }))
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {
-      val votes = e.join(labels, e("s") === labels("node"))
+      val votes = e.join(mh(labels), e("s") === labels("node"))
         .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
-      val next = Checkpoints.checkpoint(
-        votes.groupBy(col("d"))
+      val next = Checkpoints.checkpoint(declare = pinned, df =
+        mh(votes.groupBy(col("d"))
           .agg(min_by(col("lbl"),
             struct((-col("c")).as("nc"), col("lbl").as("l"))).as("nl"))
-          .select(col("d").as("node"), col("nl"))
+          .select(col("d").as("node"), col("nl")))
           .join(labels.select(col("node"), col("lbl").as("lp")), Seq("node"))
           .select(col("node"), col("lp"), col("nl").as("lbl")))
       executed += 1

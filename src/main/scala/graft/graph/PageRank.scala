@@ -97,22 +97,63 @@ object PageRank {
         when(w > 0, w).otherwise(raise_error(
           format_string("pageRank: non-positive edge weight %s", w)))
           .as("w")))
-    val nodes = Checkpoints.checkpoint(
+    // LOOP SHAPE, picked with the planner's own broadcast rule (r15
+    // optimization round, guide §2.4/§3.1): while the edge table's
+    // planner estimate fits the broadcast threshold, keep the
+    // broadcast-friendly shape (per-round BHJ of a table that small is
+    // the fastest plan, and pinning partitions would only add exchanges).
+    // Above the threshold — the 100 TB regime — pin explicit-N hash
+    // partitioning (never AQE-coalesced, so the checkpoint barrier
+    // declares it) on the edge table by src (pre-SORTED, so the merge
+    // join re-sorts nothing) and the node/rank tables by node, and hint
+    // the round joins to sort-merge: no round then broadcasts or
+    // re-exchanges ANY table — the only per-round exchange left is the
+    // contrib aggregation's, the one shuffle the algorithm fundamentally
+    // needs. N is sized from the MEASURED edge bytes (AQE's advisory
+    // rule via sizedParts), so it tracks data, not the local core count.
+    val spark = edges.sparkSession
+    val nodes0 = Checkpoints.checkpoint(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
     // weight-annotated edges: partitioned on src ONCE, reused every round
-    val eDeg = Checkpoints.checkpoint(
+    val eDeg0 = Checkpoints.checkpoint(
       e.join(outw, "src").repartition(col("src")))
     Checkpoints.release(e) // nodes + eDeg are materialized; e is consumed
+    // every round join keeps one of (edge table, rank table) on its
+    // build side, so the loop is broadcast-shaped iff the SMALLER of the
+    // two stays under the planner's broadcast threshold — the planner's
+    // own rule, read off the same post-barrier stats it will use
+    val pinned = !Checkpoints.broadcastRegime(spark,
+      Checkpoints.planStats(nodes0).min(Checkpoints.planStats(eDeg0)))
+    val parts = Checkpoints.sizedParts(spark,
+      Checkpoints.materializedBytes(eDeg0).getOrElse(Long.MaxValue))
+    def mh(df: DataFrame): DataFrame = if (pinned) df.hint("merge") else df
+    val (nodes, eDeg) =
+      if (!pinned) (nodes0, eDeg0)
+      else {
+        // 100 TB regime: re-lay the two loop inputs ONCE as explicit-N
+        // hash-partitioned, pre-sorted checkpoints (from the already
+        // materialized unpinned ones — one extra cheap pass), so every
+        // round's merge joins elide both the exchange and the edge sort
+        val n = Checkpoints.checkpoint(nodes0
+          .repartition(parts, col("node")).sortWithinPartitions("node"),
+          declare = true)
+        val ed = Checkpoints.checkpoint(eDeg0
+          .repartition(parts, col("src")).sortWithinPartitions("src"),
+          declare = true)
+        Checkpoints.release(nodes0)
+        Checkpoints.release(eDeg0)
+        (n, ed)
+      }
 
     val base = 15L * scale / 100L
     // ranks always covers the full node set (invariant of the left join
     // below), so the loop joins against the previous RANK frame, not the
     // node set — which also puts old and new rank side by side for the
     // exact fixed-point test. nodes is consumed once ranks materializes.
-    var ranks = Checkpoints.checkpoint(prior match {
+    var ranks = Checkpoints.checkpoint(declare = pinned, df = prior match {
       case Some(p) =>
         require(p.columns.contains("node") && p.columns.contains("rank"),
           "prior must carry (node, rank) — the pageRank output shape")
@@ -138,14 +179,20 @@ object PageRank {
     var rounds = 0
     var converged = false
     while (rounds < iterations && !converged) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      // in the pinned regime both joins are sort-merge over DECLARED
+      // co-partitioned, pre-sorted checkpoints (the barrier carries the
+      // physical properties — merge is also the spill-safe strategy at
+      // state sizes where no hash build can be assumed to fit); in the
+      // broadcast regime the planner's BHJ is kept as-is
+      val contribs = eDeg.join(mh(ranks), eDeg("src") === ranks("node"))
         .select(col("dst"), expr("(r * w) div outw").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
       val next = Checkpoints.checkpoint(
         ranks.select(col("node"), col("r").as("rp"))
-          .join(contribs, col("node") === contribs("dst"), "left")
+          .join(mh(contribs), col("node") === contribs("dst"), "left")
           .select(col("node"), col("rp"),
-            (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+            (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r")),
+        declare = pinned)
       rounds += 1
       // exact fixed point reached? one scan of the materialized
       // checkpoint, short-circuited at the first changed rank
@@ -195,23 +242,46 @@ object PageRank {
         .join(seedSet.withColumn("s", lit(1L)), Seq("node"), "full_outer")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("seed")))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = Checkpoints.checkpoint(
+    val eDeg0 = Checkpoints.checkpoint(
       e.join(outdeg, "src").repartition(col("src")))
     Checkpoints.release(e)
+    // loop-shape selection — the [[pageRank]] regime rule: broadcast
+    // shape while the smaller round-join side fits the planner's
+    // broadcast threshold, explicit co-partitioned merge shape above it
+    val spark = edges.sparkSession
+    val pinned = !Checkpoints.broadcastRegime(spark,
+      Checkpoints.planStats(nodes).min(Checkpoints.planStats(eDeg0)))
+    val parts = Checkpoints.sizedParts(spark,
+      Checkpoints.materializedBytes(eDeg0).getOrElse(Long.MaxValue))
+    def mh(df: DataFrame): DataFrame = if (pinned) df.hint("merge") else df
+    val eDeg =
+      if (!pinned) eDeg0
+      else {
+        val ed = Checkpoints.checkpoint(eDeg0
+          .repartition(parts, col("src")).sortWithinPartitions("src"),
+          declare = true)
+        Checkpoints.release(eDeg0)
+        ed
+      }
 
     val base = 15L * scale / 100L
-    var ranks = Checkpoints.checkpoint(
-      nodes.select(col("node"), col("seed"), (col("seed") * scale).as("r")))
+    var ranks = Checkpoints.checkpoint(declare = pinned, df = {
+      val seedRanks = nodes.select(col("node"), col("seed"),
+        (col("seed") * scale).as("r"))
+      if (pinned) seedRanks.repartition(parts, col("node"))
+        .sortWithinPartitions("node")
+      else seedRanks
+    })
     Checkpoints.release(nodes)
     var rounds = 0
     var converged = false
     while (rounds < iterations && !converged) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      val contribs = eDeg.join(mh(ranks), eDeg("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
-      val next = Checkpoints.checkpoint(
+      val next = Checkpoints.checkpoint(declare = pinned, df =
         ranks.select(col("node"), col("seed"), col("r").as("rp"))
-          .join(contribs, col("node") === contribs("dst"), "left")
+          .join(mh(contribs), col("node") === contribs("dst"), "left")
           .select(col("node"), col("seed"), col("rp"),
             (col("seed") * base +
               expr("(85 * coalesce(s, 0L)) div 100")).as("r")))

@@ -47,13 +47,24 @@ object Checkpoints {
     * spends minutes in Toom-Cook multiplication (the round-9 q91 bench
     * hang). Clamping at the checkpoint boundary keeps every leaf ≤ 2^63
     * — truthful for small frames, bounded for loop lineages. */
-  private[graft] def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+  /** `declare = true` additionally rebuilds the checkpoint leaf with the
+    * origin's EXECUTED plan's concrete partitioning/ordering
+    * (`fromDataset` loses them — see the barrier), so downstream joins
+    * can elide exchanges/sorts. OPT-IN, for the explicitly repartitioned
+    * loop inputs of the pinned (100 TB) regime only: declaring captured
+    * partitioning on arbitrary checkpoints forces later exchanges to
+    * match its partition count instead of letting AQE coalesce them —
+    * measured as 64-task micro-stages replacing 1–5-task ones at bench
+    * scale. */
+  private[graft] def checkpoint(df: DataFrame, eager: Boolean = true,
+                                declare: Boolean = false): DataFrame = {
     val cp0 = df.localCheckpoint(eager)
     // memoized on the origin's QueryExecution (the checkpoint just ran
     // it), and bounded because every upstream checkpoint leaf is clamped
     val originSize = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val cp = org.apache.spark.sql.execution.GraftStatsBarrier
-      .rebuildWithBoundedStats(cp0, originSize)
+      .rebuildWithBoundedStats(cp0, originSize,
+        if (declare) Some(df) else None)
     backingRdd(cp).foreach { r =>
       val ref = new WeakReference[RDD[_]](r)
       live.synchronized {
@@ -116,6 +127,67 @@ object Checkpoints {
     }
     live.clear()
     n
+  }
+
+  /** The session's shuffle-partition count — the explicit N the iterative
+    * operators pass to `repartition(N, key)` so the exchange is never
+    * AQE-coalesced and the checkpoint barrier can declare the concrete
+    * hash partitioning for per-round exchange elision (guide §2.4). */
+  private[graft] def shuffleParts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** The actual bytes a MATERIALIZED (eager) checkpoint holds in the
+    * block manager — ground truth, not an estimate. None for lazy /
+    * released / non-checkpoint frames. */
+  private[graft] def materializedBytes(df: DataFrame): Option[Long] =
+    backingRdd(df).flatMap { r =>
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == r.id)
+        .map(i => i.memSize + i.diskSize).filter(_ > 0)
+    }
+
+  /** Scale-adaptive partition count for an iterative loop's pinned
+    * partitioning: `bytes` (ideally [[materializedBytes]] of the loop's
+    * largest reused checkpoint) divided by the session's AQE advisory
+    * partition size, clamped to [1, shuffle partitions]. This is AQE's
+    * own coalescing rule applied to the one exchange AQE must NOT touch
+    * (a coalesced exchange loses its hash property, so the per-round
+    * joins would re-shuffle — the UnknownPartitioning regression the
+    * round-plan probe measured); deriving from data size keeps the loop
+    * a handful of tasks at bench scale and conf-bounded at 100 TB,
+    * never a constant tuned to either (guide §2.2). */
+  private[graft] def sizedParts(spark: org.apache.spark.sql.SparkSession,
+                                bytes: Long): Int = {
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    val want = math.ceil(bytes.toDouble / math.max(1L, advisory)).toInt
+    math.max(1, math.min(shuffleParts(spark), want))
+  }
+
+  /** The planner's own size estimate for a frame (post-barrier bounded
+    * stats for checkpoints) — the number the join strategy will be
+    * decided from. */
+  private[graft] def planStats(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** True when a frame with planner estimate `estimate` falls under the
+    * session's `autoBroadcastJoinThreshold` — i.e. the planner would
+    * broadcast it and a per-round join against it needs NO exchange
+    * anyway. Iterative operators use this to pick their loop shape with
+    * the planner's OWN rule: below the threshold they keep the
+    * broadcast-friendly shape (fastest at bench scale); above it they
+    * pin explicit co-partitioning + merge joins so no round ever
+    * broadcasts or re-exchanges the big tables (the only shape that
+    * works at 100 TB). Threshold -1 (broadcast disabled) always selects
+    * the pinned shape. */
+  private[graft] def broadcastRegime(spark: org.apache.spark.sql.SparkSession,
+                                     estimate: BigInt): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val thresh =
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      }
+    thresh > 0 && estimate <= BigInt(thresh)
   }
 
   /** Checkpoints still holding blocks (not yet released or GC'd). */

@@ -137,6 +137,27 @@ object EventStreaming {
         col("session_end_us"), col("n_events"), col("sum_cents"))
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` sized to a BOUNDED
+    * replay's input (ceil(nRows/50k), capped at the session default) and
+    * restores the session value afterwards. A stateful streaming query
+    * pins its state-store partition count to the shuffle-partition conf
+    * at query start; the session default (2×cores — the engine-wide knee
+    * value) is sized for at-rest corpora, so a bounded replay of tens of
+    * thousands of rows would otherwise open/commit 64 state stores per
+    * micro-batch — measured 64-task state stages dominating q97/q98
+    * (guide §2.2: fewer, larger partitions; sizing derived from the
+    * observed input, never a local-core constant). Results are
+    * partition-count independent (the state partitioning is internal),
+    * which the replay parity specs already pin. */
+  private def withReplaySizedPartitions[A](
+      spark: org.apache.spark.sql.SparkSession, nRows: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val target = math.min(math.max(1, prev.toInt), nRows / 50000 + 1)
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Replays a BOUNDED event slice through [[sessionizeStream]] and
     * returns every session the stateful query sealed — the batch-parity
     * harness that lets the `flatMapGroupsWithState` path itself be
@@ -166,20 +187,22 @@ object EventStreaming {
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val name = "graft_sessions_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionizeStream(stream.toDS(), gapSec, watermarkSec)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      val sentinelUser = rows.map(_.userId).max + 1L
-      val sentinelTs = rows.map(_.tsUs).max +
-        2L * (gapSec + watermarkSec + 60L) * 1000000L
-      stream.addData(rows)
-      q.processAllAvailable()
-      stream.addData(Event(-1L, sentinelUser, sentinelTs, 0L))
-      q.processAllAvailable()
-      stream.addData(Event(-2L, sentinelUser, sentinelTs + 1L, 0L))
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplaySizedPartitions(spark, rows.size) {
+      val q = sessionizeStream(stream.toDS(), gapSec, watermarkSec)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val sentinelUser = rows.map(_.userId).max + 1L
+        val sentinelTs = rows.map(_.tsUs).max +
+          2L * (gapSec + watermarkSec + 60L) * 1000000L
+        stream.addData(rows)
+        q.processAllAvailable()
+        stream.addData(Event(-1L, sentinelUser, sentinelTs, 0L))
+        q.processAllAvailable()
+        stream.addData(Event(-2L, sentinelUser, sentinelTs + 1L, 0L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     val out = spark.table(name).as[Session]
       .filter(_.userId != rows.map(_.userId).max + 1L).collect().toSeq
     spark.catalog.dropTempView(name)
@@ -202,13 +225,15 @@ object EventStreaming {
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val name = "graft_dedup_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = dedupStream(stream.toDS(), watermarkSec)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      stream.addData(rows)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplaySizedPartitions(spark, rows.size) {
+      val q = dedupStream(stream.toDS(), watermarkSec)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        stream.addData(rows)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     val out = spark.table(name).as[Event].collect().toSeq
     spark.catalog.dropTempView(name)
     out.toDS()
