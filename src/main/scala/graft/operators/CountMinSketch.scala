@@ -164,14 +164,23 @@ object CountMinSketch {
     * to 0. */
   private def assemble(sparse: DataFrame, groupCols: Seq[String],
                        slotCol: String, cntCol: String, total: Int,
-                       out: String): DataFrame =
+                       out: String): DataFrame = {
+    // ONE native one-pass densify per group (graft.functions
+    // .DenseFromSparse) — the map_from_entries + per-slot element_at
+    // composition did a LINEAR map scan per dense slot, O(total · nnz)
+    // per row; measured 1.8 s in one task on the q219 snapshot read.
+    // Same semantics: absent slots 0, duplicate slots raise, slots
+    // outside [0, total) ignored.
+    val entries = collect_list(struct(
+      col(slotCol).cast(LongType), col(cntCol).cast(LongType)))
+    val dense = org.apache.spark.sql.execution.GraftColumnBridge.column(
+      graft.functions.DenseFromSparse(
+        org.apache.spark.sql.execution.GraftColumnBridge.expression(entries),
+        total))
     sparse
       .groupBy(groupCols.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col(slotCol), col(cntCol))))
-        .as("__cm_m"))
-      .select(groupCols.map(col) :+
-        transform(sequence(lit(0L), lit(total.toLong - 1L)),
-          i => coalesce(element_at(col("__cm_m"), i), lit(0L))).as(out): _*)
+      .agg(dense.as(out))
+  }
 
   /** Element-wise sum of two counter arrays (same depth/width by
     * contract) — the ⊕ of the cube contract. NOT idempotent: merging a

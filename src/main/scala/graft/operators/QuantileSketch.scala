@@ -150,8 +150,14 @@ object QuantileSketch {
         array((0 until slots(bins)).map(i => col(s"__qs_c$i")): _*).as(sketchCol): _*)
   }
 
-  /** Total count held by a sketch (BIGINT). */
-  def total(sk: Column): Column = aggregate(sk, lit(0L), (a, x) => a + x)
+  /** Total count held by a sketch (BIGINT). Native one-pass sum
+    * ([[graft.functions.LongArraySum]]) — the `aggregate` HOF is
+    * CodegenFallback, one interpreted lambda dispatch per bin per row
+    * (r15 optimization round; same values, ANSI overflow still raises). */
+  def total(sk: Column): Column =
+    org.apache.spark.sql.execution.GraftColumnBridge.column(
+      graft.functions.LongArraySum(
+        org.apache.spark.sql.execution.GraftColumnBridge.expression(sk)))
 
   /** The (num/den)-quantile read from a sketch: the lower edge of the
     * first slot where the cumulative count reaches rank ⌈(num·n)/den⌉
@@ -170,27 +176,18 @@ object QuantileSketch {
     // den, past that)
     require(den <= 1000000, s"quantile den must be <= 1000000, got $den")
     val w = width(lo, hi, bins)
-    // eager Int64 guard (r14): a weighted sketch whose total·den exceeds
-    // Long.Max must fail LOUDLY like the NULL/negative-weight paths, not
-    // as a generic ANSI overflow inside the fold (cum ≤ n, so guarding n
-    // covers every cross-multiply in the walk)
-    val lim = Long.MaxValue / den
-    val n = when(total(sk) > lim, raise_error(format_string(
-        s"quantileLower: sketch total %s × den $den overflows Int64 " +
-          s"(limit $lim) — rescale weights or lower den",
-        total(sk).cast("string"))))
-      .otherwise(total(sk))
-    val walk = aggregate(sk,
-      struct(lit(0L).as("cum"), lit(0).as("pos"), lit(-1).as("ans")),
-      (acc, c) => {
-        val cum = acc.getField("cum") + c
-        val pos = acc.getField("pos")
-        struct(cum.as("cum"), (pos + 1).as("pos"),
-          when(acc.getField("ans") >= 0, acc.getField("ans"))
-            .when(cum * den >= n * num, pos)
-            .otherwise(-1).as("ans"))
-      })
-    val slot = walk.getField("ans")
+    // ONE native pass computes total + Int64 guard + rank walk
+    // ([[graft.functions.SketchQuantileSlot]], r15 optimization round):
+    // the previous `aggregate` HOF walk was CodegenFallback AND its
+    // lambda referenced the (itself O(bins)) total per element —
+    // O(bins²) interpreted work per read per row, measured 2.3 s in one
+    // task on q219's 3-read snapshot scan. Same cross-multiplied rank
+    // test, same guard message, same slot semantics, same hashes.
+    val n = total(sk)
+    val slot = org.apache.spark.sql.execution.GraftColumnBridge.column(
+      graft.functions.SketchQuantileSlot(
+        org.apache.spark.sql.execution.GraftColumnBridge.expression(sk),
+        num, den))
     when(n === 0L, lit(null).cast(LongType))
       .when(slot === 0, lit(null).cast(LongType))
       .when(slot === bins + 1, lit(hi))
