@@ -37,8 +37,20 @@ object PrefixSum {
   def scan(df: DataFrame, valueCol: String, outCol: String, numParts: Int,
            monoid: LongMonoid, orderCols: Column*): DataFrame = {
     val spark = df.sparkSession
+    // numParts <= 0: derive the range-partition count from the INPUT
+    // SIZE estimate at the AQE advisory partition size (r15 optimization
+    // round, guide §2.2) — the old default (defaultParallelism) was a
+    // core-count constant: 32 near-empty sort tasks for a 3 MB
+    // distinct-value table at bench scale, yet a fixed 32 would
+    // under-partition a 100 TB scan. Bounded to [2, 2^17].
     val parts = if (numParts >= 1) numParts
-      else math.max(2, spark.sparkContext.defaultParallelism)
+      else {
+        val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+        val bySize = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+          BigInt(math.max(1L, advisory)) + 1
+        bySize.min(BigInt(1 << 17)).max(BigInt(2)).toInt
+      }
     // cache BEFORE the range shuffle (knob: RangeInputCache — off at
     // storage-bound scale): repartitionByRange scans its child once for the
     // RangePartitioner's bounds sample and again for the shuffle map

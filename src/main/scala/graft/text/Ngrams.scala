@@ -224,7 +224,8 @@ object Ngrams {
     * per doc first (a 100k-token doc → 10¹⁰ rows before the filter). */
   def skipgramPairs(docs: DataFrame, radius: Int, k: Int): DataFrame = {
     require(radius >= 1, "radius must be >= 1")
-    val pos = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+    val pos = graft.text.TextOps.spreadScan(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
     val deltas = ((-radius to -1) ++ (1 to radius)).mkString(",")
     // context token at position p serves centers p+δ ⇒ emit (doc_id, p+δ, w)

@@ -348,7 +348,7 @@ object Pipeline {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     import graft.operators.KmvSketch
     graft.functions.WordNgrams.register(docs.sparkSession)
-    def grams(d: DataFrame, keys: Seq[Column]) = d
+    def grams(d: DataFrame, keys: Seq[Column]) = TextOps.spreadScan(d)
       .select(keys :+ explode(TextOps.wordNgramsNative(n)).as("g"): _*)
     val srcSk = KmvSketch.sketch(
       grams(docs, Seq(col("source"))), Seq("source"), "g", hexChars)
@@ -398,7 +398,7 @@ object Pipeline {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     import graft.operators.BloomSketch
     graft.functions.WordNgrams.register(docs.sparkSession)
-    def grams(d: DataFrame, keys: Seq[Column]) = d
+    def grams(d: DataFrame, keys: Seq[Column]) = TextOps.spreadScan(d)
       .select(keys :+ explode(TextOps.wordNgramsNative(n)).as("g"): _*)
     val state = BloomSketch.sketchSparse(grams(blocklist, Nil), Nil, "g",
       numWords, k)

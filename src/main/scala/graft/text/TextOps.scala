@@ -28,6 +28,22 @@ object TextOps {
   def xhash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Spread an UNDER-SPLIT corpus scan across the session's cores before
+    * CPU-dense per-row work (r15 optimization round; guide §2.5 "input
+    * skew: one huge unsplittable file — repartition immediately after
+    * the read"): a small corpus parquet is ONE split, so the gram
+    * explosion / md5 hashing of every text operator ran in ONE task
+    * (measured 6.7 s single-task on the q244 sketch build). When the
+    * frame's scan parallelism is below the session default, hash-
+    * repartition by `key` to the default — a few MB of text moved once;
+    * at scale the scan already has ≥ cores splits and this is a NO-OP
+    * (never repartitions a big corpus). Call only on scan-rooted frames
+    * (no exchanges upstream — `.rdd` here must not trigger stages). */
+  private[graft] def spreadScan(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want, col(key)) else df
+  }
+
   /** Whitespace tokens of a document. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -406,7 +422,7 @@ object Dedup {
     * Released via [[graft.operators.Checkpoints]]. */
   private def rankedSets(docs: DataFrame, tokensOf: Column,
                          hinted: DataFrame => DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokensOf).as("w"))
+    val tok = spreadScan(docs).select(col("doc_id"), explode(tokensOf).as("w"))
     val rank = graft.operators.GlobalRank.withRank(
         tok.groupBy("w").agg(count(lit(1)).as("cnt")),
         numParts = 0, "tr0", col("cnt"), col("w"))
@@ -619,7 +635,8 @@ object Dedup {
     graft.functions.BitmapFromRanks.register(docs.sparkSession)
     graft.functions.CharNGrams.register(docs.sparkSession)
     val keyCols = "doc_id" +: carry
-    val tok = docs.select(keyCols.map(col) :+ explode(tokensOf).as("w"): _*)
+    val tok = spreadScan(docs)
+      .select(keyCols.map(col) :+ explode(tokensOf).as("w"): _*)
     val rank = graft.operators.GlobalRank.withRank(
         tok.select("w").distinct(), numParts = 0, "r", col("w"))
       .select(col("w"), col("r"))
