@@ -493,7 +493,10 @@ private[graft] object Gates2 {
     // part↔supplier co-occurrence graph; exact fixed-point ppm arithmetic
     // so DuckDB replays every iteration cell-for-cell ────────────────────
     "q111_pagerank" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
+      // spread the single-split scan before the edge distinct
+      // (r15 optimization round; no-op at scale)
+      val li = graft.text.TextOps.spreadScan(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey")
       val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
         (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
       val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))

@@ -55,8 +55,11 @@ private[graft] object Gates3 {
     // ≥2 distinct orders): degree-ordered orientation bounds every
     // outdegree at O(√m), so wedge generation survives hub skew ──────────
     "q116_triangles" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       // per-order pair explosion is O(k²) with k = lines per order (≤ 7
       // in this schema) — bounded per group, not per corpus
@@ -135,8 +138,9 @@ private[graft] object Gates3 {
     // rounds (deterministic round count → exact SQL replay; convergence
     // inside the bound is a no-op for the replay) ────────────────────────
     "q121_kcore" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -150,8 +154,11 @@ private[graft] object Gates3 {
     // co-purchase graph, 4 bounded relaxation rounds (chained-CTE
     // replayable; per-round exchange is the label table only) ────────────
     "q123_bfs" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -183,8 +190,11 @@ private[graft] object Gates3 {
     // pair's co-occurrence count, contribution = rank·w div Σw — same
     // exact fixed-point arithmetic as q111 (w ≡ 1 is that gate) ──────────
     "q126_weighted_pagerank" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val e0 = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -261,8 +271,11 @@ private[graft] object Gates3 {
     // tiebreak — deterministic, chained-CTE-replayable; per-round
     // exchange is label FREQUENCIES (map-side-combined), not edges ───────
     "q130_label_prop" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -283,8 +296,11 @@ private[graft] object Gates3 {
     // deterministically from the endpoints so the chained-CTE oracle
     // replays cost-for-cost; non-negative weights enforced ───────────────
     "q132_sssp" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -306,8 +322,11 @@ private[graft] object Gates3 {
     // edge checkpoint feeds the degree agg and the hub-proof triangle
     // pass — community DENSITY beside q130's community LABELS ───────────
     "q133_clustering_coeff" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))

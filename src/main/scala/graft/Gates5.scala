@@ -73,8 +73,11 @@ private[graft] object Gates5 {
     // surviving edge sits in ≥ 1 triangle — edge cohesion one notch
     // stronger than q121's k-core; support recounted per peel ───────────
     "q157_ktruss" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -96,7 +99,10 @@ private[graft] object Gates5 {
     // the part↔supplier graph: Σ L/d as an exact fraction with
     // L = lcm(1..3) = 6 divisible by every hop count — no truncation ─────
     "q155_harmonic" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
+      // spread the single-split scan before the edge distinct
+      // (r15 optimization round; no-op at scale)
+      val li = graft.text.TextOps.spreadScan(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey")
       val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
         (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
       val seeds = s.read.parquet(t(dir, "supplier"))
@@ -126,7 +132,10 @@ private[graft] object Gates5 {
     // bidirectional part↔supplier graph: restart mass on seeds only, so
     // ranks measure relevance NEAR the seed set; exact ppm arithmetic ────
     "q153_ppr" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
+      // spread the single-split scan before the edge distinct
+      // (r15 optimization round; no-op at scale)
+      val li = graft.text.TextOps.spreadScan(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey")
       val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
         (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
       val edges = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
@@ -143,8 +152,11 @@ private[graft] object Gates5 {
     // the capped-connector neighborhoods (maxDegree hub guard — per-
     // center wedge work is bounded at maxDegree² regardless of skew) ─────
     "q149_link_predict" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       val pairs = op.as("x").join(op.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -159,8 +171,11 @@ private[graft] object Gates5 {
     // exact per-community fractions (4·m·e_c − d_c²) / 4m² — the quality
     // score beside q130's labels and q133's density ──────────────────────
     "q146_modularity" -> ((s, dir) => {
-      val op = s.read.parquet(t(dir, "lineitem"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // spread the single-split scan before the distinct + self-join
+      // (r15 optimization round; no-op at scale — see TextOps.spreadScan)
+      val op = graft.text.TextOps.spreadScan(
+          s.read.parquet(t(dir, "lineitem"))
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         .distinct()
       // the pair-graph build feeds both LPA and the modularity joins —
       // no cross-branch CSE in Spark, so materialize it once
@@ -404,7 +419,10 @@ private[graft] object Gates5 {
     // rounds k+1..k+j — which the chained-CTE oracle proves
     // cell-for-cell ──────────────────────────────────────────────────────
     "q221_hits_delta" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
+      // spread the single-split scan before the edge distinct
+      // (r15 optimization round; no-op at scale)
+      val li = graft.text.TextOps.spreadScan(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey")
       val nat = s.read.parquet(t(dir, "nation"))
       val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("s"),
         (col("l_suppkey") * 2 + 1).cast(LongType).as("d")).distinct()
@@ -423,7 +441,10 @@ private[graft] object Gates5 {
     // warm rounds replay as cold rounds k+1..k+j — which the chained-CTE
     // oracle proves cell-for-cell ────────────────────────────────────────
     "q222_lpa_delta" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
+      // spread the single-split scan before the edge distinct
+      // (r15 optimization round; no-op at scale)
+      val li = graft.text.TextOps.spreadScan(
+        s.read.parquet(t(dir, "lineitem")), "l_orderkey")
       val nat = s.read.parquet(t(dir, "nation"))
       val e0 = li.select((col("l_partkey") * 2).cast(LongType).as("a"),
         (col("l_suppkey") * 2 + 1).cast(LongType).as("b")).distinct()
