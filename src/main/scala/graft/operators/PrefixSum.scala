@@ -45,11 +45,20 @@ object PrefixSum {
     // under-partition a 100 TB scan. Bounded to [2, 2^17].
     val parts = if (numParts >= 1) numParts
       else {
-        val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-          spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
-        val bySize = df.queryExecution.optimizedPlan.stats.sizeInBytes /
-          BigInt(math.max(1L, advisory)) + 1
-        bySize.min(BigInt(1 << 17)).max(BigInt(2)).toInt
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        // an RDD-backed input (e.g. a GlobalRank output) carries the
+        // stats-less DEFAULT estimate (Long.MaxValue) — that is "no
+        // signal", not "huge": sizing from it made q186 a 131072-
+        // partition range shuffle (2.4 s → 13.6 s). Fall back to the
+        // old parallelism default there.
+        if (est >= BigInt(Long.MaxValue) / 2)
+          math.max(2, spark.sparkContext.defaultParallelism)
+        else {
+          val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+          (est / BigInt(math.max(1L, advisory)) + 1)
+            .min(BigInt(1 << 17)).max(BigInt(2)).toInt
+        }
       }
     // cache BEFORE the range shuffle (knob: RangeInputCache — off at
     // storage-bound scale): repartitionByRange scans its child once for the
