@@ -319,40 +319,30 @@ object TableOps {
     // (the Triangles cross-branch-CSE lesson; released by the caller's
     // Checkpoints.releaseAll cycle)
     val src = Checkpoints.checkpoint(df)
-    // the k metric passes are INDEPENDENT until the final joins — their
-    // driver actions (the count scalar, the prefix-scan totals collect)
-    // run from a small thread pool so each metric's jobs back-fill the
-    // executor tail of the previous one (guide §2.6: overlap independent
-    // jobs); the joins then fold sequentially over the finished bucket
-    // tables. 2 threads in flight is enough to fill the tail.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(2, cols.size))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val bucketTables: Seq[(String, Option[DataFrame])] =
-      try Await.result(Future.sequence(cols.map { c => Future {
-        val cnts = src.filter(col(c).isNotNull)
-          .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-        val nRow = cnts.agg(sum("__cnt")).head
-        val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
-        if (n == 0L) (c, None)
-        else {
-          require(n <= Long.MaxValue / nBuckets,
-            s"equiDepthScores: n * nBuckets overflows Int64 (n=$n)")
-          val buckets = PrefixSum
-            .exclusive(cnts, "__cnt", "__below", numParts = -1, col(c))
-            .select(col(c),
-              expr(s"(__below * $nBuckets) div ${n}L").as(s"${c}_score"))
-          (c, Some(buckets))
-        }
-      }}), Duration.Inf)
-      finally pool.shutdown()
-    val scored = bucketTables.foldLeft(src) {
-      case (acc, (c, None)) =>
-        acc.withColumn(s"${c}_score", lit(null).cast(LongType))
-      case (acc, (c, Some(buckets))) =>
+    // NOTE (r15 optimization round): a thread-pooled variant overlapping
+    // the k independent metric passes (guide §2.6) DEADLOCKED when the
+    // operator is invoked from a SQL TVF — the TVF builder runs inside
+    // `SessionCatalog.lookupFunction` HOLDING the catalog monitor, and
+    // the pool threads' driver actions block on that same monitor during
+    // analysis while the builder awaits the pool. Sequential passes are
+    // the correct shape for an operator that must be callable from
+    // analysis context; the per-pass win came from sizing the prefix
+    // scan (PrefixSum numParts <= 0 path), which is kept.
+    val scored = cols.foldLeft(src) { (acc, c) =>
+      val cnts = src.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      val nRow = cnts.agg(sum("__cnt")).head
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      if (n == 0L) acc.withColumn(s"${c}_score", lit(null).cast(LongType))
+      else {
+        require(n <= Long.MaxValue / nBuckets,
+          s"equiDepthScores: n * nBuckets overflows Int64 (n=$n)")
+        val buckets = PrefixSum
+          .exclusive(cnts, "__cnt", "__below", numParts = -1, col(c))
+          .select(col(c),
+            expr(s"(__below * $nBuckets) div ${n}L").as(s"${c}_score"))
         acc.join(buckets, Seq(c), "left")
+      }
     }
     // equi-joins move their key first — restore input order, scores after
     scored.select((df.columns.map(col) ++
